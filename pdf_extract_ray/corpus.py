@@ -1,0 +1,168 @@
+"""Deterministic synthetic Common-Crawl-style ``pages`` corpus.
+
+Generates the ``input_hint`` table ``(url, warc_ts, html, text, lang)``
+from a seed, with the page archetypes of FIXTURES.md F1: boilerplate
+chrome, heading hierarchies with consecutive same-level headings,
+dot-leader TOC lines, hard-wrapped sentences, multi-sentence lines,
+bracket/whitespace noise, multi-page ``<section data-page>`` documents,
+Zipf-hot hosts (skew), empty/invalid pages and exact-duplicate content.
+
+Determinism is PER URL (randomness derived from ``sha256(seed, doc_id)``),
+never from a shared RNG sequence, so generation is order-independent and
+can run inside parallel ``map_batches`` tasks at any scale.  A corpus is
+fully specified by ``(seed, n_docs)``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from datetime import datetime, timedelta
+
+import numpy as np
+import pyarrow as pa
+
+EPOCH = datetime(2024, 1, 1)
+
+_WORDS = (
+    "asylum court decision appeal member state border protection status "
+    "ruling judge application transfer minor family procedure detention "
+    "return directive regulation article council european union law case "
+    "hearing evidence claim country origin safe residence permit visa"
+).split()
+
+_KO_WORDS = (
+    "난민 법원 판결 항소 회원국 국경 보호 지위 재판부 신청 이송 미성년자 "
+    "가족 절차 구금 송환 지침 규정 조항 이사회 유럽연합 법률 사건 심리 "
+    "증거 주장 출신국 안전 체류 허가 비자"
+).split()
+
+
+def _rng_for(seed: int, doc_id: int) -> random.Random:
+    h = hashlib.sha256(f"{seed}:{doc_id}".encode()).digest()
+    return random.Random(int.from_bytes(h[:8], "big"))
+
+
+def _sentence(rng: random.Random, words: list[str], n: int, end: str = ".") -> str:
+    toks = [rng.choice(words) for _ in range(n)]
+    s = " ".join(toks)
+    return s[0].upper() + s[1:] + end if s and s[0].isascii() else s + end
+
+
+def _host(rng: random.Random, n_hosts: int) -> str:
+    # Zipf-like: host k chosen with p ~ 1/(k+1); a few hosts are hot
+    z = rng.paretovariate(1.1)
+    k = min(n_hosts - 1, int(z) - 1)
+    return f"host{k}.example"
+
+
+def build_doc(seed: int, doc_id: int, n_hosts: int = 50) -> dict:
+    """Build one deterministic page row."""
+    rng = _rng_for(seed, doc_id)
+    lang = "ko" if rng.random() < 0.3 else "en"
+    words = _KO_WORDS if lang == "ko" else _WORDS
+    host = _host(rng, n_hosts)
+    url = f"https://{host}/doc{doc_id}/{lang}"
+    warc_ts = EPOCH + timedelta(seconds=doc_id * 17)
+
+    archetype = rng.random()
+    if archetype < 0.02:
+        # empty body
+        return {"url": url, "warc_ts": warc_ts, "html": b"<html><body></body></html>",
+                "text": None, "lang": lang}
+    if archetype < 0.04:
+        # invalid bytes (non-HTML) with a pre-extracted text fallback
+        text = " ".join(_sentence(rng, words, rng.randint(4, 9)) for _ in range(3))
+        return {"url": url, "warc_ts": warc_ts, "html": bytes([rng.randrange(256) for _ in range(64)]),
+                "text": text, "lang": lang}
+    if archetype < 0.06:
+        # duplicate content under a distinct url (exact-dedup fixture):
+        # regenerate another doc's page body deterministically
+        twin = max(0, doc_id - 10)
+        twin_row = build_doc(seed, twin, n_hosts) if twin != doc_id else None
+        if twin_row is not None:
+            return {"url": url, "warc_ts": warc_ts, "html": twin_row["html"],
+                    "text": twin_row["text"], "lang": twin_row["lang"]}
+
+    n_pages = rng.choice([1, 1, 1, 2, 3])
+    parts = ["<html><head><title>t</title></head><body>",
+             "<header>Site chrome header</header><nav><a href='/'>home</a> | <a href='/x'>nav</a></nav>"]
+    plain_parts: list[str] = []
+    for page in range(1, n_pages + 1):
+        parts.append(f"<section data-page=\"{page}\">")
+        n_sections = rng.randint(1, 3)
+        for _ in range(n_sections):
+            # heading block; sometimes consecutive same-level headings (merge fixture)
+            h_level = rng.choice(["h1", "h2", "h3"])
+            n_heads = rng.choice([1, 1, 1, 2])
+            for _ in range(n_heads):
+                head = _sentence(rng, words, rng.randint(2, 5), end="")
+                parts.append(f"<{h_level}>{head}</{h_level}>")
+                plain_parts.append(head)
+            if rng.random() < 0.2:
+                # dot-leader TOC line
+                parts.append(f"<p>{_sentence(rng, words, 3, end='')} ........ {rng.randint(1, 99)}</p>")
+            n_paras = rng.randint(1, 5)
+            for _ in range(n_paras):
+                n_sents = rng.randint(1, 3)
+                sents = [_sentence(rng, words, rng.randint(5, 14)) for _ in range(n_sents)]
+                para = " ".join(sents)
+                plain_parts.append(para)
+                style = rng.random()
+                if style < 0.35:
+                    # hard-wrapped mid-sentence across multiple <p> fragments
+                    toks = para.split()
+                    cut = rng.randint(2, max(3, len(toks) - 2))
+                    parts.append(f"<p>{' '.join(toks[:cut])}</p>")
+                    parts.append(f"<p>{' '.join(toks[cut:])}</p>")
+                elif style < 0.45:
+                    # bracket/whitespace noise
+                    noisy = para.replace(" ", "  ", 3)
+                    noisy = noisy.replace(".", f" ( {rng.choice(words)} ) .", 1)
+                    parts.append(f"<p>{noisy}</p>")
+                elif style < 0.5:
+                    # bold paragraph (tagged H2 by the parser)
+                    parts.append(f"<p><b>{para}</b></p>")
+                else:
+                    parts.append(f"<p>{para}</p>")
+        parts.append("</section>")
+    parts.append("<footer>copyright chrome footer</footer></body></html>")
+    html = "".join(parts).encode("utf-8")
+    text = " ".join(plain_parts) if rng.random() > 0.2 else None
+    return {"url": url, "warc_ts": warc_ts, "html": html, "text": text, "lang": lang}
+
+
+def pages_table(n_docs: int, seed: int = 42, n_hosts: int = 50,
+                start: int = 0) -> pa.Table:
+    """Materialize rows [start, start+n_docs) as one Arrow table."""
+    rows = [build_doc(seed, i, n_hosts) for i in range(start, start + n_docs)]
+    return pa.table(
+        {
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us")),
+            "html": pa.array([r["html"] for r in rows], pa.binary()),
+            "text": pa.array([r["text"] for r in rows], pa.large_string()),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        }
+    )
+
+
+def write_pages_corpus(out_dir: str, n_docs: int, seed: int = 42,
+                       n_hosts: int = 50, docs_per_file: int = 2000) -> list[str]:
+    """Write a sharded parquet corpus (one file per shard => resumable /
+    partitionable reads).  Returns the file paths."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for start in range(0, n_docs, docs_per_file):
+        n = min(docs_per_file, n_docs - start)
+        path = os.path.join(out_dir, f"pages_{start:08d}.parquet")
+        if not os.path.exists(path):
+            tmp = path + ".tmp"
+            pq.write_table(pages_table(n, seed, n_hosts, start), tmp)
+            os.replace(tmp, path)
+        paths.append(path)
+    return paths

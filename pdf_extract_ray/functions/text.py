@@ -1,0 +1,90 @@
+"""Scalar text functions shared by the extraction and quality stages.
+
+These are the frozen, deterministic re-implementations of the reference's
+string rules (reference: euaa_사례/pdf_to_json/main.py:33 dot-leaders;
+layout_analyzer.py:88 whitespace collapse; sentence_composer.py:375-377
+bracket spacing; sentences/metadata_generator.py:76-83 quote
+normalization, :510-543 cleaning chain).  Everything here is pure and
+independent of batch boundaries so Ray task retries and any parallelism
+level produce byte-identical output.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+_WS_RE = re.compile(r"\s+")
+_DOT_LEADER_RE = re.compile(r"\.{5,}")
+_LEADING_BULLET_RE = re.compile(r"^[-‐–—−·•○:.]\s*")
+_STAR_RE = re.compile(r"\s*\*\s*")
+_IGC_IBC_RE = re.compile(r"\s*\((IGC|IBC) Code \d+\.\d+\)")
+_HYPHEN_RUN_RE = re.compile(r"-{2,}")
+_HANGUL_RE = re.compile(r"[ㄱ-ㆎ가-힣]")
+
+# curly double quotes -> ", curly single quotes / backtick -> '
+# (reference metadata_generator.py:76-83)
+_QUOTE_MAP = str.maketrans(
+    {0x201C: '"', 0x201D: '"', 0x201E: '"', 0x201F: '"',
+     0x2018: "'", 0x2019: "'", 0x0060: "'"}
+)
+
+
+def collapse_ws(text: str) -> str:
+    """Collapse whitespace runs to single spaces and strip (layout_analyzer.py:88)."""
+    return _WS_RE.sub(" ", text).strip()
+
+
+def strip_dot_leaders(text: str) -> str:
+    """Remove TOC dot-leader runs of >=5 dots (pdf_to_json/main.py:33)."""
+    return _DOT_LEADER_RE.sub("", text)
+
+
+def normalize_quotes(text: str) -> str:
+    """Map curly quotes / backtick to ASCII (metadata_generator.py:76-83)."""
+    return text.translate(_QUOTE_MAP)
+
+
+def strip_leading_bullet(text: str) -> str:
+    """Drop one leading bullet/dash/colon marker (metadata_generator.py:524)."""
+    return _LEADING_BULLET_RE.sub("", text)
+
+
+def clean_pair_text(text: str) -> str:
+    """The reference's "cleaned" chain (metadata_generator.py:520-540):
+
+    leading bullet strip -> ``*`` runs to space -> IGC/IBC code tag drop ->
+    quote normalization -> hyphen-run drop -> strip ``:;* `` edges.
+    (numbering-pattern removal is config-injected and empty by default,
+    add_metadata.py:82 comment: "빈 패턴이므로 실제로는 아무것도 제거 안 됨").
+    """
+    t = _LEADING_BULLET_RE.sub("", text)
+    t = _STAR_RE.sub(" ", t).strip()
+    t = _IGC_IBC_RE.sub("", t)
+    t = normalize_quotes(t)
+    t = _HYPHEN_RUN_RE.sub("", t).strip()
+    return t.strip(":;* ")
+
+
+def nfkc(text: str) -> str:
+    """NFKC normalization (metadata_generator.py:542-543)."""
+    return unicodedata.normalize("NFKC", text)
+
+
+def has_hangul(text: str) -> bool:
+    """Hangul presence check (metadata_generator.py:417)."""
+    return bool(_HANGUL_RE.search(text))
+
+
+def tidy_bracket_spacing(text: str) -> str:
+    """``( text )`` -> ``(text)``, collapse whitespace, and drop the space
+    before closing punctuation (sentence_composer.py:375-377 cleanup rules;
+    the space-before-punct rule is frozen from the prompt's worked example
+    ``...분석하였다 .`` -> ``...분석하였다.``, sentence_composer.py:389-399)."""
+    t = collapse_ws(text)
+    # remove space just inside brackets
+    t = re.sub(r"([(\[])\s+", r"\1", t)
+    t = re.sub(r"\s+([)\]])", r"\1", t)
+    # no space before sentence punctuation
+    t = re.sub(r"\s+([.,!?;:])", r"\1", t)
+    return t

@@ -1,0 +1,339 @@
+"""The flagship extraction pipeline: pages -> blocks -> fragments ->
+sentences -> per-url extracted text.
+
+Two physical plans over the same frozen per-document semantics
+(``extract_document``), which therefore must produce byte-identical
+output at any parallelism level:
+
+* **fused** (default): one ``map_batches`` actor runs the whole chain per
+  document.  When one input row holds one document (the ``input_hint``
+  table shape) the per-url "group" is a single row, so the groupby would
+  shuffle every byte for nothing — the fused plan is the scale-optimal
+  plan and is embarrassingly parallel with zero all-to-all movement.
+* **staged**: parse explodes pages into per-page block rows
+  (``flat_map``-style batch fn), then an explicit
+  ``groupby("url").map_groups`` reassembles documents.  This is the plan
+  for inputs where a document's pages arrive as separate rows (the
+  general crawl case) and is the pipeline's one wide shuffle; group size
+  is bounded by pages-per-document so the key is skew-safe by
+  construction (host-level input skew is decoupled by the hash shuffle
+  itself — SURVEY.md §4.2).
+
+Reference lifecycle being re-expressed: SURVEY.md §3.3/§3.4
+(pdf_to_json/main.py page loop -> merge_consecutive_tags ->
+sentence_composer -> per-document reassembly).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from pdf_extract_ray.config import DEFAULT_CONFIG, ExtractConfig
+from pdf_extract_ray.stages.assemble import assemble_sentences
+from pdf_extract_ray.stages.html_parser import Block, fallback_blocks, parse_html
+from pdf_extract_ray.stages.merge import merge_blocks
+from pdf_extract_ray.stages.splitter import Sentence, compose_document
+from pdf_extract_ray.util import default_concurrency
+
+EXTRACTED_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("lang", pa.string()),
+        ("extracted_text", pa.large_string()),
+        ("n_sentences", pa.int32()),
+        ("n_pages", pa.int32()),
+        ("status", pa.string()),  # html | fallback | rejected
+    ]
+)
+
+SENTENCES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("page_no", pa.int32()),
+        ("frag_id", pa.int32()),
+        ("sent_no", pa.int32()),
+        ("text", pa.large_string()),
+        ("source_type", pa.string()),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# frozen per-document semantics (pure; shared by both physical plans and by
+# the single-process oracle used for golden tests)
+# ---------------------------------------------------------------------------
+
+def document_blocks(html, text, cfg: ExtractConfig) -> tuple[list[Block], str]:
+    """Parse a document into blocks; returns (blocks, status)."""
+    blocks = parse_html(html, cfg)
+    if blocks:
+        return blocks, "html"
+    blocks = fallback_blocks(text)
+    if blocks:
+        return blocks, "fallback"
+    return [], "rejected"
+
+
+def sentences_from_blocks(blocks: list[Block], cfg: ExtractConfig) -> list[Sentence]:
+    return compose_document(merge_blocks(blocks), cfg)
+
+
+def extract_document(url, html, text, lang, cfg: ExtractConfig = DEFAULT_CONFIG) -> dict:
+    """The complete frozen per-document extraction. Returns a dict with
+    ``sentences`` (list[Sentence]) and the assembled ``extracted_text``."""
+    blocks, status = document_blocks(html, text, cfg)
+    sents = sentences_from_blocks(blocks, cfg)
+    extracted_text, n_sents, n_pages = assemble_sentences(sents, cfg)
+    return {
+        "url": url,
+        "lang": lang,
+        "status": status,
+        "sentences": sents,
+        "extracted_text": extracted_text,
+        "n_sentences": n_sents,
+        "n_pages": n_pages,
+    }
+
+
+def oracle_extract(rows: list[dict], cfg: ExtractConfig = DEFAULT_CONFIG) -> list[dict]:
+    """Single-process oracle: plain loop over rows, no Ray.  Golden tests
+    freeze its output; the Ray plans must match it byte-for-byte."""
+    out = []
+    for r in rows:
+        d = extract_document(r["url"], r.get("html"), r.get("text"), r.get("lang"), cfg)
+        d["warc_ts"] = r.get("warc_ts")
+        out.append(d)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# fused plan
+# ---------------------------------------------------------------------------
+
+class ExtractDocuments:
+    """Actor-pool stage: whole extraction chain per document.
+
+    Stateful-stage pattern (SURVEY.md §2.3 T1): config compiled once per
+    actor in ``__init__``, batches of pages in, batches of extracted rows
+    out.  ``batch_format="pyarrow"`` keeps the fat ``html`` binary column
+    zero-copy until the per-row parse."""
+
+    def __init__(self, cfg: ExtractConfig = DEFAULT_CONFIG):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        texts = batch["text"].to_pylist() if "text" in batch.column_names else [None] * len(urls)
+        langs = batch["lang"].to_pylist() if "lang" in batch.column_names else [None] * len(urls)
+        ts = (
+            batch["warc_ts"]
+            if "warc_ts" in batch.column_names
+            else pa.nulls(len(urls), pa.timestamp("us"))
+        )
+
+        out = {k: [] for k in ("url", "lang", "extracted_text", "n_sentences", "n_pages", "status")}
+        for url, html, text, lang in zip(urls, htmls, texts, langs):
+            d = extract_document(url, html, text, lang, self.cfg)
+            out["url"].append(d["url"])
+            out["lang"].append(d["lang"])
+            out["extracted_text"].append(d["extracted_text"])
+            out["n_sentences"].append(d["n_sentences"])
+            out["n_pages"].append(d["n_pages"])
+            out["status"].append(d["status"])
+        return pa.table(
+            {
+                "url": pa.array(out["url"], pa.string()),
+                "warc_ts": ts,
+                "lang": pa.array(out["lang"], pa.string()),
+                "extracted_text": pa.array(out["extracted_text"], pa.large_string()),
+                "n_sentences": pa.array(out["n_sentences"], pa.int32()),
+                "n_pages": pa.array(out["n_pages"], pa.int32()),
+                "status": pa.array(out["status"], pa.string()),
+            }
+        )
+
+
+class ExtractSentences:
+    """Fused plan variant that emits the per-sentence table instead of the
+    per-document rollup (1 page row -> N sentence rows)."""
+
+    def __init__(self, cfg: ExtractConfig = DEFAULT_CONFIG):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        texts = batch["text"].to_pylist() if "text" in batch.column_names else [None] * len(urls)
+        cols = {k: [] for k in ("url", "page_no", "frag_id", "sent_no", "text", "source_type")}
+        for url, html, text in zip(urls, htmls, texts):
+            blocks, _status = document_blocks(html, text, self.cfg)
+            for s in sentences_from_blocks(blocks, self.cfg):
+                cols["url"].append(url)
+                cols["page_no"].append(s.page_no)
+                cols["frag_id"].append(s.frag_id)
+                cols["sent_no"].append(s.sent_no)
+                cols["text"].append(s.text)
+                cols["source_type"].append(s.source_type)
+        return pa.table(
+            {
+                "url": pa.array(cols["url"], pa.string()),
+                "page_no": pa.array(cols["page_no"], pa.int32()),
+                "frag_id": pa.array(cols["frag_id"], pa.int32()),
+                "sent_no": pa.array(cols["sent_no"], pa.int32()),
+                "text": pa.array(cols["text"], pa.large_string()),
+                "source_type": pa.array(cols["source_type"], pa.string()),
+            }
+        )
+
+
+def extract_pages_fused(
+    pages: "ray.data.Dataset",
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    *,
+    batch_size: int = 128,
+    concurrency=None,
+) -> "ray.data.Dataset":
+    """pages -> extracted, zero shuffles.  Small batch_size because html
+    rows are fat (SURVEY.md §7.4.4)."""
+    return pages.map_batches(
+        ExtractDocuments,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or default_concurrency(),
+        num_cpus=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# staged plan (explicit wide shuffle)
+# ---------------------------------------------------------------------------
+
+class ParsePagesToBlocks:
+    """pages -> per-block rows (explode).  Carries warc_ts/lang through so
+    the downstream group has everything it needs."""
+
+    def __init__(self, cfg: ExtractConfig = DEFAULT_CONFIG):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        texts = batch["text"].to_pylist() if "text" in batch.column_names else [None] * len(urls)
+        langs = batch["lang"].to_pylist() if "lang" in batch.column_names else [None] * len(urls)
+        tss = (
+            batch["warc_ts"].to_pylist()
+            if "warc_ts" in batch.column_names
+            else [None] * len(urls)
+        )
+        cols = {k: [] for k in
+                ("url", "warc_ts", "lang", "status", "page_no", "block_no", "tag", "text")}
+        for url, html, text, lang, ts in zip(urls, htmls, texts, langs, tss):
+            blocks, status = document_blocks(html, text, self.cfg)
+            if not blocks:
+                # keep one sentinel row so rejected documents still appear
+                blocks = [Block(0, 0, "P", "", False)]
+            for b in blocks:
+                cols["url"].append(url)
+                cols["warc_ts"].append(ts)
+                cols["lang"].append(lang)
+                cols["status"].append(status)
+                cols["page_no"].append(b.page_no)
+                cols["block_no"].append(b.block_no)
+                cols["tag"].append(b.tag)
+                cols["text"].append(b.text)
+        return pa.table(
+            {
+                "url": pa.array(cols["url"], pa.string()),
+                "warc_ts": pa.array(cols["warc_ts"], pa.timestamp("us")),
+                "lang": pa.array(cols["lang"], pa.string()),
+                "status": pa.array(cols["status"], pa.string()),
+                "page_no": pa.array(cols["page_no"], pa.int32()),
+                "block_no": pa.array(cols["block_no"], pa.int32()),
+                "tag": pa.array(cols["tag"], pa.string()),
+                "text": pa.array(cols["text"], pa.large_string()),
+            }
+        )
+
+
+def _assemble_group(group: pa.Table, cfg: ExtractConfig) -> pa.Table:
+    """One url's block rows -> one extracted row.  Explicit
+    (page_no, block_no) sort inside the group: Ray Data does not guarantee
+    row order across the shuffle (SURVEY.md §1.1)."""
+    idx = pa.compute.sort_indices(
+        group, sort_keys=[("page_no", "ascending"), ("block_no", "ascending")]
+    )
+    group = group.take(idx)
+    status = group["status"][0].as_py()
+    blocks = [
+        Block(p, b, t, x, False)
+        for p, b, t, x in zip(
+            group["page_no"].to_pylist(),
+            group["block_no"].to_pylist(),
+            group["tag"].to_pylist(),
+            group["text"].to_pylist(),
+        )
+        if x
+    ]
+    sents = sentences_from_blocks(blocks, cfg)
+    text, n_sents, n_pages = assemble_sentences(sents, cfg)
+    return pa.table(
+        {
+            "url": pa.array([group["url"][0].as_py()], pa.string()),
+            "warc_ts": pa.array([group["warc_ts"][0].as_py()], pa.timestamp("us")),
+            "lang": pa.array([group["lang"][0].as_py()], pa.string()),
+            "extracted_text": pa.array([text], pa.large_string()),
+            "n_sentences": pa.array([n_sents], pa.int32()),
+            "n_pages": pa.array([n_pages], pa.int32()),
+            "status": pa.array([status], pa.string()),
+        }
+    )
+
+
+def extract_pages_staged(
+    pages: "ray.data.Dataset",
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    *,
+    batch_size: int = 128,
+    concurrency=None,
+) -> "ray.data.Dataset":
+    """pages -> blocks (explode) -> groupby(url) -> extracted.
+
+    THE wide step (SURVEY.md §2.5 A7): the groupby hash-partitions block
+    rows by url.  Must produce byte-identical output to the fused plan."""
+    blocks = pages.map_batches(
+        ParsePagesToBlocks,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or default_concurrency(),
+        num_cpus=1,
+    )
+    return blocks.groupby("url").map_groups(
+        lambda g: _assemble_group(g, cfg), batch_format="pyarrow"
+    )
+
+
+def extract_sentences(
+    pages: "ray.data.Dataset",
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    *,
+    batch_size: int = 128,
+    concurrency=None,
+) -> "ray.data.Dataset":
+    """pages -> per-sentence rows (fused, no shuffle)."""
+    return pages.map_batches(
+        ExtractSentences,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or default_concurrency(),
+        num_cpus=1,
+    )

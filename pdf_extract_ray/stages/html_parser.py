@@ -1,0 +1,165 @@
+"""HTML -> tagged text blocks: the DOM transposition of the reference's
+per-page layout parse.
+
+Reference semantics transposed (SURVEY.md §0): header/footer margin strip
+(layout_analyzer.py:34-55) becomes boilerplate-chrome element removal
+(<header>/<nav>/<footer>/<aside>/...); font-size/bold H1-H3/P tagging
+(layout_analyzer.py:119-161) becomes <h1>-<h6> + bold-paragraph tagging;
+two-column reading-order sort (layout_analyzer.py:57-66) becomes DOM
+order; per-line whitespace collapse (layout_analyzer.py:88) is applied
+per block.  Multi-page documents are encoded as
+``<section data-page="N">`` wrappers (FIXTURES.md F1.7).
+
+Pure Python, stdlib-only (no bs4/lxml in the sandbox), and deliberately
+tolerant: any byte string decodes with ``errors="replace"`` and malformed
+markup degrades to text accumulation, never an exception — at 100 TB the
+parser must not die on one bad page.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from html.parser import HTMLParser
+
+from pdf_extract_ray.config import DEFAULT_CONFIG, ExtractConfig
+from pdf_extract_ray.functions.text import collapse_ws
+
+
+@dataclass
+class Block:
+    page_no: int
+    block_no: int          # DOM order within the page (reading order)
+    tag: str               # H1 | H2 | H3 | P
+    text: str
+    is_bold: bool
+
+
+class _BlockCollector(HTMLParser):
+    """Streaming collector of text blocks in DOM order."""
+
+    def __init__(self, cfg: ExtractConfig):
+        super().__init__(convert_charrefs=True)
+        self.cfg = cfg
+        self.heading_map = dict(cfg.heading_map)
+        self.block_tags = set(cfg.block_tags)
+        self.boiler = set(cfg.boilerplate_tags)
+        self.bold_tags = set(cfg.bold_inline_tags)
+
+        self.blocks: list[Block] = []
+        self.page_no = 1
+        self._page_counters: dict[int, int] = {}
+        self._boiler_depth = 0
+        # stack of open block elements: [tag_kind, [text parts], bold_weighted_chars, total_chars]
+        self._open: list[list] = []
+        self._bold_depth = 0
+
+    # -- element boundaries -------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        if tag == "section":
+            for k, v in attrs:
+                if k == "data-page" and v is not None:
+                    try:
+                        self.page_no = int(v)
+                    except ValueError:
+                        pass
+        if tag in self.boiler:
+            self._boiler_depth += 1
+            return
+        if self._boiler_depth:
+            return
+        if tag in self.bold_tags:
+            self._bold_depth += 1
+            return
+        if tag in self.heading_map:
+            self._begin_block(self.heading_map[tag])
+        elif tag in self.block_tags:
+            self._begin_block("P")
+        elif tag == "br" and self._open:
+            self._open[-1][1].append(" ")
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+        if tag.lower() in self.boiler:
+            self._boiler_depth -= 1
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        if tag in self.boiler:
+            self._boiler_depth = max(0, self._boiler_depth - 1)
+            return
+        if self._boiler_depth:
+            return
+        if tag in self.bold_tags:
+            self._bold_depth = max(0, self._bold_depth - 1)
+            return
+        if tag in self.heading_map or tag in self.block_tags:
+            self._end_block()
+
+    def handle_data(self, data):
+        if self._boiler_depth or not data:
+            return
+        if self._open:
+            frame = self._open[-1]
+            frame[1].append(data)
+            n = len(data.strip())
+            frame[3] += n
+            if self._bold_depth:
+                frame[2] += n
+
+    # -- block lifecycle ----------------------------------------------------
+    def _begin_block(self, kind: str):
+        self._open.append([kind, [], 0, 0])
+
+    def _end_block(self):
+        if not self._open:
+            return
+        kind, parts, bold_chars, total_chars = self._open.pop()
+        text = collapse_ws("".join(parts))
+        if not text:
+            return
+        # bold-paragraph rule: a P whose text is entirely bold is a heading
+        # (DOM analogue of "bold -> H2", layout_analyzer.py:140-142)
+        is_bold = total_chars > 0 and bold_chars == total_chars
+        if kind == "P" and is_bold:
+            kind = "H2"
+        n = self._page_counters.get(self.page_no, 0)
+        self._page_counters[self.page_no] = n + 1
+        self.blocks.append(Block(self.page_no, n, kind, text, is_bold))
+        # text inside this block must not leak into an outer open block
+        # (nested <p>/<li> cases)
+
+
+def parse_html(html: bytes | str | None, cfg: ExtractConfig = DEFAULT_CONFIG) -> list[Block]:
+    """Parse one page's HTML into tagged blocks in reading (DOM) order.
+
+    Returns ``[]`` for null/empty/non-HTML input — callers route those rows
+    to the pre-extracted ``text`` fallback (reference "기존 형식" fallback,
+    main.py:577-584) or to the reject side-channel (validity check analogue
+    of main.py:1678-1727).
+    """
+    if html is None:
+        return []
+    if isinstance(html, bytes):
+        html = html.decode("utf-8", errors="replace")
+    if "<" not in html:
+        return []
+    p = _BlockCollector(cfg)
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        # malformed beyond repair: salvage whatever blocks were collected
+        pass
+    return p.blocks
+
+
+def fallback_blocks(text: str | None) -> list[Block]:
+    """Build P blocks from the pre-extracted ``text`` column (one block per
+    non-empty line), for rows whose html is missing or not parseable."""
+    if not text:
+        return []
+    out = []
+    for i, line in enumerate(t for t in (collapse_ws(l) for l in text.splitlines()) if t):
+        out.append(Block(1, i, "P", line, False))
+    return out

@@ -1,0 +1,84 @@
+"""End-to-end extraction: fused plan == staged (shuffle) plan == oracle,
+byte-identical per url at any parallelism (the north-rule invariant)."""
+
+import pyarrow as pa
+import pytest
+
+from pdf_extract_ray.corpus import build_doc, pages_table
+from pdf_extract_ray.pipelines.extract import (
+    extract_pages_fused,
+    extract_pages_staged,
+    extract_sentences,
+    oracle_extract,
+)
+
+N_DOCS = 120
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def pages(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(pages_table(N_DOCS, SEED)).repartition(8)
+
+
+@pytest.fixture(scope="module")
+def oracle_rows():
+    tbl = pages_table(N_DOCS, SEED)
+    return {r["url"]: r for r in oracle_extract(tbl.to_pylist())}
+
+
+def _as_map(ds):
+    return {r["url"]: r for r in ds.take_all()}
+
+
+def test_corpus_deterministic_and_order_independent():
+    a = build_doc(SEED, 7)
+    b = build_doc(SEED, 7)
+    assert a == b
+    t1 = pages_table(10, SEED)
+    t2 = pages_table(5, SEED, start=5)
+    assert t1.slice(5, 5).to_pylist() == t2.to_pylist()
+
+
+def test_fused_matches_oracle(pages, oracle_rows):
+    got = _as_map(extract_pages_fused(pages, batch_size=16))
+    assert len(got) == N_DOCS
+    for url, o in oracle_rows.items():
+        g = got[url]
+        assert g["extracted_text"] == o["extracted_text"], url
+        assert g["n_sentences"] == o["n_sentences"]
+        assert g["n_pages"] == o["n_pages"]
+        assert g["status"] == o["status"]
+
+
+def test_staged_matches_fused_byte_identical(pages, oracle_rows):
+    got = _as_map(extract_pages_staged(pages, batch_size=16))
+    assert len(got) == N_DOCS
+    for url, o in oracle_rows.items():
+        g = got[url]
+        assert g["extracted_text"] == o["extracted_text"], url
+        assert g["status"] == o["status"]
+        assert g["lang"] == o["lang"]
+        assert g["warc_ts"] is not None
+
+
+def test_sentence_table_consistent(pages, oracle_rows):
+    sents = extract_sentences(pages, batch_size=16).take_all()
+    by_url = {}
+    for s in sents:
+        by_url.setdefault(s["url"], []).append(s)
+    for url, rows in by_url.items():
+        rows.sort(key=lambda r: r["sent_no"])
+        joined = "\n".join(r["text"] for r in rows)
+        assert joined == oracle_rows[url]["extracted_text"]
+    # urls with zero sentences don't appear in the sentence table
+    n_nonempty = sum(1 for o in oracle_rows.values() if o["n_sentences"] > 0)
+    assert len(by_url) == n_nonempty
+
+
+def test_statuses_cover_fallback_and_reject(oracle_rows):
+    statuses = {o["status"] for o in oracle_rows.values()}
+    assert "html" in statuses
+    assert "fallback" in statuses  # invalid html routed to text column
