@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2 (plus the training-data extensions: dedup family, similarity
+search, text analysis); ``oracle_sql()`` gives the DuckDB-checkable subset
+the equivalent ANSI SQL.  Column names are identical on both sides.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in pdf_extract_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +15,653 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pdf_extract_ray.util import round_half_away
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _t(sf_dir: str, name: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _pages_ds(sf_dir: str):
+    """Deterministic pages table derived from the documents table (no
+    external data; see pdf_extract_ray.corpus.pages_from_documents)."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from pdf_extract_ray.corpus import pages_from_documents
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    return rd.from_arrow(pages_from_documents(docs)).repartition(8)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
+    from pdf_extract_ray.pipelines.extract import extract_pages_fused
+
+    return extract_pages_fused(_pages_ds("/root/testdata/sf0.001"))
+
+
+# ---------------------------------------------------------------------------
+# queries — aggregations / sorts / joins (SURVEY.md §2.4-2.6)
+# ---------------------------------------------------------------------------
+
+def q_corpus_counts(sf_dir: str):
+    # A2: corpus counts per language (main.py:710-728)
+    ds = _t(sf_dir, "documents", columns=["lang"])
+    out = ds.groupby("lang").count()
+    return out.map_batches(
+        lambda b: b.rename(columns={"count()": "n_docs"}), batch_format="pandas"
+    )
+
+
+def q_event_type_stats(sf_dir: str):
+    # A6: distribution report (add_metadata.py:257-286) over the events table
+    from ray.data.aggregate import Count, Sum
+
+    ds = _t(sf_dir, "events", columns=["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value")
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_value"] = round_half_away(b["sum_value"], 2)
+        return b
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def q_recent_events_topk(sf_dir: str):
+    # O3: ORDER BY ts DESC LIMIT k (database.py:467-497)
+    ds = _t(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    return ds.sort("ts", descending=True).limit(100)
+
+
+def q_order_priority_rollup(sf_dir: str):
+    # A3: status rollup (database.py:273-280)
+    ds = _t(sf_dir, "orders", columns=["o_orderpriority"])
+    out = ds.groupby("o_orderpriority").count()
+    return out.map_batches(
+        lambda b: b.rename(columns={"count()": "n"}), batch_format="pandas"
+    )
+
+
+def q_pricing_summary(sf_dir: str):
+    # A4-analogue grouped aggregate with map-side PARTIAL aggregation
+    # (combine inside map_batches, then a small groupby — SURVEY.md §4/guide)
+    from ray.data.aggregate import Sum
+
+    ds = _t(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(
+            disc_price=b.l_extendedprice * (1 - b.l_discount), n=1
+        )
+        g = (
+            b.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_base_price=("l_extendedprice", "sum"),
+                sum_disc_price=("disc_price", "sum"),
+                sum_disc=("l_discount", "sum"),
+                count_order=("n", "sum"),
+            )
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=16384)
+    final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("sum_disc", alias_name="sum_disc"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["count_order"].astype("float64")
+        b["avg_qty"] = round_half_away(b["sum_qty"] / n, 4)
+        b["avg_price"] = round_half_away(b["sum_base_price"] / n, 4)
+        b["avg_disc"] = round_half_away(b["sum_disc"] / n, 4)
+        b["sum_qty"] = round_half_away(b["sum_qty"], 2)
+        b["sum_base_price"] = round_half_away(b["sum_base_price"], 2)
+        b["sum_disc_price"] = round_half_away(b["sum_disc_price"], 2)
+        return b.drop(columns=["sum_disc"])
+
+    return final.map_batches(finish, batch_format="pandas")
+
+
+def q_windowed_events(sf_dir: str):
+    # streaming-shaped tumbling window: per-user hourly rollup (guide pattern;
+    # the reference has no stream semantics — SURVEY.md §2.9)
+    from ray.data.aggregate import Count, Sum
+
+    ds = _t(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def add_window(b: pd.DataFrame) -> pd.DataFrame:
+        b["hour"] = b["ts"].dt.floor("h")
+        return b.drop(columns=["ts"])
+
+    out = (
+        ds.map_batches(add_window, batch_format="pandas")
+        .groupby(["user_id", "hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_value"] = round_half_away(b["sum_value"], 2)
+        return b
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def q_orders_customer_join(sf_dir: str):
+    # J6: left join keeping unmatched left rows (create_csv.py:47-122)
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+    joined = orders.join(
+        cust, join_type="left_outer", num_partitions=16,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    return joined.select_columns(
+        ["o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_nationkey"]
+    )
+
+
+def q_customer_order_rollup(sf_dir: str):
+    # J8-analogue: full-outer semantics — every customer appears even with
+    # zero orders (create_csv.py:202-319 set-difference behavior)
+    from ray.data.aggregate import Count, Sum
+
+    orders = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    per_cust = orders.groupby("o_custkey").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_spend")
+    )
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = cust.join(
+        per_cust, join_type="left_outer", num_partitions=16,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["n_orders"] = b["n_orders"].fillna(0).astype("int64")
+        b["total_spend"] = round_half_away(b["total_spend"].fillna(0.0), 2)
+        return b[["c_custkey", "c_mktsegment", "n_orders", "total_spend"]]
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# queries — dedup / reassembly / text analysis (SURVEY.md §2.7 + extensions)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_documents(sf_dir: str):
+    # D1: exact dedup, first = min doc_id (metadata_generator.py:618-622,
+    # determinism rule SURVEY.md §7.4.2)
+    from pdf_extract_ray.stages.dedup import dedup_exact
+    from pdf_extract_ray.stages.textquality import fingerprint_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    fp = ds.map_batches(lambda b: fingerprint_batch(b), batch_format="pandas")
+    out = dedup_exact(fp, "fingerprint", "doc_id")
+    return out.map_batches(
+        lambda b: b[["doc_id", "fingerprint"]], batch_format="pandas"
+    )
+
+
+def q_doc_reassembly(sf_dir: str):
+    # A7: THE shuffle — groupby + order-keyed reassembly (flagship wide step)
+    ds = _t(sf_dir, "documents", columns=["doc_id", "lang", "source", "text"])
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "source": [g["source"].iloc[0]],
+                "combined_text": ["\n".join(g["text"].fillna(""))],
+                "n_docs": [len(g)],
+            }
+        )
+
+    return ds.groupby(["lang", "source"]).map_groups(assemble, batch_format="pandas")
+
+
+def q_lang_id(sf_dir: str):
+    from pdf_extract_ray.stages.textquality import lang_id_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: lang_id_batch(b)[["doc_id", "lang_id"]], batch_format="pandas"
+    )
+
+
+def q_token_stats(sf_dir: str):
+    from pdf_extract_ray.stages.textquality import token_stats_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: token_stats_batch(b)[["doc_id", "n_words", "n_tokens", "n_chars_out"]],
+        batch_format="pandas",
+    )
+
+
+def q_quality_scores(sf_dir: str):
+    from pdf_extract_ray.stages.textquality import quality_score_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    cols = ["doc_id", "punct_ratio", "digit_ratio", "stop_ratio", "mean_word_len"]
+    return ds.map_batches(
+        lambda b: quality_score_batch(b)[cols], batch_format="pandas"
+    )
+
+
+def q_fingerprints(sf_dir: str):
+    from pdf_extract_ray.stages.textquality import fingerprint_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: fingerprint_batch(b)[["doc_id", "fingerprint"]], batch_format="pandas"
+    )
+
+
+def q_content_filter_docs(sf_dir: str):
+    # M19 single-text variant: drop numbers-only or single-symbol docs
+    from pdf_extract_ray.stages.filters import is_numbers_only, is_symbol_or_single_alpha
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        keep = ~(
+            b["text"].map(is_numbers_only) | b["text"].map(is_symbol_or_single_alpha)
+        )
+        return b.loc[keep, ["doc_id"]]
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def q_cleaned_text(sf_dir: str):
+    # M13 cleaning chain (cleaned variant; NFKC covered by pytest)
+    from pdf_extract_ray.stages.normalize import normalize_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: normalize_batch(b, ["text"])[["doc_id", "text_cleaned"]],
+        batch_format="pandas",
+    )
+
+
+def q_punct_profile(sf_dir: str):
+    # M14 punctuation profile per document
+    from pdf_extract_ray.stages.analyzers import punct_profile
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        b["punct"] = b["text"].fillna("").map(lambda t: "".join(punct_profile(t)))
+        return b[["doc_id", "punct"]]
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def _pair_docs(sf_dir: str):
+    """Deterministic doc pairs: doc i (kr side) with doc i+1 (en side)."""
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    left = docs.map_batches(
+        lambda b: b.rename(columns={"text": "kr_text"}), batch_format="pandas"
+    )
+    right = docs.map_batches(
+        lambda b: pd.DataFrame(
+            {"pair_id": b["doc_id"] - 1, "en_text": b["text"]}
+        ),
+        batch_format="pandas",
+    )
+    return left.join(
+        right, join_type="inner", num_partitions=16,
+        on=("doc_id",), right_on=("pair_id",),
+    )
+
+
+def q_pair_quality_class(sf_dir: str):
+    # M18 over deterministic doc pairs
+    from pdf_extract_ray.stages.analyzers import sentence_quality_class
+
+    pairs = _pair_docs(sf_dir)
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        b["quality_class"] = [
+            sentence_quality_class(k, e) for k, e in zip(b["kr_text"], b["en_text"])
+        ]
+        return b[["doc_id", "quality_class"]]
+
+    return pairs.map_batches(f, batch_format="pandas")
+
+
+def q_pair_stats(sf_dir: str):
+    # M20 word/char stats over deterministic doc pairs
+    from pdf_extract_ray.stages.stats import pair_stats_batch
+
+    pairs = _pair_docs(sf_dir)
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        out = pair_stats_batch(b, kor_col="kr_text", eng_col="en_text", match_col="_")
+        return out[
+            ["doc_id", "word_count_kr", "word_count_en", "word_ratio",
+             "chr_len_kr", "chr_len_en", "chr_len_ratio", "potential_split"]
+        ]
+
+    return pairs.map_batches(f, batch_format="pandas")
+
+
+def q_pair_analyzers(sf_dir: str):
+    # M14-M17 full analyzer battery over doc pairs (detail dicts as JSON;
+    # not SQL-expressible -> rows-only check, semantics frozen by pytest)
+    pairs = _pair_docs(sf_dir)
+    cols = ["doc_id", "punct_match_type", "number_match_status",
+            "eng_word_match_status", "symbol_match_status",
+            "only_eng_korean_sentence"]
+
+    # stateless tasks with a per-worker cached analyzer (an actor pool on
+    # top of the join's aggregator actors can deadlock a small CPU budget)
+    def analyze(b: pd.DataFrame) -> pd.DataFrame:
+        from pdf_extract_ray.stages.analyzers import PairAnalyzer
+
+        a = getattr(analyze, "_a", None)
+        if a is None:
+            a = analyze._a = PairAnalyzer("kr_text", "en_text")
+        return a(b)[cols]
+
+    return pairs.map_batches(analyze, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# queries — similarity / near-dup (extensions)
+# ---------------------------------------------------------------------------
+
+def q_similarity_topk(sf_dir: str):
+    from pdf_extract_ray.stages.similarity import brute_force_topk
+
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = np.stack(
+        [r["embedding"] for r in ds.filter(expr="vec_id < 5").take_all()]
+    )
+    return brute_force_topk(ds, q, k=10)
+
+
+def q_embedding_near_dup(sf_dir: str):
+    from pdf_extract_ray.stages.dedup import embedding_dup_pairs
+
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_dup_pairs(ds, threshold=0.4)
+
+
+def q_minhash_near_dup(sf_dir: str):
+    from pdf_extract_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, "doc_id", "text", jaccard_threshold=0.5)
+
+
+def q_simhash_near_dup(sf_dir: str):
+    from pdf_extract_ray.stages.dedup import simhash_pairs
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_pairs(ds, "doc_id", "text", max_hamming=10)
+
+
+# ---------------------------------------------------------------------------
+# queries — flagship extraction (M1-M9 + A7; byte-identical goldens in pytest)
+# ---------------------------------------------------------------------------
+
+def q_extract_flagship(sf_dir: str):
+    from pdf_extract_ray.pipelines.extract import extract_pages_fused
+
+    return extract_pages_fused(_pages_ds(sf_dir))
+
+
+def q_extract_staged(sf_dir: str):
+    from pdf_extract_ray.pipelines.extract import extract_pages_staged
+
+    return extract_pages_staged(_pages_ds(sf_dir))
+
+
+def q_extract_sentences(sf_dir: str):
+    from pdf_extract_ray.pipelines.extract import extract_sentences
+
+    return extract_sentences(_pages_ds(sf_dir))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "corpus_counts": q_corpus_counts,
+        "event_type_stats": q_event_type_stats,
+        "recent_events_topk": q_recent_events_topk,
+        "order_priority_rollup": q_order_priority_rollup,
+        "pricing_summary": q_pricing_summary,
+        "windowed_events": q_windowed_events,
+        "orders_customer_join": q_orders_customer_join,
+        "customer_order_rollup": q_customer_order_rollup,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "doc_reassembly": q_doc_reassembly,
+        "lang_id": q_lang_id,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "fingerprints": q_fingerprints,
+        "content_filter_docs": q_content_filter_docs,
+        "cleaned_text": q_cleaned_text,
+        "punct_profile": q_punct_profile,
+        "pair_quality_class": q_pair_quality_class,
+        "pair_stats": q_pair_stats,
+        "pair_analyzers": q_pair_analyzers,
+        "similarity_topk": q_similarity_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash_near_dup": q_simhash_near_dup,
+        "extract_flagship": q_extract_flagship,
+        "extract_staged": q_extract_staged,
+        "extract_sentences": q_extract_sentences,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; tables pre-registered as views)
+# ---------------------------------------------------------------------------
+
+_FP_SQL = "md5(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))))"
+
+_LANGID_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         length(regexp_replace(coalesce(text,''), '[^가-힣ㄱ-ㆎ]', '', 'g')) AS h,
+         length(regexp_replace(coalesce(text,''), '[^一-鿿]', '', 'g')) AS z,
+         length(regexp_replace(coalesce(text,''), '[^Ѐ-ӿ]', '', 'g')) AS r,
+         length(regexp_replace(coalesce(text,''), '[^A-Za-z]', '', 'g')) AS l
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN h=0 AND z=0 AND r=0 AND l=0 THEN 'und'
+            WHEN h>=z AND h>=r AND h>=l THEN 'ko'
+            WHEN z>=r AND z>=l THEN 'zh'
+            WHEN r>=l THEN 'ru'
+            ELSE 'en' END AS lang_id
+FROM c
+"""
+
+_CLEAN_SQL_EXPR = (
+    "trim(regexp_replace("
+    "translate(regexp_replace(trim(regexp_replace("
+    "regexp_replace(coalesce(text,''), '^[-‐–—−·•○:.]\\s*', ''), "      # bullet
+    "'\\s*\\*\\s*', ' ', 'g')), "                                        # star runs
+    "'\\s*\\((IGC|IBC) Code \\d+\\.\\d+\\)', '', 'g'), "                 # code tags
+    "'“”„‟‘’`', '\"\"\"\"'''''), "         # quotes
+    "'-{2,}', '', 'g'), ':;* ')"                                         # hyphens+strip
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "corpus_counts": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        "event_type_stats": (
+            "SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value "
+            "FROM events GROUP BY event_type"
+        ),
+        "recent_events_topk": (
+            "SELECT event_id, ts, user_id, event_type FROM events "
+            "ORDER BY ts DESC LIMIT 100"
+        ),
+        "order_priority_rollup": (
+            "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "count(*) AS count_order, "
+            "round(sum(l_quantity) / count(*), 4) AS avg_qty, "
+            "round(sum(l_extendedprice) / count(*), 4) AS avg_price, "
+            "round(sum(l_discount) / count(*), 4) AS avg_disc "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "windowed_events": (
+            "SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n_events, "
+            "round(sum(value), 2) AS sum_value FROM events GROUP BY user_id, hour"
+        ),
+        "orders_customer_join": (
+            "SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_nationkey "
+            "FROM orders LEFT JOIN customer ON o_custkey = c_custkey"
+        ),
+        "customer_order_rollup": (
+            "SELECT c_custkey, c_mktsegment, "
+            "count(o_custkey) AS n_orders, "
+            "round(coalesce(sum(o_totalprice), 0), 2) AS total_spend "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "GROUP BY c_custkey, c_mktsegment"
+        ),
+        "dedup_exact_documents": (
+            f"SELECT doc_id, fingerprint FROM ("
+            f"SELECT doc_id, {_FP_SQL} AS fingerprint, "
+            f"row_number() OVER (PARTITION BY {_FP_SQL} ORDER BY doc_id) AS rn "
+            f"FROM documents) WHERE rn = 1"
+        ),
+        "doc_reassembly": (
+            "SELECT lang, source, "
+            "string_agg(coalesce(text, ''), chr(10) ORDER BY doc_id) AS combined_text, "
+            "count(*) AS n_docs FROM documents GROUP BY lang, source"
+        ),
+        "lang_id": _LANGID_SQL,
+        "token_stats": (
+            "SELECT doc_id, "
+            "CASE WHEN trim(coalesce(text,'')) = '' THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words, "
+            "len(regexp_extract_all(coalesce(text,''), "
+            "'[A-Za-z0-9_]+|[^A-Za-z0-9_ ]')) AS n_tokens, "
+            "length(coalesce(text,'')) AS n_chars_out "
+            "FROM documents"
+        ),
+        "quality_scores": (
+            "WITH b AS (SELECT doc_id, coalesce(text,'') AS t FROM documents), "
+            "c AS (SELECT doc_id, "
+            "  greatest(length(t), 1) AS chars, "
+            "  greatest(CASE WHEN trim(t)='' THEN 0 "
+            "           ELSE len(regexp_split_to_array(trim(t), '\\s+')) END, 1) AS words, "
+            "  CASE WHEN trim(t)='' THEN 0 "
+            "       ELSE len(regexp_split_to_array(trim(t), '\\s+')) END AS words0, "
+            "  len(regexp_extract_all(t, '[.,!?;:]')) AS punct, "
+            "  len(regexp_extract_all(t, '[0-9]')) AS digits, "
+            "  len(regexp_extract_all(lower(t), "
+            "      '\\b(?:the|and|of|a|to|in|is|that|for|on)\\b')) AS stops, "
+            "  length(regexp_replace(t, '\\s+', '', 'g')) AS word_chars "
+            "FROM b) "
+            "SELECT doc_id, round(punct / chars::DOUBLE, 4) AS punct_ratio, "
+            "round(digits / chars::DOUBLE, 4) AS digit_ratio, "
+            "round(stops / words::DOUBLE, 4) AS stop_ratio, "
+            "round(word_chars / words::DOUBLE, 4) AS mean_word_len FROM c"
+        ),
+        "fingerprints": f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents",
+        "content_filter_docs": (
+            "SELECT doc_id FROM documents WHERE NOT ("
+            "  (trim(coalesce(text,'')) <> '' AND "
+            "   regexp_replace(coalesce(text,''), '[0-9\\s,.]', '', 'g') = '') "
+            "  OR ("
+            "   length(replace(trim(coalesce(text,'')), 'nan', '')) = 1 AND ("
+            "    NOT regexp_matches(replace(trim(text), 'nan', ''), "
+            "        '^[a-zA-Z0-9ㄱ-ㅎㅏ-ㅣ가-힣]$') "
+            "    OR regexp_matches(replace(trim(text), 'nan', ''), '^[a-zA-Z]$'))))"
+        ),
+        "cleaned_text": (
+            f"SELECT doc_id, {_CLEAN_SQL_EXPR} AS text_cleaned FROM documents"
+        ),
+        "punct_profile": (
+            "SELECT doc_id, "
+            "(CASE WHEN regexp_matches(coalesce(text,''), '\\.$') THEN '.' ELSE '' END)"
+            " || coalesce(array_to_string(regexp_extract_all(coalesce(text,''), "
+            "'[!?:;%\"`~…]'), ''), '') AS punct "
+            "FROM documents"
+        ),
+        "pair_quality_class": (
+            "WITH p AS (SELECT a.doc_id, coalesce(a.text,'') AS k, "
+            "coalesce(b.text,'') AS e FROM documents a "
+            "JOIN documents b ON b.doc_id = a.doc_id + 1) "
+            "SELECT doc_id, CASE "
+            "WHEN trim(lower(k)) = '' AND trim(lower(e)) = '' THEN 'empty' "
+            "WHEN trim(lower(k)) = trim(lower(e)) THEN 'all_match' "
+            "WHEN regexp_replace(trim(lower(k)), '\\s+', '', 'g') = "
+            "     regexp_replace(trim(lower(e)), '\\s+', '', 'g') THEN 'partial_match' "
+            "WHEN NOT regexp_matches(trim(lower(k)), '[ㄱ-ㆎ가-힣]') "
+            "     THEN 'no_korean_in_kor' "
+            "ELSE 'valid_candidate' END AS quality_class FROM p"
+        ),
+        "pair_stats": (
+            "WITH p AS (SELECT a.doc_id, coalesce(a.text,'') AS k, "
+            "coalesce(b.text,'') AS e FROM documents a "
+            "JOIN documents b ON b.doc_id = a.doc_id + 1), "
+            "c AS (SELECT doc_id, k, e, "
+            "CASE WHEN trim(k)='' THEN 0 ELSE len(regexp_split_to_array(trim(k), '\\s+')) END AS wk, "
+            "CASE WHEN trim(e)='' THEN 0 ELSE len(regexp_split_to_array(trim(e), '\\s+')) END AS we, "
+            "length(k) AS ck, length(e) AS ce FROM p) "
+            "SELECT doc_id, wk AS word_count_kr, we AS word_count_en, "
+            "CASE WHEN wk > 0 THEN round(we / wk::DOUBLE, 2) ELSE 0 END AS word_ratio, "
+            "ck AS chr_len_kr, ce AS chr_len_en, "
+            "CASE WHEN ck > 0 THEN round(ce / ck::DOUBLE, 2) ELSE 0 END AS chr_len_ratio, "
+            "(wk > 4 AND we > 0 "
+            " AND (CASE WHEN wk > 0 THEN round(we / wk::DOUBLE, 2) ELSE 0 END) < 0.7 "
+            " AND (CASE WHEN ck > 0 THEN round(ce / ck::DOUBLE, 2) ELSE 0 END) < 1.2) "
+            "AS potential_split FROM c"
+        ),
+        "similarity_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            "FROM embeddings WHERE vec_id < 5), "
+            "s AS (SELECT q.query_id, e.vec_id, "
+            "list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS c "
+            "FROM embeddings e CROSS JOIN q) "
+            "SELECT query_id, vec_id, round(c, 6) AS cosine FROM s "
+            "QUALIFY row_number() OVER (PARTITION BY query_id "
+            "ORDER BY c DESC, vec_id) <= 10"
+        ),
+        "embedding_near_dup": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(a.embedding::DOUBLE[], "
+            "b.embedding::DOUBLE[]), 6) AS cosine "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding::DOUBLE[], "
+            "b.embedding::DOUBLE[]) >= 0.4"
+        ),
+        # minhash_near_dup / simhash_near_dup / pair_analyzers /
+        # extract_* : not SQL-expressible (sketches, NFKC, DOM parse) ->
+        # rows-only check; semantics frozen by pytest goldens instead.
+    }

@@ -1,0 +1,163 @@
+"""Benchmark harness.
+
+Headline: flagship extraction pipeline (pages -> extracted, fused plan)
+over a deterministic synthetic pages corpus sized to the scale factor
+(1M docs x sf), generated once into a /tmp cache (generation is not
+timed).  Also times a representative query set over $GRAFT_SF_DIR tables.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+--scaling: runs the headline twice in fresh processes at RAY_GRAFT_CPUS=8
+and =32 on the SAME corpus and reports throughput at both plus the scaling
+efficiency (the sandbox substitute for the north rule's N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+CORPUS_VERSION = "v1"
+DOCS_PER_SF = 1_000_000  # sf0.1 -> 100k docs
+
+
+def sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def corpus_dir(sf: float) -> str:
+    return f"/tmp/pdf_extract_ray_bench/pages_sf{sf}_{CORPUS_VERSION}"
+
+
+def ensure_corpus(sf: float) -> tuple[str, int]:
+    """Generate the bench corpus once (parallel via Ray, cached on disk)."""
+    import ray
+
+    n_docs = max(1000, int(DOCS_PER_SF * sf))
+    out = corpus_dir(sf)
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out, n_docs
+    os.makedirs(out, exist_ok=True)
+    docs_per_file = 2000
+    starts = list(range(0, n_docs, docs_per_file))
+
+    @ray.remote
+    def gen(start: int) -> str:
+        from pdf_extract_ray.corpus import write_pages_corpus
+
+        # write exactly one shard by windowing the corpus
+        import pyarrow.parquet as pq
+
+        from pdf_extract_ray.corpus import pages_table
+
+        n = min(docs_per_file, n_docs - start)
+        path = os.path.join(out, f"pages_{start:08d}.parquet")
+        if not os.path.exists(path):
+            tmp = path + f".tmp{os.getpid()}"
+            pq.write_table(pages_table(n, 42, 50, start), tmp)
+            os.replace(tmp, path)
+        return path
+
+    ray.get([gen.remote(s) for s in starts])
+    with open(done, "w") as f:
+        f.write(str(n_docs))
+    return out, n_docs
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sf = sf_of(sf_dir)
+    corpus, n_docs = ensure_corpus(sf)
+
+    from pdf_extract_ray.pipelines.extract import extract_pages_fused
+
+    # warm the page cache so we measure compute + pipeline, not cold disk
+    rd.read_parquet(corpus).count()
+
+    out_dir = f"/tmp/pdf_extract_ray_bench/out_{num_cpus}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    extract_pages_fused(rd.read_parquet(corpus)).write_parquet(out_dir)
+    headline = time.time() - t0
+
+    # representative queries over the driver tables
+    import __ray_entry__ as entry
+
+    qs = entry.queries()
+    q_times = {}
+    for name in ("pricing_summary", "windowed_events", "orders_customer_join",
+                 "dedup_exact_documents", "doc_reassembly", "lang_id",
+                 "minhash_near_dup", "similarity_topk", "extract_staged"):
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        # consume without driver-side materialization of big payloads
+        try:
+            res.count()
+        except AttributeError:
+            pass  # pandas result already materialized
+        q_times[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "extract_wall_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": q_times,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / headline, 1),
+    }
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        f"sec_{lo}": r_lo["value"],
+        f"sec_{hi}": r_hi["value"],
+        f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
+        f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+        "docs": r_hi["docs"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        print(json.dumps(run_bench(sf_dir, num_cpus)))

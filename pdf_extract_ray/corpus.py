@@ -166,3 +166,66 @@ def write_pages_corpus(out_dir: str, n_docs: int, seed: int = 42,
             os.replace(tmp, path)
         paths.append(path)
     return paths
+
+
+def pages_from_documents(documents: pa.Table, seed: int = 1234) -> pa.Table:
+    """Derive a deterministic ``pages`` table from a driver ``documents``
+    table (doc_id, text, lang, source, n_chars): each document's words are
+    re-laid-out as an HTML page with headings/paragraphs/boilerplate chosen
+    by a per-doc seeded RNG.  Lets the flagship extraction pipeline run over
+    the read-only /root/testdata tables at any scale factor without
+    external data."""
+    doc_ids = documents["doc_id"].to_pylist()
+    texts = documents["text"].to_pylist()
+    langs = documents["lang"].to_pylist()
+    sources = documents["source"].to_pylist()
+
+    urls, tss, htmls, fallbacks = [], [], [], []
+    for doc_id, text, lang, source in zip(doc_ids, texts, langs, sources):
+        rng = _rng_for(seed, doc_id)
+        words = (text or "").split()
+        url = f"https://{source}.example/doc{doc_id}/{lang}"
+        ts = EPOCH + timedelta(seconds=int(doc_id) * 31)
+        if not words:
+            urls.append(url); tss.append(ts)
+            htmls.append(b"<html><body></body></html>"); fallbacks.append(None)
+            continue
+        parts = ["<html><body><header>chrome</header><nav>nav links</nav>"]
+        n_pages = 1 + (doc_id % 3)
+        i = 0
+        page = 1
+        parts.append(f'<section data-page="{page}">')
+        while i < len(words):
+            roll = rng.random()
+            if roll < 0.15 and i + 3 <= len(words):
+                h = rng.choice(["h1", "h2", "h3"])
+                parts.append(f"<{h}>{' '.join(words[i:i+3])}</{h}>")
+                i += 3
+            else:
+                n = min(rng.randint(5, 12), len(words) - i)
+                chunk = " ".join(words[i : i + n]) + "."
+                if rng.random() < 0.3 and n > 4:
+                    cut = n // 2
+                    parts.append(f"<p>{' '.join(words[i:i+cut])}</p>")
+                    parts.append(f"<p>{' '.join(words[i+cut:i+n])}.</p>")
+                else:
+                    parts.append(f"<p>{chunk}</p>")
+                i += n
+            if rng.random() < 0.2 and page < n_pages:
+                parts.append("</section>")
+                page += 1
+                parts.append(f'<section data-page="{page}">')
+        parts.append("</section><footer>footer chrome</footer></body></html>")
+        urls.append(url)
+        tss.append(ts)
+        htmls.append("".join(parts).encode())
+        fallbacks.append(text)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(fallbacks, pa.large_string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )

@@ -1,0 +1,343 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+The reference only has exact first-wins dedup on normalized pair text
+(reference: euaa_사례/sentences/metadata_generator.py:618-622); at 100 TB a
+training-data engine needs the full near-dup family, so these are
+first-class operators here (SURVEY.md §2.7).
+
+Scale design notes:
+* exact dedup: hash-partition by content fingerprint, keep the min
+  order-key row per group — "first" is redefined deterministically as the
+  smallest ``(order_col)`` (SURVEY.md §7.4.2), never arrival order.
+* MinHash/LSH: signatures are computed vectorized per batch (one pass over
+  the docs); the all-to-all step shuffles only the tiny
+  ``(band, band_hash, id)`` rows, never the documents; candidate
+  verification joins signatures, not texts.
+* SimHash: 64-bit signatures; near-dup buckets via 4x16-bit band keys
+  (Hamming distance <= 3 guarantees at least one identical band).
+* embedding near-dup: cosine via normalized float64 matmul per-bucket.
+
+Everything emits plain Arrow-friendly columns (uint64 as two uint32s where
+needed is avoided — pyarrow handles uint64 natively).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data import Dataset
+
+# ---------------------------------------------------------------------------
+# exact dedup (D1)
+# ---------------------------------------------------------------------------
+
+def dedup_exact(ds: Dataset, key_col: str, order_col: str) -> Dataset:
+    """Keep the first row per ``key_col`` where "first" = minimal
+    ``order_col``.  One hash shuffle on the key, then a tiny per-group
+    argmin — group payloads stay distributed."""
+
+    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(order_col, kind="mergesort").head(1)
+
+    return ds.groupby(key_col).map_groups(keep_first, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def shingle_set(text: str, k: int = 3) -> np.ndarray:
+    """Word k-shingles hashed to uint64 (stable: md5-based, not Python
+    hash())."""
+    toks = text.lower().split()
+    if len(toks) < k:
+        shingles = [" ".join(toks)] if toks else []
+    else:
+        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        out[i] = np.uint64(
+            int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+        )
+    return out
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """num_perm-wide MinHash signature of a shingle set (vectorized)."""
+    if len(shingles) == 0:
+        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+    # (num_perm, n_shingles) permuted values mod Mersenne prime
+    x = shingles.astype(np.uint64)
+    vals = (np.outer(a, x) + b[:, None]) % np.uint64(_MERSENNE)
+    return vals.min(axis=1)
+
+
+class MinHashStage:
+    """map_batches actor: doc -> (id, minhash signature as fixed list)."""
+
+    def __init__(self, id_col: str, text_col: str, num_perm: int = 128, k: int = 3):
+        self.id_col, self.text_col, self.k = id_col, text_col, k
+        self.a, self.b = _hash_perm_params(num_perm)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        sigs = [
+            minhash_signature(shingle_set(t or "", self.k), self.a, self.b)
+            for t in texts
+        ]
+        return pa.table(
+            {
+                self.id_col: pa.array(ids),
+                "minhash": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
+            }
+        )
+
+
+def minhash_lsh_pairs(
+    ds: Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    num_perm: int = 128,
+    bands: int = 32,
+    k: int = 3,
+    jaccard_threshold: float = 0.8,
+    concurrency=None,
+) -> Dataset:
+    """MinHash+LSH near-duplicate candidate pairs with signature-estimated
+    Jaccard >= threshold.
+
+    pipeline: signatures (narrow) -> explode to (band, band_hash, id, sig)
+    rows -> groupby band bucket (THE shuffle, tiny rows) -> within-bucket
+    pairing + signature Jaccard verify.  Returns (id_a, id_b, jaccard) with
+    id_a < id_b, deduplicated across buckets by keeping a pair only in its
+    FIRST matching band (so output is globally unique without a second
+    shuffle)."""
+    from pdf_extract_ray.util import default_concurrency
+
+    rows_per_band = num_perm // bands
+
+    sigs = ds.map_batches(
+        MinHashStage,
+        fn_constructor_args=(id_col, text_col, num_perm, k),
+        batch_format="pyarrow",
+        concurrency=concurrency or default_concurrency(),
+        num_cpus=1,
+    )
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        sigs_l = batch["minhash"].to_pylist()
+        out_band, out_hash, out_id, out_sig = [], [], [], []
+        for i, sig in zip(ids, sigs_l):
+            for bnd in range(bands):
+                chunk = tuple(sig[bnd * rows_per_band : (bnd + 1) * rows_per_band])
+                h = hashlib.md5(repr((bnd, chunk)).encode()).hexdigest()
+                out_band.append(bnd)
+                out_hash.append(h)
+                out_id.append(i)
+                out_sig.append(sig)
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_hash, pa.string()),
+                id_col: pa.array(out_id),
+                "minhash": pa.array(out_sig, pa.list_(pa.uint64())),
+            }
+        )
+
+    bands_ds = sigs.map_batches(explode_bands, batch_format="pyarrow")
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        band_no = int(group["band"].iloc[0])
+        g = group.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].to_numpy()
+        sigs_m = np.stack(g["minhash"].to_numpy())
+        out_a, out_b, out_j = [], [], []
+        n = len(ids)
+        for i in range(n):
+            for j in range(i + 1, n):
+                eq = sigs_m[i] == sigs_m[j]
+                jac = float(eq.mean())
+                if jac < jaccard_threshold:
+                    continue
+                # first-band ownership: emit only if no EARLIER band also
+                # bucketed this pair together (dedup without a 2nd shuffle)
+                first_band = band_no
+                for bnd in range(band_no):
+                    lo, hi = bnd * rows_per_band, (bnd + 1) * rows_per_band
+                    if eq[lo:hi].all():
+                        first_band = bnd
+                        break
+                if first_band == band_no:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_j.append(round(jac, 4))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+
+    return bands_ds.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (md5 token hashes, +/-1 bit
+    voting)."""
+    toks = (text or "").lower().split()
+    if not toks:
+        return 0
+    v = [0] * 64
+    for t in toks:
+        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+        for bit in range(64):
+            v[bit] += 1 if (h >> bit) & 1 else -1
+    out = 0
+    for bit in range(64):
+        if v[bit] > 0:
+            out |= 1 << bit
+    return out
+
+
+def simhash_batch(batch: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFrame:
+    out = pd.DataFrame()
+    out[id_col] = batch[id_col]
+    out["simhash"] = [simhash64(t) for t in batch[text_col].fillna("")]
+    return out
+
+
+def simhash_pairs(
+    ds: Dataset, id_col: str, text_col: str, *, max_hamming: int = 3
+) -> Dataset:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming via 4x16-bit band
+    bucketing (a pair within distance 3 shares at least one of 4 bands)."""
+    sigs = ds.map_batches(
+        lambda b: simhash_batch(b, id_col, text_col), batch_format="pandas"
+    )
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {"band": [], "band_key": [], id_col: [], "simhash": []}
+        for i, h in zip(batch[id_col], batch["simhash"]):
+            for bnd in range(4):
+                rows["band"].append(bnd)
+                rows["band_key"].append((int(h) >> (16 * bnd)) & 0xFFFF)
+                rows[id_col].append(i)
+                rows["simhash"].append(int(h))
+        return pd.DataFrame(rows)
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        band_no = int(group["band"].iloc[0])
+        g = group.sort_values(id_col, kind="mergesort")
+        ids, hs = g[id_col].to_numpy(), g["simhash"].to_numpy()
+        out = {"id_a": [], "id_b": [], "hamming": []}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                x = int(hs[i]) ^ int(hs[j])
+                d = bin(x).count("1")
+                if d > max_hamming:
+                    continue
+                first = next(
+                    (b for b in range(4) if ((x >> (16 * b)) & 0xFFFF) == 0), band_no
+                )
+                if first == band_no:
+                    out["id_a"].append(ids[i])
+                    out["id_b"].append(ids[j])
+                    out["hamming"].append(d)
+        return pd.DataFrame(out)
+
+    return (
+        sigs.map_batches(explode, batch_format="pandas")
+        .groupby(["band", "band_key"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification (exact, for candidate pairs / small groups)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
+    sa = set(shingle_set(a, k).tolist())
+    sb = set(shingle_set(b, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dup_pairs(
+    ds: Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.95,
+    num_buckets: int = 1,
+) -> Dataset:
+    """Pairs with cosine >= threshold.  ``num_buckets=1`` is the exact
+    all-pairs path (quadratic — for oracle-checkable small inputs); for
+    scale, bucket by a random-hyperplane LSH sketch first
+    (``num_buckets>1``) so comparisons stay within buckets."""
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        if num_buckets <= 1:
+            batch["bucket"] = 0
+            return batch
+        rng = np.random.RandomState(11)
+        vecs = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        planes = rng.standard_normal((vecs.shape[1], max(1, int(np.log2(num_buckets)))))
+        bits = (vecs @ planes) > 0
+        batch["bucket"] = bits.dot(1 << np.arange(bits.shape[1])).astype(np.int64)
+        return batch
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].to_numpy()
+        v = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(v, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        vn = v / norms
+        sim = vn @ vn.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        mask = sim[iu, ju] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[mask]],
+                "id_b": ids[ju[mask]],
+                "cosine": np.round(sim[iu, ju][mask], 6),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )

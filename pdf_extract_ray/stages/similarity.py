@@ -1,0 +1,172 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — one numpy matmul per batch against a
+broadcast query matrix (queries are ``ray.put`` once and read per actor,
+never re-shipped per batch), then a global top-k via sort+limit on the
+tiny per-batch partial top-k rows.  Scale path: IVF-style coarse
+quantization — assign each vector to its nearest of C centroids (learned
+deterministically from a sample), search only the ``nprobe`` closest
+cells.
+
+Reference analogue: the LaBSE embedding scorer pattern (T2,
+euaa_사례/sentences/aligner.py:24-38) — load-once state in an actor pool,
+vectorized scoring per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from pdf_extract_ray.util import default_concurrency
+
+
+class _ScoreTopK:
+    """Per-batch partial top-k against broadcast queries (object-store ref
+    resolved once per actor in __init__)."""
+
+    def __init__(self, query_ref, id_col: str, vec_col: str, k: int):
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        self.q = np.asarray(q, dtype=np.float64)
+        qn = np.linalg.norm(self.q, axis=1, keepdims=True)
+        qn[qn == 0] = 1.0
+        self.qn = self.q / qn
+        self.id_col, self.vec_col, self.k = id_col, vec_col, k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[self.id_col].to_numpy()
+        v = np.stack(batch[self.vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(v, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sim = (v / norms) @ self.qn.T  # (n, n_queries)
+        out = {"query_id": [], self.id_col: [], "cosine": []}
+        for qi in range(sim.shape[1]):
+            col = sim[:, qi]
+            if len(col) > self.k:
+                part = np.argpartition(-col, self.k)[: self.k]
+            else:
+                part = np.arange(len(col))
+            for i in part:
+                out["query_id"].append(qi)
+                out[self.id_col].append(ids[i])
+                out["cosine"].append(round(float(col[i]), 6))
+        return pd.DataFrame(out)
+
+
+def brute_force_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    concurrency=None,
+) -> Dataset:
+    """Exact cosine top-k per query.  Result: (query_id, id_col, cosine),
+    k rows per query, ordered by (query_id, -cosine, id)."""
+    query_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    partial = ds.map_batches(
+        _ScoreTopK,
+        fn_constructor_args=(query_ref, id_col, vec_col, k),
+        batch_format="pandas",
+        concurrency=concurrency or default_concurrency(),
+        num_cpus=1,
+    )
+
+    # global top-k: the partials are tiny (k rows per batch per query) —
+    # a per-query group reduce, not a global sort of the data
+    def reduce_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["cosine", id_col], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return g.reset_index(drop=True)
+
+    return partial.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# IVF-style bucketed ANN (scale path)
+# ---------------------------------------------------------------------------
+
+def _kmeanspp_lite(sample: np.ndarray, c: int, seed: int = 5) -> np.ndarray:
+    """Deterministic centroid pick: farthest-point traversal from a fixed
+    start (no iterative Lloyd refinement — cells only need to be stable)."""
+    rng = np.random.RandomState(seed)
+    idx = [int(rng.randint(len(sample)))]
+    d = np.full(len(sample), np.inf)
+    for _ in range(c - 1):
+        d = np.minimum(d, np.linalg.norm(sample - sample[idx[-1]], axis=1))
+        idx.append(int(d.argmax()))
+    return sample[idx]
+
+
+def ivf_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    sample_n: int = 2048,
+    concurrency=None,
+) -> Dataset:
+    """Approximate top-k: assign vectors to coarse cells, score only the
+    ``nprobe`` cells closest to each query.  The centroid table is tiny and
+    broadcast; the cell filter happens inside map_batches (no shuffle)."""
+    sample = np.stack(
+        [r[vec_col] for r in ds.limit(sample_n).take_all()]
+    ).astype(np.float64)
+    cents = _kmeanspp_lite(sample, n_cells)
+    cents_ref = ray.put(cents)
+
+    q = np.asarray(queries, dtype=np.float64)
+    qd = np.linalg.norm(q[:, None, :] - cents[None, :, :], axis=2)
+    probe_cells = {qi: set(np.argsort(qd[qi])[:nprobe].tolist()) for qi in range(len(q))}
+    wanted = set().union(*probe_cells.values()) if len(q) else set()
+
+    class CellFilterTopK(_ScoreTopK):
+        def __init__(self, query_ref, id_col, vec_col, k):
+            super().__init__(query_ref, id_col, vec_col, k)
+            self.cents = ray.get(cents_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            v = np.stack(batch[self.vec_col].to_numpy()).astype(np.float64)
+            cell = np.linalg.norm(
+                v[:, None, :] - self.cents[None, :, :], axis=2
+            ).argmin(axis=1)
+            keep = np.isin(cell, list(wanted))
+            if not keep.any():
+                return pd.DataFrame({"query_id": [], self.id_col: [], "cosine": [],
+                                     "cell": []})
+            sub = batch.iloc[keep].reset_index(drop=True)
+            out = super().__call__(sub)
+            out["cell"] = cell[keep][
+                [int(np.where(sub[self.id_col].to_numpy() == i)[0][0]) for i in out[self.id_col]]
+            ]
+            # drop results from cells this query does not probe
+            out = out[[c in probe_cells[qi] for qi, c in zip(out["query_id"], out["cell"])]]
+            return out.drop(columns=["cell"])
+
+    query_ref = ray.put(q)
+    partial = ds.map_batches(
+        CellFilterTopK,
+        fn_constructor_args=(query_ref, id_col, vec_col, k),
+        batch_format="pandas",
+        concurrency=concurrency or default_concurrency(),
+        num_cpus=1,
+    )
+
+    def reduce_topk(group: pd.DataFrame) -> pd.DataFrame:
+        return (
+            group.sort_values(["cosine", id_col], ascending=[False, True], kind="mergesort")
+            .head(k)
+            .reset_index(drop=True)
+        )
+
+    return partial.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")

@@ -1,0 +1,121 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+These extend the reference's row-level quality analyzers
+(reference: euaa_사례/sentences/metadata_generator.py:92-461,
+add_metadata.py:155-193) to the single-document web-text setting.  Every
+rule here is deliberately expressible in ANSI SQL so the driver's DuckDB
+oracle can check it exactly (SURVEY.md §5.2.6); character classes are
+explicit ASCII/Hangul ranges, never locale-dependent ``\\w``.
+
+All functions are vectorized map_batches bodies over pyarrow/pandas —
+no Python loop over rows in the hot path.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from pdf_extract_ray.util import round_half_away
+
+# frozen stopword list (quality scoring; mirror in oracle SQL literally)
+STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "that", "for", "on")
+
+# ASCII-word-or-single-symbol tokenizer ("BPE-ish"): matches DuckDB
+# regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ ]')
+_TOKEN_RE = re.compile(r"[A-Za-z0-9_]+|[^A-Za-z0-9_ ]")
+_HANGUL_RE = re.compile(r"[가-힣ㄱ-ㆎ]")
+_LATIN_RE = re.compile(r"[A-Za-z]")
+_CJK_RE = re.compile(r"[一-鿿]")
+_CYRILLIC_RE = re.compile(r"[Ѐ-ӿ]")
+_PUNCT_RE = re.compile(r"[.,!?;:]")
+_DIGIT_RE = re.compile(r"[0-9]")
+
+
+def _count(series: pd.Series, rx: re.Pattern) -> pd.Series:
+    return series.str.count(rx)
+
+
+def lang_id_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Heuristic script-based language ID over character classes.
+
+    Rule (frozen; SQL-mirrored): among {hangul, cjk, cyrillic, latin}
+    character counts, the largest non-zero class wins with priority order
+    hangul > cjk > cyrillic > latin on ties; all zero -> 'und'.
+    Labels: ko / zh / ru / en / und.
+    """
+    t = batch[text_col].fillna("")
+    hangul = _count(t, _HANGUL_RE)
+    cjk = _count(t, _CJK_RE)
+    cyr = _count(t, _CYRILLIC_RE)
+    latin = _count(t, _LATIN_RE)
+    best = pd.concat(
+        {"ko": hangul, "zh": cjk, "ru": cyr, "en": latin}, axis=1
+    )
+    lang = best.idxmax(axis=1)  # ties resolve in column order = priority
+    lang[best.max(axis=1) == 0] = "und"
+    batch["lang_id"] = lang
+    return batch
+
+
+def token_stats_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Whitespace word count + ASCII-regex token count + char length."""
+    t = batch[text_col].fillna("")
+    batch["n_words"] = t.str.split().str.len().fillna(0).astype("int64")
+    batch["n_tokens"] = t.str.count(_TOKEN_RE).astype("int64")
+    batch["n_chars_out"] = t.str.len().astype("int64")
+    return batch
+
+
+def quality_score_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Length/punctuation/stopword quality profile (all ratios rounded to 4
+    decimals so float math matches the SQL oracle bit-for-bit).
+
+    quality components (reference analogues: word/char stats
+    add_metadata.py:155-193, content filters metadata_generator.py:430-461):
+      * punct_ratio  = sentence-punct chars / chars
+      * digit_ratio  = digit chars / chars
+      * stop_ratio   = stopword occurrences / whitespace words
+      * mean_word_len = chars-in-words / words
+    """
+    t = batch[text_col].fillna("")
+    n_chars = t.str.len().astype("float64")
+    n_words = t.str.split().str.len().fillna(0).astype("float64")
+    safe_chars = n_chars.where(n_chars > 0, 1.0)
+    safe_words = n_words.where(n_words > 0, 1.0)
+
+    stop_rx = re.compile(r"\b(?:" + "|".join(STOPWORDS) + r")\b")
+    punct = _count(t, _PUNCT_RE).astype("float64")
+    digits = _count(t, _DIGIT_RE).astype("float64")
+    stops = t.str.lower().str.count(stop_rx).astype("float64")
+    word_chars = t.str.replace(r"\s+", "", regex=True).str.len().astype("float64")
+
+    batch["punct_ratio"] = round_half_away(punct / safe_chars, 4)
+    batch["digit_ratio"] = round_half_away(digits / safe_chars, 4)
+    batch["stop_ratio"] = round_half_away(stops / safe_words, 4)
+    batch["mean_word_len"] = round_half_away(word_chars / safe_words, 4)
+    return batch
+
+
+def fingerprint_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Normalized-content fingerprint: md5(lower(whitespace-collapsed text)).
+
+    SQL mirror: md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))).
+    Used as the exact-dedup key (D1) and for cross-run content lineage.
+    """
+    import hashlib
+
+    t = (
+        batch[text_col]
+        .fillna("")
+        .str.replace(r"\s+", " ", regex=True)
+        .str.strip()
+        .str.lower()
+    )
+    batch["fingerprint"] = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t]
+    return batch

@@ -18,3 +18,15 @@ def default_concurrency(reserve: int = 2, cap: int = 64) -> int:
     except Exception:
         cpus = 4
     return max(1, min(cap, cpus - reserve))
+
+
+def round_half_away(x, ndigits: int):
+    """Round half away from zero (DuckDB/SQL ROUND semantics) — numpy and
+    Python ``round`` use banker's rounding, which breaks oracle parity on
+    exact .5 boundaries."""
+    import numpy as np
+
+    arr = np.asarray(x, dtype=np.float64)
+    scale = 10.0 ** ndigits
+    out = np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale
+    return out

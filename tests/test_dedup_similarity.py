@@ -1,0 +1,162 @@
+"""Dedup family (D1 + near-dup) and similarity-search tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdf_extract_ray.stages.dedup import (
+    dedup_exact,
+    embedding_dup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    simhash64,
+    simhash_pairs,
+)
+from pdf_extract_ray.stages.similarity import brute_force_topk, ivf_topk
+from pdf_extract_ray.stages.textquality import (
+    fingerprint_batch,
+    lang_id_batch,
+    quality_score_batch,
+    token_stats_batch,
+)
+
+
+def _docs_ds(ray_session):
+    import ray.data as rd
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = []
+    for i in range(40):
+        words = base.split()
+        if i % 10 == 0 and i > 0:
+            words[3] = f"var{i}"  # near-duplicate of doc 0-family
+        text = " ".join(words) + (f" tail{i // 20}" if i % 2 else "")
+        rows.append({"doc_id": i, "text": text})
+    # exact duplicates: 30..34 duplicate 0..4
+    for i in range(30, 35):
+        rows[i]["text"] = rows[i - 30]["text"]
+    return rd.from_pandas(pd.DataFrame(rows)).repartition(4), rows
+
+
+def test_dedup_exact_keeps_min_order_key(ray_session):
+    import ray.data as rd
+
+    ds, rows = _docs_ds(ray_session)
+    with_fp = ds.map_batches(lambda b: fingerprint_batch(b, "text"), batch_format="pandas")
+    out = dedup_exact(with_fp, "fingerprint", "doc_id").take_all()
+    kept = sorted(r["doc_id"] for r in out)
+    texts = {}
+    for r in rows:
+        texts.setdefault(r["text"], []).append(r["doc_id"])
+    expect = sorted(min(ids) for ids in texts.values())
+    assert kept == expect
+
+
+def test_minhash_lsh_finds_near_dups(ray_session):
+    ds, _ = _docs_ds(ray_session)
+    pairs = minhash_lsh_pairs(ds, "doc_id", "text", jaccard_threshold=0.5).take_all()
+    assert pairs, "expected near-duplicate candidates"
+    keys = [(p["id_a"], p["id_b"]) for p in pairs]
+    assert len(keys) == len(set(keys)), "pairs must be globally unique"
+    assert all(p["id_a"] < p["id_b"] for p in pairs)
+    # exact duplicates must be found with jaccard 1.0
+    exact = {(i - 30, i) for i in range(30, 35)}
+    found_exact = {k for k in keys if k in exact}
+    assert found_exact == exact
+
+
+def test_simhash_pairs(ray_session):
+    ds, _ = _docs_ds(ray_session)
+    pairs = simhash_pairs(ds, "doc_id", "text", max_hamming=3).take_all()
+    keys = [(p["id_a"], p["id_b"]) for p in pairs]
+    assert len(keys) == len(set(keys))
+    exact = {(i - 30, i) for i in range(30, 35)}
+    assert exact <= set(keys)
+    assert all(p["hamming"] == 0 for p in pairs if (p["id_a"], p["id_b"]) in exact)
+
+
+def test_simhash_deterministic():
+    assert simhash64("hello world") == simhash64("hello  world ")
+    assert simhash64("") == 0
+
+
+def test_ngram_jaccard():
+    assert ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert ngram_jaccard("a b c", "x y z") == 0.0
+    assert 0 < ngram_jaccard("a b c d e", "a b c d x") < 1
+
+
+def test_embedding_dup_pairs(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((30, 16))
+    vecs[10] = vecs[0] * 2.0          # same direction -> cosine 1
+    vecs[11] = vecs[1] + 0.01 * rng.standard_normal(16)
+    df = pd.DataFrame({"vec_id": range(30), "embedding": list(vecs)})
+    ds = rd.from_pandas(df).repartition(3)
+    pairs = embedding_dup_pairs(ds, threshold=0.99).take_all()
+    got = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert (0, 10) in got and (1, 11) in got
+
+
+def test_brute_force_topk(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(4)
+    vecs = rng.standard_normal((100, 16))
+    df = pd.DataFrame({"vec_id": range(100), "embedding": list(vecs)})
+    ds = rd.from_pandas(df).repartition(5)
+    queries = vecs[[7, 42]]
+    out = brute_force_topk(ds, queries, k=5).take_all()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1}
+    # exact match must rank first with cosine 1.0
+    top0 = max(by_q[0], key=lambda r: r["cosine"])
+    assert top0["vec_id"] == 7 and top0["cosine"] == 1.0
+    top1 = max(by_q[1], key=lambda r: r["cosine"])
+    assert top1["vec_id"] == 42
+    # verify against numpy brute force
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    expect0 = set(np.argsort(-(vn @ vn[7]))[:5].tolist())
+    assert {r["vec_id"] for r in by_q[0]} == expect0
+
+
+def test_ivf_topk_recalls_identical_vector(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(5)
+    vecs = rng.standard_normal((200, 16))
+    df = pd.DataFrame({"vec_id": range(200), "embedding": list(vecs)})
+    ds = rd.from_pandas(df).repartition(4)
+    out = ivf_topk(ds, vecs[[13]], k=3, n_cells=8, nprobe=2).take_all()
+    assert any(r["vec_id"] == 13 and r["cosine"] == 1.0 for r in out)
+
+
+class TestTextQuality:
+    def test_lang_id(self):
+        df = pd.DataFrame({"text": ["한국어 문장입니다", "plain english", "你好世界",
+                                    "Привет мир", "12345 !!!"]})
+        out = lang_id_batch(df.copy())
+        assert out["lang_id"].tolist() == ["ko", "en", "zh", "ru", "und"]
+
+    def test_token_stats(self):
+        df = pd.DataFrame({"text": ["Hello, world! 123", ""]})
+        out = token_stats_batch(df.copy())
+        assert out["n_words"].tolist() == [3, 0]
+        # tokens: Hello , world ! 123 -> 5
+        assert out["n_tokens"].tolist() == [5, 0]
+
+    def test_quality_score(self):
+        df = pd.DataFrame({"text": ["The cat and the dog. One 2 three!"]})
+        out = quality_score_batch(df.copy())
+        assert out["punct_ratio"].iloc[0] > 0
+        assert out["stop_ratio"].iloc[0] == round(3 / 8, 4)
+
+    def test_fingerprint_normalizes(self):
+        df = pd.DataFrame({"text": ["Hello  World", "hello world", "different"]})
+        out = fingerprint_batch(df.copy())
+        assert out["fingerprint"].iloc[0] == out["fingerprint"].iloc[1]
+        assert out["fingerprint"].iloc[0] != out["fingerprint"].iloc[2]
