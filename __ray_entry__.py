@@ -151,16 +151,20 @@ def q_windowed_events(sf_dir: str):
     # the reference has no stream semantics — SURVEY.md §2.9)
     from ray.data.aggregate import Count, Sum
 
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
     ds = _t(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def add_window(b: pd.DataFrame) -> pd.DataFrame:
         b["hour"] = b["ts"].dt.floor("h")
         return b.drop(columns=["ts"])
 
-    out = (
-        ds.map_batches(add_window, batch_format="pandas")
-        .groupby(["user_id", "hour"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    # high-cardinality (user, window) rollup -> bucketed vectorized
+    # aggregate with map-side partials (stages/agg.py), not per-group Python
+    out = grouped_aggregate(
+        ds.map_batches(add_window, batch_format="pandas"),
+        ["user_id", "hour"],
+        {"n_events": ("user_id", "count"), "sum_value": ("value", "sum")},
     )
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
@@ -175,7 +179,7 @@ def q_orders_customer_join(sf_dir: str):
     orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
     cust = _t(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
     joined = orders.join(
-        cust, join_type="left_outer", num_partitions=16,
+        cust, join_type="left_outer", num_partitions=8,
         on=("o_custkey",), right_on=("c_custkey",),
     )
     return joined.select_columns(
@@ -188,13 +192,16 @@ def q_customer_order_rollup(sf_dir: str):
     # zero orders (create_csv.py:202-319 set-difference behavior)
     from ray.data.aggregate import Count, Sum
 
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
     orders = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    per_cust = orders.groupby("o_custkey").aggregate(
-        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_spend")
+    per_cust = grouped_aggregate(
+        orders, ["o_custkey"],
+        {"n_orders": ("o_custkey", "count"), "total_spend": ("o_totalprice", "sum")},
     )
     cust = _t(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     joined = cust.join(
-        per_cust, join_type="left_outer", num_partitions=16,
+        per_cust, join_type="left_outer", num_partitions=8,
         on=("c_custkey",), right_on=("o_custkey",),
     )
 
@@ -332,7 +339,7 @@ def _pair_docs(sf_dir: str):
         batch_format="pandas",
     )
     return left.join(
-        right, join_type="inner", num_partitions=16,
+        right, join_type="inner", num_partitions=8,
         on=("doc_id",), right_on=("pair_id",),
     )
 

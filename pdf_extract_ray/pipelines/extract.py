@@ -193,22 +193,50 @@ class ExtractSentences:
         )
 
 
+
+# per-worker stage cache for stateless-task execution: state (compiled
+# config) builds once per worker PROCESS and is reused across tasks; unlike
+# an actor pool this lets Ray fuse the stage with the read (no object-store
+# round trip) and reuse warm workers across pipeline runs
+_STAGE_CACHE: dict = {}
+
+
+def _cached(cls, cfg):
+    def fn(batch):
+        inst = _STAGE_CACHE.get(cls)
+        if inst is None or inst.cfg is not cfg and inst.cfg != cfg:
+            inst = _STAGE_CACHE[cls] = cls(cfg)
+        return inst(batch)
+    return fn
+
+
 def extract_pages_fused(
     pages: "ray.data.Dataset",
     cfg: ExtractConfig = DEFAULT_CONFIG,
     *,
-    batch_size: int = 128,
+    batch_size: int | None = None,
     concurrency=None,
 ) -> "ray.data.Dataset":
-    """pages -> extracted, zero shuffles.  Small batch_size because html
-    rows are fat (SURVEY.md §7.4.4)."""
+    """pages -> extracted, zero shuffles.
+
+    Default execution is stateless tasks with a per-worker stage cache
+    (fuses with the read; elastic).  Pass ``concurrency`` to pin an actor
+    pool instead (useful when stage state becomes heavy, e.g. a model).
+    ``batch_size=None`` processes whole blocks zero-copy; size the BLOCKS
+    at the read (``override_num_blocks`` ~ 2x CPUs, or
+    ``target_max_block_size``) — 10^2+ tiny blocks pay ~0.2 s Ray Data
+    per-task overhead each (SURVEY.md §7.4.4)."""
+    if concurrency:
+        return pages.map_batches(
+            ExtractDocuments,
+            fn_constructor_args=(cfg,),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
     return pages.map_batches(
-        ExtractDocuments,
-        fn_constructor_args=(cfg,),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency or default_concurrency(),
-        num_cpus=1,
+        _cached(ExtractDocuments, cfg), batch_format="pyarrow", batch_size=batch_size
     )
 
 
@@ -263,45 +291,49 @@ class ParsePagesToBlocks:
         )
 
 
-def _assemble_group(group: pa.Table, cfg: ExtractConfig) -> pa.Table:
-    """One url's block rows -> one extracted row.  Explicit
-    (page_no, block_no) sort inside the group: Ray Data does not guarantee
-    row order across the shuffle (SURVEY.md §1.1)."""
-    idx = pa.compute.sort_indices(
-        group, sort_keys=[("page_no", "ascending"), ("block_no", "ascending")]
-    )
-    group = group.take(idx)
-    status = group["status"][0].as_py()
-    blocks = [
-        Block(p, b, t, x, False)
-        for p, b, t, x in zip(
-            group["page_no"].to_pylist(),
-            group["block_no"].to_pylist(),
-            group["tag"].to_pylist(),
-            group["text"].to_pylist(),
-        )
-        if x
-    ]
-    sents = sentences_from_blocks(blocks, cfg)
-    text, n_sents, n_pages = assemble_sentences(sents, cfg)
-    return pa.table(
-        {
-            "url": pa.array([group["url"][0].as_py()], pa.string()),
-            "warc_ts": pa.array([group["warc_ts"][0].as_py()], pa.timestamp("us")),
-            "lang": pa.array([group["lang"][0].as_py()], pa.string()),
-            "extracted_text": pa.array([text], pa.large_string()),
-            "n_sentences": pa.array([n_sents], pa.int32()),
-            "n_pages": pa.array([n_pages], pa.int32()),
-            "status": pa.array([status], pa.string()),
-        }
-    )
+def _assemble_bucket(bucket, cfg: ExtractConfig):
+    """A hash bucket of block rows (whole url-groups, many urls) -> one
+    extracted row per url.  Explicit (url, page_no, block_no) sort inside
+    the bucket: Ray Data does not guarantee row order across the shuffle
+    (SURVEY.md §1.1)."""
+    import pandas as pd
+
+    bucket = bucket.sort_values(["url", "page_no", "block_no"], kind="mergesort")
+    cols = {k: [] for k in
+            ("url", "warc_ts", "lang", "extracted_text", "n_sentences",
+             "n_pages", "status")}
+    urls = bucket["url"].to_numpy()
+    pages = bucket["page_no"].to_numpy()
+    blnos = bucket["block_no"].to_numpy()
+    tags = bucket["tag"].to_numpy()
+    texts = bucket["text"].to_numpy()
+    # url-group boundaries (bucket is sorted by url)
+    change = np.flatnonzero(urls[1:] != urls[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(urls)]))
+    for s, e in zip(starts, ends):
+        blocks = [
+            Block(int(pages[i]), int(blnos[i]), tags[i], texts[i], False)
+            for i in range(s, e)
+            if texts[i]
+        ]
+        sents = sentences_from_blocks(blocks, cfg)
+        text, n_sents, n_pages = assemble_sentences(sents, cfg)
+        cols["url"].append(urls[s])
+        cols["warc_ts"].append(bucket["warc_ts"].iloc[s])
+        cols["lang"].append(bucket["lang"].iloc[s])
+        cols["extracted_text"].append(text)
+        cols["n_sentences"].append(n_sents)
+        cols["n_pages"].append(n_pages)
+        cols["status"].append(bucket["status"].iloc[s])
+    return pd.DataFrame(cols)
 
 
 def extract_pages_staged(
     pages: "ray.data.Dataset",
     cfg: ExtractConfig = DEFAULT_CONFIG,
     *,
-    batch_size: int = 128,
+    batch_size: int | None = None,
     concurrency=None,
 ) -> "ray.data.Dataset":
     """pages -> blocks (explode) -> groupby(url) -> extracted.
@@ -309,31 +341,24 @@ def extract_pages_staged(
     THE wide step (SURVEY.md §2.5 A7): the groupby hash-partitions block
     rows by url.  Must produce byte-identical output to the fused plan."""
     blocks = pages.map_batches(
-        ParsePagesToBlocks,
-        fn_constructor_args=(cfg,),
-        batch_format="pyarrow",
+        _cached(ParsePagesToBlocks, cfg), batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or default_concurrency(),
-        num_cpus=1,
     )
-    return blocks.groupby("url").map_groups(
-        lambda g: _assemble_group(g, cfg), batch_format="pyarrow"
-    )
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    return bucketed_group_apply(blocks, ["url"], lambda g: _assemble_bucket(g, cfg))
 
 
 def extract_sentences(
     pages: "ray.data.Dataset",
     cfg: ExtractConfig = DEFAULT_CONFIG,
     *,
-    batch_size: int = 128,
+    batch_size: int | None = None,
     concurrency=None,
 ) -> "ray.data.Dataset":
     """pages -> per-sentence rows (fused, no shuffle)."""
     return pages.map_batches(
-        ExtractSentences,
-        fn_constructor_args=(cfg,),
-        batch_format="pyarrow",
+        _cached(ExtractSentences, cfg), batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or default_concurrency(),
-        num_cpus=1,
     )
+

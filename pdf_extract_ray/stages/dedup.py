@@ -39,13 +39,19 @@ from ray.data import Dataset
 
 def dedup_exact(ds: Dataset, key_col: str, order_col: str) -> Dataset:
     """Keep the first row per ``key_col`` where "first" = minimal
-    ``order_col``.  One hash shuffle on the key, then a tiny per-group
-    argmin — group payloads stay distributed."""
+    ``order_col`` — deterministic at any parallelism (SURVEY.md §7.4.2).
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(order_col, kind="mergesort").head(1)
+    One coarse hash shuffle on the key, then a VECTORIZED
+    sort+drop_duplicates per bucket (per-group Python would cost ~0.15 ms
+    x #distinct-keys; see stages/agg.py)."""
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
 
-    return ds.groupby(key_col).map_groups(keep_first, batch_format="pandas")
+    def keep_first(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.sort_values(order_col, kind="mergesort").drop_duplicates(
+            subset=[key_col], keep="first"
+        )
+
+    return bucketed_group_apply(ds, [key_col], keep_first)
 
 
 # ---------------------------------------------------------------------------
@@ -121,82 +127,135 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.8,
     concurrency=None,
 ) -> Dataset:
-    """MinHash+LSH near-duplicate candidate pairs with signature-estimated
-    Jaccard >= threshold.
+    """MinHash+LSH near-duplicate pairs with signature-estimated
+    Jaccard >= threshold.  Returns (id_a, id_b, jaccard), id_a < id_b,
+    globally unique.
 
-    pipeline: signatures (narrow) -> explode to (band, band_hash, id, sig)
-    rows -> groupby band bucket (THE shuffle, tiny rows) -> within-bucket
-    pairing + signature Jaccard verify.  Returns (id_a, id_b, jaccard) with
-    id_a < id_b, deduplicated across buckets by keeping a pair only in its
-    FIRST matching band (so output is globally unique without a second
-    shuffle)."""
-    from pdf_extract_ray.util import default_concurrency
+    Scale shape: the all-to-all steps move only (band_hash, id) rows,
+    (id_a, id_b) candidate pairs and one copy of each signature — never
+    documents; signatures rejoin candidates via an actor-free union +
+    bucketed repartition join (long-lived hash-join aggregator actors on
+    top of the other stages can deadlock a small CPU budget).  Candidate
+    generation is bucketed (stages/agg.py) so band-bucket count doesn't
+    appear in task count."""
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+    from pdf_extract_ray.util import round_half_away
 
     rows_per_band = num_perm // bands
 
-    sigs = ds.map_batches(
-        MinHashStage,
-        fn_constructor_args=(id_col, text_col, num_perm, k),
-        batch_format="pyarrow",
-        concurrency=concurrency or default_concurrency(),
-        num_cpus=1,
-    )
+    def compute_sigs(batch: pa.Table) -> pa.Table:
+        # stateless tasks with per-worker cached permutation state
+        stage = getattr(compute_sigs, "_s", None)
+        if stage is None:
+            stage = compute_sigs._s = MinHashStage(id_col, text_col, num_perm, k)
+        return stage(batch)
+
+    sigs = ds.map_batches(compute_sigs, batch_format="pyarrow")
 
     def explode_bands(batch: pa.Table) -> pa.Table:
+        # (band_hash, id) only — the shuffle stays tiny
         ids = batch[id_col].to_pylist()
         sigs_l = batch["minhash"].to_pylist()
-        out_band, out_hash, out_id, out_sig = [], [], [], []
+        out_hash, out_id = [], []
         for i, sig in zip(ids, sigs_l):
             for bnd in range(bands):
                 chunk = tuple(sig[bnd * rows_per_band : (bnd + 1) * rows_per_band])
-                h = hashlib.md5(repr((bnd, chunk)).encode()).hexdigest()
-                out_band.append(bnd)
-                out_hash.append(h)
+                out_hash.append(hashlib.md5(repr((bnd, chunk)).encode()).hexdigest())
                 out_id.append(i)
-                out_sig.append(sig)
         return pa.table(
-            {
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.string()),
-                id_col: pa.array(out_id),
-                "minhash": pa.array(out_sig, pa.list_(pa.uint64())),
-            }
+            {"band_hash": pa.array(out_hash, pa.string()), id_col: pa.array(out_id)}
         )
 
     bands_ds = sigs.map_batches(explode_bands, batch_format="pyarrow")
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-        band_no = int(group["band"].iloc[0])
-        g = group.sort_values(id_col, kind="mergesort")
-        ids = g[id_col].to_numpy()
-        sigs_m = np.stack(g["minhash"].to_numpy())
-        out_a, out_b, out_j = [], [], []
-        n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                eq = sigs_m[i] == sigs_m[j]
-                jac = float(eq.mean())
-                if jac < jaccard_threshold:
-                    continue
-                # first-band ownership: emit only if no EARLIER band also
-                # bucketed this pair together (dedup without a 2nd shuffle)
-                first_band = band_no
-                for bnd in range(band_no):
-                    lo, hi = bnd * rows_per_band, (bnd + 1) * rows_per_band
-                    if eq[lo:hi].all():
-                        first_band = bnd
-                        break
-                if first_band == band_no:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_j.append(round(jac, 4))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+    def cand_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        dup = bucket[bucket.duplicated("band_hash", keep=False)]
+        out_a, out_b = [], []
+        for _, g in dup.groupby("band_hash", sort=False):
+            ids = np.sort(g[id_col].to_numpy())
+            iu, ju = np.triu_indices(len(ids), k=1)
+            out_a.extend(ids[iu])
+            out_b.extend(ids[ju])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
-    return bands_ds.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    cands = bucketed_group_apply(bands_ds, ["band_hash"], cand_pairs)
+    uniq = bucketed_group_apply(
+        cands, ["id_a", "id_b"],
+        lambda g: g.drop_duplicates(["id_a", "id_b"]),
     )
+
+    # --- attach signatures to both pair sides: union + bucketed
+    # repartition join on `key` (reduce-side join without join actors) ---
+    def pair_memberships(b: pa.Table) -> pa.Table:
+        ida = b["id_a"].to_pylist()
+        idb = b["id_b"].to_pylist()
+        return pa.table(
+            {
+                "key": pa.array(ida + idb),
+                "id_a": pa.array(ida + ida),
+                "id_b": pa.array(idb + idb),
+                "sig": pa.array([b""] * (2 * len(ida)), pa.binary()),
+            }
+        )
+
+    def sig_rows(b: pa.Table) -> pa.Table:
+        # signatures travel as packed little-endian uint64 bytes: fixed-width
+        # binary survives pandas<->arrow round-trips in the shuffle
+        n = b.num_rows
+        packed = [np.asarray(s, dtype="<u8").tobytes() for s in b["minhash"].to_pylist()]
+        return pa.table(
+            {
+                "key": b[id_col],
+                "id_a": pa.nulls(n, b[id_col].type),
+                "id_b": pa.nulls(n, b[id_col].type),
+                "sig": pa.array(packed, pa.binary()),
+            }
+        )
+
+    unioned = uniq.map_batches(pair_memberships, batch_format="pyarrow").union(
+        sigs.map_batches(sig_rows, batch_format="pyarrow")
+    )
+
+    def attach(bucket: pd.DataFrame) -> pd.DataFrame:
+        is_sig = bucket["id_a"].isna()
+        sig_map = dict(zip(bucket.loc[is_sig, "key"], bucket.loc[is_sig, "sig"]))
+        mem = bucket[~is_sig]
+        out = mem[["id_a", "id_b", "key"]].copy()
+        out["sig"] = [sig_map.get(k, b"") for k in mem["key"]]
+        # the union's sig-row nulls upcast int id columns to float: restore
+        # (string ids pass through object dtype untouched)
+        for c in ("id_a", "id_b"):
+            if pd.api.types.is_float_dtype(out[c]):
+                out[c] = out[c].astype("int64")
+        return out.drop(columns=["key"])
+
+    attached = bucketed_group_apply(unioned, ["key"], attach)
+
+    def verify(bucket: pd.DataFrame) -> pd.DataFrame:
+        # each (id_a, id_b) group now holds exactly two rows: the signature
+        # of each side (attached per membership row above)
+        g = bucket.sort_values(["id_a", "id_b"], kind="mergesort")
+        ids_a = g["id_a"].to_numpy()
+        ids_b = g["id_b"].to_numpy()
+        sig_arr = [np.frombuffer(s, dtype="<u8") for s in g["sig"]]
+        out = {"id_a": [], "id_b": [], "jaccard": []}
+        i = 0
+        n = len(g)
+        while i < n:
+            j = i + 1
+            while j < n and ids_a[j] == ids_a[i] and ids_b[j] == ids_b[i]:
+                j += 1
+            if j - i == 2 and len(sig_arr[i]) and len(sig_arr[i]) == len(sig_arr[i + 1]):
+                jac = float(round_half_away(
+                    (sig_arr[i] == sig_arr[i + 1]).mean(), 4))
+                if jac >= jaccard_threshold:
+                    out["id_a"].append(ids_a[i])
+                    out["id_b"].append(ids_b[i])
+                    out["jaccard"].append(jac)
+            i = j
+        return pd.DataFrame(out)
+
+    return bucketed_group_apply(attached, ["id_a", "id_b"], verify)
 
 
 # ---------------------------------------------------------------------------
@@ -247,32 +306,37 @@ def simhash_pairs(
                 rows["simhash"].append(int(h))
         return pd.DataFrame(rows)
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        band_no = int(group["band"].iloc[0])
-        g = group.sort_values(id_col, kind="mergesort")
-        ids, hs = g[id_col].to_numpy(), g["simhash"].to_numpy()
+    def bucket_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        # bucket holds many (band, band_key) sub-buckets; only sub-buckets
+        # with >=2 members can produce pairs
+        dup = bucket[bucket.duplicated(["band", "band_key"], keep=False)]
         out = {"id_a": [], "id_b": [], "hamming": []}
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                x = int(hs[i]) ^ int(hs[j])
-                d = bin(x).count("1")
-                if d > max_hamming:
-                    continue
-                first = next(
-                    (b for b in range(4) if ((x >> (16 * b)) & 0xFFFF) == 0), band_no
-                )
-                if first == band_no:
-                    out["id_a"].append(ids[i])
-                    out["id_b"].append(ids[j])
-                    out["hamming"].append(d)
+        for (band_no, _), g in dup.groupby(["band", "band_key"], sort=False):
+            g = g.sort_values(id_col, kind="mergesort")
+            ids, hs = g[id_col].to_numpy(), g["simhash"].to_numpy()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    x = int(hs[i]) ^ int(hs[j])
+                    d = bin(x).count("1")
+                    if d > max_hamming:
+                        continue
+                    # first-band ownership dedups pairs across bands
+                    first = next(
+                        (b for b in range(4) if ((x >> (16 * b)) & 0xFFFF) == 0),
+                        int(band_no),
+                    )
+                    if first == int(band_no):
+                        out["id_a"].append(ids[i])
+                        out["id_b"].append(ids[j])
+                        out["hamming"].append(d)
         return pd.DataFrame(out)
 
-    return (
-        sigs.map_batches(explode, batch_format="pandas")
-        .groupby(["band", "band_key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    return bucketed_group_apply(
+        sigs.map_batches(explode, batch_format="pandas"),
+        ["band", "band_key"],
+        bucket_pairs,
     )
 
 

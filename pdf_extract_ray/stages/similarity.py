@@ -22,7 +22,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from pdf_extract_ray.util import default_concurrency
+from pdf_extract_ray.util import default_concurrency, round_half_away
 
 
 class _ScoreTopK:
@@ -53,7 +53,7 @@ class _ScoreTopK:
             for i in part:
                 out["query_id"].append(qi)
                 out[self.id_col].append(ids[i])
-                out["cosine"].append(round(float(col[i]), 6))
+                out["cosine"].append(float(round_half_away(col[i], 6)))
         return pd.DataFrame(out)
 
 
@@ -69,13 +69,16 @@ def brute_force_topk(
     """Exact cosine top-k per query.  Result: (query_id, id_col, cosine),
     k rows per query, ordered by (query_id, -cosine, id)."""
     query_ref = ray.put(np.asarray(queries, dtype=np.float64))
-    partial = ds.map_batches(
-        _ScoreTopK,
-        fn_constructor_args=(query_ref, id_col, vec_col, k),
-        batch_format="pandas",
-        concurrency=concurrency or default_concurrency(),
-        num_cpus=1,
-    )
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        # stateless tasks; the broadcast query matrix is fetched zero-copy
+        # from the object store once per worker process and cached
+        cache = getattr(score, "_c", None)
+        if cache is None:
+            cache = score._c = _ScoreTopK(query_ref, id_col, vec_col, k)
+        return cache(batch)
+
+    partial = ds.map_batches(score, batch_format="pandas")
 
     # global top-k: the partials are tiny (k rows per batch per query) —
     # a per-query group reduce, not a global sort of the data

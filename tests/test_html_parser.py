@@ -65,3 +65,29 @@ def test_fallback_blocks():
 def test_nested_list_items():
     blocks = parse_html(b"<ul><li>item a</li><li>item b</li></ul>")
     assert [b.text for b in blocks] == ["item a", "item b"]
+
+
+TRICKY_HTML = [
+    b"<p>a < b and c.</p>",                      # bare '<' in text
+    b"<p>x</p><!-- comment with <p>hidden</p> --><p>y</p>",
+    b"<script>if (a<b) { document.write('<p>no</p>'); }</script><p>keep.</p>",
+    b"<style>p { color: red; } /* <p>x</p> */</style><p>styled.</p>",
+    b"<P>UPPER tags</P><H1>Loud</H1>",
+    b"<p class='x' data-y=\"z\">attrs</p>",
+    b"<section data-page=3><p>unquoted attr page</p></section>",
+    b"<p>self<br/>closing</p>",
+    b"<p>unclosed paragraph",
+    b"<p>entity &amp; &lt;tag&gt; &#65;</p>",
+    b"<!DOCTYPE html><?xml version='1.0'?><p>decls.</p>",
+    b"<p>nested <b>bold <i>italic</i></b> end</p>",
+    b"<ul><li>a<li>b</ul>",                      # unclosed li
+    b"<p></p><p> </p><p>real</p>",               # empty blocks
+    "<p>한국어 &quot;인용&quot; 텍스트</p>".encode(),
+]
+
+
+def test_fast_tokenizer_matches_stdlib_on_tricky_html():
+    from pdf_extract_ray.stages.html_parser import parse_html, parse_html_stdlib
+
+    for html in TRICKY_HTML:
+        assert parse_html(html) == parse_html_stdlib(html), html
