@@ -453,6 +453,105 @@ def q_extract_sentences(sf_dir: str):
     return extract_sentences(_pages_ds(sf_dir))
 
 
+
+# ---------------------------------------------------------------------------
+# queries — alignment (T2, J1-J8), layout, multimodal (rows-only checks;
+# semantics frozen by pytest: tests/test_align.py, test_layout_multimodal.py)
+# ---------------------------------------------------------------------------
+
+def _paired_ds(sf_dir: str):
+    import ray.data as rd
+
+    from pdf_extract_ray.corpus import paired_sentence_tables
+
+    sf = float(__import__("re").search(r"sf([0-9.]+)", sf_dir).group(1)) if "sf" in sf_dir else 0.01
+    n_docs = max(8, int(2000 * sf))
+    kr_t, en_t = paired_sentence_tables(n_docs)
+    return (rd.from_arrow(kr_t).repartition(4), rd.from_arrow(en_t).repartition(4))
+
+
+def _align_pairs(sf_dir: str):
+    from functools import partial
+
+    from pdf_extract_ray.corpus import PSEUDO_TRANSLATIONS
+    from pdf_extract_ray.functions.embed import HashEmbedder
+    from pdf_extract_ray.pipelines.align import align_documents
+
+    kr, en = _paired_ds(sf_dir)
+    return kr, en, align_documents(
+        kr, en, embedder_factory=partial(HashEmbedder, vocab_map=PSEUDO_TRANSLATIONS))
+
+
+def q_align_pairs(sf_dir: str):
+    return _align_pairs(sf_dir)[2]
+
+
+def q_align_merged_kr(sf_dir: str):
+    from pdf_extract_ray.pipelines.align import merge_aligned
+
+    kr, _en, pairs = _align_pairs(sf_dir)
+    return merge_aligned(kr, pairs, side="kr")
+
+
+def q_align_full_outer(sf_dir: str):
+    from pdf_extract_ray.pipelines.align import merge_full_outer
+
+    kr, en, pairs = _align_pairs(sf_dir)
+    return merge_full_outer(kr, en, pairs)
+
+
+def q_layout_tagging(sf_dir: str):
+    # M1-M5 faithful span-table path over a deterministic synthetic span set
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.layout import tag_page_lines
+
+    def gen(seed):
+        import random
+        rng = random.Random(seed)
+        rows = []
+        for page in range(1, 20):
+            for i in range(rng.randint(3, 10)):
+                rows.append({
+                    "url": f"doc{seed}", "page_no": page,
+                    "x0": rng.choice([50.0, 350.0]), "y0": 40.0 + i * 20,
+                    "x1": 300.0, "y1": 52.0 + i * 20,
+                    "text": f"line {page} {i}",
+                    "size": rng.choice([10.0, 10.0, 12.0, 18.0]),
+                    "flags": rng.choice([0, 0, 16]), "color": rng.choice([0, 3101846]),
+                })
+        return rows
+
+    rows = [r for s in range(4) for r in gen(s)]
+    ds = rd.from_items(rows)
+
+    def tag_batch(b):
+        out = []
+        for (url, page), g in b.groupby(["url", "page_no"], sort=True):
+            for blk in tag_page_lines(g.to_dict("records"), 600.0, 800.0, int(page)):
+                out.append({"url": url, "page_no": blk.page_no,
+                            "block_no": blk.block_no, "tag": blk.tag,
+                            "text": blk.text})
+        import pandas as pd
+        return pd.DataFrame(out)
+
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    return bucketed_group_apply(ds, ["url", "page_no"], tag_batch)
+
+
+def q_media_features(sf_dir: str):
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.multimodal import media_features, synth_media_table
+
+    sf = float(__import__("re").search(r"sf([0-9.]+)", sf_dir).group(1)) if "sf" in sf_dir else 0.01
+    ds = rd.from_arrow(synth_media_table(max(50, int(10000 * sf)))).repartition(4)
+    out = media_features(ds, dim=16, batch_size=64, concurrency=2)
+    return out.map_batches(
+        lambda b: b.select(["media_id", "kind"]), batch_format="pyarrow"
+    )
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_counts": q_corpus_counts,
@@ -482,6 +581,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_flagship": q_extract_flagship,
         "extract_staged": q_extract_staged,
         "extract_sentences": q_extract_sentences,
+        "align_pairs": q_align_pairs,
+        "align_merged_kr": q_align_merged_kr,
+        "align_full_outer": q_align_full_outer,
+        "layout_tagging": q_layout_tagging,
+        "media_features": q_media_features,
     }
 
 

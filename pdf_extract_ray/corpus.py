@@ -229,3 +229,60 @@ def pages_from_documents(documents: pa.Table, seed: int = 1234) -> pa.Table:
             "lang": pa.array(langs, pa.string()),
         }
     )
+
+
+# word i of _WORDS is the pseudo-translation of word i of _KO_WORDS — lets
+# the deterministic HashEmbedder (vocab_map=PSEUDO_TRANSLATIONS) see true
+# parallel sentences as near-identical token bags (FIXTURES.md F6)
+PSEUDO_TRANSLATIONS = {k: e for k, e in zip(_KO_WORDS, _WORDS)}
+_NV = min(len(_WORDS), len(_KO_WORDS))
+
+
+def paired_sentence_tables(n_docs: int, seed: int = 77) -> tuple[pa.Table, pa.Table]:
+    """Deterministic KR/EN parallel sentence tables for alignment tests:
+    (doc_key, sent_no, text, source_type).  Each doc pair shares structure;
+    some EN sentences are dropped and extra unmatched ones inserted so the
+    greedy matcher's unmatched paths are exercised."""
+    kr_rows, en_rows = [], []
+    for d in range(n_docs):
+        rng = _rng_for(seed, 10_000 + d)
+        doc_key = f"doc{d}"
+        kr_no = en_no = 0
+
+        def emit(kr_text, en_text, st, drop_en=False):
+            nonlocal kr_no, en_no
+            kr_rows.append((doc_key, kr_no, kr_text, st)); kr_no += 1
+            if not drop_en:
+                en_rows.append((doc_key, en_no, en_text, st)); en_no += 1
+
+        # anchor header for pattern matching in ~half the docs
+        if rng.random() < 0.5:
+            emit("목차", "Table of contents", "H1")
+        n_sections = rng.randint(2, 4)
+        for s in range(n_sections):
+            idxs = [rng.randrange(_NV) for _ in range(3)]
+            emit(" ".join(_KO_WORDS[i] for i in idxs),
+                 " ".join(_WORDS[i] for i in idxs),
+                 rng.choice(["H1", "H2", "H3"]))
+            n_ps = rng.randint(2, 5)
+            for p in range(n_ps):
+                idxs = [rng.randrange(_NV) for _ in range(rng.randint(5, 10))]
+                drop = rng.random() < 0.1  # EN side missing -> unmatched KR
+                emit(" ".join(_KO_WORDS[i] for i in idxs) + ".",
+                     " ".join(_WORDS[i] for i in idxs) + ".",
+                     "P", drop_en=drop)
+            if rng.random() < 0.2:  # extra EN-only sentence -> unmatched EN
+                idxs = [rng.randrange(_NV) for _ in range(6)]
+                en_rows.append((doc_key, en_no,
+                                " ".join(_WORDS[i] for i in idxs) + ".", "P"))
+                en_no += 1
+
+    def table(rows):
+        return pa.table({
+            "doc_key": pa.array([r[0] for r in rows], pa.string()),
+            "sent_no": pa.array([r[1] for r in rows], pa.int64()),
+            "text": pa.array([r[2] for r in rows], pa.large_string()),
+            "source_type": pa.array([r[3] for r in rows], pa.string()),
+        })
+
+    return table(kr_rows), table(en_rows)

@@ -1,0 +1,71 @@
+"""Embedding backends for the alignment stage.
+
+Production slot: a sentence-transformer (the reference loads LaBSE once
+per process, euaa_사례/sentences/aligner.py:24-38 — "이 작업은 한 번만
+실행됩니다").  The sandbox has no model weights, so the default backend is
+``HashEmbedder``: a deterministic bag-of-hashed-tokens unit vector with an
+optional token-translation map, which preserves exactly the geometric
+property the aligner needs (parallel sentences ~ high cosine) without
+weights.  Both satisfy ``encode(list[str]) -> np.ndarray``; swapping in a
+real model changes one constructor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+
+_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+
+
+class HashEmbedder:
+    """Deterministic hashing embedder.
+
+    Each token (optionally mapped through ``vocab_map`` — e.g. a KO->EN
+    pseudo-translation table in tests, or a real bilingual lexicon) hashes
+    to a bucket in a ``dim``-dimensional bag vector; vectors are
+    L2-normalized so dot product = cosine."""
+
+    def __init__(self, dim: int = 256, vocab_map: dict[str, str] | None = None):
+        self.dim = dim
+        self.vocab_map = vocab_map or {}
+
+    def _bucket(self, token: str) -> int:
+        h = hashlib.md5(token.encode("utf-8")).digest()
+        return int.from_bytes(h[:4], "big") % self.dim
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim), dtype=np.float64)
+        for i, text in enumerate(texts):
+            for tok in _TOKEN_RE.findall((text or "").lower()):
+                tok = self.vocab_map.get(tok, tok)
+                out[i, self._bucket(tok)] += 1.0
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return out / norms
+
+
+class SentenceTransformerEmbedder:  # pragma: no cover - no weights in sandbox
+    """Real-model backend (LaBSE et al.).  Import-guarded: the sandbox has
+    no sentence_transformers / weights; on a real cluster this is the
+    drop-in replacement loaded once per actor."""
+
+    def __init__(self, model_name: str = "sentence-transformers/LaBSE"):
+        try:
+            from sentence_transformers import SentenceTransformer
+        except ImportError as e:
+            raise NotImplementedError(
+                "sentence_transformers not available in this environment; "
+                "use HashEmbedder or install the model on the cluster"
+            ) from e
+        self.model = SentenceTransformer(model_name)
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        import numpy as np
+
+        v = self.model.encode(texts, convert_to_numpy=True).astype(np.float64)
+        norms = np.linalg.norm(v, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return v / norms
