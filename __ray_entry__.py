@@ -552,6 +552,15 @@ def q_media_features(sf_dir: str):
         lambda b: b.select(["media_id", "kind"]), batch_format="pyarrow"
     )
 
+
+def q_distinct_langs(sf_dir: str):
+    # set op: distinct values (Dataset.unique is itself a shuffle)
+    import ray.data as rd
+
+    ds = _t(sf_dir, "documents", columns=["lang"])
+    vals = sorted(ds.unique("lang"))
+    return pd.DataFrame({"lang": vals})
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_counts": q_corpus_counts,
@@ -586,6 +595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "align_full_outer": q_align_full_outer,
         "layout_tagging": q_layout_tagging,
         "media_features": q_media_features,
+        "distinct_langs": q_distinct_langs,
     }
 
 
@@ -772,6 +782,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE list_cosine_similarity(a.embedding::DOUBLE[], "
             "b.embedding::DOUBLE[]) >= 0.4"
         ),
+        "distinct_langs": "SELECT DISTINCT lang FROM documents",
         # minhash_near_dup / simhash_near_dup / pair_analyzers /
         # extract_* : not SQL-expressible (sketches, NFKC, DOM parse) ->
         # rows-only check; semantics frozen by pytest goldens instead.

@@ -59,3 +59,31 @@ class ExtractConfig:
 
 
 DEFAULT_CONFIG = ExtractConfig()
+
+
+# ---------------------------------------------------------------------------
+# rule-pack registry (X1/X2 analogue): the reference selects a prompt/config
+# module per corpus key (main.py:55-101, sentences/utils.py:12-60); here a
+# corpus/domain key selects a frozen ExtractConfig, and the pack's hash is
+# recorded in manifest lineage.
+# ---------------------------------------------------------------------------
+
+RULE_PACKS: dict[str, ExtractConfig] = {
+    "default": DEFAULT_CONFIG,
+    # wider chrome margins for report-like PDFs (reference config.py values
+    # were tuned per corpus; packs freeze such variants)
+    "report": ExtractConfig(header_margin_ratio=0.08, footer_margin_ratio=0.08),
+    # aggressive boilerplate stripping for chrome-heavy web pages
+    "webchrome": ExtractConfig(
+        boilerplate_tags=(
+            "header", "nav", "footer", "aside", "script", "style", "noscript",
+            "template", "iframe", "svg", "form", "button", "figure", "menu",
+        )
+    ),
+}
+
+
+def get_rule_pack(key: str) -> ExtractConfig:
+    """Select an extraction rule pack by corpus/domain key (X1 analogue).
+    Unknown keys fall back to the default pack."""
+    return RULE_PACKS.get(key, DEFAULT_CONFIG)

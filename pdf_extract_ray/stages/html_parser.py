@@ -10,7 +10,7 @@ order; per-line whitespace collapse (layout_analyzer.py:88) is applied
 per block.  Multi-page documents are encoded as
 ``<section data-page="N">`` wrappers (FIXTURES.md F1.7).
 
-Pure Python, stdlib-only (no bs4/lxml in the sandbox), and deliberately
+Pure Python (no bs4/lxml in the sandbox), and deliberately
 tolerant: any byte string decodes with ``errors="replace"`` and malformed
 markup degrades to text accumulation, never an exception — at 100 TB the
 parser must not die on one bad page.
