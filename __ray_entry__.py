@@ -561,6 +561,14 @@ def q_distinct_langs(sf_dir: str):
     vals = sorted(ds.unique("lang"))
     return pd.DataFrame({"lang": vals})
 
+
+def q_sessionized_events(sf_dir: str):
+    # session windows over the event log (gap > 30 min starts a new session)
+    from pdf_extract_ray.stages.windows import sessionize
+
+    ds = _t(sf_dir, "events", columns=["user_id", "ts", "value"])
+    return sessionize(ds)
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_counts": q_corpus_counts,
@@ -596,6 +604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "layout_tagging": q_layout_tagging,
         "media_features": q_media_features,
         "distinct_langs": q_distinct_langs,
+        "sessionized_events": q_sessionized_events,
     }
 
 
@@ -783,6 +792,18 @@ def oracle_sql() -> dict[str, str]:
             "b.embedding::DOUBLE[]) >= 0.4"
         ),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "sessionized_events": (
+            "WITH d AS (SELECT user_id, ts, value, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT user_id, ts, value, "
+            "(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id FROM d) "
+            "SELECT user_id, session_id, min(ts) AS session_start, "
+            "max(ts) AS session_end, count(*) AS n_events, "
+            "round(sum(value), 2) AS sum_value FROM s GROUP BY user_id, session_id"
+        ),
         # minhash_near_dup / simhash_near_dup / pair_analyzers /
         # extract_* : not SQL-expressible (sketches, NFKC, DOM parse) ->
         # rows-only check; semantics frozen by pytest goldens instead.

@@ -1,0 +1,120 @@
+"""Operational CLI — the engine's analogue of the reference's cli.py surface
+(process file/folder, resume, retry-failed, status reporting;
+reference: cli.py:113-361, SURVEY.md §3.1-3.2).
+
+    python -m pdf_extract_ray extract  --input 'pages/*.parquet' --out out/ \
+        [--plan fused|staged] [--rule-pack default] [--files-per-partition 8]
+    python -m pdf_extract_ray status   --out out/
+    python -m pdf_extract_ray retry-failed --input 'pages/*.parquet' --out out/
+
+`extract` is resumable: re-running skips manifested partitions.
+`retry-failed` clears failed manifest rows and re-runs only those.
+This CLI owns its Ray session (guarded init, shutdown on exit); library
+code never calls ray.init().
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_extract(args) -> int:
+    from pdf_extract_ray.config import get_rule_pack
+    from pdf_extract_ray.pipelines.runner import extract_run
+
+    ray = _ray_session(args.num_cpus)
+    try:
+        stats = extract_run(
+            args.input, args.out, get_rule_pack(args.rule_pack),
+            plan=args.plan, files_per_partition=args.files_per_partition,
+        )
+        print(json.dumps({"run": stats}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+def cmd_status(args) -> int:
+    from pdf_extract_ray.state.manifest import Manifest
+
+    m = Manifest(os.path.join(args.out, "_manifest.jsonl"))
+    rollup = m.status_rollup()
+    failed = m.failed()
+    rows = m.read()
+    completed = [r for r in rows if r["status"] == "completed"]
+    print(json.dumps({
+        "rollup": rollup,
+        "rows_total": sum(r["n_rows"] for r in completed),
+        "mean_rows_per_s": round(
+            sum(r["rows_per_s"] for r in completed) / len(completed), 1
+        ) if completed else 0.0,
+        "failed": [{"partition_id": r["partition_id"], "error": r.get("error")}
+                   for r in failed],
+    }))
+    return 0
+
+
+def cmd_retry_failed(args) -> int:
+    """Drop failed rows from the manifest, then re-run (only those
+    partitions execute — completed ones stay manifested)."""
+    from pdf_extract_ray.state.manifest import Manifest
+
+    path = os.path.join(args.out, "_manifest.jsonl")
+    m = Manifest(path)
+    rows = m.read()
+    failed_ids = {r["partition_id"] for r in rows if r["status"] == "failed"}
+    if failed_ids:
+        keep = [r for r in rows if r["partition_id"] not in failed_ids
+                or r["status"] == "completed"]
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            for r in keep:
+                f.write(json.dumps(r) + "\n")
+        os.replace(tmp, path)
+    return cmd_extract(args)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="pdf_extract_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add_common(sp, with_input=True):
+        if with_input:
+            sp.add_argument("--input", required=True,
+                            help="glob of input parquet shards")
+            sp.add_argument("--plan", default="fused",
+                            choices=["fused", "staged"])
+            sp.add_argument("--rule-pack", default="default")
+            sp.add_argument("--files-per-partition", type=int, default=8)
+            sp.add_argument("--num-cpus", type=int, default=None)
+        sp.add_argument("--out", required=True, help="output directory")
+
+    add_common(sub.add_parser("extract", help="run/resume an extraction"))
+    add_common(sub.add_parser("status", help="manifest rollup"), with_input=False)
+    add_common(sub.add_parser("retry-failed", help="re-run failed partitions"))
+
+    args = p.parse_args(argv)
+    return {"extract": cmd_extract, "status": cmd_status,
+            "retry-failed": cmd_retry_failed}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

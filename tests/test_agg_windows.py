@@ -1,0 +1,70 @@
+"""Bucketed grouped execution under key skew + session windows."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdf_extract_ray.stages.agg import bucketed_group_apply, grouped_aggregate
+from pdf_extract_ray.stages.windows import sessionize
+
+
+@pytest.fixture(scope="module")
+def skewed(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(1)
+    # Zipf-hot key: key 0 owns ~half the rows (host-skew analogue)
+    keys = np.where(rng.rand(20000) < 0.5, 0, rng.randint(1, 500, 20000))
+    df = pd.DataFrame({"k": keys, "v": rng.rand(20000)})
+    return rd.from_pandas(df).repartition(8), df
+
+
+def test_grouped_aggregate_correct_under_skew(skewed):
+    ds, df = skewed
+    out = (
+        grouped_aggregate(ds, ["k"], {"n": ("k", "count"), "s": ("v", "sum")})
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.groupby("k", as_index=False)
+        .agg(n=("k", "count"), s=("v", "sum"))
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["n"].tolist() == exp["n"].tolist()
+    assert np.allclose(out["s"], exp["s"])
+
+
+def test_bucket_count_does_not_change_result(skewed):
+    ds, df = skewed
+
+    def f(g):
+        return g.groupby("k", as_index=False).agg(n=("k", "count"))
+
+    a = bucketed_group_apply(ds, ["k"], f, num_buckets=4).to_pandas()
+    b = bucketed_group_apply(ds, ["k"], f, num_buckets=64).to_pandas()
+    a = a.sort_values("k").reset_index(drop=True)
+    b = b.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_sessionize_semantics(ray_session):
+    import ray.data as rd
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2, 2],
+        "ts": [t0, t0 + pd.Timedelta(minutes=10), t0 + pd.Timedelta(minutes=90),
+               t0 + pd.Timedelta(minutes=95), t0, t0 + pd.Timedelta(hours=3)],
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+    })
+    out = sessionize(rd.from_pandas(rows)).to_pandas().sort_values(
+        ["user_id", "session_id"]).reset_index(drop=True)
+    assert out[["user_id", "session_id", "n_events", "sum_value"]].values.tolist() == [
+        [1, 1, 2, 3.0],   # minutes 0,10
+        [1, 2, 2, 7.0],   # minutes 90,95 (gap 80 > 30)
+        [2, 1, 1, 5.0],
+        [2, 2, 1, 6.0],
+    ]
