@@ -569,6 +569,36 @@ def q_sessionized_events(sf_dir: str):
     ds = _t(sf_dir, "events", columns=["user_id", "ts", "value"])
     return sessionize(ds)
 
+
+def q_customer_nation_broadcast(sf_dir: str):
+    # broadcast join: the tiny nation/region dimensions are ray.put once and
+    # looked up per batch — no shuffle (guide: "small side -> broadcast")
+    import pyarrow.parquet as pq
+
+    import ray
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    lookup_ref = ray.put(
+        {int(k): (n, r) for k, n, r in zip(dim["n_nationkey"], dim["n_name"],
+                                           dim["r_name"])}
+    )
+
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        lookup = getattr(attach, "_l", None)
+        if lookup is None:
+            lookup = attach._l = ray.get(lookup_ref)
+        mapped = b["c_nationkey"].map(lookup)
+        b["n_name"] = [m[0] for m in mapped]
+        b["r_name"] = [m[1] for m in mapped]
+        b["c_acctbal"] = round_half_away(b["c_acctbal"], 2)
+        return b
+
+    return cust.map_batches(attach, batch_format="pandas")
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_counts": q_corpus_counts,
@@ -605,6 +635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "distinct_langs": q_distinct_langs,
         "sessionized_events": q_sessionized_events,
+        "customer_nation_broadcast": q_customer_nation_broadcast,
     }
 
 
@@ -792,6 +823,12 @@ def oracle_sql() -> dict[str, str]:
             "b.embedding::DOUBLE[]) >= 0.4"
         ),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "customer_nation_broadcast": (
+            "SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS c_acctbal, "
+            "n_name, r_name FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey"
+        ),
         "sessionized_events": (
             "WITH d AS (SELECT user_id, ts, value, "
             "CASE WHEN lag(ts) OVER w IS NULL "

@@ -93,3 +93,24 @@ def tidy_bracket_spacing(text: str) -> str:
 # equivalent to the three separate subs: "([(\[])\s+"->"\1",
 # "\s+([)\]])"->"\1", "\s+([.,!?;:])"->"\1"
 _BRACKET_SPACE_RE = re.compile(r"(?<=[(\[])\s+|\s+(?=[)\].,!?;:])")
+
+
+def remove_numbering(text: str, patterns: tuple[str, ...] = ()) -> str:
+    """Strip ONE leading numbering marker using a config-injected pattern
+    list: the first pattern that matches at the start is substituted once
+    and no further patterns apply (metadata_generator.py:44-74; pattern
+    lists are config pack data, X2).  Default pack is empty — the
+    reference's shipped config removes nothing (add_metadata.py:82)."""
+    if not text:
+        return text
+    for pat in patterns:
+        rx = _NUMBERING_CACHE.get(pat)
+        if rx is None:
+            rx = _NUMBERING_CACHE[pat] = re.compile(pat, re.IGNORECASE)
+        if rx.match(text):
+            text = rx.sub(" ", text, count=1)
+            break
+    return text.lstrip()
+
+
+_NUMBERING_CACHE: dict = {}

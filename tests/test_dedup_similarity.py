@@ -160,3 +160,18 @@ class TestTextQuality:
         out = fingerprint_batch(df.copy())
         assert out["fingerprint"].iloc[0] == out["fingerprint"].iloc[1]
         assert out["fingerprint"].iloc[0] != out["fingerprint"].iloc[2]
+
+
+def test_embedding_dup_pairs_bucketed_scale_path(ray_session):
+    """The LSH-bucketed variant still finds same-direction duplicates
+    (identical directions share every hyperplane sign -> same bucket)."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(8)
+    vecs = rng.standard_normal((60, 16))
+    vecs[30] = vecs[5] * 3.0
+    df = pd.DataFrame({"vec_id": range(60), "embedding": list(vecs)})
+    pairs = embedding_dup_pairs(
+        rd.from_pandas(df).repartition(4), threshold=0.999, num_buckets=8
+    ).take_all()
+    assert any(p["id_a"] == 5 and p["id_b"] == 30 for p in pairs)

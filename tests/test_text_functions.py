@@ -51,3 +51,30 @@ def test_has_hangul():
 def test_tidy_bracket_spacing():
     assert tidy_bracket_spacing("a ( text ) b") == "a (text) b"
     assert tidy_bracket_spacing("x [ y ]  z") == "x [y] z"
+
+
+def test_remove_numbering_first_match_only():
+    from pdf_extract_ray.functions.text import remove_numbering
+
+    pats = (r"^\d+\.\s", r"^\(\d+\)\s", r"^[A-Z]\.\s")
+    assert remove_numbering("1. item one", pats) == "item one"
+    assert remove_numbering("(2) second", pats) == "second"
+    assert remove_numbering("A. alpha 3. not this", pats) == "alpha 3. not this"
+    assert remove_numbering("no numbering", pats) == "no numbering"
+    assert remove_numbering("1. x", ()) == "1. x"  # default pack: no-op
+
+
+def test_fmt_helpers():
+    from pdf_extract_ray.functions.fmt import (
+        estimate_remaining_s,
+        format_duration,
+        format_file_size,
+        safe_filename,
+    )
+
+    assert format_file_size(512) == "512 B"
+    assert format_file_size(2048) == "2.0 KB"
+    assert format_duration(3725) == "1h 2m 5s"
+    assert format_duration(65) == "1m 5s"
+    assert safe_filename("a b/c:d.pdf") == "a_b_c_d.pdf"
+    assert estimate_remaining_s(2, 6, 10.0) == 20.0
