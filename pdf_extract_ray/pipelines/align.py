@@ -25,7 +25,7 @@ pair aligns inside one task with the embedder held in a per-worker cache
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd

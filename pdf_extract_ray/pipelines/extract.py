@@ -26,7 +26,7 @@ sentence_composer -> per-document reassembly).
 
 from __future__ import annotations
 
-from typing import Iterator
+
 
 import numpy as np
 import pyarrow as pa
@@ -38,7 +38,7 @@ from pdf_extract_ray.stages.assemble import assemble_sentences
 from pdf_extract_ray.stages.html_parser import Block, fallback_blocks, parse_html
 from pdf_extract_ray.stages.merge import merge_blocks
 from pdf_extract_ray.stages.splitter import Sentence, compose_document
-from pdf_extract_ray.util import default_concurrency
+
 
 EXTRACTED_SCHEMA = pa.schema(
     [

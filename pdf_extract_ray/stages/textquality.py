@@ -16,10 +16,10 @@ from __future__ import annotations
 
 import re
 
-import numpy as np
+
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
+
 
 from pdf_extract_ray.util import round_half_away
 
