@@ -599,6 +599,64 @@ def q_customer_nation_broadcast(sf_dir: str):
 
     return cust.map_batches(attach, batch_format="pandas")
 
+
+def q_top_customers(sf_dir: str):
+    # chained: groupby-agg -> join -> sort -> limit (O3 + J6 + A-family)
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    orders = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    spend = grouped_aggregate(
+        orders, ["o_custkey"], {"total_spend": ("o_totalprice", "sum")}
+    )
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    joined = spend.join(
+        cust, join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        # the join drops the duplicate right key, keeping the left name
+        b = b.rename(columns={"o_custkey": "c_custkey"})
+        b["total_spend"] = round_half_away(b["total_spend"], 2)
+        return b[["c_custkey", "c_name", "total_spend"]]
+
+    return joined.map_batches(finish, batch_format="pandas").sort(
+        ["total_spend", "c_custkey"], descending=[True, False]
+    ).limit(25)
+
+
+def q_revenue_by_nation(sf_dir: str):
+    # 3-way join + aggregate: lineitem -> orders -> customer -> nation
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    li = _t(sf_dir, "lineitem",
+            columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(b: pd.DataFrame) -> pd.DataFrame:
+        b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        return b[["l_orderkey", "revenue"]]
+
+    per_order = grouped_aggregate(
+        li.map_batches(rev, batch_format="pandas"),
+        ["l_orderkey"], {"revenue": ("revenue", "sum")},
+    )
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    j = per_order.join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    ).join(
+        cust, join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    out = grouped_aggregate(j, ["c_nationkey"], {"revenue": ("revenue", "sum")})
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["revenue"] = round_half_away(b["revenue"], 2)
+        return b
+
+    return out.map_batches(finish, batch_format="pandas")
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_counts": q_corpus_counts,
@@ -636,6 +694,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_langs": q_distinct_langs,
         "sessionized_events": q_sessionized_events,
         "customer_nation_broadcast": q_customer_nation_broadcast,
+        "top_customers": q_top_customers,
+        "revenue_by_nation": q_revenue_by_nation,
     }
 
 
@@ -823,6 +883,18 @@ def oracle_sql() -> dict[str, str]:
             "b.embedding::DOUBLE[]) >= 0.4"
         ),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "top_customers": (
+            "SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS total_spend "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_custkey, c_name "
+            "ORDER BY total_spend DESC, c_custkey LIMIT 25"
+        ),
+        "revenue_by_nation": (
+            "SELECT c_nationkey, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey"
+        ),
         "customer_nation_broadcast": (
             "SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS c_acctbal, "
             "n_name, r_name FROM customer "

@@ -138,3 +138,33 @@ def test_extract_run_resume_equals_uninterrupted(ray_session, tmp_path):
     rows = mm.Manifest(os.path.join(out, "_manifest.jsonl")).read()
     assert all(r["stage_versions"]["plan"] == "fused" for r in rows)
     assert all(r["n_rows"] == 30 for r in rows if r["status"] == "completed")
+
+
+def test_extract_run_staged_plan(ray_session, tmp_path):
+    """The staged (shuffle) plan also runs partitioned+resumable and matches
+    the fused plan's output byte-for-byte."""
+    import ray.data as rd
+
+    from pdf_extract_ray.pipelines.runner import extract_run
+
+    corpus = str(tmp_path / "corpus")
+    write_pages_corpus(corpus, n_docs=60, seed=5, docs_per_file=30)
+
+    fused_out = str(tmp_path / "fused")
+    staged_out = str(tmp_path / "staged")
+    extract_run(f"{corpus}/*.parquet", fused_out, files_per_partition=1)
+    stats = extract_run(f"{corpus}/*.parquet", staged_out, plan="staged",
+                        files_per_partition=1)
+    assert stats["completed"] == 2
+
+    import glob as g
+    fused = rd.read_parquet(sorted(g.glob(f"{fused_out}/part=*/*.parquet"))).to_pandas()
+    staged = rd.read_parquet(sorted(g.glob(f"{staged_out}/part=*/*.parquet"))).to_pandas()
+    fused = fused.sort_values("url").reset_index(drop=True)
+    staged = staged.sort_values("url").reset_index(drop=True)
+    assert fused["extracted_text"].tolist() == staged["extracted_text"].tolist()
+
+    # plan recorded in lineage
+    import json as j
+    rows = [j.loads(l) for l in open(f"{staged_out}/_manifest.jsonl")]
+    assert all(r["stage_versions"]["plan"] == "staged" for r in rows)
