@@ -41,6 +41,8 @@ def collapse_ws(text: str) -> str:
 
 def strip_dot_leaders(text: str) -> str:
     """Remove TOC dot-leader runs of >=5 dots (pdf_to_json/main.py:33)."""
+    if "....." not in text:  # fast path: the regex scan is the hot cost
+        return text
     return _DOT_LEADER_RE.sub("", text)
 
 

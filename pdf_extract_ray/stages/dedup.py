@@ -345,13 +345,12 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
-    sa = set(shingle_set(a, k).tolist())
-    sb = set(shingle_set(b, k).tolist())
-    if not sa and not sb:
-        return 1.0
-    if not sa or not sb:
-        return 0.0
-    return len(sa & sb) / len(sa | sb)
+    from pdf_extract_ray.functions.fingerprint import set_jaccard
+
+    return set_jaccard(
+        set(shingle_set(a, k).tolist()), set(shingle_set(b, k).tolist()),
+        empty_value=1.0,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -119,3 +119,12 @@ def fingerprint_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFra
     )
     batch["fingerprint"] = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t]
     return batch
+
+
+# winnowing fingerprints live in functions/fingerprint.py (scalar, not
+# SQL-mirrorable); re-exported here for discoverability next to the md5
+# content fingerprint
+from pdf_extract_ray.functions.fingerprint import (  # noqa: E402,F401
+    winnow_fingerprints,
+    winnow_overlap,
+)

@@ -175,3 +175,34 @@ def test_embedding_dup_pairs_bucketed_scale_path(ray_session):
         rd.from_pandas(df).repartition(4), threshold=0.999, num_buckets=8
     ).take_all()
     assert any(p["id_a"] == 5 and p["id_b"] == 30 for p in pairs)
+
+
+class TestWinnowing:
+    def test_deterministic_and_ws_insensitive(self):
+        from pdf_extract_ray.stages.textquality import winnow_fingerprints
+
+        a = winnow_fingerprints("The quick brown fox jumps over the lazy dog")
+        b = winnow_fingerprints("The  quick brown   fox jumps over the lazy dog")
+        assert a == b and len(a) > 0
+        assert winnow_fingerprints("ab") == []
+
+    def test_overlap_detects_shared_content(self):
+        from pdf_extract_ray.stages.textquality import winnow_overlap
+
+        base = "the asylum court issued a decision on the appeal procedure today"
+        near = base + " with additional remarks appended at the end"
+        other = "completely different words about databases and query engines"
+        assert winnow_overlap(base, base) == 1.0
+        assert winnow_overlap(base, near) > 0.5
+        assert winnow_overlap(base, other) < 0.1
+
+
+def test_winnow_short_and_unrelated_texts_not_similar():
+    from pdf_extract_ray.functions.fingerprint import winnow_fingerprints, winnow_overlap
+
+    assert winnow_overlap("abcde", "zyxwv") == 0.0   # disjoint short texts
+    assert winnow_overlap("", "abcde") == 0.0
+    assert winnow_fingerprints("abcde") != []        # >= k chars -> >= 1 fp
+    # non-ASCII: adjacent-codepoint substitutions must hash differently
+    # (base > 0x10FFFF; with a small base "aĀxyz" and "b}xyz" collide)
+    assert winnow_fingerprints("aĀxyz") != winnow_fingerprints("b}xyz")
