@@ -84,7 +84,8 @@ def q_event_type_stats(sf_dir: str):
 def q_recent_events_topk(sf_dir: str):
     # O3: ORDER BY ts DESC LIMIT k (database.py:467-497)
     ds = _t(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
-    return ds.sort("ts", descending=True).limit(100)
+    # event_id tiebreak keeps the cutoff deterministic if ts values collide
+    return ds.sort(["ts", "event_id"], descending=[True, True]).limit(100)
 
 
 def q_order_priority_rollup(sf_dir: str):
@@ -352,7 +353,8 @@ def q_pair_quality_class(sf_dir: str):
 
     def f(b: pd.DataFrame) -> pd.DataFrame:
         b["quality_class"] = [
-            sentence_quality_class(k, e) for k, e in zip(b["kr_text"], b["en_text"])
+            sentence_quality_class(k, e)
+            for k, e in zip(b["kr_text"].fillna(""), b["en_text"].fillna(""))
         ]
         return b[["doc_id", "quality_class"]]
 
@@ -742,7 +744,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "recent_events_topk": (
             "SELECT event_id, ts, user_id, event_type FROM events "
-            "ORDER BY ts DESC LIMIT 100"
+            "ORDER BY ts DESC, event_id DESC LIMIT 100"
         ),
         "order_priority_rollup": (
             "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority"

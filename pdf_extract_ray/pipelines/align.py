@@ -271,17 +271,19 @@ def align_documents(
         out_rows = []
         for doc_key, g in bucket.groupby(doc_key_col, sort=True):
             g = g.sort_values(order_col, kind="mergesort")
-            kr = [
-                {"text": t, "source_type": s}
-                for t, s in zip(g.loc[g["side"] == "kr", "text"],
-                                g.loc[g["side"] == "kr", "source_type"])
-            ]
-            en = [
-                {"text": t, "source_type": s}
-                for t, s in zip(g.loc[g["side"] == "en", "text"],
-                                g.loc[g["side"] == "en", "source_type"])
-            ]
+            gk = g[g["side"] == "kr"]
+            ge = g[g["side"] == "en"]
+            kr = [{"text": t, "source_type": s}
+                  for t, s in zip(gk["text"], gk["source_type"])]
+            en = [{"text": t, "source_type": s}
+                  for t, s in zip(ge["text"], ge["source_type"])]
+            kr_orders = gk[order_col].tolist()
+            en_orders = ge[order_col].tolist()
             for p in aligner.align(kr, en):
+                # translate list POSITIONS into the stream's actual order
+                # keys so downstream joins work on gapped/global sent_no
+                p["kr_idx"] = kr_orders[p["kr_idx"]]
+                p["en_idx"] = en_orders[p["en_idx"]]
                 p[doc_key_col] = doc_key
                 out_rows.append(p)
         if not out_rows:
@@ -316,10 +318,15 @@ def merge_aligned(
     idx_col = f"{side}_idx"
     keep = [doc_key_col, idx_col, f"{'en' if side == 'kr' else 'kr'}_idx",
             f"{'en' if side == 'kr' else 'kr'}_text", "match_type", "similarity"]
-    p = pairs.map_batches(
-        lambda b: b[keep].rename(columns={doc_key_col: "__pk"}),
-        batch_format="pandas",
-    )
+
+    def prep(b):
+        # one pair per source sentence: if the anchor and the Hungarian
+        # assignment disagree on the same kr header, the LAST pair wins —
+        # the reference's dict-overwrite semantics (create_csv.py:64-75)
+        b = b[keep].drop_duplicates([doc_key_col, idx_col], keep="last")
+        return b.rename(columns={doc_key_col: "__pk"})
+
+    p = pairs.map_batches(prep, batch_format="pandas")
     joined = sents.join(
         p, join_type="left_outer", num_partitions=num_partitions,
         on=(doc_key_col, order_col), right_on=("__pk", idx_col),

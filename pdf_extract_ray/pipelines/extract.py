@@ -17,7 +17,9 @@ output at any parallelism level:
   general crawl case) and is the pipeline's one wide shuffle; group size
   is bounded by pages-per-document so the key is skew-safe by
   construction (host-level input skew is decoupled by the hash shuffle
-  itself — SURVEY.md §4.2).
+  itself — SURVEY.md §4.2).  ORDER CONTRACT for multi-row documents:
+  rows of one url are ordered by ``warc_ts`` (then per-row page/block
+  numbers), so multi-row urls must carry distinct warc_ts values.
 
 Reference lifecycle being re-expressed: SURVEY.md §3.3/§3.4
 (pdf_to_json/main.py page loop -> merge_consecutive_tags ->
@@ -298,7 +300,11 @@ def _assemble_bucket(bucket, cfg: ExtractConfig):
     (SURVEY.md §1.1)."""
     import pandas as pd
 
-    bucket = bucket.sort_values(["url", "page_no", "block_no"], kind="mergesort")
+    # warc_ts disambiguates multi-row documents whose html carries no
+    # explicit <section data-page> numbering: rows of one url must differ
+    # in warc_ts (the crawl-record timestamp) for deterministic order
+    bucket = bucket.sort_values(["url", "warc_ts", "page_no", "block_no"],
+                                kind="mergesort")
     cols = {k: [] for k in
             ("url", "warc_ts", "lang", "extracted_text", "n_sentences",
              "n_pages", "status")}

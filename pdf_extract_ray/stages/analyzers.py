@@ -113,6 +113,10 @@ class NumberComparer:
         if superscripts:
             nums.extend(d for s, d in self.superscripts.items() if s in text)
         for pat in self.patterns:
+            # group(0) INCLUDING the ordinal suffix ("1st", not "1"): the
+            # reference stores the whole match too (metadata_generator.py:148
+            # — its ordinal capture group is equally unused), so "1st" vs
+            # "1" is a no_match there as well; kept for parity
             text = pat.sub(lambda m: nums.append(m.group(0).replace(",", "")) or " ", text)
         return nums
 

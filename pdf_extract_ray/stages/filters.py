@@ -26,6 +26,9 @@ def is_numbers_only(text) -> bool:
 def is_symbol_or_single_alpha(text) -> bool:
     if not isinstance(text, str):
         return False
+    # deletes the SUBSTRING "nan" anywhere ("nano" -> "o"): reference-
+    # faithful wart (metadata_generator.py:444 does exactly this to scrub
+    # stringified NaN); kept for parity and mirrored in the SQL oracle
     t = text.strip().replace("nan", "")
     if len(t) != 1:
         return False

@@ -71,17 +71,32 @@ class _BlockCollector(HTMLParser):
         if tag in self.bold_tags:
             self._bold_depth += 1
             return
-        if tag in self.heading_map:
-            self._begin_block(self.heading_map[tag])
-        elif tag in self.block_tags:
-            self._begin_block("P")
+        if tag in self.heading_map or tag in self.block_tags:
+            # implied end tags (HTML5): a new same-name element closes the
+            # open one (<li>...<li>), and ANY new block closes an open <p>
+            # — both ubiquitous in crawl HTML
+            while self._open and (self._open[-1][4] == tag
+                                  or self._open[-1][4] == "p"):
+                self._end_block()
+            self._begin_block(
+                self.heading_map.get(tag, "P"), tag
+            )
         elif tag == "br" and self._open:
             self._open[-1][1].append(" ")
 
     def handle_startendtag(self, tag, attrs):
+        # a self-closing element opens no scope: undo whatever the start
+        # handler pushed (boilerplate depth, bold depth, or a block frame)
         self.handle_starttag(tag, attrs)
-        if tag.lower() in self.boiler:
+        tag = tag.lower()
+        if tag in self.boiler:
             self._boiler_depth -= 1
+        elif self._boiler_depth:
+            pass
+        elif tag in self.bold_tags:
+            self._bold_depth = max(0, self._bold_depth - 1)
+        elif tag in self.heading_map or tag in self.block_tags:
+            self._end_block()
 
     def handle_endtag(self, tag):
         tag = tag.lower()
@@ -108,13 +123,20 @@ class _BlockCollector(HTMLParser):
                 frame[2] += n
 
     # -- block lifecycle ----------------------------------------------------
-    def _begin_block(self, kind: str):
-        self._open.append([kind, [], 0, 0])
+    def _begin_block(self, kind: str, src_tag: str = ""):
+        self._open.append([kind, [], 0, 0, src_tag])
+
+    def flush_open(self):
+        """Emit blocks left open at end of input (implied end at EOF /
+        truncated pages) — without this, crawl HTML relying on implied
+        end tags loses its content entirely."""
+        while self._open:
+            self._end_block()
 
     def _end_block(self):
         if not self._open:
             return
-        kind, parts, bold_chars, total_chars = self._open.pop()
+        kind, parts, bold_chars, total_chars, _src = self._open.pop()
         text = collapse_ws("".join(parts))
         if not text:
             return
@@ -200,6 +222,12 @@ def _tokenize_into(collector: _BlockCollector, html: str) -> None:
                 if selfclose:
                     if name in collector.boiler:
                         collector._boiler_depth -= 1
+                    elif collector._boiler_depth:
+                        pass
+                    elif name in collector.bold_tags:
+                        collector._bold_depth = max(0, collector._bold_depth - 1)
+                    elif name in collector.heading_map or name in collector.block_tags:
+                        collector._end_block()
                 elif name in _RAWTEXT_TAGS:
                     # rawtext: skip to the matching close tag verbatim
                     if lower is None:
@@ -234,6 +262,7 @@ def parse_html(html: bytes | str | None, cfg: ExtractConfig = DEFAULT_CONFIG) ->
     p = _BlockCollector(cfg)
     try:
         _tokenize_into(p, html)
+        p.flush_open()
     except Exception:
         # malformed beyond repair: salvage whatever blocks were collected
         pass
@@ -242,7 +271,11 @@ def parse_html(html: bytes | str | None, cfg: ExtractConfig = DEFAULT_CONFIG) ->
 
 def parse_html_stdlib(html: bytes | str | None, cfg: ExtractConfig = DEFAULT_CONFIG) -> list[Block]:
     """stdlib html.parser-driven variant, kept as a cross-check oracle for
-    the fast tokenizer (tests assert both produce identical blocks)."""
+    the fast tokenizer on WELL-FORMED markup (tests assert identical blocks
+    there).  On pathologically malformed tags the two recovery strategies
+    deliberately differ: html.parser's tolerant regex can emit garbage tag
+    names (e.g. a tag literally named "b<"), while the fast tokenizer — the
+    frozen spec — treats an unparseable '<' as text."""
     if html is None:
         return []
     if isinstance(html, bytes):
@@ -253,6 +286,7 @@ def parse_html_stdlib(html: bytes | str | None, cfg: ExtractConfig = DEFAULT_CON
     try:
         p.feed(html)
         p.close()
+        p.flush_open()
     except Exception:
         pass
     return p.blocks

@@ -167,3 +167,26 @@ class TestAlignPipeline:
         full = merge_full_outer(kr, en, pairs).to_pandas()
         n_matched_en = pairs.to_pandas()["en_idx"].notna().sum()
         assert len(full) == kr_t.num_rows + (en_t.num_rows - n_matched_en)
+
+
+def test_align_gapped_sent_no_joins_correctly(ray_session):
+    """Pair indices are the stream's actual order keys, not list positions:
+    gapped sent_no (e.g. upstream filtering) must still merge correctly."""
+    import ray.data as rd
+
+    def tbl(rows):
+        return pd.DataFrame(rows, columns=["doc_key", "sent_no", "text", "source_type"])
+
+    kr = tbl([("d", 10, "목차", "H1"), ("d", 20, "법원 판결 항소.", "P")])
+    en = tbl([("d", 5, "contents", "H1"), ("d", 7, tr("법원 판결 항소."), "P")])
+    pairs = align_documents(
+        rd.from_pandas(kr), rd.from_pandas(en),
+        embedder_factory=partial(HashEmbedder, vocab_map=PSEUDO_TRANSLATIONS),
+    ).to_pandas()
+    got = {(r.kr_idx, r.en_idx) for r in pairs.itertuples()}
+    assert got == {(10, 5), (20, 7)}
+
+    merged = merge_aligned(rd.from_pandas(kr), rd.from_pandas(pairs),
+                           side="kr").to_pandas()
+    assert len(merged) == 2
+    assert set(merged["match_type"]) == {"header", "paragraph"}

@@ -82,3 +82,35 @@ def test_statuses_cover_fallback_and_reject(oracle_rows):
     statuses = {o["status"] for o in oracle_rows.values()}
     assert "html" in statuses
     assert "fallback" in statuses  # invalid html routed to text column
+
+
+def test_staged_multi_row_url_deterministic(ray_session):
+    """Multi-row documents (same url, distinct warc_ts) assemble in warc_ts
+    order, deterministically across partitionings (order contract)."""
+    from datetime import datetime
+
+    import ray.data as rd
+
+    rows = []
+    for part in range(3):
+        rows.append({
+            "url": "https://h.example/multi",
+            "warc_ts": datetime(2024, 1, 1, part),
+            "html": f"<p>part {part} sentence.</p>".encode(),
+            "text": None, "lang": "en",
+        })
+    tbl = pa.table({
+        "url": pa.array([r["url"] for r in rows]),
+        "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us")),
+        "html": pa.array([r["html"] for r in rows], pa.binary()),
+        "text": pa.array([r["text"] for r in rows], pa.large_string()),
+        "lang": pa.array([r["lang"] for r in rows]),
+    })
+    outs = set()
+    for nparts in (1, 2, 3):
+        # reversed row order + different partitioning must not matter
+        ds = rd.from_arrow(tbl.take([2, 0, 1])).repartition(nparts)
+        out = extract_pages_staged(ds).take_all()
+        assert len(out) == 1
+        outs.add(out[0]["extracted_text"])
+    assert outs == {"part 0 sentence.\npart 1 sentence.\npart 2 sentence."}
