@@ -150,8 +150,6 @@ def q_pricing_summary(sf_dir: str):
 def q_windowed_events(sf_dir: str):
     # streaming-shaped tumbling window: per-user hourly rollup (guide pattern;
     # the reference has no stream semantics — SURVEY.md §2.9)
-    from ray.data.aggregate import Count, Sum
-
     from pdf_extract_ray.stages.agg import grouped_aggregate
 
     ds = _t(sf_dir, "events", columns=["user_id", "ts", "value"])
@@ -191,8 +189,6 @@ def q_orders_customer_join(sf_dir: str):
 def q_customer_order_rollup(sf_dir: str):
     # J8-analogue: full-outer semantics — every customer appears even with
     # zero orders (create_csv.py:202-319 set-difference behavior)
-    from ray.data.aggregate import Count, Sum
-
     from pdf_extract_ray.stages.agg import grouped_aggregate
 
     orders = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
@@ -430,7 +426,7 @@ def q_simhash_near_dup(sf_dir: str):
     from pdf_extract_ray.stages.dedup import simhash_pairs
 
     ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
-    return simhash_pairs(ds, "doc_id", "text", max_hamming=10)
+    return simhash_pairs(ds, "doc_id", "text", max_hamming=3)
 
 
 # ---------------------------------------------------------------------------
@@ -724,14 +720,20 @@ SELECT doc_id,
 FROM c
 """
 
+# SQL mirror of functions/text.clean_pair_text; the translate target
+# literal ('""""' + three escaped quotes) is built programmatically to
+# avoid a four-layer escaping puzzle
+_QUOTES_SRC = "“”„‟‘’`"
+_QUOTES_DST_SQL = "'" + '""""' + "''" * 3 + "'"
 _CLEAN_SQL_EXPR = (
-    "trim(regexp_replace("
-    "translate(regexp_replace(trim(regexp_replace("
-    "regexp_replace(coalesce(text,''), '^[-‐–—−·•○:.]\\s*', ''), "      # bullet
-    "'\\s*\\*\\s*', ' ', 'g')), "                                        # star runs
-    "'\\s*\\((IGC|IBC) Code \\d+\\.\\d+\\)', '', 'g'), "                 # code tags
-    "'“”„‟‘’`', '\"\"\"\"'''''), "         # quotes
-    "'-{2,}', '', 'g'), ':;* ')"                                         # hyphens+strip
+    "trim(regexp_replace(regexp_replace("
+    "translate(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(coalesce(text,''), '^[-‐–—−·•○:.]\\s*', ''), "
+    "'\\s*\\*\\s*', ' ', 'g'), "
+    "'^\\s+|\\s+$', '', 'g'), "
+    "'\\s*\\((IGC|IBC) Code \\d+\\.\\d+\\)', '', 'g'), "
+    "'" + _QUOTES_SRC + "', " + _QUOTES_DST_SQL + "), "
+    "'-{2,}', '', 'g'), '^\\s+|\\s+$', '', 'g'), ':;* ')"
 )
 
 

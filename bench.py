@@ -55,8 +55,6 @@ def ensure_corpus(sf: float) -> tuple[str, int]:
 
     @ray.remote
     def gen(start: int) -> str:
-        from pdf_extract_ray.corpus import write_pages_corpus
-
         # write exactly one shard by windowing the corpus
         import pyarrow.parquet as pq
 

@@ -19,7 +19,6 @@ import hashlib
 import random
 from datetime import datetime, timedelta
 
-import numpy as np
 import pyarrow as pa
 
 EPOCH = datetime(2024, 1, 1)

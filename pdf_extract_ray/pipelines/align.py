@@ -264,10 +264,16 @@ def align_documents(
     factory = embedder_factory or HashEmbedder
     acfg = cfg or AlignConfig()
 
+    # cache key carries the factory + config identity so concurrent or
+    # successive pipelines with different embedders/thresholds never share
+    # a stale aligner in warm workers
+    cache_key = (repr(factory), repr(acfg))
+
     def align_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
-        aligner = _ALIGNER_CACHE.get("a")
+        aligner = _ALIGNER_CACHE.get(cache_key)
         if aligner is None:
-            aligner = _ALIGNER_CACHE["a"] = DocumentAligner(factory(), acfg)
+            _ALIGNER_CACHE.clear()
+            aligner = _ALIGNER_CACHE[cache_key] = DocumentAligner(factory(), acfg)
         out_rows = []
         for doc_key, g in bucket.groupby(doc_key_col, sort=True):
             g = g.sort_values(order_col, kind="mergesort")

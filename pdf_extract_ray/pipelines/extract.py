@@ -264,19 +264,24 @@ class ParsePagesToBlocks:
             else [None] * len(urls)
         )
         cols = {k: [] for k in
-                ("url", "warc_ts", "lang", "status", "page_no", "block_no", "tag", "text")}
+                ("url", "warc_ts", "lang", "status", "page_no", "block_no",
+                 "block_ord", "tag", "text")}
         for url, html, text, lang, ts in zip(urls, htmls, texts, langs, tss):
             blocks, status = document_blocks(html, text, self.cfg)
             if not blocks:
                 # keep one sentinel row so rejected documents still appear
                 blocks = [Block(0, 0, "P", "", False)]
-            for b in blocks:
+            for ord_, b in enumerate(blocks):
                 cols["url"].append(url)
                 cols["warc_ts"].append(ts)
                 cols["lang"].append(lang)
                 cols["status"].append(status)
                 cols["page_no"].append(b.page_no)
                 cols["block_no"].append(b.block_no)
+                # DOM order within the row: the fused plan consumes blocks
+                # in parse order, and <section data-page> values need not be
+                # monotonic, so page_no is NOT a valid order key
+                cols["block_ord"].append(ord_)
                 cols["tag"].append(b.tag)
                 cols["text"].append(b.text)
         return pa.table(
@@ -287,6 +292,7 @@ class ParsePagesToBlocks:
                 "status": pa.array(cols["status"], pa.string()),
                 "page_no": pa.array(cols["page_no"], pa.int32()),
                 "block_no": pa.array(cols["block_no"], pa.int32()),
+                "block_ord": pa.array(cols["block_ord"], pa.int32()),
                 "tag": pa.array(cols["tag"], pa.string()),
                 "text": pa.array(cols["text"], pa.large_string()),
             }
@@ -300,10 +306,11 @@ def _assemble_bucket(bucket, cfg: ExtractConfig):
     (SURVEY.md §1.1)."""
     import pandas as pd
 
-    # warc_ts disambiguates multi-row documents whose html carries no
-    # explicit <section data-page> numbering: rows of one url must differ
-    # in warc_ts (the crawl-record timestamp) for deterministic order
-    bucket = bucket.sort_values(["url", "warc_ts", "page_no", "block_no"],
+    # order = (crawl-record order, DOM order): warc_ts disambiguates
+    # multi-row documents (rows of one url must differ in warc_ts);
+    # block_ord is the DOM position within a row — the same order the
+    # fused plan consumes, regardless of <section data-page> values
+    bucket = bucket.sort_values(["url", "warc_ts", "block_ord"],
                                 kind="mergesort")
     cols = {k: [] for k in
             ("url", "warc_ts", "lang", "extracted_text", "n_sentences",
@@ -346,10 +353,17 @@ def extract_pages_staged(
 
     THE wide step (SURVEY.md §2.5 A7): the groupby hash-partitions block
     rows by url.  Must produce byte-identical output to the fused plan."""
-    blocks = pages.map_batches(
-        _cached(ParsePagesToBlocks, cfg), batch_format="pyarrow",
-        batch_size=batch_size,
-    )
+    if concurrency:
+        blocks = pages.map_batches(
+            ParsePagesToBlocks, fn_constructor_args=(cfg,),
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency, num_cpus=1,
+        )
+    else:
+        blocks = pages.map_batches(
+            _cached(ParsePagesToBlocks, cfg), batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     from pdf_extract_ray.stages.agg import bucketed_group_apply
 
     return bucketed_group_apply(blocks, ["url"], lambda g: _assemble_bucket(g, cfg))
@@ -363,6 +377,12 @@ def extract_sentences(
     concurrency=None,
 ) -> "ray.data.Dataset":
     """pages -> per-sentence rows (fused, no shuffle)."""
+    if concurrency:
+        return pages.map_batches(
+            ExtractSentences, fn_constructor_args=(cfg,),
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency, num_cpus=1,
+        )
     return pages.map_batches(
         _cached(ExtractSentences, cfg), batch_format="pyarrow",
         batch_size=batch_size,

@@ -38,14 +38,16 @@ import pandas as pd
 
 # --- punctuation (M14) -----------------------------------------------------
 
-_END_PERIOD_RE = re.compile(r"\.$")
 _OTHER_PUNCT_RE = re.compile(r"[!?:;%\"`~…]")
 
 
 def punct_profile(text: str) -> list[str]:
     if not isinstance(text, str) or not text:
         return []
-    return _END_PERIOD_RE.findall(text) + _OTHER_PUNCT_RE.findall(text)
+    # endswith, not re "\.$": Python's $ matches before a trailing newline
+    # while RE2 (the DuckDB oracle) does not — endswith equals RE2 semantics
+    end = ["."] if text.endswith(".") else []
+    return end + _OTHER_PUNCT_RE.findall(text)
 
 
 def compare_punct(kor: str, eng: str) -> dict:

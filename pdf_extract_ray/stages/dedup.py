@@ -43,7 +43,11 @@ def dedup_exact(ds: Dataset, key_col: str, order_col: str) -> Dataset:
 
     One coarse hash shuffle on the key, then a VECTORIZED
     sort+drop_duplicates per bucket (per-group Python would cost ~0.15 ms
-    x #distinct-keys; see stages/agg.py)."""
+    x #distinct-keys; see stages/agg.py).
+
+    DETERMINISM CONTRACT: ``order_col`` must order rows uniquely within a
+    key (doc ids and (url, frag_id) keys do); rows tied on both key and
+    order fall back to arrival order, which a shuffle does not fix."""
     from pdf_extract_ray.stages.agg import bucketed_group_apply
 
     def keep_first(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -290,8 +294,23 @@ def simhash_batch(batch: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFra
 def simhash_pairs(
     ds: Dataset, id_col: str, text_col: str, *, max_hamming: int = 3
 ) -> Dataset:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming via 4x16-bit band
-    bucketing (a pair within distance 3 shares at least one of 4 bands)."""
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Banding guarantee (pigeonhole): with ``max_hamming + 1`` bands, any
+    pair within the distance budget shares at least one identical band.
+    Larger budgets mean narrower bands -> bigger candidate buckets; the
+    classic 4x16-bit layout corresponds to the default max_hamming=3."""
+    n_bands = max_hamming + 1
+    if n_bands > 64:
+        raise ValueError("max_hamming must be < 64")
+    width = 64 // n_bands
+    masks = []
+    pos = 0
+    for b in range(n_bands):
+        w = width + (1 if b < 64 % n_bands else 0)
+        masks.append((pos, (1 << w) - 1))
+        pos += w
+
     sigs = ds.map_batches(
         lambda b: simhash_batch(b, id_col, text_col), batch_format="pandas"
     )
@@ -299,9 +318,9 @@ def simhash_pairs(
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         rows = {"band": [], "band_key": [], id_col: [], "simhash": []}
         for i, h in zip(batch[id_col], batch["simhash"]):
-            for bnd in range(4):
+            for bnd, (shift, mask) in enumerate(masks):
                 rows["band"].append(bnd)
-                rows["band_key"].append((int(h) >> (16 * bnd)) & 0xFFFF)
+                rows["band_key"].append((int(h) >> shift) & mask)
                 rows[id_col].append(i)
                 rows["simhash"].append(int(h))
         return pd.DataFrame(rows)
@@ -322,7 +341,8 @@ def simhash_pairs(
                         continue
                     # first-band ownership dedups pairs across bands
                     first = next(
-                        (b for b in range(4) if ((x >> (16 * b)) & 0xFFFF) == 0),
+                        (b for b, (shift, mask) in enumerate(masks)
+                         if ((x >> shift) & mask) == 0),
                         int(band_no),
                     )
                     if first == int(band_no):
@@ -381,6 +401,8 @@ def embedding_dup_pairs(
         batch["bucket"] = bits.dot(1 << np.arange(bits.shape[1])).astype(np.int64)
         return batch
 
+    from pdf_extract_ray.util import round_half_away
+
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(id_col, kind="mergesort")
         ids = g[id_col].to_numpy()
@@ -395,7 +417,7 @@ def embedding_dup_pairs(
             {
                 "id_a": ids[iu[mask]],
                 "id_b": ids[ju[mask]],
-                "cosine": np.round(sim[iu, ju][mask], 6),
+                "cosine": round_half_away(sim[iu, ju][mask], 6),
             }
         )
 

@@ -53,7 +53,10 @@ class _ScoreTopK:
             for i in part:
                 out["query_id"].append(qi)
                 out[self.id_col].append(ids[i])
-                out["cosine"].append(float(round_half_away(col[i], 6)))
+                # unrounded: the global top-k must select/tie-break on the
+                # true cosine (the SQL oracle's QUALIFY does); rounding
+                # happens once after the final head(k)
+                out["cosine"].append(float(col[i]))
         return pd.DataFrame(out)
 
 
@@ -85,8 +88,9 @@ def brute_force_topk(
     def reduce_topk(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(
             ["cosine", id_col], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        return g.reset_index(drop=True)
+        ).head(k).reset_index(drop=True)
+        g["cosine"] = round_half_away(g["cosine"], 6)
+        return g
 
     return partial.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
 
@@ -166,10 +170,12 @@ def ivf_topk(
     )
 
     def reduce_topk(group: pd.DataFrame) -> pd.DataFrame:
-        return (
+        g = (
             group.sort_values(["cosine", id_col], ascending=[False, True], kind="mergesort")
             .head(k)
             .reset_index(drop=True)
         )
+        g["cosine"] = round_half_away(g["cosine"], 6)
+        return g
 
     return partial.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
