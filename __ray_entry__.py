@@ -655,6 +655,15 @@ def q_revenue_by_nation(sf_dir: str):
 
     return out.map_batches(finish, batch_format="pandas")
 
+
+def q_winnow_near_dup(sf_dir: str):
+    # winnowing-fingerprint Jaccard near-dup (rows-only; semantics frozen by
+    # pytest equality with the single-process winnow_overlap)
+    from pdf_extract_ray.stages.dedup import winnow_pairs
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return winnow_pairs(ds, "doc_id", "text", overlap_threshold=0.2)
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_counts": q_corpus_counts,
@@ -681,6 +690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
+        "winnow_near_dup": q_winnow_near_dup,
         "extract_flagship": q_extract_flagship,
         "extract_staged": q_extract_staged,
         "extract_sentences": q_extract_sentences,

@@ -426,3 +426,112 @@ def embedding_dup_pairs(
         .groupby("bucket")
         .map_groups(pairs, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing near-dup (fingerprint-set Jaccard, computed distributed)
+# ---------------------------------------------------------------------------
+
+def winnow_pairs(
+    ds: Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    window: int = 4,
+    overlap_threshold: float = 0.3,
+    max_fp_freq: int = 200,
+) -> Dataset:
+    """Near-dup pairs by winnowing-fingerprint Jaccard >= threshold.
+
+    Exact set-Jaccard computed WITHOUT moving texts: explode (fp, id) rows,
+    count shared fingerprints per candidate pair in fp buckets, then attach
+    each side's fingerprint count via the union repartition-join pattern
+    and compute |A&B| / (|A| + |B| - |A&B|).  Fingerprints appearing in
+    more than ``max_fp_freq`` documents are dropped as non-discriminative
+    (stop-phrase k-grams would otherwise explode candidate buckets at crawl
+    scale — the cap is logged-by-contract here, not silent: dropped fps
+    cannot create pairs but also cannot break ones backed by rarer fps)."""
+    from pdf_extract_ray.functions.fingerprint import winnow_fingerprints
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+    from pdf_extract_ray.util import round_half_away
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, fps, counts_id, counts_n = [], [], [], []
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            f = winnow_fingerprints(t or "", k, window)
+            uniq = set(f)
+            counts_id.append(i)
+            counts_n.append(len(uniq))
+            for fp in uniq:
+                ids.append(i)
+                fps.append(fp)
+        return pa.table({
+            "kind": pa.array(["fp"] * len(ids) + ["n"] * len(counts_id)),
+            id_col: pa.array(ids + counts_id),
+            "val": pa.array(fps + counts_n, pa.uint64()),
+        })
+
+    rows = ds.map_batches(explode, batch_format="pyarrow")
+    fp_rows = rows.filter(expr="kind == 'fp'")
+    n_rows = rows.filter(expr="kind == 'n'")
+
+    def cand_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        dup = bucket[bucket.duplicated("val", keep=False)]
+        for _, g in dup.groupby("val", sort=False):
+            if len(g) > max_fp_freq:
+                continue  # non-discriminative fingerprint
+            ids = np.sort(g[id_col].to_numpy())
+            iu, ju = np.triu_indices(len(ids), k=1)
+            out_a.extend(ids[iu])
+            out_b.extend(ids[ju])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    cands = bucketed_group_apply(fp_rows, ["val"], cand_pairs)
+
+    def count_shared(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.groupby(["id_a", "id_b"], as_index=False).agg(
+            shared=("id_a", "count"))
+
+    shared = bucketed_group_apply(cands, ["id_a", "id_b"], count_shared)
+
+    # attach per-side fingerprint counts (union repartition-join on key)
+    def memberships(b: pd.DataFrame) -> pd.DataFrame:
+        left = b.assign(key=b["id_a"], role=0)
+        right = b.assign(key=b["id_b"], role=1)
+        out = pd.concat([left, right], ignore_index=True)
+        out["n_fp"] = -1
+        return out[["key", "id_a", "id_b", "shared", "role", "n_fp"]]
+
+    def count_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": b[id_col], "id_a": -1, "id_b": -1, "shared": -1,
+            "role": -1, "n_fp": b["val"].astype("int64"),
+        })
+
+    unioned = shared.map_batches(memberships, batch_format="pandas").union(
+        n_rows.map_batches(count_rows, batch_format="pandas")
+    )
+
+    def attach(bucket: pd.DataFrame) -> pd.DataFrame:
+        counts = dict(zip(bucket.loc[bucket["role"] == -1, "key"],
+                          bucket.loc[bucket["role"] == -1, "n_fp"]))
+        mem = bucket[bucket["role"] != -1].copy()
+        mem["n_fp"] = [counts.get(ky, 0) for ky in mem["key"]]
+        return mem[["id_a", "id_b", "shared", "role", "n_fp"]]
+
+    attached = bucketed_group_apply(unioned, ["key"], attach)
+
+    def finish(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["id_a", "id_b"], as_index=False).agg(
+            shared=("shared", "first"), n_total=("n_fp", "sum"),
+            n_sides=("role", "count"))
+        g = g[g["n_sides"] == 2]
+        union = g["n_total"] - g["shared"]
+        g["overlap"] = round_half_away(
+            np.where(union > 0, g["shared"] / union.replace(0, 1), 0.0), 4)
+        g = g[g["overlap"] >= overlap_threshold]
+        return g[["id_a", "id_b", "shared", "overlap"]]
+
+    return bucketed_group_apply(attached, ["id_a", "id_b"], finish)

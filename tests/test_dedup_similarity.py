@@ -206,3 +206,21 @@ def test_winnow_short_and_unrelated_texts_not_similar():
     # non-ASCII: adjacent-codepoint substitutions must hash differently
     # (base > 0x10FFFF; with a small base "aĀxyz" and "b}xyz" collide)
     assert winnow_fingerprints("aĀxyz") != winnow_fingerprints("b}xyz")
+
+
+def test_winnow_pairs_pipeline(ray_session):
+    import ray.data as rd
+
+    from pdf_extract_ray.functions.fingerprint import winnow_overlap
+    from pdf_extract_ray.stages.dedup import winnow_pairs
+
+    ds, rows = _docs_ds(ray_session)
+    pairs = winnow_pairs(ds, "doc_id", "text", overlap_threshold=0.5).take_all()
+    got = {(p["id_a"], p["id_b"]): p["overlap"] for p in pairs}
+    # exact duplicates 0..4 <-> 30..34 must appear with overlap 1.0
+    for i in range(30, 35):
+        assert got.get((i - 30, i)) == 1.0
+    # distributed overlap equals the single-process fingerprint Jaccard
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    for (a, b), ov in list(got.items())[:20]:
+        assert abs(ov - round(winnow_overlap(texts[a], texts[b]), 4)) < 1e-3
