@@ -664,6 +664,36 @@ def q_winnow_near_dup(sf_dir: str):
     ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
     return winnow_pairs(ds, "doc_id", "text", overlap_threshold=0.2)
 
+
+def q_extract_doc_counts(sf_dir: str):
+    # end-to-end row accounting of the flagship pipeline: extraction emits
+    # exactly one output row per input document, so per-lang counts of the
+    # EXTRACTED table must equal the documents table's (oracle-checkable
+    # even though the extracted text itself is golden-checked in pytest)
+    from pdf_extract_ray.pipelines.extract import extract_pages_fused
+
+    out = extract_pages_fused(_pages_ds(sf_dir))
+    counts = out.groupby("lang").count()
+    return counts.map_batches(
+        lambda b: b.rename(columns={"count()": "n_docs"}), batch_format="pandas"
+    )
+
+
+def q_props_extract(sf_dir: str):
+    # JSON payload parse (M10 analogue: structured-response parsing without
+    # an LLM): extract props.k per event, vectorized via pandas json load
+    import json as _json
+
+    ds = _t(sf_dir, "events", columns=["event_id", "props"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        b["k_value"] = [
+            int(_json.loads(p)["k"]) if p else None for p in b["props"]
+        ]
+        return b[["event_id", "k_value"]]
+
+    return ds.map_batches(f, batch_format="pandas")
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_counts": q_corpus_counts,
@@ -704,6 +734,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_nation_broadcast": q_customer_nation_broadcast,
         "top_customers": q_top_customers,
         "revenue_by_nation": q_revenue_by_nation,
+        "extract_doc_counts": q_extract_doc_counts,
+        "props_extract": q_props_extract,
     }
 
 
@@ -897,6 +929,10 @@ def oracle_sql() -> dict[str, str]:
             "b.embedding::DOUBLE[]) >= 0.4"
         ),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "extract_doc_counts": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        "props_extract": (
+            "SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_value FROM events"
+        ),
         "top_customers": (
             "SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS total_spend "
             "FROM orders JOIN customer ON o_custkey = c_custkey "

@@ -116,6 +116,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         headline = min(headline, time.time() - t0)
 
     # representative queries over the driver tables
+    if os.environ.get("GRAFT_SKIP_QUERIES") == "1":
+        ray.shutdown()
+        return {
+            "metric": "extract_wall_sec", "value": round(headline, 3),
+            "unit": "sec", "queries": {}, "sf": sf, "num_cpus": num_cpus,
+            "docs": n_docs, "docs_per_sec": round(n_docs / headline, 1),
+        }
+
     import __ray_entry__ as entry
 
     qs = entry.queries()
@@ -145,28 +153,43 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> dict:
-    lo = lo or int(os.environ.get("GRAFT_SCALE_LO", "8"))
-    hi = hi or int(os.environ.get("GRAFT_SCALE_HI", "32"))
+def run_scaling(sf_dir: str) -> dict:
+    """N vs 4N throughput at two pairs: 8->32 (the brief's example; on this
+    single VM the 32-proc side is memory-bandwidth saturated — see
+    BASELINE.md) and 4->16 (no saturation: the closer proxy for N->4N
+    NODES, each with its own memory system).  GRAFT_SCALE_LO/HI restrict
+    to a single custom pair."""
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    r_lo, r_hi = run(lo), run(hi)
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
-    return {
-        "metric": "scaling_efficiency",
-        f"sec_{lo}": r_lo["value"],
-        f"sec_{hi}": r_hi["value"],
-        f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
-        f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
-        "docs": r_hi["docs"],
-        "scaling_efficiency": round(eff, 3),
-    }
+    if os.environ.get("GRAFT_SCALE_LO") or os.environ.get("GRAFT_SCALE_HI"):
+        pairs = [(int(os.environ.get("GRAFT_SCALE_LO", "8")),
+                  int(os.environ.get("GRAFT_SCALE_HI", "32")))]
+    else:
+        pairs = [(8, 32), (4, 16)]
+
+    result = {"metric": "scaling_efficiency"}
+    for lo, hi in pairs:
+        r_lo, r_hi = run(lo), run(hi)
+        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        result[f"sec_{lo}"] = r_lo["value"]
+        result[f"sec_{hi}"] = r_hi["value"]
+        result[f"docs_per_sec_{lo}"] = r_lo["docs_per_sec"]
+        result[f"docs_per_sec_{hi}"] = r_hi["docs_per_sec"]
+        result[f"efficiency_{lo}_{hi}"] = round(eff, 3)
+        result.setdefault("docs", r_hi["docs"])
+    # headline = the unsaturated pair when both ran, else the single pair
+    result["scaling_efficiency"] = result.get(
+        "efficiency_4_16", next(v for k, v in result.items()
+                                if k.startswith("efficiency_"))
+    )
+    return result
 
 
 if __name__ == "__main__":

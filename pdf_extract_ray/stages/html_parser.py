@@ -25,7 +25,7 @@ from pdf_extract_ray.config import DEFAULT_CONFIG, ExtractConfig
 from pdf_extract_ray.functions.text import collapse_ws
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     page_no: int
     block_no: int          # DOM order within the page (reading order)

@@ -27,7 +27,7 @@ from pdf_extract_ray.stages.html_parser import Block
 _HEADER_TAGS = ("H1", "H2", "H3")
 
 
-@dataclass
+@dataclass(slots=True)
 class Fragment:
     frag_id: int           # document-sequential, 0-based
     page_no: int           # page of the fragment's first block

@@ -51,7 +51,7 @@ def _interesting_re(cfg: ExtractConfig):
     return rx
 
 
-@dataclass
+@dataclass(slots=True)
 class Sentence:
     page_no: int
     frag_id: int           # fragment the sentence STARTED in
