@@ -694,6 +694,53 @@ def q_props_extract(sf_dir: str):
 
     return ds.map_batches(f, batch_format="pandas")
 
+
+def q_top_orders_per_customer(sf_dir: str):
+    # per-group top-k (window-function analogue): 3 largest orders per
+    # customer, vectorized inside coarse buckets
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    ds = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def topk(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        out = g.groupby("o_custkey", as_index=False).head(3).copy()
+        out["rk"] = out.groupby("o_custkey").cumcount() + 1
+        return out
+
+    return bucketed_group_apply(ds, ["o_custkey"], topk)
+
+
+def q_event_value_quantiles(sf_dir: str):
+    # exact per-type quantiles (linear interpolation == DuckDB quantile_cont)
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    ds = _t(sf_dir, "events", columns=["event_type", "value"])
+
+    def q(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("event_type")["value"].quantile(
+            [0.5, 0.9, 0.99]).unstack()
+        g.columns = ["p50", "p90", "p99"]
+        g = g.reset_index()
+        for c in ("p50", "p90", "p99"):
+            g[c] = round_half_away(g[c], 4)
+        return g
+
+    return bucketed_group_apply(ds, ["event_type"], q)
+
+
+def q_approx_distinct_users(sf_dir: str):
+    # HLL sketch distinct count (rows-only: approximate by design; accuracy
+    # asserted vs the exact count in pytest)
+    from pdf_extract_ray.stages.sketch import approx_distinct
+
+    ds = _t(sf_dir, "events", columns=["user_id"])
+    est = approx_distinct(ds, "user_id", p=12)
+    return pd.DataFrame({"approx_distinct_users": [int(est)]})
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_counts": q_corpus_counts,
@@ -736,6 +783,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": q_revenue_by_nation,
         "extract_doc_counts": q_extract_doc_counts,
         "props_extract": q_props_extract,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "event_value_quantiles": q_event_value_quantiles,
+        "approx_distinct_users": q_approx_distinct_users,
     }
 
 
@@ -932,6 +982,19 @@ def oracle_sql() -> dict[str, str]:
         "extract_doc_counts": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
         "props_extract": (
             "SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_value FROM events"
+        ),
+        "top_orders_per_customer": (
+            "SELECT o_orderkey, o_custkey, o_totalprice, rk FROM ("
+            "SELECT o_orderkey, o_custkey, o_totalprice, "
+            "row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) "
+            "WHERE rk <= 3"
+        ),
+        "event_value_quantiles": (
+            "SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, "
+            "round(quantile_cont(value, 0.9), 4) AS p90, "
+            "round(quantile_cont(value, 0.99), 4) AS p99 "
+            "FROM events GROUP BY event_type"
         ),
         "top_customers": (
             "SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS total_spend "

@@ -68,3 +68,24 @@ def test_sessionize_semantics(ray_session):
         [2, 1, 1, 5.0],
         [2, 2, 1, 6.0],
     ]
+
+
+def test_hll_accuracy_and_merge(ray_session):
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.sketch import HyperLogLog, approx_distinct
+
+    # direct accuracy: p=12 -> ~1.6% std error
+    h = HyperLogLog(12)
+    h.add(range(50_000))
+    assert abs(h.estimate() - 50_000) / 50_000 < 0.05
+    # merge == union
+    a, b = HyperLogLog(12), HyperLogLog(12)
+    a.add(range(0, 30_000))
+    b.add(range(20_000, 50_000))
+    assert abs(a.merge(b).estimate() - 50_000) / 50_000 < 0.05
+    # distributed path vs exact
+    df = pd.DataFrame({"u": np.random.RandomState(2).randint(0, 7000, 40_000)})
+    exact = df["u"].nunique()
+    est = approx_distinct(rd.from_pandas(df).repartition(8), "u", p=12)
+    assert abs(est - exact) / exact < 0.05
