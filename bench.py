@@ -115,30 +115,24 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         extract_pages_fused(pages()).write_parquet(out_dir, min_rows_per_file=5_000)
         headline = min(headline, time.time() - t0)
 
-    # representative queries over the driver tables
-    if os.environ.get("GRAFT_SKIP_QUERIES") == "1":
-        ray.shutdown()
-        return {
-            "metric": "extract_wall_sec", "value": round(headline, 3),
-            "unit": "sec", "queries": {}, "sf": sf, "num_cpus": num_cpus,
-            "docs": n_docs, "docs_per_sec": round(n_docs / headline, 1),
-        }
-
-    import __ray_entry__ as entry
-
-    qs = entry.queries()
+    # representative queries over the driver tables (skipped in scaling
+    # subprocesses where only the headline matters)
     q_times = {}
-    for name in ("pricing_summary", "windowed_events", "orders_customer_join",
-                 "dedup_exact_documents", "doc_reassembly", "lang_id",
-                 "minhash_near_dup", "similarity_topk", "extract_staged"):
-        t0 = time.time()
-        res = qs[name](sf_dir)
-        # consume without driver-side materialization of big payloads
-        try:
-            res.count()
-        except AttributeError:
-            pass  # pandas result already materialized
-        q_times[name] = round(time.time() - t0, 3)
+    if os.environ.get("GRAFT_SKIP_QUERIES") != "1":
+        import __ray_entry__ as entry
+
+        qs = entry.queries()
+        for name in ("pricing_summary", "windowed_events", "orders_customer_join",
+                     "dedup_exact_documents", "doc_reassembly", "lang_id",
+                     "minhash_near_dup", "similarity_topk", "extract_staged"):
+            t0 = time.time()
+            res = qs[name](sf_dir)
+            # consume without driver-side materialization of big payloads
+            try:
+                res.count()
+            except AttributeError:
+                pass  # pandas result already materialized
+            q_times[name] = round(time.time() - t0, 3)
 
     ray.shutdown()
     return {
@@ -184,9 +178,11 @@ def run_scaling(sf_dir: str) -> dict:
         result[f"docs_per_sec_{hi}"] = r_hi["docs_per_sec"]
         result[f"efficiency_{lo}_{hi}"] = round(eff, 3)
         result.setdefault("docs", r_hi["docs"])
-    # headline = the unsaturated pair when both ran, else the single pair
+    # headline stays the brief's example pair (8->32) so the metric is
+    # comparable round over round; efficiency_4_16 is reported alongside
+    # as the unsaturated (multi-node-like) evidence
     result["scaling_efficiency"] = result.get(
-        "efficiency_4_16", next(v for k, v in result.items()
+        "efficiency_8_32", next(v for k, v in result.items()
                                 if k.startswith("efficiency_"))
     )
     return result

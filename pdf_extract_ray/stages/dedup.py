@@ -428,10 +428,6 @@ def embedding_dup_pairs(
     )
 
 
-# ---------------------------------------------------------------------------
-# winnowing near-dup (fingerprint-set Jaccard, computed distributed)
-# ---------------------------------------------------------------------------
-
 def winnow_pairs(
     ds: Dataset,
     id_col: str,
@@ -444,59 +440,66 @@ def winnow_pairs(
 ) -> Dataset:
     """Near-dup pairs by winnowing-fingerprint Jaccard >= threshold.
 
-    Exact set-Jaccard computed WITHOUT moving texts: explode (fp, id) rows,
-    count shared fingerprints per candidate pair in fp buckets, then attach
-    each side's fingerprint count via the union repartition-join pattern
-    and compute |A&B| / (|A| + |B| - |A&B|).  Fingerprints appearing in
-    more than ``max_fp_freq`` documents are dropped as non-discriminative
-    (stop-phrase k-grams would otherwise explode candidate buckets at crawl
-    scale — the cap is logged-by-contract here, not silent: dropped fps
-    cannot create pairs but also cannot break ones backed by rarer fps)."""
+    Exact set-Jaccard over the FREQUENCY-FILTERED fingerprint universe,
+    computed without moving texts: fingerprints appearing in more than
+    ``max_fp_freq`` documents are dropped as non-discriminative (stop-phrase
+    k-grams would explode candidate buckets at crawl scale), and BOTH the
+    shared counts and the per-document totals are taken over the surviving
+    universe — so the reported overlap is the true Jaccard of the filtered
+    sets, never deflated by asymmetric filtering.
+
+    The survivors intermediate (one row per (doc, kept fp) + candidate
+    pairs) is materialized because two downstream branches consume it —
+    without pinning, Ray Data re-executes the fingerprinting pass per
+    branch.  For corpora where that intermediate exceeds the object store,
+    persist it to parquet between the stages instead."""
+    from pdf_extract_ray.stages.agg import bucketed_group_apply, grouped_aggregate
     from pdf_extract_ray.functions.fingerprint import winnow_fingerprints
-    from pdf_extract_ray.stages.agg import bucketed_group_apply
     from pdf_extract_ray.util import round_half_away
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, fps, counts_id, counts_n = [], [], [], []
+        ids, fps = [], []
         for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            f = winnow_fingerprints(t or "", k, window)
-            uniq = set(f)
-            counts_id.append(i)
-            counts_n.append(len(uniq))
-            for fp in uniq:
+            for fp in set(winnow_fingerprints(t or "", k, window)):
                 ids.append(i)
                 fps.append(fp)
-        return pa.table({
-            "kind": pa.array(["fp"] * len(ids) + ["n"] * len(counts_id)),
-            id_col: pa.array(ids + counts_id),
-            "val": pa.array(fps + counts_n, pa.uint64()),
-        })
+        return pa.table({id_col: pa.array(ids), "val": pa.array(fps, pa.uint64())})
 
-    rows = ds.map_batches(explode, batch_format="pyarrow")
-    fp_rows = rows.filter(expr="kind == 'fp'")
-    n_rows = rows.filter(expr="kind == 'n'")
+    fp_rows = ds.map_batches(explode, batch_format="pyarrow")
 
-    def cand_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        dup = bucket[bucket.duplicated("val", keep=False)]
-        for _, g in dup.groupby("val", sort=False):
+    def per_fp(bucket: pd.DataFrame) -> pd.DataFrame:
+        # one fp == one group; emit candidate pairs and kept memberships
+        out = {"kind": [], "id_a": [], "id_b": [], "key": []}
+        for _, g in bucket.groupby("val", sort=False):
             if len(g) > max_fp_freq:
-                continue  # non-discriminative fingerprint
+                continue  # non-discriminative fingerprint: drop entirely
             ids = np.sort(g[id_col].to_numpy())
+            for i in ids:  # membership in the surviving universe
+                out["kind"].append("keep")
+                out["id_a"].append(-1)
+                out["id_b"].append(-1)
+                out["key"].append(i)
             iu, ju = np.triu_indices(len(ids), k=1)
-            out_a.extend(ids[iu])
-            out_b.extend(ids[ju])
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+            for a, b in zip(ids[iu], ids[ju]):
+                out["kind"].append("pair")
+                out["id_a"].append(a)
+                out["id_b"].append(b)
+                out["key"].append(-1)
+        return pd.DataFrame(out)
 
-    cands = bucketed_group_apply(fp_rows, ["val"], cand_pairs)
+    survivors = bucketed_group_apply(fp_rows, ["val"], per_fp).materialize()
+    pair_rows = survivors.filter(expr="kind == 'pair'")
+    keep_rows = survivors.filter(expr="kind == 'keep'")
+
+    counts = grouped_aggregate(keep_rows, ["key"], {"n_fp": ("key", "count")})
 
     def count_shared(bucket: pd.DataFrame) -> pd.DataFrame:
         return bucket.groupby(["id_a", "id_b"], as_index=False).agg(
             shared=("id_a", "count"))
 
-    shared = bucketed_group_apply(cands, ["id_a", "id_b"], count_shared)
+    shared = bucketed_group_apply(pair_rows, ["id_a", "id_b"], count_shared)
 
-    # attach per-side fingerprint counts (union repartition-join on key)
+    # attach per-side surviving-fp counts (union repartition-join on key)
     def memberships(b: pd.DataFrame) -> pd.DataFrame:
         left = b.assign(key=b["id_a"], role=0)
         right = b.assign(key=b["id_b"], role=1)
@@ -506,19 +509,19 @@ def winnow_pairs(
 
     def count_rows(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
-            "key": b[id_col], "id_a": -1, "id_b": -1, "shared": -1,
-            "role": -1, "n_fp": b["val"].astype("int64"),
+            "key": b["key"], "id_a": -1, "id_b": -1, "shared": -1,
+            "role": -1, "n_fp": b["n_fp"].astype("int64"),
         })
 
     unioned = shared.map_batches(memberships, batch_format="pandas").union(
-        n_rows.map_batches(count_rows, batch_format="pandas")
+        counts.map_batches(count_rows, batch_format="pandas")
     )
 
     def attach(bucket: pd.DataFrame) -> pd.DataFrame:
-        counts = dict(zip(bucket.loc[bucket["role"] == -1, "key"],
-                          bucket.loc[bucket["role"] == -1, "n_fp"]))
+        lut = dict(zip(bucket.loc[bucket["role"] == -1, "key"],
+                       bucket.loc[bucket["role"] == -1, "n_fp"]))
         mem = bucket[bucket["role"] != -1].copy()
-        mem["n_fp"] = [counts.get(ky, 0) for ky in mem["key"]]
+        mem["n_fp"] = [lut.get(ky, 0) for ky in mem["key"]]
         return mem[["id_a", "id_b", "shared", "role", "n_fp"]]
 
     attached = bucketed_group_apply(unioned, ["key"], attach)

@@ -45,11 +45,19 @@ class HyperLogLog:
         np.maximum.at(self.registers, idx, ranks)
 
     def add(self, values) -> None:
-        hs = np.fromiter(
-            (int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big")
-             for v in values),
-            dtype=np.uint64,
-        )
+        """Vectorized path for pandas/numpy inputs (deterministic
+        hash_pandas_object, the same hash family stages/agg uses);
+        falls back to per-value md5 for generic iterables."""
+        if isinstance(values, (pd.Series, np.ndarray)):
+            hs = pd.util.hash_pandas_object(
+                pd.Series(values), index=False
+            ).to_numpy().astype(np.uint64)
+        else:
+            hs = np.fromiter(
+                (int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big")
+                 for v in values),
+                dtype=np.uint64,
+            )
         if len(hs):
             self.add_hashes(hs)
 

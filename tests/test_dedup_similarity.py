@@ -224,3 +224,26 @@ def test_winnow_pairs_pipeline(ray_session):
     texts = {r["doc_id"]: r["text"] for r in rows}
     for (a, b), ov in list(got.items())[:20]:
         assert abs(ov - round(winnow_overlap(texts[a], texts[b]), 4)) < 1e-3
+
+
+def test_winnow_pairs_frequency_cap_consistent(ray_session):
+    """Frequency-capped fingerprints are dropped from BOTH the shared count
+    and the per-doc totals: a near-identical pair whose distinctive content
+    is rare still scores high even when it also shares a stop phrase with
+    hundreds of other docs."""
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.dedup import winnow_pairs
+
+    common = "this exact boilerplate phrase appears in every single document here"
+    rows = [{"doc_id": i, "text": f"{common} unique filler {i} {i*7} {i*13}"}
+            for i in range(230)]
+    rows.append({"doc_id": 500,
+                 "text": f"{common} very distinctive rare tail content alpha beta"})
+    rows.append({"doc_id": 501,
+                 "text": f"{common} very distinctive rare tail content alpha beta"})
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+    pairs = winnow_pairs(ds, "doc_id", "text",
+                         overlap_threshold=0.5, max_fp_freq=100).take_all()
+    got = {(p["id_a"], p["id_b"]): p["overlap"] for p in pairs}
+    assert got.get((500, 501)) == 1.0  # identical surviving fingerprints
