@@ -89,3 +89,14 @@ def test_hll_accuracy_and_merge(ray_session):
     exact = df["u"].nunique()
     est = approx_distinct(rd.from_pandas(df).repartition(8), "u", p=12)
     assert abs(est - exact) / exact < 0.05
+
+
+def test_parse_stats(ray_session):
+    import ray.data as rd
+
+    from pdf_extract_ray.util import parse_stats
+
+    mat = rd.range(1000).map_batches(lambda b: b, batch_format="pyarrow").materialize()
+    ops = parse_stats(mat.stats())
+    assert ops and all("name" in o and "wall_s" in o for o in ops)
+    assert any("MapBatches" in o["name"] for o in ops)
