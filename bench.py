@@ -106,10 +106,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     out_dir = f"{out_base}/pdf_extract_ray_bench_out_{num_cpus}"
     import shutil
 
-    # best-of-2: the sandbox VM is noisy; steady-state throughput is the
-    # meaningful number for the scaling comparison
+    # best-of-N: the sandbox VM is noisy; steady-state throughput is the
+    # meaningful number for the scaling comparison (3 reps in scaling mode)
+    reps = 3 if os.environ.get("GRAFT_SKIP_QUERIES") == "1" else 2
     headline = float("inf")
-    for _ in range(2):
+    for _ in range(reps):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
         extract_pages_fused(pages()).write_parquet(out_dir, min_rows_per_file=5_000)

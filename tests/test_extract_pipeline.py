@@ -114,3 +114,34 @@ def test_staged_multi_row_url_deterministic(ray_session):
         assert len(out) == 1
         outs.add(out[0]["extracted_text"])
     assert outs == {"part 0 sentence.\npart 1 sentence.\npart 2 sentence."}
+
+
+def test_output_identical_under_task_retry(ray_session, tmp_path):
+    """A worker process dying mid-batch (the failure mode Ray auto-retries;
+    deterministic user exceptions are deliberately NOT retried) must not
+    change the output — UDF determinism makes retries invisible
+    (SURVEY.md §4.2)."""
+    import ray.data as rd
+
+    from pdf_extract_ray.corpus import pages_table
+    from pdf_extract_ray.pipelines.extract import ExtractDocuments
+    from pdf_extract_ray.config import DEFAULT_CONFIG
+
+    marker = str(tmp_path / "failed_once")
+
+    def flaky_extract(batch):
+        import os
+
+        if not os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write("x")
+            os._exit(1)  # hard worker death: the failure mode Ray retries
+        ex = ExtractDocuments(DEFAULT_CONFIG)
+        return ex(batch)
+
+    ds = rd.from_arrow(pages_table(60, 42)).repartition(4)
+    got = {r["url"]: r["extracted_text"]
+           for r in ds.map_batches(flaky_extract, batch_format="pyarrow").take_all()}
+    expect = {r["url"]: r["extracted_text"]
+              for r in oracle_extract(pages_table(60, 42).to_pylist())}
+    assert got == expect
