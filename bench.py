@@ -107,8 +107,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import shutil
 
     # best-of-N: the sandbox VM is noisy; steady-state throughput is the
-    # meaningful number for the scaling comparison (3 reps in scaling mode)
-    reps = 3 if os.environ.get("GRAFT_SKIP_QUERIES") == "1" else 2
+    # meaningful number for the scaling comparison
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
     headline = float("inf")
     for _ in range(reps):
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -156,7 +156,8 @@ def run_scaling(sf_dir: str) -> dict:
     to a single custom pair."""
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1",
+                   GRAFT_BENCH_REPS="3")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True,

@@ -35,26 +35,46 @@ def round_half_away(x, ndigits: int):
 def parse_stats(stats_str: str) -> list[dict]:
     """Parse ``Dataset.stats()`` into per-operator dicts (name, wall_s,
     remote_wall_total_s, udf_total_s, rows) — the feedback loop for sizing
-    batch/concurrency per stage without eyeballing the raw text."""
+    batch/concurrency per stage without eyeballing the raw text.
+
+    Multi-suboperator blocks (shuffle/aggregate stages) are summed across
+    suboperators, with ``rows`` taken from the last suboperator that
+    reports a row count (Ray omits counts for some reduce phases, so this
+    is the best available proxy for operator output); cached operators are
+    reported with ``cached: True`` instead of being dropped."""
     import re
+
+    units = {"us": 1e-6, "ms": 1e-3, "s": 1.0}
+
+    def total_of(label: str, text: str) -> float | None:
+        m = re.search(label + r":.*? ([0-9.]+)(us|ms|s) total", text)
+        return float(m.group(1)) * units[m.group(2)] if m else None
 
     out = []
     for block in stats_str.split("Operator ")[1:]:
         head = block.split("\n", 1)[0]
+        if "[execution cached]" in head:
+            name = head.split(":", 1)[0]
+            out.append({"name": re.sub(r"^\d+ ", "", name), "cached": True})
+            continue
         m = re.match(r"\d+ (.+?): .*?in ([0-9.]+)s", head)
         if not m:
             continue
         op = {"name": m.group(1), "wall_s": float(m.group(2))}
-        rw = re.search(r"Remote wall time:.*? ([0-9.]+)(us|ms|s) total", block)
-        if rw:
-            mult = {"us": 1e-6, "ms": 1e-3, "s": 1.0}[rw.group(2)]
-            op["remote_wall_total_s"] = round(float(rw.group(1)) * mult, 3)
-        udf = re.search(r"UDF time:.*? ([0-9.]+)(us|ms|s) total", block)
-        if udf:
-            mult = {"us": 1e-6, "ms": 1e-3, "s": 1.0}[udf.group(2)]
-            op["udf_total_s"] = round(float(udf.group(1)) * mult, 3)
-        rows = re.search(r"Output num rows per block:.*? (\d+) total", block)
-        if rows:
-            op["rows"] = int(rows.group(1))
+        sub_parts = block.split("Suboperator ")
+        sections = sub_parts[1:] if len(sub_parts) > 1 else [block]
+        for label, key in (("Remote wall time", "remote_wall_total_s"),
+                           ("UDF time", "udf_total_s")):
+            vals = [v for v in (total_of(label, sec) for sec in sections)
+                    if v is not None]
+            if vals:
+                op[key] = round(sum(vals), 6)
+        rows = None
+        for sec in sections:
+            rm = re.search(r"Output num rows per block:.*? (\d+) total", sec)
+            if rm:
+                rows = int(rm.group(1))
+        if rows is not None:
+            op["rows"] = rows
         out.append(op)
     return out

@@ -100,3 +100,20 @@ def test_parse_stats(ray_session):
     ops = parse_stats(mat.stats())
     assert ops and all("name" in o and "wall_s" in o for o in ops)
     assert any("MapBatches" in o["name"] for o in ops)
+
+
+def test_parse_stats_multi_suboperator(ray_session):
+    import ray.data as rd
+
+    from pdf_extract_ray.util import parse_stats
+
+    mat = (
+        rd.range(1000)
+        .map_batches(lambda b: {"k": b["id"] % 7, "v": b["id"]}, batch_format="numpy")
+        .groupby("k").sum("v").materialize()
+    )
+    ops = parse_stats(mat.stats())
+    agg = next((o for o in ops if "ggregate" in o["name"] or "Sort" in o["name"]), None)
+    assert agg is not None
+    # suboperator sections are parsed (remote wall present and positive)
+    assert agg.get("remote_wall_total_s", 0) > 0
