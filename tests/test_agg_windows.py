@@ -117,3 +117,18 @@ def test_parse_stats_multi_suboperator(ray_session):
     assert agg is not None
     # suboperator sections are parsed (remote wall present and positive)
     assert agg.get("remote_wall_total_s", 0) > 0
+
+
+def test_seeded_sampling_and_shuffle(ray_session):
+    """§2.6: random_sample / random_shuffle with an explicit seed are the
+    only sanctioned sampling ops (order-by-construction everywhere else)."""
+    import ray.data as rd
+
+    ds = rd.range(10_000)
+    a = sorted(r["id"] for r in ds.random_sample(0.01, seed=7).take_all())
+    b = sorted(r["id"] for r in rd.range(10_000).random_sample(0.01, seed=7).take_all())
+    assert a == b and 30 < len(a) < 300  # deterministic under a fixed seed
+
+    s1 = [r["id"] for r in rd.range(1000).random_shuffle(seed=3).take_all()]
+    s2 = [r["id"] for r in rd.range(1000).random_shuffle(seed=3).take_all()]
+    assert s1 == s2 and sorted(s1) == list(range(1000))
