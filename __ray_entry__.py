@@ -412,7 +412,10 @@ def q_embedding_near_dup(sf_dir: str):
     from pdf_extract_ray.stages.dedup import embedding_dup_pairs
 
     ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return embedding_dup_pairs(ds, threshold=0.4)
+    # num_buckets=1 = the EXACT all-pairs mode, matching the SQL oracle's
+    # cross join; the default (LSH buckets + multi-probe) is the scale path,
+    # recall-tested against this exact mode in tests/test_dedup_similarity.py
+    return embedding_dup_pairs(ds, threshold=0.4, num_buckets=1)
 
 
 def q_minhash_near_dup(sf_dir: str):

@@ -51,11 +51,19 @@ def bucketed_group_apply(
     *,
     num_buckets: int | None = None,
     drop_bucket: bool = True,
+    pre_batch_size: int | None = None,
 ) -> Dataset:
     """Co-locate rows by ``keys`` into coarse hash buckets, then apply ``fn``
     once per bucket.  ``fn`` receives ALL rows of the bucket (a superset of
     whole key-groups, never a partial group) and should use vectorized
-    pandas (``g.groupby(keys)...``) internally."""
+    pandas (``g.groupby(keys)...``) internally.
+
+    ``pre_batch_size``: batch size for the bucket-tagging map.  Small
+    upstream blocks (Ray's 2x-CPU read floor fragments small inputs into
+    ~80-row blocks) multiply both the map task count and the sort
+    operator's input-block count; a larger pre-batch coalesces them,
+    cutting the all-to-all's fixed cost.  Set it for narrow-row streams
+    (ids/hashes); leave None when rows are wide (documents)."""
     nb = num_buckets or default_num_buckets()
     keys = list(keys)
 
@@ -69,7 +77,10 @@ def bucketed_group_apply(
         return fn(g)
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(
+            add_bucket, batch_format="pandas",
+            batch_size=pre_batch_size if pre_batch_size else "default",
+        )
         .groupby("__bucket")
         .map_groups(apply, batch_format="pandas")
     )

@@ -10,21 +10,38 @@ Scale design notes:
 * exact dedup: hash-partition by content fingerprint, keep the min
   order-key row per group — "first" is redefined deterministically as the
   smallest ``(order_col)`` (SURVEY.md §7.4.2), never arrival order.
-* MinHash/LSH: signatures are computed vectorized per batch (one pass over
-  the docs); the all-to-all step shuffles only the tiny
-  ``(band, band_hash, id)`` rows, never the documents; candidate
-  verification joins signatures, not texts.
-* SimHash: 64-bit signatures; near-dup buckets via 4x16-bit band keys
-  (Hamming distance <= 3 guarantees at least one identical band).
-* embedding near-dup: cosine via normalized float64 matmul per-bucket.
+* MinHash/LSH: ALL hashing is vectorized — tokens are hashed once per
+  batch with pandas' C siphash (``hash_pandas_object``, the same stable
+  family the bucketed shuffle uses), k-shingles are rolling-polynomial
+  mixes over the token-hash array, signatures come from one
+  ``minimum.reduceat`` over the permuted matrix, and band keys are an
+  FNV-style fold over the signature matrix.  No per-row Python hashing
+  anywhere (round-1 bench: the md5 loops were 61% of total wall).
+* universal-hash exactness: permutation params a, b are drawn < 2^32 and
+  shingle hashes are reduced to 32 bits, so ``(a*x + b) mod M`` fits in
+  uint64 WITHOUT wrap-around — the Mersenne-prime universal family is
+  computed exactly (round-1 advice: 61-bit params silently wrapped mod
+  2^64 first, voiding the uniformity guarantee).
+* the all-to-all steps shuffle only the tiny ``(band_hash, id)`` rows,
+  candidate pairs and one copy of each signature — never the documents;
+  candidate verification joins signatures, not texts.
+* candidate buckets are CAPPED (``max_band_freq`` / ``max_bucket``): a
+  degenerate corpus (one boilerplate repeated 10^6 times) would otherwise
+  create a single O(b^2) bucket.  Dropped buckets are logged, never
+  silent — exact duplicates remain the exact-dedup operator's job.
+* SimHash: 64-bit signatures; near-dup buckets via banded keys
+  (Hamming distance <= max_hamming guarantees one identical band).
+* embedding near-dup: random-hyperplane LSH buckets with Hamming-1
+  multi-probe by default (scale path); ``num_buckets=1`` is the exact
+  all-pairs mode used by the SQL oracle on small inputs.
 
-Everything emits plain Arrow-friendly columns (uint64 as two uint32s where
-needed is avoided — pyarrow handles uint64 natively).
+Everything emits plain Arrow-friendly columns (pyarrow handles uint64
+natively).
 """
 
 from __future__ import annotations
 
-import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
@@ -32,6 +49,8 @@ import pyarrow as pa
 
 import ray.data
 from ray.data import Dataset
+
+logger = logging.getLogger("pdf_extract_ray.dedup")
 
 # ---------------------------------------------------------------------------
 # exact dedup (D1)
@@ -59,65 +78,174 @@ def dedup_exact(ds: Dataset, key_col: str, order_col: str) -> Dataset:
 
 
 # ---------------------------------------------------------------------------
-# shingling + MinHash
+# vectorized token / shingle hashing (shared by MinHash and SimHash)
 # ---------------------------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1
+_M64 = np.uint64(_MERSENNE)
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+_LOW32 = np.uint64(0xFFFFFFFF)
+_C1 = np.uint64(0x9E3779B97F4A7C15)   # golden-ratio odd multiplier
+_C2 = np.uint64(0xC2B2AE3D27D4EB4F)   # xxhash-style odd multiplier
+_FNV_BASIS = np.uint64(0xCBF29CE484222325)
 
 
 def _hash_perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """a, b < 2^32 so a*x32 + b never wraps uint64 (exact mod-Mersenne)."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    a = rng.randint(1, 1 << 32, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, 1 << 32, size=num_perm, dtype=np.uint64)
     return a, b
 
 
+def _token_hashes_flat(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """Lowercased whitespace tokens of every text, hashed to uint64 in ONE
+    vectorized pass (pandas siphash — stable across processes, the family
+    stages/agg.py's bucketing already relies on).  Returns the flat hash
+    array plus per-document token counts."""
+    toks = [(t or "").lower().split() for t in texts]
+    lens = np.fromiter((len(x) for x in toks), dtype=np.int64, count=len(toks))
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), lens
+    flat = np.empty(total, dtype=object)
+    i = 0
+    for x in toks:
+        flat[i : i + len(x)] = x
+        i += len(x)
+    h = pd.util.hash_pandas_object(pd.Series(flat), index=False)
+    return h.to_numpy().astype(np.uint64), lens
+
+
+def _kgram_hashes(th: np.ndarray, lens: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling polynomial k-gram hashes over the flat token-hash array.
+    One value per window fully inside a document; documents with 1..k-1
+    tokens contribute ONE value over all their tokens (parity with
+    whole-text shingling of short texts).  Returns (values, doc_index),
+    sorted by doc_index (stable)."""
+    n = len(lens)
+    big_n = len(th)
+    with np.errstate(over="ignore"):
+        did = np.repeat(np.arange(n, dtype=np.int64), lens)
+        vals_parts, docs_parts = [], []
+        if big_n >= k:
+            acc = np.zeros(big_n - k + 1, dtype=np.uint64)
+            for j in range(k):
+                acc = (acc + th[j : big_n - k + 1 + j]) * _C1
+            ok = did[: big_n - k + 1] == did[k - 1 :]
+            vals_parts.append(acc[ok])
+            docs_parts.append(did[: big_n - k + 1][ok])
+        short = np.flatnonzero((lens > 0) & (lens < k))
+        if len(short):
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            sv = np.empty(len(short), dtype=np.uint64)
+            for i, d in enumerate(short):
+                a = np.uint64(0)
+                for hv in th[starts[d] : ends[d]]:
+                    a = (a + hv) * _C1
+                sv[i] = a
+            vals_parts.append(sv)
+            docs_parts.append(short.astype(np.int64))
+    if not vals_parts:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    vals = np.concatenate(vals_parts)
+    docs = np.concatenate(docs_parts)
+    if len(docs_parts) > 1:  # short-doc values appended out of order
+        order = np.argsort(docs, kind="stable")
+        vals, docs = vals[order], docs[order]
+    return vals, docs
+
+
 def shingle_set(text: str, k: int = 3) -> np.ndarray:
-    """Word k-shingles hashed to uint64 (stable: md5-based, not Python
-    hash())."""
-    toks = text.lower().split()
-    if len(toks) < k:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = np.uint64(
-            int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-        )
-    return out
+    """Word k-shingles of one text hashed to uint64 (vectorized; stable
+    across processes).  Duplicates are kept — min/set consumers are
+    unaffected."""
+    th, lens = _token_hashes_flat([text])
+    vals, _ = _kgram_hashes(th, lens, k)
+    return vals
 
 
 def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """num_perm-wide MinHash signature of a shingle set (vectorized)."""
+    """num_perm-wide MinHash signature of one shingle set (vectorized,
+    exact (a*x+b) mod Mersenne — see module docstring)."""
     if len(shingles) == 0:
-        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
-    # (num_perm, n_shingles) permuted values mod Mersenne prime
-    x = shingles.astype(np.uint64)
-    vals = (np.outer(a, x) + b[:, None]) % np.uint64(_MERSENNE)
+        return np.full(len(a), _U64_MAX, dtype=np.uint64)
+    x = shingles.astype(np.uint64) & _LOW32
+    vals = (np.outer(a, x) + b[:, None]) % _M64
     return vals.min(axis=1)
 
 
+def minhash_signatures(
+    texts: list, a: np.ndarray, b: np.ndarray, k: int = 3
+) -> np.ndarray:
+    """(n_docs, num_perm) MinHash signature matrix for a whole batch in one
+    vectorized pass: permute ALL shingles at once, per-doc minima via
+    ``minimum.reduceat`` (chunked so the permuted matrix stays ~16 MB).
+    Docs with no tokens get the all-max sentinel signature."""
+    n = len(texts)
+    num_perm = len(a)
+    sig = np.full((n, num_perm), _U64_MAX, dtype=np.uint64)
+    th, lens = _token_hashes_flat(texts)
+    vals, docs = _kgram_hashes(th, lens, k)
+    if len(vals) == 0:
+        return sig
+    x = vals & _LOW32
+    counts = np.bincount(docs, minlength=n)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    nz = np.flatnonzero(counts)
+    chunk_shingles = max(1, 2_000_000 // num_perm)
+    i = 0
+    while i < len(nz):
+        j, tot = i, 0
+        while j < len(nz) and (j == i or tot + counts[nz[j]] <= chunk_shingles):
+            tot += counts[nz[j]]
+            j += 1
+        dsel = nz[i:j]
+        lo, hi = starts[dsel[0]], ends[dsel[-1]]
+        seg = x[lo:hi]
+        # exact: a,b < 2^32 and seg < 2^32 -> no uint64 wrap before the mod
+        pv = (a[:, None] * seg[None, :] + b[:, None]) % _M64
+        offs = (starts[dsel] - lo).astype(np.int64)
+        sig[dsel] = np.minimum.reduceat(pv, offs, axis=1).T
+        i = j
+    return sig
+
+
+def minhash_band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, bands) uint64 band keys: FNV-style fold of each signature
+    band plus a band-index salt (vectorized; one multiply-xor per band
+    row, never per document)."""
+    n, num_perm = sig.shape
+    r = num_perm // bands
+    s3 = sig[:, : bands * r].reshape(n, bands, r)
+    with np.errstate(over="ignore"):
+        acc = np.full((n, bands), _FNV_BASIS, dtype=np.uint64)
+        for j in range(r):
+            acc = (acc ^ s3[:, :, j]) * _C2
+        salt = np.arange(bands, dtype=np.uint64) * _C1
+        acc = (acc ^ salt[None, :]) * _C2
+    return acc
+
+
 class MinHashStage:
-    """map_batches actor: doc -> (id, minhash signature as fixed list)."""
+    """map_batches stage: doc -> (id, minhash signature as list<uint64>)."""
 
     def __init__(self, id_col: str, text_col: str, num_perm: int = 128, k: int = 3):
         self.id_col, self.text_col, self.k = id_col, text_col, k
+        self.num_perm = num_perm
         self.a, self.b = _hash_perm_params(num_perm)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
-        sigs = [
-            minhash_signature(shingle_set(t or "", self.k), self.a, self.b)
-            for t in texts
-        ]
-        return pa.table(
-            {
-                self.id_col: pa.array(ids),
-                "minhash": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
-            }
+        sig = minhash_signatures(texts, self.a, self.b, self.k)
+        n = len(texts)
+        offsets = pa.array(
+            np.arange(0, (n + 1) * self.num_perm, self.num_perm, dtype=np.int32)
         )
+        col = pa.ListArray.from_arrays(offsets, pa.array(sig.ravel()))
+        return pa.table({self.id_col: batch[self.id_col].combine_chunks(), "minhash": col})
 
 
 def minhash_lsh_pairs(
@@ -129,6 +257,9 @@ def minhash_lsh_pairs(
     bands: int = 32,
     k: int = 3,
     jaccard_threshold: float = 0.8,
+    max_band_freq: int = 1000,
+    persist: str | None = "memory",
+    sig_batch_size: int = 4096,
     concurrency=None,
 ) -> Dataset:
     """MinHash+LSH near-duplicate pairs with signature-estimated
@@ -141,11 +272,25 @@ def minhash_lsh_pairs(
     bucketed repartition join (long-lived hash-join aggregator actors on
     top of the other stages can deadlock a small CPU budget).  Candidate
     generation is bucketed (stages/agg.py) so band-bucket count doesn't
-    appear in task count."""
+    appear in task count; band buckets larger than ``max_band_freq`` are
+    dropped WITH a log line (degenerate boilerplate corpora would
+    otherwise build one O(b^2) bucket — exact duplicates are exact
+    dedup's job).
+
+    ``persist``: the signature dataset feeds two branches (banding and
+    verification); "memory" pins it once via ``materialize()`` (default —
+    n_docs x num_perm x 8 bytes in the object store, which spills to disk
+    if needed), a path string round-trips it through parquet (for
+    clusters where the object store should stay free), ``None`` recomputes
+    the signatures per branch (no pinning, 2x compute).
+
+    Batch sizes are set explicitly on the narrow-row map stages: small
+    inputs fragment into ~2x-CPU tiny blocks at the read, and per-call
+    kernel overhead + all-to-all input-block count would otherwise
+    dominate (the ``sig_batch_size=4096`` signature matrix is 4 MB —
+    bounded at any corpus size)."""
     from pdf_extract_ray.stages.agg import bucketed_group_apply
     from pdf_extract_ray.util import round_half_away
-
-    rows_per_band = num_perm // bands
 
     def compute_sigs(batch: pa.Table) -> pa.Table:
         # stateless tasks with per-worker cached permutation state
@@ -154,42 +299,59 @@ def minhash_lsh_pairs(
             stage = compute_sigs._s = MinHashStage(id_col, text_col, num_perm, k)
         return stage(batch)
 
-    sigs = ds.map_batches(compute_sigs, batch_format="pyarrow")
+    sigs = ds.map_batches(compute_sigs, batch_format="pyarrow",
+                          batch_size=sig_batch_size)
+    if persist == "memory":
+        sigs = sigs.materialize()
+    elif persist:
+        sigs.write_parquet(persist)
+        sigs = ray.data.read_parquet(persist)
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         # (band_hash, id) only — the shuffle stays tiny
-        ids = batch[id_col].to_pylist()
-        sigs_l = batch["minhash"].to_pylist()
-        out_hash, out_id = [], []
-        for i, sig in zip(ids, sigs_l):
-            for bnd in range(bands):
-                chunk = tuple(sig[bnd * rows_per_band : (bnd + 1) * rows_per_band])
-                out_hash.append(hashlib.md5(repr((bnd, chunk)).encode()).hexdigest())
-                out_id.append(i)
+        arr = batch.column("minhash").combine_chunks()
+        sig = arr.flatten().to_numpy(zero_copy_only=False).reshape(-1, num_perm)
+        keys = minhash_band_keys(sig, bands)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         return pa.table(
-            {"band_hash": pa.array(out_hash, pa.string()), id_col: pa.array(out_id)}
+            {
+                "band_hash": pa.array(keys.ravel()),
+                id_col: pa.array(np.repeat(ids, bands)),
+            }
         )
 
-    bands_ds = sigs.map_batches(explode_bands, batch_format="pyarrow")
+    bands_ds = sigs.map_batches(explode_bands, batch_format="pyarrow",
+                                batch_size=sig_batch_size)
 
     def cand_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
         dup = bucket[bucket.duplicated("band_hash", keep=False)]
         out_a, out_b = [], []
+        dropped = 0
         for _, g in dup.groupby("band_hash", sort=False):
+            if len(g) > max_band_freq:
+                dropped += 1
+                continue
             ids = np.sort(g[id_col].to_numpy())
             iu, ju = np.triu_indices(len(ids), k=1)
             out_a.extend(ids[iu])
             out_b.extend(ids[ju])
+        if dropped:
+            logger.warning(
+                "minhash_lsh_pairs: dropped %d band buckets larger than "
+                "max_band_freq=%d (degenerate/boilerplate content)",
+                dropped, max_band_freq,
+            )
         return pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
+    # default pre-batching here: the sort's output-partition count follows
+    # its input blocks, and the per-bucket pair loop needs that parallelism
     cands = bucketed_group_apply(bands_ds, ["band_hash"], cand_pairs)
-    uniq = bucketed_group_apply(
-        cands, ["id_a", "id_b"],
-        lambda g: g.drop_duplicates(["id_a", "id_b"]),
-    )
 
     # --- attach signatures to both pair sides: union + bucketed
-    # repartition join on `key` (reduce-side join without join actors) ---
+    # repartition join on `key` (reduce-side join without join actors).
+    # Duplicate candidates from different bands carry identical
+    # (key, id_a, id_b) rows and are deduplicated inside the attach
+    # buckets — no separate global-dedup shuffle needed. ---
     def pair_memberships(b: pa.Table) -> pa.Table:
         ida = b["id_a"].to_pylist()
         idb = b["id_b"].to_pylist()
@@ -206,7 +368,9 @@ def minhash_lsh_pairs(
         # signatures travel as packed little-endian uint64 bytes: fixed-width
         # binary survives pandas<->arrow round-trips in the shuffle
         n = b.num_rows
-        packed = [np.asarray(s, dtype="<u8").tobytes() for s in b["minhash"].to_pylist()]
+        arr = b.column("minhash").combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype("<u8")
+        packed = [flat[i * num_perm : (i + 1) * num_perm].tobytes() for i in range(n)]
         return pa.table(
             {
                 "key": b[id_col],
@@ -216,14 +380,16 @@ def minhash_lsh_pairs(
             }
         )
 
-    unioned = uniq.map_batches(pair_memberships, batch_format="pyarrow").union(
-        sigs.map_batches(sig_rows, batch_format="pyarrow")
+    unioned = cands.map_batches(
+        pair_memberships, batch_format="pyarrow", batch_size=65536
+    ).union(
+        sigs.map_batches(sig_rows, batch_format="pyarrow", batch_size=sig_batch_size)
     )
 
     def attach(bucket: pd.DataFrame) -> pd.DataFrame:
         is_sig = bucket["id_a"].isna()
         sig_map = dict(zip(bucket.loc[is_sig, "key"], bucket.loc[is_sig, "sig"]))
-        mem = bucket[~is_sig]
+        mem = bucket[~is_sig].drop_duplicates(["key", "id_a", "id_b"])
         out = mem[["id_a", "id_b", "key"]].copy()
         out["sig"] = [sig_map.get(k, b"") for k in mem["key"]]
         # the union's sig-row nulls upcast int id columns to float: restore
@@ -266,40 +432,71 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (md5 token hashes, +/-1 bit
-    voting)."""
-    toks = (text or "").lower().split()
-    if not toks:
-        return 0
-    v = [0] * 64
-    for t in toks:
-        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-        for bit in range(64):
-            v[bit] += 1 if (h >> bit) & 1 else -1
-    out = 0
-    for bit in range(64):
-        if v[bit] > 0:
-            out |= 1 << bit
+def simhash_signatures(texts: list) -> np.ndarray:
+    """Vectorized 64-bit SimHash per text: one siphash pass over all
+    tokens, bit matrix via shifts, per-doc +/-1 voting via
+    ``add.reduceat`` (chunked ~200k tokens so the bit matrix stays small).
+    Empty/whitespace-only texts hash to 0."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    th, lens = _token_hashes_flat(texts)
+    if len(th) == 0:
+        return out
+    shifts = np.arange(64, dtype=np.uint64)
+    powers = np.left_shift(np.uint64(1), shifts)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    nz = np.flatnonzero(lens)
+    chunk_tokens = 200_000
+    i = 0
+    while i < len(nz):
+        j, tot = i, 0
+        while j < len(nz) and (j == i or tot + lens[nz[j]] <= chunk_tokens):
+            tot += lens[nz[j]]
+            j += 1
+        dsel = nz[i:j]
+        lo, hi = starts[dsel[0]], ends[dsel[-1]]
+        seg = th[lo:hi]
+        bits = ((seg[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+        offs = (starts[dsel] - lo).astype(np.int64)
+        votes = np.add.reduceat(bits * 2 - 1, offs, axis=0)  # (n_docs_chunk, 64)
+        out[dsel] = ((votes > 0).astype(np.uint64) * powers[None, :]).sum(axis=1)
+        i = j
     return out
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (scalar convenience wrapper
+    around the vectorized batch kernel — both paths always agree)."""
+    return int(simhash_signatures([text])[0])
 
 
 def simhash_batch(batch: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFrame:
     out = pd.DataFrame()
     out[id_col] = batch[id_col]
-    out["simhash"] = [simhash64(t) for t in batch[text_col].fillna("")]
+    out["simhash"] = simhash_signatures(batch[text_col].fillna("").tolist())
     return out
 
 
 def simhash_pairs(
-    ds: Dataset, id_col: str, text_col: str, *, max_hamming: int = 3
+    ds: Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
 ) -> Dataset:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
     Banding guarantee (pigeonhole): with ``max_hamming + 1`` bands, any
     pair within the distance budget shares at least one identical band.
     Larger budgets mean narrower bands -> bigger candidate buckets; the
-    classic 4x16-bit layout corresponds to the default max_hamming=3."""
+    classic 4x16-bit layout corresponds to the default max_hamming=3.
+
+    Candidate buckets larger than ``max_bucket`` are dropped with a log
+    line (mirror of minhash's ``max_band_freq``): a degenerate corpus
+    where thousands of boilerplate documents share one simhash would
+    otherwise form a single O(b^2) bucket."""
     n_bands = max_hamming + 1
     if n_bands > 64:
         raise ValueError("max_hamming must be < 64")
@@ -312,25 +509,36 @@ def simhash_pairs(
         pos += w
 
     sigs = ds.map_batches(
-        lambda b: simhash_batch(b, id_col, text_col), batch_format="pandas"
+        lambda b: simhash_batch(b, id_col, text_col), batch_format="pandas",
+        batch_size=4096,
     )
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = {"band": [], "band_key": [], id_col: [], "simhash": []}
-        for i, h in zip(batch[id_col], batch["simhash"]):
-            for bnd, (shift, mask) in enumerate(masks):
-                rows["band"].append(bnd)
-                rows["band_key"].append((int(h) >> shift) & mask)
-                rows[id_col].append(i)
-                rows["simhash"].append(int(h))
-        return pd.DataFrame(rows)
+        h = batch["simhash"].to_numpy().astype(np.uint64)
+        ids = batch[id_col].to_numpy()
+        n = len(h)
+        keys = np.concatenate(
+            [(h >> np.uint64(shift)) & np.uint64(mask) for shift, mask in masks]
+        )
+        return pd.DataFrame(
+            {
+                "band": np.repeat(np.arange(n_bands, dtype=np.int64), n),
+                "band_key": keys,
+                id_col: np.tile(ids, n_bands),
+                "simhash": np.tile(h, n_bands),
+            }
+        )
 
     def bucket_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
         # bucket holds many (band, band_key) sub-buckets; only sub-buckets
         # with >=2 members can produce pairs
         dup = bucket[bucket.duplicated(["band", "band_key"], keep=False)]
         out = {"id_a": [], "id_b": [], "hamming": []}
+        dropped = 0
         for (band_no, _), g in dup.groupby(["band", "band_key"], sort=False):
+            if len(g) > max_bucket:
+                dropped += 1
+                continue
             g = g.sort_values(id_col, kind="mergesort")
             ids, hs = g[id_col].to_numpy(), g["simhash"].to_numpy()
             for i in range(len(ids)):
@@ -349,6 +557,12 @@ def simhash_pairs(
                         out["id_a"].append(ids[i])
                         out["id_b"].append(ids[j])
                         out["hamming"].append(d)
+        if dropped:
+            logger.warning(
+                "simhash_pairs: dropped %d candidate buckets larger than "
+                "max_bucket=%d (degenerate/boilerplate content)",
+                dropped, max_bucket,
+            )
         return pd.DataFrame(out)
 
     from pdf_extract_ray.stages.agg import bucketed_group_apply
@@ -383,23 +597,41 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     *,
     threshold: float = 0.95,
-    num_buckets: int = 1,
+    num_buckets: int = 32,
+    multiprobe: bool = True,
 ) -> Dataset:
-    """Pairs with cosine >= threshold.  ``num_buckets=1`` is the exact
-    all-pairs path (quadratic — for oracle-checkable small inputs); for
-    scale, bucket by a random-hyperplane LSH sketch first
-    (``num_buckets>1``) so comparisons stay within buckets."""
+    """Pairs with cosine >= threshold.
+
+    Default (scale path): random-hyperplane LSH into ``num_buckets``
+    buckets with Hamming-1 MULTI-PROBE — each vector is also scored in
+    every bucket one sign-flip away, so near-identical vectors that
+    straddle a single hyperplane are still compared (single-probe misses
+    them); duplicate pairs arising from shared probes are removed by a
+    tiny bucketed dedup over the candidate pairs only.  Comparisons stay
+    within buckets — never an all-pairs matmul over the corpus.
+
+    ``num_buckets=1`` is the EXACT all-pairs mode (quadratic): the mode
+    the SQL oracle checks on small inputs, and the recall baseline the
+    bucketed path is tested against (tests/test_dedup_similarity.py)."""
+    bits = max(1, int(np.log2(num_buckets))) if num_buckets > 1 else 0
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        if num_buckets <= 1:
+        if bits == 0:
+            batch = batch.copy()
             batch["bucket"] = 0
             return batch
         rng = np.random.RandomState(11)
         vecs = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
-        planes = rng.standard_normal((vecs.shape[1], max(1, int(np.log2(num_buckets)))))
-        bits = (vecs @ planes) > 0
-        batch["bucket"] = bits.dot(1 << np.arange(bits.shape[1])).astype(np.int64)
-        return batch
+        planes = rng.standard_normal((vecs.shape[1], bits))
+        code = ((vecs @ planes) > 0).dot(1 << np.arange(bits)).astype(np.int64)
+        if not multiprobe:
+            batch = batch.copy()
+            batch["bucket"] = code
+            return batch
+        copies = [batch.assign(bucket=code)]
+        for i in range(bits):  # Hamming-1 probes: flip each hyperplane sign
+            copies.append(batch.assign(bucket=code ^ (1 << i)))
+        return pd.concat(copies, ignore_index=True)
 
     from pdf_extract_ray.util import round_half_away
 
@@ -421,11 +653,20 @@ def embedding_dup_pairs(
             }
         )
 
-    return (
+    out = (
         ds.map_batches(add_bucket, batch_format="pandas")
         .groupby("bucket")
         .map_groups(pairs, batch_format="pandas")
     )
+    if bits and multiprobe:
+        # shared probes produce identical duplicate rows; dedup the tiny
+        # candidate-pair set, never the vectors
+        from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+        out = bucketed_group_apply(
+            out, ["id_a", "id_b"], lambda g: g.drop_duplicates(["id_a", "id_b"])
+        )
+    return out
 
 
 def winnow_pairs(
@@ -437,6 +678,7 @@ def winnow_pairs(
     window: int = 4,
     overlap_threshold: float = 0.3,
     max_fp_freq: int = 200,
+    spill_dir: str | None = None,
 ) -> Dataset:
     """Near-dup pairs by winnowing-fingerprint Jaccard >= threshold.
 
@@ -449,10 +691,12 @@ def winnow_pairs(
     sets, never deflated by asymmetric filtering.
 
     The survivors intermediate (one row per (doc, kept fp) + candidate
-    pairs) is materialized because two downstream branches consume it —
-    without pinning, Ray Data re-executes the fingerprinting pass per
-    branch.  For corpora where that intermediate exceeds the object store,
-    persist it to parquet between the stages instead."""
+    pairs) feeds two downstream branches; without pinning, Ray Data would
+    re-execute the fingerprinting pass per branch.  ``spill_dir=None``
+    (default) pins it in the object store via ``materialize()`` (spills to
+    disk under pressure); pass a path to round-trip it through parquet
+    instead, keeping the object store free for corpora where the
+    intermediate exceeds it."""
     from pdf_extract_ray.stages.agg import bucketed_group_apply, grouped_aggregate
     from pdf_extract_ray.functions.fingerprint import winnow_fingerprints
     from pdf_extract_ray.util import round_half_away
@@ -487,7 +731,12 @@ def winnow_pairs(
                 out["key"].append(-1)
         return pd.DataFrame(out)
 
-    survivors = bucketed_group_apply(fp_rows, ["val"], per_fp).materialize()
+    survivors = bucketed_group_apply(fp_rows, ["val"], per_fp)
+    if spill_dir:
+        survivors.write_parquet(spill_dir)
+        survivors = ray.data.read_parquet(spill_dir)
+    else:
+        survivors = survivors.materialize()
     pair_rows = survivors.filter(expr="kind == 'pair'")
     keep_rows = survivors.filter(expr="kind == 'keep'")
 
