@@ -221,6 +221,12 @@ class DocumentAligner:
                     "match_type": "paragraph", "similarity": round(s, 6),
                 })
         pairs.sort(key=lambda p: p["kr_idx"])
+        # pair_seq = position in the final sorted list: the reference's
+        # merge builds dict[kr_idx] over this exact order with last-wins
+        # overwrite (create_csv.py:64-75), so downstream dedup must be able
+        # to reproduce "last" deterministically at any batch boundary
+        for seq, p in enumerate(pairs):
+            p["pair_seq"] = seq
         return pairs
 
 
@@ -301,10 +307,11 @@ def align_documents(
                 "en_text": pd.Series([], dtype="object"),
                 "match_type": pd.Series([], dtype="object"),
                 "similarity": pd.Series([], dtype="float64"),
+                "pair_seq": pd.Series([], dtype="int64"),
             })
         df = pd.DataFrame(out_rows)
         return df[[doc_key_col, "kr_idx", "en_idx", "kr_text", "en_text",
-                   "match_type", "similarity"]]
+                   "match_type", "similarity", "pair_seq"]]
 
     return bucketed_group_apply(unioned, [doc_key_col], align_bucket)
 
@@ -323,16 +330,32 @@ def merge_aligned(
     get match_type='unmatched'."""
     idx_col = f"{side}_idx"
     keep = [doc_key_col, idx_col, f"{'en' if side == 'kr' else 'kr'}_idx",
-            f"{'en' if side == 'kr' else 'kr'}_text", "match_type", "similarity"]
+            f"{'en' if side == 'kr' else 'kr'}_text", "match_type", "similarity",
+            "pair_seq"]
 
     def prep(b):
-        # one pair per source sentence: if the anchor and the Hungarian
-        # assignment disagree on the same kr header, the LAST pair wins —
-        # the reference's dict-overwrite semantics (create_csv.py:64-75)
-        b = b[keep].drop_duplicates([doc_key_col, idx_col], keep="last")
-        return b.rename(columns={doc_key_col: "__pk"})
+        return b[keep].rename(columns={doc_key_col: "__pk"})
 
-    p = pairs.map_batches(prep, batch_format="pandas")
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        # one pair per source sentence: if the anchor and the Hungarian
+        # assignment disagree on the same kr header, the LAST pair (by
+        # pair_seq, the aligner's emit order) wins — the reference's
+        # dict-overwrite semantics (create_csv.py:64-75).  Done as a
+        # GROUPED step: duplicate (doc, idx) pairs that straddle a
+        # map_batches boundary would both survive a per-batch dedup and
+        # then fan out the left join (one-row-per-sentence contract).
+        g = g.sort_values("pair_seq", kind="mergesort").drop_duplicates(
+            ["__pk", idx_col], keep="last")
+        return g.drop(columns=["pair_seq"])
+
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    # repartition coalesces the grouped-dedup output: sparse buckets emit
+    # schema-less empty blocks that Ray's hash join rejects ("no match for
+    # key field __pk"); the pair set is tiny, so this exchange is cheap
+    p = bucketed_group_apply(
+        pairs.map_batches(prep, batch_format="pandas"), ["__pk", idx_col], dedup
+    ).repartition(num_partitions)
     joined = sents.join(
         p, join_type="left_outer", num_partitions=num_partitions,
         on=(doc_key_col, order_col), right_on=("__pk", idx_col),

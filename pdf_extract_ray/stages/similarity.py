@@ -43,13 +43,17 @@ class _ScoreTopK:
         norms = np.linalg.norm(v, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         sim = (v / norms) @ self.qn.T  # (n, n_queries)
+        return self._partial_topk(ids, sim)
+
+    def _partial_topk(self, ids: np.ndarray, sim: np.ndarray) -> pd.DataFrame:
         out = {"query_id": [], self.id_col: [], "cosine": []}
         for qi in range(sim.shape[1]):
             col = sim[:, qi]
-            if len(col) > self.k:
-                part = np.argpartition(-col, self.k)[: self.k]
-            else:
-                part = np.arange(len(col))
+            # tie-break on id at the PARTIAL stage too: argpartition on
+            # cosine alone keeps/drops candidates tied at the k-th cosine
+            # arbitrarily, and the global (cosine desc, id asc) reduce can
+            # then disagree with the SQL oracle's QUALIFY ordering
+            part = np.lexsort((ids, -col))[: self.k]
             for i in part:
                 out["query_id"].append(qi)
                 out[self.id_col].append(ids[i])
@@ -134,31 +138,39 @@ def ivf_topk(
 
     q = np.asarray(queries, dtype=np.float64)
     qd = np.linalg.norm(q[:, None, :] - cents[None, :, :], axis=2)
-    probe_cells = {qi: set(np.argsort(qd[qi])[:nprobe].tolist()) for qi in range(len(q))}
-    wanted = set().union(*probe_cells.values()) if len(q) else set()
+    # (n_queries, n_cells) bool: which cells each query probes
+    probe_mask = np.zeros((len(q), n_cells), dtype=bool)
+    for qi in range(len(q)):
+        probe_mask[qi, np.argsort(qd[qi])[:nprobe]] = True
+    wanted_mask = probe_mask.any(axis=0)
 
     class CellFilterTopK(_ScoreTopK):
         def __init__(self, query_ref, id_col, vec_col, k):
             super().__init__(query_ref, id_col, vec_col, k)
             self.cents = ray.get(cents_ref)
+            # ‖c‖² once per actor: cell assignment is then one matmul +
+            # argmin over (‖c‖² - 2 v·c), never an (n x C x d) tensor
+            self.cents_sq = (self.cents ** 2).sum(axis=1)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch[self.id_col].to_numpy()
             v = np.stack(batch[self.vec_col].to_numpy()).astype(np.float64)
-            cell = np.linalg.norm(
-                v[:, None, :] - self.cents[None, :, :], axis=2
-            ).argmin(axis=1)
-            keep = np.isin(cell, list(wanted))
+            cell = (self.cents_sq[None, :] - 2.0 * (v @ self.cents.T)).argmin(axis=1)
+            keep = wanted_mask[cell]
             if not keep.any():
-                return pd.DataFrame({"query_id": [], self.id_col: [], "cosine": [],
-                                     "cell": []})
-            sub = batch.iloc[keep].reset_index(drop=True)
-            out = super().__call__(sub)
-            out["cell"] = cell[keep][
-                [int(np.where(sub[self.id_col].to_numpy() == i)[0][0]) for i in out[self.id_col]]
-            ]
-            # drop results from cells this query does not probe
-            out = out[[c in probe_cells[qi] for qi, c in zip(out["query_id"], out["cell"])]]
-            return out.drop(columns=["cell"])
+                return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                     self.id_col: pd.Series([], dtype=ids.dtype),
+                                     "cosine": pd.Series([], dtype="float64")})
+            ids_k, v_k, cell_k = ids[keep], v[keep], cell[keep]
+            norms = np.linalg.norm(v_k, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sim = (v_k / norms) @ self.qn.T  # (n_keep, n_queries)
+            # mask out rows whose cell this query does not probe, then the
+            # shared tie-broken partial top-k (positions, no id searching)
+            allowed = probe_mask[:, cell_k].T  # (n_keep, n_queries)
+            sim = np.where(allowed, sim, -np.inf)
+            out = self._partial_topk(ids_k, sim)
+            return out[np.isfinite(out["cosine"])].reset_index(drop=True)
 
     query_ref = ray.put(q)
     partial = ds.map_batches(

@@ -3,12 +3,12 @@
 HyperLogLog here follows the guide's sketch pattern: one serialized sketch
 per batch emitted from ``map_batches`` (map-side), merged in a tiny final
 stage — distinct-count over 10^12 rows moves only ``2^p``-byte registers
-through the shuffle, never values.  Deterministic (md5-based hashing).
+through the shuffle, never values.  Deterministic (single stable hash
+family — pandas' keyed siphash — for every input type).
 """
 
 from __future__ import annotations
 
-import hashlib
 import math
 
 import numpy as np
@@ -45,19 +45,19 @@ class HyperLogLog:
         np.maximum.at(self.registers, idx, ranks)
 
     def add(self, values) -> None:
-        """Vectorized path for pandas/numpy inputs (deterministic
-        hash_pandas_object, the same hash family stages/agg uses);
-        falls back to per-value md5 for generic iterables."""
-        if isinstance(values, (pd.Series, np.ndarray)):
-            hs = pd.util.hash_pandas_object(
-                pd.Series(values), index=False
-            ).to_numpy().astype(np.uint64)
-        else:
-            hs = np.fromiter(
-                (int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big")
-                 for v in values),
-                dtype=np.uint64,
-            )
+        """ONE hash family for every input type (deterministic
+        hash_pandas_object, the same family stages/agg uses): generic
+        iterables are wrapped into a Series first.  Two sketches built
+        from different container types of the same values merge
+        correctly — a second family would make ``merge()`` silently
+        meaningless.  Numeric dtypes are widened to 64-bit so int32 and
+        int64 representations of the same value hash identically."""
+        s = values if isinstance(values, pd.Series) else pd.Series(list(values))
+        if pd.api.types.is_integer_dtype(s):
+            s = s.astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            s = s.astype("float64")
+        hs = pd.util.hash_pandas_object(s, index=False).to_numpy().astype(np.uint64)
         if len(hs):
             self.add_hashes(hs)
 

@@ -91,6 +91,25 @@ def test_hll_accuracy_and_merge(ray_session):
     assert abs(est - exact) / exact < 0.05
 
 
+def test_hll_one_hash_family_across_input_types():
+    """Sketches built from a Series, an ndarray and a plain list of the
+    same values must be register-identical — merge() of sketches from
+    different hash families would silently produce garbage."""
+    from pdf_extract_ray.stages.sketch import HyperLogLog
+
+    vals = list(range(1000))
+    hs, ha, hl = HyperLogLog(10), HyperLogLog(10), HyperLogLog(10)
+    hs.add(pd.Series(vals))
+    ha.add(np.array(vals))
+    hl.add(vals)  # generic iterable path
+    assert (hs.registers == ha.registers).all()
+    assert (hs.registers == hl.registers).all()
+    # int32 vs int64 containers of the same values also agree
+    h32 = HyperLogLog(10)
+    h32.add(np.array(vals, dtype=np.int32))
+    assert (hs.registers == h32.registers).all()
+
+
 def test_parse_stats(ray_session):
     import ray.data as rd
 

@@ -169,6 +169,33 @@ class TestAlignPipeline:
         assert len(full) == kr_t.num_rows + (en_t.num_rows - n_matched_en)
 
 
+def test_merge_dedup_survives_batch_boundaries(ray_session):
+    """Duplicate (doc, kr_idx) pairs split across different blocks must
+    still collapse to ONE row per source sentence (keep-last by pair_seq).
+    A per-batch drop_duplicates would let both survive and fan out the
+    left join."""
+    import ray.data as rd
+
+    kr = pd.DataFrame(
+        [("d", 0, "목차", "H1"), ("d", 1, "법원 판결.", "P")],
+        columns=["doc_key", "sent_no", "text", "source_type"],
+    )
+    # two conflicting pairs for kr_idx=0 (anchor vs Hungarian disagreement),
+    # forced into SEPARATE blocks
+    pair_cols = ["doc_key", "kr_idx", "en_idx", "kr_text", "en_text",
+                 "match_type", "similarity", "pair_seq"]
+    p0 = pd.DataFrame([("d", 0, 5, "목차", "contents", "header", 0.9, 0)],
+                      columns=pair_cols)
+    p1 = pd.DataFrame([("d", 0, 7, "목차", "table of contents", "header", 1.0, 1)],
+                      columns=pair_cols)
+    pairs = rd.from_pandas(p0).union(rd.from_pandas(p1))
+
+    merged = merge_aligned(rd.from_pandas(kr), pairs, side="kr").to_pandas()
+    assert len(merged) == 2  # one row per KR sentence, never fanned out
+    row = merged[merged["sent_no"] == 0].iloc[0]
+    assert row["en_idx"] == 7 and row["match_type"] == "header"  # last wins
+
+
 def test_align_gapped_sent_no_joins_correctly(ray_session):
     """Pair indices are the stream's actual order keys, not list positions:
     gapped sent_no (e.g. upstream filtering) must still merge correctly."""

@@ -226,6 +226,91 @@ def test_winnow_pairs_pipeline(ray_session):
         assert abs(ov - round(winnow_overlap(texts[a], texts[b]), 4)) < 1e-3
 
 
+def test_near_dup_bucket_caps_bound_degenerate_skew(ray_session):
+    """10^4 identical boilerplate docs collapse into one candidate bucket;
+    the caps must drop it (with a log line) instead of running an O(b^2)
+    pair loop — and distinct near-dup families must still be found."""
+    import time
+
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.dedup import minhash_lsh_pairs, simhash_pairs
+
+    rows = [{"doc_id": i, "text": "identical boilerplate body text here"}
+            for i in range(10_000)]
+    # one real near-dup family on top of the degenerate mass
+    rows.append({"doc_id": 20_000,
+                 "text": "rare unique content about asylum appeal procedures"})
+    rows.append({"doc_id": 20_001,
+                 "text": "rare unique content about asylum appeal procedures"})
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(8)
+
+    t0 = time.time()
+    mh = minhash_lsh_pairs(ds, "doc_id", "text", jaccard_threshold=0.5,
+                           max_band_freq=100).take_all()
+    sh = simhash_pairs(ds, "doc_id", "text", max_bucket=100).take_all()
+    wall = time.time() - t0
+    mh_keys = {(p["id_a"], p["id_b"]) for p in mh}
+    sh_keys = {(p["id_a"], p["id_b"]) for p in sh}
+    assert (20_000, 20_001) in mh_keys
+    assert (20_000, 20_001) in sh_keys
+    # the 10^4-doc bucket (~5*10^7 pairs) was dropped, not enumerated
+    assert not any(a < 10_000 and b < 10_000 for a, b in mh_keys)
+    assert not any(a < 10_000 and b < 10_000 for a, b in sh_keys)
+    assert wall < 60, f"degenerate bucket not capped: {wall:.1f}s"
+
+
+def test_embedding_lsh_multiprobe_recall_vs_exact(ray_session):
+    """The default bucketed+multi-probe path must recover >= 95% of the
+    exact all-pairs result on a clustered corpus (the oracle runs the
+    exact num_buckets=1 mode; this freezes the scale path's quality)."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(21)
+    base = rng.standard_normal((60, 16))
+    vecs = []
+    for i in range(60):  # 60 clusters x 5 noisy members -> many true pairs
+        for j in range(5):
+            vecs.append(base[i] + 0.02 * rng.standard_normal(16))
+    df = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": vecs})
+    ds = rd.from_pandas(df).repartition(4)
+
+    exact = {(p["id_a"], p["id_b"])
+             for p in embedding_dup_pairs(ds, threshold=0.99,
+                                          num_buckets=1).take_all()}
+    bucketed = {(p["id_a"], p["id_b"])
+                for p in embedding_dup_pairs(ds, threshold=0.99,
+                                             num_buckets=32).take_all()}
+    assert exact, "test corpus must contain true near-dup pairs"
+    assert bucketed <= exact  # bucketing can only miss, never invent
+    recall = len(bucketed & exact) / len(exact)
+    assert recall >= 0.95, f"multi-probe recall too low: {recall:.3f}"
+    # single-probe should be strictly worse or equal (documents why
+    # multi-probe is the default)
+    single = {(p["id_a"], p["id_b"])
+              for p in embedding_dup_pairs(ds, threshold=0.99, num_buckets=32,
+                                           multiprobe=False).take_all()}
+    assert len(single) <= len(bucketed)
+
+
+def test_winnow_pairs_spill_dir_equivalent(ray_session, tmp_path):
+    """spill_dir (parquet round-trip) and the default in-memory pin must
+    produce identical pairs."""
+    from pdf_extract_ray.stages.dedup import winnow_pairs
+
+    ds, _ = _docs_ds(ray_session)
+    mem = sorted(
+        (p["id_a"], p["id_b"], p["overlap"])
+        for p in winnow_pairs(ds, "doc_id", "text", overlap_threshold=0.5).take_all()
+    )
+    spill = sorted(
+        (p["id_a"], p["id_b"], p["overlap"])
+        for p in winnow_pairs(ds, "doc_id", "text", overlap_threshold=0.5,
+                              spill_dir=str(tmp_path / "winnow")).take_all()
+    )
+    assert mem == spill and mem
+
+
 def test_winnow_pairs_frequency_cap_consistent(ray_session):
     """Frequency-capped fingerprints are dropped from BOTH the shared count
     and the per-doc totals: a near-identical pair whose distinctive content
