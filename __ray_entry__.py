@@ -503,28 +503,13 @@ def q_align_full_outer(sf_dir: str):
 
 def q_layout_tagging(sf_dir: str):
     # M1-M5 faithful span-table path over a deterministic synthetic span set
+    # (shared with the single-process golden generator: corpus.synth_layout_rows)
     import ray.data as rd
 
+    from pdf_extract_ray.corpus import synth_layout_rows
     from pdf_extract_ray.stages.layout import tag_page_lines
 
-    def gen(seed):
-        import random
-        rng = random.Random(seed)
-        rows = []
-        for page in range(1, 20):
-            for i in range(rng.randint(3, 10)):
-                rows.append({
-                    "url": f"doc{seed}", "page_no": page,
-                    "x0": rng.choice([50.0, 350.0]), "y0": 40.0 + i * 20,
-                    "x1": 300.0, "y1": 52.0 + i * 20,
-                    "text": f"line {page} {i}",
-                    "size": rng.choice([10.0, 10.0, 12.0, 18.0]),
-                    "flags": rng.choice([0, 0, 16]), "color": rng.choice([0, 3101846]),
-                })
-        return rows
-
-    rows = [r for s in range(4) for r in gen(s)]
-    ds = rd.from_items(rows)
+    ds = rd.from_items(synth_layout_rows(4))
 
     def tag_batch(b):
         out = []
@@ -1029,7 +1014,26 @@ def oracle_sql() -> dict[str, str]:
             "max(ts) AS session_end, count(*) AS n_events, "
             "round(sum(value), 2) AS sum_value FROM s GROUP BY user_id, session_id"
         ),
-        # minhash_near_dup / simhash_near_dup / pair_analyzers /
-        # extract_* : not SQL-expressible (sketches, NFKC, DOM parse) ->
-        # rows-only check; semantics frozen by pytest goldens instead.
+        # --- committed single-process golden oracles -------------------
+        # These pipelines are not SQL-expressible over the input tables
+        # (DOM extraction, embedding alignment, sketch-based near-dup), so
+        # the oracle is a COMMITTED parquet generated by an independent
+        # single-process implementation (tools/gen_goldens.py: plain Python
+        # loops + dict-based candidate generation, no Ray, no shuffles).
+        # DuckDB reads it via read_parquet; the driver then hash-compares
+        # the live distributed run against it — surfacing the
+        # BASELINE.json invariant ("byte-identical extracted text per
+        # url") in the driver's own gate instead of only pytest.  The
+        # goldens are regenerated and re-verified against the distributed
+        # plans in tests/test_goldens_oracle.py, so they cannot silently
+        # go stale.  Paths are pinned to sf0.01 = the driver's comparison
+        # scale.  approx_distinct_users is a determinism freeze (HLL merge
+        # is associative, so single-process == distributed exactly);
+        # accuracy vs the exact count is asserted in pytest.
+        **{name: f"SELECT * FROM read_parquet('/root/repo/goldens/sf0.01/{name}.parquet')"
+           for name in ("extract_flagship", "extract_staged", "extract_sentences",
+                        "align_pairs", "align_merged_kr", "align_full_outer",
+                        "minhash_near_dup", "simhash_near_dup", "winnow_near_dup",
+                        "pair_analyzers", "layout_tagging", "media_features",
+                        "approx_distinct_users")},
     }

@@ -285,3 +285,26 @@ def paired_sentence_tables(n_docs: int, seed: int = 77) -> tuple[pa.Table, pa.Ta
         })
 
     return table(kr_rows), table(en_rows)
+
+
+def synth_layout_rows(n_docs: int = 4) -> list[dict]:
+    """Deterministic synthetic span-table rows for the layout-tagging path
+    (M1-M5): two-column x/y geometry, mixed sizes/flags/colors.  Shared by
+    the driver query and the single-process golden generator so both sides
+    tag the exact same spans."""
+    import random
+
+    rows = []
+    for seed in range(n_docs):
+        rng = random.Random(seed)
+        for page in range(1, 20):
+            for i in range(rng.randint(3, 10)):
+                rows.append({
+                    "url": f"doc{seed}", "page_no": page,
+                    "x0": rng.choice([50.0, 350.0]), "y0": 40.0 + i * 20,
+                    "x1": 300.0, "y1": 52.0 + i * 20,
+                    "text": f"line {page} {i}",
+                    "size": rng.choice([10.0, 10.0, 12.0, 18.0]),
+                    "flags": rng.choice([0, 0, 16]), "color": rng.choice([0, 3101846]),
+                })
+    return rows

@@ -1,0 +1,355 @@
+"""Golden-oracle generator: SINGLE-PROCESS (no Ray) reference outputs for
+the driver queries whose semantics are not expressible in plain SQL over
+the input tables (DOM extraction, alignment, sketch-based near-dup).
+
+Each golden is produced by an independent single-process implementation —
+a plain Python loop over the rows using the frozen per-document/pair
+kernels (``oracle_extract``, ``DocumentAligner``, the signature
+functions) with dict-based candidate generation instead of distributed
+shuffles.  The distributed pipelines must match these byte-for-byte,
+which turns the rows-only driver checks into full rows+schema+hash
+checks: ``oracle_sql()`` reads the committed parquet via DuckDB
+``read_parquet`` and the driver compares it against the live Ray run.
+
+Reference invariant being surfaced (BASELINE.json): "byte-identical
+extracted text per url" — previously only asserted in pytest goldens,
+now checked by the driver's own gate.
+
+Usage: python tools/gen_goldens.py [sf_dir ...]
+Writes /root/repo/goldens/<sf_name>/<query>.parquet
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, "/root/repo")
+
+GOLDEN_ROOT = "/root/repo/goldens"
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.01
+
+
+# ---------------------------------------------------------------------------
+# extraction (flagship/staged/sentences)
+# ---------------------------------------------------------------------------
+
+def gen_extract(sf_dir: str) -> dict[str, pa.Table]:
+    from pdf_extract_ray.corpus import pages_from_documents
+    from pdf_extract_ray.pipelines.extract import oracle_extract
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    pages = pages_from_documents(docs).to_pylist()
+    res = oracle_extract(pages)
+
+    flagship = pa.table({
+        "url": pa.array([r["url"] for r in res], pa.string()),
+        "warc_ts": pa.array([r["warc_ts"] for r in res], pa.timestamp("us")),
+        "lang": pa.array([r["lang"] for r in res], pa.string()),
+        "extracted_text": pa.array([r["extracted_text"] for r in res],
+                                   pa.large_string()),
+        "n_sentences": pa.array([r["n_sentences"] for r in res], pa.int32()),
+        "n_pages": pa.array([r["n_pages"] for r in res], pa.int32()),
+        "status": pa.array([r["status"] for r in res], pa.string()),
+    })
+
+    cols = {k: [] for k in ("url", "page_no", "frag_id", "sent_no", "text",
+                            "source_type")}
+    for r in res:
+        for s in r["sentences"]:
+            cols["url"].append(r["url"])
+            cols["page_no"].append(s.page_no)
+            cols["frag_id"].append(s.frag_id)
+            cols["sent_no"].append(s.sent_no)
+            cols["text"].append(s.text)
+            cols["source_type"].append(s.source_type)
+    sentences = pa.table({
+        "url": pa.array(cols["url"], pa.string()),
+        "page_no": pa.array(cols["page_no"], pa.int32()),
+        "frag_id": pa.array(cols["frag_id"], pa.int32()),
+        "sent_no": pa.array(cols["sent_no"], pa.int32()),
+        "text": pa.array(cols["text"], pa.large_string()),
+        "source_type": pa.array(cols["source_type"], pa.string()),
+    })
+    # the staged plan is byte-identical to the fused plan by contract
+    return {"extract_flagship": flagship, "extract_staged": flagship,
+            "extract_sentences": sentences}
+
+
+# ---------------------------------------------------------------------------
+# alignment (pairs / merged-kr / full-outer)
+# ---------------------------------------------------------------------------
+
+def gen_align(sf_dir: str) -> dict[str, pa.Table]:
+    from pdf_extract_ray.corpus import PSEUDO_TRANSLATIONS, paired_sentence_tables
+    from pdf_extract_ray.functions.embed import HashEmbedder
+    from pdf_extract_ray.pipelines.align import DocumentAligner
+
+    n_docs = max(8, int(2000 * _sf_of(sf_dir)))
+    kr_t, en_t = paired_sentence_tables(n_docs)
+    kr_df, en_df = kr_t.to_pandas(), en_t.to_pandas()
+    aligner = DocumentAligner(HashEmbedder(vocab_map=PSEUDO_TRANSLATIONS))
+
+    rows = []
+    for doc_key in sorted(kr_df["doc_key"].unique()):
+        gk = kr_df[kr_df.doc_key == doc_key].sort_values("sent_no")
+        ge = en_df[en_df.doc_key == doc_key].sort_values("sent_no")
+        kr_items = gk[["text", "source_type"]].to_dict("records")
+        en_items = ge[["text", "source_type"]].to_dict("records")
+        kr_orders = gk["sent_no"].tolist()
+        en_orders = ge["sent_no"].tolist()
+        for p in aligner.align(kr_items, en_items):
+            p["kr_idx"] = kr_orders[p["kr_idx"]]
+            p["en_idx"] = en_orders[p["en_idx"]]
+            p["doc_key"] = doc_key
+            rows.append(p)
+    pairs = pd.DataFrame(
+        rows, columns=["doc_key", "kr_idx", "en_idx", "kr_text", "en_text",
+                       "match_type", "similarity", "pair_seq"])
+
+    # merged-kr: keep-last per (doc, kr_idx) by pair_seq (dict-overwrite),
+    # LEFT join onto the KR sentence stream
+    dd = pairs.sort_values("pair_seq", kind="mergesort").drop_duplicates(
+        ["doc_key", "kr_idx"], keep="last")
+    merged = kr_df.merge(
+        dd[["doc_key", "kr_idx", "en_idx", "en_text", "match_type", "similarity"]],
+        left_on=["doc_key", "sent_no"], right_on=["doc_key", "kr_idx"], how="left",
+    ).drop(columns=["kr_idx"])
+    merged["match_type"] = merged["match_type"].fillna("unmatched")
+
+    # full outer: merged-kr plus EN sentences matched by nothing
+    matched_en = set(zip(pairs["doc_key"], pairs["en_idx"]))
+    un = en_df[~pd.Series(list(zip(en_df["doc_key"], en_df["sent_no"])),
+                          index=en_df.index).isin(matched_en)].copy()
+    un["en_idx"] = un["sent_no"]
+    un["en_text"] = un["text"]
+    un["match_type"] = "unmatched"
+    un["similarity"] = np.nan
+    full = pd.concat([merged, un[merged.columns]], ignore_index=True)
+
+    return {
+        "align_pairs": pa.Table.from_pandas(pairs, preserve_index=False),
+        "align_merged_kr": pa.Table.from_pandas(merged, preserve_index=False),
+        "align_full_outer": pa.Table.from_pandas(full, preserve_index=False),
+    }
+
+
+# ---------------------------------------------------------------------------
+# near-dup family (minhash / simhash / winnow) — dict-based single-process
+# candidate generation, same frozen signature kernels
+# ---------------------------------------------------------------------------
+
+def gen_minhash(sf_dir: str) -> dict[str, pa.Table]:
+    from pdf_extract_ray.stages.dedup import (
+        _hash_perm_params, minhash_band_keys, minhash_signatures)
+    from pdf_extract_ray.util import round_half_away
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    ids = docs["doc_id"].to_numpy()
+    a, b = _hash_perm_params(128)
+    sig = minhash_signatures(docs["text"].tolist(), a, b, k=3)
+    keys = minhash_band_keys(sig, 32)
+    buckets: dict = defaultdict(list)
+    for pos in range(len(ids)):
+        for band in range(32):
+            buckets[keys[pos, band]].append(pos)
+    cand = set()
+    for members in buckets.values():
+        if len(members) < 2 or len(members) > 1000:  # max_band_freq mirror
+            continue
+        ms = np.sort(ids[members])
+        pos_by_id = {i: p for p, i in zip(members, ids[members])}
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                cand.add((pos_by_id[ms[x]], pos_by_id[ms[y]]))
+    out = {"id_a": [], "id_b": [], "jaccard": []}
+    for pa_, pb_ in cand:
+        ia, ib = int(ids[pa_]), int(ids[pb_])
+        if ia > ib:
+            ia, ib, pa_, pb_ = ib, ia, pb_, pa_
+        jac = float(round_half_away((sig[pa_] == sig[pb_]).mean(), 4))
+        if jac >= 0.5:
+            out["id_a"].append(ia)
+            out["id_b"].append(ib)
+            out["jaccard"].append(jac)
+    df = pd.DataFrame(out).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return {"minhash_near_dup": pa.Table.from_pandas(df, preserve_index=False)}
+
+
+def gen_simhash(sf_dir: str) -> dict[str, pa.Table]:
+    from pdf_extract_ray.stages.dedup import simhash_signatures
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    ids = docs["doc_id"].to_numpy()
+    h = simhash_signatures(docs["text"].fillna("").tolist())
+    max_hamming, max_bucket = 3, 1000
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    masks, pos = [], 0
+    for bnd in range(n_bands):
+        w = width + (1 if bnd < 64 % n_bands else 0)
+        masks.append((pos, (1 << w) - 1))
+        pos += w
+    buckets: dict = defaultdict(list)
+    for p in range(len(ids)):
+        for bnd, (shift, mask) in enumerate(masks):
+            buckets[(bnd, (int(h[p]) >> shift) & mask)].append(p)
+    out = {"id_a": [], "id_b": [], "hamming": []}
+    for (band_no, _), members in buckets.items():
+        if len(members) < 2 or len(members) > max_bucket:
+            continue
+        order = np.argsort(ids[members], kind="stable")
+        ms = [members[i] for i in order]
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                xo = int(h[ms[x]]) ^ int(h[ms[y]])
+                d = bin(xo).count("1")
+                if d > max_hamming:
+                    continue
+                first = next((bb for bb, (sh, mk) in enumerate(masks)
+                              if ((xo >> sh) & mk) == 0), band_no)
+                if first == band_no:
+                    ia, ib = int(ids[ms[x]]), int(ids[ms[y]])
+                    out["id_a"].append(min(ia, ib))
+                    out["id_b"].append(max(ia, ib))
+                    out["hamming"].append(d)
+    df = pd.DataFrame(out).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return {"simhash_near_dup": pa.Table.from_pandas(df, preserve_index=False)}
+
+
+def gen_winnow(sf_dir: str) -> dict[str, pa.Table]:
+    from pdf_extract_ray.functions.fingerprint import winnow_fingerprints
+    from pdf_extract_ray.util import round_half_away
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    k, window, max_fp_freq, threshold = 5, 4, 200, 0.2
+    fp_sets = {int(r.doc_id): set(winnow_fingerprints(r.text or "", k, window))
+               for r in docs.itertuples()}
+    freq: dict = defaultdict(int)
+    for s in fp_sets.values():
+        for fp in s:
+            freq[fp] += 1
+    surviving = {i: {fp for fp in s if freq[fp] <= max_fp_freq}
+                 for i, s in fp_sets.items()}
+    by_fp: dict = defaultdict(list)
+    for i, s in surviving.items():
+        for fp in s:
+            by_fp[fp].append(i)
+    cand = set()
+    for members in by_fp.values():
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                cand.add((ms[x], ms[y]))
+    out = {"id_a": [], "id_b": [], "shared": [], "overlap": []}
+    for ia, ib in sorted(cand):
+        shared = len(surviving[ia] & surviving[ib])
+        union = len(surviving[ia] | surviving[ib])
+        ov = float(round_half_away(shared / union, 4)) if union else 0.0
+        if ov >= threshold:
+            out["id_a"].append(ia)
+            out["id_b"].append(ib)
+            out["shared"].append(shared)
+            out["overlap"].append(ov)
+    return {"winnow_near_dup": pa.Table.from_pandas(
+        pd.DataFrame(out), preserve_index=False)}
+
+
+# ---------------------------------------------------------------------------
+# pair analyzers / layout / media / sketch
+# ---------------------------------------------------------------------------
+
+def gen_pair_analyzers(sf_dir: str) -> dict[str, pa.Table]:
+    from pdf_extract_ray.stages.analyzers import PairAnalyzer
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    nxt = docs.rename(columns={"doc_id": "pair_id", "text": "en_text"})
+    nxt["pair_id"] = nxt["pair_id"] - 1
+    pairs = docs.rename(columns={"text": "kr_text"}).merge(
+        nxt, left_on="doc_id", right_on="pair_id", how="inner")
+    out = PairAnalyzer("kr_text", "en_text")(pairs)
+    cols = ["doc_id", "punct_match_type", "number_match_status",
+            "eng_word_match_status", "symbol_match_status",
+            "only_eng_korean_sentence"]
+    return {"pair_analyzers": pa.Table.from_pandas(out[cols], preserve_index=False)}
+
+
+def gen_layout(sf_dir: str) -> dict[str, pa.Table]:
+    from pdf_extract_ray.corpus import synth_layout_rows
+    from pdf_extract_ray.stages.layout import tag_page_lines
+
+    rows = synth_layout_rows(4)
+    df = pd.DataFrame(rows)
+    out = []
+    for (url, page), g in df.groupby(["url", "page_no"], sort=True):
+        for blk in tag_page_lines(g.to_dict("records"), 600.0, 800.0, int(page)):
+            out.append({"url": url, "page_no": blk.page_no,
+                        "block_no": blk.block_no, "tag": blk.tag,
+                        "text": blk.text})
+    return {"layout_tagging": pa.Table.from_pandas(
+        pd.DataFrame(out), preserve_index=False)}
+
+
+def gen_media(sf_dir: str) -> dict[str, pa.Table]:
+    from pdf_extract_ray.stages.multimodal import synth_media_table
+
+    n = max(50, int(10000 * _sf_of(sf_dir)))
+    t = synth_media_table(n)
+    return {"media_features": t.select(["media_id", "kind"])}
+
+
+def gen_approx_distinct(sf_dir: str) -> dict[str, pa.Table]:
+    # HLL register merge is associative/idempotent, so the single-process
+    # sketch equals the distributed per-batch merge exactly — the golden
+    # freezes the (deterministic) estimate, documenting that the check is
+    # a determinism freeze, not an accuracy oracle (accuracy vs exact
+    # count is asserted in pytest).
+    from pdf_extract_ray.stages.sketch import HyperLogLog
+
+    events = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+    h = HyperLogLog(12)
+    h.add(events.column("user_id").to_pandas().dropna())
+    return {"approx_distinct_users": pa.table(
+        {"approx_distinct_users": pa.array([int(h.estimate())], pa.int64())})}
+
+
+GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
+              gen_pair_analyzers, gen_layout, gen_media, gen_approx_distinct)
+
+
+def generate_all(sf_dir: str) -> dict[str, pa.Table]:
+    out: dict[str, pa.Table] = {}
+    for g in GENERATORS:
+        out.update(g(sf_dir))
+    return out
+
+
+def main():
+    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    for sf_dir in sf_dirs:
+        name = os.path.basename(sf_dir.rstrip("/"))
+        dest = os.path.join(GOLDEN_ROOT, name)
+        os.makedirs(dest, exist_ok=True)
+        for qname, table in generate_all(sf_dir).items():
+            path = os.path.join(dest, f"{qname}.parquet")
+            pq.write_table(table, path)
+            print(f"wrote {path}: {table.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()
