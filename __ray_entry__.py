@@ -398,6 +398,25 @@ def q_pair_analyzers(sf_dir: str):
 # queries — similarity / near-dup (extensions)
 # ---------------------------------------------------------------------------
 
+def q_quality_pipeline(sf_dir: str):
+    # the COMPOSED end-to-end quality pass (metadata_generator.py:466-689):
+    # clean -> analyzers -> content filters -> exact dedup on the
+    # normalized pair -> canonical projection, as one Ray Data flow
+    # (pipelines/quality.py).  Projected here to the SQL-expressible
+    # subset; the full canonical table (statuses + detail columns) is
+    # frozen by tests/test_quality_pipeline.py.
+    from pdf_extract_ray.pipelines.quality import quality_pairs
+
+    pairs = _pair_docs(sf_dir)
+    out = quality_pairs(pairs, kor_col="kr_text", eng_col="en_text",
+                        order_col="doc_id")
+    cols = ["doc_id", "kr_text_cleaned", "en_text_cleaned",
+            "word_count_kr", "word_count_en", "word_ratio",
+            "chr_len_kr", "chr_len_en", "chr_len_ratio", "potential_split",
+            "only_eng_korean_sentence"]
+    return out.map_batches(lambda b: b[cols], batch_format="pandas")
+
+
 def q_similarity_topk(sf_dir: str):
     from pdf_extract_ray.stages.similarity import brute_force_topk
 
@@ -751,6 +770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pair_quality_class": q_pair_quality_class,
         "pair_stats": q_pair_stats,
         "pair_analyzers": q_pair_analyzers,
+        "quality_pipeline": q_quality_pipeline,
         "similarity_topk": q_similarity_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_near_dup": q_minhash_near_dup,
@@ -781,7 +801,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # oracle SQL (DuckDB; tables pre-registered as views)
 # ---------------------------------------------------------------------------
 
-_FP_SQL = "md5(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))))"
+# Python's str whitespace set (what .strip(), .split() and re \s match on
+# str): RE2's \s and SQL trim() are ASCII-only and miss U+00A0 & friends,
+# so every mirror of a Python whitespace operation uses this explicit
+# class — the day testdata grows non-ASCII edge whitespace, both sides
+# still agree (frozen choice: Python semantics are authoritative).
+_PY_WS = ("\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0 "
+          + "".join(chr(c) for c in range(0x2000, 0x200B))
+          + "    　")
+_WS = "[" + _PY_WS + "]"
+
+
+def _py_trim(col: str) -> str:
+    """Python ``str.strip()`` over a SQL expression."""
+    return f"regexp_replace({col}, '^{_WS}+|{_WS}+$', '', 'g')"
+
+
+def _word_count_sql(col: str) -> str:
+    """Python ``len(s.split())`` over a SQL expression."""
+    t = _py_trim(col)
+    return (f"CASE WHEN {t} = '' THEN 0 "
+            f"ELSE len(regexp_split_to_array({t}, '{_WS}+')) END")
+
+
+_TEXT_COL = "coalesce(text,'')"
+
+_FP_SQL = ("md5(lower(" + _py_trim(
+    f"regexp_replace(coalesce(text, ''), '{_WS}+', ' ', 'g')") + "))")
 
 _LANGID_SQL = """
 WITH c AS (
@@ -805,16 +851,54 @@ FROM c
 # avoid a four-layer escaping puzzle
 _QUOTES_SRC = "“”„‟‘’`"
 _QUOTES_DST_SQL = "'" + '""""' + "''" * 3 + "'"
-_CLEAN_SQL_EXPR = (
-    "trim(regexp_replace(regexp_replace("
-    "translate(regexp_replace(regexp_replace(regexp_replace("
-    "regexp_replace(coalesce(text,''), '^[-‐–—−·•○:.]\\s*', ''), "
-    "'\\s*\\*\\s*', ' ', 'g'), "
-    "'^\\s+|\\s+$', '', 'g'), "
-    "'\\s*\\((IGC|IBC) Code \\d+\\.\\d+\\)', '', 'g'), "
-    "'" + _QUOTES_SRC + "', " + _QUOTES_DST_SQL + "), "
-    "'-{2,}', '', 'g'), '^\\s+|\\s+$', '', 'g'), ':;* ')"
-)
+
+
+def _clean_sql(col: str) -> str:
+    """clean_pair_text over an arbitrary SQL expression (whitespace ops
+    use the Python whitespace class — see ``_PY_WS``)."""
+    return (
+        "trim(regexp_replace(regexp_replace("
+        "translate(regexp_replace(regexp_replace(regexp_replace("
+        f"regexp_replace({col}, '^[-‐–—−·•○:.]{_WS}*', ''), "
+        f"'{_WS}*\\*{_WS}*', ' ', 'g'), "
+        f"'^{_WS}+|{_WS}+$', '', 'g'), "
+        f"'{_WS}*\\((IGC|IBC) Code \\d+\\.\\d+\\)', '', 'g'), "
+        "'" + _QUOTES_SRC + "', " + _QUOTES_DST_SQL + "), "
+        f"'-{{2,}}', '', 'g'), '^{_WS}+|{_WS}+$', '', 'g'), ':;* ')"
+    )
+
+
+_CLEAN_SQL_EXPR = _clean_sql("coalesce(text,'')")
+
+
+def _numbers_only_sql(col: str) -> str:
+    """stages/filters.is_numbers_only over a SQL expression."""
+    return (f"({_py_trim(col)} <> '' AND "
+            f"regexp_replace({col}, '[0-9{_PY_WS},.]', '', 'g') = '')")
+
+
+def _single_sym_sql(col: str) -> str:
+    """stages/filters.is_symbol_or_single_alpha over a SQL expression
+    (including the reference-faithful mid-word 'nan' scrub)."""
+    t = f"replace({_py_trim(col)}, 'nan', '')"
+    return (f"(length({t}) = 1 AND ("
+            f"NOT regexp_matches({t}, '^[a-zA-Z0-9ㄱ-ㅎㅏ-ㅣ가-힣]$') "
+            f"OR regexp_matches({t}, '^[a-zA-Z]$')))")
+
+
+def _quality_class_sql(k: str, e: str) -> str:
+    """stages/analyzers.sentence_quality_class over two SQL expressions."""
+    kt, et = _py_trim(f"lower({k})"), _py_trim(f"lower({e})")
+    return (
+        "CASE "
+        f"WHEN {kt} = '' AND {et} = '' THEN 'empty' "
+        f"WHEN {kt} = {et} THEN 'all_match' "
+        f"WHEN regexp_replace({kt}, '{_WS}+', '', 'g') = "
+        f"     regexp_replace({et}, '{_WS}+', '', 'g') THEN 'partial_match' "
+        f"WHEN NOT regexp_matches({kt}, '[ㄱ-ㆎ가-힣]') "
+        "     THEN 'no_korean_in_kor' "
+        "ELSE 'valid_candidate' END"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -871,8 +955,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _LANGID_SQL,
         "token_stats": (
             "SELECT doc_id, "
-            "CASE WHEN trim(coalesce(text,'')) = '' THEN 0 "
-            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words, "
+            f"{_word_count_sql(_TEXT_COL)} AS n_words, "
             "len(regexp_extract_all(coalesce(text,''), "
             "'[A-Za-z0-9_]+|[^A-Za-z0-9_ ]')) AS n_tokens, "
             "length(coalesce(text,'')) AS n_chars_out "
@@ -882,15 +965,13 @@ def oracle_sql() -> dict[str, str]:
             "WITH b AS (SELECT doc_id, coalesce(text,'') AS t FROM documents), "
             "c AS (SELECT doc_id, "
             "  greatest(length(t), 1) AS chars, "
-            "  greatest(CASE WHEN trim(t)='' THEN 0 "
-            "           ELSE len(regexp_split_to_array(trim(t), '\\s+')) END, 1) AS words, "
-            "  CASE WHEN trim(t)='' THEN 0 "
-            "       ELSE len(regexp_split_to_array(trim(t), '\\s+')) END AS words0, "
+            f"  greatest({_word_count_sql('t')}, 1) AS words, "
+            f"  {_word_count_sql('t')} AS words0, "
             "  len(regexp_extract_all(t, '[.,!?;:]')) AS punct, "
             "  len(regexp_extract_all(t, '[0-9]')) AS digits, "
             "  len(regexp_extract_all(lower(t), "
             "      '\\b(?:the|and|of|a|to|in|is|that|for|on)\\b')) AS stops, "
-            "  length(regexp_replace(t, '\\s+', '', 'g')) AS word_chars "
+            f"  length(regexp_replace(t, '{_WS}+', '', 'g')) AS word_chars "
             "FROM b) "
             "SELECT doc_id, round(punct / chars::DOUBLE, 4) AS punct_ratio, "
             "round(digits / chars::DOUBLE, 4) AS digit_ratio, "
@@ -900,13 +981,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents",
         "content_filter_docs": (
             "SELECT doc_id FROM documents WHERE NOT ("
-            "  (trim(coalesce(text,'')) <> '' AND "
-            "   regexp_replace(coalesce(text,''), '[0-9\\s,.]', '', 'g') = '') "
-            "  OR ("
-            "   length(replace(trim(coalesce(text,'')), 'nan', '')) = 1 AND ("
-            "    NOT regexp_matches(replace(trim(text), 'nan', ''), "
-            "        '^[a-zA-Z0-9ㄱ-ㅎㅏ-ㅣ가-힣]$') "
-            "    OR regexp_matches(replace(trim(text), 'nan', ''), '^[a-zA-Z]$'))))"
+            f"{_numbers_only_sql(_TEXT_COL)} "
+            f"OR {_single_sym_sql(_TEXT_COL)})"
         ),
         "cleaned_text": (
             f"SELECT doc_id, {_CLEAN_SQL_EXPR} AS text_cleaned FROM documents"
@@ -922,22 +998,15 @@ def oracle_sql() -> dict[str, str]:
             "WITH p AS (SELECT a.doc_id, coalesce(a.text,'') AS k, "
             "coalesce(b.text,'') AS e FROM documents a "
             "JOIN documents b ON b.doc_id = a.doc_id + 1) "
-            "SELECT doc_id, CASE "
-            "WHEN trim(lower(k)) = '' AND trim(lower(e)) = '' THEN 'empty' "
-            "WHEN trim(lower(k)) = trim(lower(e)) THEN 'all_match' "
-            "WHEN regexp_replace(trim(lower(k)), '\\s+', '', 'g') = "
-            "     regexp_replace(trim(lower(e)), '\\s+', '', 'g') THEN 'partial_match' "
-            "WHEN NOT regexp_matches(trim(lower(k)), '[ㄱ-ㆎ가-힣]') "
-            "     THEN 'no_korean_in_kor' "
-            "ELSE 'valid_candidate' END AS quality_class FROM p"
+            f"SELECT doc_id, {_quality_class_sql('k', 'e')} AS quality_class FROM p"
         ),
         "pair_stats": (
             "WITH p AS (SELECT a.doc_id, coalesce(a.text,'') AS k, "
             "coalesce(b.text,'') AS e FROM documents a "
             "JOIN documents b ON b.doc_id = a.doc_id + 1), "
             "c AS (SELECT doc_id, k, e, "
-            "CASE WHEN trim(k)='' THEN 0 ELSE len(regexp_split_to_array(trim(k), '\\s+')) END AS wk, "
-            "CASE WHEN trim(e)='' THEN 0 ELSE len(regexp_split_to_array(trim(e), '\\s+')) END AS we, "
+            f"{_word_count_sql('k')} AS wk, "
+            f"{_word_count_sql('e')} AS we, "
             "length(k) AS ck, length(e) AS ce FROM p) "
             "SELECT doc_id, wk AS word_count_kr, we AS word_count_en, "
             "CASE WHEN wk > 0 THEN round(we / wk::DOUBLE, 2) ELSE 0 END AS word_ratio, "
@@ -947,6 +1016,38 @@ def oracle_sql() -> dict[str, str]:
             " AND (CASE WHEN wk > 0 THEN round(we / wk::DOUBLE, 2) ELSE 0 END) < 0.7 "
             " AND (CASE WHEN ck > 0 THEN round(ce / ck::DOUBLE, 2) ELSE 0 END) < 1.2) "
             "AS potential_split FROM c"
+        ),
+        # composed quality pass: clean -> filter -> dedup(normalized pair,
+        # keep min doc_id) -> stats + quality class.  NFKC normalization has
+        # no DuckDB equivalent; on this testdata (ASCII) normalized ==
+        # cleaned, and the frozen Python semantics are covered by pytest.
+        "quality_pipeline": (
+            "WITH p AS (SELECT a.doc_id, coalesce(a.text,'') AS k0, "
+            "coalesce(b.text,'') AS e0 FROM documents a "
+            "JOIN documents b ON b.doc_id = a.doc_id + 1), "
+            f"c AS (SELECT doc_id, {_clean_sql('k0')} AS kc, "
+            f"{_clean_sql('e0')} AS ec FROM p), "
+            f"f AS (SELECT * FROM c WHERE NOT ("
+            f"({_numbers_only_sql('kc')} AND {_numbers_only_sql('ec')}) "
+            f"OR {_single_sym_sql('kc')} OR {_single_sym_sql('ec')})), "
+            "d AS (SELECT doc_id, kc, ec FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY kc, ec "
+            "ORDER BY doc_id) AS rn FROM f) WHERE rn = 1), "
+            "s AS (SELECT doc_id, kc, ec, "
+            f"{_word_count_sql('kc')} AS wk, "
+            f"{_word_count_sql('ec')} AS we, "
+            "length(kc) AS ck, length(ec) AS ce FROM d) "
+            "SELECT doc_id, kc AS kr_text_cleaned, ec AS en_text_cleaned, "
+            "wk AS word_count_kr, we AS word_count_en, "
+            "CASE WHEN wk > 0 THEN round(we / wk::DOUBLE, 2) ELSE 0 END AS word_ratio, "
+            "ck AS chr_len_kr, ce AS chr_len_en, "
+            "CASE WHEN ck > 0 THEN round(ce / ck::DOUBLE, 2) ELSE 0 END AS chr_len_ratio, "
+            "(wk > 4 AND we > 0 "
+            " AND (CASE WHEN wk > 0 THEN round(we / wk::DOUBLE, 2) ELSE 0 END) < 0.7 "
+            " AND (CASE WHEN ck > 0 THEN round(ce / ck::DOUBLE, 2) ELSE 0 END) < 1.2) "
+            "AS potential_split, "
+            f"{_quality_class_sql('kc', 'ec')} AS only_eng_korean_sentence "
+            "FROM s"
         ),
         "similarity_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "

@@ -1,0 +1,91 @@
+"""The composed quality pipeline: clean -> analyze -> filter -> dedup ->
+canonical projection, as ONE Ray Data flow.
+
+Mirrors the reference's end-to-end metadata pass
+(euaa_사례/sentences/metadata_generator.py:466-689
+``process_and_filter_files``: _run_full_analysis -> _apply_content_filters
+-> drop_duplicates(normalized pair, keep='first'); canonical column
+ordering from euaa_사례/sentences/add_metadata.py:196-244) — the repo had
+every stage individually oracle-checked, this chains them the way
+``extract_run`` chains extraction.
+
+Physical plan: the clean + analyze + stats + filter stages are ONE fused
+``map_batches`` chain (zero shuffles, per-worker compiled analyzer
+state); the only wide step is the exact dedup on the normalized pair — a
+single bucketed hash shuffle keeping the min-``order_col`` row per
+normalized pair, the deterministic re-expression of the reference's
+file-order ``keep='first'`` (SURVEY.md §7.4.2).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from ray.data import Dataset
+
+from pdf_extract_ray.stages.analyzers import PairAnalyzer
+from pdf_extract_ray.stages.filters import content_filter_mask
+from pdf_extract_ray.stages.normalize import normalize_batch
+from pdf_extract_ray.stages.stats import pair_stats_batch
+
+# canonical projection order (add_metadata.py:196-244): original -> stats
+# -> status -> detail -> cleaned/normalized text
+_STAT_COLS = ["potential_split", "word_ratio", "word_count_kr",
+              "word_count_en", "chr_len_ratio", "chr_len_kr", "chr_len_en"]
+_STATUS_COLS = ["punct_match_type", "number_match_status",
+                "eng_word_match_status", "symbol_match_status",
+                "only_eng_korean_sentence"]
+
+_ANALYZER_CACHE: dict = {}
+
+
+def quality_pairs(
+    pairs: Dataset,
+    *,
+    kor_col: str = "kr_text",
+    eng_col: str = "en_text",
+    order_col: str = "doc_id",
+    dedup: bool = True,
+) -> Dataset:
+    """Sentence-pair rows -> analyzed + filtered + deduped canonical table.
+
+    Input: rows with ``order_col`` (unique), ``kor_col``, ``eng_col``.
+    Output columns: original -> stats -> statuses -> detail -> cleaned /
+    normalized, the reference's canonical ordering.  Filters and dedup
+    operate on the NORMALIZED pair, exactly like the reference."""
+    kn, en = f"{kor_col}_normalized", f"{eng_col}_normalized"
+
+    def analyze(b: pd.DataFrame) -> pd.DataFrame:
+        # per-worker cached analyzer: compiled regex/word tables build once
+        # per process, the whole chain fuses with the read (no shuffle)
+        key = (kn, en)
+        analyzer = _ANALYZER_CACHE.get(key)
+        if analyzer is None:
+            _ANALYZER_CACHE.clear()
+            analyzer = _ANALYZER_CACHE[key] = PairAnalyzer(kn, en)
+        b = normalize_batch(b, [kor_col, eng_col])
+        b = analyzer(b)
+        b = pair_stats_batch(b, kor_col=kn, eng_col=en, match_col="_")
+        b = b.loc[content_filter_mask(b, kn, en)]  # True = keep
+        original = [order_col, kor_col, eng_col]
+        detail = [c for c in b.columns
+                  if c not in original + _STAT_COLS + _STATUS_COLS
+                  and not c.endswith("_cleaned") and not c.endswith("_normalized")]
+        text = [f"{kor_col}_cleaned", f"{eng_col}_cleaned", kn, en]
+        cols = original + _STAT_COLS + _STATUS_COLS + detail + text
+        return b[[c for c in cols if c in b.columns]]
+
+    analyzed = pairs.map_batches(analyze, batch_format="pandas")
+    if not dedup:
+        return analyzed
+
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    def keep_first(bucket: pd.DataFrame) -> pd.DataFrame:
+        # reference: drop_duplicates(normalized pair, keep='first') in file
+        # order; "first" is re-frozen as min order_col so the result is
+        # identical at any parallelism
+        return bucket.sort_values(order_col, kind="mergesort").drop_duplicates(
+            subset=[kn, en], keep="first")
+
+    return bucketed_group_apply(analyzed, [kn, en], keep_first)

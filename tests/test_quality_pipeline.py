@@ -1,0 +1,68 @@
+"""Composed quality pipeline (pipelines/quality.py): clean -> analyze ->
+filter -> dedup -> canonical projection as one flow, mirroring
+metadata_generator.process_and_filter_files + add_metadata's ordering."""
+
+import pandas as pd
+import pytest
+
+from pdf_extract_ray.pipelines.quality import _STAT_COLS, _STATUS_COLS, quality_pairs
+
+
+@pytest.fixture(scope="module")
+def result(ray_session):
+    import ray.data as rd
+
+    rows = [
+        # normal valid pair
+        {"doc_id": 0, "kr_text": "난민 법원 판결이 항소되었다.",
+         "en_text": "The court decision was appealed."},
+        # duplicate normalized pair, higher id -> must be dropped by dedup
+        {"doc_id": 7, "kr_text": "  난민 법원 판결이 항소되었다. ",
+         "en_text": "The court decision was appealed."},
+        # numbers-only BOTH sides -> filtered
+        {"doc_id": 1, "kr_text": "123, 456.", "en_text": "789 012"},
+        # single symbol on one side -> filtered
+        {"doc_id": 2, "kr_text": "난민 신청 절차.", "en_text": "+"},
+        # numbers-only on ONE side only -> kept
+        {"doc_id": 3, "kr_text": "123 456", "en_text": "one two three"},
+        # english-only korean side -> kept, flagged no_korean_in_kor
+        {"doc_id": 4, "kr_text": "plain english here",
+         "en_text": "plain english here"},
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(3)
+    out = quality_pairs(ds)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def test_filters_and_dedup(result):
+    ids = set(result["doc_id"])
+    assert 1 not in ids and 2 not in ids       # content-filtered
+    assert 0 in ids and 7 not in ids           # dedup keeps min doc_id
+    assert 3 in ids and 4 in ids
+
+
+def test_canonical_column_order(result):
+    cols = list(result.columns)
+    assert cols[:3] == ["doc_id", "kr_text", "en_text"]        # original
+    assert cols[3:10] == _STAT_COLS                            # stats
+    assert cols[10:15] == _STATUS_COLS                         # statuses
+    assert cols[-4:] == ["kr_text_cleaned", "en_text_cleaned",
+                         "kr_text_normalized", "en_text_normalized"]
+
+
+def test_analyzer_and_stats_values(result):
+    r4 = result[result["doc_id"] == 4].iloc[0]
+    assert r4["only_eng_korean_sentence"] == "all_match"
+    r0 = result[result["doc_id"] == 0].iloc[0]
+    assert r0["word_count_kr"] == 4
+    assert r0["kr_text_cleaned"] == "난민 법원 판결이 항소되었다."
+
+
+def test_no_dedup_mode_keeps_duplicates(ray_session):
+    import ray.data as rd
+
+    rows = [{"doc_id": i, "kr_text": "같은 문장.", "en_text": "same sentence."}
+            for i in range(5)]
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(2)
+    out = quality_pairs(ds, dedup=False).to_pandas()
+    assert len(out) == 5
