@@ -229,7 +229,12 @@ def q_dedup_exact_documents(sf_dir: str):
 
 
 def q_doc_reassembly(sf_dir: str):
-    # A7: THE shuffle — groupby + order-keyed reassembly (flagship wide step)
+    # DuckDB-parity string_agg query over a LOW-cardinality key (~5 langs x
+    # sources): one group concatenates a large corpus share into a single
+    # task, which is fine for this oracle-sized check but NOT the scale
+    # shape.  The scale-safe A7 reassembly is extract_staged's per-url
+    # groupby (pipelines/extract.py), whose group size is bounded by
+    # pages-per-document and which supports (url, salt) pre-compaction.
     ds = _t(sf_dir, "documents", columns=["doc_id", "lang", "source", "text"])
 
     def assemble(g: pd.DataFrame) -> pd.DataFrame:

@@ -348,11 +348,24 @@ def extract_pages_staged(
     *,
     batch_size: int | None = None,
     concurrency=None,
+    salt: int | None = None,
 ) -> "ray.data.Dataset":
     """pages -> blocks (explode) -> groupby(url) -> extracted.
 
     THE wide step (SURVEY.md §2.5 A7): the groupby hash-partitions block
-    rows by url.  Must produce byte-identical output to the fused plan."""
+    rows by url.  Must produce byte-identical output to the fused plan.
+
+    ``salt``: hot-key pre-compaction (SURVEY.md §4.2 "salt skewed
+    hosts").  Per-url group size is bounded by pages-per-document for
+    normal crawls, but a redirect storm / mirror farm can repeat ONE url
+    across millions of rows, landing them all on one reducer.  With
+    ``salt=K``, a first grouped pass on ``(url, salt-of-warc_ts)``
+    compacts each url's rows into at most K list-packed partial rows IN
+    PARALLEL (sorting each partial by the order contract), and the final
+    per-url reducer merges K compact partials instead of handling every
+    raw row.  Byte-identical to the unsalted plan by construction: the
+    rebuild concatenates the partials and runs the SAME
+    ``_assemble_bucket`` (which re-sorts on the full order key)."""
     if concurrency:
         blocks = pages.map_batches(
             ParsePagesToBlocks, fn_constructor_args=(cfg,),
@@ -366,7 +379,64 @@ def extract_pages_staged(
         )
     from pdf_extract_ray.stages.agg import bucketed_group_apply
 
-    return bucketed_group_apply(blocks, ["url"], lambda g: _assemble_bucket(g, cfg))
+    if not salt or salt <= 1:
+        return bucketed_group_apply(blocks, ["url"],
+                                    lambda g: _assemble_bucket(g, cfg))
+
+    import pandas as pd
+
+    def add_salt(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        # salt on warc_ts: rows of one crawl record stay together, and the
+        # hash is deterministic at any parallelism (stages/agg.py contract)
+        b["__salt"] = (
+            pd.util.hash_pandas_object(b["warc_ts"], index=False)
+            % np.uint64(salt)
+        ).astype("int64")
+        return b
+
+    def compact(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (url, s), g in bucket.groupby(["url", "__salt"], sort=False):
+            g = g.sort_values(["warc_ts", "block_ord"], kind="mergesort")
+            rows.append({
+                "url": url,
+                "warc_us": g["warc_ts"].astype("int64").tolist(),
+                "lang": g["lang"].tolist(),
+                "status": g["status"].tolist(),
+                "page_no": g["page_no"].tolist(),
+                "block_no": g["block_no"].tolist(),
+                "block_ord": g["block_ord"].tolist(),
+                "tag": g["tag"].tolist(),
+                "text": g["text"].tolist(),
+            })
+        return pd.DataFrame(rows)
+
+    salted = blocks.map_batches(add_salt, batch_format="pandas")
+    compacted = bucketed_group_apply(salted, ["url", "__salt"], compact)
+
+    def rebuild(bucket: pd.DataFrame) -> pd.DataFrame:
+        import itertools
+
+        def flat(col):
+            return list(itertools.chain.from_iterable(bucket[col]))
+
+        counts = [len(x) for x in bucket["text"]]
+        df = pd.DataFrame({
+            "url": np.repeat(bucket["url"].to_numpy(), counts),
+            "warc_ts": np.array(flat("warc_us"), dtype="int64")
+                         .astype("datetime64[us]"),
+            "lang": flat("lang"),
+            "status": flat("status"),
+            "page_no": np.array(flat("page_no"), dtype="int32"),
+            "block_no": np.array(flat("block_no"), dtype="int32"),
+            "block_ord": np.array(flat("block_ord"), dtype="int32"),
+            "tag": flat("tag"),
+            "text": flat("text"),
+        })
+        return _assemble_bucket(df, cfg)
+
+    return bucketed_group_apply(compacted, ["url"], rebuild)
 
 
 def extract_sentences(

@@ -116,6 +116,58 @@ def test_staged_multi_row_url_deterministic(ray_session):
     assert outs == {"part 0 sentence.\npart 1 sentence.\npart 2 sentence."}
 
 
+def test_staged_salted_byte_identical_under_hot_key_skew(ray_session):
+    """Hot-key salting (SURVEY.md §4.2 'salt skewed hosts'): a corpus where
+    ONE url owns ~30% of all block rows (redirect-storm shape) must
+    produce byte-identical output from the salted two-phase plan, the
+    unsalted plan, and the fused plan — at any partitioning."""
+    from datetime import datetime, timedelta
+
+    import ray.data as rd
+
+    from pdf_extract_ray.corpus import pages_table
+    from pdf_extract_ray.pipelines.extract import extract_pages_fused
+
+    base = pages_table(70, seed=11)
+    # the hot url: 30 rows (~30% of rows), distinct warc_ts (order contract)
+    hot = []
+    for i in range(30):
+        hot.append({
+            "url": "https://hot.example/storm",
+            "warc_ts": datetime(2024, 3, 1) + timedelta(seconds=i),
+            "html": f"<p>storm fragment {i} sentence.</p>".encode(),
+            "text": None, "lang": "en",
+        })
+    hot_tbl = pa.table({
+        "url": pa.array([r["url"] for r in hot]),
+        "warc_ts": pa.array([r["warc_ts"] for r in hot], pa.timestamp("us")),
+        "html": pa.array([r["html"] for r in hot], pa.binary()),
+        "text": pa.array([r["text"] for r in hot], pa.large_string()),
+        "lang": pa.array([r["lang"] for r in hot]),
+    })
+    corpus = pa.concat_tables([base.select(hot_tbl.column_names), hot_tbl])
+
+    def run(**kw):
+        ds = rd.from_arrow(corpus).repartition(6)
+        return {r["url"]: (r["extracted_text"], str(r["warc_ts"]), r["status"])
+                for r in extract_pages_staged(ds, **kw).take_all()}
+
+    unsalted = run()
+    salted = run(salt=8)
+    salted_big = run(salt=64)  # more salts than rows of most urls
+    assert salted == unsalted
+    assert salted_big == unsalted
+    # the hot url assembled all 30 fragments in warc_ts order
+    text = unsalted["https://hot.example/storm"][0]
+    assert text.split("\n") == [f"storm fragment {i} sentence." for i in range(30)]
+    # and both agree with the fused plan on the single-row urls
+    fused = {r["url"]: r["extracted_text"]
+             for r in extract_pages_fused(rd.from_arrow(base)).take_all()}
+    for url, (txt, _, _) in unsalted.items():
+        if url in fused:
+            assert fused[url] == txt
+
+
 def test_output_identical_under_task_retry(ray_session, tmp_path):
     """A worker process dying mid-batch (the failure mode Ray auto-retries;
     deterministic user exceptions are deliberately NOT retried) must not
