@@ -125,7 +125,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         qs = entry.queries()
         for name in ("pricing_summary", "windowed_events", "orders_customer_join",
                      "dedup_exact_documents", "doc_reassembly", "lang_id",
-                     "minhash_near_dup", "similarity_topk", "extract_staged"):
+                     "minhash_near_dup", "simhash_near_dup", "similarity_topk",
+                     "quality_pipeline", "extract_staged"):
             t0 = time.time()
             res = qs[name](sf_dir)
             # consume without driver-side materialization of big payloads

@@ -4,6 +4,8 @@ reference: cli.py:113-361, SURVEY.md §3.1-3.2).
 
     python -m pdf_extract_ray extract  --input 'pages/*.parquet' --out out/ \
         [--plan fused|staged] [--rule-pack default] [--files-per-partition 8]
+    python -m pdf_extract_ray quality  --input 'pairs/*.parquet' --out out/ \
+        [--no-dedup]
     python -m pdf_extract_ray status   --out out/
     python -m pdf_extract_ray retry-failed --input 'pages/*.parquet' --out out/
 
@@ -45,6 +47,21 @@ def cmd_extract(args) -> int:
         stats = extract_run(
             args.input, args.out, get_rule_pack(args.rule_pack),
             plan=args.plan, files_per_partition=args.files_per_partition,
+        )
+        print(json.dumps({"run": stats}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+def cmd_quality(args) -> int:
+    from pdf_extract_ray.pipelines.runner import quality_run
+
+    ray = _ray_session(args.num_cpus)
+    try:
+        stats = quality_run(
+            args.input, args.out, dedup=not args.no_dedup,
+            files_per_partition=args.files_per_partition,
         )
         print(json.dumps({"run": stats}))
         return 0
@@ -108,12 +125,16 @@ def main(argv=None) -> int:
         sp.add_argument("--out", required=True, help="output directory")
 
     add_common(sub.add_parser("extract", help="run/resume an extraction"))
+    qp = sub.add_parser("quality", help="run/resume the composed quality pass")
+    add_common(qp)
+    qp.add_argument("--no-dedup", action="store_true",
+                    help="skip the per-partition exact dedup")
     add_common(sub.add_parser("status", help="manifest rollup"), with_input=False)
     add_common(sub.add_parser("retry-failed", help="re-run failed partitions"))
 
     args = p.parse_args(argv)
-    return {"extract": cmd_extract, "status": cmd_status,
-            "retry-failed": cmd_retry_failed}[args.cmd](args)
+    return {"extract": cmd_extract, "quality": cmd_quality,
+            "status": cmd_status, "retry-failed": cmd_retry_failed}[args.cmd](args)
 
 
 if __name__ == "__main__":

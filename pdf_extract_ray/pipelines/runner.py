@@ -57,3 +57,49 @@ def extract_run(
         stage_versions={"config": cfg.config_hash(), "engine": __version__,
                         "plan": plan},
     )
+
+
+def quality_run(
+    input_glob: str,
+    out_dir: str,
+    *,
+    kor_col: str = "kr_text",
+    eng_col: str = "en_text",
+    order_col: str = "doc_id",
+    dedup: bool = True,
+    files_per_partition: int = 8,
+    min_rows_per_file: int = 5_000,
+) -> dict:
+    """Run (or resume) the composed quality pipeline
+    (pipelines/quality.quality_pairs: clean -> analyze -> filter -> dedup
+    -> canonical projection) over parquet shards of sentence pairs, with
+    the same manifest-driven partition resume as ``extract_run``
+    (reference lifecycle: metadata_generator.process_and_filter_files'
+    per-file loop, re-expressed as resumable partitions).
+
+    NOTE: with ``dedup=True`` the exact dedup runs WITHIN each partition
+    (the reference deduplicates per input file the same way,
+    metadata_generator.py:618-622); run a corpus-wide ``dedup_exact`` over
+    the combined output for global dedup."""
+    import ray.data as rd
+
+    from pdf_extract_ray.pipelines.quality import quality_pairs
+
+    def pipeline(files: list[str], tmp_out: str) -> int:
+        ds = rd.read_parquet(files)
+        quality_pairs(ds, kor_col=kor_col, eng_col=eng_col,
+                      order_col=order_col, dedup=dedup).write_parquet(
+            tmp_out, min_rows_per_file=min_rows_per_file)
+        return _rows_written(tmp_out)
+
+    files = sorted(glob.glob(input_glob))
+    if not files:
+        raise FileNotFoundError(f"no input files match {input_glob}")
+    return run_partitioned(
+        files,
+        out_dir,
+        pipeline,
+        files_per_partition=files_per_partition,
+        stage_versions={"engine": __version__, "pipeline": "quality",
+                        "dedup": str(dedup)},
+    )

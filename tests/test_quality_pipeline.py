@@ -58,6 +58,36 @@ def test_analyzer_and_stats_values(result):
     assert r0["kr_text_cleaned"] == "난민 법원 판결이 항소되었다."
 
 
+def test_quality_run_resume_skips_done_partitions(ray_session, tmp_path):
+    """quality_run mirrors extract_run's manifest resume: a second run over
+    the same inputs reprocesses nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extract_ray.pipelines.runner import quality_run
+
+    src = tmp_path / "pairs"
+    src.mkdir()
+    for shard in range(4):
+        rows = [{"doc_id": shard * 100 + i,
+                 "kr_text": f"문서 {shard} 문장 {i}.",
+                 "en_text": f"document {shard} sentence {i}."}
+                for i in range(20)]
+        pq.write_table(pa.Table.from_pylist(rows), src / f"s{shard}.parquet")
+
+    out = tmp_path / "out"
+    r1 = quality_run(str(src / "*.parquet"), str(out), files_per_partition=2)
+    assert r1 == {"completed": 2, "skipped": 0, "failed": 0}
+    r2 = quality_run(str(src / "*.parquet"), str(out), files_per_partition=2)
+    assert r2 == {"completed": 0, "skipped": 2, "failed": 0}
+
+    import ray.data as rd
+
+    got = rd.read_parquet(str(out)).to_pandas()
+    assert len(got) == 80
+    assert "only_eng_korean_sentence" in got.columns
+
+
 def test_no_dedup_mode_keeps_duplicates(ray_session):
     import ray.data as rd
 
