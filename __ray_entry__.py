@@ -442,6 +442,28 @@ def q_embedding_near_dup(sf_dir: str):
     return embedding_dup_pairs(ds, threshold=0.4, num_buckets=1)
 
 
+def q_similarity_topk_ivf(sf_dir: str):
+    # the ANN scale path: IVF coarse cells, nprobe-limited scoring.
+    # Deterministic (fixed centroid sample + farthest-point traversal), so
+    # the committed single-process golden freezes recall AND values.
+    from pdf_extract_ray.stages.similarity import ivf_topk
+
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = np.stack(
+        [r["embedding"] for r in ds.filter(expr="vec_id < 5").take_all()]
+    )
+    return ivf_topk(ds, q, k=10, n_cells=16, nprobe=4)
+
+
+def q_embedding_near_dup_lsh(sf_dir: str):
+    # the LSH-bucketed + multi-probe scale path (default mode); the exact
+    # all-pairs mode is checked separately under embedding_near_dup
+    from pdf_extract_ray.stages.dedup import embedding_dup_pairs
+
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_dup_pairs(ds, threshold=0.4, num_buckets=32)
+
+
 def q_minhash_near_dup(sf_dir: str):
     from pdf_extract_ray.stages.dedup import minhash_lsh_pairs
 
@@ -777,7 +799,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pair_analyzers": q_pair_analyzers,
         "quality_pipeline": q_quality_pipeline,
         "similarity_topk": q_similarity_topk,
+        "similarity_topk_ivf": q_similarity_topk_ivf,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "winnow_near_dup": q_winnow_near_dup,
@@ -1141,5 +1165,6 @@ def oracle_sql() -> dict[str, str]:
                         "align_pairs", "align_merged_kr", "align_full_outer",
                         "minhash_near_dup", "simhash_near_dup", "winnow_near_dup",
                         "pair_analyzers", "layout_tagging", "media_features",
-                        "approx_distinct_users")},
+                        "approx_distinct_users", "similarity_topk_ivf",
+                        "embedding_near_dup_lsh")},
     }

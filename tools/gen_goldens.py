@@ -328,8 +328,85 @@ def gen_approx_distinct(sf_dir: str) -> dict[str, pa.Table]:
         {"approx_distinct_users": pa.array([int(h.estimate())], pa.int64())})}
 
 
+def gen_similarity_ivf(sf_dir: str) -> dict[str, pa.Table]:
+    """Single-process mirror of ivf_topk: same centroid pick (first-2048
+    sample + farthest-point traversal), same cell assignment, same probe
+    sets, brute-force cosine within probed cells, (cosine desc, id asc)
+    tie-break, round(6)."""
+    from pdf_extract_ray.stages.similarity import _kmeanspp_lite
+    from pdf_extract_ray.util import round_half_away
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas()
+    ids = emb["vec_id"].to_numpy()
+    v = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    q = v[ids < 5]
+    cents = _kmeanspp_lite(v[:2048], 16)
+    cents_sq = (cents ** 2).sum(axis=1)
+    cell = (cents_sq[None, :] - 2.0 * (v @ cents.T)).argmin(axis=1)
+    qd = np.linalg.norm(q[:, None, :] - cents[None, :, :], axis=2)
+    norms = np.linalg.norm(v, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    vn = v / norms
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    out = {"query_id": [], "vec_id": [], "cosine": []}
+    for qi in range(len(q)):
+        probe = set(np.argsort(qd[qi])[:4].tolist())
+        keep = np.isin(cell, list(probe))
+        sims = vn[keep] @ qn[qi]
+        kids = ids[keep]
+        order = np.lexsort((kids, -sims))[:10]
+        for i in order:
+            out["query_id"].append(qi)
+            out["vec_id"].append(int(kids[i]))
+            out["cosine"].append(float(round_half_away(sims[i], 6)))
+    return {"similarity_topk_ivf": pa.Table.from_pandas(
+        pd.DataFrame(out), preserve_index=False)}
+
+
+def gen_embedding_lsh(sf_dir: str) -> dict[str, pa.Table]:
+    """Single-process mirror of the LSH multi-probe embedding near-dup
+    (num_buckets=32, Hamming-1 probes, threshold 0.4)."""
+    from pdf_extract_ray.util import round_half_away
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas()
+    ids = emb["vec_id"].to_numpy()
+    v = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    bits = 5  # log2(32)
+    rng = np.random.RandomState(11)
+    planes = rng.standard_normal((v.shape[1], bits))
+    code = ((v @ planes) > 0).dot(1 << np.arange(bits)).astype(np.int64)
+    norms = np.linalg.norm(v, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    vn = v / norms
+    buckets: dict = defaultdict(set)
+    for p, c in enumerate(code):
+        buckets[int(c)].add(p)
+        for i in range(bits):
+            buckets[int(c) ^ (1 << i)].add(p)
+    seen = {}
+    for members in buckets.values():
+        ms = sorted(members, key=lambda p: ids[p])
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                a, b = ms[x], ms[y]
+                key = (int(ids[a]), int(ids[b]))
+                if key in seen:
+                    continue
+                cos = float(vn[a] @ vn[b])
+                if cos >= 0.4:
+                    seen[key] = float(round_half_away(cos, 6))
+    df = pd.DataFrame(
+        [(a, b, c) for (a, b), c in sorted(seen.items())],
+        columns=["id_a", "id_b", "cosine"])
+    return {"embedding_near_dup_lsh": pa.Table.from_pandas(
+        df, preserve_index=False)}
+
+
 GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
-              gen_pair_analyzers, gen_layout, gen_media, gen_approx_distinct)
+              gen_pair_analyzers, gen_layout, gen_media, gen_approx_distinct,
+              gen_similarity_ivf, gen_embedding_lsh)
 
 
 def generate_all(sf_dir: str) -> dict[str, pa.Table]:
