@@ -157,6 +157,36 @@ def test_staged_salted_byte_identical_under_hot_key_skew(ray_session):
     salted_big = run(salt=64)  # more salts than rows of most urls
     assert salted == unsalted
     assert salted_big == unsalted
+
+    # structural invariant: the per-url reducer receives at most K compact
+    # rows per url instead of every raw block row (30 for the hot url here,
+    # millions in a real redirect storm)
+    from pdf_extract_ray.config import DEFAULT_CONFIG
+    from pdf_extract_ray.pipelines.extract import ParsePagesToBlocks
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+    import pandas as pd
+    import numpy as np
+
+    ds = rd.from_arrow(corpus).repartition(6)
+    blocks = ds.map_batches(ParsePagesToBlocks, fn_constructor_args=(DEFAULT_CONFIG,),
+                            batch_format="pyarrow", concurrency=2, num_cpus=1)
+
+    def add_salt(b):
+        b = b.copy()
+        b["__s"] = (pd.util.hash_pandas_object(b["warc_ts"], index=False)
+                    % np.uint64(8)).astype("int64")
+        return b
+
+    def compact_count(g):
+        return g.groupby(["url", "__s"], as_index=False).size()
+
+    compacted = bucketed_group_apply(
+        blocks.map_batches(add_salt, batch_format="pandas"), ["url", "__s"],
+        compact_count).to_pandas()
+    per_url = compacted.groupby("url").size()
+    assert per_url["https://hot.example/storm"] <= 8
+    raw_rows = compacted.groupby("url")["size"].sum()
+    assert raw_rows["https://hot.example/storm"] >= 30
     # the hot url assembled all 30 fragments in warc_ts order
     text = unsalted["https://hot.example/storm"][0]
     assert text.split("\n") == [f"storm fragment {i} sentence." for i in range(30)]
