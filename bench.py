@@ -109,12 +109,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # best-of-N: the sandbox VM is noisy; steady-state throughput is the
     # meaningful number for the scaling comparison
     reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
-    headline = float("inf")
+    rep_times = []
     for _ in range(reps):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
         extract_pages_fused(pages()).write_parquet(out_dir, min_rows_per_file=5_000)
-        headline = min(headline, time.time() - t0)
+        rep_times.append(round(time.time() - t0, 3))
+    headline = min(rep_times)
 
     # representative queries over the driver tables (skipped in scaling
     # subprocesses where only the headline matters)
@@ -146,6 +147,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "num_cpus": num_cpus,
         "docs": n_docs,
         "docs_per_sec": round(n_docs / headline, 1),
+        "rep_times": rep_times,  # all draws — the VM's run-to-run band
     }
 
 
@@ -180,6 +182,8 @@ def run_scaling(sf_dir: str) -> dict:
         result[f"docs_per_sec_{lo}"] = r_lo["docs_per_sec"]
         result[f"docs_per_sec_{hi}"] = r_hi["docs_per_sec"]
         result[f"efficiency_{lo}_{hi}"] = round(eff, 3)
+        result[f"rep_times_{lo}"] = r_lo.get("rep_times")
+        result[f"rep_times_{hi}"] = r_hi.get("rep_times")
         result.setdefault("docs", r_hi["docs"])
     # headline stays the brief's example pair (8->32) so the metric is
     # comparable round over round; efficiency_4_16 is reported alongside

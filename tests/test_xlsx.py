@@ -1,0 +1,75 @@
+"""From-scratch XLSX IO (S8): round-trip, typing, determinism."""
+
+import numpy as np
+import pandas as pd
+
+from pdf_extract_ray.sources.xlsx import (
+    read_xlsx,
+    write_two_sheet_report,
+    write_xlsx,
+)
+
+
+def _df():
+    return pd.DataFrame({
+        "korean_sentence": ["난민 법원 판결.", "두 번째\xa0문장", "기호 <&> \"따옴표'"],
+        "english_sentence": ["Court decision.", "second sentence", "symbols"],
+        "word_count": [3, 2, 1],
+        "ratio": [0.75, 1.5, np.nan],
+        "potential_split": [True, False, True],
+    })
+
+
+def test_round_trip_types_and_values(tmp_path):
+    p = str(tmp_path / "out.xlsx")
+    df = _df()
+    write_xlsx(p, {"Text": df})
+    back = read_xlsx(p)["Text"]
+    assert list(back.columns) == list(df.columns)
+    assert back["korean_sentence"].tolist() == df["korean_sentence"].tolist()
+    assert back["word_count"].tolist() == [3, 2, 1]
+    assert back["ratio"][0] == 0.75 and pd.isna(back["ratio"][2])
+    assert back["potential_split"].tolist() == [True, False, True]
+
+
+def test_two_sheet_report_layout(tmp_path):
+    p = str(tmp_path / "report.xlsx")
+    write_two_sheet_report(p, _df(), _df().head(1))
+    sheets = read_xlsx(p)
+    assert list(sheets) == ["Text_Analyzed_Filtered", "Table_Filtered"]
+    assert len(sheets["Text_Analyzed_Filtered"]) == 3
+    assert len(sheets["Table_Filtered"]) == 1
+
+
+def test_deterministic_bytes(tmp_path):
+    a, b = str(tmp_path / "a.xlsx"), str(tmp_path / "b.xlsx")
+    write_xlsx(a, {"S": _df()})
+    write_xlsx(b, {"S": _df()})
+    assert open(a, "rb").read() == open(b, "rb").read()
+
+
+def test_empty_sheet_and_many_columns(tmp_path):
+    p = str(tmp_path / "wide.xlsx")
+    wide = pd.DataFrame({f"c{i}": [i] for i in range(30)})  # past column Z
+    write_xlsx(p, {"Wide": wide, "Empty": pd.DataFrame({"only_header": []})})
+    back = read_xlsx(p)
+    assert back["Wide"].iloc[0].tolist() == list(range(30))
+    assert list(back["Empty"].columns) == ["only_header"]
+    assert len(back["Empty"]) == 0
+
+
+def test_quality_output_to_report(ray_session, tmp_path):
+    """The reference's end-of-pipeline artifact: quality output written as
+    the two-sheet Excel report (metadata_generator.py:676-679)."""
+    import ray.data as rd
+
+    from pdf_extract_ray.pipelines.quality import quality_pairs
+
+    rows = [{"doc_id": i, "kr_text": f"문서 문장 {i}.",
+             "en_text": f"doc sentence {i}."} for i in range(10)]
+    out = quality_pairs(rd.from_pandas(pd.DataFrame(rows))).to_pandas()
+    p = str(tmp_path / "metadata.xlsx")
+    write_two_sheet_report(p, out, out.head(0))
+    back = read_xlsx(p)["Text_Analyzed_Filtered"]
+    assert len(back) == 10
+    assert "kr_text_normalized" in back.columns
