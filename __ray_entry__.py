@@ -699,6 +699,30 @@ def q_winnow_near_dup(sf_dir: str):
     return winnow_pairs(ds, "doc_id", "text", overlap_threshold=0.2)
 
 
+def q_pdf_extract_docs(sf_dir: str):
+    # S1/M1 on the reference's ACTUAL input format: PDF bytes -> spans ->
+    # layout tagging -> sentences, via the from-scratch stdlib PDF reader
+    # (sources/pdf.py).  Input PDFs are synthesized deterministically from
+    # the documents table (corpus.pdfs_from_documents); the oracle is the
+    # committed single-process golden.
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from pdf_extract_ray.corpus import pdfs_from_documents
+    from pdf_extract_ray.sources.pdf import extract_pdf_pages
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    ds = rd.from_arrow(pdfs_from_documents(docs)).repartition(8)
+    out = extract_pdf_pages(ds)
+    return out.map_batches(
+        lambda b: b.select(["url", "extracted_text", "n_sentences",
+                            "n_pages", "status"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_extract_doc_counts(sf_dir: str):
     # end-to-end row accounting of the flagship pipeline: extraction emits
     # exactly one output row per input document, so per-lang counts of the
@@ -819,6 +843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": q_top_customers,
         "revenue_by_nation": q_revenue_by_nation,
         "extract_doc_counts": q_extract_doc_counts,
+        "pdf_extract_docs": q_pdf_extract_docs,
         "props_extract": q_props_extract,
         "top_orders_per_customer": q_top_orders_per_customer,
         "event_value_quantiles": q_event_value_quantiles,
@@ -1166,5 +1191,5 @@ def oracle_sql() -> dict[str, str]:
                         "minhash_near_dup", "simhash_near_dup", "winnow_near_dup",
                         "pair_analyzers", "layout_tagging", "media_features",
                         "approx_distinct_users", "similarity_topk_ivf",
-                        "embedding_near_dup_lsh")},
+                        "embedding_near_dup_lsh", "pdf_extract_docs")},
     }

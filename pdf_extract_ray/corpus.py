@@ -287,6 +287,29 @@ def paired_sentence_tables(n_docs: int, seed: int = 77) -> tuple[pa.Table, pa.Ta
     return table(kr_rows), table(en_rows)
 
 
+def pdfs_from_documents(documents: pa.Table) -> pa.Table:
+    """Deterministic PDF corpus derived from the documents table: each doc
+    rendered as a simple multi-page PDF (bold title + wrapped body lines)
+    via sources/pdf.document_to_pdf; every other doc Flate-compressed.
+    Shared by the ``pdf_extract_docs`` driver query and its single-process
+    golden generator — no external data."""
+    from pdf_extract_ray.sources.pdf import document_to_pdf
+
+    ids = documents.column("doc_id").to_pylist()
+    texts = documents.column("text").to_pylist()
+    sources = (documents.column("source").to_pylist()
+               if "source" in documents.column_names else [""] * len(ids))
+    pdfs = [
+        document_to_pdf(f"Document {i} ({s})", t or "", compress=i % 2 == 0)
+        for i, t, s in zip(ids, texts, sources)
+    ]
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "url": pa.array([f"pdf://doc/{i}" for i in ids], pa.string()),
+        "pdf": pa.array(pdfs, pa.binary()),
+    })
+
+
 def synth_layout_rows(n_docs: int = 4) -> list[dict]:
     """Deterministic synthetic span-table rows for the layout-tagging path
     (M1-M5): two-column x/y geometry, mixed sizes/flags/colors.  Shared by

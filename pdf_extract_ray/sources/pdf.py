@@ -1,0 +1,628 @@
+"""Minimal from-scratch PDF text/span extractor (S1/M1: the reference's
+actual input format — euaa_사례/pdf_to_json/layout_analyzer.py:15-161 pulls
+(x0, y0, x1, y1, text, size, flags, color) spans out of PyMuPDF pages).
+
+No PDF library exists in the sandbox, so this implements the subset needed
+to turn digitally-born simple PDFs into the SAME span-line rows the
+span-table layout path (stages/layout.tag_page_lines) already consumes,
+using only stdlib (``re``, ``zlib``):
+
+* object scan: every ``N G obj ... endobj`` found by regex — no xref
+  parsing, so linearized/appended/mildly-corrupt files still yield their
+  objects;
+* dict/array/name/number/string/ref parser for object bodies;
+* streams: plain or FlateDecode (zlib); other filters are skipped;
+* content-stream text interpreter: BT/ET, Tf, Td/TD/Tm/T*/TL, Tj/TJ/'/",
+  rg/g color; spans merged into baseline lines;
+* page tree: /Type /Page objects with /MediaBox (inherited via /Parent)
+  and /Contents (single ref or array);
+* fonts: bold/italic flags inferred from /BaseFont name.
+
+DOCUMENTED APPROXIMATIONS (the honest subset, asserted in tests):
+* glyph widths are approximated as ``0.5 * size`` per char (no font
+  metrics), so ``x1`` is approximate — the layout rules use x0/column
+  position and sizes, not exact extents;
+* strings decode as Latin-1 (== WinAnsi for the ASCII range); CID/Type0
+  composite fonts are NOT decoded (their show ops are skipped);
+* y coordinates are flipped to top-based to match the PyMuPDF-style rows
+  the layout stage expects.
+
+Everything degrades to "no spans" rather than an exception: at 100 TB the
+reader must not die on one bad file.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from dataclasses import dataclass, field
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj(.*?)endobj", re.DOTALL)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+# ---------------------------------------------------------------------------
+# object-body value parser
+# ---------------------------------------------------------------------------
+
+class _P:
+    """Cursor over an object body for parsing one PDF value."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.d = data
+        self.i = pos
+
+    def _skip_ws(self):
+        d, n = self.d, len(self.d)
+        while self.i < n:
+            c = self.d[self.i]
+            if c in _WS:
+                self.i += 1
+            elif c == 0x25:  # % comment
+                j = d.find(b"\n", self.i)
+                self.i = n if j < 0 else j + 1
+            else:
+                return
+
+    def value(self):
+        self._skip_ws()
+        d, i = self.d, self.i
+        if i >= len(d):
+            return None
+        c = d[i]
+        if d.startswith(b"<<", i):
+            return self._dict()
+        if c == 0x3C:  # <hex string>
+            j = d.find(b">", i + 1)
+            h = re.sub(rb"[^0-9a-fA-F]", b"", d[i + 1 : j])
+            if len(h) % 2:
+                h += b"0"
+            self.i = j + 1
+            return bytes.fromhex(h.decode())
+        if c == 0x28:  # (literal string)
+            return self._string()
+        if c == 0x2F:  # /Name
+            j = i + 1
+            while j < len(d) and d[j] not in _WS and d[j] not in _DELIM:
+                j += 1
+            self.i = j
+            return ("name", d[i + 1 : j].decode("latin-1"))
+        if c == 0x5B:  # [ array ]
+            self.i = i + 1
+            out = []
+            while True:
+                self._skip_ws()
+                if self.i >= len(d) or d[self.i] == 0x5D:
+                    self.i += 1
+                    return out
+                out.append(self.value())
+        if d.startswith(b"true", i):
+            self.i = i + 4
+            return True
+        if d.startswith(b"false", i):
+            self.i = i + 5
+            return False
+        if d.startswith(b"null", i):
+            self.i = i + 4
+            return None
+        m = re.match(rb"[+-]?\d*\.?\d+", d[i:])
+        if m:
+            # reference lookahead: "N G R"
+            r = re.match(rb"(\d+)\s+(\d+)\s+R(?![A-Za-z])", d[i:])
+            if r:
+                self.i = i + r.end()
+                return ("ref", int(r.group(1)))
+            self.i = i + m.end()
+            tok = m.group(0)
+            return float(tok) if b"." in tok else int(tok)
+        self.i = i + 1  # unknown byte: skip (tolerant)
+        return None
+
+    def _dict(self):
+        self.i += 2
+        out = {}
+        d = self.d
+        while True:
+            self._skip_ws()
+            if self.i >= len(d):
+                return out
+            if d.startswith(b">>", self.i):
+                self.i += 2
+                return out
+            k = self.value()
+            if not (isinstance(k, tuple) and k[0] == "name"):
+                continue
+            out[k[1]] = self.value()
+
+    def _string(self):
+        d = self.d
+        i = self.i + 1
+        depth = 1
+        out = bytearray()
+        while i < len(d):
+            c = d[i]
+            if c == 0x5C:  # backslash
+                i += 1
+                if i >= len(d):
+                    break
+                e = d[i]
+                esc = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12,
+                       0x28: 40, 0x29: 41, 0x5C: 92}
+                if e in esc:
+                    out.append(esc[e])
+                    i += 1
+                elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                    j = i
+                    while j < len(d) and j < i + 3 and 0x30 <= d[j] <= 0x37:
+                        j += 1
+                    out.append(int(d[i:j], 8) & 0xFF)
+                    i = j
+                elif e in (10, 13):  # line continuation
+                    i += 1
+                    if e == 13 and i < len(d) and d[i] == 10:
+                        i += 1
+                else:
+                    out.append(e)
+                    i += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                i += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    i += 1
+                    break
+                out.append(c)
+                i += 1
+            else:
+                out.append(c)
+                i += 1
+        self.i = i
+        return bytes(out)
+
+
+def _parse_obj(body: bytes):
+    """(value, stream_bytes_or_None) for one object body."""
+    p = _P(body)
+    val = p.value()
+    m = _STREAM_RE.search(body)
+    return val, (m.group(1) if m else None)
+
+
+# ---------------------------------------------------------------------------
+# document model
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _Doc:
+    objs: dict[int, tuple] = field(default_factory=dict)  # num -> (value, stream)
+
+    def resolve(self, v, depth: int = 0):
+        while isinstance(v, tuple) and v and v[0] == "ref" and depth < 32:
+            got = self.objs.get(v[1])
+            if got is None:
+                return None
+            v = got[0]
+            depth += 1
+        return v
+
+    def stream_of(self, num: int) -> bytes | None:
+        got = self.objs.get(num)
+        if got is None or got[1] is None:
+            return None
+        meta, raw = got
+        meta = meta if isinstance(meta, dict) else {}
+        length = self.resolve(meta.get("Length"))
+        if isinstance(length, int) and 0 < length <= len(raw):
+            raw = raw[:length]
+        filt = self.resolve(meta.get("Filter"))
+        filts = filt if isinstance(filt, list) else ([filt] if filt else [])
+        data = raw
+        for f in filts:
+            f = self.resolve(f)
+            name = f[1] if isinstance(f, tuple) else None
+            if name == "FlateDecode":
+                try:
+                    data = zlib.decompress(data)
+                except zlib.error:
+                    return None
+            elif name is not None:
+                return None  # unsupported filter: skip content
+        return data
+
+
+def _load(data: bytes) -> _Doc:
+    doc = _Doc()
+    for m in _OBJ_RE.finditer(data):
+        try:
+            doc.objs[int(m.group(1))] = _parse_obj(m.group(3))
+        except Exception:
+            continue
+    return doc
+
+
+def _inherited(doc: _Doc, page: dict, key: str, depth: int = 0):
+    v = page.get(key)
+    if v is not None:
+        return doc.resolve(v)
+    parent = page.get("Parent")
+    if depth < 32 and isinstance(parent, tuple) and parent[0] == "ref":
+        pd_ = doc.resolve(parent)
+        if isinstance(pd_, dict):
+            return _inherited(doc, pd_, key, depth + 1)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# content-stream text interpreter
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    rb"\((?:[^()\\]|\\.)*\)"        # literal string (1-level; nested handled by parser)
+    rb"|<<|>>|<[0-9a-fA-F\s]*>"
+    rb"|\[|\]"
+    rb"|/[^\s()<>\[\]{}/%]*"
+    rb"|[+-]?\d*\.?\d+"
+    rb"|[A-Za-z'\"][A-Za-z0-9*'\"]*"
+)
+
+
+def _font_flags(base_font: str) -> int:
+    name = (base_font or "").lower()
+    flags = 0
+    if "bold" in name:
+        flags |= 16
+    if "italic" in name or "oblique" in name:
+        flags |= 2
+    return flags
+
+
+def _spans_from_content(content: bytes, fonts: dict[str, int]) -> list[dict]:
+    """Interpret text operators; returns raw spans (PDF bottom-up y)."""
+    spans: list[dict] = []
+    # text state
+    tm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+    tlm = list(tm)
+    size = 12.0
+    flags = 0
+    leading = 0.0
+    color = 0
+    in_cid = False
+    stack: list = []
+
+    def emit(raw: bytes):
+        if in_cid or not raw:
+            return
+        text = raw.decode("latin-1").replace("\x00", "")
+        if not text.strip():
+            return
+        eff = size * max(abs(tm[3]), 1e-9)
+        spans.append({
+            "x": tm[4], "y": tm[5], "size": eff, "flags": flags,
+            "color": color, "text": text,
+            "w": 0.5 * eff * len(text),  # approx width (no font metrics)
+        })
+
+    def td(tx: float, ty: float):
+        nonlocal tm, tlm
+        # translate applied to the LINE matrix
+        tlm = [tlm[0], tlm[1], tlm[2], tlm[3],
+               tlm[4] + tx * tlm[0] + ty * tlm[2],
+               tlm[5] + tx * tlm[1] + ty * tlm[3]]
+        tm = list(tlm)
+
+    i = 0
+    pending_hex_or_str: bytes | None = None
+    for m in _TOKEN_RE.finditer(content):
+        tok = m.group(0)
+        c0 = tok[:1]
+        if c0 == b"(":
+            # re-parse with the full string parser (handles nesting/escapes)
+            p = _P(content, m.start())
+            stack.append(p.value())
+        elif c0 == b"<" and tok != b"<<":
+            h = re.sub(rb"[^0-9a-fA-F]", b"", tok[1:-1])
+            if len(h) % 2:
+                h += b"0"
+            stack.append(bytes.fromhex(h.decode()))
+        elif c0 == b"/":
+            stack.append(("name", tok[1:].decode("latin-1")))
+        elif tok in (b"<<", b">>", b"[", b"]"):
+            # sentinel tuples: a literal string could equal b"]" and must
+            # not be confused with the array delimiter in TJ collection
+            stack.append(("delim", tok))
+        elif c0.isdigit() or c0 in b"+-." or (len(tok) > 1 and tok[1:2].isdigit() and c0 in b"+-"):
+            try:
+                stack.append(float(tok))
+            except ValueError:
+                stack.append(0.0)
+        else:
+            op = tok
+            try:
+                if op == b"BT":
+                    tm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+                    tlm = list(tm)
+                elif op == b"Tf" and len(stack) >= 2:
+                    size = float(stack[-1])
+                    fname = stack[-2]
+                    if isinstance(fname, tuple):
+                        f = fonts.get(fname[1])
+                        flags = f if isinstance(f, int) else 0
+                        in_cid = fname[1] in fonts.get("__cidset__", set())
+                elif op == b"Td" and len(stack) >= 2:
+                    td(float(stack[-2]), float(stack[-1]))
+                elif op == b"TD" and len(stack) >= 2:
+                    leading = -float(stack[-1])
+                    td(float(stack[-2]), float(stack[-1]))
+                elif op == b"TL" and stack:
+                    leading = float(stack[-1])
+                elif op == b"T*":
+                    td(0.0, -leading)
+                elif op == b"Tm" and len(stack) >= 6:
+                    tm = [float(x) for x in stack[-6:]]
+                    tlm = list(tm)
+                elif op == b"Tj" and stack:
+                    if isinstance(stack[-1], bytes):
+                        emit(stack[-1])
+                elif op in (b"'", b'"'):
+                    td(0.0, -leading)
+                    if stack and isinstance(stack[-1], bytes):
+                        emit(stack[-1])
+                elif op == b"TJ":
+                    # collect string items back to the matching [
+                    parts = []
+                    j = len(stack) - 1
+                    while j >= 0 and stack[j] != ("delim", b"["):
+                        if isinstance(stack[j], bytes):
+                            parts.append(stack[j])
+                        j -= 1
+                    emit(b"".join(reversed(parts)))
+                elif op == b"rg" and len(stack) >= 3:
+                    r, g, b = (float(x) for x in stack[-3:])
+                    color = (int(r * 255) << 16) | (int(g * 255) << 8) | int(b * 255)
+                elif op == b"g" and stack:
+                    v = int(float(stack[-1]) * 255)
+                    color = (v << 16) | (v << 8) | v
+            except (TypeError, ValueError, IndexError):
+                pass
+            stack.clear()
+    return spans
+
+
+def _merge_lines(spans: list[dict], page_height: float) -> list[dict]:
+    """Group spans by baseline into line rows (top-based y, layout schema)."""
+    by_line: dict[float, list[dict]] = {}
+    for s in spans:
+        by_line.setdefault(round(s["y"], 1), []).append(s)
+    lines = []
+    for y, group in sorted(by_line.items(), key=lambda kv: -kv[0]):
+        group.sort(key=lambda s: s["x"])
+        size = max(s["size"] for s in group)
+        fl = 0
+        for s in group:
+            fl |= s["flags"]
+        # all-bold rule: a line is bold only if every span is (mirrors the
+        # reference's span-level AND, layout_analyzer.py:119-161)
+        if not all(s["flags"] & 16 for s in group):
+            fl &= ~16
+        color = next((s["color"] for s in group if s["color"]), 0)
+        y_top = page_height - y
+        lines.append({
+            "x0": group[0]["x"],
+            "y0": y_top - size,
+            "x1": max(s["x"] + s["w"] for s in group),
+            "y1": y_top,
+            "text": " ".join(s["text"] for s in group),
+            "size": size,
+            "flags": fl,
+            "color": color,
+        })
+    return lines
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def pdf_pages_spans(data: bytes | None) -> list[dict]:
+    """PDF bytes -> [{"page_no", "width", "height", "lines": [...]}, ...].
+    Returns [] for anything unparseable (never raises)."""
+    if not data or not data.startswith(b"%PDF"):
+        return []
+    try:
+        doc = _load(data)
+    except Exception:
+        return []
+    pages = []
+    for num in sorted(doc.objs):
+        val = doc.objs[num][0]
+        if not isinstance(val, dict):
+            continue
+        t = val.get("Type")
+        if not (isinstance(t, tuple) and t[1] == "Page"):
+            continue
+        mb = _inherited(doc, val, "MediaBox") or [0, 0, 612, 792]
+        mb = [float(doc.resolve(x) or 0) for x in mb]
+        width, height = mb[2] - mb[0], mb[3] - mb[1]
+
+        # fonts: name -> style flags; composite (Type0) fonts are marked
+        # undecodable and their show ops skipped
+        fonts: dict = {"__cidset__": set()}
+        res = _inherited(doc, val, "Resources")
+        if isinstance(res, dict):
+            fdict = doc.resolve(res.get("Font"))
+            if isinstance(fdict, dict):
+                for fname, fref in fdict.items():
+                    fobj = doc.resolve(fref)
+                    if not isinstance(fobj, dict):
+                        continue
+                    sub = fobj.get("Subtype")
+                    if isinstance(sub, tuple) and sub[1] == "Type0":
+                        fonts["__cidset__"].add(fname)
+                        continue
+                    bf = fobj.get("BaseFont")
+                    fonts[fname] = _font_flags(
+                        bf[1] if isinstance(bf, tuple) else "")
+
+        contents = val.get("Contents")
+        refs = contents if isinstance(contents, list) else [contents]
+        body = b""
+        for ref in refs:
+            if isinstance(ref, tuple) and ref[0] == "ref":
+                part = doc.stream_of(ref[1])
+                if part:
+                    body += part + b"\n"
+        try:
+            spans = _spans_from_content(body, fonts) if body else []
+        except Exception:
+            spans = []
+        pages.append({
+            "page_no": len(pages) + 1,
+            "width": width,
+            "height": height,
+            "lines": _merge_lines(spans, height),
+        })
+    return pages
+
+
+def extract_pdf_document(url, pdf_bytes, cfg=None) -> dict:
+    """Full per-document PDF extraction: spans -> layout tagging
+    (tag_page_lines) -> merge -> sentence composition -> assembly — the
+    same frozen chain as extract_document, with the PDF span path standing
+    in for the HTML parse."""
+    from pdf_extract_ray.config import DEFAULT_CONFIG
+    from pdf_extract_ray.pipelines.extract import sentences_from_blocks
+    from pdf_extract_ray.stages.assemble import assemble_sentences
+    from pdf_extract_ray.stages.layout import tag_page_lines
+
+    cfg = cfg or DEFAULT_CONFIG
+    blocks = []
+    pages = pdf_pages_spans(pdf_bytes)
+    for p in pages:
+        blocks.extend(tag_page_lines(p["lines"], p["width"], p["height"],
+                                     p["page_no"], cfg))
+    status = "pdf" if blocks else "rejected"
+    sents = sentences_from_blocks(blocks, cfg)
+    text, n_sents, n_pages = assemble_sentences(sents, cfg)
+    return {"url": url, "status": status, "extracted_text": text,
+            "sentences": sents, "n_sentences": n_sents, "n_pages": n_pages}
+
+
+def build_simple_pdf(page_contents: list[str], compress: bool = False) -> bytes:
+    """Minimal single-font-pair PDF writer (testing/corpus synthesis): one
+    object per page content stream (plain or Flate), fonts /F1 Helvetica
+    and /F2 Helvetica-Bold, correct xref.  Deterministic bytes."""
+    objs: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    font1 = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    font2 = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica-Bold >>")
+    content_ids = []
+    for content in page_contents:
+        raw = content.encode("latin-1", errors="replace")
+        if compress:
+            data = zlib.compress(raw)
+            meta = f"<< /Length {len(data)} /Filter /FlateDecode >>".encode()
+        else:
+            data = raw
+            meta = f"<< /Length {len(data)} >>".encode()
+        content_ids.append(add(meta + b"\nstream\n" + data + b"\nendstream"))
+    pages_id = len(objs) + 1 + len(page_contents)
+    page_ids = [
+        add(f"<< /Type /Page /Parent {pages_id} 0 R /Contents {cid} 0 R "
+            f"/Resources << /Font << /F1 {font1} 0 R /F2 {font2} 0 R >> >> "
+            ">>".encode())
+        for cid in content_ids
+    ]
+    kids = " ".join(f"{p} 0 R" for p in page_ids)
+    add(f"<< /Type /Pages /Kids [ {kids} ] /Count {len(page_ids)} "
+        f"/MediaBox [ 0 0 612 792 ] >>".encode())
+    catalog = add(f"<< /Type /Catalog /Pages {pages_id} 0 R >>".encode())
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode() + b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root {catalog} 0 R >>\n"
+            f"startxref\n{xref_pos}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+def _pdf_escape(s: str) -> str:
+    return (s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)"))
+
+
+def document_to_pdf(title: str, text: str, *, compress: bool = False,
+                    lines_per_page: int = 30, wrap: int = 70) -> bytes:
+    """Render (title, body text) as a simple multi-page PDF: bold 18pt
+    title, 11pt body lines, page breaks every ``lines_per_page`` lines."""
+    words = (text or "").split()
+    lines: list[str] = []
+    cur = ""
+    for w in words:
+        if cur and len(cur) + 1 + len(w) > wrap:
+            lines.append(cur)
+            cur = w
+        else:
+            cur = f"{cur} {w}".strip()
+    if cur:
+        lines.append(cur)
+    pages: list[str] = []
+    i = 0
+    first = True
+    while first or i < len(lines):
+        parts = []
+        if first:
+            parts.append(f"BT /F2 18 Tf 72 750 Td ({_pdf_escape(title)}) Tj ET")
+            first = False
+        chunk = lines[i : i + lines_per_page]
+        i += lines_per_page
+        parts.extend(
+            f"BT /F1 11 Tf 1 0 0 1 72 {720 - 13 * j} Tm ({_pdf_escape(l)}) Tj ET"
+            for j, l in enumerate(chunk))
+        pages.append(" ".join(parts))
+    return build_simple_pdf(pages or [""], compress=compress)
+
+
+def extract_pdf_pages(ds, pdf_col: str = "pdf", url_col: str = "url", cfg=None):
+    """Fused Ray plan over rows with a PDF binary column: one map_batches,
+    zero shuffles (mirrors extract_pages_fused)."""
+    import pyarrow as pa
+
+    from pdf_extract_ray.config import DEFAULT_CONFIG
+
+    cfg = cfg or DEFAULT_CONFIG
+
+    def run(batch: pa.Table) -> pa.Table:
+        urls = batch[url_col].to_pylist()
+        pdfs = batch[pdf_col].to_pylist()
+        cols = {k: [] for k in ("url", "extracted_text", "n_sentences",
+                                "n_pages", "status")}
+        for url, data in zip(urls, pdfs):
+            d = extract_pdf_document(url, data, cfg)
+            cols["url"].append(url)
+            cols["extracted_text"].append(d["extracted_text"])
+            cols["n_sentences"].append(d["n_sentences"])
+            cols["n_pages"].append(d["n_pages"])
+            cols["status"].append(d["status"])
+        return pa.table({
+            "url": pa.array(cols["url"], pa.string()),
+            "extracted_text": pa.array(cols["extracted_text"], pa.large_string()),
+            "n_sentences": pa.array(cols["n_sentences"], pa.int32()),
+            "n_pages": pa.array(cols["n_pages"], pa.int32()),
+            "status": pa.array(cols["status"], pa.string()),
+        })
+
+    return ds.map_batches(run, batch_format="pyarrow")

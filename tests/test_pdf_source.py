@@ -1,0 +1,186 @@
+"""From-scratch PDF span extraction (sources/pdf.py): minimal PDFs are
+built in-test (catalog/pages/fonts/content objects + xref), both plain
+and Flate-compressed, and driven through span extraction, layout tagging
+and the full document chain."""
+
+import zlib
+
+import pytest
+
+from pdf_extract_ray.sources.pdf import (
+    extract_pdf_document,
+    pdf_pages_spans,
+)
+
+
+def make_pdf(pages, compress=False):
+    """pages: list of content-stream strings.  Returns minimal PDF bytes
+    with fonts /F1 Helvetica and /F2 Helvetica-Bold on every page."""
+    objs: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    font1 = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    font2 = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica-Bold >>")
+    content_ids, page_ids = [], []
+    for content in pages:
+        raw = content.encode("latin-1")
+        if compress:
+            data = zlib.compress(raw)
+            meta = f"<< /Length {len(data)} /Filter /FlateDecode >>".encode()
+        else:
+            data = raw
+            meta = f"<< /Length {len(data)} >>".encode()
+        content_ids.append(add(meta + b"\nstream\n" + data + b"\nendstream"))
+    pages_id = len(objs) + 1 + len(pages)  # after page objects
+    for cid in content_ids:
+        page_ids.append(add(
+            f"<< /Type /Page /Parent {pages_id} 0 R /Contents {cid} 0 R "
+            f"/Resources << /Font << /F1 {font1} 0 R /F2 {font2} 0 R >> >> "
+            ">>".encode()))
+    kids = " ".join(f"{p} 0 R" for p in page_ids)
+    assert add(
+        f"<< /Type /Pages /Kids [ {kids} ] /Count {len(page_ids)} "
+        f"/MediaBox [ 0 0 612 792 ] >>".encode()) == pages_id
+    catalog = add(f"<< /Type /Catalog /Pages {pages_id} 0 R >>".encode())
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root {catalog} 0 R >>\n"
+            f"startxref\n{xref_pos}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+SIMPLE = (
+    "BT /F2 18 Tf 72 700 Td (Document Title) Tj ET "
+    "BT /F1 12 Tf 72 650 Td (First body sentence.) Tj ET "
+    "BT /F1 12 Tf 72 630 Td (Second body sentence.) Tj ET "
+)
+
+
+class TestSpans:
+    def test_simple_page(self):
+        pages = pdf_pages_spans(make_pdf([SIMPLE]))
+        assert len(pages) == 1
+        p = pages[0]
+        assert (p["width"], p["height"]) == (612.0, 792.0)
+        lines = p["lines"]
+        assert [l["text"] for l in lines] == [
+            "Document Title", "First body sentence.", "Second body sentence."]
+        title = lines[0]
+        assert title["size"] == 18 and title["flags"] & 16  # bold
+        assert lines[1]["flags"] == 0
+        # y flipped top-based: title (baseline 700) is nearest the top
+        assert title["y0"] < lines[1]["y0"] < lines[2]["y0"]
+        assert title["x0"] == 72
+
+    def test_flate_equals_plain(self):
+        a = pdf_pages_spans(make_pdf([SIMPLE]))
+        b = pdf_pages_spans(make_pdf([SIMPLE], compress=True))
+        assert a == b
+
+    def test_multi_page_and_order(self):
+        pdf = make_pdf([SIMPLE, "BT /F1 10 Tf 72 400 Td (Page two text.) Tj ET"])
+        pages = pdf_pages_spans(pdf)
+        assert [p["page_no"] for p in pages] == [1, 2]
+        assert pages[1]["lines"][0]["text"] == "Page two text."
+
+    def test_tj_array_hex_escapes_and_td_chain(self):
+        content = (
+            "BT /F1 12 Tf 14 TL 72 700 Td [(Part) -250 ( one)] TJ "
+            "0 -20 Td <48692100> Tj "
+            "T* (Escaped \\(parens\\) \\101nd octal) Tj ET"
+        )
+        lines = pdf_pages_spans(make_pdf([content]))[0]["lines"]
+        texts = [l["text"] for l in lines]
+        assert texts[0] == "Part one"
+        assert texts[1] == "Hi!"          # hex string; trailing NUL stripped by strip()
+        assert "Escaped (parens) And octal" in texts[2]
+
+    def test_tm_and_leading(self):
+        content = ("BT /F1 12 Tf 14 TL 100 500 Td (a line.) Tj "
+                   "' (after quote.) Tj ET "
+                   "BT /F1 12 Tf 2 0 0 2 50 300 Tm (double size.) Tj ET")
+        lines = pdf_pages_spans(make_pdf([content]))[0]["lines"]
+        by_text = {l["text"].split()[0]: l for l in lines}
+        # ' moved down one leading from (100,500)
+        assert by_text["after"]["y1"] == pytest.approx(792 - 486)
+        assert by_text["double"]["size"] == 24  # Tm scale doubles Tf size
+
+    def test_garbage_and_unsupported_never_raise(self):
+        assert pdf_pages_spans(None) == []
+        assert pdf_pages_spans(b"not a pdf") == []
+        assert pdf_pages_spans(b"%PDF-1.4 truncated garbage") == []
+        # corrupt flate body -> page present, no lines
+        bad = make_pdf([SIMPLE], compress=True).replace(b"stream\nx", b"stream\nZ")
+        pages = pdf_pages_spans(bad)
+        assert pages and pages[0]["lines"] == []
+
+    def test_header_footer_margins_strip(self):
+        content = ("BT /F1 8 Tf 72 780 Td (running header) Tj ET "
+                   "BT /F1 12 Tf 72 400 Td (body keeps.) Tj ET "
+                   "BT /F1 8 Tf 72 10 Td (page 3 of 9) Tj ET")
+        d = extract_pdf_document("u", make_pdf([content]))
+        assert d["extracted_text"] == "body keeps."
+
+
+class TestDocumentChain:
+    def test_full_chain_title_and_sentences(self):
+        d = extract_pdf_document("u", make_pdf([SIMPLE]))
+        assert d["status"] == "pdf"
+        assert d["extracted_text"].splitlines()[0] == "Document Title"
+        assert "First body sentence." in d["extracted_text"]
+        assert d["n_pages"] == 1
+
+    def test_rejected_on_unparseable(self):
+        d = extract_pdf_document("u", b"junk")
+        assert d["status"] == "rejected" and d["extracted_text"] == ""
+
+    def test_documents_corpus_round_trip_preserves_words(self):
+        """pdfs_from_documents -> extract recovers every body word in
+        order (whitespace/line wrapping aside)."""
+        import pyarrow as pa
+
+        from pdf_extract_ray.corpus import pdfs_from_documents
+
+        docs = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["alpha beta gamma. delta epsilon zeta eta "
+                              "theta iota kappa." * 20,
+                              "short body text."]),
+            "source": pa.array(["s0", "s1"]),
+        })
+        tbl = pdfs_from_documents(docs)
+        for i in range(2):
+            d = extract_pdf_document("u", tbl.column("pdf")[i].as_py())
+            body_words = docs.column("text")[i].as_py().split()
+            got_words = " ".join(d["extracted_text"].split("\n")[1:]).split()
+            assert got_words == body_words
+            assert d["extracted_text"].startswith(f"Document {i} (s{i})")
+
+    def test_ray_pipeline(self, ray_session):
+        import pandas as pd
+
+        import ray.data as rd
+
+        from pdf_extract_ray.sources.pdf import extract_pdf_pages
+
+        rows = pd.DataFrame({
+            "url": [f"u{i}" for i in range(6)],
+            "pdf": [make_pdf([SIMPLE], compress=i % 2 == 0) for i in range(6)],
+        })
+        out = extract_pdf_pages(rd.from_pandas(rows).repartition(3)).take_all()
+        assert len(out) == 6
+        assert all(r["status"] == "pdf" for r in out)
+        texts = {r["extracted_text"] for r in out}
+        assert len(texts) == 1  # identical inputs -> identical outputs
