@@ -329,21 +329,17 @@ def q_punct_profile(sf_dir: str):
 
 
 def _pair_docs(sf_dir: str):
-    """Deterministic doc pairs: doc i (kr side) with doc i+1 (en side)."""
+    """Deterministic doc pairs: doc i (kr side) with doc i+1 (en side).
+
+    Expressed as the range-bucketed ghost-row ``adjacent_pairs`` operator
+    (stages/windows.py) — one shuffle of the data, no hash-join build
+    side; identical rows to an inner self-join on doc_id+1 (unit-tested
+    equivalence)."""
+    from pdf_extract_ray.stages.windows import adjacent_pairs
+
     docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
-    left = docs.map_batches(
-        lambda b: b.rename(columns={"text": "kr_text"}), batch_format="pandas"
-    )
-    right = docs.map_batches(
-        lambda b: pd.DataFrame(
-            {"pair_id": b["doc_id"] - 1, "en_text": b["text"]}
-        ),
-        batch_format="pandas",
-    )
-    return left.join(
-        right, join_type="inner", num_partitions=8,
-        on=("doc_id",), right_on=("pair_id",),
-    )
+    return adjacent_pairs(docs, "doc_id", "text",
+                          out_left="kr_text", out_right="en_text")
 
 
 def q_pair_quality_class(sf_dir: str):
@@ -790,6 +786,19 @@ def q_event_value_quantiles(sf_dir: str):
     return bucketed_group_apply(ds, ["event_type"], q)
 
 
+def q_event_value_lag(sf_dir: str):
+    # LAG window function (per-key previous value): one bucketed shuffle
+    # + vectorized sorted shift (stages/windows.grouped_lag)
+    from pdf_extract_ray.stages.windows import grouped_lag
+
+    ds = _t(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = grouped_lag(ds, ["user_id"], ["ts", "event_id"], "value")
+    return out.map_batches(
+        lambda b: b[["event_id", "user_id", "value", "prev_value"]],
+        batch_format="pandas",
+    )
+
+
 def q_approx_distinct_users(sf_dir: str):
     # HLL sketch distinct count (rows-only: approximate by design; accuracy
     # asserted vs the exact count in pytest)
@@ -847,6 +856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_extract": q_props_extract,
         "top_orders_per_customer": q_top_orders_per_customer,
         "event_value_quantiles": q_event_value_quantiles,
+        "event_value_lag": q_event_value_lag,
         "approx_distinct_users": q_approx_distinct_users,
     }
 
@@ -1132,6 +1142,11 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY o_custkey "
             "ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) "
             "WHERE rk <= 3"
+        ),
+        "event_value_lag": (
+            "SELECT event_id, user_id, value, "
+            "lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS prev_value FROM events"
         ),
         "event_value_quantiles": (
             "SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, "

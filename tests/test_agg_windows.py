@@ -91,6 +91,51 @@ def test_hll_accuracy_and_merge(ray_session):
     assert abs(est - exact) / exact < 0.05
 
 
+def test_grouped_lag_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.windows import grouped_lag
+
+    rng = np.random.RandomState(6)
+    df = pd.DataFrame({
+        "event_id": np.arange(3000),
+        "user_id": rng.randint(0, 40, 3000),
+        "ts": rng.randint(0, 10_000, 3000),
+        "value": rng.standard_normal(3000),
+    })
+    got = (grouped_lag(rd.from_pandas(df).repartition(6),
+                       ["user_id"], ["ts", "event_id"], "value")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    exp = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    exp["prev_value"] = exp.groupby("user_id")["value"].shift(1)
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_series_equal(got["prev_value"], exp["prev_value"])
+
+
+def test_adjacent_pairs_equals_self_join(ray_session):
+    """The ghost-row range-bucket pairing must produce exactly the inner
+    self-join on order+1 — including across block and partition
+    boundaries, with gaps, at several block sizes."""
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.windows import adjacent_pairs
+
+    rng = np.random.RandomState(7)
+    ids = np.sort(rng.choice(20_000, size=5_000, replace=False))
+    df = pd.DataFrame({"doc_id": ids, "text": [f"t{i}" for i in ids]})
+    expect = {
+        (i, f"t{i}", f"t{i + 1}") for i in ids if (i + 1) in set(ids.tolist())
+    }
+    for block in (1, 7, 4096):
+        got = adjacent_pairs(
+            rd.from_pandas(df).repartition(5), "doc_id", "text",
+            out_left="a", out_right="b", block=block,
+        ).take_all()
+        got_set = {(r["doc_id"], r["a"], r["b"]) for r in got}
+        assert len(got) == len(got_set), f"duplicate pairs at block={block}"
+        assert got_set == expect, f"mismatch at block={block}"
+
+
 def test_hll_one_hash_family_across_input_types():
     """Sketches built from a Series, an ndarray and a plain list of the
     same values must be register-identical — merge() of sketches from
