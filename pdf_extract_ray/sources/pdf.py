@@ -16,14 +16,18 @@ using only stdlib (``re``, ``zlib``):
   rg/g color; spans merged into baseline lines;
 * page tree: /Type /Page objects with /MediaBox (inherited via /Parent)
   and /Contents (single ref or array);
-* fonts: bold/italic flags inferred from /BaseFont name.
+* fonts: bold/italic flags inferred from /BaseFont name;
+* composite (Type0/CID) fonts: decoded through their /ToUnicode CMap
+  (bfchar + bfrange, incl. array form) — the layout modern exporters
+  (and Korean-text PDFs like the reference corpus) actually emit; Type0
+  fonts WITHOUT a ToUnicode map are skipped (codes are meaningless
+  without the font program).
 
 DOCUMENTED APPROXIMATIONS (the honest subset, asserted in tests):
 * glyph widths are approximated as ``0.5 * size`` per char (no font
   metrics), so ``x1`` is approximate — the layout rules use x0/column
   position and sizes, not exact extents;
-* strings decode as Latin-1 (== WinAnsi for the ASCII range); CID/Type0
-  composite fonts are NOT decoded (their show ops are skipped);
+* simple-font strings decode as Latin-1 (== WinAnsi for the ASCII range);
 * y coordinates are flipped to top-based to match the PyMuPDF-style rows
   the layout stage expects.
 
@@ -261,6 +265,50 @@ def _inherited(doc: _Doc, page: dict, key: str, depth: int = 0):
 # content-stream text interpreter
 # ---------------------------------------------------------------------------
 
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_HEXPAIR_RE = re.compile(rb"<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>")
+_RANGE_RE = re.compile(
+    rb"<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*(<[0-9a-fA-F]+>|\[[^\]]*\])")
+_CODESPACE_RE = re.compile(
+    rb"begincodespacerange\s*<([0-9a-fA-F]+)>", re.DOTALL)
+
+
+def _utf16be(hexs: bytes) -> str:
+    try:
+        return bytes.fromhex(hexs.decode()).decode("utf-16-be", "replace")
+    except ValueError:
+        return ""
+
+
+def parse_tounicode_cmap(data: bytes) -> tuple[dict[int, str], int]:
+    """/ToUnicode CMap -> ({code: text}, code_bytes).  Handles bfchar,
+    bfrange with scalar or array destinations, and the codespace range
+    (for the code byte-width; Identity-H is 2)."""
+    cmap: dict[int, str] = {}
+    m = _CODESPACE_RE.search(data)
+    nbytes = max(1, len(m.group(1)) // 2) if m else 2
+    for block in _BFCHAR_RE.finditer(data):
+        for src, dst in _HEXPAIR_RE.findall(block.group(1)):
+            cmap[int(src, 16)] = _utf16be(dst)
+    for block in _BFRANGE_RE.finditer(data):
+        for lo, hi, dst in _RANGE_RE.findall(block.group(1)):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if hi_i - lo_i > 65535:
+                continue  # malformed guard
+            if dst.startswith(b"["):
+                items = re.findall(rb"<([0-9a-fA-F]+)>", dst)
+                for off, d in enumerate(items):
+                    cmap[lo_i + off] = _utf16be(d)
+            else:
+                base = int(dst[1:-1], 16)
+                for off in range(hi_i - lo_i + 1):
+                    # last code unit increments (PDF spec bfrange rule)
+                    cmap[lo_i + off] = _utf16be(
+                        f"{base + off:0{len(dst) - 2}x}".encode())
+    return cmap, nbytes
+
+
 _TOKEN_RE = re.compile(
     rb"\((?:[^()\\]|\\.)*\)"        # literal string (1-level; nested handled by parser)
     rb"|<<|>>|<[0-9a-fA-F\s]*>"
@@ -292,12 +340,21 @@ def _spans_from_content(content: bytes, fonts: dict[str, int]) -> list[dict]:
     leading = 0.0
     color = 0
     in_cid = False
+    cmap: tuple[dict[int, str], int] | None = None
     stack: list = []
 
     def emit(raw: bytes):
         if in_cid or not raw:
             return
-        text = raw.decode("latin-1").replace("\x00", "")
+        if cmap is not None:
+            table, nb = cmap
+            chars = []
+            for j in range(0, len(raw) - nb + 1, nb):
+                code = int.from_bytes(raw[j : j + nb], "big")
+                chars.append(table.get(code, ""))
+            text = "".join(chars).replace("\x00", "")
+        else:
+            text = raw.decode("latin-1").replace("\x00", "")
         if not text.strip():
             return
         eff = size * max(abs(tm[3]), 1e-9)
@@ -352,7 +409,9 @@ def _spans_from_content(content: bytes, fonts: dict[str, int]) -> list[dict]:
                     if isinstance(fname, tuple):
                         f = fonts.get(fname[1])
                         flags = f if isinstance(f, int) else 0
-                        in_cid = fname[1] in fonts.get("__cidset__", set())
+                        cmap = fonts.get("__cmaps__", {}).get(fname[1])
+                        in_cid = (cmap is None
+                                  and fname[1] in fonts.get("__cidset__", set()))
                 elif op == b"Td" and len(stack) >= 2:
                     td(float(stack[-2]), float(stack[-1]))
                 elif op == b"TD" and len(stack) >= 2:
@@ -449,9 +508,9 @@ def pdf_pages_spans(data: bytes | None) -> list[dict]:
         mb = [float(doc.resolve(x) or 0) for x in mb]
         width, height = mb[2] - mb[0], mb[3] - mb[1]
 
-        # fonts: name -> style flags; composite (Type0) fonts are marked
-        # undecodable and their show ops skipped
-        fonts: dict = {"__cidset__": set()}
+        # fonts: name -> style flags; composite (Type0) fonts decode via
+        # their ToUnicode CMap, or are skipped when none exists
+        fonts: dict = {"__cidset__": set(), "__cmaps__": {}}
         res = _inherited(doc, val, "Resources")
         if isinstance(res, dict):
             fdict = doc.resolve(res.get("Font"))
@@ -460,13 +519,22 @@ def pdf_pages_spans(data: bytes | None) -> list[dict]:
                     fobj = doc.resolve(fref)
                     if not isinstance(fobj, dict):
                         continue
-                    sub = fobj.get("Subtype")
-                    if isinstance(sub, tuple) and sub[1] == "Type0":
-                        fonts["__cidset__"].add(fname)
-                        continue
                     bf = fobj.get("BaseFont")
                     fonts[fname] = _font_flags(
                         bf[1] if isinstance(bf, tuple) else "")
+                    sub = fobj.get("Subtype")
+                    if isinstance(sub, tuple) and sub[1] == "Type0":
+                        tu = fobj.get("ToUnicode")
+                        data_tu = (doc.stream_of(tu[1])
+                                   if isinstance(tu, tuple) and tu[0] == "ref"
+                                   else None)
+                        if data_tu:
+                            try:
+                                fonts["__cmaps__"][fname] = parse_tounicode_cmap(data_tu)
+                            except Exception:
+                                fonts["__cidset__"].add(fname)
+                        else:
+                            fonts["__cidset__"].add(fname)
 
         contents = val.get("Contents")
         refs = contents if isinstance(contents, list) else [contents]

@@ -134,6 +134,64 @@ class TestSpans:
         assert d["extracted_text"] == "body keeps."
 
 
+def make_type0_pdf(include_tounicode=True):
+    """One page showing 2-byte CID codes through a Type0 font with (or
+    without) a /ToUnicode CMap.  Codes: 0001='한' 0002='국' and the
+    bfrange 0010-0012 -> '안','앉','않'."""
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"begincmap\n"
+            b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            b"2 beginbfchar\n<0001> <D55C>\n<0002> <AD6D>\nendbfchar\n"
+            b"1 beginbfrange\n<0010> <0012> <C548>\nendbfrange\n"
+            b"1 beginbfrange\n<0020> <0021> [<0041> <0042>]\nendbfrange\n"
+            b"endcmap\nend")
+    content = (b"BT /F9 14 Tf 72 700 Td <00010002> Tj ET "
+               b"BT /F9 14 Tf 72 650 Td <0010001100120020 0021> Tj ET")
+    tu_ref = b"/ToUnicode 1 0 R " if include_tounicode else b""
+    objs = [
+        # 1: ToUnicode CMap stream
+        (f"<< /Length {len(cmap)} >>".encode()
+         + b"\nstream\n" + cmap + b"\nendstream"),
+        # 2: Type0 font
+        (b"<< /Type /Font /Subtype /Type0 /BaseFont /NotoSansKR-Bold "
+         + tu_ref + b"/Encoding /Identity-H >>"),
+        # 3: content stream
+        (f"<< /Length {len(content)} >>".encode()
+         + b"\nstream\n" + content + b"\nendstream"),
+        # 4: page
+        (b"<< /Type /Page /Parent 5 0 R /Contents 3 0 R "
+         b"/Resources << /Font << /F9 2 0 R >> >> >>"),
+        # 5: pages
+        (b"<< /Type /Pages /Kids [ 4 0 R ] /Count 1 "
+         b"/MediaBox [ 0 0 612 792 ] >>"),
+        # 6: catalog
+        b"<< /Type /Catalog /Pages 5 0 R >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, body in enumerate(objs, start=1):
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    out += b"trailer\n<< /Root 6 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+class TestType0Fonts:
+    def test_tounicode_decodes_cid_text(self):
+        pages = pdf_pages_spans(make_type0_pdf())
+        lines = pages[0]["lines"]
+        texts = [l["text"] for l in lines]
+        assert texts[0] == "한국"
+        assert texts[1] == "안앉않AB"
+        assert lines[0]["flags"] & 16  # Bold from BaseFont name
+
+    def test_type0_without_tounicode_is_skipped(self):
+        pages = pdf_pages_spans(make_type0_pdf(include_tounicode=False))
+        assert pages[0]["lines"] == []
+
+    def test_korean_document_chain(self):
+        d = extract_pdf_document("u", make_type0_pdf())
+        assert "한국" in d["extracted_text"]
+
+
 class TestDocumentChain:
     def test_full_chain_title_and_sentences(self):
         d = extract_pdf_document("u", make_pdf([SIMPLE]))
