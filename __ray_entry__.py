@@ -786,6 +786,16 @@ def q_event_value_quantiles(sf_dir: str):
     return bucketed_group_apply(ds, ["event_type"], q)
 
 
+def q_hopping_window_events(sf_dir: str):
+    # sliding/hopping window rollup (1h windows, 30min hop): map-side
+    # window explode (2 copies/event) + partial-aggregated groupby — the
+    # streaming-shaped sibling of windowed_events
+    from pdf_extract_ray.stages.windows import hopping_window
+
+    ds = _t(sf_dir, "events", columns=["user_id", "ts", "value"])
+    return hopping_window(ds)
+
+
 def q_event_value_lag(sf_dir: str):
     # LAG window function (per-key previous value): one bucketed shuffle
     # + vectorized sorted shift (stages/windows.grouped_lag)
@@ -848,6 +858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "distinct_langs": q_distinct_langs,
         "sessionized_events": q_sessionized_events,
+        "hopping_window_events": q_hopping_window_events,
         "customer_nation_broadcast": q_customer_nation_broadcast,
         "top_customers": q_top_customers,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1171,6 +1182,16 @@ def oracle_sql() -> dict[str, str]:
             "n_name, r_name FROM customer "
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey"
+        ),
+        # hopping windows: each event joins the size/hop=2 window starts
+        # covering it (epoch arithmetic; make_timestamp keeps plain TIMESTAMP)
+        "hopping_window_events": (
+            "SELECT user_id, make_timestamp(CAST("
+            "(floor(epoch(ts) / 1800) - o) * 1800 * 1000000 AS BIGINT)) "
+            "AS window_start, count(*) AS n_events, "
+            "round(sum(value), 2) AS sum_value "
+            "FROM events CROSS JOIN (VALUES (0), (1)) AS hops(o) "
+            "GROUP BY user_id, window_start"
         ),
         "sessionized_events": (
             "WITH d AS (SELECT user_id, ts, value, "

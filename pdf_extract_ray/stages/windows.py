@@ -53,6 +53,59 @@ def sessionize(
                                 num_buckets=num_buckets)
 
 
+def hopping_window(
+    events: Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    size: pd.Timedelta = pd.Timedelta(hours=1),
+    hop: pd.Timedelta = pd.Timedelta(minutes=30),
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Hopping (sliding) windows: every event belongs to the ``size/hop``
+    windows covering it; per-(key, window_start) count/sum rollup.
+
+    Scale shape: window assignment is a map-side EXPLODE (each row emits
+    size/hop copies tagged with its window starts — small constant), then
+    the standard map-side-partial + bucketed grouped aggregate; no sort,
+    no per-window state."""
+    if size % hop != pd.Timedelta(0):
+        raise ValueError("size must be a multiple of hop")
+    n_hops = size // hop
+    hop_us = hop.value // 1000
+
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        # normalize to us epoch regardless of the column's datetime unit
+        ts_us = b[ts_col].astype("datetime64[us]").astype("int64")
+        base = (ts_us // hop_us) * hop_us          # latest window start
+        parts = []
+        for k in range(n_hops):
+            w = base - k * hop_us
+            parts.append(pd.DataFrame({
+                key_col: b[key_col].to_numpy(),
+                "window_start": w.to_numpy(),
+                value_col: b[value_col].to_numpy(),
+            }))
+        return pd.concat(parts, ignore_index=True)
+
+    out = grouped_aggregate(
+        events.map_batches(explode, batch_format="pandas"),
+        [key_col, "window_start"],
+        {"n_events": (key_col, "count"), "sum_value": (value_col, "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["window_start"] = pd.to_datetime(b["window_start"], unit="us")
+        b["sum_value"] = round_half_away(b["sum_value"], 2)
+        return b
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
 def grouped_lag(
     ds: Dataset,
     keys: list[str],

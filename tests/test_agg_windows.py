@@ -91,6 +91,31 @@ def test_hll_accuracy_and_merge(ray_session):
     assert abs(est - exact) / exact < 0.05
 
 
+def test_hopping_window_semantics(ray_session):
+    """Every event is counted in exactly size/hop windows, and each
+    window's sum equals the pandas rollup over its [start, start+size)."""
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.windows import hopping_window
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 5, 500),
+        "ts": pd.to_datetime(rng.randint(0, 6 * 3600, 500), unit="s"),
+        "value": rng.standard_normal(500).round(3),
+    })
+    out = hopping_window(rd.from_pandas(df).repartition(4)).to_pandas()
+    # total event-window memberships = 2 x events (1h windows, 30min hop)
+    assert out["n_events"].sum() == 2 * len(df)
+    # spot-check one (user, window)
+    row = out.sort_values(["user_id", "window_start"]).iloc[7]
+    lo = row["window_start"]
+    hi = lo + pd.Timedelta(hours=1)
+    sub = df[(df.user_id == row["user_id"]) & (df.ts >= lo) & (df.ts < hi)]
+    assert row["n_events"] == len(sub)
+    assert row["sum_value"] == round(sub["value"].sum(), 2)
+
+
 def test_grouped_lag_matches_pandas(ray_session):
     import ray.data as rd
 
