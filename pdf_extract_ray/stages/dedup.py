@@ -91,11 +91,59 @@ _FNV_BASIS = np.uint64(0xCBF29CE484222325)
 
 
 def _hash_perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
-    """a, b < 2^32 so a*x32 + b never wraps uint64 (exact mod-Mersenne)."""
+    """a in [1, M), b in [0, M) — the FULL universal family over the
+    Mersenne prime.  Small parameters are not an option: with a < 2^32 the
+    product a*x wraps M only a handful of times, leaving each
+    "permutation" monotonic in x over long segments, so the same elements
+    attain the minimum for most permutations and the Jaccard estimate
+    collapses (measured: true 0.82 -> est 0.48).  The multiply is computed
+    exactly by ``_mulmod_mersenne``."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, 1 << 32, size=num_perm, dtype=np.uint64)
-    b = rng.randint(0, 1 << 32, size=num_perm, dtype=np.uint64)
+    # compose 61-bit values from two 31-bit draws (RandomState caps at 2^32)
+    hi = rng.randint(0, 1 << 30, size=num_perm, dtype=np.uint64)
+    lo = rng.randint(0, 1 << 31, size=num_perm, dtype=np.uint64)
+    a = ((hi << np.uint64(31)) | lo) % _M64
+    a = np.where(a == 0, np.uint64(1), a)
+    hi2 = rng.randint(0, 1 << 30, size=num_perm, dtype=np.uint64)
+    lo2 = rng.randint(0, 1 << 31, size=num_perm, dtype=np.uint64)
+    b = ((hi2 << np.uint64(31)) | lo2) % _M64
     return a, b
+
+
+_MASK31 = np.uint64((1 << 31) - 1)
+_MASK61 = np.uint64((1 << 61) - 1)
+
+
+def _mod_m(v: np.ndarray) -> np.ndarray:
+    """v mod M for v < 2^63 (one fold + conditional subtract; 2^61 === 1)."""
+    v = (v >> np.uint64(61)) + (v & _MASK61)
+    return np.where(v >= _M64, v - _M64, v)
+
+
+def _mulmod_mersenne(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """(a[:,None] * x[None,:]) mod M computed EXACTLY in uint64 via 31-bit
+    limb arithmetic (a, x < M = 2^61-1; 2^62 === 2, 2^61 === 1 mod M).
+    a*x = a1*x1*2^62 + (a1*x0 + a0*x1)*2^31 + a0*x0.  In-place ops keep
+    the temporary count at 2 matrices (the kernel is memory-bound)."""
+    with np.errstate(over="ignore"):
+        a1 = (a >> np.uint64(31))[:, None]                # < 2^30
+        a0 = (a & _MASK31)[:, None]
+        x1 = (x >> np.uint64(31))[None, :]                # < 2^30
+        x0 = (x & _MASK31)[None, :]
+        s = a1 * x0
+        s += a0 * x1                                      # < 2^62
+        # fold s, then s*2^31 === (s >> 30) + ((s & (2^30-1)) << 31)
+        np.add(s >> np.uint64(61), s & _MASK61, out=s)    # < 2^61 + 2
+        v = a1 * x1
+        v <<= np.uint64(1)                                # 2*a1*x1 < 2^61
+        v += s >> np.uint64(30)
+        s &= np.uint64((1 << 30) - 1)
+        s <<= np.uint64(31)
+        v += s
+        v += a0 * x0                                      # < 2^63 + eps
+        np.add(v >> np.uint64(61), v & _MASK61, out=v)    # < 2^61 + 8
+        np.subtract(v, _M64, out=v, where=v >= _M64)
+        return v
 
 
 def _token_hashes_flat(texts: list) -> tuple[np.ndarray, np.ndarray]:
@@ -168,11 +216,12 @@ def shingle_set(text: str, k: int = 3) -> np.ndarray:
 
 def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """num_perm-wide MinHash signature of one shingle set (vectorized,
-    exact (a*x+b) mod Mersenne — see module docstring)."""
+    exact (a*x+b) mod Mersenne via limb arithmetic)."""
     if len(shingles) == 0:
         return np.full(len(a), _U64_MAX, dtype=np.uint64)
-    x = shingles.astype(np.uint64) & _LOW32
-    vals = (np.outer(a, x) + b[:, None]) % _M64
+    with np.errstate(over="ignore"):
+        x = _mod_m(shingles.astype(np.uint64))
+        vals = _mod_m(_mulmod_mersenne(a, x) + b[:, None])
     return vals.min(axis=1)
 
 
@@ -190,7 +239,8 @@ def minhash_signatures(
     vals, docs = _kgram_hashes(th, lens, k)
     if len(vals) == 0:
         return sig
-    x = vals & _LOW32
+    with np.errstate(over="ignore"):
+        x = _mod_m(vals)
     counts = np.bincount(docs, minlength=n)
     ends = np.cumsum(counts)
     starts = ends - counts
@@ -205,8 +255,8 @@ def minhash_signatures(
         dsel = nz[i:j]
         lo, hi = starts[dsel[0]], ends[dsel[-1]]
         seg = x[lo:hi]
-        # exact: a,b < 2^32 and seg < 2^32 -> no uint64 wrap before the mod
-        pv = (a[:, None] * seg[None, :] + b[:, None]) % _M64
+        with np.errstate(over="ignore"):
+            pv = _mod_m(_mulmod_mersenne(a, seg) + b[:, None])
         offs = (starts[dsel] - lo).astype(np.int64)
         sig[dsel] = np.minimum.reduceat(pv, offs, axis=1).T
         i = j

@@ -226,6 +226,52 @@ def test_winnow_pairs_pipeline(ray_session):
         assert abs(ov - round(winnow_overlap(texts[a], texts[b]), 4)) < 1e-3
 
 
+def test_minhash_estimate_tracks_true_jaccard():
+    """With the exact universal-hash family (a,b < 2^32, 32-bit shingles,
+    true mod-Mersenne), the 128-perm signature equality must track the
+    true shingle-set Jaccard within sampling error (sigma ~ 0.044)."""
+    from pdf_extract_ray.stages.dedup import (
+        _hash_perm_params, minhash_signatures, shingle_set)
+
+    a, b = _hash_perm_params(128)
+    words = [f"w{i}" for i in range(400)]
+    base = words[:200]
+    errors = []
+    for n_shared in (180, 140, 100, 60):
+        other = base[:n_shared] + words[200 : 200 + (200 - n_shared)]
+        t1, t2 = " ".join(base), " ".join(other)
+        s1 = set(shingle_set(t1).tolist())
+        s2 = set(shingle_set(t2).tolist())
+        true_j = len(s1 & s2) / len(s1 | s2)
+        sig = minhash_signatures([t1, t2], a, b)
+        est = float((sig[0] == sig[1]).mean())
+        errors.append(abs(est - true_j))
+    assert max(errors) < 0.15, errors
+    assert sum(errors) / len(errors) < 0.08, errors
+
+
+def test_minhash_batch_and_scalar_paths_agree():
+    """minhash_signatures (batch reduceat kernel) == per-doc
+    minhash_signature over shingle_set — the two public paths must never
+    drift."""
+    import numpy as np
+
+    from pdf_extract_ray.stages.dedup import (
+        _hash_perm_params, minhash_signature, minhash_signatures,
+        shingle_set, simhash64, simhash_signatures)
+
+    a, b = _hash_perm_params(64)
+    texts = ["the quick brown fox", "", "one", "alpha beta gamma delta epsilon",
+             "x " * 500]
+    batch = minhash_signatures(texts, a, b)
+    for i, t in enumerate(texts):
+        scalar = minhash_signature(shingle_set(t), a, b)
+        assert (batch[i] == scalar).all(), f"minhash drift on {t!r}"
+    sims = simhash_signatures(texts)
+    for i, t in enumerate(texts):
+        assert int(sims[i]) == simhash64(t), f"simhash drift on {t!r}"
+
+
 def test_near_dup_bucket_caps_bound_degenerate_skew(ray_session):
     """10^4 identical boilerplate docs collapse into one candidate bucket;
     the caps must drop it (with a log line) instead of running an O(b^2)
