@@ -84,7 +84,6 @@ def dedup_exact(ds: Dataset, key_col: str, order_col: str) -> Dataset:
 _MERSENNE = (1 << 61) - 1
 _M64 = np.uint64(_MERSENNE)
 _U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
-_LOW32 = np.uint64(0xFFFFFFFF)
 _C1 = np.uint64(0x9E3779B97F4A7C15)   # golden-ratio odd multiplier
 _C2 = np.uint64(0xC2B2AE3D27D4EB4F)   # xxhash-style odd multiplier
 _FNV_BASIS = np.uint64(0xCBF29CE484222325)
