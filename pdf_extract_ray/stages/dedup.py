@@ -17,11 +17,12 @@ Scale design notes:
   ``minimum.reduceat`` over the permuted matrix, and band keys are an
   FNV-style fold over the signature matrix.  No per-row Python hashing
   anywhere (round-1 bench: the md5 loops were 61% of total wall).
-* universal-hash exactness: permutation params a, b are drawn < 2^32 and
-  shingle hashes are reduced to 32 bits, so ``(a*x + b) mod M`` fits in
-  uint64 WITHOUT wrap-around — the Mersenne-prime universal family is
-  computed exactly (round-1 advice: 61-bit params silently wrapped mod
-  2^64 first, voiding the uniformity guarantee).
+* universal-hash exactness: permutation params draw from the FULL
+  [1, M) family over the Mersenne prime and ``(a*x + b) mod M`` is
+  computed exactly via 31-bit limb arithmetic (``_mulmod_mersenne``;
+  2^61 === 1 folds).  Round-1 wrapped silently mod 2^64; the obvious
+  small-parameter fix is exact but statistically broken (see
+  ``_hash_perm_params``).
 * the all-to-all steps shuffle only the tiny ``(band_hash, id)`` rows,
   candidate pairs and one copy of each signature — never the documents;
   candidate verification joins signatures, not texts.
