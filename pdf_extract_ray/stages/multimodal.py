@@ -88,6 +88,64 @@ class CodecDecoder:  # pragma: no cover - needs codec libs
         )
 
 
+class FrameSampler:
+    """Actor-pool stage: one video row -> N frame rows (1->N explode, the
+    multimodal flat-map shape).  Frame selection is every ``stride``-th
+    frame up to ``max_frames``.
+
+    STUB decode: a "frame" is a deterministic byte-slice of the payload
+    (the container has no video codecs); the Ray-side plumbing — schema,
+    fat-row batching, actor state, row multiplication — is real.  On a
+    real cluster replace ``_frames_of`` with an ffmpeg/pyav reader and
+    keep the signature."""
+
+    def __init__(self, stride: int = 2, max_frames: int = 4):
+        self.stride, self.max_frames = stride, max_frames
+
+    def _frames_of(self, payload: bytes) -> list[bytes]:
+        payload = payload or b""
+        n_virtual = max(1, len(payload) // 16)  # fake "frame count"
+        picked = list(range(0, n_virtual, self.stride))[: self.max_frames]
+        return [payload[i * 16 : (i + 1) * 16] for i in picked]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("media_id", "frame_no", "frame_bytes",
+                               "n_frames_sampled")}
+        for mid, kind, payload in zip(batch["media_id"].to_pylist(),
+                                      batch["kind"].to_pylist(),
+                                      batch["payload"].to_pylist()):
+            if kind != "video":
+                continue
+            frames = self._frames_of(payload)
+            for fn_, fb in enumerate(frames):
+                out["media_id"].append(mid)
+                out["frame_no"].append(fn_)
+                out["frame_bytes"].append(fb)
+                out["n_frames_sampled"].append(len(frames))
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.int64()),
+            "frame_no": pa.array(out["frame_no"], pa.int32()),
+            "frame_bytes": pa.array(out["frame_bytes"], pa.large_binary()),
+            "n_frames_sampled": pa.array(out["n_frames_sampled"], pa.int32()),
+        })
+
+
+def frame_sample(
+    media: Dataset, *, stride: int = 2, max_frames: int = 4,
+    batch_size: int = 32, concurrency: int = 4,
+) -> Dataset:
+    """video rows -> sampled frame rows.  Small batches: each output row
+    multiplies the payload footprint by up to ``max_frames``."""
+    return media.map_batches(
+        FrameSampler,
+        fn_constructor_args=(stride, max_frames),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 def media_features(
     media: Dataset, *, dim: int = 32, batch_size: int = 64, concurrency: int = 4
 ) -> Dataset:

@@ -96,3 +96,33 @@ class TestMultimodal:
             concurrency=2).take_all()
         assert {r["media_id"]: list(r["feature"]) for r in again} == {
             k: list(v) for k, v in by_id.items()}
+
+
+def test_frame_sample_explodes_video_rows(ray_session):
+    """1->N multimodal explode: only video rows emit frames, frame count
+    respects stride/max_frames, and the operator is deterministic."""
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.multimodal import (
+        FrameSampler, frame_sample, synth_media_table)
+
+    t = synth_media_table(60)
+    ds = rd.from_arrow(t).repartition(3)
+    out = frame_sample(ds, stride=2, max_frames=3, concurrency=2).take_all()
+    vids = {i for i, k in zip(t.column("media_id").to_pylist(),
+                              t.column("kind").to_pylist()) if k == "video"}
+    assert {r["media_id"] for r in out} == vids
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for mid, rows in by_id.items():
+        assert [r["frame_no"] for r in sorted(rows, key=lambda r: r["frame_no"])] \
+            == list(range(len(rows)))
+        assert all(r["n_frames_sampled"] == len(rows) for r in rows)
+        assert 1 <= len(rows) <= 3
+    # deterministic vs the single-process stage
+    sp = FrameSampler(2, 3)(t)
+    assert sorted((r["media_id"], r["frame_no"], r["frame_bytes"]) for r in out) \
+        == sorted(zip(sp.column("media_id").to_pylist(),
+                      sp.column("frame_no").to_pylist(),
+                      sp.column("frame_bytes").to_pylist()))
