@@ -1,0 +1,68 @@
+"""Fuzz/property tests for the from-scratch IO surfaces: the PDF reader
+must never raise on arbitrary bytes (at 100 TB one corrupt file cannot
+kill a job), and the XLSX writer/reader must round-trip arbitrary cell
+content."""
+
+import string
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_extract_ray.sources.pdf import pdf_pages_spans
+from pdf_extract_ray.sources.xlsx import _INVALID_XML_RE, read_xlsx, write_xlsx
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=2048))
+def test_pdf_reader_never_raises_on_garbage(data):
+    pdf_pages_spans(data)
+    pdf_pages_spans(b"%PDF-1.4\n" + data)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=512))
+def test_pdf_reader_never_raises_on_object_soup(payload):
+    """Syntactically obj-shaped but semantically arbitrary bodies."""
+    doc = (b"%PDF-1.4\n1 0 obj\n" + payload + b"\nendobj\n"
+           b"2 0 obj\n<< /Type /Page /Contents 1 0 R >>\nendobj\n"
+           b"3 0 obj\n<< /Length 5 >>\nstream\n" + payload[:5]
+           + b"\nendstream\nendobj\n")
+    pdf_pages_spans(doc)
+
+
+_CELL_TEXT = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        exclude_categories=("Cs",),  # no lone surrogates
+    ),
+    max_size=40,
+)
+_CELL = st.one_of(
+    _CELL_TEXT,
+    st.integers(min_value=-2**40, max_value=2**40),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.booleans(),
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(_CELL, _CELL), min_size=1, max_size=8))
+def test_xlsx_round_trip_arbitrary_cells(tmp_path_factory, rows):
+    df = pd.DataFrame(rows, columns=["a", "b"])
+    path = str(tmp_path_factory.mktemp("fz") / "t.xlsx")
+    write_xlsx(path, {"S": df})
+    back = read_xlsx(path)["S"]
+    assert len(back) == len(df)
+    for col in ("a", "b"):
+        for got, exp in zip(back[col], df[col]):
+            if isinstance(exp, str):
+                # the writer's sanitize contract: XML-invalid chars -> U+FFFD
+                cleaned = _INVALID_XML_RE.sub("�", exp)
+                assert got == cleaned or (got is None and cleaned == "")
+            elif isinstance(exp, bool):
+                assert got is exp or got == exp
+            elif isinstance(exp, int):
+                assert got == exp
+            else:
+                assert abs(float(got) - float(exp)) <= 1e-6 * max(1.0, abs(exp))
