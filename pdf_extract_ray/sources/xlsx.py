@@ -50,7 +50,9 @@ def _cell_xml(col: str, row: int, value) -> str:
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
     if isinstance(value, (int, float)):
         return f'<c r="{ref}"><v>{value!r}</v></c>'
-    s = escape(_INVALID_XML_RE.sub("�", str(value)))
+    # carriage returns must be character-referenced: XML parsers normalize
+    # literal \r (and \r\n) in content to \n on read
+    s = escape(_INVALID_XML_RE.sub("�", str(value))).replace("\r", "&#13;")
     return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{s}</t></is></c>'
 
 
