@@ -66,3 +66,42 @@ def test_xlsx_round_trip_arbitrary_cells(tmp_path_factory, rows):
                 assert got == exp
             else:
                 assert abs(float(got) - float(exp)) <= 1e-6 * max(1.0, abs(exp))
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=6))
+def test_dedup_kernels_never_raise_and_paths_agree(texts):
+    import numpy as np
+
+    from pdf_extract_ray.stages.dedup import (
+        _hash_perm_params, minhash_signature, minhash_signatures,
+        shingle_set, simhash64, simhash_signatures)
+
+    a, b = _hash_perm_params(32)
+    batch = minhash_signatures(texts, a, b)
+    sims = simhash_signatures(texts)
+    for i, t in enumerate(texts):
+        assert (batch[i] == minhash_signature(shingle_set(t), a, b)).all()
+        assert int(sims[i]) == simhash64(t)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(max_size=60))
+def test_clean_sql_mirror_fuzz_parity(text):
+    """clean_pair_text vs its DuckDB mirror on ARBITRARY text (the listed
+    cases in test_text_functions are curated; this hunts unmapped
+    divergences).  Surrogates excluded (not encodable)."""
+    import duckdb
+
+    import __ray_entry__ as entry
+    from pdf_extract_ray.functions.text import clean_pair_text
+
+    try:
+        text.encode("utf-8")
+    except UnicodeEncodeError:
+        return
+    expr = entry._clean_sql("coalesce(text,'')")
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {expr} FROM (SELECT ? AS text) t", [text]).fetchone()[0]
+    assert got == clean_pair_text(text), repr(text)
