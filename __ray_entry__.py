@@ -467,6 +467,18 @@ def q_minhash_near_dup(sf_dir: str):
     return minhash_lsh_pairs(ds, "doc_id", "text", jaccard_threshold=0.5)
 
 
+def q_near_dup_clusters(sf_dir: str):
+    # pairs -> transitive clusters: iterative min-label propagation over
+    # the minhash pair graph (stages/graph.connected_components); oracle =
+    # committed single-process union-find golden
+    from pdf_extract_ray.stages.dedup import minhash_lsh_pairs
+    from pdf_extract_ray.stages.graph import connected_components
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, "doc_id", "text", jaccard_threshold=0.5)
+    return connected_components(pairs)
+
+
 def q_simhash_near_dup(sf_dir: str):
     from pdf_extract_ray.stages.dedup import simhash_pairs
 
@@ -846,6 +858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "minhash_near_dup": q_minhash_near_dup,
+        "near_dup_clusters": q_near_dup_clusters,
         "simhash_near_dup": q_simhash_near_dup,
         "winnow_near_dup": q_winnow_near_dup,
         "extract_flagship": q_extract_flagship,
@@ -1227,5 +1240,6 @@ def oracle_sql() -> dict[str, str]:
                         "minhash_near_dup", "simhash_near_dup", "winnow_near_dup",
                         "pair_analyzers", "layout_tagging", "media_features",
                         "approx_distinct_users", "similarity_topk_ivf",
-                        "embedding_near_dup_lsh", "pdf_extract_docs")},
+                        "embedding_near_dup_lsh", "pdf_extract_docs",
+                        "near_dup_clusters")},
     }

@@ -1,0 +1,148 @@
+"""Distributed connected components over a pair graph, and cluster-level
+near-duplicate deduplication.
+
+The near-dup operators emit PAIRS; a training-data pipeline needs
+CLUSTERS (transitive closure) and one canonical representative per
+cluster — the standard ending of web-scale dedup (minhash pairs ->
+components -> keep min-id per component).
+
+Algorithm: iterative min-label propagation ("hash-to-min" style).  Each
+iteration sends every node's current label across its edges and keeps the
+minimum — one bucketed union-shuffle per iteration, converging in
+O(log diameter) rounds for typical near-dup graphs (duplicate clusters
+are dense, diameter is tiny).  Convergence is detected from the global
+label sum: labels only ever decrease, so an unchanged sum is a fixpoint
+— a driver-side scalar per round, never a data comparison.
+
+Scale shape: only (node, label) and (src, dst) rows ever shuffle (two
+int64s); documents never move.  The iteration count appearing in the
+plan is bounded by ``max_iters`` with a logged warning on non-convergence
+(never silent).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import pandas as pd
+
+from ray.data import Dataset
+
+logger = logging.getLogger("pdf_extract_ray.graph")
+
+
+def connected_components(
+    pairs: Dataset,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iters: int = 50,
+) -> Dataset:
+    """(node, component) for every node appearing in ``pairs``; component =
+    the minimum node id reachable from the node (deterministic)."""
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    def sym_edges(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": pd.concat([b[id_a], b[id_b]], ignore_index=True),
+            "dst": pd.concat([b[id_b], b[id_a]], ignore_index=True),
+        })
+
+    edges = pairs.map_batches(sym_edges, batch_format="pandas").materialize()
+
+    def init_labels(b: pd.DataFrame) -> pd.DataFrame:
+        nodes = b["key"].drop_duplicates()
+        return pd.DataFrame({"key": nodes, "label": nodes})
+
+    # per-batch distinct is enough: the first propagation round min-merges
+    labels = bucketed_group_apply(
+        edges.map_batches(init_labels, batch_format="pandas"), ["key"],
+        lambda g: g.drop_duplicates("key"),
+    ).materialize()
+
+    def label_sum(ds: Dataset) -> int:
+        return int(ds.sum("label") or 0)
+
+    prev_sum = label_sum(labels)
+    for it in range(max_iters):
+        # messages: each edge forwards src's label to dst; nodes keep their
+        # own label.  One union + one bucketed min per iteration.
+        def self_msg(b: pd.DataFrame) -> pd.DataFrame:
+            out = b.copy()
+            out["__dst"] = out["key"]  # deliver own label to self
+            return out[["key", "label", "__dst"]]
+
+        def fwd(bucket: pd.DataFrame) -> pd.DataFrame:
+            # bucket holds, per key: its label row(s) and its out-edges
+            is_lab = bucket["label"].notna()
+            lab = dict(zip(bucket.loc[is_lab, "key"],
+                           bucket.loc[is_lab, "label"]))
+            e = bucket[~is_lab]
+            dst = pd.concat(
+                [e["__dst"], bucket.loc[is_lab, "__dst"]], ignore_index=True)
+            src = pd.concat([e["key"], bucket.loc[is_lab, "key"]],
+                            ignore_index=True)
+            return pd.DataFrame({
+                "key": dst.to_numpy(),
+                "label": [lab.get(s) for s in src],
+            })
+
+        def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "key": b["key"],
+                "label": pd.array([None] * len(b), dtype="Int64"),
+                "__dst": b["dst"],
+            })
+
+        unioned = edges.map_batches(edge_rows, batch_format="pandas").union(
+            labels.map_batches(self_msg, batch_format="pandas")
+        )
+        msgs = bucketed_group_apply(unioned, ["key"], fwd)
+
+        def take_min(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.dropna(subset=["label"]).groupby("key", as_index=False)[
+                "label"].min()
+            out["label"] = out["label"].astype("int64")
+            return out
+
+        labels = bucketed_group_apply(msgs, ["key"], take_min).materialize()
+        cur = label_sum(labels)
+        if cur == prev_sum:  # labels only decrease -> fixpoint
+            break
+        prev_sum = cur
+    else:
+        logger.warning(
+            "connected_components: no fixpoint after max_iters=%d "
+            "(pathologically long chain?); labels may be non-transitive",
+            max_iters,
+        )
+
+    return labels.map_batches(
+        lambda b: b.rename(columns={"key": "node", "label": "component"}),
+        batch_format="pandas",
+    )
+
+
+def dedup_by_components(
+    docs: Dataset,
+    pairs: Dataset,
+    id_col: str = "doc_id",
+    *,
+    max_iters: int = 50,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Cluster-level near-dup dedup: keep every document that is NOT a
+    non-representative member of a pair component (representative = min id
+    in the component).  Documents appearing in no pair pass through."""
+    comp = connected_components(pairs, max_iters=max_iters)
+    # repartition coalesces schema-less empty blocks from sparse buckets,
+    # which Ray's hash join rejects (same guard as align.merge_aligned)
+    drop = comp.filter(expr="node != component").map_batches(
+        lambda b: b[["node"]], batch_format="pandas"
+    ).repartition(num_partitions).materialize()
+    if drop.count() == 0:  # nothing to drop; join on an empty schema-less
+        return docs        # right side would fail, and is pointless anyway
+    return docs.join(
+        drop, join_type="left_anti", num_partitions=num_partitions,
+        on=(id_col,), right_on=("node",),
+    )

@@ -1,0 +1,87 @@
+"""Distributed connected components + cluster dedup (stages/graph.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdf_extract_ray.stages.graph import connected_components, dedup_by_components
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min node per component
+    comp = {}
+    for n in list(parent):
+        comp[n] = find(n)
+    return comp
+
+
+def _random_pairs(seed, n_nodes=300, n_edges=260):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, n_nodes, n_edges)
+    b = rng.randint(0, n_nodes, n_edges)
+    keep = a != b
+    return list({(min(x, y), max(x, y)) for x, y in zip(a[keep], b[keep])})
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_components_match_union_find(ray_session, seed):
+    import ray.data as rd
+
+    pairs = _random_pairs(seed)
+    df = pd.DataFrame(pairs, columns=["id_a", "id_b"])
+    got = {r["node"]: r["component"]
+           for r in connected_components(
+               rd.from_pandas(df).repartition(4)).take_all()}
+    exp = _union_find(pairs)
+    assert got == exp
+
+
+def test_long_chain_converges(ray_session):
+    """A path graph (worst-case diameter) still reaches the fixpoint:
+    min-label propagation needs O(diameter) rounds here, bounded by
+    max_iters."""
+    import ray.data as rd
+
+    n = 24
+    df = pd.DataFrame({"id_a": range(n - 1), "id_b": range(1, n)})
+    got = {r["node"]: r["component"]
+           for r in connected_components(
+               rd.from_pandas(df).repartition(3), max_iters=n).take_all()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_dedup_by_components_keeps_representatives(ray_session):
+    import ray.data as rd
+
+    docs = pd.DataFrame({"doc_id": range(10), "text": [f"t{i}" for i in range(10)]})
+    # clusters {0,1,2} (transitively via 0-1, 1-2) and {5,7}; 3,4,6,8,9 free
+    pairs = pd.DataFrame({"id_a": [0, 1, 5], "id_b": [1, 2, 7]})
+    kept = sorted(
+        r["doc_id"] for r in dedup_by_components(
+            rd.from_pandas(docs).repartition(3),
+            rd.from_pandas(pairs)).take_all())
+    assert kept == [0, 3, 4, 5, 6, 8, 9]
+
+
+def test_empty_pairs_pass_through(ray_session):
+    import ray.data as rd
+
+    docs = pd.DataFrame({"doc_id": range(5), "text": list("abcde")})
+    pairs = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64")})
+    kept = dedup_by_components(rd.from_pandas(docs),
+                               rd.from_pandas(pairs)).take_all()
+    assert len(kept) == 5

@@ -185,7 +185,26 @@ def gen_minhash(sf_dir: str) -> dict[str, pa.Table]:
             out["id_b"].append(ib)
             out["jaccard"].append(jac)
     df = pd.DataFrame(out).sort_values(["id_a", "id_b"]).reset_index(drop=True)
-    return {"minhash_near_dup": pa.Table.from_pandas(df, preserve_index=False)}
+
+    # transitive clusters of the same pairs via plain union-find
+    parent: dict = {}
+
+    def find(u):
+        parent.setdefault(u, u)
+        while parent[u] != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    for ia, ib in zip(df["id_a"], df["id_b"]):
+        ra, rb = find(int(ia)), find(int(ib))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = sorted((n, find(n)) for n in parent)
+    clusters = pd.DataFrame(comp, columns=["node", "component"])
+    return {"minhash_near_dup": pa.Table.from_pandas(df, preserve_index=False),
+            "near_dup_clusters": pa.Table.from_pandas(clusters,
+                                                      preserve_index=False)}
 
 
 def gen_simhash(sf_dir: str) -> dict[str, pa.Table]:
