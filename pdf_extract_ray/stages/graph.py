@@ -82,10 +82,14 @@ def connected_components(
                 [e["__dst"], bucket.loc[is_lab, "__dst"]], ignore_index=True)
             src = pd.concat([e["key"], bucket.loc[is_lab, "key"]],
                             ignore_index=True)
-            return pd.DataFrame({
+            out = pd.DataFrame({
                 "key": dst.to_numpy(),
                 "label": [lab.get(s) for s in src],
             })
+            # map-side combine: one min per destination leaves this bucket,
+            # shrinking the gather shuffle (hot nodes get one row per
+            # bucket, not one per in-edge)
+            return out.groupby("key", as_index=False)["label"].min()
 
         def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({
