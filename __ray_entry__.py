@@ -479,6 +479,18 @@ def q_near_dup_clusters(sf_dir: str):
     return connected_components(pairs)
 
 
+def q_near_dup_dedup_docs(sf_dir: str):
+    # the full dedup ending: pairs -> clusters -> keep the min-id
+    # representative per cluster (plus all unpaired docs)
+    from pdf_extract_ray.stages.dedup import minhash_lsh_pairs
+    from pdf_extract_ray.stages.graph import dedup_by_components
+
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.5)
+    kept = dedup_by_components(docs, pairs)
+    return kept.map_batches(lambda b: b[["doc_id"]], batch_format="pandas")
+
+
 def q_simhash_near_dup(sf_dir: str):
     from pdf_extract_ray.stages.dedup import simhash_pairs
 
@@ -859,6 +871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "minhash_near_dup": q_minhash_near_dup,
         "near_dup_clusters": q_near_dup_clusters,
+        "near_dup_dedup_docs": q_near_dup_dedup_docs,
         "simhash_near_dup": q_simhash_near_dup,
         "winnow_near_dup": q_winnow_near_dup,
         "extract_flagship": q_extract_flagship,
@@ -1241,5 +1254,5 @@ def oracle_sql() -> dict[str, str]:
                         "pair_analyzers", "layout_tagging", "media_features",
                         "approx_distinct_users", "similarity_topk_ivf",
                         "embedding_near_dup_lsh", "pdf_extract_docs",
-                        "near_dup_clusters")},
+                        "near_dup_clusters", "near_dup_dedup_docs")},
     }

@@ -649,6 +649,7 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     num_buckets: int = 32,
     multiprobe: bool = True,
+    probe_radius: int = 1,
 ) -> Dataset:
     """Pairs with cosine >= threshold.
 
@@ -659,6 +660,11 @@ def embedding_dup_pairs(
     them); duplicate pairs arising from shared probes are removed by a
     tiny bucketed dedup over the candidate pairs only.  Comparisons stay
     within buckets — never an all-pairs matmul over the corpus.
+
+    ``probe_radius=2`` adds the C(bits, 2) two-flip probes — the recall
+    lever for LOWER thresholds (wider angles flip more hyperplanes); it
+    multiplies each vector's bucket copies from 1+bits to
+    1+bits+C(bits,2), so use it deliberately.
 
     ``num_buckets=1`` is the EXACT all-pairs mode (quadratic): the mode
     the SQL oracle checks on small inputs, and the recall baseline the
@@ -681,6 +687,10 @@ def embedding_dup_pairs(
         copies = [batch.assign(bucket=code)]
         for i in range(bits):  # Hamming-1 probes: flip each hyperplane sign
             copies.append(batch.assign(bucket=code ^ (1 << i)))
+        if probe_radius >= 2:  # two-flip probes
+            for i in range(bits):
+                for j in range(i + 1, bits):
+                    copies.append(batch.assign(bucket=code ^ (1 << i) ^ (1 << j)))
         return pd.concat(copies, ignore_index=True)
 
     from pdf_extract_ray.util import round_half_away

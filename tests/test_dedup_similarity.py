@@ -337,6 +337,12 @@ def test_embedding_lsh_multiprobe_recall_vs_exact(ray_session):
               for p in embedding_dup_pairs(ds, threshold=0.99, num_buckets=32,
                                            multiprobe=False).take_all()}
     assert len(single) <= len(bucketed)
+    # radius-2 probing is the recall lever: strictly more (or equal)
+    # candidates, still a subset of exact
+    r2 = {(p["id_a"], p["id_b"])
+          for p in embedding_dup_pairs(ds, threshold=0.99, num_buckets=32,
+                                       probe_radius=2).take_all()}
+    assert bucketed <= r2 <= exact
 
 
 def test_winnow_pairs_spill_dir_equivalent(ray_session, tmp_path):

@@ -19,7 +19,7 @@ GOLDEN_QUERIES = (
     "minhash_near_dup", "simhash_near_dup", "winnow_near_dup",
     "pair_analyzers", "layout_tagging", "media_features",
     "approx_distinct_users", "similarity_topk_ivf", "embedding_near_dup_lsh",
-    "pdf_extract_docs", "near_dup_clusters",
+    "pdf_extract_docs", "near_dup_clusters", "near_dup_dedup_docs",
 )
 
 

@@ -202,9 +202,13 @@ def gen_minhash(sf_dir: str) -> dict[str, pa.Table]:
             parent[max(ra, rb)] = min(ra, rb)
     comp = sorted((n, find(n)) for n in parent)
     clusters = pd.DataFrame(comp, columns=["node", "component"])
+    dropped = {n for n, c in comp if n != c}
+    kept = pd.DataFrame({"doc_id": [int(i) for i in ids if int(i) not in dropped]})
     return {"minhash_near_dup": pa.Table.from_pandas(df, preserve_index=False),
             "near_dup_clusters": pa.Table.from_pandas(clusters,
-                                                      preserve_index=False)}
+                                                      preserve_index=False),
+            "near_dup_dedup_docs": pa.Table.from_pandas(kept,
+                                                        preserve_index=False)}
 
 
 def gen_simhash(sf_dir: str) -> dict[str, pa.Table]:
