@@ -108,12 +108,18 @@ class NumberComparer:
                              "⁵": "5", "⁶": "6", "⁷": "7", "⁸": "8", "⁹": "9"}
         self.token_re = re.compile(r"[\w-]+")
 
+    _HAS_DIGIT_RE = re.compile(r"\d")
+
     def _extract(self, text: str, superscripts: bool) -> list[str]:
         if not isinstance(text, str) or not text:
             return []
         nums: list[str] = []
         if superscripts:
             nums.extend(d for s, d in self.superscripts.items() if s in text)
+        # fast path: every cascade pattern requires a digit; one C scan
+        # skips five substitution passes on number-free text
+        if not self._HAS_DIGIT_RE.search(text):
+            return nums
         for pat in self.patterns:
             # group(0) INCLUDING the ordinal suffix ("1st", not "1"): the
             # reference stores the whole match too (metadata_generator.py:148
@@ -232,6 +238,14 @@ def compare_english_words(kor: str, eng: str) -> dict:
 # --- special symbols (M17) -------------------------------------------------
 
 _ALLOWED_RE = re.compile(r"[a-zA-Z0-9_ㄱ-ㅎㅏ-ㅣ가-힣\s.,!?:;'\"`~%()’“”·/&-]")
+# complement of _ALLOWED_RE: one search() decides whether any special
+# symbol exists at all (the common no-symbol case skips all the Counter
+# machinery below)
+_DISALLOWED_RE = re.compile(r"[^a-zA-Z0-9_ㄱ-ㅎㅏ-ㅣ가-힣\s.,!?:;'\"`~%()’“”·/&-]")
+_NO_SYMBOLS_RESULT = {
+    "kor_special_symbols": "", "eng_special_symbols": "",
+    "symbol_match_status": "no_special_symbols", "symbol_differences": "{}",
+}
 _SPECIAL_DIGIT = {"¹": "1", "²": "2", "³": "3", "⁴": "4", "⁵": "5", "⁶": "6",
                   "⁷": "7", "⁸": "8", "⁹": "9", "₁": "1", "₂": "2", "₃": "3",
                   "₄": "4", "₅": "5", "₆": "6", "₇": "7", "₈": "8", "₉": "9"}
@@ -240,6 +254,8 @@ _SPECIAL_DIGIT = {"¹": "1", "²": "2", "³": "3", "⁴": "4", "⁵": "5", "⁶"
 def compare_special_symbols(kor: str, eng: str) -> dict:
     kor = unicodedata.normalize("NFKC", kor or "")
     eng = unicodedata.normalize("NFKC", eng or "")
+    if not (_DISALLOWED_RE.search(kor) or _DISALLOWED_RE.search(eng)):
+        return dict(_NO_SYMBOLS_RESULT)
     k_sym = Counter(_ALLOWED_RE.sub("", kor))
     e_sym = Counter(_ALLOWED_RE.sub("", eng))
     k_num = Counter(re.findall(r"\d", kor))
