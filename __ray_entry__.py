@@ -605,6 +605,15 @@ def q_media_features(sf_dir: str):
     )
 
 
+def q_stratified_sample_docs(sf_dir: str):
+    # deterministic per-language sample (md5-of-id order): balanced corpus
+    # sampling that is reproducible at any parallelism AND SQL-mirrorable
+    from pdf_extract_ray.stages.agg import stratified_sample
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "lang"])
+    return stratified_sample(ds, ["lang"], "doc_id", 20)
+
+
 def q_distinct_langs(sf_dir: str):
     # set op: distinct values (Dataset.unique is itself a shuffle)
     import ray.data as rd
@@ -883,6 +892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "layout_tagging": q_layout_tagging,
         "media_features": q_media_features,
         "distinct_langs": q_distinct_langs,
+        "stratified_sample_docs": q_stratified_sample_docs,
         "sessionized_events": q_sessionized_events,
         "hopping_window_events": q_hopping_window_events,
         "customer_nation_broadcast": q_customer_nation_broadcast,
@@ -1169,6 +1179,12 @@ def oracle_sql() -> dict[str, str]:
             "b.embedding::DOUBLE[]) >= 0.4"
         ),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "stratified_sample_docs": (
+            "SELECT doc_id, lang FROM ("
+            "SELECT doc_id, lang, row_number() OVER ("
+            "PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn "
+            "FROM documents) WHERE rn <= 20"
+        ),
         "extract_doc_counts": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
         "props_extract": (
             "SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_value FROM events"

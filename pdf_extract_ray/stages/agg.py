@@ -86,6 +86,35 @@ def bucketed_group_apply(
     )
 
 
+def stratified_sample(
+    ds: Dataset,
+    keys: Sequence[str],
+    id_col: str,
+    k: int,
+    *,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Deterministic per-key sample: the k rows with the smallest
+    ``md5(id)`` within each key group — a seedless, order-independent,
+    SQL-mirrorable "random" sample (md5 of the id is uniform but fixed,
+    so every run and every parallelism picks the same rows; balanced
+    per-domain/per-language corpus sampling at crawl scale).
+
+    One bucketed shuffle; rank computed vectorized per bucket."""
+    import hashlib
+
+    keys = list(keys)
+
+    def pick(bucket: pd.DataFrame) -> pd.DataFrame:
+        h = bucket[id_col].map(lambda v: hashlib.md5(str(v).encode()).hexdigest())
+        b = bucket.assign(__h=h).sort_values(
+            keys + ["__h"], kind="mergesort")
+        out = b.groupby(keys, as_index=False, sort=False).head(k)
+        return out.drop(columns=["__h"])
+
+    return bucketed_group_apply(ds, keys, pick, num_buckets=num_buckets)
+
+
 def grouped_aggregate(
     ds: Dataset,
     keys: Sequence[str],

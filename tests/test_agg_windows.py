@@ -221,3 +221,27 @@ def test_seeded_sampling_and_shuffle(ray_session):
     s1 = [r["id"] for r in rd.range(1000).random_shuffle(seed=3).take_all()]
     s2 = [r["id"] for r in rd.range(1000).random_shuffle(seed=3).take_all()]
     assert s1 == s2 and sorted(s1) == list(range(1000))
+
+
+def test_stratified_sample_deterministic_and_balanced(ray_session):
+    """Per-key sample: exactly min(k, group size) rows per key, identical
+    at different partitionings (md5-of-id order is parallelism-free)."""
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.agg import stratified_sample
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({"doc_id": range(500),
+                       "lang": rng.choice(["ko", "en", "zz"], 500,
+                                          p=[0.6, 0.39, 0.01])})
+    outs = []
+    for nparts in (2, 7):
+        got = (stratified_sample(rd.from_pandas(df).repartition(nparts),
+                                 ["lang"], "doc_id", 10)
+               .to_pandas().sort_values(["lang", "doc_id"]).reset_index(drop=True))
+        outs.append(got)
+        sizes = got.groupby("lang").size().to_dict()
+        full = df.groupby("lang").size().to_dict()
+        for lang, n in full.items():
+            assert sizes.get(lang, 0) == min(10, n)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
