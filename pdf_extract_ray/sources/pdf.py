@@ -496,14 +496,41 @@ def pdf_pages_spans(data: bytes | None) -> list[dict]:
         doc = _load(data)
     except Exception:
         return []
-    pages = []
+
+    # page order: walk the /Catalog -> /Pages -> /Kids tree (document
+    # order per the spec); fall back to object-number order when the tree
+    # is missing/broken (linearized or damaged files)
+    def _walk_kids(node: dict, out: list, depth: int = 0):
+        if depth > 64 or not isinstance(node, dict):
+            return
+        t = node.get("Type")
+        tname = t[1] if isinstance(t, tuple) else None
+        if tname == "Page":
+            out.append(node)
+            return
+        kids = doc.resolve(node.get("Kids"))
+        if isinstance(kids, list):
+            for kid in kids:
+                _walk_kids(doc.resolve(kid), out, depth + 1)
+
+    page_objs: list[dict] = []
     for num in sorted(doc.objs):
         val = doc.objs[num][0]
-        if not isinstance(val, dict):
-            continue
-        t = val.get("Type")
-        if not (isinstance(t, tuple) and t[1] == "Page"):
-            continue
+        if isinstance(val, dict):
+            t = val.get("Type")
+            if isinstance(t, tuple) and t[1] == "Catalog":
+                _walk_kids(doc.resolve(val.get("Pages")), page_objs)
+                break
+    if not page_objs:
+        page_objs = [
+            doc.objs[num][0] for num in sorted(doc.objs)
+            if isinstance(doc.objs[num][0], dict)
+            and isinstance(doc.objs[num][0].get("Type"), tuple)
+            and doc.objs[num][0].get("Type")[1] == "Page"
+        ]
+
+    pages = []
+    for val in page_objs:
         mb = _inherited(doc, val, "MediaBox") or [0, 0, 612, 792]
         mb = [float(doc.resolve(x) or 0) for x in mb]
         width, height = mb[2] - mb[0], mb[3] - mb[1]

@@ -242,3 +242,30 @@ class TestDocumentChain:
         assert all(r["status"] == "pdf" for r in out)
         texts = {r["extracted_text"] for r in out}
         assert len(texts) == 1  # identical inputs -> identical outputs
+
+
+def test_page_order_follows_kids_tree_not_object_numbers():
+    """/Kids order is document order even when object numbers disagree."""
+    c1 = b"BT /F1 12 Tf 72 700 Td (page one.) Tj ET"
+    c2 = b"BT /F1 12 Tf 72 700 Td (page two.) Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        # Kids list REVERSES object-number order: 6 (page two... no, page
+        # object 6 shows c1) — object 6 is doc-first, object 3 doc-second
+        2: (b"<< /Type /Pages /Kids [ 6 0 R 3 0 R ] /Count 2 "
+            b"/MediaBox [ 0 0 612 792 ] >>"),
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+           b"/Resources << /Font << /F1 7 0 R >> >> >>",
+        4: f"<< /Length {len(c2)} >>".encode() + b"\nstream\n" + c2 + b"\nendstream",
+        5: f"<< /Length {len(c1)} >>".encode() + b"\nstream\n" + c1 + b"\nendstream",
+        6: b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R "
+           b"/Resources << /Font << /F1 7 0 R >> >> >>",
+        7: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    for num, body in objs.items():
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    pages = pdf_pages_spans(bytes(out))
+    assert [p["lines"][0]["text"] for p in pages] == ["page one.", "page two."]
+    assert [p["page_no"] for p in pages] == [1, 2]
