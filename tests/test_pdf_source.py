@@ -269,3 +269,34 @@ def test_page_order_follows_kids_tree_not_object_numbers():
     pages = pdf_pages_spans(bytes(out))
     assert [p["lines"][0]["text"] for p in pages] == ["page one.", "page two."]
     assert [p["page_no"] for p in pages] == [1, 2]
+
+
+def test_pdf_staged_plan_byte_identical(ray_session):
+    """extract_pdf_pages_staged (per-page explode + per-url shuffle) and
+    the salted variant must match the fused PDF plan byte-for-byte —
+    including rejected documents."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from pdf_extract_ray.sources.pdf import (
+        extract_pdf_pages, extract_pdf_pages_staged)
+
+    rows = pd.DataFrame({
+        "url": [f"u{i}" for i in range(8)],
+        "pdf": [make_pdf([SIMPLE], compress=i % 2 == 0) for i in range(6)]
+               + [make_type0_pdf(), b"not a pdf"],
+    })
+    ds = lambda: rd.from_pandas(rows).repartition(3)
+    fused = {r["url"]: (r["extracted_text"], r["n_sentences"], r["n_pages"],
+                        r["status"])
+             for r in extract_pdf_pages(ds()).take_all()}
+    staged = {r["url"]: (r["extracted_text"], r["n_sentences"], r["n_pages"],
+                         r["status"])
+              for r in extract_pdf_pages_staged(ds()).take_all()}
+    salted = {r["url"]: (r["extracted_text"], r["n_sentences"], r["n_pages"],
+                         r["status"])
+              for r in extract_pdf_pages_staged(ds(), salt=4).take_all()}
+    assert staged == fused
+    assert salted == fused
+    assert fused["u7"][3] == "rejected"
