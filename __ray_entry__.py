@@ -937,6 +937,13 @@ def _word_count_sql(col: str) -> str:
 
 _TEXT_COL = "coalesce(text,'')"
 
+# golden-oracle location derived from this file, not hardcoded — the
+# driver's DuckDB reads must work from any checkout path
+import os as _os
+
+_GOLD_SF001_DIR = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), "goldens", "sf0.01")
+
 _FP_SQL = ("md5(lower(" + _py_trim(
     f"regexp_replace(coalesce(text, ''), '{_WS}+', ' ', 'g')") + "))")
 
@@ -1263,7 +1270,7 @@ def oracle_sql() -> dict[str, str]:
         # scale.  approx_distinct_users is a determinism freeze (HLL merge
         # is associative, so single-process == distributed exactly);
         # accuracy vs the exact count is asserted in pytest.
-        **{name: f"SELECT * FROM read_parquet('/root/repo/goldens/sf0.01/{name}.parquet')"
+        **{name: f"SELECT * FROM read_parquet('{_GOLD_SF001_DIR}/{name}.parquet')"
            for name in ("extract_flagship", "extract_staged", "extract_sentences",
                         "align_pairs", "align_merged_kr", "align_full_outer",
                         "minhash_near_dup", "simhash_near_dup", "winnow_near_dup",

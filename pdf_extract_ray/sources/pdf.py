@@ -310,7 +310,9 @@ def parse_tounicode_cmap(data: bytes) -> tuple[dict[int, str], int]:
 
 
 _TOKEN_RE = re.compile(
-    rb"\((?:[^()\\]|\\.)*\)"        # literal string (1-level; nested handled by parser)
+    rb"\("                          # literal string opener: the FULL string
+                                    # parser takes over from here (nested
+                                    # parens are legal inside PDF strings)
     rb"|<<|>>|<[0-9a-fA-F\s]*>"
     rb"|\[|\]"
     rb"|/[^\s()<>\[\]{}/%]*"
@@ -372,16 +374,25 @@ def _spans_from_content(content: bytes, fonts: dict[str, int]) -> list[dict]:
                tlm[5] + tx * tlm[1] + ty * tlm[3]]
         tm = list(tlm)
 
-    i = 0
-    pending_hex_or_str: bytes | None = None
-    for m in _TOKEN_RE.finditer(content):
+    pos = 0
+    n_content = len(content)
+    while pos < n_content:
+        m = _TOKEN_RE.search(content, pos)
+        if m is None:
+            break
         tok = m.group(0)
         c0 = tok[:1]
         if c0 == b"(":
-            # re-parse with the full string parser (handles nesting/escapes)
+            # re-parse with the full string parser (handles NESTED parens
+            # and escapes) and resume the scan where IT ended — the regex
+            # only matches one nesting level, and resuming at the regex
+            # match end would tokenize the string tail as bogus operators
             p = _P(content, m.start())
             stack.append(p.value())
-        elif c0 == b"<" and tok != b"<<":
+            pos = max(p.i, m.start() + 1)
+            continue
+        pos = m.end()
+        if c0 == b"<" and tok != b"<<":
             h = re.sub(rb"[^0-9a-fA-F]", b"", tok[1:-1])
             if len(h) % 2:
                 h += b"0"
@@ -531,8 +542,15 @@ def pdf_pages_spans(data: bytes | None) -> list[dict]:
 
     pages = []
     for val in page_objs:
-        mb = _inherited(doc, val, "MediaBox") or [0, 0, 612, 792]
-        mb = [float(doc.resolve(x) or 0) for x in mb]
+        # malformed /MediaBox (short array, name entries) must not raise:
+        # fall back to US Letter (the never-raises contract)
+        try:
+            mb = _inherited(doc, val, "MediaBox")
+            mb = [float(doc.resolve(x) or 0) for x in mb]
+            if len(mb) < 4:
+                raise ValueError
+        except (TypeError, ValueError):
+            mb = [0.0, 0.0, 612.0, 792.0]
         width, height = mb[2] - mb[0], mb[3] - mb[1]
 
         # fonts: name -> style flags; composite (Type0) fonts decode via

@@ -88,7 +88,10 @@ def write_xlsx(path: str, sheets: dict[str, pd.DataFrame]) -> None:
         '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
         'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>'
         + "".join(
-            f'<sheet name="{escape(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            # escape() alone leaves double quotes intact, which would break
+            # the name="..." attribute
+            f'<sheet name="{escape(n, {chr(34): "&quot;"})}" '
+            f'sheetId="{i + 1}" r:id="rId{i + 1}"/>'
             for i, n in enumerate(names)
         )
         + "</sheets></workbook>"
@@ -146,7 +149,12 @@ def _cell_value(cell, shared: list[str]):
         return v.text == "1"
     if t == "str":
         return v.text
-    num = float(v.text)
+    if t == "e":  # Excel error cell (#N/A, #DIV/0!, ...) -> missing
+        return None
+    try:
+        num = float(v.text)
+    except ValueError:  # unknown cell type with non-numeric payload
+        return v.text
     return int(num) if num.is_integer() and abs(num) < 2**53 else num
 
 

@@ -546,7 +546,13 @@ def simhash_pairs(
     Candidate buckets larger than ``max_bucket`` are dropped with a log
     line (mirror of minhash's ``max_band_freq``): a degenerate corpus
     where thousands of boilerplate documents share one simhash would
-    otherwise form a single O(b^2) bucket."""
+    otherwise form a single O(b^2) bucket.  NOTE the documented
+    interaction with first-band ownership: a pair whose FIRST equal band
+    lands in a dropped bucket is lost entirely, even if another (small)
+    band bucket also contains it — surviving buckets skip non-owned
+    pairs.  This is the frozen semantics (the single-process golden
+    mirrors it); near-cap corpora trade those tail pairs for the skew
+    bound."""
     n_bands = max_hamming + 1
     if n_bands > 64:
         raise ValueError("max_hamming must be < 64")
@@ -684,16 +690,19 @@ def embedding_dup_pairs(
             batch = batch.copy()
             batch["bucket"] = code
             return batch
-        copies = [batch.assign(bucket=code)]
+        copies = [batch.assign(bucket=code, code=code)]
         for i in range(bits):  # Hamming-1 probes: flip each hyperplane sign
-            copies.append(batch.assign(bucket=code ^ (1 << i)))
+            copies.append(batch.assign(bucket=code ^ (1 << i), code=code))
         if probe_radius >= 2:  # two-flip probes
             for i in range(bits):
                 for j in range(i + 1, bits):
-                    copies.append(batch.assign(bucket=code ^ (1 << i) ^ (1 << j)))
+                    copies.append(batch.assign(bucket=code ^ (1 << i) ^ (1 << j),
+                                               code=code))
         return pd.concat(copies, ignore_index=True)
 
     from pdf_extract_ray.util import round_half_away
+
+    owner_filter = bool(bits) and multiprobe and probe_radius == 1
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(id_col, kind="mergesort")
@@ -705,11 +714,34 @@ def embedding_dup_pairs(
         sim = vn @ vn.T
         iu, ju = np.triu_indices(len(ids), k=1)
         mask = sim[iu, ju] >= threshold
+        iu, ju = iu[mask], ju[mask]
+        cos = sim[iu, ju] if len(iu) else np.empty(0)
+        if owner_filter and len(iu):
+            # PAIR OWNERSHIP instead of a global dedup shuffle: each pair
+            # is emitted only from the MINIMUM bucket both sides probe,
+            # computable from the two codes (radius 1 => the pair's code
+            # distance is <= 2 inside any shared bucket)
+            bkt = int(group["bucket"].iloc[0])
+            codes = g["code"].to_numpy()
+            ca, cb = codes[iu], codes[ju]
+            x = ca ^ cb
+            d = np.zeros(len(x), dtype=np.int64)
+            for i in range(bits):
+                d += (x >> i) & 1
+            flips = np.stack([ca ^ (1 << i) for i in range(bits)])
+            owner_d0 = np.minimum(ca, flips.min(axis=0))
+            owner_d1 = np.minimum(ca, cb)
+            b1 = x & -x
+            owner_d2 = np.minimum(ca ^ b1, ca ^ (x ^ b1))
+            owner = np.select([d == 0, d == 1, d == 2],
+                              [owner_d0, owner_d1, owner_d2], default=-1)
+            keep2 = owner == bkt
+            iu, ju, cos = iu[keep2], ju[keep2], cos[keep2]
         return pd.DataFrame(
             {
-                "id_a": ids[iu[mask]],
-                "id_b": ids[ju[mask]],
-                "cosine": round_half_away(sim[iu, ju][mask], 6),
+                "id_a": ids[iu],
+                "id_b": ids[ju],
+                "cosine": round_half_away(cos, 6) if len(iu) else cos,
             }
         )
 
@@ -718,9 +750,9 @@ def embedding_dup_pairs(
         .groupby("bucket")
         .map_groups(pairs, batch_format="pandas")
     )
-    if bits and multiprobe:
-        # shared probes produce identical duplicate rows; dedup the tiny
-        # candidate-pair set, never the vectors
+    if bits and multiprobe and not owner_filter:
+        # radius >= 2: shared probes still produce duplicate rows; dedup
+        # the tiny candidate-pair set, never the vectors
         from pdf_extract_ray.stages.agg import bucketed_group_apply
 
         out = bucketed_group_apply(

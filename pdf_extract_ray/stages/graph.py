@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import logging
 
+import numpy as np
 import pandas as pd
 
 from ray.data import Dataset
@@ -39,7 +40,12 @@ def connected_components(
     max_iters: int = 50,
 ) -> Dataset:
     """(node, component) for every node appearing in ``pairs``; component =
-    the minimum node id reachable from the node (deterministic)."""
+    the minimum node id reachable from the node (deterministic).
+
+    CONTRACT: node ids are NON-NEGATIVE int64 (-1 is the internal
+    edge-row sentinel).  Everything stays int64 end to end — a
+    nullable-int column would round-trip through float64 in the Arrow
+    shuffle and silently corrupt ids above 2^53."""
     from pdf_extract_ray.stages.agg import bucketed_group_apply
 
     def sym_edges(b: pd.DataFrame) -> pd.DataFrame:
@@ -74,7 +80,7 @@ def connected_components(
 
         def fwd(bucket: pd.DataFrame) -> pd.DataFrame:
             # bucket holds, per key: its label row(s) and its out-edges
-            is_lab = bucket["label"].notna()
+            is_lab = bucket["label"] >= 0
             lab = dict(zip(bucket.loc[is_lab, "key"],
                            bucket.loc[is_lab, "label"]))
             e = bucket[~is_lab]
@@ -84,17 +90,20 @@ def connected_components(
                             ignore_index=True)
             out = pd.DataFrame({
                 "key": dst.to_numpy(),
-                "label": [lab.get(s) for s in src],
+                "label": np.array([lab.get(s, -1) for s in src], dtype="int64"),
             })
-            # map-side combine: one min per destination leaves this bucket,
-            # shrinking the gather shuffle (hot nodes get one row per
-            # bucket, not one per in-edge)
+            # drop sentinel messages BEFORE the combine (min would let a
+            # -1 mask a real label), then map-side combine: one min per
+            # destination leaves this bucket, shrinking the gather shuffle
+            out = out[out["label"] >= 0]
             return out.groupby("key", as_index=False)["label"].min()
 
         def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({
                 "key": b["key"],
-                "label": pd.array([None] * len(b), dtype="Int64"),
+                # -1 sentinel, NOT a nullable Int64: nulls would upcast the
+                # column to float64 in the shuffle and corrupt ids > 2^53
+                "label": np.full(len(b), -1, dtype="int64"),
                 "__dst": b["dst"],
             })
 
@@ -104,8 +113,7 @@ def connected_components(
         msgs = bucketed_group_apply(unioned, ["key"], fwd)
 
         def take_min(g: pd.DataFrame) -> pd.DataFrame:
-            out = g.dropna(subset=["label"]).groupby("key", as_index=False)[
-                "label"].min()
+            out = g[g["label"] >= 0].groupby("key", as_index=False)["label"].min()
             out["label"] = out["label"].astype("int64")
             return out
 

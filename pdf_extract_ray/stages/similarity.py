@@ -52,8 +52,18 @@ class _ScoreTopK:
             # tie-break on id at the PARTIAL stage too: argpartition on
             # cosine alone keeps/drops candidates tied at the k-th cosine
             # arbitrarily, and the global (cosine desc, id asc) reduce can
-            # then disagree with the SQL oracle's QUALIFY ordering
-            part = np.lexsort((ids, -col))[: self.k]
+            # then disagree with the SQL oracle's QUALIFY ordering.
+            # O(n) argpartition narrows to the top-k cosine VALUES, then
+            # every row tied at the k-th value joins the candidate set and
+            # only that set is lexsorted (a full-batch lexsort per query
+            # would be O(n log n) on the hot scoring path).
+            if len(col) > self.k:
+                rough = np.argpartition(-col, self.k - 1)[: self.k]
+                kth = col[rough].min()
+                cand = np.flatnonzero(col >= kth)
+            else:
+                cand = np.arange(len(col))
+            part = cand[np.lexsort((ids[cand], -col[cand]))][: self.k]
             for i in part:
                 out["query_id"].append(qi)
                 out[self.id_col].append(ids[i])

@@ -300,3 +300,20 @@ def test_pdf_staged_plan_byte_identical(ray_session):
     assert staged == fused
     assert salted == fused
     assert fused["u7"][3] == "rejected"
+
+
+def test_nested_parens_and_malformed_mediabox():
+    """Regression (round-2 review): balanced unescaped parens inside a
+    literal string are legal PDF and must not drop the show-string; a
+    malformed /MediaBox falls back to US Letter instead of raising."""
+    content = "BT /F1 12 Tf 72 700 Td (hello (nested) world) Tj ET"
+    lines = pdf_pages_spans(make_pdf([content]))[0]["lines"]
+    assert [l["text"] for l in lines] == ["hello (nested) world"]
+
+    short_mb = make_pdf([content]).replace(
+        b"/MediaBox [ 0 0 612 792 ]", b"/MediaBox [ 0 612 ]")
+    pages = pdf_pages_spans(short_mb)
+    assert pages and (pages[0]["width"], pages[0]["height"]) == (612.0, 792.0)
+    name_mb = make_pdf([content]).replace(
+        b"/MediaBox [ 0 0 612 792 ]", b"/MediaBox [ 0 0 /A 792 ]")
+    assert pdf_pages_spans(name_mb)[0]["lines"]

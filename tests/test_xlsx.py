@@ -73,3 +73,27 @@ def test_quality_output_to_report(ray_session, tmp_path):
     back = read_xlsx(p)["Text_Analyzed_Filtered"]
     assert len(back) == 10
     assert "kr_text_normalized" in back.columns
+
+
+def test_sheet_name_with_quotes_and_error_cells(tmp_path):
+    """Regression (round-2 review): double quotes in sheet names must be
+    attribute-escaped; Excel error cells (t="e") read as missing."""
+    import zipfile
+
+    p = str(tmp_path / "q.xlsx")
+    write_xlsx(p, {'He said "hi"': _df().head(1)})
+    assert list(read_xlsx(p)) == ['He said "hi"']
+
+    # splice an error cell into the sheet XML (as Excel would produce)
+    p2 = str(tmp_path / "e.xlsx")
+    write_xlsx(p2, {"S": _df().head(1)})
+    with zipfile.ZipFile(p2) as z:
+        parts = {n: z.read(n) for n in z.namelist()}
+    parts["xl/worksheets/sheet1.xml"] = parts["xl/worksheets/sheet1.xml"].replace(
+        b"</sheetData>",
+        b'<row r="3"><c r="A3" t="e"><v>#N/A</v></c></row></sheetData>')
+    with zipfile.ZipFile(p2, "w") as z:
+        for n, b in parts.items():
+            z.writestr(n, b)
+    back = read_xlsx(p2)["S"]
+    assert len(back) == 2 and back.iloc[1]["korean_sentence"] is None

@@ -31,9 +31,10 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-sys.path.insert(0, "/root/repo")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
-GOLDEN_ROOT = "/root/repo/goldens"
+GOLDEN_ROOT = os.path.join(_REPO, "goldens")
 
 
 def _sf_of(sf_dir: str) -> float:
