@@ -76,6 +76,25 @@ def test_dedup_by_components_keeps_representatives(ray_session):
     assert kept == [0, 3, 4, 5, 6, 8, 9]
 
 
+def test_large_int64_ids_survive_exactly(ray_session):
+    """Regression (round-2 review): node ids above 2^53 must round-trip
+    the shuffle as int64 — a nullable-int column would pass through
+    float64 and silently merge adjacent ids."""
+    import ray.data as rd
+
+    base = 1 << 62
+    # two clusters of ids that differ only below float64 precision
+    pairs = pd.DataFrame({
+        "id_a": [base, base + 1, base + 10],
+        "id_b": [base + 1, base + 2, base + 11],
+    })
+    got = {r["node"]: r["component"]
+           for r in connected_components(
+               rd.from_pandas(pairs).repartition(2)).take_all()}
+    assert got == {base: base, base + 1: base, base + 2: base,
+                   base + 10: base + 10, base + 11: base + 10}
+
+
 def test_empty_pairs_pass_through(ray_session):
     import ray.data as rd
 
