@@ -515,6 +515,17 @@ def simhash_signatures(texts: list) -> np.ndarray:
     return out
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit population count (SWAR; numpy<2 has no
+    bitwise_count)."""
+    with np.errstate(over="ignore"):
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = (x & np.uint64(0x3333333333333333)) + \
+            ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over whitespace tokens (scalar convenience wrapper
     around the vectorized batch kernel — both paths always agree)."""
@@ -587,39 +598,50 @@ def simhash_pairs(
 
     def bucket_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
         # bucket holds many (band, band_key) sub-buckets; only sub-buckets
-        # with >=2 members can produce pairs
+        # with >=2 members can produce pairs.  Pair generation is fully
+        # vectorized: triu index pairs, SWAR popcount, and first-band
+        # ownership via one xor/mask pass per band.
         dup = bucket[bucket.duplicated(["band", "band_key"], keep=False)]
-        out = {"id_a": [], "id_b": [], "hamming": []}
+        frames = []
         dropped = 0
         for (band_no, _), g in dup.groupby(["band", "band_key"], sort=False):
             if len(g) > max_bucket:
                 dropped += 1
                 continue
             g = g.sort_values(id_col, kind="mergesort")
-            ids, hs = g[id_col].to_numpy(), g["simhash"].to_numpy()
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    x = int(hs[i]) ^ int(hs[j])
-                    d = bin(x).count("1")
-                    if d > max_hamming:
-                        continue
-                    # first-band ownership dedups pairs across bands
-                    first = next(
-                        (b for b, (shift, mask) in enumerate(masks)
-                         if ((x >> shift) & mask) == 0),
-                        int(band_no),
-                    )
-                    if first == int(band_no):
-                        out["id_a"].append(ids[i])
-                        out["id_b"].append(ids[j])
-                        out["hamming"].append(d)
+            ids = g[id_col].to_numpy()
+            hs = g["simhash"].to_numpy().astype(np.uint64)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            x = hs[iu] ^ hs[ju]
+            d = _popcount64(x).astype(np.int64)
+            keep = d <= max_hamming
+            if not keep.any():
+                continue
+            x, d, iu, ju = x[keep], d[keep], iu[keep], ju[keep]
+            # first band with identical bits owns the pair (dedups across
+            # bands without a shuffle)
+            first = np.full(len(x), int(band_no), dtype=np.int64)
+            undecided = np.ones(len(x), dtype=bool)
+            for b, (shift, mask) in enumerate(masks):
+                hit = undecided & (
+                    (x >> np.uint64(shift)) & np.uint64(mask) == 0)
+                first[hit] = b
+                undecided &= ~hit
+            own = first == int(band_no)
+            if own.any():
+                frames.append(pd.DataFrame({
+                    "id_a": ids[iu[own]], "id_b": ids[ju[own]],
+                    "hamming": d[own],
+                }))
         if dropped:
             logger.warning(
                 "simhash_pairs: dropped %d candidate buckets larger than "
                 "max_bucket=%d (degenerate/boilerplate content)",
                 dropped, max_bucket,
             )
-        return pd.DataFrame(out)
+        if not frames:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        return pd.concat(frames, ignore_index=True)
 
     from pdf_extract_ray.stages.agg import bucketed_group_apply
 
