@@ -942,7 +942,8 @@ _TEXT_COL = "coalesce(text,'')"
 import os as _os
 
 _GOLD_SF001_DIR = _os.path.join(
-    _os.path.dirname(_os.path.abspath(__file__)), "goldens", "sf0.01")
+    _os.path.dirname(_os.path.abspath(__file__)), "goldens", "sf0.01"
+).replace("'", "''")  # SQL string-literal escaping for exotic checkout paths
 
 _FP_SQL = ("md5(lower(" + _py_trim(
     f"regexp_replace(coalesce(text, ''), '{_WS}+', ' ', 'g')") + "))")

@@ -712,14 +712,19 @@ def embedding_dup_pairs(
             batch = batch.copy()
             batch["bucket"] = code
             return batch
-        copies = [batch.assign(bucket=code, code=code)]
+        def tag(b, bucket):
+            # the code column feeds the radius-1 owner filter only; at
+            # radius>=2 it would be pure shuffle overhead on every copy
+            return (b.assign(bucket=bucket, code=code) if owner_filter
+                    else b.assign(bucket=bucket))
+
+        copies = [tag(batch, code)]
         for i in range(bits):  # Hamming-1 probes: flip each hyperplane sign
-            copies.append(batch.assign(bucket=code ^ (1 << i), code=code))
+            copies.append(tag(batch, code ^ (1 << i)))
         if probe_radius >= 2:  # two-flip probes
             for i in range(bits):
                 for j in range(i + 1, bits):
-                    copies.append(batch.assign(bucket=code ^ (1 << i) ^ (1 << j),
-                                               code=code))
+                    copies.append(tag(batch, code ^ (1 << i) ^ (1 << j)))
         return pd.concat(copies, ignore_index=True)
 
     from pdf_extract_ray.util import round_half_away
@@ -747,9 +752,7 @@ def embedding_dup_pairs(
             codes = g["code"].to_numpy()
             ca, cb = codes[iu], codes[ju]
             x = ca ^ cb
-            d = np.zeros(len(x), dtype=np.int64)
-            for i in range(bits):
-                d += (x >> i) & 1
+            d = _popcount64(x.astype(np.uint64)).astype(np.int64)
             flips = np.stack([ca ^ (1 << i) for i in range(bits)])
             owner_d0 = np.minimum(ca, flips.min(axis=0))
             owner_d1 = np.minimum(ca, cb)

@@ -49,6 +49,12 @@ def connected_components(
     from pdf_extract_ray.stages.agg import bucketed_group_apply
 
     def sym_edges(b: pd.DataFrame) -> pd.DataFrame:
+        # the -1 sentinel makes negative ids silently vanish downstream:
+        # enforce the non-negative contract loudly here
+        if len(b) and (int(b[id_a].min()) < 0 or int(b[id_b].min()) < 0):
+            raise ValueError(
+                "connected_components requires NON-NEGATIVE int64 node ids "
+                "(-1 is the internal sentinel); remap signed hash ids first")
         return pd.DataFrame({
             "key": pd.concat([b[id_a], b[id_b]], ignore_index=True),
             "dst": pd.concat([b[id_b], b[id_a]], ignore_index=True),
@@ -67,7 +73,17 @@ def connected_components(
     ).materialize()
 
     def label_sum(ds: Dataset) -> int:
-        return int(ds.sum("label") or 0)
+        # EXACT arbitrary-precision sum: int64 aggregation would wrap for
+        # ids near 2^62 and a wrapped fixpoint check is only
+        # probabilistically sound.  Per-batch Python-int partials (object
+        # dtype sums exactly), tiny driver-side total.
+        parts = ds.map_batches(
+            lambda b: pd.DataFrame(
+                {"s": [str(int(b["label"].astype(object).sum()) if len(b) else 0)]}
+            ),
+            batch_format="pandas",
+        ).take_all()
+        return sum(int(r["s"]) for r in parts)
 
     prev_sum = label_sum(labels)
     for it in range(max_iters):

@@ -48,7 +48,10 @@ class _ScoreTopK:
     def _partial_topk(self, ids: np.ndarray, sim: np.ndarray) -> pd.DataFrame:
         out = {"query_id": [], self.id_col: [], "cosine": []}
         for qi in range(sim.shape[1]):
-            col = sim[:, qi]
+            # NaN cosines (NaN/inf embedding components) must neither win
+            # nor poison the k-th boundary value below: map them to -inf
+            # (the old full-lexsort path sorted them last)
+            col = np.where(np.isnan(sim[:, qi]), -np.inf, sim[:, qi])
             # tie-break on id at the PARTIAL stage too: argpartition on
             # cosine alone keeps/drops candidates tied at the k-th cosine
             # arbitrarily, and the global (cosine desc, id asc) reduce can

@@ -384,3 +384,20 @@ def test_winnow_pairs_frequency_cap_consistent(ray_session):
                          overlap_threshold=0.5, max_fp_freq=100).take_all()
     got = {(p["id_a"], p["id_b"]): p["overlap"] for p in pairs}
     assert got.get((500, 501)) == 1.0  # identical surviving fingerprints
+
+
+def test_partial_topk_survives_nan_cosines(ray_session):
+    """Regression: NaN cosines must not poison the k-th boundary and drop
+    valid candidates from a batch's partial top-k."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(12)
+    vecs = rng.standard_normal((40, 8))
+    vecs[5] = vecs[0]                      # guaranteed top hit
+    for i in range(20, 38):                # NaNs outnumber n - k
+        vecs[i, 0] = np.nan
+    df = pd.DataFrame({"vec_id": range(40), "embedding": list(vecs)})
+    out = brute_force_topk(rd.from_pandas(df).repartition(1), vecs[[0]],
+                           k=5).take_all()
+    got = {r["vec_id"] for r in out}
+    assert {0, 5} <= got and len(out) == 5

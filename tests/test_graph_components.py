@@ -104,3 +104,11 @@ def test_empty_pairs_pass_through(ray_session):
     kept = dedup_by_components(rd.from_pandas(docs),
                                rd.from_pandas(pairs)).take_all()
     assert len(kept) == 5
+
+
+def test_negative_ids_rejected_loudly(ray_session):
+    import ray.data as rd
+
+    pairs = pd.DataFrame({"id_a": [-5, 1], "id_b": [1, 2]})
+    with pytest.raises(Exception, match="NON-NEGATIVE"):
+        connected_components(rd.from_pandas(pairs)).take_all()
