@@ -401,3 +401,35 @@ def test_partial_topk_survives_nan_cosines(ray_session):
                            k=5).take_all()
     got = {r["vec_id"] for r in out}
     assert {0, 5} <= got and len(out) == 5
+
+
+def test_simhash_pairs_complete_and_unique_vs_bruteforce(ray_session):
+    """End-to-end property: with no cap in play, simhash_pairs returns
+    EXACTLY the pairs with Hamming(simhash) <= max_hamming — banding is
+    complete (pigeonhole) and first-band ownership emits each exactly
+    once."""
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.dedup import simhash_pairs, simhash_signatures
+
+    rng = np.random.RandomState(17)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(120):
+        base = rng.randint(0, 6)
+        toks = [vocab[(base * 3 + j) % 30] for j in range(12)]
+        for _ in range(rng.randint(0, 3)):  # small perturbations
+            toks[rng.randint(0, 12)] = vocab[rng.randint(0, 30)]
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+    df = pd.DataFrame(rows)
+    got = {(p["id_a"], p["id_b"]): p["hamming"]
+           for p in simhash_pairs(rd.from_pandas(df).repartition(5),
+                                  "doc_id", "text").take_all()}
+    sigs = simhash_signatures(df["text"].tolist())
+    expect = {}
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            d = bin(int(sigs[i]) ^ int(sigs[j])).count("1")
+            if d <= 3:
+                expect[(i, j)] = d
+    assert got == expect and expect, f"{len(got)} vs {len(expect)}"
