@@ -44,6 +44,12 @@ def _col_name(i: int) -> str:
 
 def _cell_xml(col: str, row: int, value) -> str:
     ref = f"{col}{row}"
+    # box numpy scalars (np.int64 / np.float64 / np.bool_) to Python
+    # scalars: they are not Python int/bool, and numpy>=2 repr()s floats
+    # as 'np.float64(x)' — either would silently fall through to the
+    # inline-string branch or emit invalid numeric cells
+    if hasattr(value, "item") and not isinstance(value, (str, bytes)):
+        value = value.item()
     if value is None or (isinstance(value, float) and value != value):
         return f'<c r="{ref}"/>'
     if isinstance(value, bool):

@@ -675,14 +675,17 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     *,
     threshold: float = 0.95,
-    num_buckets: int = 32,
+    num_buckets: int = 1,
     multiprobe: bool = True,
     probe_radius: int = 1,
 ) -> Dataset:
     """Pairs with cosine >= threshold.
 
-    Default (scale path): random-hyperplane LSH into ``num_buckets``
-    buckets with Hamming-1 MULTI-PROBE — each vector is also scored in
+    Default is the EXACT all-pairs mode (``num_buckets=1``) — approximate
+    recall must be opted into, never defaulted into silently.
+
+    Scale path (``num_buckets>1``): random-hyperplane LSH into
+    ``num_buckets`` buckets with Hamming-1 MULTI-PROBE — each vector is also scored in
     every bucket one sign-flip away, so near-identical vectors that
     straddle a single hyperplane are still compared (single-probe misses
     them); duplicate pairs arising from shared probes are removed by a
@@ -694,9 +697,9 @@ def embedding_dup_pairs(
     multiplies each vector's bucket copies from 1+bits to
     1+bits+C(bits,2), so use it deliberately.
 
-    ``num_buckets=1`` is the EXACT all-pairs mode (quadratic): the mode
-    the SQL oracle checks on small inputs, and the recall baseline the
-    bucketed path is tested against (tests/test_dedup_similarity.py)."""
+    The exact mode is quadratic per input block: it is what the SQL
+    oracle checks on small inputs, and the recall baseline the bucketed
+    path is tested against (tests/test_dedup_similarity.py)."""
     bits = max(1, int(np.log2(num_buckets))) if num_buckets > 1 else 0
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:

@@ -6,18 +6,23 @@ CLUSTERS (transitive closure) and one canonical representative per
 cluster — the standard ending of web-scale dedup (minhash pairs ->
 components -> keep min-id per component).
 
-Algorithm: iterative min-label propagation ("hash-to-min" style).  Each
-iteration sends every node's current label across its edges and keeps the
-minimum — one bucketed union-shuffle per iteration, converging in
-O(log diameter) rounds for typical near-dup graphs (duplicate clusters
-are dense, diameter is tiny).  Convergence is detected from the global
-label sum: labels only ever decrease, so an unchanged sum is a fixpoint
-— a driver-side scalar per round, never a data comparison.
+Algorithm: iterative min-label propagation.  Each iteration sends every
+node's current label one hop across its edges and keeps the minimum — one
+bucketed union-shuffle per iteration, converging in O(diameter) rounds
+(NOT O(log diameter): plain one-hop propagation has no pointer doubling;
+large-star/small-star would be needed for log-round convergence).  For
+near-dup graphs this is fine — duplicate clusters are dense and their
+diameter is tiny — but a path-shaped graph longer than ``max_iters`` hops
+will not converge; pass ``on_nonconvergence="raise"`` when downstream
+consumers (e.g. ``dedup_by_components``) must never see non-transitive
+labels.  Convergence is detected from the global label sum: labels only
+ever decrease, so an unchanged sum is a fixpoint — a driver-side scalar
+per round, never a data comparison.
 
 Scale shape: only (node, label) and (src, dst) rows ever shuffle (two
 int64s); documents never move.  The iteration count appearing in the
-plan is bounded by ``max_iters`` with a logged warning on non-convergence
-(never silent).
+plan is bounded by ``max_iters`` with a logged warning (or, opt-in, an
+exception) on non-convergence — never silent.
 """
 
 from __future__ import annotations
@@ -38,6 +43,7 @@ def connected_components(
     id_b: str = "id_b",
     *,
     max_iters: int = 50,
+    on_nonconvergence: str = "warn",
 ) -> Dataset:
     """(node, component) for every node appearing in ``pairs``; component =
     the minimum node id reachable from the node (deterministic).
@@ -45,7 +51,13 @@ def connected_components(
     CONTRACT: node ids are NON-NEGATIVE int64 (-1 is the internal
     edge-row sentinel).  Everything stays int64 end to end — a
     nullable-int column would round-trip through float64 in the Arrow
-    shuffle and silently corrupt ids above 2^53."""
+    shuffle and silently corrupt ids above 2^53.
+
+    ``on_nonconvergence``: "warn" (default) logs and returns the possibly
+    non-transitive labels; "raise" raises RuntimeError instead, for
+    callers whose downstream dedup must never consume a wrong clustering."""
+    if on_nonconvergence not in ("warn", "raise"):
+        raise ValueError("on_nonconvergence must be 'warn' or 'raise'")
     from pdf_extract_ray.stages.agg import bucketed_group_apply
 
     def sym_edges(b: pd.DataFrame) -> pd.DataFrame:
@@ -139,11 +151,14 @@ def connected_components(
             break
         prev_sum = cur
     else:
-        logger.warning(
+        msg = (
             "connected_components: no fixpoint after max_iters=%d "
-            "(pathologically long chain?); labels may be non-transitive",
-            max_iters,
+            "(pathologically long chain?); labels may be non-transitive"
+            % max_iters
         )
+        if on_nonconvergence == "raise":
+            raise RuntimeError(msg)
+        logger.warning(msg)
 
     return labels.map_batches(
         lambda b: b.rename(columns={"key": "node", "label": "component"}),

@@ -160,7 +160,10 @@ def adjacent_pairs(
         rb = k // block
         main = pd.DataFrame({order_col: k, value_col: b[value_col].to_numpy(),
                              "__rb": rb, "__ghost": False})
-        gmask = (k % block == 0) & (rb > 0)
+        # no `rb > 0` guard: order values may be negative (the contract
+        # only requires unique ints), and a ghost routed to a negative
+        # range-block is harmless — it just keeps the (-1, 0) boundary pair
+        gmask = k % block == 0
         if gmask.any():
             ghosts = pd.DataFrame({
                 order_col: k[gmask], value_col: b[value_col].to_numpy()[gmask],

@@ -245,3 +245,23 @@ def test_stratified_sample_deterministic_and_balanced(ray_session):
         for lang, n in full.items():
             assert sizes.get(lang, 0) == min(10, n)
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_adjacent_pairs_negative_order_values(ray_session):
+    """The contract only requires unique ints: boundary pairs straddling
+    block 0 from below (e.g. (-1, 0)) must not be lost (ADVICE r2)."""
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.windows import adjacent_pairs
+
+    ids = list(range(-10, 10))
+    df = pd.DataFrame({"doc_id": ids, "text": [f"t{i}" for i in ids]})
+    for block in (1, 4, 4096):
+        got = adjacent_pairs(
+            rd.from_pandas(df).repartition(3), "doc_id", "text",
+            out_left="a", out_right="b", block=block,
+        ).take_all()
+        got_set = {(r["doc_id"], r["a"], r["b"]) for r in got}
+        expect = {(i, f"t{i}", f"t{i + 1}") for i in range(-10, 9)}
+        assert got_set == expect, f"mismatch at block={block}"
+        assert len(got) == len(got_set)

@@ -112,3 +112,23 @@ def test_negative_ids_rejected_loudly(ray_session):
     pairs = pd.DataFrame({"id_a": [-5, 1], "id_b": [1, 2]})
     with pytest.raises(Exception, match="NON-NEGATIVE"):
         connected_components(rd.from_pandas(pairs)).take_all()
+
+
+def test_nonconvergence_raise_option(ray_session):
+    """on_nonconvergence='raise' turns the silent-warning path into an
+    exception so downstream dedup can never consume non-transitive
+    labels (ADVICE r2); default still warns and returns."""
+    import pytest
+    import ray.data as rd
+
+    n = 40  # path graph: needs ~n rounds, give it 2
+    df = pd.DataFrame({"id_a": range(n - 1), "id_b": range(1, n)})
+    ds = rd.from_pandas(df).repartition(3)
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(ds, max_iters=2, on_nonconvergence="raise"
+                             ).take_all()
+    # warn mode returns labels (possibly non-transitive) without raising
+    out = connected_components(ds, max_iters=2).take_all()
+    assert len(out) == n
+    with pytest.raises(ValueError):
+        connected_components(ds, on_nonconvergence="explode")

@@ -97,3 +97,20 @@ def test_sheet_name_with_quotes_and_error_cells(tmp_path):
             z.writestr(n, b)
     back = read_xlsx(p2)["S"]
     assert len(back) == 2 and back.iloc[1]["korean_sentence"] is None
+
+
+def test_cell_xml_numpy_scalars():
+    """Raw numpy scalars must be boxed before type dispatch: np.int64 is
+    not a Python int and numpy>=2 repr()s floats as 'np.float64(x)'
+    (ADVICE r2)."""
+    import numpy as np
+
+    from pdf_extract_ray.sources.xlsx import _cell_xml
+
+    assert _cell_xml("A", 1, np.int64(7)) == '<c r="A1"><v>7</v></c>'
+    assert _cell_xml("A", 1, np.float64(2.5)) == '<c r="A1"><v>2.5</v></c>'
+    assert _cell_xml("A", 1, np.bool_(True)) == '<c r="A1" t="b"><v>1</v></c>'
+    assert _cell_xml("A", 1, np.float64("nan")) == '<c r="A1"/>'
+    # Python scalars unchanged
+    assert _cell_xml("B", 2, 3) == '<c r="B2"><v>3</v></c>'
+    assert "inlineStr" in _cell_xml("B", 2, "x")
