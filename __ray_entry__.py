@@ -338,8 +338,11 @@ def _pair_docs(sf_dir: str):
     from pdf_extract_ray.stages.windows import adjacent_pairs
 
     docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    # pre_batch_size coalesces the read floor's tiny blocks before the
+    # range-bucket sort (fixed-cost cut; result is batching-invariant)
     return adjacent_pairs(docs, "doc_id", "text",
-                          out_left="kr_text", out_right="en_text")
+                          out_left="kr_text", out_right="en_text",
+                          pre_batch_size=4096)
 
 
 def q_pair_quality_class(sf_dir: str):

@@ -88,4 +88,9 @@ def quality_pairs(
         return bucket.sort_values(order_col, kind="mergesort").drop_duplicates(
             subset=[kn, en], keep="first")
 
-    return bucketed_group_apply(analyzed, [kn, en], keep_first)
+    # pre_batch_size: the analyze stage emits one small block per upstream
+    # bucket; coalescing them before the dedup sort cuts the all-to-all's
+    # fixed cost ~2x at small scale (rows here are analyzer outputs,
+    # bounded at ~10 KB — 4096 of them stay well under a block budget)
+    return bucketed_group_apply(analyzed, [kn, en], keep_first,
+                                pre_batch_size=4096)

@@ -8,15 +8,30 @@ span-table layout path (stages/layout.tag_page_lines) already consumes,
 using only stdlib (``re``, ``zlib``):
 
 * object scan: every ``N G obj ... endobj`` found by regex — no xref
-  parsing, so linearized/appended/mildly-corrupt files still yield their
-  objects;
+  table needed to FIND direct objects, so linearized/appended/mildly-
+  corrupt files still yield their objects;
+* PDF >= 1.5 compressed containers: ``/Type /ObjStm`` object streams are
+  unpacked (their embedded objects become visible), and ``/Type /XRef``
+  cross-reference streams are parsed so an incremental update that moves
+  an object INTO a stream wins over a stale direct copy;
 * dict/array/name/number/string/ref parser for object bodies;
-* streams: plain or FlateDecode (zlib); other filters are skipped;
+* stream extraction prefers the declared ``/Length`` (binary data
+  containing ``endstream`` bytes no longer truncates) with a regex
+  fallback for wrong lengths;
+* stream filters: FlateDecode, LZWDecode (incl. EarlyChange), ASCIIHex,
+  ASCII85, RunLength, chained in order, with PNG (2/10-15) predictor undo
+  per /DecodeParms — the set real exporters emit; anything else (DCT,
+  JBIG2, CCITT: image codecs) skips the stream;
 * content-stream text interpreter: BT/ET, Tf, Td/TD/Tm/T*/TL, Tj/TJ/'/",
-  rg/g color; spans merged into baseline lines;
+  Tc/Tw/Tz spacing state, rg/g color; the pen advances by real glyph
+  widths after each show; spans merged into baseline lines;
 * page tree: /Type /Page objects with /MediaBox (inherited via /Parent)
   and /Contents (single ref or array);
-* fonts: bold/italic flags inferred from /BaseFont name;
+* fonts: bold/italic flags inferred from /BaseFont name; simple fonts
+  decode through /ToUnicode when present, else /Encoding (WinAnsi /
+  MacRoman base + /Differences glyph-name overrides via a compact
+  AGL-style name table), else Latin-1; per-code advances from
+  /FirstChar + /Widths when present;
 * composite (Type0/CID) fonts: decoded through their /ToUnicode CMap
   (bfchar + bfrange, incl. array form) — the layout modern exporters
   (and Korean-text PDFs like the reference corpus) actually emit; Type0
@@ -24,10 +39,13 @@ using only stdlib (``re``, ``zlib``):
   without the font program).
 
 DOCUMENTED APPROXIMATIONS (the honest subset, asserted in tests):
-* glyph widths are approximated as ``0.5 * size`` per char (no font
-  metrics), so ``x1`` is approximate — the layout rules use x0/column
-  position and sizes, not exact extents;
-* simple-font strings decode as Latin-1 (== WinAnsi for the ASCII range);
+* fonts without a /Widths array fall back to ``0.5 * size`` per char
+  (incl. all Type0 fonts: /W is not parsed), so ``x1`` is approximate
+  there — the layout rules use x0/column position and sizes, not exact
+  extents;
+* /Encrypt (encrypted PDFs) is not supported — such files yield no spans;
+* glyph names outside the compact AGL subset (uniXXXX, single chars,
+  digits/punctuation names, letter+accent compositions) decode as empty;
 * y coordinates are flipped to top-based to match the PyMuPDF-style rows
   the layout stage expects.
 
@@ -42,10 +60,161 @@ import zlib
 from dataclasses import dataclass, field
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj(.*?)endobj", re.DOTALL)
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_STREAM_KW_RE = re.compile(rb"stream\r?\n")
+_ENDSTREAM_RE = re.compile(rb"(.*?)\r?\nendstream", re.DOTALL)
 
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
+
+
+def _nameof(v):
+    """The bare string of a parsed /Name value, else None."""
+    return v[1] if isinstance(v, tuple) and len(v) == 2 and v[0] == "name" else None
+
+
+# ---------------------------------------------------------------------------
+# stream filters (the non-image set real exporters emit)
+# ---------------------------------------------------------------------------
+
+def _flate_decode(data: bytes) -> bytes:
+    try:
+        return zlib.decompress(data)
+    except zlib.error:
+        pass
+    try:  # tolerate trailing garbage / bad checksum
+        return zlib.decompressobj().decompress(data)
+    except zlib.error:
+        # raw deflate (missing zlib header — seen in the wild)
+        return zlib.decompressobj(-15).decompress(data)
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF LZWDecode: 9->12-bit codes, 256=clear, 257=EOD, EarlyChange
+    (default 1) widens the code one entry before the table requires it."""
+    out = bytearray()
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code, width = 258, 9
+    prev: bytes | None = None
+    bitbuf = nbits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # clear table
+                table = {i: bytes([i]) for i in range(256)}
+                next_code, width, prev = 258, 9, None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            elif code == next_code:  # the KwKwK case
+                entry = prev + prev[:1]
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise ValueError("bad LZW code")
+            out += entry
+            prev = entry
+            # the encoder widened after ADDING this entry; its table leads
+            # ours by one at read time, hence the +1
+            if next_code + 1 >= (1 << width) - early and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _ascii_hex_decode(data: bytes) -> bytes:
+    end = data.find(b">")
+    h = re.sub(rb"[^0-9a-fA-F]", b"", data[: end if end >= 0 else len(data)])
+    if len(h) % 2:
+        h += b"0"
+    return bytes.fromhex(h.decode())
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    import base64
+
+    d = re.sub(rb"\s", b"", data)
+    if d.startswith(b"<~"):
+        d = d[2:]
+    end = d.find(b"~>")
+    if end >= 0:
+        d = d[:end]
+    return base64.a85decode(d)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        l = data[i]
+        i += 1
+        if l == 128:  # EOD
+            break
+        if l < 128:
+            out += data[i : i + l + 1]
+            i += l + 1
+        else:
+            if i < n:
+                out += bytes([data[i]]) * (257 - l)
+            i += 1
+    return bytes(out)
+
+
+def _predictor_undo(data: bytes, parms: dict) -> bytes:
+    """Undo /Predictor per /DecodeParms (PNG 10-15 row filters, TIFF 2).
+    Xref streams almost always use PNG Up (12)."""
+    pred = parms.get("Predictor", 1)
+    if not isinstance(pred, int) or pred <= 1:
+        return data
+    colors = int(parms.get("Colors", 1) or 1)
+    bpc = int(parms.get("BitsPerComponent", 8) or 8)
+    columns = int(parms.get("Columns", 1) or 1)
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (colors * bpc * columns + 7) // 8
+    if pred == 2:  # TIFF horizontal differencing (8-bit only)
+        if bpc != 8:
+            raise ValueError("TIFF predictor needs 8-bit components")
+        out = bytearray(data)
+        for r in range(0, len(out) - rowlen + 1, rowlen):
+            for i in range(bpp, rowlen):
+                out[r + i] = (out[r + i] + out[r + i - bpp]) & 0xFF
+        return bytes(out)
+    # PNG predictors: each row = 1 tag byte + rowlen filtered bytes
+    stride = rowlen + 1
+    out = bytearray()
+    prev = bytearray(rowlen)
+    for r in range(0, len(data) - stride + 1, stride):
+        tag = data[r]
+        row = bytearray(data[r + 1 : r + 1 + rowlen])
+        if tag == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif tag == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif tag == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif tag == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                row[i] = (row[i] + (a if pa <= pb and pa <= pc
+                                    else b if pb <= pc else c)) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
@@ -190,11 +359,16 @@ class _P:
 
 
 def _parse_obj(body: bytes):
-    """(value, stream_bytes_or_None) for one object body."""
+    """(value, stream_tail_or_None) for one object body.  The tail is
+    EVERYTHING after the ``stream`` keyword's EOL — exact slicing happens
+    in ``_Doc.stream_of`` where /Length can be resolved, so binary data
+    containing ``endstream`` bytes doesn't truncate."""
     p = _P(body)
     val = p.value()
-    m = _STREAM_RE.search(body)
-    return val, (m.group(1) if m else None)
+    # search from the end of the parsed value: the word "stream" inside a
+    # dict string must not be mistaken for the keyword
+    m = _STREAM_KW_RE.search(body, max(0, min(p.i, len(body))))
+    return val, (body[m.end():] if m else None)
 
 
 # ---------------------------------------------------------------------------
@@ -218,25 +392,106 @@ class _Doc:
         got = self.objs.get(num)
         if got is None or got[1] is None:
             return None
-        meta, raw = got
+        meta, tail = got
         meta = meta if isinstance(meta, dict) else {}
         length = self.resolve(meta.get("Length"))
-        if isinstance(length, int) and 0 < length <= len(raw):
-            raw = raw[:length]
+        raw = None
+        if isinstance(length, int) and 0 <= length <= len(tail):
+            # trust /Length when an endstream keyword follows the slice
+            if re.match(rb"\s*endstream", tail[length : length + 32]) \
+               or length == len(tail):
+                raw = tail[:length]
+        if raw is None:  # wrong/unresolvable Length: first-endstream regex
+            m = _ENDSTREAM_RE.match(tail)
+            raw = m.group(1) if m else tail
         filt = self.resolve(meta.get("Filter"))
         filts = filt if isinstance(filt, list) else ([filt] if filt else [])
+        parms = self.resolve(meta.get("DecodeParms")) \
+            or self.resolve(meta.get("DP"))
+        parmss = parms if isinstance(parms, list) else [parms] * max(1, len(filts))
         data = raw
-        for f in filts:
+        for k, f in enumerate(filts):
             f = self.resolve(f)
-            name = f[1] if isinstance(f, tuple) else None
-            if name == "FlateDecode":
-                try:
-                    data = zlib.decompress(data)
-                except zlib.error:
-                    return None
-            elif name is not None:
-                return None  # unsupported filter: skip content
+            name = _nameof(f)
+            p = self.resolve(parmss[k]) if k < len(parmss) else None
+            p = {key: self.resolve(v) for key, v in p.items()} \
+                if isinstance(p, dict) else {}
+            try:
+                if name in ("FlateDecode", "Fl"):
+                    data = _flate_decode(data)
+                elif name in ("LZWDecode", "LZW"):
+                    data = _lzw_decode(data, early=int(p.get("EarlyChange", 1)))
+                elif name in ("ASCIIHexDecode", "AHx"):
+                    data = _ascii_hex_decode(data)
+                elif name in ("ASCII85Decode", "A85"):
+                    data = _ascii85_decode(data)
+                elif name in ("RunLengthDecode", "RL"):
+                    data = _runlength_decode(data)
+                elif name is None:
+                    continue
+                else:
+                    return None  # image codec (DCT/JBIG2/CCITT/...): skip
+                if p.get("Predictor"):
+                    data = _predictor_undo(data, p)
+            except Exception:
+                return None
         return data
+
+
+def _xref_stream_owners(doc: _Doc, num: int, meta: dict) -> dict[int, int]:
+    """Type-2 entries of a /Type /XRef cross-reference stream:
+    {objnum: containing ObjStm number}.  These are AUTHORITATIVE — an
+    incremental update that moved an object into a stream lists it here,
+    and the streamed copy must win over a stale direct one."""
+    data = doc.stream_of(num)
+    if not data:
+        return {}
+    w = [int(doc.resolve(x) or 0) for x in (doc.resolve(meta.get("W")) or [])]
+    if len(w) < 3:
+        return {}
+    w1, w2, w3 = w[0], w[1], w[2]
+    entry_len = w1 + w2 + w3
+    if entry_len <= 0:
+        return {}
+    size = doc.resolve(meta.get("Size"))
+    index = doc.resolve(meta.get("Index")) or [0, size if isinstance(size, int) else 0]
+    index = [int(doc.resolve(x) or 0) for x in index]
+    owners: dict[int, int] = {}
+    pos = 0
+    for k in range(0, len(index) - 1, 2):
+        start, count = index[k], index[k + 1]
+        for objnum in range(start, start + count):
+            e = data[pos : pos + entry_len]
+            pos += entry_len
+            if len(e) < entry_len:
+                return owners
+            etype = int.from_bytes(e[:w1], "big") if w1 else 1
+            f2 = int.from_bytes(e[w1 : w1 + w2], "big")
+            if etype == 2:
+                owners[objnum] = f2
+    return owners
+
+
+def _unpack_objstm(doc: _Doc, snum: int, meta: dict) -> list[tuple[int, object]]:
+    """Embedded (objnum, value) pairs of one /Type /ObjStm container:
+    ``/N`` pairs of ``objnum offset`` ints head the decoded stream, object
+    bodies start at ``/First``.  ObjStm objects never carry streams."""
+    data = doc.stream_of(snum)
+    if not data:
+        return []
+    n = doc.resolve(meta.get("N"))
+    first = doc.resolve(meta.get("First"))
+    if not isinstance(n, int) or not isinstance(first, int) or first > len(data):
+        return []
+    pairs = re.findall(rb"(\d+)\s+(\d+)", data[:first])[:n]
+    out = []
+    for objnum, off in pairs:
+        try:
+            p = _P(data, first + int(off))
+            out.append((int(objnum), p.value()))
+        except Exception:
+            continue
+    return out
 
 
 def _load(data: bytes) -> _Doc:
@@ -246,6 +501,30 @@ def _load(data: bytes) -> _Doc:
             doc.objs[int(m.group(1))] = _parse_obj(m.group(3))
         except Exception:
             continue
+    # PDF >= 1.5: surface objects hidden inside /ObjStm containers.  Later
+    # xref streams override earlier ones (appended incremental updates
+    # come later in the file), and an xref-designated streamed object
+    # overrides a direct copy; without xref evidence, direct objects win
+    # and ObjStm values only fill missing numbers.
+    owner: dict[int, int] = {}
+    for num in sorted(doc.objs):
+        val = doc.objs[num][0]
+        if isinstance(val, dict) and _nameof(val.get("Type")) == "XRef":
+            try:
+                owner.update(_xref_stream_owners(doc, num, val))
+            except Exception:
+                continue
+    for snum in sorted(doc.objs):
+        val = doc.objs[snum][0]
+        if not (isinstance(val, dict) and _nameof(val.get("Type")) == "ObjStm"):
+            continue
+        try:
+            embedded = _unpack_objstm(doc, snum, val)
+        except Exception:
+            continue
+        for onum, oval in embedded:
+            if onum not in doc.objs or owner.get(onum) == snum:
+                doc.objs[onum] = (oval, None)
     return doc
 
 
@@ -331,40 +610,206 @@ def _font_flags(base_font: str) -> int:
     return flags
 
 
-def _spans_from_content(content: bytes, fonts: dict[str, int]) -> list[dict]:
-    """Interpret text operators; returns raw spans (PDF bottom-up y)."""
+# ---------------------------------------------------------------------------
+# simple-font encodings: base codec + /Differences glyph names
+# ---------------------------------------------------------------------------
+
+# compact AGL subset: the names /Differences arrays actually use for
+# Latin-script documents (digits, ASCII punctuation, typographic marks)
+_GLYPH_NAMES = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+    "trademark": "™", "copyright": "©", "registered": "®",
+    "degree": "°", "plusminus": "±", "multiply": "×",
+    "divide": "÷", "section": "§", "paragraph": "¶",
+    "sterling": "£", "yen": "¥", "cent": "¢",
+    "currency": "¤", "Euro": "€", "euro": "€",
+    "florin": "ƒ", "guilsinglleft": "‹",
+    "guilsinglright": "›", "guillemotleft": "«",
+    "guillemotright": "»", "exclamdown": "¡",
+    "questiondown": "¿", "germandbls": "ß",
+    "ae": "æ", "AE": "Æ", "oe": "œ", "OE": "Œ",
+    "oslash": "ø", "Oslash": "Ø", "thorn": "þ",
+    "Thorn": "Þ", "eth": "ð", "Eth": "Ð",
+    "dotlessi": "ı", "Lslash": "Ł", "lslash": "ł",
+    "nbspace": " ", "minus": "−", "fraction": "⁄",
+    "perthousand": "‰",
+}
+
+_ACCENT_COMBINING = {
+    "acute": "́", "grave": "̀", "circumflex": "̂",
+    "dieresis": "̈", "tilde": "̃", "ring": "̊",
+    "cedilla": "̧", "caron": "̌", "breve": "̆",
+    "macron": "̄", "hungarumlaut": "̋", "ogonek": "̨",
+    "dotaccent": "̇", "slash": "",
+}
+
+_UNI_RE = re.compile(r"^uni([0-9A-Fa-f]{4})$")
+_U_RE = re.compile(r"^u([0-9A-Fa-f]{4,6})$")
+
+
+def _glyph_to_char(name: str) -> str:
+    """Glyph name -> unicode text via the compact AGL subset: direct
+    table, uniXXXX/uXXXXXX forms, single-char names, and
+    letter+accent compositions (``eacute`` -> NFC(e + U+0301))."""
+    import unicodedata
+
+    if name in _GLYPH_NAMES:
+        return _GLYPH_NAMES[name]
+    m = _UNI_RE.match(name)
+    if m:
+        return chr(int(m.group(1), 16))
+    m = _U_RE.match(name)
+    if m:
+        cp = int(m.group(1), 16)
+        return chr(cp) if cp <= 0x10FFFF else ""
+    if len(name) == 1:
+        return name
+    if len(name) >= 2 and name[0].isalpha() and name[1:] in _ACCENT_COMBINING:
+        comb = _ACCENT_COMBINING[name[1:]]
+        return unicodedata.normalize("NFC", name[0] + comb) if comb else ""
+    return ""
+
+
+def _base_decode_table(codec: str) -> list[str]:
+    out = []
+    for b in range(256):
+        try:
+            out.append(bytes([b]).decode(codec))
+        except UnicodeDecodeError:
+            out.append(bytes([b]).decode("latin-1"))
+    return out
+
+
+_LATIN1_TABLE = _base_decode_table("latin-1")
+_ENCODING_CODECS = {
+    "WinAnsiEncoding": "cp1252",
+    "MacRomanEncoding": "mac_roman",
+    # StandardEncoding differs from Latin-1 above 0x7F but agrees on
+    # ASCII; Latin-1 is the documented approximation for it
+}
+
+
+def _simple_font_decode_table(doc: "_Doc", fobj: dict) -> list[str]:
+    """256-entry code->text table for a simple font's /Encoding: base
+    codec (WinAnsi == cp1252, MacRoman) plus /Differences overrides."""
+    enc = doc.resolve(fobj.get("Encoding"))
+    base = _nameof(enc) if not isinstance(enc, dict) else None
+    diffs = None
+    if isinstance(enc, dict):
+        b = doc.resolve(enc.get("BaseEncoding"))
+        base = _nameof(b)
+        diffs = doc.resolve(enc.get("Differences"))
+    codec = _ENCODING_CODECS.get(base or "")
+    table = _base_decode_table(codec) if codec else list(_LATIN1_TABLE)
+    if isinstance(diffs, list):
+        code = 0
+        for item in diffs:
+            item = doc.resolve(item)
+            if isinstance(item, (int, float)):
+                code = int(item)
+            else:
+                nm = _nameof(item)
+                if nm is not None and 0 <= code <= 255:
+                    table[code] = _glyph_to_char(nm)
+                code += 1
+    return table
+
+
+def _simple_font_widths(doc: "_Doc", fobj: dict) -> tuple[dict[int, float], float]:
+    """({code: width/1000-units}, missing_width) from /FirstChar+/Widths;
+    missing falls back to the 500-unit (0.5 em) approximation."""
+    widths: dict[int, float] = {}
+    first = doc.resolve(fobj.get("FirstChar"))
+    warr = doc.resolve(fobj.get("Widths"))
+    if isinstance(first, int) and isinstance(warr, list):
+        for off, w in enumerate(warr):
+            w = doc.resolve(w)
+            if isinstance(w, (int, float)):
+                widths[first + off] = float(w)
+    mw = 500.0
+    fd = doc.resolve(fobj.get("FontDescriptor"))
+    if isinstance(fd, dict):
+        m = doc.resolve(fd.get("MissingWidth"))
+        if isinstance(m, (int, float)):
+            mw = float(m)
+    return widths, mw
+
+
+_DEFAULT_FONT = {"flags": 0, "cmap": None, "cid_skip": False,
+                 "dec": None, "widths": {}, "mw": 500.0}
+
+
+def _spans_from_content(content: bytes, fonts: dict[str, dict]) -> list[dict]:
+    """Interpret text operators; returns raw spans (PDF bottom-up y).
+    ``fonts`` maps resource name -> info dict (see ``_DEFAULT_FONT``)."""
     spans: list[dict] = []
     # text state
     tm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
     tlm = list(tm)
     size = 12.0
-    flags = 0
     leading = 0.0
     color = 0
-    in_cid = False
-    cmap: tuple[dict[int, str], int] | None = None
+    tc = 0.0  # char spacing
+    tw = 0.0  # word spacing
+    th = 1.0  # horizontal scale (Tz/100)
+    font = _DEFAULT_FONT
     stack: list = []
 
-    def emit(raw: bytes):
-        if in_cid or not raw:
+    def show(raw: bytes) -> None:
+        """Decode + emit one shown string and advance the pen by its real
+        width (per-code /Widths when known, 0.5 em otherwise)."""
+        nonlocal tm
+        if font["cid_skip"] or not raw:
             return
+        eff = size * max(abs(tm[3]), 1e-9)
+        cmap = font["cmap"]
         if cmap is not None:
             table, nb = cmap
-            chars = []
+            widths, mw = font["widths"], font["mw"]
+            chars, adv = [], 0.0
             for j in range(0, len(raw) - nb + 1, nb):
                 code = int.from_bytes(raw[j : j + nb], "big")
                 chars.append(table.get(code, ""))
+                # Type0 /W is not parsed -> {} widths -> 0.5 em default
+                adv += (widths.get(code, mw) / 1000.0) * size + tc
+                if nb == 1 and code == 32:
+                    adv += tw
             text = "".join(chars).replace("\x00", "")
         else:
-            text = raw.decode("latin-1").replace("\x00", "")
-        if not text.strip():
-            return
-        eff = size * max(abs(tm[3]), 1e-9)
-        spans.append({
-            "x": tm[4], "y": tm[5], "size": eff, "flags": flags,
-            "color": color, "text": text,
-            "w": 0.5 * eff * len(text),  # approx width (no font metrics)
-        })
+            dec = font["dec"] or _LATIN1_TABLE
+            widths, mw = font["widths"], font["mw"]
+            chars, adv = [], 0.0
+            for code in raw:
+                chars.append(dec[code])
+                adv += (widths.get(code, mw) / 1000.0) * size + tc
+                if code == 32:
+                    adv += tw
+            text = "".join(chars).replace("\x00", "")
+        w = adv * th
+        if text.strip():
+            spans.append({
+                "x": tm[4], "y": tm[5], "size": eff, "flags": font["flags"],
+                "color": color, "text": text,
+                "w": w * (abs(tm[0]) or 1.0),  # page-space extent
+            })
+        # pen advance in text space, mapped through the text matrix
+        tm = [tm[0], tm[1], tm[2], tm[3],
+              tm[4] + w * tm[0], tm[5] + w * tm[1]]
 
     def td(tx: float, ty: float):
         nonlocal tm, tlm
@@ -419,10 +864,7 @@ def _spans_from_content(content: bytes, fonts: dict[str, int]) -> list[dict]:
                     fname = stack[-2]
                     if isinstance(fname, tuple):
                         f = fonts.get(fname[1])
-                        flags = f if isinstance(f, int) else 0
-                        cmap = fonts.get("__cmaps__", {}).get(fname[1])
-                        in_cid = (cmap is None
-                                  and fname[1] in fonts.get("__cidset__", set()))
+                        font = f if isinstance(f, dict) else _DEFAULT_FONT
                 elif op == b"Td" and len(stack) >= 2:
                     td(float(stack[-2]), float(stack[-1]))
                 elif op == b"TD" and len(stack) >= 2:
@@ -430,6 +872,12 @@ def _spans_from_content(content: bytes, fonts: dict[str, int]) -> list[dict]:
                     td(float(stack[-2]), float(stack[-1]))
                 elif op == b"TL" and stack:
                     leading = float(stack[-1])
+                elif op == b"Tc" and stack:
+                    tc = float(stack[-1])
+                elif op == b"Tw" and stack:
+                    tw = float(stack[-1])
+                elif op == b"Tz" and stack:
+                    th = float(stack[-1]) / 100.0
                 elif op == b"T*":
                     td(0.0, -leading)
                 elif op == b"Tm" and len(stack) >= 6:
@@ -437,20 +885,36 @@ def _spans_from_content(content: bytes, fonts: dict[str, int]) -> list[dict]:
                     tlm = list(tm)
                 elif op == b"Tj" and stack:
                     if isinstance(stack[-1], bytes):
-                        emit(stack[-1])
-                elif op in (b"'", b'"'):
+                        show(stack[-1])
+                elif op == b"'":
                     td(0.0, -leading)
                     if stack and isinstance(stack[-1], bytes):
-                        emit(stack[-1])
+                        show(stack[-1])
+                elif op == b'"':
+                    # aw ac string ": set word+char spacing, next line, show
+                    if len(stack) >= 3:
+                        tw = float(stack[-3])
+                        tc = float(stack[-2])
+                    td(0.0, -leading)
+                    if stack and isinstance(stack[-1], bytes):
+                        show(stack[-1])
                 elif op == b"TJ":
-                    # collect string items back to the matching [
-                    parts = []
+                    # replay items in order back from the matching [ :
+                    # strings show+advance, numbers kern the pen; a large
+                    # negative kern encodes an inter-word gap -> space
                     j = len(stack) - 1
                     while j >= 0 and stack[j] != ("delim", b"["):
-                        if isinstance(stack[j], bytes):
-                            parts.append(stack[j])
                         j -= 1
-                    emit(b"".join(reversed(parts)))
+                    for item in stack[j + 1 :]:
+                        if isinstance(item, bytes):
+                            show(item)
+                        elif isinstance(item, float):
+                            # kern: shift the pen; whether the gap is an
+                            # encoded word space is decided geometrically
+                            # at line merge, not guessed here
+                            shift = -item / 1000.0 * size * th
+                            tm = [tm[0], tm[1], tm[2], tm[3],
+                                  tm[4] + shift * tm[0], tm[5] + shift * tm[1]]
                 elif op == b"rg" and len(stack) >= 3:
                     r, g, b = (float(x) for x in stack[-3:])
                     color = (int(r * 255) << 16) | (int(g * 255) << 8) | int(b * 255)
@@ -464,7 +928,13 @@ def _spans_from_content(content: bytes, fonts: dict[str, int]) -> list[dict]:
 
 
 def _merge_lines(spans: list[dict], page_height: float) -> list[dict]:
-    """Group spans by baseline into line rows (top-based y, layout schema)."""
+    """Group spans by baseline into line rows (top-based y, layout schema).
+
+    Spans on a baseline concatenate GAP-AWARE: a separator space is
+    inserted only when the horizontal gap between two spans exceeds
+    0.18 em (a kern-encoded or positioned word break) and neither
+    boundary char already is a space — so TJ-fragmented words rejoin
+    without bogus spaces and kern-encoded spaces still materialize."""
     by_line: dict[float, list[dict]] = {}
     for s in spans:
         by_line.setdefault(round(s["y"], 1), []).append(s)
@@ -481,12 +951,20 @@ def _merge_lines(spans: list[dict], page_height: float) -> list[dict]:
             fl &= ~16
         color = next((s["color"] for s in group if s["color"]), 0)
         y_top = page_height - y
+        parts = [group[0]["text"]]
+        for prev, cur in zip(group, group[1:]):
+            gap = cur["x"] - (prev["x"] + prev["w"])
+            if (gap > 0.18 * min(prev["size"], cur["size"])
+                    and not parts[-1].endswith(" ")
+                    and not cur["text"].startswith(" ")):
+                parts.append(" ")
+            parts.append(cur["text"])
         lines.append({
             "x0": group[0]["x"],
             "y0": y_top - size,
             "x1": max(s["x"] + s["w"] for s in group),
             "y1": y_top,
-            "text": " ".join(s["text"] for s in group),
+            "text": "".join(parts),
             "size": size,
             "flags": fl,
             "color": color,
@@ -553,9 +1031,11 @@ def pdf_pages_spans(data: bytes | None) -> list[dict]:
             mb = [0.0, 0.0, 612.0, 792.0]
         width, height = mb[2] - mb[0], mb[3] - mb[1]
 
-        # fonts: name -> style flags; composite (Type0) fonts decode via
-        # their ToUnicode CMap, or are skipped when none exists
-        fonts: dict = {"__cidset__": set(), "__cmaps__": {}}
+        # fonts: resource name -> info dict.  Composite (Type0) fonts
+        # decode via their ToUnicode CMap or are skipped; simple fonts
+        # decode via ToUnicode, else /Encoding (+/Differences), else
+        # Latin-1, with /Widths-based advances when declared.
+        fonts: dict[str, dict] = {}
         res = _inherited(doc, val, "Resources")
         if isinstance(res, dict):
             fdict = doc.resolve(res.get("Font"))
@@ -565,21 +1045,38 @@ def pdf_pages_spans(data: bytes | None) -> list[dict]:
                     if not isinstance(fobj, dict):
                         continue
                     bf = fobj.get("BaseFont")
-                    fonts[fname] = _font_flags(
+                    info = dict(_DEFAULT_FONT)
+                    info["flags"] = _font_flags(
                         bf[1] if isinstance(bf, tuple) else "")
-                    sub = fobj.get("Subtype")
-                    if isinstance(sub, tuple) and sub[1] == "Type0":
-                        tu = fobj.get("ToUnicode")
-                        data_tu = (doc.stream_of(tu[1])
-                                   if isinstance(tu, tuple) and tu[0] == "ref"
-                                   else None)
-                        if data_tu:
-                            try:
-                                fonts["__cmaps__"][fname] = parse_tounicode_cmap(data_tu)
-                            except Exception:
-                                fonts["__cidset__"].add(fname)
+                    tu = fobj.get("ToUnicode")
+                    data_tu = (doc.stream_of(tu[1])
+                               if isinstance(tu, tuple) and tu[0] == "ref"
+                               else None)
+                    cmap = None
+                    if data_tu:
+                        try:
+                            cmap = parse_tounicode_cmap(data_tu)
+                        except Exception:
+                            cmap = None
+                    if _nameof(fobj.get("Subtype")) == "Type0":
+                        if cmap is not None:
+                            info["cmap"] = cmap
                         else:
-                            fonts["__cidset__"].add(fname)
+                            info["cid_skip"] = True
+                    else:  # simple font
+                        if cmap is not None and cmap[1] == 1:
+                            info["cmap"] = cmap
+                        else:
+                            try:
+                                info["dec"] = _simple_font_decode_table(doc, fobj)
+                            except Exception:
+                                info["dec"] = None
+                        try:
+                            info["widths"], info["mw"] = \
+                                _simple_font_widths(doc, fobj)
+                        except Exception:
+                            pass
+                    fonts[fname] = info
 
         contents = val.get("Contents")
         refs = contents if isinstance(contents, list) else [contents]

@@ -319,12 +319,245 @@ def sentence_quality_class(kor, eng) -> str:
     return "valid_candidate"
 
 
+# --- batched kernels -------------------------------------------------------
+#
+# The per-row functions above are the SEMANTIC REFERENCE (used by the
+# golden generator and the SQL oracles).  The batched kernels below give
+# byte-identical output (asserted by tests/test_analyzers.py A/B) with
+# the per-row regex calls collapsed into ONE C pass over the whole batch
+# joined by a separator — the same joined-scan + searchsorted trick the
+# minhash kernel uses.
+
+import numpy as np
+
+
+def _collect(pattern: "re.Pattern[str]", texts: list[str], sep: str = " ",
+             group: int = 0) -> list[list[str]]:
+    """Per-row ordered match lists from ONE finditer over the joined
+    batch.  ``sep`` must be un-matchable by (and unable to bridge)
+    ``pattern`` — a single char outside every class the pattern uses."""
+    per: list[list[str]] = [[] for _ in texts]
+    if not texts:
+        return per
+    joined = sep.join(texts)
+    offs = np.empty(len(texts) + 1, dtype=np.int64)
+    offs[0] = 0
+    np.cumsum(np.fromiter(((len(t) + len(sep)) for t in texts),
+                          dtype=np.int64, count=len(texts)), out=offs[1:])
+    starts, groups = [], []
+    for m in pattern.finditer(joined):
+        starts.append(m.start())
+        groups.append(m.group(group))
+    if starts:
+        rows = np.searchsorted(
+            offs, np.asarray(starts, dtype=np.int64), side="right") - 1
+        for r, g in zip(rows.tolist(), groups):
+            per[r].append(g)
+    return per
+
+
+def _collect_dense(pattern: "re.Pattern[str]", texts: list[str], *,
+                   marker: str = "zqzrowsepzqz", sep_fmt: str = "{}",
+                   group: int = 0) -> list[list[str]]:
+    """Per-row match lists for DENSE patterns (many matches per row, e.g.
+    word tokenization) without per-match Python objects: join rows with a
+    sentinel TOKEN the pattern itself matches, run one C ``findall``, and
+    split the flat result at the sentinels.  Falls back to the finditer
+    path if the sentinel count is off (natural occurrence in the text or
+    a pattern that can't match it)."""
+    per: list[list[str]] = [[] for _ in texts]
+    if not texts:
+        return per
+    sep = " " + sep_fmt.format(marker) + " "
+    words = pattern.findall(sep.join(texts))
+    arr = np.asarray(words, dtype=object) if words \
+        else np.empty(0, dtype=object)
+    idx = np.flatnonzero(arr == marker)
+    if len(idx) != len(texts) - 1:
+        return _collect(pattern, texts, sep=" ", group=group)
+    bounds = [-1] + idx.tolist() + [len(words)]
+    return [words[bounds[k] + 1 : bounds[k + 1]] for k in range(len(texts))]
+
+
+def _punct_batch(kors: list[str], engs: list[str]) -> list[dict]:
+    kh = _collect(_OTHER_PUNCT_RE, kors, sep="\x01")
+    eh = _collect(_OTHER_PUNCT_RE, engs, sep="\x01")
+    out = []
+    for k, e, kp_tail, ep_tail in zip(kors, engs, kh, eh):
+        kp = (["."] if k.endswith(".") else []) + kp_tail
+        ep = (["."] if e.endswith(".") else []) + ep_tail
+        if kp == ep:  # the common agreeing case: no Counter machinery
+            out.append({
+                "punct_match_type": "match",
+                "kor_punct": "".join(kp), "eng_punct": "".join(ep),
+                "punct_differences": "{}",
+            })
+            continue
+        kc, ec = Counter(kp), Counter(ep)
+        diffs = {
+            p: {"korean": kc.get(p, 0), "english": ec.get(p, 0),
+                "diff": kc.get(p, 0) - ec.get(p, 0)}
+            for p in set(kp + ep)
+            if kc.get(p, 0) != ec.get(p, 0)
+        }
+        out.append({
+            "punct_match_type": "no_match",
+            "kor_punct": "".join(kp), "eng_punct": "".join(ep),
+            "punct_differences": json.dumps(diffs, ensure_ascii=False,
+                                            sort_keys=True),
+        })
+    return out
+
+
+_NO_ENG_RESULT = {"kor_eng_words": "", "eng_word_match_status": "no_eng_in_kor",
+                  "eng_word_differences": "{}"}
+_DIGITS_RE = re.compile(r"\d+")
+
+
+def _english_words_batch(kors: list[str], engs: list[str]) -> list[dict]:
+    k_words = _collect_dense(_WORD_RE, kors)
+    need = [i for i, ws in enumerate(k_words) if ws]
+    out: list[dict] = [dict(_NO_ENG_RESULT) for _ in kors]
+    if not need:
+        return out
+    engs_lower = [engs[i].lower() for i in need]
+    e_words = _collect_dense(_WORD_RE, engs_lower)
+    # suffix matches are sparse: the finditer path is fine ("0{}" would
+    # make the sentinel a \d+(alpha) match, but there's no need)
+    e_suffix = _collect(_SUFFIX_RE, engs_lower, group=1)
+    for j, i in enumerate(need):
+        # findall on the ORIGINAL case then lower per word (pre-lowering
+        # the text would shift spans for chars like 'İ' whose lowercase
+        # expands to two codepoints)
+        kor_counter = Counter(map(str.lower, k_words[i]))
+        eng_counter = Counter(e_words[j])
+        eng_counter.update(e_suffix[j])
+        for word, count in list(eng_counter.items()):
+            if word.endswith("ies"):
+                eng_counter[word[:-3] + "y"] += count
+            elif len(word) > 2 and word.endswith("s"):
+                eng_counter[word[:-1]] += count
+            if "-" in word:
+                for part in word.split("-"):
+                    if part:
+                        eng_counter[part] += count
+        eng_nums = None  # lazy: only roman-numeral credits need it
+        missing = {}
+        for word, need_n in kor_counter.items():
+            if word in _ROMAN:
+                if eng_nums is None:
+                    eng_nums = set(_DIGITS_RE.findall(engs[i]))
+                if _ROMAN[word] in eng_nums:
+                    continue
+            have = eng_counter.get(word, 0)
+            if need_n > have:
+                missing[word] = need_n - have
+        status = (
+            "all_match" if not missing
+            else "no_match" if len(missing) == len(kor_counter)
+            else "partial_match"
+        )
+        out[i] = {
+            "kor_eng_words": ", ".join(sorted(kor_counter.keys())),
+            "eng_word_match_status": status,
+            "eng_word_differences": json.dumps(missing, ensure_ascii=False,
+                                               sort_keys=True),
+        }
+    return out
+
+
+_ASCII_DIGIT_RE = re.compile(r"\d")
+
+
+def _symbols_batch(kors: list[str], engs: list[str]) -> list[dict]:
+    nk = [unicodedata.normalize("NFKC", k) for k in kors]
+    ne = [unicodedata.normalize("NFKC", e) for e in engs]
+    k_hits = _collect(_DISALLOWED_RE, nk)
+    e_hits = _collect(_DISALLOWED_RE, ne)
+    out = []
+    for k, e, kh, eh in zip(nk, ne, k_hits, e_hits):
+        if not kh and not eh:
+            out.append(dict(_NO_SYMBOLS_RESULT))
+            continue
+        # the hit lists ARE the _ALLOWED_RE.sub("", ...) residue
+        k_sym, e_sym = Counter(kh), Counter(eh)
+        k_rem, e_rem = k_sym.copy(), e_sym.copy()
+        common = k_rem & e_rem
+        k_rem -= common
+        e_rem -= common
+        # digit counters only when a super/subscript credit can apply
+        needs_digits = any(s in _SPECIAL_DIGIT for s in k_rem) \
+            or any(s in _SPECIAL_DIGIT for s in e_rem)
+        if needs_digits:
+            k_num = Counter(_ASCII_DIGIT_RE.findall(k))
+            e_num = Counter(_ASCII_DIGIT_RE.findall(e))
+            for sym, count in list(k_rem.items()):
+                d = _SPECIAL_DIGIT.get(sym)
+                if d and e_num[d] > 0:
+                    m = min(count, e_num[d])
+                    k_rem[sym] -= m
+                    e_num[d] -= m
+            for sym, count in list(e_rem.items()):
+                d = _SPECIAL_DIGIT.get(sym)
+                if d and k_num[d] > 0:
+                    m = min(count, k_num[d])
+                    e_rem[sym] -= m
+                    k_num[d] -= m
+        k_rem += Counter()
+        e_rem += Counter()
+        total_initial = sum(k_sym.values()) + sum(e_sym.values())
+        total_rem = sum(k_rem.values()) + sum(e_rem.values())
+        status = (
+            "no_special_symbols" if total_initial == 0
+            else "all_match" if total_rem == 0
+            else "partial_match" if total_initial > total_rem
+            else "no_match"
+        )
+        diffs = {
+            s: {"korean": k_rem[s], "english": e_rem[s]}
+            for s in (k_rem.keys() | e_rem.keys())
+            if k_rem[s] > 0 or e_rem[s] > 0
+        }
+        out.append({
+            "kor_special_symbols": "".join(sorted(k_sym.elements())),
+            "eng_special_symbols": "".join(sorted(e_sym.elements())),
+            "symbol_match_status": status,
+            "symbol_differences": json.dumps(diffs, ensure_ascii=False,
+                                             sort_keys=True),
+        })
+    return out
+
+
+_NO_NUMBERS_RESULT = {
+    "number_match_status": "no_numbers", "kor_numbers": "",
+    "eng_numbers_after_mapping": "", "num_differences": "{}",
+}
+_ENG_NUMBERISH_RE = re.compile(r"[\d⁰¹²³⁴⁵⁶⁷⁸⁹]")
+
+
+def _quality_batch(kors: pd.Series, engs: pd.Series) -> np.ndarray:
+    kl = kors.str.lower().str.strip()
+    el = engs.str.lower().str.strip()
+    empty = (kl == "") & (el == "")
+    eq = kl == el
+    ws_eq = (kl.str.replace(r"\s+", "", regex=True)
+             == el.str.replace(r"\s+", "", regex=True))
+    hangul = kl.str.contains(_HANGUL_ANY_RE)
+    return np.select(
+        [empty.to_numpy(), eq.to_numpy(), ws_eq.to_numpy(),
+         ~hangul.to_numpy()],
+        ["empty", "all_match", "partial_match", "no_korean_in_kor"],
+        default="valid_candidate",
+    )
+
+
 # --- the actor-pool stage --------------------------------------------------
 
 class PairAnalyzer:
     """All five analyzers in one pass; regex/word tables compiled once per
     actor.  Input columns default to the web-pair schema (kr_text/en_text
-    normalized)."""
+    normalized).  Output is byte-identical to composing the per-row
+    functions (A/B-tested); the hot regex scans run once per batch."""
 
     def __init__(self, kor_col: str = "kr_text_normalized",
                  eng_col: str = "en_text_normalized"):
@@ -334,14 +567,30 @@ class PairAnalyzer:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         kors = batch[self.kor_col].fillna("").astype(str)
         engs = batch[self.eng_col].fillna("").astype(str)
+        kl, el = kors.tolist(), engs.tolist()
+        punct = _punct_batch(kl, el)
+        words = _english_words_batch(kl, el)
+        syms = _symbols_batch(kl, el)
+        qual = _quality_batch(kors, engs)
+        # numbers: batch-level activity scan (ascii digits on the Korean
+        # side; digits OR superscripts on the English side), per-row
+        # cascade only where active
+        k_active = {i for i, hits in enumerate(_collect(_ASCII_DIGIT_RE, kl,
+                                                        sep="\x01"))
+                    if hits}
+        e_active = {i for i, hits in enumerate(_collect(_ENG_NUMBERISH_RE, el,
+                                                        sep="\x01"))
+                    if hits}
         records = []
-        for k, e in zip(kors, engs):
-            rec = {}
-            rec.update(compare_punct(k, e))
-            rec.update(self.numbers.compare(k, e))
-            rec.update(compare_english_words(k, e))
-            rec.update(compare_special_symbols(k, e))
-            rec["only_eng_korean_sentence"] = sentence_quality_class(k, e)
+        for i in range(len(kl)):
+            rec = dict(punct[i])
+            if i in k_active or i in e_active:
+                rec.update(self.numbers.compare(kl[i], el[i]))
+            else:
+                rec.update(_NO_NUMBERS_RESULT)
+            rec.update(words[i])
+            rec.update(syms[i])
+            rec["only_eng_korean_sentence"] = qual[i]
             records.append(rec)
         extra = pd.DataFrame(records, index=batch.index)
         return pd.concat([batch, extra], axis=1)

@@ -139,6 +139,7 @@ def adjacent_pairs(
     out_right: str = "en_text",
     block: int = 4096,
     num_buckets: int | None = None,
+    pre_batch_size: int | None = None,
 ) -> Dataset:
     """Self-pair each row ``i`` with row ``i+1`` on an integer order column
     WITHOUT a hash join: range-bucket rows by ``order_col // block`` and
@@ -190,5 +191,5 @@ def adjacent_pairs(
 
     return bucketed_group_apply(
         ds.map_batches(route, batch_format="pandas"), ["__rb"], pair,
-        num_buckets=num_buckets,
+        num_buckets=num_buckets, pre_batch_size=pre_batch_size,
     )

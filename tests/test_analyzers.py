@@ -166,3 +166,58 @@ def test_pair_analyzer_batch():
     assert out["number_match_status"].tolist() == ["all_match", "no_numbers"]
     assert out["eng_word_match_status"].tolist() == ["all_match", "no_eng_in_kor"]
     assert out["only_eng_korean_sentence"].tolist() == ["valid_candidate", "empty"]
+
+
+def test_batched_analyzer_identical_to_per_row_composition():
+    """PairAnalyzer's batched kernels (joined-scan + sentinel findall)
+    must be byte-identical to composing the per-row reference functions —
+    including sentinel-collision rows (fallback path), unicode edge cases
+    ('İ' lowercase expansion), superscripts, and empty/None inputs."""
+    import pandas as pd
+
+    from pdf_extract_ray.stages.analyzers import (
+        NumberComparer,
+        PairAnalyzer,
+        compare_english_words,
+        compare_punct,
+        compare_special_symbols,
+        sentence_quality_class,
+    )
+
+    batch = pd.DataFrame({
+        "kr_text_normalized": [
+            "", "안녕하세요 3rd test!", "x²+y₂=z", "1,234.5 ranges 3-4 2nd",
+            "이중 더블 check", "same text.", "CAF-part ies policies",
+            "V II x", None, "“quote…” ~`%",
+            "word zqzrowsepzqz trap", "İstanbul Aİ", "ends with period.",
+            "mixed 12 한글 words», °C", "쉼표, 느낌표! 물음표?",
+        ],
+        "en_text_normalized": [
+            "", "hello third test!", "x2 + y2 = z", "1234.5 3-4 second",
+            "double double check", "same  text.", "caf parts policy",
+            "5 2 10", "word", "quotes… %",
+            "zqzrowsepzqz", "istanbul ai", "ends with period.",
+            "mixed 12 words», °C superscript ³", "comma, bang! question?",
+        ],
+    }).astype(object)
+    got = PairAnalyzer()(batch.copy())
+
+    nc = NumberComparer()
+    kors = batch["kr_text_normalized"].fillna("").astype(str)
+    engs = batch["en_text_normalized"].fillna("").astype(str)
+    recs = []
+    for k, e in zip(kors, engs):
+        rec = {}
+        rec.update(compare_punct(k, e))
+        rec.update(nc.compare(k, e))
+        rec.update(compare_english_words(k, e))
+        rec.update(compare_special_symbols(k, e))
+        rec["only_eng_korean_sentence"] = sentence_quality_class(k, e)
+        recs.append(rec)
+    want = pd.DataFrame(recs)
+    for c in want.columns:
+        assert (got[c].astype(str).to_numpy()
+                == want[c].astype(str).to_numpy()).all(), c
+    # column ORDER also frozen (canonical projection depends on it)
+    assert [c for c in got.columns if c in set(want.columns)] \
+        == list(want.columns)
