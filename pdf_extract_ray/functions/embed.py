@@ -12,7 +12,6 @@ real model changes one constructor.
 
 from __future__ import annotations
 
-import hashlib
 import re
 
 import numpy as np
@@ -26,22 +25,45 @@ class HashEmbedder:
     Each token (optionally mapped through ``vocab_map`` — e.g. a KO->EN
     pseudo-translation table in tests, or a real bilingual lexicon) hashes
     to a bucket in a ``dim``-dimensional bag vector; vectors are
-    L2-normalized so dot product = cosine."""
+    L2-normalized so dot product = cosine.
+
+    Vectorized (round 3): ONE sentinel-findall tokenization pass over the
+    joined batch + ONE ``hash_pandas_object`` pass + a scatter-add — the
+    same kernel family as the dedup stage; the per-token md5 loop it
+    replaces was the alignment stage's bottleneck (VERDICT r2).  The hash
+    family changed with it (md5 -> pandas siphash), so the align goldens
+    were regenerated in the same commit; determinism across processes and
+    parallelism is unchanged (fixed hash key)."""
 
     def __init__(self, dim: int = 256, vocab_map: dict[str, str] | None = None):
         self.dim = dim
         self.vocab_map = vocab_map or {}
 
-    def _bucket(self, token: str) -> int:
-        h = hashlib.md5(token.encode("utf-8")).digest()
-        return int.from_bytes(h[:4], "big") % self.dim
-
     def encode(self, texts: list[str]) -> np.ndarray:
+        import pandas as pd
+
+        from pdf_extract_ray.stages.analyzers import _collect_dense
+
         out = np.zeros((len(texts), self.dim), dtype=np.float64)
-        for i, text in enumerate(texts):
-            for tok in _TOKEN_RE.findall((text or "").lower()):
-                tok = self.vocab_map.get(tok, tok)
-                out[i, self._bucket(tok)] += 1.0
+        if not len(texts):
+            return out
+        # the reference lowers the whole text before tokenizing
+        # (aligner-side normalization), so pre-lowering is exact here
+        lowered = [(t or "").lower() for t in texts]
+        per_row = _collect_dense(_TOKEN_RE, lowered)
+        counts = np.fromiter((len(ws) for ws in per_row), dtype=np.int64,
+                             count=len(per_row))
+        if counts.sum() == 0:
+            return out
+        flat = pd.Series(
+            [w for ws in per_row for w in ws], dtype=object)
+        if self.vocab_map:
+            mapped = flat.map(self.vocab_map)
+            flat = mapped.where(mapped.notna(), flat)
+        buckets = (pd.util.hash_pandas_object(flat, index=False)
+                   % np.uint64(self.dim)).to_numpy().astype(np.int64)
+        rows = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        np.add.at(out, (rows, buckets), 1.0)
         norms = np.linalg.norm(out, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         return out / norms
