@@ -128,6 +128,36 @@ def _kmeanspp_lite(sample: np.ndarray, c: int, seed: int = 5) -> np.ndarray:
     return sample[idx]
 
 
+def _centroid_sample(ds: Dataset, id_col: str, vec_col: str,
+                     sample_n: int, n_cells: int) -> np.ndarray:
+    """Deterministic unbiased centroid sample: keep rows whose id hash
+    lands on a stride sized for ~``sample_n`` hits (seedless,
+    parallelism-independent — per-row hash, not block-seeded RNG), then
+    truncate to the ``sample_n`` smallest (hash, id) — NOT ``limit``,
+    whose survivors under streaming execution follow nondeterministic
+    block-completion order.  Falls back to a head sample only when the
+    filter yields fewer rows than cells (tiny inputs, where head==all)."""
+    n_total = ds.count()
+    stride = max(1, n_total // max(1, sample_n))
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(b[id_col], index=False)
+        out = b.loc[(h.to_numpy() % np.uint64(stride)) == 0,
+                    [id_col, vec_col]]
+        out["__h"] = h[out.index].to_numpy()
+        return out
+
+    # expected candidate count ~ n/stride in [sample_n, 2*sample_n):
+    # bounded driver-side materialization by construction
+    rows = ds.map_batches(pick, batch_format="pandas").take_all()
+    if len(rows) < n_cells:
+        rows = ds.limit(sample_n).take_all()
+        return np.stack([r[vec_col] for r in rows]).astype(np.float64)
+    rows.sort(key=lambda r: (r["__h"], r[id_col]))
+    return np.stack(
+        [r[vec_col] for r in rows[:sample_n]]).astype(np.float64)
+
+
 def ivf_topk(
     ds: Dataset,
     queries: np.ndarray,
@@ -142,10 +172,14 @@ def ivf_topk(
 ) -> Dataset:
     """Approximate top-k: assign vectors to coarse cells, score only the
     ``nprobe`` cells closest to each query.  The centroid table is tiny and
-    broadcast; the cell filter happens inside map_batches (no shuffle)."""
-    sample = np.stack(
-        [r[vec_col] for r in ds.limit(sample_n).take_all()]
-    ).astype(np.float64)
+    broadcast; the cell filter happens inside map_batches (no shuffle).
+
+    Centroids are learned from a HASH-SPREAD sample: rows whose id hash
+    falls on a stride — deterministic, parallelism-independent, and
+    unbiased w.r.t. the corpus layout.  (A head-of-stream ``limit`` sample
+    — the round-2 flaw — silently degrades recall on inputs sorted or
+    clustered by topic: the centroids only see the first topics.)"""
+    sample = _centroid_sample(ds, id_col, vec_col, sample_n, n_cells)
     cents = _kmeanspp_lite(sample, n_cells)
     cents_ref = ray.put(cents)
 

@@ -433,3 +433,32 @@ def test_simhash_pairs_complete_and_unique_vs_bruteforce(ray_session):
             if d <= 3:
                 expect[(i, j)] = d
     assert got == expect and expect, f"{len(got)} vs {len(expect)}"
+
+
+def test_ivf_centroids_from_spread_sample_on_sorted_corpus(ray_session):
+    """The round-2 flaw: centroids learned from ds.limit(2048) head rows
+    degrade recall when the corpus is SORTED BY CLUSTER (the head sample
+    only sees the first topics).  The hash-spread sample must keep recall
+    high on exactly that layout."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(3)
+    n_clusters, per = 40, 200  # 8000 rows; head-2048 sees ~10 clusters
+    centers = rng.standard_normal((n_clusters, 16)) * 5
+    vecs = np.concatenate([
+        centers[c] + 0.05 * rng.standard_normal((per, 16))
+        for c in range(n_clusters)
+    ])
+    ids = np.arange(len(vecs), dtype=np.int64)
+    ds = rd.from_pandas(pd.DataFrame(
+        {"vec_id": ids, "embedding": list(vecs)})).repartition(8)
+    # queries drawn from LATE clusters (unseen by a head sample)
+    q_idx = [n_clusters // 2 * per + 7, (n_clusters - 1) * per + 3]
+    queries = vecs[q_idx]
+    exact = brute_force_topk(ds, queries, k=10).take_all()
+    approx = ivf_topk(ds, queries, k=10, n_cells=32, nprobe=4,
+                      sample_n=2048).take_all()
+    exact_ids = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_ids = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_ids & approx_ids) / len(exact_ids)
+    assert recall >= 0.9, f"recall {recall} on cluster-sorted corpus"

@@ -353,7 +353,7 @@ def gen_approx_distinct(sf_dir: str) -> dict[str, pa.Table]:
 
 
 def gen_similarity_ivf(sf_dir: str) -> dict[str, pa.Table]:
-    """Single-process mirror of ivf_topk: same centroid pick (first-2048
+    """Single-process mirror of ivf_topk: same centroid pick (hash-spread
     sample + farthest-point traversal), same cell assignment, same probe
     sets, brute-force cosine within probed cells, (cosine desc, id asc)
     tie-break, round(6)."""
@@ -365,7 +365,17 @@ def gen_similarity_ivf(sf_dir: str) -> dict[str, pa.Table]:
     ids = emb["vec_id"].to_numpy()
     v = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
     q = v[ids < 5]
-    cents = _kmeanspp_lite(v[:2048], 16)
+    # hash-spread sample, mirroring similarity._centroid_sample:
+    # stride filter, then the 2048 smallest (hash, id)
+    stride = max(1, len(emb) // 2048)
+    h = pd.util.hash_pandas_object(emb["vec_id"], index=False).to_numpy()
+    mask = (h % np.uint64(stride)) == 0
+    if mask.sum() < 16:
+        sample = v[:2048]
+    else:
+        order = np.lexsort((ids[mask], h[mask]))[:2048]
+        sample = v[mask][order]
+    cents = _kmeanspp_lite(sample, 16)
     cents_sq = (cents ** 2).sum(axis=1)
     cell = (cents_sq[None, :] - 2.0 * (v @ cents.T)).argmin(axis=1)
     qd = np.linalg.norm(q[:, None, :] - cents[None, :, :], axis=2)
