@@ -5,7 +5,7 @@ reference: cli.py:113-361, SURVEY.md §3.1-3.2).
     python -m pdf_extract_ray extract  --input 'pages/*.parquet' --out out/ \
         [--plan fused|staged] [--rule-pack default] [--files-per-partition 8]
     python -m pdf_extract_ray quality  --input 'pairs/*.parquet' --out out/ \
-        [--no-dedup]
+        [--no-dedup] [--global-dedup]
     python -m pdf_extract_ray status   --out out/
     python -m pdf_extract_ray retry-failed --input 'pages/*.parquet' --out out/
 
@@ -61,6 +61,7 @@ def cmd_quality(args) -> int:
     try:
         stats = quality_run(
             args.input, args.out, dedup=not args.no_dedup,
+            global_dedup=args.global_dedup,
             files_per_partition=args.files_per_partition,
         )
         print(json.dumps({"run": stats}))
@@ -129,6 +130,9 @@ def main(argv=None) -> int:
     add_common(qp)
     qp.add_argument("--no-dedup", action="store_true",
                     help="skip the per-partition exact dedup")
+    qp.add_argument("--global-dedup", action="store_true",
+                    help="add a final cross-partition exact dedup pass "
+                         "into out/global/ (manifest-recorded, resume-safe)")
     add_common(sub.add_parser("status", help="manifest rollup"), with_input=False)
     add_common(sub.add_parser("retry-failed", help="re-run failed partitions"))
 

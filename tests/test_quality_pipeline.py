@@ -96,3 +96,48 @@ def test_no_dedup_mode_keeps_duplicates(ray_session):
     ds = rd.from_pandas(pd.DataFrame(rows)).repartition(2)
     out = quality_pairs(ds, dedup=False).to_pandas()
     assert len(out) == 5
+
+
+def test_global_dedup_removes_cross_partition_duplicates(ray_session, tmp_path):
+    """Per-partition dedup cannot see a duplicate pair split across
+    partitions; global_dedup=True adds the corpus-wide pass (min doc_id
+    wins) into out/global, manifest-recorded and skipped on resume."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pdf_extract_ray.pipelines.runner import quality_run
+
+    src = tmp_path / "pairs"
+    src.mkdir()
+    for shard in range(4):
+        rows = [{"doc_id": shard * 100 + i,
+                 "kr_text": f"문서 {shard} 문장 {i}.",
+                 "en_text": f"document {shard} sentence {i}."}
+                for i in range(10)]
+        # the SAME pair in every shard — partitions are (s0,s1) and
+        # (s2,s3), so per-partition dedup keeps 2 copies of it
+        rows.append({"doc_id": shard * 100 + 99,
+                     "kr_text": "중복 문장.", "en_text": "duplicated sentence."})
+        pq.write_table(pa.Table.from_pylist(rows), src / f"s{shard}.parquet")
+
+    out = tmp_path / "out"
+    r1 = quality_run(str(src / "*.parquet"), str(out),
+                     files_per_partition=2, global_dedup=True)
+    assert r1["completed"] == 2 and r1["global"] == "completed"
+
+    parts = rd.read_parquet(
+        [str(p) for p in sorted(out.glob("part=*/*.parquet"))]).to_pandas()
+    dups_in_parts = parts[parts["kr_text"] == "중복 문장."]
+    assert len(dups_in_parts) == 2  # one per partition: the gap the flag closes
+
+    final = rd.read_parquet(str(out / "global")).to_pandas()
+    dup_rows = final[final["kr_text"] == "중복 문장."]
+    assert len(dup_rows) == 1
+    assert dup_rows["doc_id"].iloc[0] == 99  # min order key wins
+    assert len(final) == 41  # 4x10 distinct + 1 surviving duplicate
+
+    # resume: nothing recomputed, global pass skipped (same partitions)
+    r2 = quality_run(str(src / "*.parquet"), str(out),
+                     files_per_partition=2, global_dedup=True)
+    assert r2["skipped"] == 2 and r2["global"] == "skipped"
