@@ -77,6 +77,11 @@ def ensure_corpus(sf: float) -> tuple[str, int]:
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
+    # machine context BEFORE any Ray work: the co-tenant contention flag.
+    # (Per-draw loadavg below includes our own prior reps — a 1-min EMA —
+    # so the ambient number is the one the flag criterion uses.)
+    ambient_loadavg = round(os.getloadavg()[0], 2)
+
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     import ray.data as rd
@@ -109,9 +114,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # best-of-N: the sandbox VM is noisy; steady-state throughput is the
     # meaningful number for the scaling comparison
     reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
-    rep_times = []
+    rep_times, rep_loadavg = [], []
     for _ in range(reps):
         shutil.rmtree(out_dir, ignore_errors=True)
+        rep_loadavg.append(round(os.getloadavg()[0], 2))
         t0 = time.time()
         extract_pages_fused(pages()).write_parquet(out_dir, min_rows_per_file=5_000)
         rep_times.append(round(time.time() - t0, 3))
@@ -120,6 +126,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # representative queries over the driver tables (skipped in scaling
     # subprocesses where only the headline matters)
     q_times = {}
+    q_draws = {}
     if os.environ.get("GRAFT_SKIP_QUERIES") != "1":
         import __ray_entry__ as entry
 
@@ -130,7 +137,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "minhash_near_dup", "simhash_near_dup", "similarity_topk",
                      "quality_pipeline", "extract_staged"):
             best = float("inf")
+            draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise
+                load = round(os.getloadavg()[0], 2)
                 t0 = time.time()     # swings single draws by 2-4x
                 res = qs[name](sf_dir)
                 # consume without driver-side materialization of big payloads
@@ -138,8 +147,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                     res.count()
                 except AttributeError:
                     pass  # pandas result already materialized
-                best = min(best, time.time() - t0)
+                dt = time.time() - t0
+                draws.append([round(dt, 3), load])
+                best = min(best, dt)
             q_times[name] = round(best, 3)
+            q_draws[name] = draws
 
     ray.shutdown()
     return {
@@ -152,6 +164,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "docs": n_docs,
         "docs_per_sec": round(n_docs / headline, 1),
         "rep_times": rep_times,  # all draws — the VM's run-to-run band
+        # machine context so contended draws are flagged by DATA, not
+        # narrative: ambient = 1-min loadavg before any Ray work (the
+        # flag criterion; > ~2 means co-tenant load); rep_loadavg and
+        # query_draws pair every draw with the loadavg sampled before it
+        "ambient_loadavg": ambient_loadavg,
+        "rep_loadavg": rep_loadavg,
+        "query_draws": q_draws,  # {name: [[sec, loadavg], ...]}
     }
 
 
@@ -188,6 +207,8 @@ def run_scaling(sf_dir: str) -> dict:
         result[f"efficiency_{lo}_{hi}"] = round(eff, 3)
         result[f"rep_times_{lo}"] = r_lo.get("rep_times")
         result[f"rep_times_{hi}"] = r_hi.get("rep_times")
+        result[f"loadavg_{lo}"] = [r_lo.get("ambient_loadavg")] + (r_lo.get("rep_loadavg") or [])
+        result[f"loadavg_{hi}"] = [r_hi.get("ambient_loadavg")] + (r_hi.get("rep_loadavg") or [])
         result.setdefault("docs", r_hi["docs"])
     # headline stays the brief's example pair (8->32) so the metric is
     # comparable round over round; efficiency_4_16 is reported alongside
