@@ -22,6 +22,7 @@ from typing import Callable, Sequence
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ray.data import Dataset
 
@@ -31,6 +32,64 @@ def _bucket_of(frame: pd.DataFrame, keys: Sequence[str], num_buckets: int) -> np
         frame[list(keys)] if len(keys) > 1 else frame[keys[0]], index=False
     )
     return (h % np.uint64(num_buckets)).astype(np.int64).to_numpy()
+
+
+def _hash_numpy_col(arr: np.ndarray) -> np.ndarray:
+    """hash_pandas_object-identical per-column hash, vectorized in numpy.
+
+    Numeric / bool / datetime columns reproduce pandas' bit-view +
+    splitmix64 finalizer exactly (verified by tests/test_agg_arrow.py);
+    object columns (strings) fall back to pandas' C siphash on just this
+    column — the one conversion the zero-copy path can't avoid."""
+    if arr.dtype.kind in "OUS":
+        return pd.util.hash_pandas_object(pd.Series(arr), index=False).to_numpy()
+    if arr.dtype.kind == "b":
+        v = arr.astype("u8")
+    elif arr.dtype.kind in "mM":
+        v = arr.view("i8").astype("u8")
+    elif arr.dtype.kind in "iuf" and arr.dtype.itemsize <= 8:
+        v = arr.view(f"u{arr.dtype.itemsize}").astype("u8")
+    else:
+        return pd.util.hash_pandas_object(pd.Series(arr), index=False).to_numpy()
+    # splitmix64 finalizer (pandas.core.util.hashing._hash_ndarray)
+    v ^= v >> 30
+    v *= np.uint64(0xBF58476D1CE4E5B9)
+    v ^= v >> 27
+    v *= np.uint64(0x94D049BB133111EB)
+    v ^= v >> 31
+    return v
+
+
+def _combine_hashes(arrays: list[np.ndarray]) -> np.ndarray:
+    """pandas.core.util.hashing.combine_hash_arrays, vectorized."""
+    mult = np.uint64(1000003)
+    out = np.full_like(arrays[0], np.uint64(0x345678))
+    n = len(arrays)
+    for i, a in enumerate(arrays):
+        inverse_i = n - i
+        out = (out ^ a) * mult
+        mult += np.uint64(82520 + inverse_i + inverse_i)
+    return out + np.uint64(97531)
+
+
+def _bucket_of_arrow(table: pa.Table, keys: Sequence[str], num_buckets: int) -> np.ndarray:
+    """Bucket ids for an Arrow batch WITHOUT converting the batch to pandas.
+
+    Produces bit-identical values to ``_bucket_of`` on the pandas view of
+    the same batch (single key -> hash_array of the column; multiple keys
+    -> per-column hashes combined pandas-style), so either tagging path
+    yields the same bucket assignment and byte-identical downstream
+    output at any parallelism."""
+    old = np.seterr(over="ignore")
+    try:
+        cols = [
+            _hash_numpy_col(table.column(k).to_numpy(zero_copy_only=False))
+            for k in keys
+        ]
+        h = cols[0] if len(cols) == 1 else _combine_hashes(cols)
+        return (h % np.uint64(num_buckets)).astype(np.int64)
+    finally:
+        np.seterr(**old)
 
 
 def default_num_buckets() -> int:
@@ -47,42 +106,58 @@ def default_num_buckets() -> int:
 def bucketed_group_apply(
     ds: Dataset,
     keys: Sequence[str],
-    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    fn: Callable,
     *,
     num_buckets: int | None = None,
     drop_bucket: bool = True,
     pre_batch_size: int | None = None,
+    body_format: str = "pandas",
 ) -> Dataset:
     """Co-locate rows by ``keys`` into coarse hash buckets, then apply ``fn``
     once per bucket.  ``fn`` receives ALL rows of the bucket (a superset of
     whole key-groups, never a partial group) and should use vectorized
-    pandas (``g.groupby(keys)...``) internally.
+    pandas (``g.groupby(keys)...``) / pyarrow internally.
+
+    The bucket-tagging map is Arrow-native: the batch never converts to
+    pandas on the map side (``_bucket_of_arrow`` appends one int64 column
+    zero-copy) — on wide rows (full document text) the old pandas
+    round-trip copied every string twice per batch.  Tag values are
+    bit-identical to the pandas hash, so outputs are unchanged.
 
     ``pre_batch_size``: batch size for the bucket-tagging map.  Small
     upstream blocks (Ray's 2x-CPU read floor fragments small inputs into
     ~80-row blocks) multiply both the map task count and the sort
     operator's input-block count; a larger pre-batch coalesces them,
     cutting the all-to-all's fixed cost.  Set it for narrow-row streams
-    (ids/hashes); leave None when rows are wide (documents)."""
+    (ids/hashes); leave None when rows are wide (documents).
+
+    ``body_format``: ``"pandas"`` (default — ``fn`` takes/returns a
+    DataFrame) or ``"pyarrow"`` (``fn`` takes/returns a ``pa.Table``;
+    skips the per-group pandas conversion for Arrow-native bodies)."""
     nb = num_buckets or default_num_buckets()
     keys = list(keys)
 
-    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["__bucket"] = _bucket_of(b, keys, nb)
-        return b
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__bucket", pa.array(_bucket_of_arrow(t, keys, nb), type=pa.int64())
+        )
 
-    def apply(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop(columns=["__bucket"]) if drop_bucket else group
-        return fn(g)
+    if body_format == "pandas":
+        def apply(group: pd.DataFrame) -> pd.DataFrame:
+            g = group.drop(columns=["__bucket"]) if drop_bucket else group
+            return fn(g)
+    else:
+        def apply(group: pa.Table) -> pa.Table:
+            g = group.drop_columns(["__bucket"]) if drop_bucket else group
+            return fn(g)
 
     return (
         ds.map_batches(
-            add_bucket, batch_format="pandas",
+            add_bucket, batch_format="pyarrow",
             batch_size=pre_batch_size if pre_batch_size else "default",
         )
         .groupby("__bucket")
-        .map_groups(apply, batch_format="pandas")
+        .map_groups(apply, batch_format=body_format)
     )
 
 
