@@ -608,6 +608,20 @@ def q_media_features(sf_dir: str):
     )
 
 
+def q_media_pixel_features(sf_dir: str):
+    # REAL decode end-to-end: payloads are actual BMP / BMP-seq / WAV bytes
+    # (from-scratch stdlib codecs, functions/bmp.py); features are computed
+    # from decoded pixels/samples on actor-pool workers
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.multimodal import (
+        media_pixel_features, synth_bmp_media_table)
+
+    sf = float(__import__("re").search(r"sf([0-9.]+)", sf_dir).group(1)) if "sf" in sf_dir else 0.01
+    ds = rd.from_arrow(synth_bmp_media_table(max(50, int(10000 * sf)))).repartition(4)
+    return media_pixel_features(ds, batch_size=64, concurrency=2)
+
+
 def q_stratified_sample_docs(sf_dir: str):
     # deterministic per-language sample (md5-of-id order): balanced corpus
     # sampling that is reproducible at any parallelism AND SQL-mirrorable
@@ -894,6 +908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "align_full_outer": q_align_full_outer,
         "layout_tagging": q_layout_tagging,
         "media_features": q_media_features,
+        "media_pixel_features": q_media_pixel_features,
         "distinct_langs": q_distinct_langs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "sessionized_events": q_sessionized_events,
@@ -1279,6 +1294,7 @@ def oracle_sql() -> dict[str, str]:
                         "align_pairs", "align_merged_kr", "align_full_outer",
                         "minhash_near_dup", "simhash_near_dup", "winnow_near_dup",
                         "pair_analyzers", "layout_tagging", "media_features",
+                        "media_pixel_features",
                         "approx_distinct_users", "similarity_topk_ivf",
                         "embedding_near_dup_lsh", "pdf_extract_docs",
                         "near_dup_clusters", "near_dup_dedup_docs")},

@@ -78,6 +78,111 @@ class DeterministicStubDecoder:
         )
 
 
+def synth_bmp_media_table(n: int, seed: int = 9) -> pa.Table:
+    """Deterministic media rows whose payloads are REAL encoded bytes the
+    sandbox can decode: images are 24bpp BMP files, videos are
+    concatenated BMP frames (split via each header's declared size),
+    audio is PCM16 WAV.  Same schema as ``synth_media_table`` — the
+    opaque-binary plumbing is identical; only the bytes are decodable."""
+    from pdf_extract_ray.functions.bmp import encode_bmp, encode_wav
+
+    kinds = ["image", "audio", "video"]
+    ctypes = {"image": "image/bmp", "audio": "audio/wav", "video": "video/x-bmp-seq"}
+    rows = {k: [] for k in ("media_id", "url", "kind", "payload",
+                            "content_type", "n_bytes")}
+    for i in range(n):
+        h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+        rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
+        kind = kinds[i % 3]
+        if kind == "image":
+            w_, h_ = 5 + i % 14, 4 + i % 11
+            payload = encode_bmp(rng.randint(0, 256, (h_, w_, 3), dtype=np.uint8))
+        elif kind == "video":
+            w_, h_ = 4 + i % 9, 4 + i % 7
+            payload = b"".join(
+                encode_bmp(rng.randint(0, 256, (h_, w_, 3), dtype=np.uint8))
+                for _ in range(2 + i % 4))
+        else:
+            payload = encode_wav(
+                (rng.standard_normal(200 + i % 800) * 3000).astype(np.int16))
+        rows["media_id"].append(i)
+        rows["url"].append(f"https://media.example/{kind}/{i}")
+        rows["kind"].append(kind)
+        rows["payload"].append(payload)
+        rows["content_type"].append(ctypes[kind])
+        rows["n_bytes"].append(len(payload))
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+class PixelFeatureDecoder:
+    """Actor-pool stage over REAL decodable payloads: BMP pixels / BMP-seq
+    frames / WAV samples -> typed per-media features.  One unified output
+    schema across kinds (unused fields zeroed) so the stage composes with
+    plain column ops downstream.
+
+    Per-row decode is inherent (payloads are variable-size encoded blobs);
+    the numpy feature math per row is vectorized over the decoded array.
+    Batches stay small — fat binary rows (see module docstring)."""
+
+    def __init__(self):
+        from pdf_extract_ray.functions import bmp
+
+        self._bmp = bmp  # module handle cached per actor
+
+    def _one(self, kind: str, payload: bytes) -> dict:
+        m = self._bmp
+        out = dict(width=0, height=0, n_frames=0, n_samples=0,
+                   sample_rate=0, mean_lum=0.0, std_lum=0.0, rms=0.0)
+        if kind == "image":
+            px = m.decode_bmp(payload)
+            out.update(width=px.shape[1], height=px.shape[0], n_frames=1,
+                       mean_lum=float(px.mean()), std_lum=float(px.std()))
+        elif kind == "video":
+            frames = [m.decode_bmp(f) for f in m.split_bmp_stream(payload)]
+            allpx = np.concatenate([f.reshape(-1) for f in frames])
+            out.update(width=frames[0].shape[1], height=frames[0].shape[0],
+                       n_frames=len(frames), mean_lum=float(allpx.mean()),
+                       std_lum=float(allpx.std()))
+        else:  # audio
+            samples, rate = m.decode_wav(payload)
+            s = samples.astype(np.float64) / 32768.0
+            out.update(n_samples=len(samples), sample_rate=rate,
+                       rms=float(np.sqrt(np.mean(s * s))) if len(s) else 0.0)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self._one(k, p) for k, p in
+                 zip(batch["kind"].to_pylist(), batch["payload"].to_pylist())]
+        cols = {
+            "media_id": batch["media_id"],
+            "kind": batch["kind"],
+            "width": pa.array([f["width"] for f in feats], pa.int32()),
+            "height": pa.array([f["height"] for f in feats], pa.int32()),
+            "n_frames": pa.array([f["n_frames"] for f in feats], pa.int32()),
+            "n_samples": pa.array([f["n_samples"] for f in feats], pa.int64()),
+            "sample_rate": pa.array([f["sample_rate"] for f in feats], pa.int32()),
+            # rounded: row-local float64 math is deterministic, rounding
+            # keeps the value-hash stable across numpy versions
+            "mean_lum": pa.array([round(f["mean_lum"], 6) for f in feats]),
+            "std_lum": pa.array([round(f["std_lum"], 6) for f in feats]),
+            "rms": pa.array([round(f["rms"], 6) for f in feats]),
+        }
+        return pa.table(cols)
+
+
+def media_pixel_features(
+    media: Dataset, *, batch_size: int = 64, concurrency: int = 4
+) -> Dataset:
+    """media rows (BMP/BMP-seq/WAV payloads) -> real decoded features."""
+    return media.map_batches(
+        PixelFeatureDecoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 class CodecDecoder:  # pragma: no cover - needs codec libs
     """Real-decoder slot; raises until codecs exist in the environment."""
 
@@ -93,17 +198,26 @@ class FrameSampler:
     multimodal flat-map shape).  Frame selection is every ``stride``-th
     frame up to ``max_frames``.
 
-    STUB decode: a "frame" is a deterministic byte-slice of the payload
-    (the container has no video codecs); the Ray-side plumbing — schema,
-    fat-row batching, actor state, row multiplication — is real.  On a
-    real cluster replace ``_frames_of`` with an ffmpeg/pyav reader and
-    keep the signature."""
+    ``codec="stub"``: a "frame" is a deterministic byte-slice of the
+    payload (no mp4 codecs in the container); the Ray-side plumbing —
+    schema, fat-row batching, actor state, row multiplication — is real.
+    ``codec="bmp"``: payloads are concatenated BMP files (the container
+    format ``synth_bmp_media_table`` emits) and every emitted frame is a
+    REAL independently-decodable BMP — the sandbox's end-to-end path.
+    On a real cluster add an ffmpeg/pyav branch with the same signature."""
 
-    def __init__(self, stride: int = 2, max_frames: int = 4):
-        self.stride, self.max_frames = stride, max_frames
+    def __init__(self, stride: int = 2, max_frames: int = 4,
+                 codec: str = "stub"):
+        self.stride, self.max_frames, self.codec = stride, max_frames, codec
+        if codec == "bmp":
+            from pdf_extract_ray.functions.bmp import split_bmp_stream
+
+            self._split = split_bmp_stream
 
     def _frames_of(self, payload: bytes) -> list[bytes]:
         payload = payload or b""
+        if self.codec == "bmp":
+            return self._split(payload)[:: self.stride][: self.max_frames]
         n_virtual = max(1, len(payload) // 16)  # fake "frame count"
         picked = list(range(0, n_virtual, self.stride))[: self.max_frames]
         return [payload[i * 16 : (i + 1) * 16] for i in picked]
@@ -132,13 +246,13 @@ class FrameSampler:
 
 def frame_sample(
     media: Dataset, *, stride: int = 2, max_frames: int = 4,
-    batch_size: int = 32, concurrency: int = 4,
+    codec: str = "stub", batch_size: int = 32, concurrency: int = 4,
 ) -> Dataset:
     """video rows -> sampled frame rows.  Small batches: each output row
     multiplies the payload footprint by up to ``max_frames``."""
     return media.map_batches(
         FrameSampler,
-        fn_constructor_args=(stride, max_frames),
+        fn_constructor_args=(stride, max_frames, codec),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -18,6 +18,7 @@ GOLDEN_QUERIES = (
     "align_pairs", "align_merged_kr", "align_full_outer",
     "minhash_near_dup", "simhash_near_dup", "winnow_near_dup",
     "pair_analyzers", "layout_tagging", "media_features",
+    "media_pixel_features",
     "approx_distinct_users", "similarity_topk_ivf", "embedding_near_dup_lsh",
     "pdf_extract_docs", "near_dup_clusters", "near_dup_dedup_docs",
 )

@@ -337,6 +337,57 @@ def gen_media(sf_dir: str) -> dict[str, pa.Table]:
     return {"media_features": t.select(["media_id", "kind"])}
 
 
+def gen_media_pixels(sf_dir: str) -> dict[str, pa.Table]:
+    """Single-process mirror of media_pixel_features: decode every payload
+    with the raw codec functions (not the batch stage) in a plain loop."""
+    import numpy as np
+
+    from pdf_extract_ray.functions.bmp import (
+        decode_bmp, decode_wav, split_bmp_stream)
+    from pdf_extract_ray.stages.multimodal import synth_bmp_media_table
+
+    n = max(50, int(10000 * _sf_of(sf_dir)))
+    t = synth_bmp_media_table(n)
+    rows = []
+    for mid, kind, payload in zip(t["media_id"].to_pylist(),
+                                  t["kind"].to_pylist(),
+                                  t["payload"].to_pylist()):
+        r = dict(media_id=mid, kind=kind, width=0, height=0, n_frames=0,
+                 n_samples=0, sample_rate=0, mean_lum=0.0, std_lum=0.0,
+                 rms=0.0)
+        if kind == "image":
+            px = decode_bmp(payload)
+            r.update(width=px.shape[1], height=px.shape[0], n_frames=1,
+                     mean_lum=round(float(px.mean()), 6),
+                     std_lum=round(float(px.std()), 6))
+        elif kind == "video":
+            frames = [decode_bmp(f) for f in split_bmp_stream(payload)]
+            allpx = np.concatenate([f.reshape(-1) for f in frames])
+            r.update(width=frames[0].shape[1], height=frames[0].shape[0],
+                     n_frames=len(frames),
+                     mean_lum=round(float(allpx.mean()), 6),
+                     std_lum=round(float(allpx.std()), 6))
+        else:
+            samples, rate = decode_wav(payload)
+            s = samples.astype(np.float64) / 32768.0
+            r.update(n_samples=len(samples), sample_rate=rate,
+                     rms=round(float(np.sqrt(np.mean(s * s))), 6))
+        rows.append(r)
+    df = pd.DataFrame(rows)
+    return {"media_pixel_features": pa.table({
+        "media_id": pa.array(df["media_id"], pa.int64()),
+        "kind": pa.array(df["kind"], pa.string()),
+        "width": pa.array(df["width"], pa.int32()),
+        "height": pa.array(df["height"], pa.int32()),
+        "n_frames": pa.array(df["n_frames"], pa.int32()),
+        "n_samples": pa.array(df["n_samples"], pa.int64()),
+        "sample_rate": pa.array(df["sample_rate"], pa.int32()),
+        "mean_lum": pa.array(df["mean_lum"], pa.float64()),
+        "std_lum": pa.array(df["std_lum"], pa.float64()),
+        "rms": pa.array(df["rms"], pa.float64()),
+    })}
+
+
 def gen_approx_distinct(sf_dir: str) -> dict[str, pa.Table]:
     # HLL register merge is associative/idempotent, so the single-process
     # sketch equals the distributed per-batch merge exactly — the golden
@@ -467,7 +518,8 @@ def gen_pdf_extract(sf_dir: str) -> dict[str, pa.Table]:
 
 
 GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
-              gen_pair_analyzers, gen_layout, gen_media, gen_approx_distinct,
+              gen_pair_analyzers, gen_layout, gen_media, gen_media_pixels,
+              gen_approx_distinct,
               gen_similarity_ivf, gen_embedding_lsh, gen_pdf_extract)
 
 
