@@ -736,6 +736,17 @@ def q_revenue_by_nation(sf_dir: str):
     return out.map_batches(finish, batch_format="pandas")
 
 
+def q_ngram_jaccard_dup(sf_dir: str):
+    # EXACT word-3-gram set Jaccard near-dup — the non-sketch baseline the
+    # minhash estimator targets; tokenization is SQL-mirrorable, so the
+    # oracle is pure SQL (string_split + list slicing), not a golden
+    from pdf_extract_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, "doc_id", "text", n=3, threshold=0.4,
+                               max_df=100)
+
+
 def q_winnow_near_dup(sf_dir: str):
     # winnowing-fingerprint Jaccard near-dup (rows-only; semantics frozen by
     # pytest equality with the single-process winnow_overlap)
@@ -900,6 +911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_dedup_docs": q_near_dup_dedup_docs,
         "simhash_near_dup": q_simhash_near_dup,
         "winnow_near_dup": q_winnow_near_dup,
+        "ngram_jaccard_dup": q_ngram_jaccard_dup,
         "extract_flagship": q_extract_flagship,
         "extract_staged": q_extract_staged,
         "extract_sentences": q_extract_sentences,
@@ -1083,6 +1095,29 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, {_FP_SQL} AS fingerprint, "
             f"row_number() OVER (PARTITION BY {_FP_SQL} ORDER BY doc_id) AS rn "
             f"FROM documents) WHERE rn = 1"
+        ),
+        "ngram_jaccard_dup": (
+            # word-3-gram sets over lower(text) split on single spaces —
+            # identical tokenization to ngram_jaccard_pairs; Jaccard over
+            # the df<=100-filtered universe, filter on the ROUNDED value
+            # (round_half_away == DuckDB round for doubles)
+            "WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w "
+            "  FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g "
+            "  FROM words, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(i)), "
+            "df AS (SELECT g, count(*) AS freq FROM grams GROUP BY g), "
+            "rare AS (SELECT doc_id, g FROM grams JOIN df USING (g) "
+            "  WHERE freq <= 100), "
+            "sizes AS (SELECT doc_id, count(*) AS nset FROM rare GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "    count(*) AS shared "
+            "  FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id "
+            "  GROUP BY 1, 2) "
+            "SELECT id_a, id_b, shared, "
+            "  round(shared * 1.0 / (sa.nset + sb.nset - shared), 6) AS jaccard "
+            "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+            "  JOIN sizes sb ON sb.doc_id = id_b "
+            "WHERE round(shared * 1.0 / (sa.nset + sb.nset - shared), 6) >= 0.4"
         ),
         "doc_reassembly": (
             "SELECT lang, source, "

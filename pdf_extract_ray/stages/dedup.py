@@ -817,9 +817,7 @@ def winnow_pairs(
     disk under pressure); pass a path to round-trip it through parquet
     instead, keeping the object store free for corpora where the
     intermediate exceeds it."""
-    from pdf_extract_ray.stages.agg import bucketed_group_apply, grouped_aggregate
     from pdf_extract_ray.functions.fingerprint import winnow_fingerprints
-    from pdf_extract_ray.util import round_half_away
 
     def explode(batch: pa.Table) -> pa.Table:
         ids, fps = [], []
@@ -830,12 +828,40 @@ def winnow_pairs(
         return pa.table({id_col: pa.array(ids), "val": pa.array(fps, pa.uint64())})
 
     fp_rows = ds.map_batches(explode, batch_format="pyarrow")
+    return set_jaccard_pairs(
+        fp_rows, id_col, threshold=overlap_threshold, max_freq=max_fp_freq,
+        out_col="overlap", round_digits=4, spill_dir=spill_dir,
+    )
+
+
+def set_jaccard_pairs(
+    fp_rows: Dataset,
+    id_col: str,
+    *,
+    threshold: float,
+    max_freq: int,
+    out_col: str = "overlap",
+    round_digits: int = 4,
+    spill_dir: str | None = None,
+) -> Dataset:
+    """Exact set-Jaccard pairs from membership rows (id, "val") WITHOUT
+    moving texts — the shared engine behind ``winnow_pairs`` (winnowed
+    fingerprint sets) and ``ngram_jaccard_pairs`` (full word n-gram sets).
+
+    Values appearing in more than ``max_freq`` documents are dropped as
+    non-discriminative (stop-phrase elements would explode candidate
+    buckets at crawl scale); BOTH the shared counts and the per-document
+    totals are taken over the surviving universe, so the reported number
+    is the true Jaccard of the filtered sets, never deflated by
+    asymmetric filtering."""
+    from pdf_extract_ray.stages.agg import bucketed_group_apply, grouped_aggregate
+    from pdf_extract_ray.util import round_half_away
 
     def per_fp(bucket: pd.DataFrame) -> pd.DataFrame:
         # one fp == one group; emit candidate pairs and kept memberships
         out = {"kind": [], "id_a": [], "id_b": [], "key": []}
         for _, g in bucket.groupby("val", sort=False):
-            if len(g) > max_fp_freq:
+            if len(g) > max_freq:
                 continue  # non-discriminative fingerprint: drop entirely
             ids = np.sort(g[id_col].to_numpy())
             for i in ids:  # membership in the surviving universe
@@ -901,9 +927,52 @@ def winnow_pairs(
             n_sides=("role", "count"))
         g = g[g["n_sides"] == 2]
         union = g["n_total"] - g["shared"]
-        g["overlap"] = round_half_away(
-            np.where(union > 0, g["shared"] / union.replace(0, 1), 0.0), 4)
-        g = g[g["overlap"] >= overlap_threshold]
-        return g[["id_a", "id_b", "shared", "overlap"]]
+        g[out_col] = round_half_away(
+            np.where(union > 0, g["shared"] / union.replace(0, 1), 0.0),
+            round_digits)
+        g = g[g[out_col] >= threshold]
+        return g[["id_a", "id_b", "shared", out_col]]
 
     return bucketed_group_apply(attached, ["id_a", "id_b"], finish)
+
+
+def ngram_jaccard_pairs(
+    ds: Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.4,
+    max_df: int = 100,
+    spill_dir: str | None = None,
+) -> Dataset:
+    """Near-dup pairs by EXACT word-n-gram set Jaccard >= threshold —
+    the non-sketch baseline next to minhash (which estimates this very
+    number).  Tokenization is SQL-mirrorable: ``lower(text)`` split on
+    single spaces, n-grams joined by one space (DuckDB
+    ``string_split`` + list slicing computes the identical sets, so the
+    driver checks this against a pure-SQL oracle, not a golden).
+
+    Scale shape: only (gram_hash, id) int rows shuffle; texts never move.
+    Grams in more than ``max_df`` docs are dropped from the universe
+    (both intersection AND totals — see ``set_jaccard_pairs``), which is
+    the standard stop-phrase guard at crawl scale; a pair sharing ONLY
+    such grams is not a candidate by contract."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, grams = [], []
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            w = (t or "").lower().split(" ")
+            gs = {" ".join(w[j : j + n]) for j in range(len(w) - n + 1)}
+            ids.extend([i] * len(gs))
+            grams.extend(gs)
+        h = pd.util.hash_pandas_object(pd.Series(grams, dtype=object),
+                                       index=False).to_numpy()
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "val": pa.array(h, pa.uint64())})
+
+    gram_rows = ds.map_batches(explode, batch_format="pyarrow")
+    return set_jaccard_pairs(
+        gram_rows, id_col, threshold=threshold, max_freq=max_df,
+        out_col="jaccard", round_digits=6, spill_dir=spill_dir,
+    )

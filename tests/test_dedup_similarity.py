@@ -462,3 +462,64 @@ def test_ivf_centroids_from_spread_sample_on_sorted_corpus(ray_session):
     approx_ids = {(r["query_id"], r["vec_id"]) for r in approx}
     recall = len(exact_ids & approx_ids) / len(exact_ids)
     assert recall >= 0.9, f"recall {recall} on cluster-sorted corpus"
+
+
+class TestNgramJaccard:
+    """Exact word-n-gram set Jaccard (dedup.ngram_jaccard_pairs)."""
+
+    @staticmethod
+    def _brute(texts, n=3, max_df=100, threshold=0.4):
+        sets = {}
+        for i, t in texts.items():
+            w = t.lower().split(" ")
+            sets[i] = {" ".join(w[j:j + n]) for j in range(len(w) - n + 1)}
+        from collections import Counter
+        df = Counter(g for s in sets.values() for g in s)
+        filt = {i: {g for g in s if df[g] <= max_df} for i, s in sets.items()}
+        out = {}
+        ids = sorted(sets)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                inter = len(filt[a] & filt[b])
+                union = len(filt[a] | filt[b])
+                j = round(inter / union, 6) if union else 0.0
+                if inter and j >= threshold:
+                    out[(a, b)] = (inter, j)
+        return out
+
+    def test_matches_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extract_ray.stages.dedup import ngram_jaccard_pairs
+
+        base = "the quick brown fox jumps over the lazy dog near the river bank today"
+        texts = {
+            0: base,
+            1: base,                                   # exact dup
+            2: base.replace("lazy", "sleepy"),         # near dup
+            3: "completely different words entirely here with no shared phrases at all",
+            4: base + " and then some extra trailing words",
+        }
+        got = {(r["id_a"], r["id_b"]): (r["shared"], r["jaccard"])
+               for r in ngram_jaccard_pairs(
+                   rd.from_items([{"doc_id": i, "text": t}
+                                  for i, t in texts.items()]).repartition(3),
+                   "doc_id", "text").take_all()}
+        assert got == self._brute(texts)
+
+    def test_max_df_drops_stop_phrase_only_pairs(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extract_ray.stages.dedup import ngram_jaccard_pairs
+
+        # every doc shares ONLY the stop phrase; with max_df below the
+        # corpus size the phrase is non-discriminative -> no pairs
+        texts = {i: f"common stop phrase here unique{i} tail{i} word{i} more{i}"
+                 for i in range(6)}
+        ds = rd.from_items([{"doc_id": i, "text": t} for i, t in texts.items()])
+        assert ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.05,
+                                   max_df=3).take_all() == []
+        # raising max_df brings the stop-phrase overlap back
+        assert len(ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.05,
+                                       max_df=10).take_all()) == 15
