@@ -655,27 +655,22 @@ def q_customer_nation_broadcast(sf_dir: str):
 
     import ray
 
+    from pdf_extract_ray.stages.joins import broadcast_hash_join
+
     nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
     region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
     dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
-    lookup_ref = ray.put(
-        {int(k): (n, r) for k, n, r in zip(dim["n_nationkey"], dim["n_name"],
-                                           dim["r_name"])}
-    )
 
     cust = _t(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    joined = broadcast_hash_join(
+        cust, dim, on="c_nationkey", right_on="n_nationkey",
+        payload_cols=["n_name", "r_name"], how="left")
 
-    def attach(b: pd.DataFrame) -> pd.DataFrame:
-        lookup = getattr(attach, "_l", None)
-        if lookup is None:
-            lookup = attach._l = ray.get(lookup_ref)
-        mapped = b["c_nationkey"].map(lookup)
-        b["n_name"] = [m[0] for m in mapped]
-        b["r_name"] = [m[1] for m in mapped]
+    def fmt(b: pd.DataFrame) -> pd.DataFrame:
         b["c_acctbal"] = round_half_away(b["c_acctbal"], 2)
         return b
 
-    return cust.map_batches(attach, batch_format="pandas")
+    return joined.map_batches(fmt, batch_format="pandas")
 
 
 def q_top_customers(sf_dir: str):
@@ -745,6 +740,40 @@ def q_ngram_jaccard_dup(sf_dir: str):
     ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
     return ngram_jaccard_pairs(ds, "doc_id", "text", n=3, threshold=0.4,
                                max_df=100)
+
+
+def q_asof_event_order(sf_dir: str):
+    # as-of (temporal) join: each event picks the user's most recent order
+    # at-or-before the event time — ONE key-bucketed shuffle, vectorized
+    # merge_asof per bucket, Arrow-native side tagging (stages/joins.py).
+    # Ties in (custkey, orderdate) resolved deterministically by max
+    # o_orderkey; oracle = DuckDB ASOF LEFT JOIN over the same tie-dedup.
+    from pdf_extract_ray.stages.joins import asof_join
+
+    ev = _t(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    od = _t(sf_dir, "orders",
+            columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"])
+    return asof_join(
+        ev, od, on="ts", by="user_id",
+        right_on="o_orderdate", right_by="o_custkey",
+        right_cols=["o_orderkey", "o_totalprice"], tie_break="o_orderkey")
+
+
+def q_orders_price_tier(sf_dir: str):
+    # broadcast range/interval join: a tiny disjoint-[lo,hi) tier table is
+    # ray.put once; each batch binary-searches it — zero shuffle, the fact
+    # side streams (stages/joins.py:broadcast_range_join)
+    from pdf_extract_ray.stages.joins import broadcast_range_join
+
+    tiers = pd.DataFrame({
+        "tier": ["small", "mid", "large", "jumbo"],
+        "lo": [0.0, 50000.0, 150000.0, 300000.0],
+        "hi": [50000.0, 150000.0, 300000.0, 1e12],
+    })
+    ds = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return broadcast_range_join(
+        ds, tiers, value_col="o_totalprice", lo_col="lo", hi_col="hi",
+        payload_cols=["tier"], how="inner")
 
 
 def q_winnow_near_dup(sf_dir: str):
@@ -912,6 +941,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup": q_simhash_near_dup,
         "winnow_near_dup": q_winnow_near_dup,
         "ngram_jaccard_dup": q_ngram_jaccard_dup,
+        "asof_event_order": q_asof_event_order,
+        "orders_price_tier": q_orders_price_tier,
         "extract_flagship": q_extract_flagship,
         "extract_staged": q_extract_staged,
         "extract_sentences": q_extract_sentences,
@@ -1118,6 +1149,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
             "  JOIN sizes sb ON sb.doc_id = id_b "
             "WHERE round(shared * 1.0 / (sa.nset + sb.nset - shared), 6) >= 0.4"
+        ),
+        "asof_event_order": (
+            # tie-dedup mirrors asof_join(tie_break="o_orderkey"): among
+            # right rows sharing (custkey, orderdate), max o_orderkey wins
+            "WITH r AS (SELECT o_custkey, o_orderdate, "
+            "    max(o_orderkey) AS o_orderkey, "
+            "    max_by(o_totalprice, o_orderkey) AS o_totalprice "
+            "  FROM orders GROUP BY 1, 2) "
+            "SELECT e.event_id, e.ts, e.user_id, r.o_orderkey, r.o_totalprice "
+            "FROM events e ASOF LEFT JOIN r "
+            "  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate"
+        ),
+        "orders_price_tier": (
+            "WITH tiers(tier, lo, hi) AS (VALUES "
+            "  ('small', 0.0, 50000.0), ('mid', 50000.0, 150000.0), "
+            "  ('large', 150000.0, 300000.0), ('jumbo', 300000.0, 1e12)) "
+            "SELECT o.o_orderkey, o.o_totalprice, t.tier FROM orders o "
+            "JOIN tiers t ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi"
         ),
         "doc_reassembly": (
             "SELECT lang, source, "

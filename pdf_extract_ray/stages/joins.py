@@ -1,0 +1,298 @@
+"""Join operators Ray Data lacks natively: as-of (temporal) join, broadcast
+range/interval join, and broadcast hash join.
+
+The reference joins its per-document tables with pandas merges inside one
+process (`euaa_사례/sentences/aligner.py` LEFT joins, J6-J8 in SURVEY §2);
+at crawl scale the interesting joins are temporal ("most recent state row
+as of this event") and dimensional ("enrich a 10^12-row fact stream with a
+small lookup").  Three shapes, each with an explicit scale contract:
+
+- ``asof_join``: key-bucketed cogroup (ONE shuffle of only the projected
+  columns, tagged Arrow-native with ``pa.nulls`` padding so no pandas
+  round-trip happens on the map side), then a vectorized
+  ``pd.merge_asof`` per bucket.  Hot keys concentrate in a bucket like
+  any keyed shuffle — size ``num_buckets`` to the cluster; a single key
+  hotter than one worker's memory needs the range-bucket variant of
+  ``windows.adjacent_pairs`` instead (document ordering, not identity).
+- ``broadcast_range_join``: the small interval table is validated,
+  sorted, and ``ray.put`` ONCE; every batch does a ``searchsorted``
+  against it.  Zero shuffle — the 100 TB side streams.
+- ``broadcast_hash_join``: small dimension ``ray.put`` once, per-batch
+  vectorized ``DataFrame.merge``.  Zero shuffle.  The replacement for a
+  shuffle join whenever one side fits in a worker heap.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+
+from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+
+def _schema_of(ds: Dataset) -> pa.Schema:
+    s = ds.schema()
+    return pa.schema(list(zip(s.names, s.types)))
+
+
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    on: str,
+    by: str,
+    right_on: str | None = None,
+    right_by: str | None = None,
+    right_cols: Sequence[str] | None = None,
+    suffix: str = "_r",
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    tie_break: str | None = None,
+    how: str = "left",
+    num_buckets: int | None = None,
+) -> Dataset:
+    """As-of join: for each left row, attach the single right row with the
+    same key whose ``right_on`` is the latest value <= the left row's
+    ``on`` (direction="backward"; "forward" = earliest >=).
+
+    Matches DuckDB ``ASOF [LEFT] JOIN`` / pandas ``merge_asof`` semantics.
+    Output = every left column + ``right_cols`` (renamed with ``suffix``
+    on collision).  Unmatched left rows survive with nulls when
+    ``how="left"`` and are dropped when ``how="inner"``; right integer
+    payload columns stay int64 (nullable) rather than decaying to float.
+
+    Determinism under ties: when several right rows share (by, on), the
+    row with the lexicographically greatest ``tie_break`` column (or, if
+    None, greatest payload tuple) wins — the whole key-group sits in one
+    bucket, so the winner is identical at any parallelism.
+
+    Scale shape: both sides project to only the needed columns, are
+    tagged with an Arrow-native side/bucket column (``pa.nulls`` padding,
+    no pandas conversion, no copy of real columns), and take ONE hash
+    shuffle together; each bucket runs one vectorized ``merge_asof`` over
+    all of its keys.
+    """
+    right_on = right_on or on
+    right_by = right_by or by
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    if how not in ("left", "inner"):
+        raise ValueError("how must be 'left' or 'inner'")
+
+    lschema = _schema_of(left)
+    rschema = _schema_of(right)
+    left_cols = list(lschema.names)
+    if right_cols is None:
+        right_cols = [c for c in rschema.names if c not in (right_on, right_by)]
+    right_cols = list(right_cols)
+    if tie_break is not None and tie_break not in right_cols:
+        right_cols.append(tie_break)
+
+    # output names for the right payload (suffix on collision with left)
+    out_names = {
+        c: (c + suffix if c in left_cols else c) for c in right_cols
+    }
+    rtypes = {c: rschema.field(c).type for c in right_cols}
+    ktype = lschema.field(by).type
+    ttype = lschema.field(on).type
+    if rschema.field(right_by).type != ktype:
+        raise TypeError(
+            f"key dtype mismatch: {by}:{ktype} vs {right_by}:{rschema.field(right_by).type}")
+    if rschema.field(right_on).type != ttype:
+        raise TypeError(
+            f"on dtype mismatch: {on}:{ttype} vs {right_on}:{rschema.field(right_on).type}")
+
+    # unified wire schema: __k, __t, __side, left cols, right payload cols
+    pay_left = [c for c in left_cols if c not in (by, on)]
+    wire = ([("__k", ktype), ("__t", ttype), ("__side", pa.int8())]
+            + [(c, lschema.field(c).type) for c in pay_left]
+            + [(out_names[c], rtypes[c]) for c in right_cols])
+    wire_names = [n for n, _ in wire]
+    wire_schema = pa.schema(wire)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = [t.column(by), t.column(on),
+                pa.nulls(n, pa.int8()).fill_null(0)]
+        cols += [t.column(c) for c in pay_left]
+        cols += [pa.nulls(n, rtypes[c]) for c in right_cols]
+        return pa.Table.from_arrays(
+            [c.cast(f.type) if c.type != f.type else c
+             for c, f in zip(cols, wire_schema)], schema=wire_schema)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = [t.column(right_by), t.column(right_on),
+                pa.nulls(n, pa.int8()).fill_null(1)]
+        cols += [pa.nulls(n, lschema.field(c).type) for c in pay_left]
+        cols += [t.column(c) for c in right_cols]
+        return pa.Table.from_arrays(
+            [c.cast(f.type) if c.type != f.type else c
+             for c, f in zip(cols, wire_schema)], schema=wire_schema)
+
+    unioned = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow"))
+
+    r_out = [out_names[c] for c in right_cols]
+    tb_out = out_names[tie_break] if tie_break is not None else None
+    int_like = {out_names[c] for c in right_cols
+                if pa.types.is_integer(rtypes[c])}
+
+    def body(t: pa.Table) -> pa.Table:
+        side = t.column("__side").to_numpy(zero_copy_only=False)
+        # split in Arrow, convert each side separately so the pad nulls
+        # never poison the real side's dtypes (int64 stays int64)
+        lt = t.filter(pa.array(side == 0)).select(["__k", "__t"] + pay_left)
+        rt = t.filter(pa.array(side == 1)).select(["__k", "__t"] + r_out)
+        ldf = lt.to_pandas()
+        rdf = rt.to_pandas()
+        if len(rdf):
+            # deterministic tie winner within (key, time)
+            order = [tb_out] if tb_out else [c for c in r_out]
+            rdf = (rdf.sort_values(["__k", "__t"] + order, kind="mergesort")
+                      .drop_duplicates(["__k", "__t"], keep="last"))
+        ldf = ldf.sort_values("__t", kind="mergesort")
+        rdf = rdf.sort_values("__t", kind="mergesort")
+        rdf = rdf.assign(__m=np.int8(1))
+        if len(ldf) == 0:
+            merged = ldf.assign(**{c: pd.Series([], dtype="object")
+                                   for c in r_out + ["__m"]})
+        elif len(rdf) == 0:
+            merged = ldf.assign(**{c: None for c in r_out + ["__m"]})
+        else:
+            merged = pd.merge_asof(
+                ldf, rdf, on="__t", by="__k", direction=direction,
+                allow_exact_matches=allow_exact_matches)
+        if how == "inner":
+            merged = merged[merged["__m"].notna()]
+        merged = merged.rename(columns={"__k": by, "__t": on})
+        merged = merged[[by, on] + pay_left + r_out]
+        # rebuild with the declared output schema: nullable int64 instead
+        # of float-decayed NaN columns
+        arrs = []
+        out_schema = pa.schema(
+            [(by, ktype), (on, ttype)]
+            + [(c, lschema.field(c).type) for c in pay_left]
+            + [(out_names[c], rtypes[c]) for c in right_cols])
+        for f in out_schema:
+            col = merged[f.name]
+            if f.name in int_like and col.dtype.kind == "f":
+                col = col.astype("Int64")
+            arrs.append(pa.Array.from_pandas(col, type=f.type))
+        return pa.Table.from_arrays(arrs, schema=out_schema)
+
+    return bucketed_group_apply(
+        unioned, ["__k"], body, num_buckets=num_buckets,
+        body_format="pyarrow")
+
+
+def broadcast_range_join(
+    ds: Dataset,
+    intervals: pd.DataFrame,
+    *,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    payload_cols: Sequence[str] | None = None,
+    how: str = "inner",
+) -> Dataset:
+    """Join a streaming fact table to a SMALL table of non-overlapping
+    half-open intervals [lo, hi): each fact row gains the payload of the
+    interval containing ``value_col``.
+
+    The interval table is validated (sorted, non-overlapping) and shipped
+    to the object store ONCE via ``ray.put``; every batch binary-searches
+    it (two ``np.searchsorted``-style ops) — zero shuffle, the big side
+    streams.  ``how="left"`` keeps non-matching rows with null payload;
+    ``"inner"`` drops them.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError("how must be 'left' or 'inner'")
+    if payload_cols is None:
+        payload_cols = [c for c in intervals.columns if c not in (lo_col, hi_col)]
+    payload_cols = list(payload_cols)
+
+    iv = intervals.sort_values(lo_col, kind="mergesort").reset_index(drop=True)
+    lo = iv[lo_col].to_numpy(dtype="float64")
+    hi = iv[hi_col].to_numpy(dtype="float64")
+    if np.any(hi <= lo):
+        raise ValueError("empty or inverted interval in interval table")
+    if np.any(lo[1:] < hi[:-1]):
+        raise ValueError("intervals overlap; broadcast_range_join requires "
+                         "disjoint [lo, hi) intervals")
+    payload = {c: pa.Array.from_pandas(iv[c]) for c in payload_cols}
+    handle = ray.put((lo, hi, payload))
+
+    def apply(t: pa.Table) -> pa.Table:
+        blo, bhi, bpay = ray.get(handle)
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype("float64")
+        idx = np.searchsorted(blo, v, side="right") - 1
+        ok = idx >= 0
+        ok[ok] &= v[ok] < bhi[idx[ok]]
+        idx_safe = np.where(ok, idx, 0)
+        out = t
+        for c in payload_cols:
+            col = bpay[c].take(pa.array(idx_safe))
+            if not ok.all():
+                col = pa.compute.if_else(pa.array(ok), col,
+                                         pa.nulls(len(v), col.type))
+            out = out.append_column(c, col)
+        if how == "inner" and not ok.all():
+            out = out.filter(pa.array(ok))
+        return out
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def broadcast_hash_join(
+    ds: Dataset,
+    small: pd.DataFrame,
+    *,
+    on: str,
+    right_on: str | None = None,
+    payload_cols: Sequence[str] | None = None,
+    suffix: str = "_r",
+    how: str = "left",
+) -> Dataset:
+    """Equality join against a SMALL dimension table without a shuffle:
+    the dimension is ``ray.put`` once and every batch does a vectorized
+    hash lookup (pandas merge) against it.
+
+    The scale replacement for `Dataset.join` whenever one side fits in a
+    worker heap (lookup/dimension tables — the reference's J6/J7 merges
+    against per-document metadata are this shape).  Requires unique keys
+    on the small side (validated); ``how`` = left | inner.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError("how must be 'left' or 'inner'")
+    right_on = right_on or on
+    if small[right_on].duplicated().any():
+        raise ValueError("broadcast_hash_join requires unique keys on the "
+                         "small side")
+    if payload_cols is None:
+        payload_cols = [c for c in small.columns if c != right_on]
+    payload_cols = list(payload_cols)
+    dim = small[[right_on] + payload_cols].set_index(right_on)
+    int_pay = {c for c in payload_cols if dim[c].dtype.kind in "iu"}
+    handle = ray.put(dim)
+
+    def apply(b: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(handle)
+        rename = {c: (c + suffix if c in b.columns else c)
+                  for c in payload_cols}
+        joined = b.join(d.rename(columns=rename), on=on, how=how)
+        if how == "left":
+            for c in payload_cols:
+                oc = rename[c]
+                if c in int_pay and joined[oc].dtype.kind == "f":
+                    joined[oc] = joined[oc].astype("Int64")
+        return joined.reset_index(drop=True)
+
+    return ds.map_batches(apply, batch_format="pandas")

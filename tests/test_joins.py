@@ -1,0 +1,160 @@
+"""stages/joins.py: as-of join, broadcast range join, broadcast hash join.
+
+Each operator is checked against a plain single-process pandas reference
+(merge_asof / interval scan / merge) on inputs engineered for the edge
+cases: tie groups, unmatched rows, keys only on one side, both
+directions, and the int64-stays-int64 contract for nullable payloads.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from pdf_extract_ray.stages.joins import (
+    asof_join,
+    broadcast_hash_join,
+    broadcast_range_join,
+)
+
+
+def _left_df():
+    rng = np.random.RandomState(7)
+    n = 400
+    return pd.DataFrame({
+        "k": rng.randint(0, 12, n).astype("int64"),
+        "t": rng.randint(0, 1000, n).astype("int64"),
+        "lid": np.arange(n, dtype="int64"),
+    })
+
+
+def _right_df():
+    rng = np.random.RandomState(8)
+    n = 150
+    df = pd.DataFrame({
+        "rk": rng.randint(0, 15, n).astype("int64"),  # keys 12-14 unmatched
+        "rt": rng.randint(0, 1000, n).astype("int64"),
+        "rid": np.arange(n, dtype="int64") + 10_000_000_000,  # > 2^31
+        "val": rng.rand(n),
+    })
+    # force (rk, rt) ties so the tie_break contract is exercised
+    dup = df.iloc[:10].copy()
+    dup["rid"] += 5000
+    dup["val"] += 1.0
+    return pd.concat([df, dup], ignore_index=True)
+
+
+def _expected(left, right, direction, how):
+    r = (right.sort_values(["rk", "rt", "rid"], kind="mergesort")
+              .drop_duplicates(["rk", "rt"], keep="last"))
+    m = pd.merge_asof(
+        left.sort_values("t", kind="mergesort"),
+        r.sort_values("rt", kind="mergesort"),
+        left_on="t", right_on="rt", left_by="k", right_by="rk",
+        direction=direction)
+    m = m.drop(columns=["rk", "rt"])
+    if how == "inner":
+        m = m[m["rid"].notna()]
+    return m
+
+
+@pytest.mark.parametrize("direction,how", [
+    ("backward", "left"), ("backward", "inner"), ("forward", "left")])
+def test_asof_join_matches_merge_asof(ray_session, direction, how):
+    left, right = _left_df(), _right_df()
+    out_ds = asof_join(
+        rd.from_pandas(left).repartition(5),
+        rd.from_pandas(right).repartition(4),
+        on="t", by="k", right_on="rt", right_by="rk",
+        right_cols=["rid", "val"], tie_break="rid",
+        direction=direction, how=how, num_buckets=6,
+    )
+    # int64 payload must stay int64 at the Arrow level (nullable), not
+    # decay to float — the driver compares schemas through Arrow
+    schema = out_ds.schema()
+    assert str(dict(zip(schema.names, schema.types))["rid"]) == "int64"
+    out = out_ds.to_pandas()
+
+    exp = _expected(left, right, direction, how)
+    cols = ["k", "t", "lid", "rid", "val"]
+    got = out[cols].sort_values(["lid"], kind="mergesort").reset_index(drop=True)
+    exp = exp[cols].sort_values(["lid"], kind="mergesort").reset_index(drop=True)
+    got["rid"] = got["rid"].astype("float64")
+    exp["rid"] = exp["rid"].astype("float64")
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_asof_join_deterministic_across_parallelism(ray_session):
+    left, right = _left_df(), _right_df()
+    outs = []
+    for nb, parts in [(2, 1), (16, 8)]:
+        o = asof_join(
+            rd.from_pandas(left).repartition(parts),
+            rd.from_pandas(right).repartition(parts),
+            on="t", by="k", right_on="rt", right_by="rk",
+            right_cols=["rid"], tie_break="rid", num_buckets=nb,
+        ).to_pandas().sort_values("lid").reset_index(drop=True)
+        outs.append(o)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_asof_join_key_dtype_mismatch_raises(ray_session):
+    left = rd.from_pandas(_left_df())
+    bad = _right_df().assign(rk=lambda d: d["rk"].astype("int32"))
+    with pytest.raises(TypeError):
+        asof_join(left, rd.from_pandas(bad), on="t", by="k",
+                  right_on="rt", right_by="rk", right_cols=["rid"])
+
+
+TIERS = pd.DataFrame({
+    "tier": ["a", "b", "c"],
+    "lo": [0.0, 10.0, 50.0],
+    "hi": [10.0, 50.0, 100.0],
+})
+
+
+def test_range_join_inner_and_left(ray_session):
+    df = pd.DataFrame({"x": [-5.0, 0.0, 9.999, 10.0, 49.0, 99.0, 100.0, 250.0],
+                       "i": np.arange(8, dtype="int64")})
+    ds = rd.from_pandas(df).repartition(3)
+    inner = broadcast_range_join(
+        ds, TIERS, value_col="x", lo_col="lo", hi_col="hi", how="inner"
+    ).to_pandas().sort_values("i")
+    assert list(inner["i"]) == [1, 2, 3, 4, 5]
+    assert list(inner["tier"]) == ["a", "a", "b", "b", "c"]
+
+    left = broadcast_range_join(
+        ds, TIERS, value_col="x", lo_col="lo", hi_col="hi", how="left"
+    ).to_pandas().sort_values("i")
+    assert len(left) == 8
+    assert left["tier"].isna().tolist() == [True, False, False, False,
+                                            False, False, True, True]
+
+
+def test_range_join_rejects_overlap(ray_session):
+    bad = pd.DataFrame({"tier": ["a", "b"], "lo": [0.0, 5.0], "hi": [6.0, 9.0]})
+    with pytest.raises(ValueError, match="overlap"):
+        broadcast_range_join(rd.range(3), bad, value_col="id",
+                             lo_col="lo", hi_col="hi")
+
+
+def test_broadcast_hash_join_left_inner_and_unique_check(ray_session):
+    big = pd.DataFrame({"k": [1, 2, 3, 2, 9], "i": np.arange(5, dtype="int64")})
+    dim = pd.DataFrame({"dk": [1, 2, 3], "name": ["x", "y", "z"],
+                        "code": np.array([7, 8, 9], dtype="int64")})
+    ds = rd.from_pandas(big).repartition(2)
+
+    left = broadcast_hash_join(
+        ds, dim, on="k", right_on="dk", payload_cols=["name", "code"],
+        how="left").to_pandas().sort_values("i")
+    assert list(left["name"])[:4] == ["x", "y", "z", "y"]
+    assert pd.isna(list(left["name"])[4])
+    assert str(left["code"].dtype) == "Int64"  # no float decay on the miss
+
+    inner = broadcast_hash_join(
+        ds, dim, on="k", right_on="dk", how="inner").to_pandas()
+    assert len(inner) == 4
+
+    with pytest.raises(ValueError, match="unique"):
+        broadcast_hash_join(ds, pd.concat([dim, dim]), on="k", right_on="dk")
