@@ -43,7 +43,11 @@ DOCUMENTED APPROXIMATIONS (the honest subset, asserted in tests):
   (incl. all Type0 fonts: /W is not parsed), so ``x1`` is approximate
   there — the layout rules use x0/column position and sizes, not exact
   extents;
-* /Encrypt (encrypted PDFs) is not supported — such files yield no spans;
+* /Encrypt: the standard security handler with an EMPTY user password
+  (how "protected" web PDFs are produced; fitz opens these transparently)
+  is fully supported — RC4-40/128, AESV2/128, AESV3/256 (R2-R6) via the
+  from-scratch ``sources/pdfcrypt`` module; files that actually require a
+  password (or use a non-Standard handler) yield no spans;
 * glyph names outside the compact AGL subset (uniXXXX, single chars,
   digits/punctuation names, letter+accent compositions) decode as empty;
 * y coordinates are flipped to top-based to match the PyMuPDF-style rows
@@ -58,6 +62,8 @@ from __future__ import annotations
 import re
 import zlib
 from dataclasses import dataclass, field
+
+from . import pdfcrypt
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj(.*?)endobj", re.DOTALL)
 _STREAM_KW_RE = re.compile(rb"stream\r?\n")
@@ -378,6 +384,9 @@ def _parse_obj(body: bytes):
 @dataclass
 class _Doc:
     objs: dict[int, tuple] = field(default_factory=dict)  # num -> (value, stream)
+    gens: dict[int, int] = field(default_factory=dict)    # num -> generation
+    decryptor: "pdfcrypt.PdfDecryptor | None" = None
+    encrypted: bool = False  # /Encrypt present (decryptor may still be None)
 
     def resolve(self, v, depth: int = 0):
         while isinstance(v, tuple) and v and v[0] == "ref" and depth < 32:
@@ -404,6 +413,12 @@ class _Doc:
         if raw is None:  # wrong/unresolvable Length: first-endstream regex
             m = _ENDSTREAM_RE.match(tail)
             raw = m.group(1) if m else tail
+        if self.encrypted and _nameof(meta.get("Type")) != "XRef":
+            # per spec the xref stream itself is NEVER encrypted; every
+            # other stream is.  No usable key -> degrade to no-stream.
+            if self.decryptor is None:
+                return None
+            raw = self.decryptor.stream_bytes(num, self.gens.get(num, 0), raw)
         filt = self.resolve(meta.get("Filter"))
         filts = filt if isinstance(filt, list) else ([filt] if filt else [])
         parms = self.resolve(meta.get("DecodeParms")) \
@@ -494,13 +509,65 @@ def _unpack_objstm(doc: _Doc, snum: int, meta: dict) -> list[tuple[int, object]]
     return out
 
 
+def _trailer_dicts(data: bytes, doc: _Doc) -> list[dict]:
+    """Every trailer-like dict in file order: classic ``trailer << >>``
+    dicts plus /Type /XRef stream dicts (xref-stream-only files have no
+    ``trailer`` keyword — the stream dict IS the trailer)."""
+    out: list[tuple[int, dict]] = []
+    for m in re.finditer(rb"trailer", data):
+        try:
+            v = _P(data, m.end()).value()
+        except Exception:
+            continue
+        if isinstance(v, dict):
+            out.append((m.start(), v))
+    for num in sorted(doc.objs):
+        val = doc.objs[num][0]
+        if isinstance(val, dict) and _nameof(val.get("Type")) == "XRef":
+            out.append((0, val))
+    return [d for _, d in sorted(out, key=lambda t: t[0])]
+
+
+def _setup_decryptor(data: bytes, doc: _Doc) -> None:
+    """Attach the standard-security-handler decryptor when the file is
+    encrypted with the (default empty) user password.  Must run BEFORE the
+    ObjStm pass — container streams are themselves encrypted."""
+    enc_ref = id_arr = None
+    for t in _trailer_dicts(data, doc):  # last /Encrypt wins (incremental)
+        if t.get("Encrypt") is not None:
+            enc_ref = t.get("Encrypt")
+            id_arr = t.get("ID", id_arr)
+        elif id_arr is None and t.get("ID") is not None:
+            id_arr = t.get("ID")
+    if enc_ref is None:
+        return
+    doc.encrypted = True
+    enc = doc.resolve(enc_ref)
+    if not isinstance(enc, dict) or _nameof(enc.get("Filter")) != "Standard":
+        return  # unsupported handler: decryptor stays None -> no spans
+    enc = {k: doc.resolve(v) for k, v in enc.items()}
+    cf = enc.get("CF")
+    if isinstance(cf, dict):
+        enc["CF"] = {k: doc.resolve(v) for k, v in cf.items()}
+    id_arr = doc.resolve(id_arr)
+    id0 = id_arr[0] if isinstance(id_arr, list) and id_arr \
+        and isinstance(id_arr[0], bytes) else b""
+    doc.decryptor = pdfcrypt.make_decryptor(enc, id0)
+
+
 def _load(data: bytes) -> _Doc:
     doc = _Doc()
     for m in _OBJ_RE.finditer(data):
         try:
-            doc.objs[int(m.group(1))] = _parse_obj(m.group(3))
+            num = int(m.group(1))
+            doc.objs[num] = _parse_obj(m.group(3))
+            doc.gens[num] = int(m.group(2))
         except Exception:
             continue
+    try:
+        _setup_decryptor(data, doc)
+    except Exception:
+        pass
     # PDF >= 1.5: surface objects hidden inside /ObjStm containers.  Later
     # xref streams override earlier ones (appended incremental updates
     # come later in the file), and an xref-designated streamed object
@@ -1166,6 +1233,102 @@ def build_simple_pdf(page_contents: list[str], compress: bool = False) -> bytes:
     for off in offsets:
         out += f"{off:010d} 00000 n \n".encode()
     out += (f"trailer\n<< /Size {len(objs) + 1} /Root {catalog} 0 R >>\n"
+            f"startxref\n{xref_pos}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+def _ser_value(v) -> str:
+    """Serialize a parsed object value back to PDF syntax (fixture
+    round-trips; bytes become hex strings so output stays printable)."""
+    if isinstance(v, dict):
+        inner = " ".join(f"/{k} {_ser_value(x)}" for k, x in v.items())
+        return f"<< {inner} >>"
+    if isinstance(v, tuple) and len(v) == 2 and v[0] == "name":
+        return f"/{v[1]}"
+    if isinstance(v, tuple) and len(v) == 2 and v[0] == "ref":
+        return f"{v[1]} 0 R"
+    if isinstance(v, bytes):
+        return f"<{v.hex()}>"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, int):
+        return repr(v)
+    if isinstance(v, list):
+        return "[ " + " ".join(_ser_value(x) for x in v) + " ]"
+    return "null"
+
+
+_SCHEMES = {
+    "rc4-40": dict(r=2, length_bits=40),
+    "rc4-128": dict(r=3, length_bits=128),
+    "aesv2": dict(r=4, length_bits=128, aes=True),
+    "aes256": None,  # V5 R6
+    "aes256r5": None,  # V5 R5
+}
+
+
+def encrypt_pdf(data: bytes, *, scheme: str = "rc4-128",
+                user_pw: bytes = b"", id0: bytes = b"\xab" * 16) -> bytes:
+    """Re-write a plain PDF as an encrypted one (standard security
+    handler) — deterministic test-fixture builder, the inverse of what the
+    reader's decrypt path undoes.  ``scheme`` in rc4-40 / rc4-128 / aesv2 /
+    aes256 / aes256r5."""
+    import hashlib as _hl
+
+    if scheme not in _SCHEMES:
+        raise ValueError(f"unknown scheme {scheme!r}")
+    if scheme.startswith("aes256"):
+        enc_dict, enc = pdfcrypt.make_encrypt_dict_aes256(
+            r=5 if scheme.endswith("r5") else 6, user_pw=user_pw)
+    else:
+        enc_dict, enc = pdfcrypt.make_encrypt_dict_rc4(
+            id0, user_pw=user_pw, **_SCHEMES[scheme])
+
+    doc = _load(data)
+    nums = sorted(doc.objs)
+    if not nums or nums != list(range(1, len(nums) + 1)):
+        raise ValueError("encrypt_pdf needs contiguous object numbers 1..n")
+    catalog = next(n for n in nums
+                   if isinstance(doc.objs[n][0], dict)
+                   and _nameof(doc.objs[n][0].get("Type")) == "Catalog")
+
+    bodies: list[bytes] = []
+    for num in nums:
+        val, tail = doc.objs[num]
+        if tail is None:
+            bodies.append(_ser_value(val).encode("latin-1"))
+            continue
+        meta = val if isinstance(val, dict) else {}
+        length = doc.resolve(meta.get("Length"))
+        if isinstance(length, int) and 0 <= length <= len(tail) and (
+                re.match(rb"\s*endstream", tail[length:length + 32])
+                or length == len(tail)):
+            raw = tail[:length]
+        else:
+            m = _ENDSTREAM_RE.match(tail)
+            raw = m.group(1) if m else tail
+        iv = _hl.md5(b"iv%d" % num).digest()  # deterministic per object
+        eraw = pdfcrypt.encrypt_stream(enc, num, 0, raw, iv=iv)
+        meta = dict(meta)
+        meta["Length"] = len(eraw)
+        bodies.append(_ser_value(meta).encode("latin-1")
+                      + b"\nstream\n" + eraw + b"\nendstream")
+
+    enc_num = len(nums) + 1
+    bodies.append(_ser_value(enc_dict).encode("latin-1"))
+    out = bytearray(b"%PDF-1.6\n")
+    offsets = []
+    for i, body in enumerate(bodies, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(bodies) + 1}\n".encode() + b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(bodies) + 1} /Root {catalog} 0 R "
+            f"/Encrypt {enc_num} 0 R /ID [ <{id0.hex()}> <{id0.hex()}> ] >>\n"
             f"startxref\n{xref_pos}\n%%EOF\n").encode()
     return bytes(out)
 
