@@ -908,6 +908,61 @@ def q_approx_distinct_users(sf_dir: str):
     est = approx_distinct(ds, "user_id", p=12)
     return pd.DataFrame({"approx_distinct_users": [int(est)]})
 
+
+# deterministic PII-bearing text synthesized from doc_id (no external
+# data); the SQL oracle builds the identical column so the redaction
+# kernels — not the synthesis — are what gets checked
+_PII_SUFFIX_SQL = (
+    "coalesce(text,'') || CASE WHEN doc_id % 3 <> 0 THEN "
+    "' contact user' || doc_id || '@example.com ip 10.0.' || (doc_id % 256) "
+    "|| '.7 ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') "
+    "|| ' call 555-123-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') "
+    "ELSE '' END AS pii_text"
+)
+
+
+def _with_pii_text(b: pd.DataFrame) -> pd.DataFrame:
+    did = b["doc_id"]
+    four = (did % 10000).astype(str).str.zfill(4)
+    suffix = (
+        " contact user" + did.astype(str) + "@example.com ip 10.0."
+        + (did % 256).astype(str) + ".7 ssn 123-45-" + four
+        + " call 555-123-" + four
+    ).where(did % 3 != 0, "")
+    return b.assign(pii_text=b["text"].fillna("") + suffix)
+
+
+def q_pii_redacted_docs(sf_dir: str):
+    # PII redaction: ordered RE2 rules via zero-copy Arrow kernels
+    # (stages/pii.redact_pii); counts + redacted text per doc
+    from pdf_extract_ray.stages.pii import redact_pii
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    out = redact_pii(ds.map_batches(_with_pii_text, batch_format="pandas"),
+                     text_col="pii_text")
+    return out.select_columns(["doc_id", "n_email", "n_ssn", "n_ipv4",
+                               "n_phone", "redacted_text"])
+
+
+_RELEVANCE_TERMS = ["hash", "merge", "stream"]
+
+
+def q_bm25_docs(sf_dir: str):
+    # Okapi BM25 vs a broadcast query-term set: two narrow passes,
+    # zero shuffles (stages/relevance.bm25_scores)
+    from pdf_extract_ray.stages.relevance import bm25_scores
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_scores(ds, _RELEVANCE_TERMS)
+
+
+def q_tfidf_docs(sf_dir: str):
+    from pdf_extract_ray.stages.relevance import tfidf_scores
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_scores(ds, _RELEVANCE_TERMS)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_counts": q_corpus_counts,
@@ -966,6 +1021,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quantiles": q_event_value_quantiles,
         "event_value_lag": q_event_value_lag,
         "approx_distinct_users": q_approx_distinct_users,
+        "pii_redacted_docs": q_pii_redacted_docs,
+        "bm25_docs": q_bm25_docs,
+        "tfidf_docs": q_tfidf_docs,
     }
 
 
@@ -1079,6 +1137,26 @@ def _quality_class_sql(k: str, e: str) -> str:
         "     THEN 'no_korean_in_kor' "
         "ELSE 'valid_candidate' END"
     )
+
+
+def _pii_oracle() -> str:
+    from pdf_extract_ray.stages.pii import pii_oracle_ctes
+
+    return pii_oracle_ctes(
+        f"SELECT doc_id, {_PII_SUFFIX_SQL} FROM documents",
+        text_expr="pii_text", id_cols="doc_id")
+
+
+def _bm25_oracle() -> str:
+    from pdf_extract_ray.stages.relevance import bm25_oracle_sql
+
+    return bm25_oracle_sql("documents", _RELEVANCE_TERMS)
+
+
+def _tfidf_oracle() -> str:
+    from pdf_extract_ray.stages.relevance import tfidf_oracle_sql
+
+    return tfidf_oracle_sql("documents", _RELEVANCE_TERMS)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1382,4 +1460,7 @@ def oracle_sql() -> dict[str, str]:
                         "approx_distinct_users", "similarity_topk_ivf",
                         "embedding_near_dup_lsh", "pdf_extract_docs",
                         "near_dup_clusters", "near_dup_dedup_docs")},
+        "pii_redacted_docs": _pii_oracle(),
+        "bm25_docs": _bm25_oracle(),
+        "tfidf_docs": _tfidf_oracle(),
     }

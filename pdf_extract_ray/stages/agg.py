@@ -168,6 +168,7 @@ def stratified_sample(
     k: int,
     *,
     num_buckets: int | None = None,
+    order: str = "md5",
 ) -> Dataset:
     """Deterministic per-key sample: the k rows with the smallest
     ``md5(id)`` within each key group — a seedless, order-independent,
@@ -175,13 +176,26 @@ def stratified_sample(
     so every run and every parallelism picks the same rows; balanced
     per-domain/per-language corpus sampling at crawl scale).
 
-    One bucketed shuffle; rank computed vectorized per bucket."""
+    One bucketed shuffle; rank computed vectorized per bucket.
+
+    ``order`` picks the rank key: ``"md5"`` (default) is the
+    SQL-mirrorable oracle mode but hashes ids in a per-row loop;
+    ``"fast"`` ranks by the vectorized numpy hash family used for bucket
+    tagging (same determinism contract — seedless, order/parallelism
+    independent — different sample membership, not SQL-expressible).
+    At crawl scale use ``"fast"``."""
     import hashlib
 
     keys = list(keys)
+    if order not in ("md5", "fast"):
+        raise ValueError(f"order must be 'md5' or 'fast', got {order!r}")
 
     def pick(bucket: pd.DataFrame) -> pd.DataFrame:
-        h = bucket[id_col].map(lambda v: hashlib.md5(str(v).encode()).hexdigest())
+        if order == "md5":
+            ids = bucket[id_col].astype(str).to_numpy()
+            h: object = [hashlib.md5(s.encode()).hexdigest() for s in ids]
+        else:
+            h = _hash_numpy_col(bucket[id_col].to_numpy())
         b = bucket.assign(__h=h).sort_values(
             keys + ["__h"], kind="mergesort")
         out = b.groupby(keys, as_index=False, sort=False).head(k)

@@ -1,0 +1,183 @@
+"""Corpus-relevance scoring (TF-IDF / Okapi BM25) against a small query
+term set — the retrieval-style scoring a training-data pipeline uses to
+mine topical documents out of a web crawl.
+
+Scale shape (the part that matters at 100 TB):
+
+* Phase A (corpus statistics) is a narrow ``map_batches`` emitting ONE
+  tiny partial row per block (N docs, total token length, per-term
+  document frequencies) — the only materialization is #blocks rows of
+  scalars on the driver.  No shuffle.
+* The per-term IDF table is tiny (|query terms| floats) and travels to
+  phase B inside the closure — broadcast once, never re-shipped per row.
+* Phase B scores each batch independently.  No shuffle anywhere.
+
+Tokenization is frozen as regex ``[a-z0-9]+`` over lowercased text and a
+term's tf is the count of ``\\b<term>\\b`` matches — both expressible
+verbatim in DuckDB (``regexp_extract_all``), so the driver oracle checks
+the whole pipeline including the IDF math (floats rounded to 4 digits on
+both sides, the repo's oracle convention).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pandas as pd
+from ray.data import Dataset
+
+from pdf_extract_ray.util import round_half_away
+
+_WORD = r"[a-z0-9]+"
+
+
+def _term_pattern(term: str) -> str:
+    return rf"\b{re.escape(term.lower())}\b"
+
+
+def corpus_stats(ds: Dataset, terms: list[str],
+                 text_col: str = "text") -> dict:
+    """{"n_docs", "avgdl", "df": {term: df}} via per-block scalar
+    partials (bounded driver materialization: one row per block)."""
+    terms = [t.lower() for t in terms]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        low = batch[text_col].fillna("").str.lower()
+        row = {
+            "n_docs": len(batch),
+            "len_sum": int(low.str.count(_WORD).sum()),
+        }
+        for i, t in enumerate(terms):
+            row[f"df_{i}"] = int((low.str.count(_term_pattern(t)) > 0).sum())
+        return pd.DataFrame([row])
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    n = int(parts["n_docs"].sum())
+    return {
+        "n_docs": n,
+        "avgdl": float(parts["len_sum"].sum()) / n if n else 0.0,
+        "df": {t: int(parts[f"df_{i}"].sum()) for i, t in enumerate(terms)},
+    }
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    """Okapi BM25 IDF with the +1 shift (never negative for df > n/2)."""
+    return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+
+def bm25_scores(ds: Dataset, terms: list[str], *,
+                id_cols: tuple[str, ...] = ("doc_id",),
+                text_col: str = "text",
+                k1: float = 1.2, b: float = 0.75,
+                ndigits: int = 4) -> Dataset:
+    """Per-document BM25 score for ``terms``: id columns + ``dl`` (token
+    count) + ``bm25``.  Two narrow passes, zero shuffles."""
+    terms = [t.lower() for t in terms]
+    stats = corpus_stats(ds, terms, text_col)
+    n, avgdl = stats["n_docs"], stats["avgdl"]
+    idf = {t: bm25_idf(n, stats["df"][t]) for t in terms}
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        low = batch[text_col].fillna("").str.lower()
+        dl = low.str.count(_WORD).to_numpy(dtype=np.float64)
+        total = np.zeros(len(batch))
+        norm = k1 * (1.0 - b + b * dl / avgdl) if avgdl else k1
+        for t in terms:
+            tf = low.str.count(_term_pattern(t)).to_numpy(dtype=np.float64)
+            total += idf[t] * tf * (k1 + 1.0) / (tf + norm)
+        out = batch[list(id_cols)].copy()
+        out["dl"] = dl.astype(np.int64)
+        out["bm25"] = round_half_away(total, ndigits)
+        return out
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def tfidf_scores(ds: Dataset, terms: list[str], *,
+                 id_cols: tuple[str, ...] = ("doc_id",),
+                 text_col: str = "text", ndigits: int = 4) -> Dataset:
+    """Classic tf-idf (tf * ln(N/df), df-smoothed by +1) for ``terms``;
+    same two-pass zero-shuffle shape as :func:`bm25_scores`."""
+    terms = [t.lower() for t in terms]
+    stats = corpus_stats(ds, terms, text_col)
+    n = stats["n_docs"]
+    idf = {t: math.log(n / (stats["df"][t] + 1.0)) for t in terms}
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        low = batch[text_col].fillna("").str.lower()
+        total = np.zeros(len(batch))
+        for t in terms:
+            tf = low.str.count(_term_pattern(t)).to_numpy(dtype=np.float64)
+            total += tf * idf[t]
+        out = batch[list(id_cols)].copy()
+        out["tfidf"] = round_half_away(total, ndigits)
+        return out
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def tfidf_oracle_sql(table: str, terms: list[str], *,
+                     id_cols: str = "doc_id", text_col: str = "text",
+                     ndigits: int = 4) -> str:
+    """DuckDB SQL computing exactly :func:`tfidf_scores`."""
+    terms = [t.lower() for t in terms]
+    tf_cols = ", ".join(
+        f"len(regexp_extract_all(low, e'\\\\b{re.escape(t)}\\\\b')) AS tf_{i}"
+        for i, t in enumerate(terms))
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms)))
+    score_terms = " + ".join(
+        f"s.tf_{i} * ln(c.n / (c.df_{i} + 1.0))"
+        for i in range(len(terms)))
+    return f"""
+WITH docs AS (
+  SELECT {id_cols}, lower(coalesce({text_col}, '')) AS low FROM {table}
+), s AS (
+  SELECT {id_cols}, {tf_cols} FROM docs
+), c AS (
+  SELECT count(*) AS n, {df_cols} FROM s
+)
+SELECT s.{id_cols}, round({score_terms}, {ndigits}) AS tfidf FROM s, c
+"""
+
+
+def bm25_oracle_sql(table: str, terms: list[str], *,
+                    id_cols: str = "doc_id", text_col: str = "text",
+                    k1: float = 1.2, b: float = 0.75,
+                    ndigits: int = 4) -> str:
+    """DuckDB SQL computing exactly :func:`bm25_scores` (same
+    tokenization, same idf formula, same expression shape, same
+    rounding)."""
+    terms = [t.lower() for t in terms]
+    tf_cols = ", ".join(
+        f"len(regexp_extract_all(low, e'\\\\b{re.escape(t)}\\\\b')) AS tf_{i}"
+        for i, t in enumerate(terms))
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms)))
+    score_terms = " + ".join(
+        f"ln((c.n - c.df_{i} + 0.5) / (c.df_{i} + 0.5) + 1.0)"
+        f" * s.tf_{i} * ({k1} + 1.0)"
+        f" / (s.tf_{i} + {k1} * (1.0 - {b} + {b} * s.dl / c.avgdl))"
+        for i in range(len(terms)))
+    return f"""
+WITH docs AS (
+  SELECT {id_cols}, lower(coalesce({text_col}, '')) AS low FROM {table}
+), s AS (
+  SELECT {id_cols},
+         len(regexp_extract_all(low, '[a-z0-9]+')) AS dl,
+         {tf_cols}
+  FROM docs
+), c AS (
+  SELECT count(*) AS n,
+         sum(dl)::DOUBLE / count(*) AS avgdl,
+         {df_cols}
+  FROM s
+)
+SELECT s.{id_cols}, s.dl,
+       round({score_terms}, {ndigits}) AS bm25
+FROM s, c
+"""

@@ -1,0 +1,161 @@
+"""PII redaction (stages/pii.py) and BM25/TF-IDF relevance scoring
+(stages/relevance.py): kernel semantics, rule ordering, scale shape, and
+the fast stratified-sample variant."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from pdf_extract_ray.stages.pii import PII_RULES, redact_batch, redact_pii
+from pdf_extract_ray.stages.relevance import (
+    bm25_idf,
+    bm25_scores,
+    corpus_stats,
+    tfidf_scores,
+)
+
+
+def _redact_one(text: str) -> dict:
+    t = redact_batch(pa.table({"text": [text]}))
+    return {c: t.column(c)[0].as_py() for c in t.column_names}
+
+
+def test_redact_email_ssn_ip_phone():
+    got = _redact_one(
+        "mail a.b-c_1@sub.example.org ssn 123-45-6789 "
+        "host 192.168.0.1 tel +1 555-123-4567 end")
+    assert got["redacted_text"] == (
+        "mail <EMAIL> ssn <SSN> host <IP> tel +1 <PHONE> end")
+    assert (got["n_email"], got["n_ssn"], got["n_ipv4"], got["n_phone"]) \
+        == (1, 1, 1, 1)
+
+
+def test_rule_order_ssn_not_double_counted_as_phone():
+    # SSN (3-2-4) must be taken by the ssn rule, not the phone rule
+    got = _redact_one("123-45-6789 and 555-123-4567")
+    assert got["n_ssn"] == 1 and got["n_phone"] == 1
+    assert got["redacted_text"] == "<SSN> and <PHONE>"
+
+
+def test_redaction_tokens_never_rematch():
+    # replacement tokens contain no digits: a second pass is a no-op
+    once = _redact_one("x 10.0.0.1 y u@v.com z")["redacted_text"]
+    twice = _redact_one(once)["redacted_text"]
+    assert once == twice == "x <IP> y <EMAIL> z"
+
+
+def test_clean_text_untouched_and_nulls_safe():
+    t = redact_batch(pa.table({"text": ["plain words only", None]}))
+    assert t.column("redacted_text").to_pylist() == ["plain words only", ""]
+    assert t.column("n_email").to_pylist() == [0, 0]
+
+
+def test_redact_pii_dataset(ray_session):
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "write to bob@example.com now"},
+        {"doc_id": 2, "text": "nothing here"},
+    ])
+    out = {r["doc_id"]: r for r in redact_pii(ds).take_all()}
+    assert out[1]["redacted_text"] == "write to <EMAIL> now"
+    assert out[1]["n_email"] == 1
+    assert out[2]["redacted_text"] == "nothing here"
+
+
+# ---------------------------------------------------------------------------
+# relevance
+# ---------------------------------------------------------------------------
+
+DOCS = [
+    {"doc_id": 0, "text": "hash join hash probe"},
+    {"doc_id": 1, "text": "merge sort merge path merge"},
+    {"doc_id": 2, "text": "stream the stream"},
+    {"doc_id": 3, "text": "unrelated words entirely"},
+    {"doc_id": 4, "text": None},
+]
+
+
+def test_corpus_stats(ray_session):
+    ds = rd.from_items(DOCS)
+    s = corpus_stats(ds, ["hash", "merge", "stream"])
+    assert s["n_docs"] == 5
+    assert s["df"] == {"hash": 1, "merge": 1, "stream": 1}
+    # token counts: 4 + 5 + 3 + 3 + 0 = 15
+    assert s["avgdl"] == 15 / 5
+
+
+def test_bm25_matches_hand_formula(ray_session):
+    ds = rd.from_items(DOCS)
+    out = {r["doc_id"]: r for r in
+           bm25_scores(ds, ["hash"], ndigits=9).take_all()}
+    n, df, avgdl, k1, b = 5, 1, 3.0, 1.2, 0.75
+    idf = bm25_idf(n, df)
+    tf, dl = 2.0, 4.0
+    expect = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert out[0]["bm25"] == pytest.approx(expect, abs=1e-8)
+    assert out[3]["bm25"] == 0.0
+    assert out[4]["bm25"] == 0.0 and out[4]["dl"] == 0
+
+
+def test_bm25_term_subset_matching_is_word_bounded(ray_session):
+    # "hashing" must not count as "hash"
+    ds = rd.from_items([{"doc_id": 0, "text": "hashing rehash hash"}])
+    out = bm25_scores(ds, ["hash"]).take_all()[0]
+    assert out["dl"] == 3
+    assert out["bm25"] > 0  # exactly one true "hash" token counted
+    s = corpus_stats(rd.from_items(
+        [{"doc_id": 0, "text": "hashing rehash"}]), ["hash"])
+    assert s["df"] == {"hash": 0}
+
+
+def test_tfidf_zero_for_absent_terms(ray_session):
+    ds = rd.from_items(DOCS)
+    out = {r["doc_id"]: r for r in
+           tfidf_scores(ds, ["hash", "merge"]).take_all()}
+    assert out[3]["tfidf"] == 0.0
+    # doc 1: tf(merge)=3, idf=ln(5/2)
+    assert out[1]["tfidf"] == pytest.approx(
+        round(3 * math.log(5 / 2), 4), abs=1e-9)
+
+
+def test_bm25_deterministic_across_parallelism(ray_session):
+    rows = [{"doc_id": i, "text": f"hash value {i} merge stream" * (i % 4)}
+            for i in range(200)]
+    a = bm25_scores(rd.from_items(rows, override_num_blocks=1),
+                    ["hash", "stream"]).to_pandas()
+    b = bm25_scores(rd.from_items(rows, override_num_blocks=13),
+                    ["hash", "stream"]).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample fast variant
+# ---------------------------------------------------------------------------
+
+def test_stratified_sample_fast_variant(ray_session):
+    from pdf_extract_ray.stages.agg import stratified_sample
+
+    rows = [{"k": f"g{i % 3}", "id": i} for i in range(300)]
+    fast = stratified_sample(rd.from_items(rows), ["k"], "id", 5,
+                             order="fast").to_pandas()
+    assert len(fast) == 15
+    assert fast.groupby("k").size().eq(5).all()
+    # deterministic across parallelism
+    fast2 = stratified_sample(
+        rd.from_items(rows, override_num_blocks=7), ["k"], "id", 5,
+        order="fast").to_pandas()
+    key = lambda d: sorted(map(tuple, d[["k", "id"]].to_numpy()))
+    assert key(fast) == key(fast2)
+    with pytest.raises(ValueError):
+        stratified_sample(rd.from_items(rows), ["k"], "id", 5, order="nope")
+
+
+def test_pii_rules_frozen():
+    # the oracle SQL chain mirrors this exact order; a reorder is a
+    # semantic change and must be deliberate
+    assert [r[0] for r in PII_RULES] == ["email", "ssn", "ipv4", "phone"]
