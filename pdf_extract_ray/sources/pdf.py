@@ -39,10 +39,11 @@ using only stdlib (``re``, ``zlib``):
   without the font program).
 
 DOCUMENTED APPROXIMATIONS (the honest subset, asserted in tests):
-* fonts without a /Widths array fall back to ``0.5 * size`` per char
-  (incl. all Type0 fonts: /W is not parsed), so ``x1`` is approximate
-  there — the layout rules use x0/column position and sizes, not exact
-  extents;
+* fonts without width metrics fall back to ``0.5 * size`` per char
+  (simple fonts without /Widths; Type0 fonts honor the descendant
+  CIDFont's /W + /DW for Identity-H/-V encodings, other CMap encodings
+  keep the approximation), so ``x1`` is approximate only there — the
+  layout rules use x0/column position and sizes, not exact extents;
 * /Encrypt: the standard security handler with an EMPTY user password
   (how "protected" web PDFs are produced; fitz opens these transparently)
   is fully supported — RC4-40/128, AESV2/128, AESV3/256 (R2-R6) via the
@@ -817,6 +818,48 @@ def _simple_font_widths(doc: "_Doc", fobj: dict) -> tuple[dict[int, float], floa
     return widths, mw
 
 
+def _cid_font_widths(doc: "_Doc", fobj: dict) -> tuple[dict[int, float], float]:
+    """({cid: width}, default_width) from a Type0 font's descendant CIDFont
+    /W + /DW arrays.  Only Identity-H/-V encodings qualify (there CID ==
+    2-byte code, so the /W table indexes directly by shown code); other
+    CMap encodings keep the legacy 0.5-em approximation.  /W grammar:
+    ``c [w1 w2 ...]`` assigns consecutively from c; ``cfirst clast w``
+    assigns a range.  Range size is capped (garbage files must not OOM)."""
+    if _nameof(fobj.get("Encoding")) not in ("Identity-H", "Identity-V"):
+        return {}, 500.0
+    df = doc.resolve(fobj.get("DescendantFonts"))
+    d0 = doc.resolve(df[0]) if isinstance(df, list) and df else None
+    if not isinstance(d0, dict):
+        return {}, 500.0
+    dw = doc.resolve(d0.get("DW"))
+    mw = float(dw) if isinstance(dw, (int, float)) else 1000.0  # spec default
+    widths: dict[int, float] = {}
+    warr = doc.resolve(d0.get("W"))
+    if isinstance(warr, list):
+        vals = [doc.resolve(x) for x in warr]
+        i = 0
+        while i < len(vals):
+            c = vals[i]
+            if not isinstance(c, (int, float)):
+                break
+            c = int(c)
+            if i + 1 < len(vals) and isinstance(vals[i + 1], list):
+                for off, ww in enumerate(vals[i + 1][:65536]):
+                    ww = doc.resolve(ww)
+                    if isinstance(ww, (int, float)):
+                        widths[c + off] = float(ww)
+                i += 2
+            elif (i + 2 < len(vals) and isinstance(vals[i + 1], (int, float))
+                  and isinstance(vals[i + 2], (int, float))):
+                last = min(int(vals[i + 1]), c + 65535)
+                for cc in range(c, last + 1):
+                    widths[cc] = float(vals[i + 2])
+                i += 3
+            else:
+                break
+    return widths, mw
+
+
 _DEFAULT_FONT = {"flags": 0, "cmap": None, "cid_skip": False,
                  "dec": None, "widths": {}, "mw": 500.0}
 
@@ -852,7 +895,8 @@ def _spans_from_content(content: bytes, fonts: dict[str, dict]) -> list[dict]:
             for j in range(0, len(raw) - nb + 1, nb):
                 code = int.from_bytes(raw[j : j + nb], "big")
                 chars.append(table.get(code, ""))
-                # Type0 /W is not parsed -> {} widths -> 0.5 em default
+                # Type0: /W-derived per-CID widths (Identity-H/V), else
+                # /DW / 0.5-em default
                 adv += (widths.get(code, mw) / 1000.0) * size + tc
                 if nb == 1 and code == 32:
                     adv += tw
@@ -1130,6 +1174,11 @@ def pdf_pages_spans(data: bytes | None) -> list[dict]:
                             info["cmap"] = cmap
                         else:
                             info["cid_skip"] = True
+                        try:
+                            info["widths"], info["mw"] = \
+                                _cid_font_widths(doc, fobj)
+                        except Exception:
+                            pass
                     else:  # simple font
                         if cmap is not None and cmap[1] == 1:
                             info["cmap"] = cmap

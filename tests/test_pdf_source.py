@@ -661,3 +661,62 @@ class TestSimpleFontEncodings:
                         "[(Hel) -20 (lo) -400 (world)] TJ ET"])
         lines = pdf_pages_spans(pdf)[0]["lines"]
         assert lines[0]["text"] == "Hello world"
+
+
+def make_type0_w_pdf(*, with_w=True, encoding=b"/Identity-H"):
+    """Type0 font WITH a DescendantFonts CIDFont carrying /W + /DW, so
+    x1 geometry comes from real metrics instead of the 0.5-em default.
+    Codes: 0001 (w=600), 0002 (w=800), 0010-0012 (w=1000 via range),
+    anything else /DW=900."""
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"begincmap\n"
+            b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            b"2 beginbfchar\n<0001> <D55C>\n<0002> <AD6D>\nendbfchar\n"
+            b"1 beginbfrange\n<0010> <0012> <C548>\nendbfrange\n"
+            b"1 beginbfrange\n<0020> <0021> [<0041> <0042>]\nendbfrange\n"
+            b"endcmap\nend")
+    content = (b"BT /F9 14 Tf 72 700 Td <00010002> Tj ET "
+               b"BT /F9 14 Tf 72 650 Td <00100011001200200021> Tj ET")
+    w_entry = b"/W [ 1 [ 600 800 ] 16 18 1000 ] /DW 900 " if with_w else b""
+    objs = [
+        (f"<< /Length {len(cmap)} >>".encode()
+         + b"\nstream\n" + cmap + b"\nendstream"),
+        (b"<< /Type /Font /Subtype /Type0 /BaseFont /NotoSansKR "
+         b"/ToUnicode 1 0 R /Encoding " + encoding
+         + b" /DescendantFonts [ 7 0 R ] >>"),
+        (f"<< /Length {len(content)} >>".encode()
+         + b"\nstream\n" + content + b"\nendstream"),
+        (b"<< /Type /Page /Parent 5 0 R /Contents 3 0 R "
+         b"/Resources << /Font << /F9 2 0 R >> >> >>"),
+        (b"<< /Type /Pages /Kids [ 4 0 R ] /Count 1 "
+         b"/MediaBox [ 0 0 612 792 ] >>"),
+        b"<< /Type /Catalog /Pages 5 0 R >>",
+        (b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /NotoSansKR "
+         + w_entry + b">>"),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, body in enumerate(objs, start=1):
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    out += b"trailer\n<< /Root 6 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+class TestType0Widths:
+    def test_w_array_drives_x1(self):
+        lines = pdf_pages_spans(make_type0_w_pdf())[0]["lines"]
+        # line 1: widths 600+800 -> (1400/1000)*14 = 19.6
+        assert lines[0]["text"] == "한국"
+        assert lines[0]["x1"] == pytest.approx(72 + 19.6, abs=1e-6)
+        # line 2: 1000*3 (range) + 900*2 (DW) -> (4800/1000)*14 = 67.2
+        assert lines[1]["text"] == "안앉않AB"
+        assert lines[1]["x1"] == pytest.approx(72 + 67.2, abs=1e-6)
+
+    def test_missing_w_uses_dw_spec_default(self):
+        # DescendantFonts present but no /W and no /DW -> 1000 per CID
+        lines = pdf_pages_spans(make_type0_w_pdf(with_w=False))[0]["lines"]
+        assert lines[0]["x1"] == pytest.approx(72 + 2 * 14.0, abs=1e-6)
+
+    def test_non_identity_encoding_keeps_legacy_halfem(self):
+        lines = pdf_pages_spans(
+            make_type0_w_pdf(encoding=b"/UniKS-UCS2-H"))[0]["lines"]
+        assert lines[0]["x1"] == pytest.approx(72 + 2 * 7.0, abs=1e-6)
