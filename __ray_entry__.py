@@ -947,6 +947,20 @@ def q_pii_redacted_docs(sf_dir: str):
 _RELEVANCE_TERMS = ["hash", "merge", "stream"]
 
 
+def q_repetition_stats(sf_dir: str):
+    # Gopher-style repetition filters: batch-local explode + grouped
+    # counts, zero shuffles (stages/textquality.repetition_stats_batch)
+    from pdf_extract_ray.stages.textquality import repetition_stats_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: repetition_stats_batch(b)[
+            ["doc_id", "n_words", "dup_word_frac", "top_word_frac",
+             "top_bigram_frac", "max_word_run"]],
+        batch_format="pandas",
+    )
+
+
 def q_bm25_docs(sf_dir: str):
     # Okapi BM25 vs a broadcast query-term set: two narrow passes,
     # zero shuffles (stages/relevance.bm25_scores)
@@ -1024,6 +1038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redacted_docs": q_pii_redacted_docs,
         "bm25_docs": q_bm25_docs,
         "tfidf_docs": q_tfidf_docs,
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -1157,6 +1172,12 @@ def _tfidf_oracle() -> str:
     from pdf_extract_ray.stages.relevance import tfidf_oracle_sql
 
     return tfidf_oracle_sql("documents", _RELEVANCE_TERMS)
+
+
+def _repetition_oracle() -> str:
+    from pdf_extract_ray.stages.textquality import REPETITION_ORACLE_SQL
+
+    return REPETITION_ORACLE_SQL
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1463,4 +1484,5 @@ def oracle_sql() -> dict[str, str]:
         "pii_redacted_docs": _pii_oracle(),
         "bm25_docs": _bm25_oracle(),
         "tfidf_docs": _tfidf_oracle(),
+        "repetition_stats": _repetition_oracle(),
     }

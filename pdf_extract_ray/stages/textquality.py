@@ -17,6 +17,7 @@ from __future__ import annotations
 import re
 
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -119,6 +120,120 @@ def fingerprint_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFra
     )
     batch["fingerprint"] = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t]
     return batch
+
+
+_WORD_ONLY_RE = re.compile(r"[a-z0-9]+")
+
+
+def repetition_stats_batch(batch: pd.DataFrame,
+                           text_col: str = "text") -> pd.DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models", §A1.1 quality filters — public paper):
+    ``dup_word_frac`` (1 - distinct/total words), ``top_word_frac`` /
+    ``top_bigram_frac`` (share of the most frequent word / adjacent
+    bigram) and ``max_word_run`` (longest consecutive same-word run).
+    Heavily repeated boilerplate scores high and gets filtered before
+    training.
+
+    Batch-local, no corpus state, no shuffle.  Vectorized via one explode
+    + grouped counts (no Python loop over rows); every rule mirrors in
+    DuckDB SQL (unnest + window functions) for the driver oracle."""
+    low = (batch[text_col].fillna("").str.lower()
+           .reset_index(drop=True))
+    words = low.str.findall(_WORD_ONLY_RE)
+    n = words.str.len().to_numpy(dtype=np.int64)
+    ex = words.explode().dropna()
+    pos = pd.RangeIndex(len(low))
+
+    if len(ex):
+        df = pd.DataFrame({"i": ex.index.to_numpy(), "w": ex.to_numpy()})
+        counts = df.groupby(["i", "w"], sort=False).size()
+        per_doc = counts.groupby(level=0)
+        distinct = per_doc.size().reindex(pos, fill_value=0).to_numpy()
+        top = per_doc.max().reindex(pos, fill_value=0).to_numpy()
+        # adjacent bigrams: shift within doc
+        w2 = df.groupby("i", sort=False)["w"].shift(-1)
+        bi = df.assign(w2=w2).dropna(subset=["w2"])
+        if len(bi):
+            btop = (bi.groupby(["i", "w", "w2"], sort=False).size()
+                    .groupby(level=0).max()
+                    .reindex(pos, fill_value=0).to_numpy())
+        else:
+            btop = np.zeros(len(low), dtype=np.int64)
+        # longest consecutive run: new run where word or doc changes
+        new_run = (df["w"].ne(df["w"].shift())
+                   | df["i"].ne(df["i"].shift())).cumsum()
+        runs = df.groupby(new_run, sort=False).agg(
+            i=("i", "first"), L=("w", "size"))
+        max_run = (runs.groupby("i")["L"].max()
+                   .reindex(pos, fill_value=0).to_numpy())
+    else:
+        distinct = top = btop = max_run = np.zeros(len(low), dtype=np.int64)
+
+    nf = n.astype(np.float64)
+    safe = np.maximum(nf, 1.0)
+    safe_bi = np.maximum(nf - 1.0, 1.0)
+    out = batch.reset_index(drop=True).copy()
+    out["n_words"] = n
+    out["dup_word_frac"] = np.where(
+        n > 0, round_half_away(1.0 - distinct / safe, 4), 0.0)
+    out["top_word_frac"] = np.where(
+        n > 0, round_half_away(top / safe, 4), 0.0)
+    out["top_bigram_frac"] = np.where(
+        n > 1, round_half_away(btop / safe_bi, 4), 0.0)
+    out["max_word_run"] = max_run.astype(np.int64)
+    return out
+
+
+REPETITION_ORACLE_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text,'')), '[a-z0-9]+') AS arr
+  FROM documents
+), w AS (
+  SELECT doc_id, unnest(arr) AS word,
+         unnest(range(1, len(arr) + 1)) AS pos
+  FROM s
+), wc AS (
+  SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word
+), agg AS (
+  SELECT doc_id, count(*) AS n_distinct, max(c) AS top_c
+  FROM wc GROUP BY doc_id
+), b AS (
+  SELECT doc_id, word,
+         lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM w
+), bagg AS (
+  SELECT doc_id, max(c) AS top_b FROM (
+    SELECT doc_id, word, nxt, count(*) AS c FROM b
+    WHERE nxt IS NOT NULL GROUP BY doc_id, word, nxt)
+  GROUP BY doc_id
+), r AS (
+  SELECT doc_id,
+         pos - row_number() OVER (PARTITION BY doc_id, word ORDER BY pos)
+           AS grp, word
+  FROM w
+), ragg AS (
+  SELECT doc_id, max(runlen) AS max_run FROM (
+    SELECT doc_id, count(*) AS runlen FROM r GROUP BY doc_id, word, grp)
+  GROUP BY doc_id
+)
+SELECT s.doc_id, len(s.arr) AS n_words,
+  CASE WHEN len(s.arr) > 0
+       THEN round(1.0 - agg.n_distinct / len(s.arr)::DOUBLE, 4)
+       ELSE 0.0 END AS dup_word_frac,
+  CASE WHEN len(s.arr) > 0
+       THEN round(agg.top_c / len(s.arr)::DOUBLE, 4)
+       ELSE 0.0 END AS top_word_frac,
+  CASE WHEN len(s.arr) > 1
+       THEN round(bagg.top_b / (len(s.arr) - 1)::DOUBLE, 4)
+       ELSE 0.0 END AS top_bigram_frac,
+  coalesce(ragg.max_run, 0) AS max_word_run
+FROM s
+LEFT JOIN agg USING (doc_id)
+LEFT JOIN bagg USING (doc_id)
+LEFT JOIN ragg USING (doc_id)
+"""
 
 
 # winnowing fingerprints live in functions/fingerprint.py (scalar, not

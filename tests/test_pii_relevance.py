@@ -159,3 +159,39 @@ def test_pii_rules_frozen():
     # the oracle SQL chain mirrors this exact order; a reorder is a
     # semantic change and must be deliberate
     assert [r[0] for r in PII_RULES] == ["email", "ssn", "ipv4", "phone"]
+
+
+# ---------------------------------------------------------------------------
+# repetition stats (Gopher-style filters)
+# ---------------------------------------------------------------------------
+
+def test_repetition_stats_hand_values():
+    from pdf_extract_ray.stages.textquality import repetition_stats_batch
+
+    b = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "spam spam spam eggs",       # 4 words, 2 distinct, run 3
+            "a b a b a b",               # top bigram "a b" = 3/5
+            "all unique words here",
+            None,
+        ],
+    })
+    out = repetition_stats_batch(b)
+    assert out["n_words"].tolist() == [4, 6, 4, 0]
+    assert out.loc[0, "dup_word_frac"] == pytest.approx(1 - 2 / 4)
+    assert out.loc[0, "top_word_frac"] == pytest.approx(3 / 4)
+    assert out.loc[0, "max_word_run"] == 3
+    assert out.loc[1, "top_bigram_frac"] == pytest.approx(3 / 5)
+    assert out.loc[1, "max_word_run"] == 1
+    assert out.loc[2, "dup_word_frac"] == 0.0
+    assert out.loc[3, "n_words"] == 0 and out.loc[3, "max_word_run"] == 0
+
+
+def test_repetition_stats_run_not_confused_across_docs():
+    from pdf_extract_ray.stages.textquality import repetition_stats_batch
+
+    # doc 0 ends with "x x", doc 1 starts with "x x": runs must not merge
+    b = pd.DataFrame({"doc_id": [0, 1], "text": ["y x x", "x x y"]})
+    out = repetition_stats_batch(b)
+    assert out["max_word_run"].tolist() == [2, 2]
