@@ -947,6 +947,16 @@ def q_pii_redacted_docs(sf_dir: str):
 _RELEVANCE_TERMS = ["hash", "merge", "stream"]
 
 
+def q_dup_shingle_docs(sf_dir: str):
+    # exact-substring dedup detection (Lee et al. 2022 style): duplicated
+    # 8-token spans corpus-wide; text-key mode = collision-free SQL parity
+    # (key="hash" is the ids-only-shuffle scale mode)
+    from pdf_extract_ray.stages.substr import dup_shingle_positions
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return dup_shingle_positions(ds, k=8, key="text")
+
+
 def q_repetition_stats(sf_dir: str):
     # Gopher-style repetition filters: batch-local explode + grouped
     # counts, zero shuffles (stages/textquality.repetition_stats_batch)
@@ -1039,6 +1049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_docs": q_bm25_docs,
         "tfidf_docs": q_tfidf_docs,
         "repetition_stats": q_repetition_stats,
+        "dup_shingle_docs": q_dup_shingle_docs,
     }
 
 
@@ -1178,6 +1189,12 @@ def _repetition_oracle() -> str:
     from pdf_extract_ray.stages.textquality import REPETITION_ORACLE_SQL
 
     return REPETITION_ORACLE_SQL
+
+
+def _dup_shingles_oracle() -> str:
+    from pdf_extract_ray.stages.substr import dup_shingles_oracle_sql
+
+    return dup_shingles_oracle_sql("documents", k=8)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1485,4 +1502,5 @@ def oracle_sql() -> dict[str, str]:
         "bm25_docs": _bm25_oracle(),
         "tfidf_docs": _tfidf_oracle(),
         "repetition_stats": _repetition_oracle(),
+        "dup_shingle_docs": _dup_shingles_oracle(),
     }

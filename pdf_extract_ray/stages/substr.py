@@ -1,0 +1,215 @@
+"""Exact-substring deduplication: find and remove k-token spans whose
+exact text occurs multiple times across the corpus (the token-level
+"ExactSubstr" dedup of Lee et al. 2022, "Deduplicating Training Data
+Makes Language Models Better" — public paper).  Doc-level near-dup
+(minhash/simhash) misses boilerplate shared by otherwise-distinct pages;
+this catches it.
+
+Scale shape:
+
+* Tokenize + window per batch (narrow).  ``key="hash"`` (the scale mode)
+  ships only ``(uint64 shingle hash, id, pos)`` rows into ONE bucketed
+  shuffle — texts never move; the rolling polynomial reuses the dedup
+  kernels' vectorized family.  ``key="text"`` ships the literal k-word
+  shingle string instead: exact (collision-free) and byte-parity with the
+  DuckDB oracle — the driver-checked mode.
+* Duplicate detection is a per-bucket grouped size filter; output is
+  ``(id, pos)`` rows only.
+* Span REMOVAL cogroups those positions back to the documents with the
+  same tag-union-bucket pattern the aligner uses (one more bucketed
+  shuffle keyed by id; position rows are small — only duplicated windows).
+
+Positions are 1-based token indices (SQL ``range(1, len-k+2)`` parity).
+Removal works in token space: cleaned text is the kept tokens joined by
+single spaces (tokenization is ``[a-z0-9]+`` on lowercased text, so
+original casing/punctuation does not survive — document-level policy
+decides whether to keep the original or the cleaned column).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from ray.data import Dataset
+
+from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+_WORD_RE = re.compile(r"[a-z0-9]+")
+_C = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _tokenize(texts) -> tuple[list[list[str]], np.ndarray]:
+    toks = [_WORD_RE.findall((t or "").lower()) for t in texts]
+    lens = np.fromiter((len(x) for x in toks), dtype=np.int64,
+                       count=len(toks))
+    return toks, lens
+
+
+def _window_index(lens: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_index, 1-based pos) for every k-window fully inside a doc."""
+    nwin = np.maximum(lens - k + 1, 0)
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), nwin)
+    total = int(nwin.sum())
+    starts = np.cumsum(nwin) - nwin
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, nwin) + 1
+    return doc_idx, pos
+
+
+def shingle_rows(texts, k: int, key: str) -> pd.DataFrame:
+    """One row per k-token window: ``g`` (shingle key), ``__doc`` (index
+    into ``texts``), ``pos`` (1-based)."""
+    toks, lens = _tokenize(texts)
+    doc_idx, pos = _window_index(lens, k)
+    if key == "text":
+        g = [" ".join(toks[d][p - 1 : p - 1 + k])
+             for d, p in zip(doc_idx, pos)]
+        return pd.DataFrame({"g": g, "__doc": doc_idx, "pos": pos})
+    if key != "hash":
+        raise ValueError(f"key must be 'text' or 'hash', got {key!r}")
+    total = int(lens.sum())
+    flat = np.empty(total, dtype=object)
+    i = 0
+    for x in toks:
+        flat[i : i + len(x)] = x
+        i += len(x)
+    if total < k:
+        return pd.DataFrame({"g": np.empty(0, np.uint64),
+                             "__doc": doc_idx[:0], "pos": pos[:0]})
+    th = pd.util.hash_pandas_object(
+        pd.Series(flat), index=False).to_numpy().astype(np.uint64)
+    did = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    with np.errstate(over="ignore"):
+        acc = np.zeros(total - k + 1, dtype=np.uint64)
+        for j in range(k):
+            acc = (acc + th[j : total - k + 1 + j]) * _C
+    ok = did[: total - k + 1] == did[k - 1 :]
+    return pd.DataFrame({"g": acc[ok], "__doc": doc_idx, "pos": pos})
+
+
+def dup_shingle_positions(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    key: str = "hash",
+    min_count: int = 2,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """(id, pos) of every k-token window whose shingle occurs at least
+    ``min_count`` times corpus-wide (same-doc repeats count).  One
+    bucketed shuffle of (key, id, pos) rows."""
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = shingle_rows(batch[text_col].tolist(), k, key)
+        rows[id_col] = batch[id_col].to_numpy()[rows["__doc"].to_numpy()]
+        return rows[["g", id_col, "pos"]]
+
+    rows = ds.map_batches(explode, batch_format="pandas")
+
+    def dups(bucket: pd.DataFrame) -> pd.DataFrame:
+        sizes = bucket.groupby("g", sort=False)["g"].transform("size")
+        return bucket.loc[sizes >= min_count, [id_col, "pos"]]
+
+    return bucketed_group_apply(rows, ["g"], dups, num_buckets=num_buckets)
+
+
+def merge_spans(positions, k: int) -> list[tuple[int, int]]:
+    """Sorted 1-based window starts -> merged half-open token intervals
+    [start, end) covering every duplicated window."""
+    out: list[tuple[int, int]] = []
+    for p in sorted(set(int(x) for x in positions)):
+        s, e = p, p + k
+        if out and s <= out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], e))
+        else:
+            out.append((s, e))
+    return out
+
+
+def remove_spans(tokens: list[str], spans: list[tuple[int, int]]) -> list[str]:
+    """Tokens outside the (1-based, half-open) intervals."""
+    if not spans:
+        return tokens
+    drop = np.zeros(len(tokens), dtype=bool)
+    for s, e in spans:
+        drop[s - 1 : e - 1] = True
+    return [t for t, d in zip(tokens, drop) if not d]
+
+
+def dedup_substrings(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    key: str = "hash",
+    min_count: int = 2,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Remove every duplicated k-token span from every document:
+    (id, cleaned_text, n_tokens, n_removed_tokens).  Two bucketed
+    shuffles total (shingle groups, then id cogroup); only duplicated
+    positions — not texts — travel through the second."""
+    pos = dup_shingle_positions(
+        ds, id_col=id_col, text_col=text_col, k=k, key=key,
+        min_count=min_count, num_buckets=num_buckets)
+
+    def tag_docs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: b[id_col], "__text": b[text_col].fillna(""),
+            "__pos": np.int64(-1)})
+
+    def tag_pos(b: pd.DataFrame) -> pd.DataFrame:
+        # "" (not None) keeps the union's Arrow schema string-typed
+        return pd.DataFrame({
+            id_col: b[id_col], "__text": "",
+            "__pos": b["pos"].astype(np.int64)})
+
+    u = ds.map_batches(tag_docs, batch_format="pandas").union(
+        pos.map_batches(tag_pos, batch_format="pandas"))
+
+    def rebuild(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for did, g in bucket.groupby(id_col, sort=False):
+            texts = g.loc[g["__pos"] == -1, "__text"]
+            if not len(texts):  # positions for an id outside ds: ignore
+                continue
+            toks = _WORD_RE.findall((texts.iloc[0] or "").lower())
+            starts = g.loc[g["__pos"] > 0, "__pos"].tolist()
+            kept = remove_spans(toks, merge_spans(starts, k))
+            out.append((did, " ".join(kept), len(toks),
+                        len(toks) - len(kept)))
+        return pd.DataFrame(
+            out, columns=[id_col, "cleaned_text", "n_tokens",
+                          "n_removed_tokens"])
+
+    return bucketed_group_apply(u, [id_col], rebuild,
+                                num_buckets=num_buckets)
+
+
+def dup_shingles_oracle_sql(table: str = "documents", *,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            k: int = 8, min_count: int = 2) -> str:
+    """DuckDB SQL equal to :func:`dup_shingle_positions` with
+    ``key="text"`` (exact string shingles, 1-based positions)."""
+    return f"""
+WITH s AS (
+  SELECT {id_col},
+         regexp_extract_all(lower(coalesce({text_col}, '')), '[a-z0-9]+')
+           AS arr
+  FROM {table}
+), p AS (
+  SELECT {id_col}, unnest(range(1, len(arr) - {k} + 2)) AS pos, arr
+  FROM s WHERE len(arr) >= {k}
+), sh AS (
+  SELECT {id_col}, pos,
+         array_to_string(arr[pos : pos + {k} - 1], ' ') AS g
+  FROM p
+), d AS (
+  SELECT g FROM sh GROUP BY g HAVING count(*) >= {min_count}
+)
+SELECT sh.{id_col}, sh.pos FROM sh JOIN d USING (g)
+"""
