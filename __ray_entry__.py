@@ -947,6 +947,50 @@ def q_pii_redacted_docs(sf_dir: str):
 _RELEVANCE_TERMS = ["hash", "merge", "stream"]
 
 
+# deterministic URL column synthesized from doc_id (no external data);
+# covers every canonicalization rule: casing, default ports, fragments,
+# tracking params, param sort, empty path, non-URL passthrough
+_URL_SYNTH_SQL = (
+    "CASE doc_id % 4 "
+    "WHEN 0 THEN 'HTTP://WWW.Example' || (doc_id % 7) "
+    "|| '.COM:80/Path' || doc_id || '/?utm_source=feed&b=2&a=1#frag' "
+    "WHEN 1 THEN 'https://News.Site' || (doc_id % 5) "
+    "|| '.org:443//a/b?z=9&fbclid=abc&keep=1' "
+    "WHEN 2 THEN 'http://plain.example' || (doc_id % 3) || '.net' "
+    "ELSE 'not a url ' || doc_id END AS url"
+)
+
+
+def _with_url(b: pd.DataFrame) -> pd.DataFrame:
+    did = b["doc_id"]
+    m = (did % 4).to_numpy()
+    ds_ = did.astype(str)
+    import numpy as np
+
+    url = np.select(
+        [m == 0, m == 1, m == 2],
+        ["HTTP://WWW.Example" + (did % 7).astype(str) + ".COM:80/Path"
+         + ds_ + "/?utm_source=feed&b=2&a=1#frag",
+         "https://News.Site" + (did % 5).astype(str)
+         + ".org:443//a/b?z=9&fbclid=abc&keep=1",
+         "http://plain.example" + (did % 3).astype(str) + ".net"],
+        default="not a url " + ds_)
+    return b.assign(url=url)
+
+
+def q_url_canonical_docs(sf_dir: str):
+    # URL canonicalization (functions/url.py): vectorized str kernels,
+    # narrow map, no shuffle
+    from pdf_extract_ray.functions.url import canonicalize_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+    return ds.map_batches(
+        lambda b: canonicalize_batch(_with_url(b))[
+            ["doc_id", "canonical_url", "url_host", "url_domain"]],
+        batch_format="pandas",
+    )
+
+
 def q_dup_shingle_docs(sf_dir: str):
     # exact-substring dedup detection (Lee et al. 2022 style): duplicated
     # 8-token spans corpus-wide; text-key mode = collision-free SQL parity
@@ -955,6 +999,16 @@ def q_dup_shingle_docs(sf_dir: str):
 
     ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
     return dup_shingle_positions(ds, k=8, key="text")
+
+
+def q_substr_dedup_docs(sf_dir: str):
+    # end-to-end duplicated-span REMOVAL in the scale mode (key="hash",
+    # ids+hashes-only shuffles); golden oracle proves it equals the
+    # single-process literal-shingle implementation
+    from pdf_extract_ray.stages.substr import dedup_substrings
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_substrings(ds, k=8, key="hash")
 
 
 def q_repetition_stats(sf_dir: str):
@@ -1050,6 +1104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_docs": q_tfidf_docs,
         "repetition_stats": q_repetition_stats,
         "dup_shingle_docs": q_dup_shingle_docs,
+        "substr_dedup_docs": q_substr_dedup_docs,
+        "url_canonical_docs": q_url_canonical_docs,
     }
 
 
@@ -1195,6 +1251,13 @@ def _dup_shingles_oracle() -> str:
     from pdf_extract_ray.stages.substr import dup_shingles_oracle_sql
 
     return dup_shingles_oracle_sql("documents", k=8)
+
+
+def _url_canonical_oracle() -> str:
+    from pdf_extract_ray.functions.url import canonicalize_oracle_sql
+
+    return canonicalize_oracle_sql(
+        f"SELECT doc_id, {_URL_SYNTH_SQL} FROM documents")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1497,10 +1560,12 @@ def oracle_sql() -> dict[str, str]:
                         "media_pixel_features",
                         "approx_distinct_users", "similarity_topk_ivf",
                         "embedding_near_dup_lsh", "pdf_extract_docs",
-                        "near_dup_clusters", "near_dup_dedup_docs")},
+                        "near_dup_clusters", "near_dup_dedup_docs",
+                        "substr_dedup_docs")},
         "pii_redacted_docs": _pii_oracle(),
         "bm25_docs": _bm25_oracle(),
         "tfidf_docs": _tfidf_oracle(),
         "repetition_stats": _repetition_oracle(),
         "dup_shingle_docs": _dup_shingles_oracle(),
+        "url_canonical_docs": _url_canonical_oracle(),
     }

@@ -1,0 +1,123 @@
+"""URL canonicalization for web-crawl pipelines: the frozen rule set a
+crawler applies before using a URL as a dedup/partition key.
+
+Rules (in order; every rule is regex/list-op based so the DuckDB oracle
+mirrors it exactly):
+
+1. trim surrounding whitespace;
+2. rows that don't look like ``scheme://host...`` pass through trimmed
+   (host/domain empty);
+3. lowercase the scheme and the host (NEVER the path — paths are
+   case-sensitive);
+4. drop the default port (``:80`` for http, ``:443`` for https);
+5. drop the ``#fragment``;
+6. query string: split on ``&``, drop empties and tracking params
+   (``utm_*``, ``fbclid``, ``gclid``), sort the rest lexicographically,
+   re-join; no surviving params -> no ``?``;
+7. empty path -> ``/``.
+
+All vectorized (pandas str kernels + one explode/sort/groupby-join for
+the query params); no per-row Python loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+URL_PARTS_RE = (
+    r"^\s*([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?")
+TRACKING_PARAM_RE = r"(utm_[A-Za-z0-9]*|fbclid|gclid)(=|$)"
+
+
+def canonicalize_urls(urls: pd.Series) -> pd.DataFrame:
+    """DataFrame with ``canonical_url``, ``url_host`` (lowercased host,
+    port stripped) and ``url_domain`` (host minus leading ``www.``),
+    index-aligned positionally with ``urls``."""
+    s = urls.fillna("").astype(str).str.strip().reset_index(drop=True)
+    parts = s.str.extract(URL_PARTS_RE)
+    scheme = parts[0].fillna("").str.lower()
+    hostport = parts[1].fillna("").str.lower()
+    path = parts[2].fillna("")
+    query = parts[3].fillna("")
+    is_url = scheme != ""
+
+    hostport = hostport.where(
+        ~((scheme == "http") & hostport.str.endswith(":80")),
+        hostport.str.replace(r":80$", "", regex=True))
+    hostport = hostport.where(
+        ~((scheme == "https") & hostport.str.endswith(":443")),
+        hostport.str.replace(r":443$", "", regex=True))
+
+    ex = query.str.split("&").explode()
+    keep = pd.DataFrame({"i": ex.index, "p": ex})
+    keep = keep[(keep["p"] != "")
+                & ~keep["p"].str.match(TRACKING_PARAM_RE, na=False)]
+    keep = keep.sort_values(["i", "p"], kind="mergesort")
+    q2 = (keep.groupby("i")["p"].agg("&".join)
+          .reindex(pd.RangeIndex(len(s))).fillna(""))
+
+    path2 = path.where(path != "", "/")
+    canon = (scheme + "://" + hostport + path2
+             + np.where(q2 != "", "?" + q2, ""))
+    host = hostport.str.replace(r":[0-9]+$", "", regex=True)
+    domain = host.str.replace(r"^www\.", "", regex=True)
+    return pd.DataFrame({
+        "canonical_url": np.where(is_url, canon, s),
+        "url_host": np.where(is_url, host, ""),
+        "url_domain": np.where(is_url, domain, ""),
+    })
+
+
+def canonicalize_batch(batch: pd.DataFrame,
+                       url_col: str = "url") -> pd.DataFrame:
+    out = batch.reset_index(drop=True).copy()
+    cols = canonicalize_urls(out[url_col])
+    for c in cols.columns:
+        out[c] = cols[c]
+    return out
+
+
+def canonicalize_oracle_sql(source_sql: str, *, url_expr: str = "url",
+                            id_cols: str = "doc_id") -> str:
+    """DuckDB SQL equal to :func:`canonicalize_urls` over
+    ``source_sql`` rows (same regexes, same list ops, same ordering)."""
+    return f"""
+WITH u AS (
+  SELECT {id_cols}, trim({url_expr}) AS url FROM ({source_sql})
+), p AS (
+  SELECT {id_cols}, url,
+    lower(regexp_extract(url,
+      '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)) AS hostport0,
+    regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.\\-]*://[^?#]*\\?([^#]*)', 1) AS query
+  FROM u
+), q AS (
+  SELECT {id_cols}, url, scheme, path, query,
+    CASE WHEN scheme = 'http' AND hostport0 LIKE '%:80'
+           THEN regexp_replace(hostport0, ':80$', '')
+         WHEN scheme = 'https' AND hostport0 LIKE '%:443'
+           THEN regexp_replace(hostport0, ':443$', '')
+         ELSE hostport0 END AS hostport,
+    array_to_string(list_sort(list_filter(string_split(query, '&'),
+      x -> x <> '' AND NOT regexp_matches(x,
+        '^(utm_[A-Za-z0-9]*|fbclid|gclid)(=|$)'))), '&') AS q2
+  FROM p
+)
+SELECT {id_cols},
+  CASE WHEN scheme = '' THEN url
+       ELSE scheme || '://' || hostport
+            || (CASE WHEN path = '' THEN '/' ELSE path END)
+            || (CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END)
+  END AS canonical_url,
+  CASE WHEN scheme = '' THEN ''
+       ELSE regexp_replace(hostport, ':[0-9]+$', '') END AS url_host,
+  CASE WHEN scheme = '' THEN ''
+       ELSE regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
+                           '^www\\.', '') END AS url_domain
+FROM q
+"""

@@ -517,10 +517,43 @@ def gen_pdf_extract(sf_dir: str) -> dict[str, pa.Table]:
     })}
 
 
+def gen_substr_dedup(sf_dir: str) -> dict[str, pa.Table]:
+    """Single-process mirror of stages/substr.dedup_substrings(k=8):
+    plain dict counting of literal 8-word shingles, inline span merge +
+    token removal — topology-independent of the Ray rolling-hash path
+    (which must agree since its hash keys collide only at ~2^-64)."""
+    k = 8
+    word = re.compile(r"[a-z0-9]+")
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    toks: dict[int, list[str]] = {}
+    counts: defaultdict[str, int] = defaultdict(int)
+    for r in docs.itertuples(index=False):
+        t = word.findall((r.text or "").lower())
+        toks[int(r.doc_id)] = t
+        for i in range(len(t) - k + 1):
+            counts[" ".join(t[i : i + k])] += 1
+    rows = []
+    for did, t in toks.items():
+        starts = [i + 1 for i in range(len(t) - k + 1)
+                  if counts[" ".join(t[i : i + k])] >= 2]
+        drop = [False] * len(t)
+        for s in starts:
+            for j in range(s - 1, min(s - 1 + k, len(t))):
+                drop[j] = True
+        kept = [w for w, d in zip(t, drop) if not d]
+        rows.append((did, " ".join(kept), len(t), len(t) - len(kept)))
+    df = pd.DataFrame(rows, columns=["doc_id", "cleaned_text", "n_tokens",
+                                     "n_removed_tokens"])
+    return {"substr_dedup_docs": pa.Table.from_pandas(
+        df, preserve_index=False)}
+
+
 GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_pair_analyzers, gen_layout, gen_media, gen_media_pixels,
               gen_approx_distinct,
-              gen_similarity_ivf, gen_embedding_lsh, gen_pdf_extract)
+              gen_similarity_ivf, gen_embedding_lsh, gen_pdf_extract,
+              gen_substr_dedup)
 
 
 def generate_all(sf_dir: str) -> dict[str, pa.Table]:
