@@ -113,7 +113,10 @@ def dup_shingle_positions(
         sizes = bucket.groupby("g", sort=False)["g"].transform("size")
         return bucket.loc[sizes >= min_count, [id_col, "pos"]]
 
-    return bucketed_group_apply(rows, ["g"], dups, num_buckets=num_buckets)
+    # narrow rows (hash/short-shingle + id + pos): coalesce the tiny
+    # upstream blocks so the all-to-all's fixed cost doesn't dominate
+    return bucketed_group_apply(rows, ["g"], dups, num_buckets=num_buckets,
+                                pre_batch_size=65536)
 
 
 def merge_spans(positions, k: int) -> list[tuple[int, int]]:
