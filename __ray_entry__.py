@@ -978,6 +978,20 @@ def _with_url(b: pd.DataFrame) -> pd.DataFrame:
     return b.assign(url=url)
 
 
+def q_webtext_tiers(sf_dir: str):
+    # composed tier extraction: quality + repetition signals fused into
+    # one narrow map + frozen rule-based tier label (pipelines/webtext)
+    from pdf_extract_ray.pipelines.webtext import webtext_tiers
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return webtext_tiers(ds).map_batches(
+        lambda b: b[["doc_id", "n_words", "stop_ratio", "mean_word_len",
+                     "dup_word_frac", "top_bigram_frac", "max_word_run",
+                     "tier"]],
+        batch_format="pandas",
+    )
+
+
 def q_url_canonical_docs(sf_dir: str):
     # URL canonicalization (functions/url.py): vectorized str kernels,
     # narrow map, no shuffle
@@ -1106,6 +1120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_shingle_docs": q_dup_shingle_docs,
         "substr_dedup_docs": q_substr_dedup_docs,
         "url_canonical_docs": q_url_canonical_docs,
+        "webtext_tiers": q_webtext_tiers,
     }
 
 
@@ -1219,6 +1234,46 @@ def _quality_class_sql(k: str, e: str) -> str:
         "     THEN 'no_korean_in_kor' "
         "ELSE 'valid_candidate' END"
     )
+
+
+def _quality_scores_sql() -> str:
+    return (
+        "WITH b AS (SELECT doc_id, coalesce(text,'') AS t FROM documents), "
+        "c AS (SELECT doc_id, "
+        "  greatest(length(t), 1) AS chars, "
+        f"  greatest({_word_count_sql('t')}, 1) AS words, "
+        f"  {_word_count_sql('t')} AS words0, "
+        "  len(regexp_extract_all(t, '[.,!?;:]')) AS punct, "
+        "  len(regexp_extract_all(t, '[0-9]')) AS digits, "
+        "  len(regexp_extract_all(lower(t), "
+        "      '\\b(?:the|and|of|a|to|in|is|that|for|on)\\b')) AS stops, "
+        f"  length(regexp_replace(t, '{_WS}+', '', 'g')) AS word_chars "
+        "FROM b) "
+        "SELECT doc_id, round(punct / chars::DOUBLE, 4) AS punct_ratio, "
+        "round(digits / chars::DOUBLE, 4) AS digit_ratio, "
+        "round(stops / words::DOUBLE, 4) AS stop_ratio, "
+        "round(word_chars / words::DOUBLE, 4) AS mean_word_len FROM c"
+    )
+
+
+def _webtext_tiers_oracle() -> str:
+    # compose the two signal oracles + the frozen TIER_RULES case (same
+    # first-match order as pipelines/webtext.tier_batch's np.select)
+    from pdf_extract_ray.pipelines.webtext import TIER_RULES as R
+
+    return f"""
+WITH q AS ({_quality_scores_sql()}), r AS ({_repetition_oracle()})
+SELECT q.doc_id, r.n_words, q.stop_ratio, q.mean_word_len,
+       r.dup_word_frac, r.top_bigram_frac, r.max_word_run,
+  CASE WHEN r.n_words < {R["min_words"]} THEN 'reject_short'
+       WHEN r.dup_word_frac > {R["max_dup_word_frac"]}
+            OR r.max_word_run >= {R["max_word_run"]}
+            OR r.top_bigram_frac > {R["max_top_bigram_frac"]}
+         THEN 'reject_repetitive'
+       WHEN q.stop_ratio >= {R["min_stop_ratio"]} THEN 'tier1'
+       ELSE 'tier2' END AS tier
+FROM q JOIN r USING (doc_id)
+"""
 
 
 def _pii_oracle() -> str:
@@ -1361,23 +1416,7 @@ def oracle_sql() -> dict[str, str]:
             "length(coalesce(text,'')) AS n_chars_out "
             "FROM documents"
         ),
-        "quality_scores": (
-            "WITH b AS (SELECT doc_id, coalesce(text,'') AS t FROM documents), "
-            "c AS (SELECT doc_id, "
-            "  greatest(length(t), 1) AS chars, "
-            f"  greatest({_word_count_sql('t')}, 1) AS words, "
-            f"  {_word_count_sql('t')} AS words0, "
-            "  len(regexp_extract_all(t, '[.,!?;:]')) AS punct, "
-            "  len(regexp_extract_all(t, '[0-9]')) AS digits, "
-            "  len(regexp_extract_all(lower(t), "
-            "      '\\b(?:the|and|of|a|to|in|is|that|for|on)\\b')) AS stops, "
-            f"  length(regexp_replace(t, '{_WS}+', '', 'g')) AS word_chars "
-            "FROM b) "
-            "SELECT doc_id, round(punct / chars::DOUBLE, 4) AS punct_ratio, "
-            "round(digits / chars::DOUBLE, 4) AS digit_ratio, "
-            "round(stops / words::DOUBLE, 4) AS stop_ratio, "
-            "round(word_chars / words::DOUBLE, 4) AS mean_word_len FROM c"
-        ),
+        "quality_scores": _quality_scores_sql(),
         "fingerprints": f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents",
         "content_filter_docs": (
             "SELECT doc_id FROM documents WHERE NOT ("
@@ -1568,4 +1607,5 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _repetition_oracle(),
         "dup_shingle_docs": _dup_shingles_oracle(),
         "url_canonical_docs": _url_canonical_oracle(),
+        "webtext_tiers": _webtext_tiers_oracle(),
     }

@@ -70,6 +70,21 @@ def cmd_quality(args) -> int:
         ray.shutdown()
 
 
+def cmd_webtext(args) -> int:
+    from pdf_extract_ray.pipelines.webtext import webtext_run
+
+    ray = _ray_session(args.num_cpus)
+    try:
+        stats = webtext_run(
+            args.input, args.out, keep_rejects=args.keep_rejects,
+            files_per_partition=args.files_per_partition,
+        )
+        print(json.dumps({"run": stats}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def cmd_status(args) -> int:
     from pdf_extract_ray.state.manifest import Manifest
 
@@ -133,11 +148,16 @@ def main(argv=None) -> int:
     qp.add_argument("--global-dedup", action="store_true",
                     help="add a final cross-partition exact dedup pass "
                          "into out/global/ (manifest-recorded, resume-safe)")
+    wp = sub.add_parser("webtext", help="run/resume webtext tier extraction")
+    add_common(wp)
+    wp.add_argument("--keep-rejects", action="store_true",
+                    help="also write the reject_* tiers to disk")
     add_common(sub.add_parser("status", help="manifest rollup"), with_input=False)
     add_common(sub.add_parser("retry-failed", help="re-run failed partitions"))
 
     args = p.parse_args(argv)
     return {"extract": cmd_extract, "quality": cmd_quality,
+            "webtext": cmd_webtext,
             "status": cmd_status, "retry-failed": cmd_retry_failed}[args.cmd](args)
 
 

@@ -17,7 +17,9 @@ def _rows_written(out_dir: str) -> int:
     import pyarrow.parquet as pq
 
     total = 0
-    for p in glob.glob(os.path.join(out_dir, "*.parquet")):
+    # "**" also counts partition_cols layouts (e.g. tier=<label>/ subdirs)
+    for p in glob.glob(os.path.join(out_dir, "**", "*.parquet"),
+                       recursive=True):
         total += pq.ParquetFile(p).metadata.num_rows
     return total
 

@@ -1,0 +1,117 @@
+"""Webtext tier extraction: the composed pipeline a Common-Crawl-style
+corpus goes through between raw extracted text and training shards —
+quality + repetition signals fused into ONE narrow map, a frozen
+rule-based tier label, and a resumable partitioned writer that lays the
+output out by tier.
+
+Tier rules (frozen; order matters — first match wins; every signal is
+the 4-digit-rounded value both engines emit, so the comparisons are
+bit-stable and the whole pipeline is DuckDB-oracle-checkable):
+
+1. ``reject_short``       n_words < 20
+2. ``reject_repetitive``  dup_word_frac > 0.65 OR max_word_run >= 3
+                          OR top_bigram_frac > 0.1
+3. ``tier1``              stop_ratio >= 0.06
+4. ``tier2``              otherwise
+
+Scale shape: signal computation + tiering is one fused ``map_batches``
+(zero shuffles, embarrassingly parallel); the partitioned writer is the
+manifest-driven resume loop every other pipeline here uses
+(``state/manifest.run_partitioned``).  Thresholds are corpus-calibrated
+constants in ``TIER_RULES`` — a rule-pack analogue of the reference's
+quality classes (euaa_사례/sentences/metadata_generator.py:92-461).
+"""
+
+from __future__ import annotations
+
+import glob
+
+import numpy as np
+import pandas as pd
+from ray.data import Dataset
+
+from pdf_extract_ray.stages.textquality import (
+    quality_score_batch,
+    repetition_stats_batch,
+)
+
+TIER_RULES = {
+    "min_words": 20,
+    "max_dup_word_frac": 0.65,
+    "max_word_run": 3,
+    "max_top_bigram_frac": 0.1,
+    "min_stop_ratio": 0.06,
+}
+
+SIGNAL_COLS = ["n_words", "stop_ratio", "mean_word_len", "dup_word_frac",
+               "top_bigram_frac", "max_word_run"]
+
+
+def tier_batch(batch: pd.DataFrame, text_col: str = "text",
+               rules: dict = TIER_RULES) -> pd.DataFrame:
+    """Append the signal columns and the ``tier`` label to one batch."""
+    out = repetition_stats_batch(batch, text_col)
+    out = quality_score_batch(out, text_col)
+    out["tier"] = np.select(
+        [
+            out["n_words"] < rules["min_words"],
+            (out["dup_word_frac"] > rules["max_dup_word_frac"])
+            | (out["max_word_run"] >= rules["max_word_run"])
+            | (out["top_bigram_frac"] > rules["max_top_bigram_frac"]),
+            out["stop_ratio"] >= rules["min_stop_ratio"],
+        ],
+        ["reject_short", "reject_repetitive", "tier1"],
+        default="tier2",
+    )
+    return out
+
+
+def webtext_tiers(ds: Dataset, text_col: str = "text",
+                  rules: dict = TIER_RULES) -> Dataset:
+    """Dataset-level tiering: one narrow fused stage."""
+    return ds.map_batches(
+        lambda b: tier_batch(b, text_col, rules), batch_format="pandas")
+
+
+def webtext_run(
+    input_glob: str,
+    out_dir: str,
+    *,
+    text_col: str = "text",
+    rules: dict = TIER_RULES,
+    keep_rejects: bool = False,
+    files_per_partition: int = 8,
+    min_rows_per_file: int = 5_000,
+) -> dict:
+    """Run (or resume) tier extraction over parquet shards.  Output:
+    ``out_dir/part=<id>/tier=<label>/*.parquet`` + manifest — a failed
+    run skips finished partitions on re-run; ``keep_rejects=False``
+    drops the reject tiers at the filter (they never hit disk)."""
+    import ray.data as rd
+
+    from pdf_extract_ray.pipelines.runner import _rows_written
+    from pdf_extract_ray.state.manifest import run_partitioned
+    from pdf_extract_ray import __version__
+
+    def pipeline(files: list[str], tmp_out: str) -> int:
+        ds = rd.read_parquet(files)
+        tiers = webtext_tiers(ds, text_col, rules)
+        if not keep_rejects:
+            tiers = tiers.map_batches(
+                lambda b: b[~b["tier"].str.startswith("reject_")],
+                batch_format="pandas")
+        tiers.write_parquet(tmp_out, partition_cols=["tier"],
+                            min_rows_per_file=min_rows_per_file)
+        return _rows_written(tmp_out)
+
+    files = sorted(glob.glob(input_glob))
+    if not files:
+        raise FileNotFoundError(f"no input files match {input_glob}")
+    return run_partitioned(
+        files,
+        out_dir,
+        pipeline,
+        files_per_partition=files_per_partition,
+        stage_versions={"engine": __version__, "pipeline": "webtext",
+                        "rules": repr(sorted(rules.items()))},
+    )

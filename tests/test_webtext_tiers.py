@@ -1,0 +1,90 @@
+"""Webtext tier extraction (pipelines/webtext.py): rule semantics, tier
+coverage on the test corpus, resumable partitioned run."""
+
+import glob
+import os
+import shutil
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from pdf_extract_ray.pipelines.webtext import (
+    TIER_RULES,
+    tier_batch,
+    webtext_run,
+    webtext_tiers,
+)
+
+
+def _tier_of(text):
+    return tier_batch(pd.DataFrame({"doc_id": [0], "text": [text]}))[
+        "tier"].iloc[0]
+
+
+def test_rule_order_first_match_wins():
+    # short AND repetitive -> short wins (rule 1 before rule 2)
+    assert _tier_of("spam spam spam spam") == "reject_short"
+    # long + repetitive run
+    assert _tier_of("the quick brown fox " * 10 + "go go go go") \
+        == "reject_repetitive"
+    # long, varied, stopword-rich
+    assert _tier_of(
+        "the cat sat on a mat and looked to the sky for it is that "
+        "kind of day when every animal wanders far from home quietly") \
+        == "tier1"
+    # long, varied, stopword-poor
+    words = " ".join(f"word{i}" for i in range(40))
+    assert _tier_of(words) == "tier2"
+
+
+def test_all_tiers_present_on_corpus(ray_session):
+    ds = rd.read_parquet("/root/testdata/sf0.01/documents.parquet")
+    got = webtext_tiers(ds).to_pandas()
+    counts = got["tier"].value_counts().to_dict()
+    assert set(counts) >= {"tier1", "tier2", "reject_repetitive",
+                           "reject_short"}, counts
+    assert sum(counts.values()) == len(got)
+
+
+def test_webtext_run_partitioned_and_resume(ray_session, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    half = len(docs) // 2
+    docs.iloc[:half].to_parquet(f"{src}/a.parquet")
+    docs.iloc[half:].to_parquet(f"{src}/b.parquet")
+    out = str(tmp_path / "out")
+
+    stats = webtext_run(f"{src}/*.parquet", out, files_per_partition=1,
+                        min_rows_per_file=10)
+    assert stats["completed"] == 2 and stats["skipped"] == 0
+    files = glob.glob(f"{out}/part=*/tier=*/*.parquet")
+    assert files, "expected tier-partitioned parquet output"
+    tiers_on_disk = {p.split("tier=")[1].split("/")[0] for p in files}
+    assert not any(t.startswith("reject_") for t in tiers_on_disk)
+    n_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in files)
+
+    # resume: nothing reprocessed
+    stats2 = webtext_run(f"{src}/*.parquet", out, files_per_partition=1,
+                         min_rows_per_file=10)
+    assert stats2["completed"] == 0 and stats2["skipped"] == 2
+    files2 = glob.glob(f"{out}/part=*/tier=*/*.parquet")
+    assert sum(pq.ParquetFile(p).metadata.num_rows for p in files2) == n_rows
+
+    # keep_rejects writes every tier
+    out2 = str(tmp_path / "out2")
+    webtext_run(f"{src}/*.parquet", out2, files_per_partition=1,
+                keep_rejects=True, min_rows_per_file=10)
+    all_tiers = {p.split("tier=")[1].split("/")[0]
+                 for p in glob.glob(f"{out2}/part=*/tier=*/*.parquet")}
+    assert any(t.startswith("reject_") for t in all_tiers)
+
+
+def test_rules_frozen():
+    # the SQL oracle interpolates these exact constants; changing them
+    # must be a deliberate, golden-regenerating decision
+    assert TIER_RULES == {
+        "min_words": 20, "max_dup_word_frac": 0.65, "max_word_run": 3,
+        "max_top_bigram_frac": 0.1, "min_stop_ratio": 0.06}
