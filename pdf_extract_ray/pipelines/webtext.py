@@ -80,13 +80,20 @@ def webtext_run(
     text_col: str = "text",
     rules: dict = TIER_RULES,
     keep_rejects: bool = False,
+    extract_first: bool = False,
     files_per_partition: int = 8,
     min_rows_per_file: int = 5_000,
 ) -> dict:
     """Run (or resume) tier extraction over parquet shards.  Output:
     ``out_dir/part=<id>/tier=<label>/*.parquet`` + manifest — a failed
     run skips finished partitions on re-run; ``keep_rejects=False``
-    drops the reject tiers at the filter (they never hit disk)."""
+    drops the reject tiers at the filter (they never hit disk).
+
+    ``extract_first=True`` takes raw Common-Crawl-style pages (url, html,
+    ...) instead of pre-extracted documents: the flagship fused
+    extraction runs in the SAME streaming plan (extract -> signals ->
+    tier -> write, still zero extra materializations) and tiering reads
+    its ``extracted_text``."""
     import ray.data as rd
 
     from pdf_extract_ray.pipelines.runner import _rows_written
@@ -95,7 +102,13 @@ def webtext_run(
 
     def pipeline(files: list[str], tmp_out: str) -> int:
         ds = rd.read_parquet(files)
-        tiers = webtext_tiers(ds, text_col, rules)
+        col = text_col
+        if extract_first:
+            from pdf_extract_ray.pipelines.extract import extract_pages_fused
+
+            ds = extract_pages_fused(ds)
+            col = "extracted_text"
+        tiers = webtext_tiers(ds, col, rules)
         if not keep_rejects:
             tiers = tiers.map_batches(
                 lambda b: b[~b["tier"].str.startswith("reject_")],
@@ -113,5 +126,6 @@ def webtext_run(
         pipeline,
         files_per_partition=files_per_partition,
         stage_versions={"engine": __version__, "pipeline": "webtext",
+                        "extract_first": str(extract_first),
                         "rules": repr(sorted(rules.items()))},
     )

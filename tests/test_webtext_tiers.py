@@ -88,3 +88,23 @@ def test_rules_frozen():
     assert TIER_RULES == {
         "min_words": 20, "max_dup_word_frac": 0.65, "max_word_run": 3,
         "max_top_bigram_frac": 0.1, "min_stop_ratio": 0.06}
+
+
+def test_webtext_run_extract_first_from_pages(ray_session, tmp_path):
+    from pdf_extract_ray.corpus import write_pages_corpus
+
+    src = str(tmp_path / "pages")
+    write_pages_corpus(src, n_docs=200, seed=3, docs_per_file=100)
+    out = str(tmp_path / "out")
+    stats = webtext_run(f"{src}/*.parquet", out, extract_first=True,
+                        keep_rejects=True, files_per_partition=1,
+                        min_rows_per_file=10)
+    assert stats["completed"] == 2
+    files = glob.glob(f"{out}/part=*/tier=*/*.parquet")
+    got = pd.concat(
+        [pd.read_parquet(p).assign(
+            tier=p.split("tier=")[1].split("/")[0]) for p in files])
+    assert len(got) == 200
+    # extraction columns travel with the tier signals
+    assert {"url", "extracted_text", "status", "tier"} <= set(got.columns)
+    assert got["tier"].nunique() >= 2
