@@ -1055,6 +1055,55 @@ def q_tfidf_docs(sf_dir: str):
     return tfidf_scores(ds, _RELEVANCE_TERMS)
 
 
+def q_split_assignment(sf_dir: str):
+    # deterministic train/val/test assignment (stages/split.py): pure
+    # hash of the id, narrow map, zero shuffles; md5 = SQL-parity mode
+    from pdf_extract_ray.stages.split import assign_split
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+    return assign_split(ds, "doc_id", method="md5")
+
+
+def q_contamination(sf_dir: str):
+    # benchmark decontamination (stages/decontam.py): eval set
+    # synthesized as every 20th doc (no external data), its 8-gram set
+    # broadcast once; corpus side is one narrow probe map. key="text" is
+    # the collision-free SQL-parity mode (key="hash" is the scale mode).
+    from pdf_extract_ray.stages.decontam import contamination_stats
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = (
+        ds.map_batches(lambda b: b[b["doc_id"] % 20 == 0],
+                       batch_format="pandas")
+        .take_all())
+    return contamination_stats(
+        ds, [r["text"] for r in bench], n=8, key="text")
+
+
+def q_host_rollup(sf_dir: str):
+    # per-domain crawl rollup: canonicalize (narrow) -> map-side partial
+    # aggregate -> small bucketed merge (stages/agg.grouped_aggregate)
+    from pdf_extract_ray.functions.url import canonicalize_batch
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+    from pdf_extract_ray.util import round_half_away
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = canonicalize_batch(_with_url(b))
+        b["n_chars"] = b["text"].fillna("").str.len().astype("int64")
+        return b[["url_domain", "doc_id", "n_chars"]]
+
+    agg = grouped_aggregate(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["url_domain"],
+        {"n_docs": ("doc_id", "count"), "total_chars": ("n_chars", "sum")})
+    return agg.map_batches(
+        lambda b: b.assign(
+            avg_chars=round_half_away(b["total_chars"] / b["n_docs"], 4)),
+        batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_counts": q_corpus_counts,
@@ -1121,6 +1170,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substr_dedup_docs": q_substr_dedup_docs,
         "url_canonical_docs": q_url_canonical_docs,
         "webtext_tiers": q_webtext_tiers,
+        "split_assignment": q_split_assignment,
+        "contamination": q_contamination,
+        "host_rollup": q_host_rollup,
     }
 
 
@@ -1313,6 +1365,34 @@ def _url_canonical_oracle() -> str:
 
     return canonicalize_oracle_sql(
         f"SELECT doc_id, {_URL_SYNTH_SQL} FROM documents")
+
+
+def _split_oracle() -> str:
+    from pdf_extract_ray.stages.split import split_oracle_sql
+
+    return split_oracle_sql("SELECT doc_id FROM documents")
+
+
+def _contamination_oracle() -> str:
+    from pdf_extract_ray.stages.decontam import contamination_oracle_sql
+
+    return contamination_oracle_sql(
+        "documents", n=8, bench_pred="doc_id % 20 = 0")
+
+
+def _host_rollup_oracle() -> str:
+    from pdf_extract_ray.functions.url import canonicalize_oracle_sql
+
+    canon = canonicalize_oracle_sql(
+        f"SELECT doc_id, {_URL_SYNTH_SQL} FROM documents")
+    return (
+        f"WITH canon AS ({canon}), "
+        "chars AS (SELECT doc_id, length(coalesce(text, '')) AS n_chars "
+        "FROM documents) "
+        "SELECT url_domain, count(*) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+        "round(sum(n_chars) * 1.0 / count(*), 4) AS avg_chars "
+        "FROM canon JOIN chars USING (doc_id) GROUP BY url_domain")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1608,4 +1688,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_shingle_docs": _dup_shingles_oracle(),
         "url_canonical_docs": _url_canonical_oracle(),
         "webtext_tiers": _webtext_tiers_oracle(),
+        "split_assignment": _split_oracle(),
+        "contamination": _contamination_oracle(),
+        "host_rollup": _host_rollup_oracle(),
     }

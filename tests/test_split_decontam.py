@@ -1,0 +1,103 @@
+"""Deterministic split assignment (stages/split.py) and benchmark
+decontamination (stages/decontam.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from pdf_extract_ray.stages.decontam import (
+    benchmark_gram_set,
+    contamination_stats,
+)
+from pdf_extract_ray.stages.split import (
+    assign_split,
+    assign_split_batch,
+    split_thresholds,
+)
+
+
+def test_split_thresholds_validate():
+    with pytest.raises(ValueError):
+        split_thresholds({})
+    with pytest.raises(ValueError):
+        split_thresholds({"a": 0.5, "b": 0.4})  # sums to 0.9
+    th = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    assert [t[0] for t in th] == ["train", "val", "test"]
+    assert th[0][1] == format(int(0.8 * 16 ** 8), "08x")
+
+
+@pytest.mark.parametrize("method", ["md5", "fast"])
+def test_split_deterministic_and_batch_invariant(method):
+    ids = pd.DataFrame({"doc_id": np.arange(1000)})
+    whole = assign_split_batch(ids, method=method)["split"]
+    # batching must not change the assignment (pure function of the id)
+    parts = pd.concat([
+        assign_split_batch(ids.iloc[:300], method=method),
+        assign_split_batch(ids.iloc[300:], method=method),
+    ])["split"].reset_index(drop=True)
+    assert (whole == parts).all()
+    # proportions approximately honor the fractions
+    frac = whole.value_counts(normalize=True)
+    assert abs(frac.get("train", 0) - 0.8) < 0.06
+    assert abs(frac.get("val", 0) - 0.1) < 0.04
+    assert abs(frac.get("test", 0) - 0.1) < 0.04
+
+
+def test_split_bad_method():
+    with pytest.raises(ValueError):
+        assign_split_batch(pd.DataFrame({"doc_id": [1]}), method="seeded")
+
+
+def test_split_dataset_matches_batch(ray_session):
+    df = pd.DataFrame({"doc_id": np.arange(200)})
+    got = (assign_split(rd.from_pandas(df).repartition(4), "doc_id")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = assign_split_batch(df)
+    assert (got["split"].to_numpy() == want["split"].to_numpy()).all()
+
+
+BENCH = ["the quick brown fox jumps over the lazy dog again and again",
+         "pack my box with five dozen liquor jugs right now please"]
+CLEAN = "completely unrelated content about distributed stream engines"
+
+
+def _corpus():
+    return pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            # contains a verbatim bench span
+            "prefix words " + BENCH[0] + " suffix words",
+            CLEAN + " with nothing shared at all beyond single words",
+            BENCH[1],          # the bench text itself
+            "tiny",            # shorter than n -> zero windows
+        ],
+    })
+
+
+@pytest.mark.parametrize("key", ["text", "hash"])
+def test_contamination_flags(ray_session, key):
+    ds = rd.from_pandas(_corpus()).repartition(2)
+    got = (contamination_stats(ds, BENCH, n=8, key=key)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["contaminated"].tolist() == [True, False, True, False]
+    assert got.loc[3, "n_grams"] == 0 and got.loc[3, "hit_frac"] == 0.0
+    # bench text itself: every window hits
+    assert got.loc[2, "n_hits"] == got.loc[2, "n_grams"] > 0
+    assert got.loc[2, "hit_frac"] == 1.0
+
+
+def test_contamination_hash_equals_text_mode(ray_session):
+    ds = rd.from_pandas(_corpus())
+    a = (contamination_stats(ds, BENCH, n=8, key="text")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (contamination_stats(ds, BENCH, n=8, key="hash")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_benchmark_gram_set_shapes():
+    h = benchmark_gram_set(BENCH, 8, "hash")
+    t = benchmark_gram_set(BENCH, 8, "text")
+    assert h.dtype == np.uint64 and len(h) == len(t)
+    assert all(len(g.split(" ")) == 8 for g in t)
