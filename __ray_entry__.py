@@ -1080,6 +1080,20 @@ def q_contamination(sf_dir: str):
         ds, [r["text"] for r in bench], n=8, key="text")
 
 
+def q_perplexity_buckets(sf_dir: str):
+    # CCNet-style perplexity bucketing (stages/lm.py): capped bigram LM
+    # trained on the deterministic doc_id%10==0 slice (bounded model =
+    # the "fixed pretrained LM" analogue), broadcast once; scoring is one
+    # narrow map. Full float pipeline mirrored in SQL.
+    from pdf_extract_ray.stages.lm import perplexity_buckets, train_bigram_lm
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    train = ds.map_batches(lambda b: b[b["doc_id"] % 10 == 0],
+                           batch_format="pandas")
+    model = train_bigram_lm(train)
+    return perplexity_buckets(ds, model)
+
+
 def q_host_rollup(sf_dir: str):
     # per-domain crawl rollup: canonicalize (narrow) -> map-side partial
     # aggregate -> small bucketed merge (stages/agg.grouped_aggregate)
@@ -1173,6 +1187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assignment": q_split_assignment,
         "contamination": q_contamination,
         "host_rollup": q_host_rollup,
+        "perplexity_buckets": q_perplexity_buckets,
     }
 
 
@@ -1378,6 +1393,12 @@ def _contamination_oracle() -> str:
 
     return contamination_oracle_sql(
         "documents", n=8, bench_pred="doc_id % 20 = 0")
+
+
+def _perplexity_oracle() -> str:
+    from pdf_extract_ray.stages.lm import perplexity_oracle_sql
+
+    return perplexity_oracle_sql("documents")
 
 
 def _host_rollup_oracle() -> str:
@@ -1691,4 +1712,5 @@ def oracle_sql() -> dict[str, str]:
         "split_assignment": _split_oracle(),
         "contamination": _contamination_oracle(),
         "host_rollup": _host_rollup_oracle(),
+        "perplexity_buckets": _perplexity_oracle(),
     }

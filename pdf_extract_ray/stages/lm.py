@@ -1,0 +1,229 @@
+"""Perplexity-based quality bucketing — the CCNet pipeline step (Wenzek
+et al. 2019, "CCNet: Extracting High Quality Monolingual Datasets from
+Web Crawl Data" — public paper): score every document with a language
+model trained on a reference slice, then bucket head/middle/tail by
+perplexity.  Low-perplexity pages read like the reference corpus; high
+perplexity flags gibberish, boilerplate and wrong-language text.
+
+Simplification vs CCNet (which uses a pretrained char-5-gram Kneser-Ney
+KenLM): an add-alpha word-BIGRAM model trained on a deterministic slice
+of the corpus itself — every step stays SQL-expressible, so the whole
+float pipeline (counts -> smoothed log-probs -> mean -> exp -> round(4))
+is oracle-checked end to end.
+
+Model: ``P(w2|w1) = (c(w1,w2) + alpha) / (c(w1) + alpha * V)`` where the
+counts come from the training slice, capped to the top ``max_bigrams`` /
+``max_vocab`` entries (count desc, lexicographic tie-break — the cap is
+the CCNet "fixed pretrained model" analogue: the model size is a frozen
+constant, NOT proportional to the corpus) and ``V = |unigram table| + 1``
+(+1 = the OOV type).  Uncapped unigrams/bigrams score as count 0.
+``log_ppl = -mean(ln P)`` over a doc's bigram positions; ``perplexity =
+round(exp(log_ppl), 4)``; docs with < 2 tokens get perplexity NULL and
+bucket ``"short"``.
+
+Scale shape:
+
+* Training counts: vectorized per-batch partial counts (pandas groupby
+  inside ``map_batches`` — shrinks the shuffle to distinct-ngram rows per
+  block), ONE grouped merge (``agg.grouped_aggregate``), then a
+  sort+limit over the aggregated count table for the cap.  The count
+  table the sort sees is already collapsed (vocab-sized, not
+  corpus-sized).  The capped model materializes to the driver BOUNDED BY
+  ``max_bigrams + max_vocab`` rows by construction.
+* Scoring: model broadcast ONCE via ``ray.put``; one narrow
+  ``map_batches`` with vectorized pandas ``map`` lookups (no shuffle,
+  texts never move).
+
+Tokenization is the shared ``[a-z0-9]+``-on-lowercase family
+(``substr._tokenize`` / repetition filters / decontamination), so SQL
+mirrors byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from ray.data import Dataset
+
+from pdf_extract_ray.util import round_half_away
+
+DEFAULT_ALPHA = 0.1
+# frozen head/middle/tail perplexity thresholds (rule-pack constants,
+# corpus-calibrated like TIER_RULES — set at the testdata corpus's
+# ~25th/~80th perplexity percentiles so all buckets populate; CCNet uses
+# per-language thresholds from its pretrained models)
+DEFAULT_HEAD_MAX = 35.0
+DEFAULT_TAIL_MIN = 45.0
+
+_TOKEN_RE = r"[a-z0-9]+"
+
+
+def _words(texts: pd.Series) -> pd.Series:
+    return texts.fillna("").str.lower().str.findall(_TOKEN_RE)
+
+
+def _bigram_rows(batch: pd.DataFrame, text_col: str) -> pd.DataFrame:
+    """(w1, w2, c) partial counts for one batch, plus (w1, '', c) unigram
+    partial rows (w2='' marks a unigram — '' never matches [a-z0-9]+)."""
+    w = _words(batch[text_col])
+    ex = w.explode().dropna()
+    if not len(ex):
+        return pd.DataFrame({"w1": [], "w2": [], "c": []}).astype(
+            {"w1": str, "w2": str, "c": np.int64})
+    df = pd.DataFrame({"i": ex.index.to_numpy(), "w1": ex.to_numpy()})
+    uni = (df.groupby("w1", sort=False).size().reset_index(name="c")
+           .assign(w2=""))
+    nxt = df.groupby("i", sort=False)["w1"].shift(-1)
+    bi = df.assign(w2=nxt).dropna(subset=["w2"])
+    big = (bi.groupby(["w1", "w2"], sort=False).size().reset_index(name="c")
+           if len(bi) else pd.DataFrame({"w1": [], "w2": [], "c": []}))
+    out = pd.concat([uni[["w1", "w2", "c"]], big[["w1", "w2", "c"]]])
+    return out.astype({"w1": str, "w2": str, "c": np.int64})
+
+
+def train_bigram_lm(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    max_vocab: int = 50_000,
+    max_bigrams: int = 200_000,
+) -> dict:
+    """Train the capped model over ``ds`` (pass the TRAINING SLICE, e.g.
+    a deterministic ``doc_id % k == 0`` filter — the model must be a
+    bounded reference, not the whole corpus).  Returns
+    ``{"uni": Series(w1 -> c), "bi": Series("w1 w2" -> c), "V": int}``.
+    """
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    counts = grouped_aggregate(
+        ds.map_batches(lambda b: _bigram_rows(b, text_col),
+                       batch_format="pandas"),
+        ["w1", "w2"],
+        {"c": ("c", "sum")},
+    )
+    uni_top = (
+        counts.filter(expr="w2 == ''")
+        .sort(["c", "w1"], descending=[True, False])
+        .limit(max_vocab).to_pandas())
+    bi_top = (
+        counts.filter(expr="w2 != ''")
+        .sort(["c", "w1", "w2"], descending=[True, False, False])
+        .limit(max_bigrams).to_pandas())
+    uni = pd.Series(uni_top["c"].to_numpy(np.int64),
+                    index=uni_top["w1"].to_numpy())
+    bi = pd.Series(bi_top["c"].to_numpy(np.int64),
+                   index=(bi_top["w1"] + " " + bi_top["w2"]).to_numpy())
+    return {"uni": uni, "bi": bi, "V": len(uni) + 1}
+
+
+def perplexity_buckets(
+    ds: Dataset,
+    model: dict,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = DEFAULT_ALPHA,
+    head_max: float = DEFAULT_HEAD_MAX,
+    tail_min: float = DEFAULT_TAIL_MIN,
+) -> Dataset:
+    """Score + bucket: ``(id_col, n_bigrams, perplexity, bucket)``.
+    One narrow map; the model rides the object store."""
+    import ray
+
+    model_ref = ray.put(model)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(model_ref)
+        uni, bi, v = m["uni"], m["bi"], float(m["V"])
+        w = _words(batch[text_col])
+        ex = w.explode().dropna()
+        n_docs = len(batch)
+        if len(ex):
+            df = pd.DataFrame({"i": ex.index.to_numpy(),
+                               "w1": ex.to_numpy()})
+            nxt = df.groupby("i", sort=False)["w1"].shift(-1)
+            pairs = df.assign(w2=nxt).dropna(subset=["w2"])
+            c12 = (pairs["w1"] + " " + pairs["w2"]).map(bi).fillna(0.0)
+            c1 = pairs["w1"].map(uni).fillna(0.0)
+            logp = np.log((c12.to_numpy() + alpha)
+                          / (c1.to_numpy() + alpha * v))
+            doc_idx = pairs["i"].to_numpy()
+            n_bi = np.bincount(doc_idx, minlength=n_docs)
+            sums = np.bincount(doc_idx, weights=logp, minlength=n_docs)
+        else:
+            n_bi = np.zeros(n_docs, dtype=np.int64)
+            sums = np.zeros(n_docs, dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ppl = round_half_away(
+                np.exp(-sums / np.maximum(n_bi, 1)), 4)
+        ppl = np.where(n_bi > 0, ppl, np.nan)
+        bucket = np.select(
+            [n_bi == 0, ppl <= head_max, ppl < tail_min],
+            ["short", "head", "middle"], default="tail")
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "n_bigrams": n_bi.astype(np.int64),
+            "perplexity": ppl,
+            "bucket": bucket,
+        })
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def perplexity_oracle_sql(
+    table: str = "documents",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_pred: str = "doc_id % 10 = 0",
+    max_vocab: int = 50_000,
+    max_bigrams: int = 200_000,
+    alpha: float = DEFAULT_ALPHA,
+    head_max: float = DEFAULT_HEAD_MAX,
+    tail_min: float = DEFAULT_TAIL_MIN,
+) -> str:
+    """DuckDB SQL equal to ``train_bigram_lm`` (on the ``train_pred``
+    slice) + ``perplexity_buckets`` over the full table."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         regexp_extract_all(lower(coalesce({text_col}, '')), '{_TOKEN_RE}')
+           AS w
+  FROM {table}
+), uni_all AS (
+  SELECT {id_col}, unnest(w) AS w1 FROM toks
+), big_all AS (
+  SELECT {id_col}, w[i] AS w1, w[i + 1] AS w2
+  FROM toks, unnest(range(1, len(w))) AS t(i)
+), uni AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM uni_all
+  WHERE {train_pred} GROUP BY w1
+  ORDER BY c1 DESC, w1 LIMIT {max_vocab}
+), big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM big_all
+  WHERE {train_pred} GROUP BY w1, w2
+  ORDER BY c12 DESC, w1, w2 LIMIT {max_bigrams}
+), vocab AS (
+  SELECT count(*) + 1 AS v FROM uni
+), scored AS (
+  SELECT b.{id_col},
+         ln((coalesce(big.c12, 0) + {alpha})
+            / (coalesce(uni.c1, 0) + {alpha} * vocab.v)) AS logp
+  FROM big_all b
+  LEFT JOIN big ON b.w1 = big.w1 AND b.w2 = big.w2
+  LEFT JOIN uni ON b.w1 = uni.w1
+  CROSS JOIN vocab
+), per_doc AS (
+  SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(exp(-sum(logp) / count(*)), 4) AS perplexity
+  FROM scored GROUP BY {id_col}
+)
+SELECT t.{id_col},
+       coalesce(p.n_bigrams, 0) AS n_bigrams,
+       p.perplexity,
+       CASE WHEN p.n_bigrams IS NULL THEN 'short'
+            WHEN p.perplexity <= {head_max} THEN 'head'
+            WHEN p.perplexity < {tail_min} THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM toks t LEFT JOIN per_doc p USING ({id_col})
+"""
