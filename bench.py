@@ -123,6 +123,25 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         rep_times.append(round(time.time() - t0, 3))
     headline = min(rep_times)
 
+    # composed tier-extraction pipeline (the webtext graft's end-to-end
+    # path): raw pages -> fused extraction -> quality+repetition signals
+    # -> tier label -> tier-partitioned resumable write, all one
+    # streaming plan through the production entry point (webtext_run)
+    webtext_e2e = None
+    if os.environ.get("GRAFT_SKIP_QUERIES") != "1":
+        from pdf_extract_ray.pipelines.webtext import webtext_run
+
+        wt_out = f"{out_base}/pdf_extract_ray_bench_webtext_{num_cpus}"
+        wt_times = []
+        for _ in range(reps):
+            shutil.rmtree(wt_out, ignore_errors=True)
+            t0 = time.time()
+            webtext_run(f"{corpus}/*.parquet", wt_out, extract_first=True,
+                        files_per_partition=10_000)
+            wt_times.append(round(time.time() - t0, 3))
+        shutil.rmtree(wt_out, ignore_errors=True)
+        webtext_e2e = min(wt_times)
+
     # representative queries over the driver tables (skipped in scaling
     # subprocesses where only the headline matters)
     q_times = {}
@@ -164,6 +183,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "num_cpus": num_cpus,
         "docs": n_docs,
         "docs_per_sec": round(n_docs / headline, 1),
+        "webtext_e2e_sec": webtext_e2e,
+        "webtext_e2e_docs_per_sec": (
+            round(n_docs / webtext_e2e, 1) if webtext_e2e else None),
         "rep_times": rep_times,  # all draws — the VM's run-to-run band
         # machine context so contended draws are flagged by DATA, not
         # narrative: ambient = 1-min loadavg before any Ray work (the

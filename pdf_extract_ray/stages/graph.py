@@ -6,18 +6,31 @@ CLUSTERS (transitive closure) and one canonical representative per
 cluster — the standard ending of web-scale dedup (minhash pairs ->
 components -> keep min-id per component).
 
-Algorithm: iterative min-label propagation.  Each iteration sends every
-node's current label one hop across its edges and keeps the minimum — one
-bucketed union-shuffle per iteration, converging in O(diameter) rounds
-(NOT O(log diameter): plain one-hop propagation has no pointer doubling;
-large-star/small-star would be needed for log-round convergence).  For
-near-dup graphs this is fine — duplicate clusters are dense and their
-diameter is tiny — but a path-shaped graph longer than ``max_iters`` hops
-will not converge; pass ``on_nonconvergence="raise"`` when downstream
-consumers (e.g. ``dedup_by_components``) must never see non-transitive
-labels.  Convergence is detected from the global label sum: labels only
-ever decrease, so an unchanged sum is a fixpoint — a driver-side scalar
-per round, never a data comparison.
+Two algorithms:
+
+* ``algorithm="propagation"`` (default): iterative min-label
+  propagation.  Each iteration sends every node's current label one hop
+  across its edges and keeps the minimum — one bucketed union-shuffle
+  per iteration, converging in O(diameter) rounds (NOT O(log diameter):
+  plain one-hop propagation has no pointer doubling).  For near-dup
+  graphs this is fine — duplicate clusters are dense and their diameter
+  is tiny — but a path-shaped graph longer than ``max_iters`` hops will
+  not converge; pass ``on_nonconvergence="raise"`` when downstream
+  consumers (e.g. ``dedup_by_components``) must never see
+  non-transitive labels.  Convergence is detected from the global label
+  sum: labels only ever decrease, so an unchanged sum is a fixpoint — a
+  driver-side scalar per round, never a data comparison.
+* ``algorithm="star"``: alternating large-star / small-star edge
+  rewriting (Kiveris et al. 2014, "Connected Components in MapReduce
+  and Beyond" — public paper), converging in O(log^2 n) rounds
+  regardless of diameter — the scale path for graphs that might contain
+  long chains (e.g. exact-substring overlap graphs).  Each round is two
+  bucketed shuffles of (int64, int64) edge rows plus one cheap grouped
+  check; termination is exact: the edge set is a fixpoint of both
+  operations iff it is a disjoint union of min-rooted stars in which no
+  node is both a parent and a leaf and no leaf has two parents — a
+  per-node grouped predicate whose global violation count is a
+  driver-side scalar.
 
 Scale shape: only (node, label) and (src, dst) rows ever shuffle (two
 int64s); documents never move.  The iteration count appearing in the
@@ -44,6 +57,7 @@ def connected_components(
     *,
     max_iters: int = 50,
     on_nonconvergence: str = "warn",
+    algorithm: str = "propagation",
 ) -> Dataset:
     """(node, component) for every node appearing in ``pairs``; component =
     the minimum node id reachable from the node (deterministic).
@@ -55,9 +69,19 @@ def connected_components(
 
     ``on_nonconvergence``: "warn" (default) logs and returns the possibly
     non-transitive labels; "raise" raises RuntimeError instead, for
-    callers whose downstream dedup must never consume a wrong clustering."""
+    callers whose downstream dedup must never consume a wrong clustering.
+
+    ``algorithm``: "propagation" (default, O(diameter) rounds — right for
+    dense near-dup clusters) or "star" (large-star/small-star, O(log^2 n)
+    rounds — right when long chains are possible; see module docstring)."""
     if on_nonconvergence not in ("warn", "raise"):
         raise ValueError("on_nonconvergence must be 'warn' or 'raise'")
+    if algorithm == "star":
+        return _cc_star(pairs, id_a, id_b, max_iters=max_iters,
+                        on_nonconvergence=on_nonconvergence)
+    if algorithm != "propagation":
+        raise ValueError(
+            f"algorithm must be 'propagation' or 'star', got {algorithm!r}")
     from pdf_extract_ray.stages.agg import bucketed_group_apply
 
     def sym_edges(b: pd.DataFrame) -> pd.DataFrame:
@@ -163,6 +187,139 @@ def connected_components(
     return labels.map_batches(
         lambda b: b.rename(columns={"key": "node", "label": "component"}),
         batch_format="pandas",
+    )
+
+
+def _cc_star(
+    pairs: Dataset,
+    id_a: str,
+    id_b: str,
+    *,
+    max_iters: int,
+    on_nonconvergence: str,
+) -> Dataset:
+    """Large-star/small-star alternation (Kiveris et al. 2014).  Edges are
+    kept as canonical distinct ``(lo, hi)`` int64 rows; each round rewrites
+    them through two bucketed shuffles, then a cheap grouped check decides
+    termination EXACTLY: the edge set is a fixpoint of both operations iff
+    it is a forest of stars rooted at component minima, i.e. no node
+    appears as both a parent (``lo``) and a leaf (``hi``)."""
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) and (int(b[id_a].min()) < 0 or int(b[id_b].min()) < 0):
+            raise ValueError(
+                "connected_components requires NON-NEGATIVE int64 node ids; "
+                "remap signed hash ids first")
+        lo = np.minimum(b[id_a].to_numpy(), b[id_b].to_numpy())
+        hi = np.maximum(b[id_a].to_numpy(), b[id_b].to_numpy())
+        df = pd.DataFrame({"lo": lo.astype("int64"),
+                           "hi": hi.astype("int64")})
+        return df[df["lo"] != df["hi"]].drop_duplicates()
+
+    def large_star(bucket: pd.DataFrame) -> pd.DataFrame:
+        # bucket rows: (u, v) symmetric adjacency, grouped so each u's
+        # whole neighborhood is present.  m(u) = min(N(u) + {u}); emit
+        # (m, v) for v > u.  m <= u < v, so rows stay canonical and
+        # self-loop-free by construction.
+        bucket = bucket.reset_index(drop=True)
+        m = np.minimum(
+            bucket.groupby("u", sort=False)["v"].transform("min"),
+            bucket["u"])
+        keep = bucket["v"] > bucket["u"]
+        out = pd.DataFrame({"lo": m[keep].to_numpy(),
+                            "hi": bucket.loc[keep, "v"].to_numpy()})
+        return out.drop_duplicates()
+
+    def small_star(bucket: pd.DataFrame) -> pd.DataFrame:
+        # bucket rows: (u=hi, v=lo) directed large->small.  m(u) = min of
+        # u's smaller neighbors; emit (m, v) for the other smaller
+        # neighbors plus (m, u).
+        bucket = bucket.reset_index(drop=True)
+        m = bucket.groupby("u", sort=False)["v"].transform("min")
+        others = bucket["v"] > m
+        link_up = bucket.drop_duplicates("u")
+        out = pd.DataFrame({
+            "lo": np.concatenate([m[others].to_numpy(),
+                                  m[link_up.index].to_numpy()]),
+            "hi": np.concatenate([bucket.loc[others, "v"].to_numpy(),
+                                  link_up["u"].to_numpy()]),
+        })
+        return out.drop_duplicates()
+
+    def nonstar_count(edge_ds: Dataset) -> int:
+        # fixpoint of both operations <=> the edge set is a disjoint
+        # union of min-rooted stars <=> (a) no node is both a parent
+        # (lo) and a leaf (hi), AND (b) no leaf has two distinct
+        # parents.  (b) matters: {(1,5),(2,5)} satisfies (a) but
+        # small-star still rewrites it — stopping there would label
+        # 2's component wrongly.
+        def tag(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "n": pd.concat([b["lo"], b["hi"]], ignore_index=True),
+                "f": np.repeat([0, 1], len(b)).astype("int64"),
+                "p": pd.concat(
+                    [pd.Series(np.full(len(b), -1, dtype="int64")),
+                     b["lo"]], ignore_index=True),
+            })
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            agg = g.groupby("n", sort=False).agg(
+                nf=("f", "nunique"), np_=("p", "nunique"))
+            # leaves carry p=parent; parents carry p=-1, so a node that
+            # is both has nf==2; a multi-parent leaf has >1 distinct
+            # non-sentinel p values
+            leaf_p = (g[g["f"] == 1].groupby("n", sort=False)["p"]
+                      .nunique())
+            bad = (agg["nf"] == 2) | (leaf_p.reindex(agg.index)
+                                      .fillna(0) > 1)
+            return pd.DataFrame({"n_bad": [int(bad.sum())]})
+
+        parts = bucketed_group_apply(
+            edge_ds.map_batches(tag, batch_format="pandas"), ["n"],
+            per_bucket).take_all()
+        return sum(r["n_bad"] for r in parts)
+
+    # dedup the canonical set once up front (same (lo,hi) rows land in
+    # the same lo-bucket, so per-bucket drop_duplicates is global)
+    edges = bucketed_group_apply(
+        pairs.map_batches(canon, batch_format="pandas"), ["lo"],
+        lambda g: g.drop_duplicates(),
+    ).materialize()
+
+    converged = False
+    for _ in range(max_iters):
+        sym = edges.map_batches(
+            lambda b: pd.DataFrame({
+                "u": pd.concat([b["lo"], b["hi"]], ignore_index=True),
+                "v": pd.concat([b["hi"], b["lo"]], ignore_index=True),
+            }),
+            batch_format="pandas")
+        edges = bucketed_group_apply(sym, ["u"], large_star)
+        directed = edges.map_batches(
+            lambda b: pd.DataFrame({"u": b["hi"], "v": b["lo"]}),
+            batch_format="pandas")
+        edges = bucketed_group_apply(
+            directed, ["u"], small_star).materialize()
+        if nonstar_count(edges) == 0:
+            converged = True
+            break
+    if not converged:
+        msg = ("connected_components(star): not a star forest after "
+               f"max_iters={max_iters} rounds")
+        if on_nonconvergence == "raise":
+            raise RuntimeError(msg)
+        logger.warning(msg)
+
+    def to_labels(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": pd.concat([b["lo"], b["hi"]], ignore_index=True),
+            "component": pd.concat([b["lo"], b["lo"]], ignore_index=True),
+        })
+
+    return bucketed_group_apply(
+        edges.map_batches(to_labels, batch_format="pandas"), ["node"],
+        lambda g: g.groupby("node", as_index=False)["component"].min(),
     )
 
 

@@ -132,3 +132,60 @@ def test_nonconvergence_raise_option(ray_session):
     assert len(out) == n
     with pytest.raises(ValueError):
         connected_components(ds, on_nonconvergence="explode")
+
+
+# ---------------------------------------------------------------------------
+# large-star / small-star mode
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_star_matches_union_find(ray_session, seed):
+    import ray.data as rd
+
+    pairs = _random_pairs(seed)
+    df = pd.DataFrame(pairs, columns=["id_a", "id_b"])
+    got = {r["node"]: r["component"]
+           for r in connected_components(
+               rd.from_pandas(df).repartition(4), algorithm="star",
+               on_nonconvergence="raise").take_all()}
+    assert got == _union_find(pairs)
+
+
+def test_star_long_path_log_rounds(ray_session):
+    """A 300-node path needs ~300 propagation rounds but only O(log^2 n)
+    star rounds — max_iters=10 must suffice (and 'raise' proves the
+    fixpoint check passed, not just the iteration cap)."""
+    import ray.data as rd
+
+    n = 300
+    df = pd.DataFrame({"id_a": range(n - 1), "id_b": range(1, n)})
+    got = {r["node"]: r["component"]
+           for r in connected_components(
+               rd.from_pandas(df).repartition(4), algorithm="star",
+               max_iters=10, on_nonconvergence="raise").take_all()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_star_multi_parent_leaf_not_a_false_fixpoint(ray_session):
+    """{(1,5),(2,5)} has disjoint parent/leaf sets but is NOT a star
+    fixpoint (5 has two parents); the termination check must keep
+    iterating until 1-2-5 fully merge."""
+    import ray.data as rd
+
+    df = pd.DataFrame({"id_a": [1, 2], "id_b": [5, 5]})
+    got = {r["node"]: r["component"]
+           for r in connected_components(
+               rd.from_pandas(df), algorithm="star",
+               on_nonconvergence="raise").take_all()}
+    assert got == {1: 1, 2: 1, 5: 1}
+
+
+def test_star_rejects_negative_and_bad_algorithm(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"id_a": [-1], "id_b": [2]})
+    with pytest.raises(Exception):
+        connected_components(rd.from_pandas(df),
+                             algorithm="star").take_all()
+    with pytest.raises(ValueError):
+        connected_components(rd.from_pandas(df), algorithm="bogus")
