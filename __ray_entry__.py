@@ -1080,6 +1080,36 @@ def q_contamination(sf_dir: str):
         ds, [r["text"] for r in bench], n=8, key="text")
 
 
+def _with_lines(b: pd.DataFrame) -> pd.DataFrame:
+    # deterministic multi-line page text (testdata documents are
+    # single-line): a corpus-wide cookie banner on 2/3 of docs + a
+    # footer shared by each doc_id%7 cohort — classic boilerplate shape
+    did = b["doc_id"]
+    head = np.where(did % 3 == 0, "", "please accept cookies\n")
+    foot = "\ncopyright footer " + (did % 7).astype(str)
+    return b.assign(page_text=head + b["text"].fillna("") + foot)
+
+
+_LINES_SYNTH_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN '' "
+    "ELSE 'please accept cookies' || chr(10) END "
+    "|| coalesce(text, '') || chr(10) "
+    "|| 'copyright footer ' || CAST(doc_id % 7 AS VARCHAR) AS page_text"
+)
+
+
+def q_line_dedup_docs(sf_dir: str):
+    # corpus-wide duplicated-line removal (stages/boilerplate.py):
+    # line explode -> ONE bucketed line-frequency shuffle -> positions
+    # cogroup back by id. key="text" is the SQL-parity mode.
+    from pdf_extract_ray.stages.boilerplate import dedup_lines
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_lines(
+        ds.map_batches(_with_lines, batch_format="pandas"),
+        text_col="page_text", key="text")
+
+
 def q_perplexity_buckets(sf_dir: str):
     # CCNet-style perplexity bucketing (stages/lm.py): capped bigram LM
     # trained on the deterministic doc_id%10==0 slice (bounded model =
@@ -1188,6 +1218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": q_contamination,
         "host_rollup": q_host_rollup,
         "perplexity_buckets": q_perplexity_buckets,
+        "line_dedup_docs": q_line_dedup_docs,
     }
 
 
@@ -1393,6 +1424,14 @@ def _contamination_oracle() -> str:
 
     return contamination_oracle_sql(
         "documents", n=8, bench_pred="doc_id % 20 = 0")
+
+
+def _line_dedup_oracle() -> str:
+    from pdf_extract_ray.stages.boilerplate import dedup_lines_oracle_sql
+
+    return dedup_lines_oracle_sql(
+        f"(SELECT doc_id, {_LINES_SYNTH_SQL} FROM documents)",
+        text_col="page_text")
 
 
 def _perplexity_oracle() -> str:
@@ -1713,4 +1752,5 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _contamination_oracle(),
         "host_rollup": _host_rollup_oracle(),
         "perplexity_buckets": _perplexity_oracle(),
+        "line_dedup_docs": _line_dedup_oracle(),
     }

@@ -1,0 +1,171 @@
+"""Corpus-wide duplicated-LINE removal — the line-level dedup step of
+CCNet / RefinedWeb-style web cleaning (Wenzek et al. 2019 §3.1; Penedo
+et al. 2023 "The RefinedWeb Dataset" — public papers): navigation menus,
+cookie banners and footers repeat verbatim across pages; any line whose
+stripped form occurs at least ``min_count`` times corpus-wide is
+boilerplate and is dropped from every document.
+
+Semantics (frozen, SQL-mirrorable):
+
+* lines = ``text.split("\\n")``, 1-based positions;
+* match key = the line stripped of Python whitespace (``str.strip()``;
+  the oracle passes the same char set to ``trim``);
+* empty stripped lines never count as duplicates (else every blank line
+  is boilerplate) and are always kept;
+* cleaned text = the kept ORIGINAL lines re-joined with ``"\\n"``.
+
+Scale shape (same two-shuffle plan as exact-substring dedup):
+
+* per-batch line explode (vectorized pandas split/explode, narrow);
+* ONE bucketed shuffle of ``(key, id, pos)`` rows for the corpus-wide
+  frequency — ``key="hash"`` ships uint64 line hashes (scale mode),
+  ``key="text"`` ships literal stripped lines (collision-free,
+  SQL-parity, the driver-checked mode); texts never move;
+* duplicated ``(id, pos)`` rows — only those — cogroup back to the
+  documents through the tag-union-bucket pattern for removal.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from ray.data import Dataset
+
+from pdf_extract_ray.stages.agg import bucketed_group_apply
+from pdf_extract_ray.util import PY_WS
+
+
+def _line_rows(texts, key: str) -> pd.DataFrame:
+    """(g, __doc, pos) for every non-empty-stripped line."""
+    s = pd.Series(texts).fillna("").str.split("\n")
+    ex = s.explode()
+    pos = ex.groupby(level=0).cumcount() + 1
+    stripped = ex.str.strip()
+    keep = stripped != ""
+    df = pd.DataFrame({
+        "g": stripped[keep].to_numpy(),
+        "__doc": ex.index[keep].to_numpy(),
+        "pos": pos[keep].to_numpy(dtype=np.int64),
+    })
+    if key == "hash":
+        df["g"] = (pd.util.hash_pandas_object(df["g"], index=False)
+                   .to_numpy().astype(np.uint64))
+    elif key != "text":
+        raise ValueError(f"key must be 'text' or 'hash', got {key!r}")
+    return df
+
+
+def dup_line_positions(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key: str = "hash",
+    min_count: int = 2,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """(id, pos) of every line whose stripped form occurs at least
+    ``min_count`` times corpus-wide."""
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = _line_rows(batch[text_col].tolist(), key)
+        rows[id_col] = batch[id_col].to_numpy()[rows["__doc"].to_numpy()]
+        return rows[["g", id_col, "pos"]]
+
+    rows = ds.map_batches(explode, batch_format="pandas")
+
+    def dups(bucket: pd.DataFrame) -> pd.DataFrame:
+        sizes = bucket.groupby("g", sort=False)["g"].transform("size")
+        return bucket.loc[sizes >= min_count, [id_col, "pos"]]
+
+    return bucketed_group_apply(rows, ["g"], dups, num_buckets=num_buckets,
+                                pre_batch_size=65536)
+
+
+def dedup_lines(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key: str = "hash",
+    min_count: int = 2,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Remove corpus-wide duplicated lines from every document:
+    ``(id, cleaned_text, n_lines, n_removed_lines)``."""
+    pos = dup_line_positions(
+        ds, id_col=id_col, text_col=text_col, key=key,
+        min_count=min_count, num_buckets=num_buckets)
+
+    def tag_docs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: b[id_col], "__text": b[text_col].fillna(""),
+            "__pos": np.int64(-1)})
+
+    def tag_pos(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: b[id_col], "__text": "",
+            "__pos": b["pos"].astype(np.int64)})
+
+    u = ds.map_batches(tag_docs, batch_format="pandas").union(
+        pos.map_batches(tag_pos, batch_format="pandas"))
+
+    def rebuild(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for did, g in bucket.groupby(id_col, sort=False):
+            texts = g.loc[g["__pos"] == -1, "__text"]
+            if not len(texts):
+                continue
+            lines = (texts.iloc[0] or "").split("\n")
+            drop = set(g.loc[g["__pos"] > 0, "__pos"].tolist())
+            kept = [ln for i, ln in enumerate(lines, 1) if i not in drop]
+            out.append((did, "\n".join(kept), len(lines),
+                        len(lines) - len(kept)))
+        return pd.DataFrame(
+            out, columns=[id_col, "cleaned_text", "n_lines",
+                          "n_removed_lines"])
+
+    return bucketed_group_apply(u, [id_col], rebuild,
+                                num_buckets=num_buckets)
+
+
+def dedup_lines_oracle_sql(
+    table: str = "documents",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> str:
+    """DuckDB SQL equal to :func:`dedup_lines` with ``key="text"``."""
+    ws = PY_WS.replace("'", "''")
+    return f"""
+WITH s AS (
+  SELECT {id_col},
+         string_split(coalesce({text_col}, ''), chr(10)) AS ls
+  FROM {table}
+), p AS (
+  SELECT {id_col}, unnest(ls) AS line,
+         unnest(range(1, len(ls) + 1)) AS pos
+  FROM s
+), t AS (
+  SELECT {id_col}, pos, line, trim(line, '{ws}') AS key FROM p
+), d AS (
+  SELECT key FROM t WHERE key <> ''
+  GROUP BY key HAVING count(*) >= {min_count}
+), kept AS (
+  SELECT t.{id_col}, t.pos, t.line
+  FROM t LEFT JOIN d USING (key) WHERE d.key IS NULL
+), agg AS (
+  SELECT {id_col},
+         string_agg(line, chr(10) ORDER BY pos) AS cleaned_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY {id_col}
+), tot AS (
+  SELECT {id_col}, CAST(len(ls) AS BIGINT) AS n_lines FROM s
+)
+SELECT tot.{id_col},
+       coalesce(agg.cleaned_text, '') AS cleaned_text,
+       tot.n_lines,
+       tot.n_lines - coalesce(agg.n_kept, 0) AS n_removed_lines
+FROM tot LEFT JOIN agg USING ({id_col})
+"""

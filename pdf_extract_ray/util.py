@@ -20,6 +20,14 @@ def default_concurrency(reserve: int = 2, cap: int = 64) -> int:
     return max(1, min(cap, cpus - reserve))
 
 
+# Python's str whitespace set (what .strip()/.split() match): SQL trim()
+# is ASCII-only, so oracles mirroring a Python strip must pass these
+# chars explicitly (frozen choice: Python semantics are authoritative).
+# Generated from str.isspace itself — no isspace char exists above
+# U+3000 — so this is exactly the .strip() set.
+PY_WS = "".join(chr(c) for c in range(0x3001) if chr(c).isspace())
+
+
 def round_half_away(x, ndigits: int):
     """Round half away from zero (DuckDB/SQL ROUND semantics) — numpy and
     Python ``round`` use banker's rounding, which breaks oracle parity on
