@@ -1,0 +1,104 @@
+"""WARC reader (sources/warc.py): round-trip, resync, Ray ingestion and
+parity with the parquet pages path."""
+
+from datetime import datetime
+
+import pytest
+
+from pdf_extract_ray.sources.warc import (
+    build_warc,
+    iter_warc_records,
+    parse_warc_file,
+    read_warc,
+)
+
+PAGES = [
+    {"url": "http://a.example/x", "warc_ts": datetime(2021, 3, 4, 5, 6, 7),
+     "html": b"<html><body><p>alpha</p></body></html>"},
+    {"url": "http://b.example/y", "warc_ts": datetime(2022, 1, 2, 3, 4, 5),
+     "html": b"<html><body><p>beta</p></body></html>"},
+]
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_round_trip(compress):
+    data = build_warc(PAGES, compress=compress)
+    rows, n_bad = parse_warc_file(data)
+    assert n_bad == 0
+    assert [r["url"] for r in rows] == [p["url"] for p in PAGES]
+    assert [r["warc_ts"] for r in rows] == [p["warc_ts"] for p in PAGES]
+    assert [r["html"] for r in rows] == [p["html"] for p in PAGES]
+    assert all(r["text"] is None and r["lang"] is None for r in rows)
+
+
+def test_non_response_records_skipped():
+    req = (b"WARC/1.0\r\nWARC-Type: request\r\n"
+           b"WARC-Target-URI: http://a.example/x\r\n"
+           b"Content-Length: 5\r\n\r\nGET /\r\n\r\n")
+    data = req + build_warc(PAGES)
+    rows, n_bad = parse_warc_file(data)
+    assert len(rows) == 2 and n_bad == 0
+
+
+def test_resync_after_garbage():
+    data = b"NOT A WARC RECORD" + b"\r\n\r\n" + build_warc(PAGES)
+    rows, n_bad = parse_warc_file(data)
+    # garbage counted, both real records recovered via resync
+    assert n_bad >= 1
+    assert [r["url"] for r in rows] == [p["url"] for p in PAGES]
+
+
+def test_truncated_tail_is_loud_not_fatal():
+    data = build_warc(PAGES)[:-30]  # cut mid-record
+    rows, n_bad = parse_warc_file(data)
+    assert len(rows) == 1 and n_bad == 1
+
+
+def test_deterministic_bytes():
+    assert build_warc(PAGES) == build_warc(PAGES)
+    assert build_warc(PAGES, compress=True) == build_warc(
+        PAGES, compress=True)
+
+
+def test_read_warc_and_extract_parity(ray_session, tmp_path):
+    """WARC ingestion feeds the flagship extraction and yields the same
+    extracted text as the parquet pages path over the same pages."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pdf_extract_ray.corpus import pages_table
+    from pdf_extract_ray.pipelines.extract import extract_pages_fused
+
+    pages = pages_table(60, seed=7, n_hosts=5)
+    rows = pages.to_pylist()
+    # WARC carries (url, ts-to-the-second, html) only — build the
+    # comparison parquet with exactly that information content
+    for r in rows:
+        r["warc_ts"] = r["warc_ts"].replace(microsecond=0)
+    for i in range(3):  # three warc shards
+        shard = rows[i * 20:(i + 1) * 20]
+        (tmp_path / f"s{i}.warc.gz").write_bytes(
+            build_warc(shard, compress=True))
+
+    via_warc = (extract_pages_fused(
+        read_warc([str(tmp_path / f"s{i}.warc.gz") for i in range(3)]))
+        .to_pandas().sort_values("url").reset_index(drop=True))
+
+    pq.write_table(
+        pa.table({
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "warc_ts": pa.array([r["warc_ts"] for r in rows],
+                                pa.timestamp("us")),
+            "html": pa.array([r["html"] for r in rows], pa.binary()),
+        }),
+        str(tmp_path / "pages.parquet"))
+    via_parquet = (extract_pages_fused(
+        rd.read_parquet(str(tmp_path / "pages.parquet")))
+        .to_pandas().sort_values("url").reset_index(drop=True))
+
+    assert (via_warc["url"] == via_parquet["url"]).all()
+    assert (via_warc["extracted_text"]
+            == via_parquet["extracted_text"]).all()
+    assert (via_warc["status"] == via_parquet["status"]).all()
+    assert (via_warc["warc_ts"] == via_parquet["warc_ts"]).all()
