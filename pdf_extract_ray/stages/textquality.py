@@ -22,10 +22,116 @@ import pandas as pd
 import pyarrow as pa
 
 
-from pdf_extract_ray.util import round_half_away
+from pdf_extract_ray.util import PY_WS, round_half_away
 
 # frozen stopword list (quality scoring; mirror in oracle SQL literally)
 STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "that", "for", "on")
+
+# ---------------------------------------------------------------------------
+# char-class machinery for the vectorized kernels: every document batch is
+# joined into ONE UTF-32 code array (np.frombuffer over str.encode — zero
+# Python loop over chars) and classified through lookup tables, so the
+# per-doc counts are O(total_chars) numpy passes.  Semantics are EXACTLY
+# Python re's (the oracle SQL mirrors the Python whitespace class via
+# PY_WS, and \w/\b below are resolved through re itself).
+# ---------------------------------------------------------------------------
+
+_F_WS, _F_PUNCT, _F_DIGIT = 1, 2, 4
+_FLAGS_TB = np.zeros(0x3001, dtype=np.uint8)  # no \s char exists > U+3000
+for _c in PY_WS:
+    _FLAGS_TB[ord(_c)] |= _F_WS
+for _c in ".,!?;:":
+    _FLAGS_TB[ord(_c)] |= _F_PUNCT
+for _c in "0123456789":
+    _FLAGS_TB[ord(_c)] |= _F_DIGIT
+
+# Python-re \w per codepoint (defines the \b boundaries the stopword rule
+# uses).  Filled eagerly for the Latin/Cyrillic BMP head, lazily for any
+# higher codepoint a batch actually contains (Hangul etc.) — the table is
+# per-process, so each worker pays the probe once per new script.
+_W_RE = re.compile(r"\w")
+_WORD_TB = np.zeros(0x110000, dtype=bool)
+_WORD_KNOWN = np.zeros(0x110000, dtype=bool)
+for _c in range(0x600):
+    _WORD_TB[_c] = bool(_W_RE.match(chr(_c)))
+_WORD_KNOWN[:0x600] = True
+
+
+def _ensure_word_codes(codes: np.ndarray) -> None:
+    unknown = codes[~_WORD_KNOWN[codes]]
+    if len(unknown):
+        for c in np.unique(unknown):
+            _WORD_TB[c] = bool(_W_RE.match(chr(c)))
+            _WORD_KNOWN[c] = True
+
+
+def _joined_codes(vals: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(utf-32 code array, per-doc char counts, doc start offsets)."""
+    n_chars = np.fromiter((len(s) for s in vals), dtype=np.int64,
+                          count=len(vals))
+    starts = np.zeros(len(vals) + 1, dtype=np.int64)
+    np.cumsum(n_chars, out=starts[1:])
+    joined = "".join(vals)
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    return codes, n_chars, starts
+
+
+# stopwords packed 7 bits/char (all ASCII; padding 0 is unambiguous — no
+# \w char is NUL, so "a" and a 2-char run can never collide)
+def _pack_stop(word: str) -> int:
+    k = 0
+    for j, ch in enumerate(word):
+        k |= ord(ch) << (7 * j)
+    return k
+
+
+_STOP_MAXLEN = max(len(w) for w in STOPWORDS)
+_STOP_KEYS = np.array(sorted(_pack_stop(w) for w in STOPWORDS), dtype=np.int64)
+
+
+def _stop_counts(t: pd.Series, nb: int) -> np.ndarray:
+    """Occurrences of ``\\b(?:stopword)\\b`` in each lowercased doc.
+
+    Inside a maximal \\w-run no \\b exists, so a boundary-delimited match
+    is exactly a run whose whole content equals a stopword — counted here
+    by extracting run starts/ends over the joined code array and packing
+    short runs into ints compared against the packed stopword set."""
+    lowvals = t.str.lower().tolist()
+    codes, _llens, lstarts = _joined_codes(lowvals)
+    total = len(codes)
+    if total == 0:
+        return np.zeros(nb, dtype=np.int64)
+    _ensure_word_codes(codes)
+    isw = _WORD_TB[codes]
+    doc_start = np.zeros(total, dtype=bool)
+    s = lstarts[:-1]
+    doc_start[s[s < total]] = True
+    prev_nw = np.empty(total, dtype=bool)
+    prev_nw[0] = True
+    prev_nw[1:] = ~isw[:-1]
+    rstart = isw & (prev_nw | doc_start)
+    nxt_nw = np.empty(total, dtype=bool)
+    nxt_nw[-1] = True
+    nxt_nw[:-1] = ~isw[1:] | doc_start[1:]
+    rend = isw & nxt_nw
+    sidx = np.nonzero(rstart)[0]
+    if not len(sidx):
+        return np.zeros(nb, dtype=np.int64)
+    rlen = np.nonzero(rend)[0] - sidx + 1
+    cand = rlen <= _STOP_MAXLEN
+    cs, cl = sidx[cand], rlen[cand]
+    gathered = [np.where(cl > j,
+                         codes[np.minimum(cs + j, total - 1)].astype(np.int64),
+                         0) for j in range(_STOP_MAXLEN)]
+    valid = np.ones(len(cs), dtype=bool)
+    key = np.zeros(len(cs), dtype=np.int64)
+    for j, cj in enumerate(gathered):
+        valid &= cj < 128
+        key |= cj << (7 * j)
+    key = np.where(valid, key, np.int64(-1))
+    hit = np.isin(key, _STOP_KEYS)
+    doc = np.searchsorted(lstarts, cs[hit], side="right") - 1
+    return np.bincount(doc, minlength=nb)
 
 # ASCII-word-or-single-symbol tokenizer ("BPE-ish"): matches DuckDB
 # regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ ]')
@@ -85,17 +191,36 @@ def quality_score_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataF
       * mean_word_len = chars-in-words / words
     """
     t = batch[text_col].fillna("")
-    n_chars = t.str.len().astype("float64")
-    n_words = t.str.split().str.len().fillna(0).astype("float64")
-    safe_chars = n_chars.where(n_chars > 0, 1.0)
-    safe_words = n_words.where(n_words > 0, 1.0)
+    nb = len(t)
+    if nb == 0:
+        for c in ("punct_ratio", "digit_ratio", "stop_ratio", "mean_word_len"):
+            batch[c] = np.zeros(0, dtype=np.float64)
+        return batch
+    codes, n_chars, starts = _joined_codes(t.tolist())
+    total = len(codes)
+    # one flags gather classifies every char; flags[0]=0 so codepoints
+    # above the \s ceiling map harmlessly to "no class"
+    flags = _FLAGS_TB[np.where(codes < 0x3001, codes, 0)]
+    doc_ids = np.repeat(np.arange(nb, dtype=np.int64), n_chars)
+    ws = (flags & _F_WS) != 0
+    punct = np.bincount(doc_ids[(flags & _F_PUNCT) != 0], minlength=nb)
+    digits = np.bincount(doc_ids[(flags & _F_DIGIT) != 0], minlength=nb)
+    ws_c = np.bincount(doc_ids[ws], minlength=nb)
+    word_chars = n_chars - ws_c          # == len after stripping all \s
+    # len(s.split()) == number of non-\s runs (doc starts break runs)
+    if total:
+        prev_ws = np.empty(total, dtype=bool)
+        prev_ws[0] = True
+        prev_ws[1:] = ws[:-1]
+        s = starts[:-1]
+        prev_ws[s[s < total]] = True
+        n_words = np.bincount(doc_ids[~ws & prev_ws], minlength=nb)
+    else:
+        n_words = np.zeros(nb, dtype=np.int64)
+    stops = _stop_counts(t, nb)
 
-    stop_rx = re.compile(r"\b(?:" + "|".join(STOPWORDS) + r")\b")
-    punct = _count(t, _PUNCT_RE).astype("float64")
-    digits = _count(t, _DIGIT_RE).astype("float64")
-    stops = t.str.lower().str.count(stop_rx).astype("float64")
-    word_chars = t.str.replace(r"\s+", "", regex=True).str.len().astype("float64")
-
+    safe_chars = np.maximum(n_chars, 1).astype(np.float64)
+    safe_words = np.maximum(n_words, 1).astype(np.float64)
     batch["punct_ratio"] = round_half_away(punct / safe_chars, 4)
     batch["digit_ratio"] = round_half_away(digits / safe_chars, 4)
     batch["stop_ratio"] = round_half_away(stops / safe_words, 4)
@@ -142,33 +267,50 @@ def repetition_stats_batch(batch: pd.DataFrame,
            .reset_index(drop=True))
     words = low.str.findall(_WORD_ONLY_RE)
     n = words.str.len().to_numpy(dtype=np.int64)
-    ex = words.explode().dropna()
-    pos = pd.RangeIndex(len(low))
+    nb = len(low)
+    flat = [w for lst in words for w in lst]
 
-    if len(ex):
-        df = pd.DataFrame({"i": ex.index.to_numpy(), "w": ex.to_numpy()})
-        counts = df.groupby(["i", "w"], sort=False).size()
-        per_doc = counts.groupby(level=0)
-        distinct = per_doc.size().reindex(pos, fill_value=0).to_numpy()
-        top = per_doc.max().reindex(pos, fill_value=0).to_numpy()
-        # adjacent bigrams: shift within doc
-        w2 = df.groupby("i", sort=False)["w"].shift(-1)
-        bi = df.assign(w2=w2).dropna(subset=["w2"])
-        if len(bi):
-            btop = (bi.groupby(["i", "w", "w2"], sort=False).size()
-                    .groupby(level=0).max()
-                    .reindex(pos, fill_value=0).to_numpy())
+    if flat:
+        # words -> int codes once; every grouped count below is then a
+        # composite-integer np.unique + reduceat (no string groupbys)
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+        codes = codes.astype(np.int64)
+        i = np.repeat(np.arange(nb, dtype=np.int64), n)
+        C = np.int64(len(uniq))
+
+        def _per_doc_max(doc_of: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+            out = np.zeros(nb, dtype=np.int64)
+            if len(doc_of):
+                bnd = np.nonzero(np.diff(doc_of, prepend=-1))[0]
+                out[doc_of[bnd]] = np.maximum.reduceat(cnt, bnd)
+            return out
+
+        uk, cnt = np.unique(i * C + codes, return_counts=True)
+        doc_of = uk // C
+        distinct = np.bincount(doc_of, minlength=nb)
+        top = _per_doc_max(doc_of, cnt)
+
+        # adjacent bigrams: consecutive word pairs within the same doc
+        adj = i[:-1] == i[1:]
+        if adj.any():
+            pair = codes[:-1][adj] * C + codes[1:][adj]
+            pk, pinv = np.unique(pair, return_inverse=True)
+            P = np.int64(len(pk))
+            ukk, bcnt = np.unique(i[:-1][adj] * P + pinv,
+                                  return_counts=True)
+            btop = _per_doc_max(ukk // P, bcnt)
         else:
-            btop = np.zeros(len(low), dtype=np.int64)
+            btop = np.zeros(nb, dtype=np.int64)
+
         # longest consecutive run: new run where word or doc changes
-        new_run = (df["w"].ne(df["w"].shift())
-                   | df["i"].ne(df["i"].shift())).cumsum()
-        runs = df.groupby(new_run, sort=False).agg(
-            i=("i", "first"), L=("w", "size"))
-        max_run = (runs.groupby("i")["L"].max()
-                   .reindex(pos, fill_value=0).to_numpy())
+        brk = np.empty(len(codes), dtype=bool)
+        brk[0] = True
+        brk[1:] = (codes[1:] != codes[:-1]) | (i[1:] != i[:-1])
+        ridx = np.nonzero(brk)[0]
+        rlen = np.diff(np.append(ridx, len(codes)))
+        max_run = _per_doc_max(i[ridx], rlen)
     else:
-        distinct = top = btop = max_run = np.zeros(len(low), dtype=np.int64)
+        distinct = top = btop = max_run = np.zeros(nb, dtype=np.int64)
 
     nf = n.astype(np.float64)
     safe = np.maximum(nf, 1.0)

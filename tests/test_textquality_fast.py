@@ -1,0 +1,158 @@
+"""The vectorized quality/repetition kernels must be bit-identical to the
+original (slower) pandas reference implementations — frozen copies here —
+on representative and adversarial inputs.  The kernels feed oracle-checked
+queries (`quality_scores`, `repetition_stats`, `webtext_tiers`), so any
+drift is an oracle break."""
+
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdf_extract_ray.stages.textquality import (
+    STOPWORDS,
+    _WORD_ONLY_RE,
+    quality_score_batch,
+    repetition_stats_batch,
+)
+from pdf_extract_ray.util import round_half_away
+
+_PUNCT_RE = re.compile(r"[.,!?;:]")
+_DIGIT_RE = re.compile(r"[0-9]")
+
+
+def quality_reference(batch: pd.DataFrame, text_col: str = "text"):
+    """Frozen copy of the original quality_score_batch (pandas regex path)."""
+    t = batch[text_col].fillna("")
+    n_chars = t.str.len().astype("float64")
+    n_words = t.str.split().str.len().fillna(0).astype("float64")
+    safe_chars = n_chars.where(n_chars > 0, 1.0)
+    safe_words = n_words.where(n_words > 0, 1.0)
+    stop_rx = re.compile(r"\b(?:" + "|".join(STOPWORDS) + r")\b")
+    punct = t.str.count(_PUNCT_RE).astype("float64")
+    digits = t.str.count(_DIGIT_RE).astype("float64")
+    stops = t.str.lower().str.count(stop_rx).astype("float64")
+    word_chars = t.str.replace(r"\s+", "", regex=True).str.len().astype("float64")
+    batch["punct_ratio"] = round_half_away(punct / safe_chars, 4)
+    batch["digit_ratio"] = round_half_away(digits / safe_chars, 4)
+    batch["stop_ratio"] = round_half_away(stops / safe_words, 4)
+    batch["mean_word_len"] = round_half_away(word_chars / safe_words, 4)
+    return batch
+
+
+def repetition_reference(batch: pd.DataFrame, text_col: str = "text"):
+    """Frozen copy of the original repetition_stats_batch (string groupbys)."""
+    low = batch[text_col].fillna("").str.lower().reset_index(drop=True)
+    words = low.str.findall(_WORD_ONLY_RE)
+    n = words.str.len().to_numpy(dtype=np.int64)
+    ex = words.explode().dropna()
+    pos = pd.RangeIndex(len(low))
+    if len(ex):
+        df = pd.DataFrame({"i": ex.index.to_numpy(), "w": ex.to_numpy()})
+        counts = df.groupby(["i", "w"], sort=False).size()
+        per_doc = counts.groupby(level=0)
+        distinct = per_doc.size().reindex(pos, fill_value=0).to_numpy()
+        top = per_doc.max().reindex(pos, fill_value=0).to_numpy()
+        w2 = df.groupby("i", sort=False)["w"].shift(-1)
+        bi = df.assign(w2=w2).dropna(subset=["w2"])
+        if len(bi):
+            btop = (bi.groupby(["i", "w", "w2"], sort=False).size()
+                    .groupby(level=0).max()
+                    .reindex(pos, fill_value=0).to_numpy())
+        else:
+            btop = np.zeros(len(low), dtype=np.int64)
+        new_run = (df["w"].ne(df["w"].shift())
+                   | df["i"].ne(df["i"].shift())).cumsum()
+        runs = df.groupby(new_run, sort=False).agg(
+            i=("i", "first"), L=("w", "size"))
+        max_run = (runs.groupby("i")["L"].max()
+                   .reindex(pos, fill_value=0).to_numpy())
+    else:
+        distinct = top = btop = max_run = np.zeros(len(low), dtype=np.int64)
+    nf = n.astype(np.float64)
+    safe = np.maximum(nf, 1.0)
+    safe_bi = np.maximum(nf - 1.0, 1.0)
+    out = batch.reset_index(drop=True).copy()
+    out["n_words"] = n
+    out["dup_word_frac"] = np.where(
+        n > 0, round_half_away(1.0 - distinct / safe, 4), 0.0)
+    out["top_word_frac"] = np.where(
+        n > 0, round_half_away(top / safe, 4), 0.0)
+    out["top_bigram_frac"] = np.where(
+        n > 1, round_half_away(btop / safe_bi, 4), 0.0)
+    out["max_word_run"] = max_run.astype(np.int64)
+    return out
+
+
+EDGE_TEXTS = [
+    "",                                     # empty
+    None,                                   # null
+    "   \t\n  ",                            # whitespace only
+    "　  ideographic　space",  # unicode whitespace
+    "the the the the",                      # pure stopword repetition
+    "a",                                    # single 1-char stopword
+    "that",                                 # stopword == whole text
+    "toto is not to to",                    # stopword substrings
+    "the_and for-on a.b",                   # \w joins, boundaries
+    "한국어 문장 the 문서 and 품질",            # hangul + stopwords
+    "THE AND Of A To IN",                   # case folding
+    "x" * 5000,                             # one long word
+    "word " * 300,                          # long repetition run
+    "1 22 333 4444 55555 1 22",             # digits as words
+    "a b, c. d! e? f; g:",                  # punctuation battery
+    "İstanbul mixes the case",              # lower() changes length
+    "ab­cd the­and",              # soft hyphen (non-space, non-word)
+    "tab\tsep\nline\rreturn\x0bvt\x0cff",   # ascii control whitespace
+    "o" * 3 + " " + "to to to to to",       # bigram repetition
+    "étude the café and",        # combining mark + latin-1
+]
+
+
+def _mixed_frame():
+    rng = np.random.default_rng(7)
+    vocab = ["the", "and", "data", "pipeline", "ray", "arrow", "문서",
+             "품질", "to", "in", "x1", "run_on", "99", "..."]
+    rand = [" ".join(rng.choice(vocab, size=rng.integers(0, 40)))
+            for _ in range(200)]
+    return pd.DataFrame({"text": EDGE_TEXTS + rand})
+
+
+def test_quality_matches_reference():
+    df = _mixed_frame()
+    fast = quality_score_batch(df.copy(), "text")
+    ref = quality_reference(df.copy(), "text")
+    for col in ("punct_ratio", "digit_ratio", "stop_ratio", "mean_word_len"):
+        np.testing.assert_array_equal(
+            fast[col].to_numpy(), ref[col].to_numpy(), err_msg=col)
+
+
+def test_repetition_matches_reference():
+    df = _mixed_frame()
+    fast = repetition_stats_batch(df.copy(), "text")
+    ref = repetition_reference(df.copy(), "text")
+    for col in ("n_words", "dup_word_frac", "top_word_frac",
+                "top_bigram_frac", "max_word_run"):
+        np.testing.assert_array_equal(
+            fast[col].to_numpy(), ref[col].to_numpy(), err_msg=col)
+
+
+@pytest.mark.parametrize("fn_pair", [
+    (quality_score_batch, quality_reference),
+    (repetition_stats_batch, repetition_reference),
+])
+def test_empty_batch(fn_pair):
+    fast_fn, ref_fn = fn_pair
+    empty = pd.DataFrame({"text": pd.Series([], dtype="object")})
+    fast = fast_fn(empty.copy(), "text")
+    ref = ref_fn(empty.copy(), "text")
+    assert list(fast.columns) == list(ref.columns)
+    assert len(fast) == 0
+
+
+def test_quality_preserves_index():
+    # the kernel assigns positionally; the caller's index must survive
+    df = pd.DataFrame({"text": ["the cat", "and dog"]}, index=[10, 20])
+    out = quality_score_batch(df, "text")
+    assert list(out.index) == [10, 20]
+    assert out.loc[10, "stop_ratio"] == 0.5
