@@ -1124,6 +1124,34 @@ def q_perplexity_buckets(sf_dir: str):
     return perplexity_buckets(ds, model)
 
 
+def q_nfc_docs(sf_dir: str):
+    # Unicode NFC normalization (textquality.nfc_normalize_batch): one
+    # narrow map with an is_normalized fast path; DuckDB nfc_normalize
+    # is the exact mirror (both UAX#15).
+    from pdf_extract_ray.stages.textquality import nfc_normalize_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: nfc_normalize_batch(b)[["doc_id", "text_nfc", "changed"]],
+        batch_format="pandas")
+
+
+def q_source_mixed_docs(sf_dir: str):
+    # deterministic training-mix sampling (stages/mix.py): per-source
+    # keep rates via the md5-of-id rank — narrow filter, zero shuffles,
+    # nested samples across rates. md5 = SQL-parity mode.
+    from pdf_extract_ray.stages.mix import weighted_sample
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "source", "lang"])
+    return weighted_sample(
+        ds, "source", MIX_RATES, "doc_id",
+        default_rate=MIX_DEFAULT_RATE, method="md5")
+
+
+MIX_RATES = {"src1": 1.0, "src2": 0.5, "src3": 0.25}
+MIX_DEFAULT_RATE = 0.1
+
+
 def q_host_rollup(sf_dir: str):
     # per-domain crawl rollup: canonicalize (narrow) -> map-side partial
     # aggregate -> small bucketed merge (stages/agg.grouped_aggregate)
@@ -1219,6 +1247,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_rollup": q_host_rollup,
         "perplexity_buckets": q_perplexity_buckets,
         "line_dedup_docs": q_line_dedup_docs,
+        "nfc_docs": q_nfc_docs,
+        "source_mixed_docs": q_source_mixed_docs,
     }
 
 
@@ -1453,6 +1483,14 @@ def _host_rollup_oracle() -> str:
         "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
         "round(sum(n_chars) * 1.0 / count(*), 4) AS avg_chars "
         "FROM canon JOIN chars USING (doc_id) GROUP BY url_domain")
+
+
+def _source_mixed_oracle() -> str:
+    from pdf_extract_ray.stages.mix import weighted_sample_oracle_sql
+
+    return weighted_sample_oracle_sql(
+        "SELECT doc_id, source, lang FROM documents",
+        "source", MIX_RATES, "doc_id", default_rate=MIX_DEFAULT_RATE)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1753,4 +1791,10 @@ def oracle_sql() -> dict[str, str]:
         "host_rollup": _host_rollup_oracle(),
         "perplexity_buckets": _perplexity_oracle(),
         "line_dedup_docs": _line_dedup_oracle(),
+        "nfc_docs": (
+            "SELECT doc_id, nfc_normalize(coalesce(text, '')) AS text_nfc, "
+            "nfc_normalize(coalesce(text, '')) != coalesce(text, '') AS changed "
+            "FROM documents"
+        ),
+        "source_mixed_docs": _source_mixed_oracle(),
     }

@@ -247,6 +247,28 @@ def fingerprint_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFra
     return batch
 
 
+def nfc_normalize_batch(batch: pd.DataFrame, text_col: str = "text",
+                        out_col: str = "text_nfc") -> pd.DataFrame:
+    """Unicode NFC normalization (canonical composition) — the standard
+    first cleaning pass over crawled text, where the same visible string
+    arrives in mixed composed/decomposed forms and breaks exact-dedup /
+    grouping keys downstream.
+
+    ``unicodedata.is_normalized`` short-circuits the (overwhelmingly
+    common) already-NFC case without allocating; only non-NFC rows pay
+    the normalize call.  SQL mirror: DuckDB ``nfc_normalize`` (verified
+    parity — both implement UAX#15).  Adds ``out_col`` plus ``changed``.
+    """
+    import unicodedata
+
+    t = batch[text_col].fillna("")
+    norm = [s if unicodedata.is_normalized("NFC", s)
+            else unicodedata.normalize("NFC", s) for s in t]
+    batch[out_col] = norm
+    batch["changed"] = [o is not s for o, s in zip(norm, t)]
+    return batch
+
+
 _WORD_ONLY_RE = re.compile(r"[a-z0-9]+")
 
 

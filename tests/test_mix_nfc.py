@@ -1,0 +1,106 @@
+"""Corpus mixing (stages/mix.py) and NFC normalization
+(textquality.nfc_normalize_batch): determinism, nesting, and DuckDB
+oracle parity at the kernel level (the Dataset level is covered by the
+`source_mixed_docs` / `nfc_docs` driver queries)."""
+
+import unicodedata
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdf_extract_ray.stages.mix import (
+    _bound_hex,
+    weighted_sample_batch,
+    weighted_sample_oracle_sql,
+)
+from pdf_extract_ray.stages.textquality import nfc_normalize_batch
+
+
+def _docs(n=2000):
+    rng = np.random.default_rng(3)
+    return pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": rng.choice(["a", "b", "c", "d"], size=n),
+    })
+
+
+def test_rates_are_approximate_and_deterministic():
+    df = _docs()
+    out1 = weighted_sample_batch(df, "source", {"a": 0.5, "b": 0.1},
+                                 default_rate=1.0)
+    out2 = weighted_sample_batch(df, "source", {"a": 0.5, "b": 0.1},
+                                 default_rate=1.0)
+    pd.testing.assert_frame_equal(out1, out2)
+    frac_a = len(out1[out1.source == "a"]) / len(df[df.source == "a"])
+    frac_b = len(out1[out1.source == "b"]) / len(df[df.source == "b"])
+    assert abs(frac_a - 0.5) < 0.1 and abs(frac_b - 0.1) < 0.06
+    # groups without a rate follow default_rate (1.0 keeps everything)
+    assert len(out1[out1.source == "c"]) == len(df[df.source == "c"])
+
+
+def test_samples_nest_across_rates():
+    # the kept set at a lower rate is a subset of the kept set at a
+    # higher rate (same hash rank) — free nested mix experiments
+    df = _docs()
+    small = weighted_sample_batch(df, "source", {}, default_rate=0.2)
+    big = weighted_sample_batch(df, "source", {}, default_rate=0.6)
+    assert set(small.doc_id).issubset(set(big.doc_id))
+
+
+def test_fast_mode_deterministic_and_rate_shaped():
+    df = _docs()
+    out1 = weighted_sample_batch(df, "source", {"a": 0.5},
+                                 default_rate=0.2, method="fast")
+    out2 = weighted_sample_batch(
+        df.sample(frac=1.0, random_state=1), "source", {"a": 0.5},
+        default_rate=0.2, method="fast")
+    assert set(out1.doc_id) == set(out2.doc_id)  # order-independent
+    frac_a = len(out1[out1.source == "a"]) / len(df[df.source == "a"])
+    assert abs(frac_a - 0.5) < 0.1
+
+
+def test_bound_validation():
+    with pytest.raises(ValueError):
+        _bound_hex(1.5)
+    with pytest.raises(ValueError):
+        weighted_sample_batch(_docs(50), "source", {"a": -0.1})
+    with pytest.raises(ValueError):
+        weighted_sample_batch(_docs(50), "source", {}, method="nope")
+
+
+def test_oracle_sql_matches_kernel():
+    import duckdb
+
+    df = _docs()
+    rates = {"a": 0.5, "b": 0.1, "c": 1.0}
+    kept = weighted_sample_batch(df, "source", rates, default_rate=0.25)
+    con = duckdb.connect()
+    con.register("documents", df.assign(lang="en"))
+    sql = weighted_sample_oracle_sql(
+        "SELECT doc_id, source, lang FROM documents", "source", rates,
+        default_rate=0.25)
+    got = con.sql(sql).df()
+    assert sorted(got.doc_id) == sorted(kept.doc_id)
+
+
+NFC_CASES = ["café", "étude", "가", "Å", "à́b", "ﬁ", "ascii", "", "Ǻ",
+             "한글 텍스트", "x̸", "ȩ́"]
+
+
+def test_nfc_normalizes_and_flags():
+    df = pd.DataFrame({"text": NFC_CASES + [None]})
+    out = nfc_normalize_batch(df.copy())
+    for raw, nfc, changed in zip(df.text.fillna(""), out.text_nfc,
+                                 out.changed):
+        assert nfc == unicodedata.normalize("NFC", raw)
+        assert changed == (nfc != raw)
+
+
+def test_nfc_duckdb_parity():
+    import duckdb
+
+    con = duckdb.connect()
+    for c in NFC_CASES:
+        dk = con.sql("SELECT nfc_normalize(?)", params=[c]).fetchone()[0]
+        assert dk == unicodedata.normalize("NFC", c), repr(c)
