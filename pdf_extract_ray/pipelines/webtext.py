@@ -93,17 +93,27 @@ def webtext_run(
     ...) instead of pre-extracted documents: the flagship fused
     extraction runs in the SAME streaming plan (extract -> signals ->
     tier -> write, still zero extra materializations) and tiering reads
-    its ``extracted_text``."""
+    its ``extracted_text``.  Input shards may be parquet OR raw
+    ``.warc``/``.warc.gz`` archives (Common-Crawl-native; implies
+    ``extract_first`` since WARC carries html, not extracted text) —
+    the manifest resume loop is identical either way."""
     import ray.data as rd
 
     from pdf_extract_ray.pipelines.runner import _rows_written
     from pdf_extract_ray.state.manifest import run_partitioned
     from pdf_extract_ray import __version__
 
+    def _read(files: list[str]):
+        if files[0].endswith((".warc", ".warc.gz")):
+            from pdf_extract_ray.sources.warc import read_warc
+
+            return read_warc(files), True
+        return rd.read_parquet(files), extract_first
+
     def pipeline(files: list[str], tmp_out: str) -> int:
-        ds = rd.read_parquet(files)
+        ds, do_extract = _read(files)
         col = text_col
-        if extract_first:
+        if do_extract:
             from pdf_extract_ray.pipelines.extract import extract_pages_fused
 
             ds = extract_pages_fused(ds)

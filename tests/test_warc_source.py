@@ -60,6 +60,35 @@ def test_deterministic_bytes():
         PAGES, compress=True)
 
 
+def test_webtext_run_over_warc(ray_session, tmp_path):
+    """webtext_run ingests raw .warc.gz shards directly (Common-Crawl
+    native): warc read -> fused extraction -> tier signals -> partitioned
+    write, with the same manifest resume loop as the parquet path."""
+    import pyarrow.parquet as pq
+
+    from pdf_extract_ray.corpus import pages_table
+    from pdf_extract_ray.pipelines.webtext import webtext_run
+
+    rows = pages_table(40, seed=11, n_hosts=4).to_pylist()
+    for r in rows:
+        r["warc_ts"] = r["warc_ts"].replace(microsecond=0)
+    for i in range(2):
+        (tmp_path / f"crawl-{i}.warc.gz").write_bytes(
+            build_warc(rows[i * 20:(i + 1) * 20], compress=True))
+
+    out = tmp_path / "tiers"
+    res = webtext_run(str(tmp_path / "*.warc.gz"), str(out),
+                      keep_rejects=True, files_per_partition=1)
+    assert res["completed"] == 2
+    got = pq.read_table(str(out)).to_pandas()
+    assert len(got) == len(rows)
+    assert {"tier", "extracted_text", "n_words"} <= set(got.columns)
+    # resume: a second run skips both finished partitions
+    res2 = webtext_run(str(tmp_path / "*.warc.gz"), str(out),
+                       keep_rejects=True, files_per_partition=1)
+    assert res2["skipped"] == 2
+
+
 def test_read_warc_and_extract_parity(ray_session, tmp_path):
     """WARC ingestion feeds the flagship extraction and yields the same
     extracted text as the parquet pages path over the same pages."""
