@@ -11,9 +11,11 @@ per block.  Multi-page documents are encoded as
 ``<section data-page="N">`` wrappers (FIXTURES.md F1.7).
 
 Pure Python (no bs4/lxml in the sandbox), and deliberately
-tolerant: any byte string decodes with ``errors="replace"`` and malformed
-markup degrades to text accumulation, never an exception — at 100 TB the
-parser must not die on one bad page.
+tolerant: byte input goes through charset sniffing
+(``functions/encoding.decode_html_bytes``: BOM -> strict UTF-8 -> meta
+charset -> replace fallback) and malformed markup degrades to text
+accumulation, never an exception — at 100 TB the parser must not die on
+one bad page.
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ from dataclasses import dataclass
 from html.parser import HTMLParser
 
 from pdf_extract_ray.config import DEFAULT_CONFIG, ExtractConfig
+from pdf_extract_ray.functions.encoding import decode_html_bytes
 from pdf_extract_ray.functions.text import collapse_ws
 
 
@@ -256,7 +259,7 @@ def parse_html(html: bytes | str | None, cfg: ExtractConfig = DEFAULT_CONFIG) ->
     if html is None:
         return []
     if isinstance(html, bytes):
-        html = html.decode("utf-8", errors="replace")
+        html = decode_html_bytes(html)[0]
     if "<" not in html:
         return []
     p = _BlockCollector(cfg)
@@ -279,7 +282,7 @@ def parse_html_stdlib(html: bytes | str | None, cfg: ExtractConfig = DEFAULT_CON
     if html is None:
         return []
     if isinstance(html, bytes):
-        html = html.decode("utf-8", errors="replace")
+        html = decode_html_bytes(html)[0]
     if "<" not in html:
         return []
     p = _BlockCollector(cfg)
