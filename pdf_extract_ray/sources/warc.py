@@ -31,8 +31,11 @@ environment and none is needed.
 
 from __future__ import annotations
 
+import codecs
 import gzip
 import io
+import re
+import zlib
 from datetime import datetime, timezone
 
 import pyarrow as pa
@@ -60,13 +63,77 @@ def _parse_warc_ts(raw: bytes):
         return None
 
 
+_CHARSET_RE = re.compile(
+    rb"charset\s*=\s*\"?([a-zA-Z0-9._:-]+)", re.IGNORECASE)
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Reverse HTTP/1.1 chunked transfer coding (size-hex CRLF data CRLF
+    ... 0 CRLF); malformed framing returns what was decoded so far plus
+    nothing — loud-by-truncation, not by crash."""
+    out, pos, n = [], 0, len(body)
+    while pos < n:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            break
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        chunk = body[eol + 2:eol + 2 + size]
+        out.append(chunk)
+        if len(chunk) < size:
+            break
+        pos = eol + 2 + size + 2  # skip trailing CRLF
+    return b"".join(out)
+
+
 def _http_body(block: bytes) -> bytes:
-    """HTTP response message -> body (after the first blank line); a
-    block that is not an HTTP message passes through whole."""
+    """HTTP response message -> page bytes: header/body split, chunked
+    transfer decoding, HTTP-level gzip/deflate content decoding, and —
+    when the Content-Type header declares a non-UTF-8 charset that
+    strictly decodes — transcoding to UTF-8 (decode once at ingest; the
+    header is gone after this point, so this is the only place the
+    highest-priority charset signal can be honored).  A block that is
+    not an HTTP message passes through whole; every failure degrades to
+    the undecoded bytes (the extractor's meta-charset sniff still runs).
+    """
     if not block.startswith(b"HTTP/"):
         return block
     sep = block.find(b"\r\n\r\n")
-    return block[sep + 4:] if sep >= 0 else b""
+    if sep < 0:
+        return b""
+    headers = _split_headers(block[:sep])
+    body = block[sep + 4:]
+    if b"chunked" in headers.get(b"transfer-encoding", b"").lower():
+        body = _dechunk(body)
+    cenc = headers.get(b"content-encoding", b"").lower()
+    if cenc in (b"gzip", b"x-gzip", b"deflate"):
+        try:
+            # 32+15: zlib OR gzip framing (servers mislabel); raw-deflate
+            # retry for the historically broken "deflate" servers
+            body = zlib.decompress(body, 32 + zlib.MAX_WBITS)
+        except zlib.error:
+            try:
+                body = zlib.decompress(body, -zlib.MAX_WBITS)
+            except zlib.error:
+                pass
+    m = _CHARSET_RE.search(headers.get(b"content-type", b""))
+    if m:
+        name = m.group(1).decode("ascii", "replace").lower()
+        if name not in ("utf-8", "utf8", "us-ascii", "ascii"):
+            try:
+                info = codecs.lookup(name)
+                if not info.name.startswith(("utf-16", "utf-32")) or (
+                        body[:4].startswith((codecs.BOM_UTF16_LE,
+                                             codecs.BOM_UTF16_BE))):
+                    body = body.decode(info.name).encode("utf-8")
+            except (UnicodeDecodeError, LookupError):
+                pass  # lying header: keep raw bytes for the meta sniff
+    return body
 
 
 def iter_warc_records(data: bytes):

@@ -54,6 +54,80 @@ def test_truncated_tail_is_loud_not_fatal():
     assert len(rows) == 1 and n_bad == 1
 
 
+def _resp(headers: bytes, body: bytes) -> bytes:
+    http = b"HTTP/1.1 200 OK\r\n" + headers + b"\r\n" + body
+    return (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: http://h.example/\r\n"
+            b"WARC-Date: 2020-01-01T00:00:00Z\r\n"
+            b"Content-Length: " + str(len(http)).encode()
+            + b"\r\n\r\n" + http + b"\r\n\r\n")
+
+
+def test_chunked_transfer_decoding():
+    body = b"5\r\nhello\r\n8\r\n world!!\r\n0\r\n\r\n"
+    rows, _ = parse_warc_file(
+        _resp(b"Transfer-Encoding: chunked\r\n", body))
+    assert rows[0]["html"] == b"hello world!!"
+
+
+def test_chunked_with_extension_and_truncation():
+    body = b"5;ext=1\r\nhello\r\nfff\r\ntrunc"
+    rows, _ = parse_warc_file(
+        _resp(b"Transfer-Encoding: chunked\r\n", body))
+    assert rows[0]["html"].startswith(b"hello")  # salvages decoded prefix
+
+
+def test_gzip_content_encoding():
+    import zlib
+
+    page = b"<html><body><p>compressed page</p></body></html>"
+    import gzip as _gz
+    for enc, payload in ((b"gzip", _gz.compress(page)),
+                         (b"deflate", zlib.compress(page)),
+                         (b"deflate", zlib.compress(page)[2:-4])):  # raw
+        rows, _ = parse_warc_file(
+            _resp(b"Content-Encoding: " + enc + b"\r\n", payload))
+        assert rows[0]["html"] == page, enc
+
+
+def test_corrupt_gzip_degrades_to_raw():
+    rows, _ = parse_warc_file(
+        _resp(b"Content-Encoding: gzip\r\n", b"\x1f\x8bnot really gzip"))
+    assert rows[0]["html"] == b"\x1f\x8bnot really gzip"
+
+
+def test_header_charset_transcoded_to_utf8():
+    korean = "한국어 페이지"
+    page = f"<html><body><p>{korean}</p></body></html>".encode("euc-kr")
+    rows, _ = parse_warc_file(_resp(
+        b"Content-Type: text/html; charset=euc-kr\r\n", page))
+    assert rows[0]["html"].decode("utf-8") == page.decode("euc-kr")
+
+
+def test_lying_header_charset_keeps_raw_bytes():
+    raw = b"<p>\xff\xfe not actually shift_jis \x81</p>"
+    rows, _ = parse_warc_file(_resp(
+        b"Content-Type: text/html; charset=shift_jis\r\n", raw))
+    assert rows[0]["html"] == raw
+
+
+def test_chunked_gzip_charset_compose():
+    """The real-crawl triple: chunked + gzip + legacy charset."""
+    import gzip as _gz
+
+    korean = "조합 테스트 문장"
+    page = f"<html><body><p>{korean}</p></body></html>".encode("euc-kr")
+    gz = _gz.compress(page)
+    chunked = (hex(len(gz[:10]))[2:].encode() + b"\r\n" + gz[:10] + b"\r\n"
+               + hex(len(gz[10:]))[2:].encode() + b"\r\n" + gz[10:]
+               + b"\r\n0\r\n\r\n")
+    rows, _ = parse_warc_file(_resp(
+        b"Transfer-Encoding: chunked\r\n"
+        b"Content-Encoding: gzip\r\n"
+        b"Content-Type: text/html; charset=euc-kr\r\n", chunked))
+    assert korean in rows[0]["html"].decode("utf-8")
+
+
 def test_deterministic_bytes():
     assert build_warc(PAGES) == build_warc(PAGES)
     assert build_warc(PAGES, compress=True) == build_warc(
