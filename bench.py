@@ -155,7 +155,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "dedup_exact_documents", "doc_reassembly", "lang_id",
                      "minhash_near_dup", "simhash_near_dup", "similarity_topk",
                      "quality_pipeline", "extract_staged",
-                     "pii_redacted_docs", "bm25_docs", "webtext_tiers"):
+                     "pii_redacted_docs", "bm25_docs", "webtext_tiers",
+                     "line_dedup_docs", "perplexity_buckets"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

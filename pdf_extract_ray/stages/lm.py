@@ -95,12 +95,18 @@ def train_bigram_lm(
     """
     from pdf_extract_ray.stages.agg import grouped_aggregate
 
+    # materialize the aggregated counts ONCE: the two top-k views below
+    # are sort+limit pipelines over this lazy dataset, and without the
+    # pin each would re-execute the whole explode + bucketed shuffle.
+    # The pinned set is the post-aggregation (w1, w2, c) table — already
+    # fully produced by the shuffle, spillable, and far smaller than the
+    # corpus (distinct bigrams of the training slice).
     counts = grouped_aggregate(
         ds.map_batches(lambda b: _bigram_rows(b, text_col),
                        batch_format="pandas"),
         ["w1", "w2"],
         {"c": ("c", "sum")},
-    )
+    ).materialize()
     uni_top = (
         counts.filter(expr="w2 == ''")
         .sort(["c", "w1"], descending=[True, False])
