@@ -105,3 +105,53 @@ def test_clean_sql_mirror_fuzz_parity(text):
     got = con.execute(
         f"SELECT {expr} FROM (SELECT ? AS text) t", [text]).fetchone()[0]
     assert got == clean_pair_text(text), repr(text)
+
+
+# ---------------------------------------------------------------------------
+# WARC reader + charset sniffing: arbitrary bytes must never raise
+# ---------------------------------------------------------------------------
+
+from pdf_extract_ray.functions.encoding import decode_html_bytes  # noqa: E402
+from pdf_extract_ray.sources.warc import build_warc, parse_warc_file  # noqa: E402
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=2048))
+def test_warc_parser_never_raises_on_garbage(data):
+    parse_warc_file(data)
+    parse_warc_file(b"WARC/1.0\r\n" + data)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(min_size=0, max_size=512), st.binary(max_size=128))
+def test_warc_parser_never_raises_on_header_soup(body, hdr):
+    """Well-framed record, arbitrary header bytes and HTTP-ish body."""
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n" + hdr + b"\r\n"
+           b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+           + body + b"\r\n\r\n")
+    parse_warc_file(rec)
+    parse_warc_file(rec.replace(body, b"HTTP/1.1 200 OK\r\n"
+                                b"Transfer-Encoding: chunked\r\n"
+                                b"Content-Encoding: gzip\r\n\r\n" + body, 1))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=1024))
+def test_decode_html_bytes_never_raises(data):
+    text, enc = decode_html_bytes(data)
+    assert isinstance(text, str) and isinstance(enc, str)
+    decode_html_bytes(b'<meta charset="euc-kr">' + data)
+    decode_html_bytes(b"\xff\xfe" + data)  # utf-16-le BOM on garbage
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(
+    st.text(alphabet=st.characters(blacklist_characters="\r\n"),
+            max_size=40),  # CR/LF in a URL breaks WARC framing by design
+    st.binary(max_size=200)), max_size=5))
+def test_warc_round_trip_arbitrary_pages(pages):
+    rows_in = [{"url": u, "warc_ts": None, "html": b} for u, b in pages]
+    rows, n_bad = parse_warc_file(build_warc(rows_in))
+    assert n_bad == 0 and len(rows) == len(rows_in)
+    for got, src in zip(rows, rows_in):
+        assert got["html"] == src["html"]
