@@ -72,7 +72,8 @@ def decode_html_bytes(data: bytes) -> tuple[str, str]:
     if declared and not declared.startswith(("utf-16", "utf-32")):
         try:
             info = codecs.lookup(declared)
-            if info.name not in ("utf-16", "utf-32"):
+            # canonical names include endianness variants (utf-16-le...)
+            if not info.name.startswith(("utf-16", "utf-32")):
                 return data.decode(info.name), info.name
         except (UnicodeDecodeError, LookupError):
             pass

@@ -130,6 +130,13 @@ def webtext_run(
     files = sorted(glob.glob(input_glob))
     if not files:
         raise FileNotFoundError(f"no input files match {input_glob}")
+    n_warc = sum(f.endswith((".warc", ".warc.gz")) for f in files)
+    if 0 < n_warc < len(files):
+        # a mixed glob would silently route parquet bytes through the
+        # WARC parser (zero rows, manifested complete = permanent loss)
+        raise ValueError(
+            f"{input_glob} matches both WARC and non-WARC files "
+            f"({n_warc}/{len(files)}); run them as separate inputs")
     return run_partitioned(
         files,
         out_dir,

@@ -45,7 +45,7 @@ _CRLF = b"\r\n"
 
 def _split_headers(chunk: bytes) -> dict[bytes, bytes]:
     headers: dict[bytes, bytes] = {}
-    for line in chunk.split(_CRLF):
+    for line in chunk.split(b"\n"):  # tolerate bare-LF HTTP servers
         if b":" in line:
             k, v = line.split(b":", 1)
             headers[k.strip().lower()] = v.strip()
@@ -65,6 +65,33 @@ def _parse_warc_ts(raw: bytes):
 
 _CHARSET_RE = re.compile(
     rb"charset\s*=\s*\"?([a-zA-Z0-9._:-]+)", re.IGNORECASE)
+_HDR_END_RE = re.compile(rb"\r?\n\r?\n")
+
+
+def _gunzip_members(data: bytes) -> tuple[bytes, bool]:
+    """Decompress concatenated gzip members (the WARC spec's
+    record-at-time compression), salvaging every complete member of a
+    truncated/corrupt archive instead of crashing the parse task.
+    Returns ``(decompressed, truncated_flag)``."""
+    out, pos, n, bad_tail = [], 0, len(data), False
+    while pos < n and data[pos:pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(32 + zlib.MAX_WBITS)
+        try:
+            out.append(d.decompress(data[pos:]))
+        except zlib.error:
+            bad_tail = True
+            break
+        if not d.eof:  # member truncated mid-stream
+            bad_tail = True
+            break
+        consumed = n - pos - len(d.unused_data)
+        if consumed <= 0:
+            bad_tail = True
+            break
+        pos += consumed
+    if pos < n and not bad_tail:
+        bad_tail = True  # trailing non-gzip garbage
+    return b"".join(out), bad_tail
 
 
 def _dechunk(body: bytes) -> bytes:
@@ -103,11 +130,11 @@ def _http_body(block: bytes) -> bytes:
     """
     if not block.startswith(b"HTTP/"):
         return block
-    sep = block.find(b"\r\n\r\n")
-    if sep < 0:
-        return b""
-    headers = _split_headers(block[:sep])
-    body = block[sep + 4:]
+    m_sep = _HDR_END_RE.search(block)  # tolerate bare-LF servers
+    if m_sep is None:
+        return block  # no header terminator: degrade to the raw block
+    headers = _split_headers(block[:m_sep.start()])
+    body = block[m_sep.end():]
     if b"chunked" in headers.get(b"transfer-encoding", b"").lower():
         body = _dechunk(body)
     cenc = headers.get(b"content-encoding", b"").lower()
@@ -125,14 +152,22 @@ def _http_body(block: bytes) -> bytes:
     if m:
         name = m.group(1).decode("ascii", "replace").lower()
         if name not in ("utf-8", "utf8", "us-ascii", "ascii"):
+            # a body that is ALREADY strict UTF-8 wins over the header —
+            # charset=iso-8859-1 on UTF-8 pages is a classic server
+            # misconfiguration, and single-byte codecs decode anything,
+            # so transcoding would mint irreversible mojibake (same
+            # priority order as functions/encoding.decode_html_bytes)
             try:
-                info = codecs.lookup(name)
-                if not info.name.startswith(("utf-16", "utf-32")) or (
-                        body[:4].startswith((codecs.BOM_UTF16_LE,
-                                             codecs.BOM_UTF16_BE))):
-                    body = body.decode(info.name).encode("utf-8")
-            except (UnicodeDecodeError, LookupError):
-                pass  # lying header: keep raw bytes for the meta sniff
+                body.decode("utf-8")
+            except UnicodeDecodeError:
+                try:
+                    info = codecs.lookup(name)
+                    if not info.name.startswith(("utf-16", "utf-32")) or (
+                            body[:4].startswith((codecs.BOM_UTF16_LE,
+                                                 codecs.BOM_UTF16_BE))):
+                        body = body.decode(info.name).encode("utf-8")
+                except (UnicodeDecodeError, LookupError):
+                    pass  # lying header: keep raw bytes for the meta sniff
     return body
 
 
@@ -141,7 +176,9 @@ def iter_warc_records(data: bytes):
     malformed tails/records are skipped (yielded as the count via
     ``parse_warc_file``'s n_bad)."""
     if data[:2] == b"\x1f\x8b":  # gzip member(s)
-        data = gzip.decompress(data)
+        data, bad_tail = _gunzip_members(data)
+        if bad_tail:
+            yield None  # counted: corrupt/truncated compressed tail
     pos, n = 0, len(data)
     while pos < n:
         # skip inter-record padding
@@ -208,27 +245,85 @@ def _rows_to_table(rows: list[dict]) -> pa.Table:
         "url": pa.array([r["url"] for r in rows], pa.string()),
         "warc_ts": pa.array([r["warc_ts"] for r in rows],
                             pa.timestamp("us")),
-        "html": pa.array([r["html"] for r in rows], pa.binary()),
+        # large_binary: one ~1 GB .warc.gz expands to several GB of
+        # bodies in a single parse batch — 32-bit binary offsets overflow
+        "html": pa.array([r["html"] for r in rows], pa.large_binary()),
         "text": pa.array([r["text"] for r in rows], pa.large_string()),
         "lang": pa.array([r["lang"] for r in rows], pa.string()),
     })
 
 
-def read_warc(paths, **read_kwargs):
-    """``Dataset`` of pages-schema rows from WARC/WARC.GZ files.  One
-    parse task per file (the crawl's natural parallelism unit)."""
+def _read_raw(path: str) -> bytes:
+    """Raw file bytes (no decompression) via pyarrow.fs, so remote URIs
+    (s3://...) work in the same code path as local files.  Going through
+    our own reader instead of ``read_binary_files`` is deliberate twice
+    over: Ray/Arrow auto-gunzip by ``.gz`` extension INSIDE the read task
+    and crash outright on a truncated archive (the member-salvaging
+    decompressor here must see the compressed bytes), and reading inside
+    the parse task keeps the multi-GB archive blob out of the object
+    store entirely — only parsed record rows ever become blocks."""
+    from pyarrow import fs as pafs
+
+    try:
+        filesystem, fs_path = pafs.FileSystem.from_uri(path)
+    except (ValueError, pa.ArrowInvalid):
+        filesystem, fs_path = pafs.LocalFileSystem(), path
+    with filesystem.open_input_stream(fs_path, compression=None) as f:
+        return f.read()
+
+
+def _warc_paths_ds(paths, **read_kwargs):
     import ray.data as rd
 
-    files = rd.read_binary_files(paths, **read_kwargs)
+    if isinstance(paths, (str, bytes)):
+        paths = [paths]
+    return rd.from_items([{"path": str(p)} for p in paths], **read_kwargs)
+
+
+def read_warc(paths, **read_kwargs):
+    """``Dataset`` of pages-schema rows from WARC/WARC.GZ files.  One
+    parse task per file (the crawl's natural parallelism unit); archive
+    bytes are read INSIDE the parse task (see :func:`_read_raw`).
+    Malformed records are skipped with a per-file warning log (the same
+    logged-drop loudness the dedup bucket caps use); run
+    :func:`parse_warc_stats` over the same paths for a full audit."""
+    files = _warc_paths_ds(paths, **read_kwargs)
 
     def parse(batch: pa.Table) -> pa.Table:
         rows: list[dict] = []
-        for data in batch["bytes"].to_pylist():
-            r, _bad = parse_warc_file(data)
+        for path in batch["path"].to_pylist():
+            r, bad = parse_warc_file(_read_raw(path))
+            if bad:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "read_warc: %d malformed record(s) skipped in %s",
+                    bad, path)
             rows.extend(r)
         return _rows_to_table(rows)
 
-    return files.map_batches(parse, batch_format="pyarrow")
+    return files.map_batches(parse, batch_format="pyarrow", batch_size=1)
+
+
+def parse_warc_stats(paths, **read_kwargs):
+    """Audit ``Dataset``: one row ``(path, n_records, n_bad)`` per WARC
+    file — the loud-by-status channel for ingest-quality monitoring."""
+    files = _warc_paths_ds(paths, **read_kwargs)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        out = {"path": [], "n_records": [], "n_bad": []}
+        for path in batch["path"].to_pylist():
+            r, bad = parse_warc_file(_read_raw(path))
+            out["path"].append(path)
+            out["n_records"].append(len(r))
+            out["n_bad"].append(bad)
+        return pa.table({
+            "path": pa.array(out["path"], pa.string()),
+            "n_records": pa.array(out["n_records"], pa.int64()),
+            "n_bad": pa.array(out["n_bad"], pa.int64()),
+        })
+
+    return files.map_batches(stats, batch_format="pyarrow", batch_size=1)
 
 
 # ---------------------------------------------------------------------------

@@ -97,7 +97,8 @@ def weighted_sample_oracle_sql(
     """DuckDB mirror of ``weighted_sample(method='md5')``."""
     key = f"substr(md5(CAST({id_col} AS VARCHAR)), 1, 8)"
     whens = " ".join(
-        f"WHEN CAST({group_col} AS VARCHAR) = '{g}' THEN '{_bound_hex(r)}'"
+        "WHEN CAST({} AS VARCHAR) = '{}' THEN '{}'".format(
+            group_col, str(g).replace("'", "''"), _bound_hex(r))
         for g, r in rates.items())
     bound = f"CASE {whens} ELSE '{_bound_hex(default_rate)}' END"
     return f"SELECT * FROM ({table_sql}) WHERE {key} < {bound}"

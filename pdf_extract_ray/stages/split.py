@@ -107,7 +107,9 @@ def split_oracle_sql(
     thresholds = split_thresholds(fractions)
     key = f"substr(md5(CAST({id_col} AS VARCHAR)), 1, 8)"
     whens = " ".join(
-        f"WHEN {key} < '{bound}' THEN '{lab}'"
+        "WHEN {} < '{}' THEN '{}'".format(
+            key, bound, str(lab).replace("'", "''"))
         for lab, bound in thresholds[:-1])
-    case = f"CASE {whens} ELSE '{thresholds[-1][0]}' END AS split"
+    last = str(thresholds[-1][0]).replace("'", "''")
+    case = f"CASE {whens} ELSE '{last}' END AS split"
     return f"SELECT *, {case} FROM ({table_sql})"

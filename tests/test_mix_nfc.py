@@ -104,3 +104,37 @@ def test_nfc_duckdb_parity():
     for c in NFC_CASES:
         dk = con.sql("SELECT nfc_normalize(?)", params=[c]).fetchone()[0]
         assert dk == unicodedata.normalize("NFC", c), repr(c)
+
+
+def test_oracle_sql_escapes_quotes():
+    import duckdb
+
+    df = pd.DataFrame({"doc_id": np.arange(100, dtype=np.int64),
+                       "source": ["o'reilly", "plain"] * 50})
+    rates = {"o'reilly": 0.5}
+    kept = weighted_sample_batch(df, "source", rates, default_rate=1.0)
+    con = duckdb.connect()
+    con.register("t", df)
+    got = con.sql(weighted_sample_oracle_sql(
+        "SELECT doc_id, source FROM t", "source", rates,
+        default_rate=1.0)).df()
+    assert sorted(got.doc_id) == sorted(kept.doc_id)
+
+
+def test_split_oracle_sql_escapes_quotes():
+    import duckdb
+
+    from pdf_extract_ray.stages.split import (
+        assign_split_batch,
+        split_oracle_sql,
+    )
+
+    fr = {"train'": 0.5, "rest": 0.5}
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64)})
+    ours = assign_split_batch(df.copy(), "doc_id", fr)
+    con = duckdb.connect()
+    con.register("t", df)
+    got = con.sql(split_oracle_sql("SELECT doc_id FROM t", "doc_id",
+                                   fr)).df()
+    assert list(got.sort_values("doc_id")["split"]) == list(
+        ours.sort_values("doc_id")["split"])

@@ -128,6 +128,90 @@ def test_chunked_gzip_charset_compose():
     assert korean in rows[0]["html"].decode("utf-8")
 
 
+def test_truncated_gzip_salvages_complete_members():
+    """A partially-downloaded .warc.gz yields every complete gzip member
+    plus a counted bad tail — never a crash (review finding: raw
+    gzip.decompress raised EOFError on truncation)."""
+    data = build_warc(PAGES, compress=True)
+    m2 = data.find(b"\x1f\x8b", 2)  # start of member 2
+    rows, n_bad = parse_warc_file(data[:m2 + 12])  # cut mid-member-2
+    assert [r["url"] for r in rows] == [PAGES[0]["url"]]
+    assert n_bad >= 1
+    # trailer-only truncation still salvages both records' content
+    rows_t, n_bad_t = parse_warc_file(data[:-5])
+    assert [r["url"] for r in rows_t] == [p["url"] for p in PAGES]
+    assert n_bad_t >= 1  # the unverified tail is still counted
+    # pure garbage behind the gzip magic: no rows, counted, no crash
+    rows2, n_bad2 = parse_warc_file(b"\x1f\x8bnot gzip at all")
+    assert rows2 == [] and n_bad2 >= 1
+
+
+def test_utf8_body_wins_over_lying_legacy_header():
+    """charset=iso-8859-1 on an actually-UTF-8 body (classic server
+    misconfig) must NOT transcode — single-byte codecs decode anything,
+    so the old header-first order minted irreversible mojibake."""
+    body = "<p>café résumé</p>".encode("utf-8")
+    rows, _ = parse_warc_file(_resp(
+        b"Content-Type: text/html; charset=iso-8859-1\r\n", body))
+    assert rows[0]["html"] == body
+
+
+def test_bare_lf_http_headers():
+    """LF-only header framing (historical servers) still splits the body
+    out instead of dropping the page."""
+    http = b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n<p>lf page</p>"
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://lf.example/\r\n"
+           b"WARC-Date: 2020-01-01T00:00:00Z\r\n"
+           b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+           + http + b"\r\n\r\n")
+    rows, _ = parse_warc_file(rec)
+    assert rows[0]["html"] == b"<p>lf page</p>"
+
+
+def test_headerless_http_block_degrades_to_raw():
+    http = b"HTTP/1.1 200 OK no terminator anywhere"
+    rows, _ = parse_warc_file(_resp(b"", b"")[:0] + _resp(b"X: y\r\n", b""))
+    # direct unit check on the helper instead: no blank line -> raw block
+    from pdf_extract_ray.sources.warc import _http_body
+
+    assert _http_body(http) == http
+
+
+def test_html_column_is_large_binary():
+    import pyarrow as pa
+
+    from pdf_extract_ray.sources.warc import _rows_to_table
+
+    t = _rows_to_table([{"url": "u", "warc_ts": None, "html": b"x",
+                         "text": None, "lang": None}])
+    assert t.schema.field("html").type == pa.large_binary()
+
+
+def test_parse_warc_stats(ray_session, tmp_path):
+    good = build_warc(PAGES, compress=True)
+    (tmp_path / "ok.warc.gz").write_bytes(good)
+    (tmp_path / "bad.warc.gz").write_bytes(good[:-5])
+    from pdf_extract_ray.sources.warc import parse_warc_stats
+
+    df = (parse_warc_stats([str(tmp_path / "ok.warc.gz"),
+                            str(tmp_path / "bad.warc.gz")])
+          .to_pandas().set_index("path"))
+    ok = df[df.index.str.endswith("ok.warc.gz")].iloc[0]
+    bad = df[df.index.str.endswith("bad.warc.gz")].iloc[0]
+    assert ok.n_records == 2 and ok.n_bad == 0
+    assert bad.n_bad >= 1  # trailer-cut: content salvaged, tail counted
+
+
+def test_webtext_run_rejects_mixed_glob(tmp_path):
+    (tmp_path / "a.parquet").write_bytes(b"")
+    (tmp_path / "b.warc.gz").write_bytes(b"")
+    from pdf_extract_ray.pipelines.webtext import webtext_run
+
+    with pytest.raises(ValueError, match="both WARC and non-WARC"):
+        webtext_run(str(tmp_path / "*"), str(tmp_path / "out"))
+
+
 def test_deterministic_bytes():
     assert build_warc(PAGES) == build_warc(PAGES)
     assert build_warc(PAGES, compress=True) == build_warc(
