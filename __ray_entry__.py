@@ -1152,6 +1152,58 @@ MIX_RATES = {"src1": 1.0, "src2": 0.5, "src3": 0.25}
 MIX_DEFAULT_RATE = 0.1
 
 
+def _link_pages(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic link-bearing pages from the documents table: one
+    absolute cross-host link, one relative link (urljoin against the
+    page url), one entity-encoded link, plus javascript/fragment links
+    that must be skipped.  Shared shape with the SQL oracle, which
+    computes the expected edges INDEPENDENTLY (no regex/urljoin —
+    straight from doc_id/source arithmetic)."""
+    url = "http://host" + (b["doc_id"] % 13).astype(str) + ".example/p/" \
+        + b["doc_id"].astype(str)
+    html = (
+        "<html><body><p>x</p>"
+        + '<a href="http://' + b["source"].astype(str)
+        + '.example/doc/' + b["doc_id"].astype(str) + '">abs</a>'
+        + "<a href='/local/" + (b["doc_id"] % 7).astype(str) + "'>rel</a>"
+        + '<a href="http://ads.example/?a=1&amp;b=2">ad</a>'
+        + '<a href="javascript:void(0)">js</a><a href="#top">frag</a>'
+        + "</body></html>"
+    )
+    return pd.DataFrame({"url": url, "html": html})
+
+
+def q_link_edges(sf_dir: str):
+    # outlink extraction + host link graph (stages/links.py): edge
+    # explode is a narrow map; the rollup is map-side partials + one
+    # small bucketed merge.  Pages synthesized deterministically from
+    # the documents table.
+    from pdf_extract_ray.stages.links import host_link_edges
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "source"])
+    pages = ds.map_batches(_link_pages, batch_format="pandas")
+    return host_link_edges(pages)
+
+
+def _link_edges_oracle() -> str:
+    # independent expected-edge computation: no regex, no urljoin — each
+    # link type's destination host from doc_id/source arithmetic; the
+    # js/fragment links contribute nothing by construction
+    return (
+        "WITH e AS ("
+        "  SELECT 'host' || (doc_id % 13) || '.example' AS src_host, "
+        "         source || '.example' AS dst_host FROM documents "
+        "  UNION ALL "
+        "  SELECT 'host' || (doc_id % 13) || '.example', "
+        "         'host' || (doc_id % 13) || '.example' FROM documents "
+        "  UNION ALL "
+        "  SELECT 'host' || (doc_id % 13) || '.example', 'ads.example' "
+        "  FROM documents) "
+        "SELECT src_host, dst_host, count(*) AS n_links "
+        "FROM e GROUP BY src_host, dst_host"
+    )
+
+
 def q_host_rollup(sf_dir: str):
     # per-domain crawl rollup: canonicalize (narrow) -> map-side partial
     # aggregate -> small bucketed merge (stages/agg.grouped_aggregate)
@@ -1249,6 +1301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_docs": q_line_dedup_docs,
         "nfc_docs": q_nfc_docs,
         "source_mixed_docs": q_source_mixed_docs,
+        "link_edges": q_link_edges,
     }
 
 
@@ -1797,4 +1850,5 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "source_mixed_docs": _source_mixed_oracle(),
+        "link_edges": _link_edges_oracle(),
     }

@@ -1,0 +1,75 @@
+"""Outlink extraction + host link graph (stages/links.py): href forms,
+scheme filtering, relative resolution, entity unescape, byte decode, and
+the distributed host rollup (the `link_edges` driver query adds the
+full SQL-oracle check)."""
+
+import pandas as pd
+import pytest
+
+from pdf_extract_ray.stages.links import extract_links_batch, host_link_edges
+
+
+def _page(html, url="http://h.example/a/b"):
+    return pd.DataFrame({"url": [url], "html": [html]})
+
+
+def test_href_quote_forms():
+    out = extract_links_batch(_page(
+        '<a href="http://x.example/1">a</a>'
+        "<a href='http://x.example/2'>b</a>"
+        "<a href=http://x.example/3>c</a>"))
+    assert list(out.dst_url) == [f"http://x.example/{i}" for i in (1, 2, 3)]
+
+
+def test_relative_resolution_and_fragment_skip():
+    out = extract_links_batch(_page(
+        '<a href="/root">r</a><a href="sib">s</a>'
+        '<a href="../up">u</a><a href="#frag">f</a>'))
+    assert list(out.dst_url) == [
+        "http://h.example/root",
+        "http://h.example/a/sib",
+        "http://h.example/up",
+    ]
+
+
+def test_scheme_filtering():
+    out = extract_links_batch(_page(
+        '<a href="javascript:void(0)">j</a><a href="mailto:x@y">m</a>'
+        '<a href="data:text/plain,x">d</a><a href="tel:123">t</a>'
+        '<a href="ftp://f.example/x">f</a>'
+        '<a href="https://ok.example/">k</a>'))
+    assert list(out.dst_url) == ["https://ok.example/"]
+
+
+def test_entity_unescape_and_bytes():
+    page = '<a href="http://q.example/?a=1&amp;b=2">q</a>'
+    out = extract_links_batch(_page(page.encode("utf-8")))
+    assert list(out.dst_url) == ["http://q.example/?a=1&b=2"]
+
+
+def test_null_and_empty_html():
+    df = pd.DataFrame({"url": ["u1", "u2"], "html": [None, ""]})
+    assert len(extract_links_batch(df)) == 0
+
+
+def test_host_link_edges_rollup(ray_session):
+    import ray.data as rd
+
+    pages = pd.DataFrame({
+        "url": ["http://a.example/1", "http://a.example/2",
+                "http://b.example/1"],
+        "html": ['<a href="http://b.example/x">1</a>'
+                 '<a href="/self">2</a>',
+                 '<a href="http://b.example/y">3</a>',
+                 '<a href="HTTP://A.example:80/z">4</a>'],
+    })
+    got = (host_link_edges(rd.from_pandas(pages))
+           .to_pandas()
+           .sort_values(["src_host", "dst_host"]).reset_index(drop=True))
+    expect = pd.DataFrame({
+        "src_host": ["a.example", "a.example", "b.example"],
+        "dst_host": ["a.example", "b.example", "a.example"],
+        "n_links": [1, 2, 1],
+    })
+    pd.testing.assert_frame_equal(
+        got.astype({"n_links": "int64"}), expect)
