@@ -1204,6 +1204,27 @@ def _link_edges_oracle() -> str:
     )
 
 
+def q_host_pagerank(sf_dir: str):
+    # host-level PageRank (stages/pagerank.py) over the synthesized link
+    # graph: broadcast vertex state, streamed edges, one narrow map +
+    # one small merge per iteration.  Oracle: committed golden from the
+    # independent dense-numpy reference over arithmetically-derived
+    # edges (tools/gen_goldens.gen_pagerank).
+    from pdf_extract_ray.stages.links import host_link_edges
+    from pdf_extract_ray.stages.pagerank import pagerank
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "source"])
+    pages = ds.map_batches(_link_pages, batch_format="pandas")
+    # tol=None: fixed iteration count on BOTH sides — a tol-based early
+    # stop could trigger one round apart between the distributed and
+    # golden implementations when a delta sits at the threshold
+    return pagerank(host_link_edges(pages), weight_col="n_links",
+                    n_iter=PAGERANK_ITERS, tol=None)
+
+
+PAGERANK_ITERS = 8
+
+
 def q_host_rollup(sf_dir: str):
     # per-domain crawl rollup: canonicalize (narrow) -> map-side partial
     # aggregate -> small bucketed merge (stages/agg.grouped_aggregate)
@@ -1302,6 +1323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nfc_docs": q_nfc_docs,
         "source_mixed_docs": q_source_mixed_docs,
         "link_edges": q_link_edges,
+        "host_pagerank": q_host_pagerank,
     }
 
 
@@ -1831,7 +1853,7 @@ def oracle_sql() -> dict[str, str]:
                         "approx_distinct_users", "similarity_topk_ivf",
                         "embedding_near_dup_lsh", "pdf_extract_docs",
                         "near_dup_clusters", "near_dup_dedup_docs",
-                        "substr_dedup_docs")},
+                        "substr_dedup_docs", "host_pagerank")},
         "pii_redacted_docs": _pii_oracle(),
         "bm25_docs": _bm25_oracle(),
         "tfidf_docs": _tfidf_oracle(),

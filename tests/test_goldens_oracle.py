@@ -21,7 +21,7 @@ GOLDEN_QUERIES = (
     "media_pixel_features",
     "approx_distinct_users", "similarity_topk_ivf", "embedding_near_dup_lsh",
     "pdf_extract_docs", "near_dup_clusters", "near_dup_dedup_docs",
-    "substr_dedup_docs",
+    "substr_dedup_docs", "host_pagerank",
 )
 
 

@@ -1,0 +1,73 @@
+"""PageRank (stages/pagerank.py): closed-form cases, dangling mass,
+weights, early stop, and distributed == dense-numpy reference."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdf_extract_ray.stages.pagerank import pagerank, pagerank_reference
+
+
+def test_two_node_cycle_symmetric():
+    e = pd.DataFrame({"src_host": ["a", "b"], "dst_host": ["b", "a"]})
+    r = pagerank_reference(e)
+    assert list(r["rank"]) == [0.5, 0.5]
+
+
+def test_ranks_sum_to_one_with_dangling():
+    # b has no outlinks: its mass redistributes uniformly
+    e = pd.DataFrame({"src_host": ["a", "a", "c"],
+                      "dst_host": ["b", "c", "b"]})
+    r = pagerank_reference(e)
+    assert abs(r["rank"].sum() - 1.0) < 1e-6
+    # b receives from both a (split) and c (full): ranks strictly ordered
+    ranks = dict(zip(r["node"], r["rank"]))
+    assert ranks["b"] > ranks["c"] > 0
+
+
+def test_star_center_dominates():
+    leaves = [f"l{i}" for i in range(8)]
+    e = pd.DataFrame({"src_host": leaves + ["hub"] * 8,
+                      "dst_host": ["hub"] * 8 + leaves})
+    r = pagerank_reference(e)
+    ranks = dict(zip(r["node"], r["rank"]))
+    assert ranks["hub"] == max(r["rank"])
+    leaf_ranks = {v for k, v in ranks.items() if k != "hub"}
+    assert len(leaf_ranks) == 1  # symmetric leaves tie exactly
+
+
+def test_weights_shift_mass():
+    e = pd.DataFrame({"src_host": ["a", "a"], "dst_host": ["b", "c"],
+                      "n_links": [9, 1]})
+    r = pagerank_reference(e, weight_col="n_links")
+    ranks = dict(zip(r["node"], r["rank"]))
+    assert ranks["b"] > ranks["c"]
+
+
+def test_early_stop_matches_full_run():
+    e = pd.DataFrame({"src_host": ["a", "b"], "dst_host": ["b", "a"]})
+    fast = pagerank_reference(e, n_iter=500, tol=1e-12)
+    slow = pagerank_reference(e, n_iter=500, tol=None)
+    pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_empty_edges():
+    e = pd.DataFrame({"src_host": [], "dst_host": []})
+    assert len(pagerank_reference(e)) == 0
+
+
+def test_distributed_matches_reference(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    hosts = [f"h{i}.example" for i in range(40)]
+    e = pd.DataFrame({
+        "src_host": rng.choice(hosts, 400),
+        "dst_host": rng.choice(hosts, 400),
+    })
+    e["n_links"] = rng.integers(1, 5, size=len(e))
+    for wcol in (None, "n_links"):
+        dist = pagerank(rd.from_pandas(e).repartition(6), weight_col=wcol)
+        ref = pagerank_reference(e, weight_col=wcol)
+        pd.testing.assert_frame_equal(
+            dist.reset_index(drop=True), ref.reset_index(drop=True))

@@ -549,11 +549,36 @@ def gen_substr_dedup(sf_dir: str) -> dict[str, pa.Table]:
         df, preserve_index=False)}
 
 
+def gen_pagerank(sf_dir: str) -> dict[str, pa.Table]:
+    """Golden for `host_pagerank`: edges derived ARITHMETICALLY from the
+    documents table (mirroring __ray_entry__._link_edges_oracle — no
+    regex, no urljoin, so the derivation is independent of the Ray
+    extraction path), ranked by the dense-numpy reference
+    implementation (independent of the distributed iteration)."""
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"]).to_pandas()
+    src = "host" + (docs["doc_id"] % 13).astype(str) + ".example"
+    edges = pd.concat([
+        pd.DataFrame({"src_host": src,
+                      "dst_host": docs["source"].astype(str) + ".example"}),
+        pd.DataFrame({"src_host": src, "dst_host": src}),
+        pd.DataFrame({"src_host": src, "dst_host": "ads.example"}),
+    ])
+    weighted = (edges.groupby(["src_host", "dst_host"], as_index=False)
+                .size().rename(columns={"size": "n_links"}))
+
+    from pdf_extract_ray.stages.pagerank import pagerank_reference
+
+    r = pagerank_reference(weighted, weight_col="n_links", n_iter=8,
+                           tol=None)
+    return {"host_pagerank": pa.Table.from_pandas(r, preserve_index=False)}
+
+
 GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_pair_analyzers, gen_layout, gen_media, gen_media_pixels,
               gen_approx_distinct,
               gen_similarity_ivf, gen_embedding_lsh, gen_pdf_extract,
-              gen_substr_dedup)
+              gen_substr_dedup, gen_pagerank)
 
 
 def generate_all(sf_dir: str) -> dict[str, pa.Table]:
