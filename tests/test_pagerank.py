@@ -71,3 +71,29 @@ def test_distributed_matches_reference(ray_session):
         ref = pagerank_reference(e, weight_col=wcol)
         pd.testing.assert_frame_equal(
             dist.reset_index(drop=True), ref.reset_index(drop=True))
+
+
+def test_fully_distributed_matches_reference(ray_session):
+    """pagerank_distributed (no broadcast vertex state, cogroup joins)
+    agrees with the dense reference — the page-level scale variant."""
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.pagerank import pagerank_distributed
+
+    rng = np.random.default_rng(5)
+    hosts = [f"p{i}" for i in range(25)]
+    e = pd.DataFrame({
+        "src_host": rng.choice(hosts, 120),
+        "dst_host": rng.choice(hosts, 120),
+        "n_links": rng.integers(1, 4, size=120),
+    })
+    # n_iter kept small: each iteration costs ~3 bucketed shuffles, and
+    # reference agreement at any fixed n_iter proves the recurrence.
+    for wcol in (None, "n_links"):
+        dist = (pagerank_distributed(
+            rd.from_pandas(e).repartition(4), weight_col=wcol,
+            n_iter=2, num_buckets=4)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+        ref = (pagerank_reference(e, weight_col=wcol, n_iter=2, tol=None)
+               .sort_values("node").reset_index(drop=True))
+        pd.testing.assert_frame_equal(dist, ref)
