@@ -1204,6 +1204,55 @@ def _link_edges_oracle() -> str:
     )
 
 
+def _anchor_pages(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic anchor-bearing pages: a cross-host link whose anchor
+    text exercises tag-strip + entity-unescape + whitespace-collapse, a
+    relative link with messy whitespace, an image-only anchor (dropped)
+    and a javascript link (dropped).  The SQL oracle computes the
+    expected (dst_host, anchor) rows INDEPENDENTLY from doc_id/source
+    arithmetic — no regex, no cleaning code shared."""
+    did = b["doc_id"].astype(str)
+    url = "http://host" + (b["doc_id"] % 13).astype(str) + ".example/p/" + did
+    html = (
+        '<a href="http://' + b["source"].astype(str) + '.example/d/' + did
+        + '"><b>Doc ' + did + "</b> &amp;  notes</a>"
+        + "<a href='/x/" + (b["doc_id"] % 5).astype(str)
+        + "'>  see \n page " + (b["doc_id"] % 5).astype(str) + " </a>"
+        + '<a href="http://img.example/i.png"><img src="x.png"/></a>'
+        + '<a href="javascript:void(0)">nope</a>'
+    )
+    return pd.DataFrame({"url": url, "html": html})
+
+
+def q_anchor_texts(sf_dir: str):
+    # anchor-text relevance signal (stages/links.anchor_host_rollup):
+    # narrow anchor explode + host projection, map-side partial counts,
+    # one small merge — anchor strings shuffle only as pre-aggregated
+    # (host, anchor, n) rows
+    from pdf_extract_ray.stages.links import anchor_host_rollup
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "source"])
+    pages = ds.map_batches(_anchor_pages, batch_format="pandas")
+    return anchor_host_rollup(pages)
+
+
+def _anchor_texts_oracle() -> str:
+    # independent expected-anchor computation: cleaned anchor strings
+    # built by SQL concatenation (the '&amp;' entity, the <b> markup and
+    # the whitespace mess reduce to this by the frozen cleaning rules);
+    # the image-only and javascript anchors contribute nothing
+    return (
+        "WITH a AS ("
+        "  SELECT source || '.example' AS dst_host, "
+        "         'Doc ' || doc_id || ' & notes' AS anchor FROM documents "
+        "  UNION ALL "
+        "  SELECT 'host' || (doc_id % 13) || '.example', "
+        "         'see page ' || (doc_id % 5) FROM documents) "
+        "SELECT dst_host, anchor, count(*) AS n_links "
+        "FROM a GROUP BY dst_host, anchor"
+    )
+
+
 def q_host_pagerank(sf_dir: str):
     # host-level PageRank (stages/pagerank.py) over the synthesized link
     # graph: broadcast vertex state, streamed edges, one narrow map +
@@ -1323,6 +1372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nfc_docs": q_nfc_docs,
         "source_mixed_docs": q_source_mixed_docs,
         "link_edges": q_link_edges,
+        "anchor_texts": q_anchor_texts,
         "host_pagerank": q_host_pagerank,
     }
 
@@ -1873,4 +1923,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "source_mixed_docs": _source_mixed_oracle(),
         "link_edges": _link_edges_oracle(),
+        "anchor_texts": _anchor_texts_oracle(),
     }

@@ -33,6 +33,15 @@ _HREF_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _SKIP_SCHEME_RE = re.compile(r"^(?:javascript|mailto|data|tel):", re.I)
+# full <a ...>inner</a> element: href groups 1-3 as above, inner = group 4.
+# Non-greedy inner stops at the first </a> (nested <a> is invalid HTML;
+# frozen rule: the outer anchor ends at the first close tag).
+_ANCHOR_RE = re.compile(
+    r"""<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))[^>]*>(.*?)</a\s*>""",
+    re.IGNORECASE | re.DOTALL,
+)
+_TAG_RE = re.compile(r"<[^>]*>")
+_WS_RE = re.compile(r"\s+")
 
 
 def extract_links_batch(
@@ -72,6 +81,84 @@ def extract_links(ds: Dataset, html_col: str = "html",
     return ds.map_batches(
         lambda b: extract_links_batch(b, html_col, url_col),
         batch_format="pandas",
+    )
+
+
+def extract_anchors_batch(
+    batch: pd.DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> pd.DataFrame:
+    """One batch of pages -> ``(src_url, dst_url, anchor)`` rows — the
+    classic anchor-text relevance signal (what other pages call a url).
+
+    Anchor-text rules (frozen): inner markup stripped (``<b>x</b>`` ->
+    ``x``), entities unescaped AFTER the strip (so ``&lt;b&gt;`` stays
+    literal text), whitespace collapsed to single spaces and trimmed;
+    image-only / empty anchors are dropped.  Href filtering/resolution is
+    identical to :func:`extract_links_batch`.
+    """
+    from urllib.parse import urljoin
+
+    from pdf_extract_ray.functions.encoding import decode_html_bytes
+
+    srcs: list[str] = []
+    dsts: list[str] = []
+    texts: list[str] = []
+    for src, html in zip(batch[url_col], batch[html_col]):
+        if html is None:
+            continue
+        if isinstance(html, (bytes, bytearray)):
+            html = decode_html_bytes(bytes(html))[0]
+        for m in _ANCHOR_RE.finditer(html):
+            href = unescape(m.group(1) or m.group(2) or m.group(3) or "").strip()
+            if not href or href.startswith("#") or _SKIP_SCHEME_RE.match(href):
+                continue
+            anchor = _WS_RE.sub(" ", unescape(_TAG_RE.sub("", m.group(4)))).strip()
+            if not anchor:
+                continue
+            try:
+                dst = urljoin(src, href)
+            except ValueError:
+                continue
+            if dst[:8].lower().startswith(("http://", "https://")):
+                srcs.append(src)
+                dsts.append(dst)
+                texts.append(anchor)
+    return pd.DataFrame({"src_url": srcs, "dst_url": dsts, "anchor": texts})
+
+
+def extract_anchors(ds: Dataset, html_col: str = "html",
+                    url_col: str = "url") -> Dataset:
+    """Dataset-level anchor explode: one narrow map, no shuffle."""
+    return ds.map_batches(
+        lambda b: extract_anchors_batch(b, html_col, url_col),
+        batch_format="pandas",
+    )
+
+
+def anchor_host_rollup(ds: Dataset, html_col: str = "html",
+                       url_col: str = "url") -> Dataset:
+    """Per-target-host anchor-text histogram ``(dst_host, anchor,
+    n_links)``: extract (narrow) -> host projection (narrow) -> map-side
+    partial counts -> one small merge.  Anchor strings shuffle only as
+    already-deduplicated (host, anchor, partial_count) rows, never the
+    page HTML."""
+    from pdf_extract_ray.functions.url import canonicalize_urls
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    anchors = extract_anchors(ds, html_col, url_col)
+
+    def hostify(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "dst_host": canonicalize_urls(b["dst_url"])["url_host"],
+            "anchor": b["anchor"],
+        })
+
+    return grouped_aggregate(
+        anchors.map_batches(hostify, batch_format="pandas"),
+        ["dst_host", "anchor"],
+        {"n_links": ("anchor", "count")},
     )
 
 

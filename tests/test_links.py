@@ -73,3 +73,38 @@ def test_host_link_edges_rollup(ray_session):
     })
     pd.testing.assert_frame_equal(
         got.astype({"n_links": "int64"}), expect)
+
+
+def test_anchor_text_cleaning():
+    from pdf_extract_ray.stages.links import extract_anchors_batch
+
+    out = extract_anchors_batch(_page(
+        '<a href="http://x.example/1"><b>Bold</b>  link\n text </a>'
+        '<a href="http://x.example/2">&lt;b&gt; &amp; stays</a>'
+        '<a href="http://x.example/3"><img src="i.png"/></a>'
+        '<a href="javascript:x">skipped anyway</a>'
+        '<a href="/rel" class=c>rel text</a>'))
+    assert list(out.dst_url) == [
+        "http://x.example/1", "http://x.example/2", "http://h.example/rel"]
+    assert list(out.anchor) == ["Bold link text", "<b> & stays", "rel text"]
+
+
+def test_anchor_host_rollup(ray_session):
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.links import anchor_host_rollup
+
+    pages = pd.DataFrame({
+        "url": ["http://a.example/1", "http://a.example/2"],
+        "html": ['<a href="http://t.example/x">buy  now</a>'
+                 '<a href="http://t.example/y">buy now</a>',
+                 '<a href="http://t.example/z">other</a>'],
+    })
+    got = (anchor_host_rollup(rd.from_pandas(pages).repartition(2))
+           .to_pandas().sort_values("anchor").reset_index(drop=True))
+    expect = pd.DataFrame({
+        "dst_host": ["t.example", "t.example"],
+        "anchor": ["buy now", "other"],
+        "n_links": [2, 1],
+    })
+    pd.testing.assert_frame_equal(got, expect.astype({"n_links": got.n_links.dtype}))
