@@ -876,6 +876,21 @@ def q_event_value_quantiles(sf_dir: str):
     return bucketed_group_apply(ds, ["event_type"], q)
 
 
+def q_approx_event_quantiles(sf_dir: str):
+    # sketch-based per-type quantiles — the SCALE path for
+    # event_value_quantiles: the exact variant ships every value of a
+    # key group through the shuffle (skew bottleneck with few hot keys);
+    # this one ships only (key, bin, count) histogram partials.  Merge
+    # is int64 vector addition, so distributed == single-process exactly
+    # — the golden freezes determinism; accuracy vs the exact quantile
+    # is bounded by the bin ratio and asserted in pytest.
+    from pdf_extract_ray.stages.sketch import approx_quantiles
+
+    ds = _t(sf_dir, "events", columns=["event_type", "value"])
+    return approx_quantiles(ds, ["event_type"], "value",
+                            qs=(0.5, 0.9, 0.99))
+
+
 def q_hopping_window_events(sf_dir: str):
     # sliding/hopping window rollup (1h windows, 30min hop): map-side
     # window explode (2 copies/event) + partial-aggregated groupby — the
@@ -1354,6 +1369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_extract": q_props_extract,
         "top_orders_per_customer": q_top_orders_per_customer,
         "event_value_quantiles": q_event_value_quantiles,
+        "approx_event_quantiles": q_approx_event_quantiles,
         "event_value_lag": q_event_value_lag,
         "approx_distinct_users": q_approx_distinct_users,
         "pii_redacted_docs": q_pii_redacted_docs,
@@ -1900,7 +1916,8 @@ def oracle_sql() -> dict[str, str]:
                         "minhash_near_dup", "simhash_near_dup", "winnow_near_dup",
                         "pair_analyzers", "layout_tagging", "media_features",
                         "media_pixel_features",
-                        "approx_distinct_users", "similarity_topk_ivf",
+                        "approx_distinct_users", "approx_event_quantiles",
+                        "similarity_topk_ivf",
                         "embedding_near_dup_lsh", "pdf_extract_docs",
                         "near_dup_clusters", "near_dup_dedup_docs",
                         "substr_dedup_docs", "host_pagerank")},

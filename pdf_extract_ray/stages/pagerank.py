@@ -103,14 +103,14 @@ def pagerank(
 
 
 def _cogroup(a: Dataset, b: Dataset, key: str, fn, *,
+             a_cols: list[str], b_cols: list[str],
              num_buckets: int | None = None) -> Dataset:
     """Tag-union-bucket cogroup (the align/boilerplate pattern): ``fn``
     receives the bucket's rows from each side as two DataFrames whose
-    key-groups are complete (never split across buckets)."""
+    key-groups are complete (never split across buckets).  Column lists
+    are passed explicitly — ``Dataset.schema()`` on a lazy input would
+    trigger an extra execution of its whole upstream chain."""
     from pdf_extract_ray.stages.agg import bucketed_group_apply
-
-    a_cols = [c for c in a.schema().names if c != key]
-    b_cols = [c for c in b.schema().names if c != key]
     shared = set(a_cols) & set(b_cols)
     if shared:
         raise ValueError(f"cogroup sides share columns {shared}")
@@ -182,7 +182,9 @@ def pagerank_distributed(
 
     efrac = _cogroup(
         edges.map_batches(project_edges, batch_format="pandas"),
-        out_w, "src", frac_body, num_buckets=num_buckets).materialize()
+        out_w, "src", frac_body,
+        a_cols=["dst", "w"] if weight_col else ["dst"], b_cols=["W"],
+        num_buckets=num_buckets).materialize()
 
     # node table with the static dangling flag (no outgoing edges)
     endpoints = (edges.map_batches(
@@ -209,7 +211,8 @@ def pagerank_distributed(
         out_w.map_batches(
             lambda b: pd.DataFrame({"node": b["src"], "has_out": True}),
             batch_format="pandas"),
-        "node", flag_body, num_buckets=num_buckets).materialize()
+        "node", flag_body, a_cols=[], b_cols=["has_out"],
+        num_buckets=num_buckets).materialize()
 
     n = node_tbl.count()
     if n == 0:
@@ -245,7 +248,8 @@ def pagerank_distributed(
             batch_format="pandas")
         sums = grouped_aggregate(
             _cogroup(rank_rows, efrac, "src", contrib_body,
-                     num_buckets=num_buckets),
+                     a_cols=["rank"],
+                     b_cols=["dst", "f"], num_buckets=num_buckets),
             ["dst"], {"s": ("c", "sum")}).map_batches(
             lambda b: pd.DataFrame({"node": b["dst"], "s": b["s"]}),
             batch_format="pandas")
@@ -269,6 +273,7 @@ def pagerank_distributed(
             })
 
         ranks = _cogroup(node_tbl, sums, "node", new_rank_body,
+                         a_cols=["dangling"], b_cols=["s"],
                          num_buckets=num_buckets).materialize()
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:

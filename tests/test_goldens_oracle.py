@@ -19,7 +19,8 @@ GOLDEN_QUERIES = (
     "minhash_near_dup", "simhash_near_dup", "winnow_near_dup",
     "pair_analyzers", "layout_tagging", "media_features",
     "media_pixel_features",
-    "approx_distinct_users", "similarity_topk_ivf", "embedding_near_dup_lsh",
+    "approx_distinct_users", "approx_event_quantiles",
+    "similarity_topk_ivf", "embedding_near_dup_lsh",
     "pdf_extract_docs", "near_dup_clusters", "near_dup_dedup_docs",
     "substr_dedup_docs", "host_pagerank",
 )

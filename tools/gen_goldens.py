@@ -403,6 +403,22 @@ def gen_approx_distinct(sf_dir: str) -> dict[str, pa.Table]:
         {"approx_distinct_users": pa.array([int(h.estimate())], pa.int64())})}
 
 
+def gen_approx_quantiles(sf_dir: str) -> dict[str, pa.Table]:
+    # Histogram-sketch quantiles: merge is int64 vector addition
+    # (associative + commutative), so this single-process reference —
+    # plain pandas groupby + numpy bincounts, no Ray — equals the
+    # distributed per-batch-partial plan EXACTLY.  Determinism freeze;
+    # accuracy vs the exact quantile is asserted in pytest.
+    from pdf_extract_ray.stages.sketch import approx_quantiles_reference
+
+    events = pq.read_table(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "value"]).to_pandas()
+    r = approx_quantiles_reference(events, ["event_type"], "value",
+                                   qs=(0.5, 0.9, 0.99))
+    return {"approx_event_quantiles": pa.Table.from_pandas(
+        r, preserve_index=False)}
+
+
 def gen_similarity_ivf(sf_dir: str) -> dict[str, pa.Table]:
     """Single-process mirror of ivf_topk: same centroid pick (hash-spread
     sample + farthest-point traversal), same cell assignment, same probe
@@ -576,7 +592,7 @@ def gen_pagerank(sf_dir: str) -> dict[str, pa.Table]:
 
 GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_pair_analyzers, gen_layout, gen_media, gen_media_pixels,
-              gen_approx_distinct,
+              gen_approx_distinct, gen_approx_quantiles,
               gen_similarity_ivf, gen_embedding_lsh, gen_pdf_extract,
               gen_substr_dedup, gen_pagerank)
 
