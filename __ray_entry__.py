@@ -1268,6 +1268,47 @@ def _anchor_texts_oracle() -> str:
     )
 
 
+def q_robots_indexable(sf_dir: str):
+    # robots-meta directive parse (stages/robots.py): narrow map, zero
+    # shuffles.  Pages synthesized with metas chosen by doc_id%5 —
+    # including a decoy non-robots meta — and the SQL oracle computes
+    # the expected flags INDEPENDENTLY from the arithmetic.
+    import numpy as np
+
+    from pdf_extract_ray.stages.robots import robots_directives_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def pages(b: pd.DataFrame) -> pd.DataFrame:
+        did = b["doc_id"].astype(str)
+        meta = np.select(
+            [(b["doc_id"] % 5 == 0), (b["doc_id"] % 5 == 1),
+             (b["doc_id"] % 5 == 2), (b["doc_id"] % 5 == 3)],
+            ['<meta name="robots" content="noindex, follow">',
+             "<meta name='robots' content='index, NOFOLLOW'>",
+             "<meta name=robots content=none>",
+             '<meta name="viewport" content="noindex">'],
+            default="")
+        return pd.DataFrame({
+            "url": "http://host" + (b["doc_id"] % 13).astype(str)
+                   + ".example/p/" + did,
+            "html": pd.Series(meta, index=b.index) + "<p>body</p>",
+        })
+
+    return ds.map_batches(pages, batch_format="pandas").map_batches(
+        robots_directives_batch, batch_format="pandas")
+
+
+def _robots_indexable_oracle() -> str:
+    return (
+        "SELECT 'http://host' || (doc_id % 13) || '.example/p/' || doc_id "
+        "AS url, "
+        "(doc_id % 5) IN (0, 2) AS noindex, "
+        "(doc_id % 5) IN (1, 2) AS nofollow "
+        "FROM documents"
+    )
+
+
 def q_host_pagerank(sf_dir: str):
     # host-level PageRank (stages/pagerank.py) over the synthesized link
     # graph: broadcast vertex state, streamed edges, one narrow map +
@@ -1389,6 +1430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mixed_docs": q_source_mixed_docs,
         "link_edges": q_link_edges,
         "anchor_texts": q_anchor_texts,
+        "robots_indexable": q_robots_indexable,
         "host_pagerank": q_host_pagerank,
     }
 
@@ -1941,4 +1983,5 @@ def oracle_sql() -> dict[str, str]:
         "source_mixed_docs": _source_mixed_oracle(),
         "link_edges": _link_edges_oracle(),
         "anchor_texts": _anchor_texts_oracle(),
+        "robots_indexable": _robots_indexable_oracle(),
     }
