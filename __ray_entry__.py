@@ -1268,6 +1268,70 @@ def _anchor_texts_oracle() -> str:
     )
 
 
+def q_crawl_diff(sf_dir: str):
+    # incremental-crawl snapshot diff (stages/crawldiff.py): bodies are
+    # hashed in narrow maps (md5, SQL-parity mode) and only (url, hash)
+    # rows cross the one bucketed shuffle.  Old/new snapshots are
+    # synthesized arithmetically: doc_id%7==0 removed, doc_id%5==0
+    # edited, doc_id%11==0 contributes a brand-new url.
+    from pdf_extract_ray.stages.crawldiff import crawl_diff
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def old_snap(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "url": "http://host" + (b["doc_id"] % 13).astype(str)
+                   + ".example/p/" + b["doc_id"].astype(str),
+            "text": b["text"].fillna(""),
+        })
+
+    def new_snap(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b[b["doc_id"] % 7 != 0]
+        base = pd.DataFrame({
+            "url": "http://host" + (keep["doc_id"] % 13).astype(str)
+                   + ".example/p/" + keep["doc_id"].astype(str),
+            "text": keep["text"].fillna("")
+            + (keep["doc_id"] % 5 == 0).map({True: " v2", False: ""}),
+        })
+        fresh = b[b["doc_id"] % 11 == 0]
+        added = pd.DataFrame({
+            "url": "http://host" + (fresh["doc_id"] % 13).astype(str)
+                   + ".example/new/" + fresh["doc_id"].astype(str),
+            "text": "fresh " + fresh["doc_id"].astype(str),
+        })
+        return pd.concat([base, added], ignore_index=True)
+
+    return crawl_diff(ds.map_batches(old_snap, batch_format="pandas"),
+                      ds.map_batches(new_snap, batch_format="pandas"))
+
+
+def _crawl_diff_oracle() -> str:
+    # the full pipeline in SQL: same arithmetic snapshot derivation,
+    # FULL OUTER JOIN verdicts, md5 content hashes (DuckDB md5() ==
+    # hashlib md5 hexdigest)
+    return (
+        "WITH old AS ("
+        "  SELECT 'http://host' || (doc_id % 13) || '.example/p/' || doc_id"
+        "         AS url, coalesce(text, '') AS c FROM documents), "
+        "new AS ("
+        "  SELECT 'http://host' || (doc_id % 13) || '.example/p/' || doc_id"
+        "         AS url, "
+        "         coalesce(text, '') || "
+        "         CASE WHEN doc_id % 5 = 0 THEN ' v2' ELSE '' END AS c "
+        "  FROM documents WHERE doc_id % 7 <> 0 "
+        "  UNION ALL "
+        "  SELECT 'http://host' || (doc_id % 13) || '.example/new/' || doc_id, "
+        "         'fresh ' || doc_id FROM documents WHERE doc_id % 11 = 0) "
+        "SELECT coalesce(o.url, n.url) AS url, "
+        "CASE WHEN o.url IS NULL THEN 'added' "
+        "     WHEN n.url IS NULL THEN 'removed' "
+        "     WHEN o.c = n.c THEN 'unchanged' ELSE 'changed' END AS status, "
+        "CASE WHEN o.url IS NULL THEN NULL ELSE md5(o.c) END AS old_hash, "
+        "CASE WHEN n.url IS NULL THEN NULL ELSE md5(n.c) END AS new_hash "
+        "FROM old o FULL OUTER JOIN new n ON o.url = n.url"
+    )
+
+
 def q_robots_indexable(sf_dir: str):
     # robots-meta directive parse (stages/robots.py): narrow map, zero
     # shuffles.  Pages synthesized with metas chosen by doc_id%5 —
@@ -1431,6 +1495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_edges": q_link_edges,
         "anchor_texts": q_anchor_texts,
         "robots_indexable": q_robots_indexable,
+        "crawl_diff_docs": q_crawl_diff,
         "host_pagerank": q_host_pagerank,
     }
 
@@ -1984,4 +2049,5 @@ def oracle_sql() -> dict[str, str]:
         "link_edges": _link_edges_oracle(),
         "anchor_texts": _anchor_texts_oracle(),
         "robots_indexable": _robots_indexable_oracle(),
+        "crawl_diff_docs": _crawl_diff_oracle(),
     }
