@@ -1268,6 +1268,18 @@ def _anchor_texts_oracle() -> str:
     )
 
 
+def q_compression_ratio(sf_dir: str):
+    # zlib compression-ratio quality signal: narrow map, zero shuffles;
+    # deterministic for the pinned zlib, so the oracle is a committed
+    # single-process golden (plain-loop generator in tools/gen_goldens).
+    from pdf_extract_ray.stages.textquality import compression_ratio_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(compression_ratio_batch,
+                          batch_format="pandas").select_columns(
+        ["doc_id", "n_bytes", "n_compressed", "compression_ratio"])
+
+
 def q_crawl_diff(sf_dir: str):
     # incremental-crawl snapshot diff (stages/crawldiff.py): bodies are
     # hashed in narrow maps (md5, SQL-parity mode) and only (url, hash)
@@ -1496,6 +1508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_texts": q_anchor_texts,
         "robots_indexable": q_robots_indexable,
         "crawl_diff_docs": q_crawl_diff,
+        "compression_ratio_docs": q_compression_ratio,
         "host_pagerank": q_host_pagerank,
     }
 
@@ -2024,6 +2037,7 @@ def oracle_sql() -> dict[str, str]:
                         "pair_analyzers", "layout_tagging", "media_features",
                         "media_pixel_features",
                         "approx_distinct_users", "approx_event_quantiles",
+                        "compression_ratio_docs",
                         "similarity_topk_ivf",
                         "embedding_near_dup_lsh", "pdf_extract_docs",
                         "near_dup_clusters", "near_dup_dedup_docs",

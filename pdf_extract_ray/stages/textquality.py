@@ -228,6 +228,35 @@ def quality_score_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataF
     return batch
 
 
+def compression_ratio_batch(batch: pd.DataFrame,
+                            text_col: str = "text",
+                            level: int = 6) -> pd.DataFrame:
+    """zlib compression ratio — the classic "too repetitive / too random"
+    quality signal (Dolma/RedPajama family): natural prose compresses to
+    ~0.3-0.5, boilerplate and repeated spans far lower, random ids far
+    higher.  Per-doc zlib is one C call per row (the same inherent
+    per-document cost class as parsing); deterministic for a pinned zlib,
+    so the driver check is a golden determinism freeze.
+
+    Emits ``n_bytes`` (utf-8), ``n_compressed`` and ``compression_ratio``
+    (compressed/raw, 0.0 for empty docs, rounded to 4)."""
+    import zlib
+
+    from pdf_extract_ray.util import round_half_away
+
+    t = batch[text_col].fillna("")
+    raw = [s.encode("utf-8") for s in t]
+    comp = np.fromiter((len(zlib.compress(b, level)) for b in raw),
+                       dtype=np.int64, count=len(raw))
+    nb = np.fromiter((len(b) for b in raw), dtype=np.int64, count=len(raw))
+    batch["n_bytes"] = nb
+    batch["n_compressed"] = comp
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(nb > 0, comp / np.maximum(nb, 1), 0.0)
+    batch["compression_ratio"] = round_half_away(ratio, 4)
+    return batch
+
+
 def fingerprint_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Normalized-content fingerprint: md5(lower(whitespace-collapsed text)).
 

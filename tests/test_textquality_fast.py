@@ -156,3 +156,20 @@ def test_quality_preserves_index():
     out = quality_score_batch(df, "text")
     assert list(out.index) == [10, 20]
     assert out.loc[10, "stop_ratio"] == 0.5
+
+
+def test_compression_ratio_rules():
+    import zlib
+
+    import pandas as pd
+
+    from pdf_extract_ray.stages.textquality import compression_ratio_batch
+
+    b = pd.DataFrame({"text": ["spam " * 200, None, "", "x"]})
+    out = compression_ratio_batch(b)
+    assert out.loc[0, "n_bytes"] == 1000
+    assert out.loc[0, "n_compressed"] == len(zlib.compress(("spam " * 200).encode(), 6))
+    assert out.loc[0, "compression_ratio"] < 0.05   # repetitive compresses hard
+    assert out.loc[1, "compression_ratio"] == 0.0   # null -> empty -> 0.0
+    assert out.loc[2, "compression_ratio"] == 0.0
+    assert out.loc[3, "compression_ratio"] > 1.0    # tiny doc: header dominates

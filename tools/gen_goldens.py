@@ -419,6 +419,28 @@ def gen_approx_quantiles(sf_dir: str) -> dict[str, pa.Table]:
         r, preserve_index=False)}
 
 
+def gen_compression_ratio(sf_dir: str) -> dict[str, pa.Table]:
+    # plain-loop single-process implementation of the frozen rules
+    # (utf-8 encode, zlib level 6, empty -> 0.0 ratio, round-half-away 4)
+    import zlib
+
+    from pdf_extract_ray.util import round_half_away
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    nb, nc, ratio = [], [], []
+    for t in docs["text"]:
+        raw = ("" if t is None else t).encode("utf-8")
+        c = len(zlib.compress(raw, 6))
+        nb.append(len(raw))
+        nc.append(c)
+        ratio.append(float(round_half_away(c / len(raw), 4)) if raw else 0.0)
+    out = pd.DataFrame({"doc_id": docs["doc_id"], "n_bytes": nb,
+                        "n_compressed": nc, "compression_ratio": ratio})
+    return {"compression_ratio_docs": pa.Table.from_pandas(
+        out, preserve_index=False)}
+
+
 def gen_similarity_ivf(sf_dir: str) -> dict[str, pa.Table]:
     """Single-process mirror of ivf_topk: same centroid pick (hash-spread
     sample + farthest-point traversal), same cell assignment, same probe
@@ -593,6 +615,7 @@ def gen_pagerank(sf_dir: str) -> dict[str, pa.Table]:
 GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_pair_analyzers, gen_layout, gen_media, gen_media_pixels,
               gen_approx_distinct, gen_approx_quantiles,
+              gen_compression_ratio,
               gen_similarity_ivf, gen_embedding_lsh, gen_pdf_extract,
               gen_substr_dedup, gen_pagerank)
 
