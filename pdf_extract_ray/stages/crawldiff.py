@@ -39,9 +39,8 @@ def _md5_hex(values: pd.Series) -> pd.Series:
 def _fast_hex(values: pd.Series) -> pd.Series:
     h = pd.util.hash_pandas_object(values.fillna("").astype(str),
                                    index=False)
-    return pd.Series(np.char.zfill(
-        np.vectorize(lambda x: format(x, "x"))(h.to_numpy(np.uint64)), 16),
-        index=values.index)
+    return pd.Series(np.char.mod("%016x", h.to_numpy(np.uint64)),
+                     index=values.index)
 
 
 def content_hashes(

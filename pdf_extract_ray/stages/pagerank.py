@@ -168,10 +168,13 @@ def pagerank_distributed(
         W = d.set_index("src")["W"].astype(np.float64)
         w = (e["w"].to_numpy(np.float64) if "w" in e.columns
              else np.ones(len(e)))
+        # zero-total-weight sources contribute nothing and count as
+        # dangling — the same frozen rule as pagerank()'s safe_w guard
+        We = W.reindex(e["src"]).to_numpy(np.float64)
         return pd.DataFrame({
             "src": e["src"].to_numpy(),
             "dst": e["dst"].to_numpy(),
-            "f": w / W.reindex(e["src"]).to_numpy(np.float64),
+            "f": np.where(We > 0, w / np.where(We > 0, We, np.inf), 0.0),
         })
 
     def project_edges(b: pd.DataFrame) -> pd.DataFrame:
@@ -209,7 +212,11 @@ def pagerank_distributed(
     node_tbl = _cogroup(
         distinct_nodes,
         out_w.map_batches(
-            lambda b: pd.DataFrame({"node": b["src"], "has_out": True}),
+            # dangling == zero TOTAL out-weight, not merely no edge rows
+            # (matches pagerank()'s `out_w == 0.0` rule)
+            lambda b: pd.DataFrame(
+                {"node": b.loc[b["W"].astype(np.float64) > 0, "src"],
+                 "has_out": True}),
             batch_format="pandas"),
         "node", flag_body, a_cols=[], b_cols=["has_out"],
         num_buckets=num_buckets).materialize()

@@ -87,6 +87,10 @@ def test_fully_distributed_matches_reference(ray_session):
         "dst_host": rng.choice(hosts, 120),
         "n_links": rng.integers(1, 4, size=120),
     })
+    # a zero-total-weight source must count as dangling and contribute
+    # nothing (pagerank()'s safe_w rule), not divide 0/0 into NaN
+    e.loc[len(e)] = ["pz", "p0", 0]
+    e.loc[len(e)] = ["pz", "p1", 0]
     # n_iter kept small: each iteration costs ~3 bucketed shuffles, and
     # reference agreement at any fixed n_iter proves the recurrence.
     for wcol in (None, "n_links"):
