@@ -1268,6 +1268,49 @@ def _anchor_texts_oracle() -> str:
     )
 
 
+def q_html_tables(sf_dir: str):
+    # DOM table extraction (stages/tables.py): narrow explode, zero
+    # shuffles.  Synthesized per-doc tables exercise th/td flags, cell
+    # markup strip + entity unescape, and numeric cells; the SQL oracle
+    # builds the expected rows INDEPENDENTLY from doc arithmetic.
+    from pdf_extract_ray.stages.tables import extract_tables
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def pages(b: pd.DataFrame) -> pd.DataFrame:
+        did = b["doc_id"].astype(str)
+        html = (
+            "<p>pre</p><table><tr><th>k</th><th> v </th></tr>"
+            "<tr><td>id</td><td>" + did + "</td></tr>"
+            "<tr><td><b>doc</b> &amp; notes</td><td>"
+            + (b["doc_id"] % 7).astype(str) + "</td></tr></table>"
+        )
+        return pd.DataFrame({
+            "url": "http://host" + (b["doc_id"] % 13).astype(str)
+                   + ".example/p/" + did,
+            "html": html,
+        })
+
+    return extract_tables(ds.map_batches(pages, batch_format="pandas"))
+
+
+def _html_tables_oracle() -> str:
+    return (
+        "WITH u AS (SELECT doc_id, 'http://host' || (doc_id % 13) || "
+        "'.example/p/' || doc_id AS url FROM documents) "
+        "SELECT url, CAST(0 AS INTEGER) AS table_no, "
+        "CAST(r AS INTEGER) AS row_no, CAST(c AS INTEGER) AS col_no, "
+        "cell, is_header FROM ("
+        "  SELECT url, 0 AS r, 0 AS c, 'k' AS cell, true AS is_header FROM u "
+        "  UNION ALL SELECT url, 0, 1, 'v', true FROM u "
+        "  UNION ALL SELECT url, 1, 0, 'id', false FROM u "
+        "  UNION ALL SELECT url, 1, 1, CAST(doc_id AS VARCHAR), false FROM u "
+        "  UNION ALL SELECT url, 2, 0, 'doc & notes', false FROM u "
+        "  UNION ALL SELECT url, 2, 1, CAST(doc_id % 7 AS VARCHAR), false "
+        "  FROM u)"
+    )
+
+
 def q_compression_ratio(sf_dir: str):
     # zlib compression-ratio quality signal: narrow map, zero shuffles;
     # deterministic for the pinned zlib, so the oracle is a committed
@@ -1509,6 +1552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_indexable": q_robots_indexable,
         "crawl_diff_docs": q_crawl_diff,
         "compression_ratio_docs": q_compression_ratio,
+        "html_tables": q_html_tables,
         "host_pagerank": q_host_pagerank,
     }
 
@@ -2064,4 +2108,5 @@ def oracle_sql() -> dict[str, str]:
         "anchor_texts": _anchor_texts_oracle(),
         "robots_indexable": _robots_indexable_oracle(),
         "crawl_diff_docs": _crawl_diff_oracle(),
+        "html_tables": _html_tables_oracle(),
     }
