@@ -1268,6 +1268,56 @@ def _anchor_texts_oracle() -> str:
     )
 
 
+def q_page_metadata(sf_dir: str):
+    # page-metadata extraction (stages/pagemeta.py): narrow map, zero
+    # shuffles.  Pages synthesized with title markup/entities, meta
+    # description, og:title, a multi-token canonical rel and a decoy
+    # stylesheet link; the SQL oracle computes the fields INDEPENDENTLY
+    # from doc arithmetic (docs with doc_id%3==0 omit description ->
+    # NULL).
+    from pdf_extract_ray.stages.pagemeta import extract_page_metadata
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def pages(b: pd.DataFrame) -> pd.DataFrame:
+        did = b["doc_id"].astype(str)
+        desc = pd.Series(
+            '<meta name="description" content="about doc '
+            + did + ' &amp; more">', index=b.index
+        ).where(b["doc_id"] % 3 != 0, "")
+        html = (
+            "<head><title>Doc <b>" + did + "</b> &amp;\n site</title>"
+            + desc
+            + "<meta property='og:title' content='OG " + did + "'>"
+            + '<link rel="stylesheet" href="/s.css">'
+            + '<link rel="canonical next" href="/canon/'
+            + (b["doc_id"] % 11).astype(str) + '">'
+            + "</head>"
+        )
+        return pd.DataFrame({
+            "url": "http://host" + (b["doc_id"] % 13).astype(str)
+                   + ".example/p/" + did,
+            "html": html,
+        })
+
+    return extract_page_metadata(
+        ds.map_batches(pages, batch_format="pandas"))
+
+
+def _page_metadata_oracle() -> str:
+    return (
+        "SELECT 'http://host' || (doc_id % 13) || '.example/p/' || doc_id "
+        "AS url, "
+        "'Doc ' || doc_id || ' & site' AS title, "
+        "CASE WHEN doc_id % 3 = 0 THEN NULL "
+        "     ELSE 'about doc ' || doc_id || ' & more' END AS description, "
+        "'http://host' || (doc_id % 13) || '.example/canon/' || "
+        "(doc_id % 11) AS canonical, "
+        "'OG ' || doc_id AS og_title "
+        "FROM documents"
+    )
+
+
 def q_html_tables(sf_dir: str):
     # DOM table extraction (stages/tables.py): narrow explode, zero
     # shuffles.  Synthesized per-doc tables exercise th/td flags, cell
@@ -1553,6 +1603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_diff_docs": q_crawl_diff,
         "compression_ratio_docs": q_compression_ratio,
         "html_tables": q_html_tables,
+        "page_metadata": q_page_metadata,
         "host_pagerank": q_host_pagerank,
     }
 
@@ -2109,4 +2160,5 @@ def oracle_sql() -> dict[str, str]:
         "robots_indexable": _robots_indexable_oracle(),
         "crawl_diff_docs": _crawl_diff_oracle(),
         "html_tables": _html_tables_oracle(),
+        "page_metadata": _page_metadata_oracle(),
     }

@@ -1,0 +1,108 @@
+"""Page-metadata extraction — ``(url, title, description, canonical,
+og_title)`` per crawled page: the fields a corpus index / dedup-by-
+canonical / snippet pipeline reads before touching the body.
+
+Frozen rules:
+* ``title`` = inner text of the FIRST ``<title>`` element, cleaned like
+  anchor text (tag strip -> entity unescape -> whitespace collapse);
+* ``description`` = ``content`` of the first ``<meta name="description">``
+  (name match case-insensitive/trimmed), entity-unescaped + collapsed;
+* ``og_title`` = same for ``<meta property="og:title">``;
+* ``canonical`` = ``href`` of the first ``<link rel="canonical">``
+  (rel is a whitespace-separated token list), entity-unescaped, trimmed,
+  resolved against the page url (stdlib ``urljoin``);
+* missing fields are NULL; double-/single-/un-quoted attributes accepted.
+
+Scale shape: one narrow batch map (per-document regex scan — the parse
+cost class); no shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+
+import pandas as pd
+from ray.data import Dataset
+
+_TITLE_RE = re.compile(r"<title\b[^>]*>(.*?)</title\s*>",
+                       re.IGNORECASE | re.DOTALL)
+_META_TAG_RE = re.compile(r"<meta\s[^>]*>", re.IGNORECASE | re.DOTALL)
+_LINK_TAG_RE = re.compile(r"<link\s[^>]*>", re.IGNORECASE | re.DOTALL)
+_ATTR_RE = re.compile(
+    r"""([a-zA-Z-]+)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""",
+    re.DOTALL,
+)
+_TAG_RE = re.compile(r"<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+
+
+def _attrs(tag: str) -> dict[str, str]:
+    return {m.group(1).lower(): (m.group(2) or m.group(3) or m.group(4) or "")
+            for m in _ATTR_RE.finditer(tag)}
+
+
+def _clean(text: str) -> str:
+    return _WS_RE.sub(" ", unescape(_TAG_RE.sub("", text))).strip()
+
+
+def page_metadata(html: str, url: str) -> dict:
+    """One document -> the frozen metadata fields (None when absent)."""
+    from urllib.parse import urljoin
+
+    title = description = og_title = canonical = None
+    m = _TITLE_RE.search(html)
+    if m:
+        title = _clean(m.group(1))
+    for tag in _META_TAG_RE.findall(html):
+        a = _attrs(tag)
+        if description is None and a.get("name", "").strip().lower() == "description":
+            description = _WS_RE.sub(" ", unescape(a.get("content", ""))).strip()
+        if og_title is None and a.get("property", "").strip().lower() == "og:title":
+            og_title = _WS_RE.sub(" ", unescape(a.get("content", ""))).strip()
+        if description is not None and og_title is not None:
+            break
+    for tag in _LINK_TAG_RE.findall(html):
+        a = _attrs(tag)
+        rel = a.get("rel", "").lower().split()
+        if "canonical" in rel:
+            href = unescape(a.get("href", "")).strip()
+            if href:
+                try:
+                    canonical = urljoin(url, href)
+                except ValueError:
+                    canonical = None
+            break
+    return {"title": title, "description": description,
+            "canonical": canonical, "og_title": og_title}
+
+
+def page_metadata_batch(
+    batch: pd.DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> pd.DataFrame:
+    from pdf_extract_ray.functions.encoding import decode_html_bytes
+
+    rows = []
+    for url, html in zip(batch[url_col], batch[html_col]):
+        if html is None:
+            rows.append({"title": None, "description": None,
+                         "canonical": None, "og_title": None})
+            continue
+        if isinstance(html, (bytes, bytearray)):
+            html = decode_html_bytes(bytes(html))[0]
+        rows.append(page_metadata(html, url))
+    out = pd.DataFrame(rows, columns=["title", "description", "canonical",
+                                      "og_title"])
+    out.insert(0, "url", batch[url_col].to_numpy())
+    return out
+
+
+def extract_page_metadata(ds: Dataset, html_col: str = "html",
+                          url_col: str = "url") -> Dataset:
+    """Dataset-level metadata map: one narrow map, no shuffle."""
+    return ds.map_batches(
+        lambda b: page_metadata_batch(b, html_col, url_col),
+        batch_format="pandas",
+    )
