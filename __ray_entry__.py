@@ -1268,6 +1268,34 @@ def _anchor_texts_oracle() -> str:
     )
 
 
+def q_pack_assignments(sf_dir: str):
+    # GPT-style concat-and-chunk sequence packing (stages/packing.py):
+    # token counts in a narrow map, ONE bucketed (id, n_tokens) shuffle,
+    # vectorized per-bucket exclusive cumsum.  The layout is a pure
+    # function of (id, token count) — reproducible on any topology —
+    # and the oracle is the same arithmetic as a SQL window cumsum.
+    from pdf_extract_ray.stages.packing import assign_packs
+    from pdf_extract_ray.stages.textquality import token_stats_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    counted = ds.map_batches(token_stats_batch, batch_format="pandas")
+    return assign_packs(counted, seq_len=256, num_buckets=8)
+
+
+def _pack_assignments_oracle() -> str:
+    return (
+        "WITH t AS (SELECT doc_id AS id, doc_id % 8 AS bucket, "
+        "len(regexp_extract_all(coalesce(text,''), "
+        "'[A-Za-z0-9_]+|[^A-Za-z0-9_ ]')) AS n_tokens FROM documents), "
+        "c AS (SELECT id, bucket, n_tokens, "
+        "coalesce(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum "
+        "FROM t) "
+        "SELECT id, bucket, CAST(cum // 256 AS BIGINT) AS pack_id, "
+        "CAST(cum % 256 AS BIGINT) AS pack_offset, n_tokens FROM c"
+    )
+
+
 def q_page_metadata(sf_dir: str):
     # page-metadata extraction (stages/pagemeta.py): narrow map, zero
     # shuffles.  Pages synthesized with title markup/entities, meta
@@ -1604,6 +1632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio_docs": q_compression_ratio,
         "html_tables": q_html_tables,
         "page_metadata": q_page_metadata,
+        "pack_assignments": q_pack_assignments,
         "host_pagerank": q_host_pagerank,
     }
 
@@ -2161,4 +2190,5 @@ def oracle_sql() -> dict[str, str]:
         "crawl_diff_docs": _crawl_diff_oracle(),
         "html_tables": _html_tables_oracle(),
         "page_metadata": _page_metadata_oracle(),
+        "pack_assignments": _pack_assignments_oracle(),
     }

@@ -156,7 +156,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "minhash_near_dup", "simhash_near_dup", "similarity_topk",
                      "quality_pipeline", "extract_staged",
                      "pii_redacted_docs", "bm25_docs", "webtext_tiers",
-                     "line_dedup_docs", "perplexity_buckets"):
+                     "line_dedup_docs", "perplexity_buckets",
+                     "link_edges", "crawl_diff_docs",
+                     "approx_event_quantiles"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise
