@@ -39,6 +39,18 @@ def collapse_ws(text: str) -> str:
     return " ".join(text.split())
 
 
+def clean_markup_text(text: str) -> str:
+    """Frozen inline-markup cleaning shared by anchor text, table cells
+    and page metadata: strip tags, unescape entities AFTER the strip (so
+    `&lt;b&gt;` survives as literal text), collapse whitespace, trim."""
+    from html import unescape
+
+    return _WS_RE.sub(" ", unescape(_TAG_STRIP_RE.sub("", text))).strip()
+
+
+_TAG_STRIP_RE = re.compile(r"<[^>]*>")
+
+
 def strip_dot_leaders(text: str) -> str:
     """Remove TOC dot-leader runs of >=5 dots (pdf_to_json/main.py:33)."""
     if "....." not in text:  # fast path: the regex scan is the hot cost

@@ -28,11 +28,14 @@ from html import unescape
 import pandas as pd
 from ray.data import Dataset
 
+from pdf_extract_ray.functions.text import clean_markup_text
+
 _HREF_RE = re.compile(
     r"""<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""",
     re.IGNORECASE | re.DOTALL,
 )
 _SKIP_SCHEME_RE = re.compile(r"^(?:javascript|mailto|data|tel):", re.I)
+
 # full <a ...>inner</a> element: href groups 1-3 as above, inner = group 4.
 # Non-greedy inner stops at the first </a> (nested <a> is invalid HTML;
 # frozen rule: the outer anchor ends at the first close tag).
@@ -40,8 +43,7 @@ _ANCHOR_RE = re.compile(
     r"""<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))[^>]*>(.*?)</a\s*>""",
     re.IGNORECASE | re.DOTALL,
 )
-_TAG_RE = re.compile(r"<[^>]*>")
-_WS_RE = re.compile(r"\s+")
+
 
 
 def extract_links_batch(
@@ -114,7 +116,7 @@ def extract_anchors_batch(
             href = unescape(m.group(1) or m.group(2) or m.group(3) or "").strip()
             if not href or href.startswith("#") or _SKIP_SCHEME_RE.match(href):
                 continue
-            anchor = _WS_RE.sub(" ", unescape(_TAG_RE.sub("", m.group(4)))).strip()
+            anchor = clean_markup_text(m.group(4))
             if not anchor:
                 continue
             try:

@@ -25,6 +25,8 @@ from html import unescape
 import pandas as pd
 from ray.data import Dataset
 
+from pdf_extract_ray.functions.text import clean_markup_text as _clean
+
 _TITLE_RE = re.compile(r"<title\b[^>]*>(.*?)</title\s*>",
                        re.IGNORECASE | re.DOTALL)
 _META_TAG_RE = re.compile(r"<meta\s[^>]*>", re.IGNORECASE | re.DOTALL)
@@ -33,17 +35,12 @@ _ATTR_RE = re.compile(
     r"""([a-zA-Z-]+)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""",
     re.DOTALL,
 )
-_TAG_RE = re.compile(r"<[^>]*>")
 _WS_RE = re.compile(r"\s+")
 
 
 def _attrs(tag: str) -> dict[str, str]:
     return {m.group(1).lower(): (m.group(2) or m.group(3) or m.group(4) or "")
             for m in _ATTR_RE.finditer(tag)}
-
-
-def _clean(text: str) -> str:
-    return _WS_RE.sub(" ", unescape(_TAG_RE.sub("", text))).strip()
 
 
 def page_metadata(html: str, url: str) -> dict:

@@ -22,10 +22,11 @@ sniffing rules.
 from __future__ import annotations
 
 import re
-from html import unescape
 
 import pandas as pd
 from ray.data import Dataset
+
+from pdf_extract_ray.functions.text import clean_markup_text as _clean
 
 _TABLE_RE = re.compile(r"<table\b[^>]*>(.*?)</table\s*>",
                        re.IGNORECASE | re.DOTALL)
@@ -34,13 +35,6 @@ _CELL_RE = re.compile(
     r"<(t[dh])\b[^>]*>(.*?)(?=<t[dh]\b|</tr\b|</table\b|$)",
     re.IGNORECASE | re.DOTALL,
 )
-_TAG_RE = re.compile(r"<[^>]*>")
-_WS_RE = re.compile(r"\s+")
-
-
-def _clean(cell: str) -> str:
-    return _WS_RE.sub(" ", unescape(_TAG_RE.sub("", cell))).strip()
-
 
 def extract_tables_batch(
     batch: pd.DataFrame,
