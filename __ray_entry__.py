@@ -1268,6 +1268,48 @@ def _anchor_texts_oracle() -> str:
     )
 
 
+def q_canonical_dedup(sf_dir: str):
+    # canonical-url dedup — the crawl dedup a canonical link enables
+    # BEFORE touching bodies: extract the canonical (narrow,
+    # stages/pagemeta.py), then keep min(url) per canonical with
+    # map-side partial min/count (stages/agg.grouped_aggregate).
+    # doc_id%50 gives ~20 urls per (host, canonical) group.
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+    from pdf_extract_ray.stages.pagemeta import extract_page_metadata
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def pages(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "url": "http://host" + (b["doc_id"] % 13).astype(str)
+                   + ".example/p/" + b["doc_id"].astype(str),
+            "html": '<link rel="canonical" href="/canon/'
+                    + (b["doc_id"] % 50).astype(str) + '">',
+        })
+
+    meta = extract_page_metadata(ds.map_batches(pages,
+                                                batch_format="pandas"))
+    return grouped_aggregate(
+        meta.map_batches(lambda b: b[["canonical", "url"]],
+                         batch_format="pandas"),
+        ["canonical"],
+        {"kept_url": ("url", "min"), "n_dupes": ("url", "count")})
+
+
+def _canonical_dedup_oracle() -> str:
+    # independent derivation: canonical = urljoin(page url, /canon/k)
+    # collapses to host + path arithmetic; min(url) is lexicographic on
+    # both sides
+    return (
+        "WITH m AS (SELECT "
+        "'http://host' || (doc_id % 13) || '.example/p/' || doc_id AS url, "
+        "'http://host' || (doc_id % 13) || '.example/canon/' || "
+        "(doc_id % 50) AS canonical FROM documents) "
+        "SELECT canonical, min(url) AS kept_url, count(*) AS n_dupes "
+        "FROM m GROUP BY canonical"
+    )
+
+
 def q_pack_assignments(sf_dir: str):
     # GPT-style concat-and-chunk sequence packing (stages/packing.py):
     # token counts in a narrow map, ONE bucketed (id, n_tokens) shuffle,
@@ -1633,6 +1675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_tables": q_html_tables,
         "page_metadata": q_page_metadata,
         "pack_assignments": q_pack_assignments,
+        "canonical_dedup_docs": q_canonical_dedup,
         "host_pagerank": q_host_pagerank,
     }
 
@@ -2191,4 +2234,5 @@ def oracle_sql() -> dict[str, str]:
         "html_tables": _html_tables_oracle(),
         "page_metadata": _page_metadata_oracle(),
         "pack_assignments": _pack_assignments_oracle(),
+        "canonical_dedup_docs": _canonical_dedup_oracle(),
     }
