@@ -81,6 +81,7 @@ def webtext_run(
     rules: dict = TIER_RULES,
     keep_rejects: bool = False,
     extract_first: bool = False,
+    respect_robots: bool = False,
     files_per_partition: int = 8,
     min_rows_per_file: int = 5_000,
 ) -> dict:
@@ -96,7 +97,11 @@ def webtext_run(
     its ``extracted_text``.  Input shards may be parquet OR raw
     ``.warc``/``.warc.gz`` archives (Common-Crawl-native; implies
     ``extract_first`` since WARC carries html, not extracted text) —
-    the manifest resume loop is identical either way."""
+    the manifest resume loop is identical either way.
+
+    ``respect_robots=True`` (raw-page inputs only) drops ``noindex``
+    pages before extraction — same narrow pass cost class, no extra
+    scan, fused into the streaming plan (stages/robots.py)."""
     import ray.data as rd
 
     from pdf_extract_ray.pipelines.runner import _rows_written
@@ -112,10 +117,18 @@ def webtext_run(
 
     def pipeline(files: list[str], tmp_out: str) -> int:
         ds, do_extract = _read(files)
+        if respect_robots and not do_extract:
+            raise ValueError(
+                "respect_robots needs raw pages (extract_first=True or "
+                "WARC input) — pre-extracted documents carry no html")
         col = text_col
         if do_extract:
             from pdf_extract_ray.pipelines.extract import extract_pages_fused
 
+            if respect_robots:
+                from pdf_extract_ray.stages.robots import filter_indexable
+
+                ds = filter_indexable(ds)
             ds = extract_pages_fused(ds)
             col = "extracted_text"
         tiers = webtext_tiers(ds, col, rules)

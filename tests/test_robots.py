@@ -61,3 +61,43 @@ def test_filter_and_nofollow_graph(ray_session):
              .sort_values("src_host").reset_index(drop=True))
     # page 1 is nofollow (no edges); page 3 is noindex but follow (edges kept)
     assert int(edges["n_links"].sum()) == 2
+
+
+def test_webtext_run_respect_robots(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from pdf_extract_ray.pipelines.webtext import webtext_run
+
+    pages = pa.table({
+        "url": ["http://a.example/keep", "http://a.example/drop"],
+        "warc_ts": [1, 2],
+        "html": [b"<html><body><p>Plenty of good text here. " * 40
+                 + b"</p></body></html>",
+                 b'<meta name="robots" content="noindex">'
+                 b"<html><body><p>hidden</p></body></html>"],
+        "lang": ["en", "en"],
+    })
+    src = tmp_path / "corpus"
+    src.mkdir()
+    pq.write_table(pages, src / "p0.parquet")
+
+    out = tmp_path / "out"
+    webtext_run(str(src / "*.parquet"), str(out), extract_first=True,
+                respect_robots=True, keep_rejects=True,
+                files_per_partition=10)
+    import ray.data as rd
+
+    got = rd.read_parquet(str(out)).to_pandas()
+    assert "http://a.example/drop" not in set(got["url"])
+    assert "http://a.example/keep" in set(got["url"])
+
+    # pre-extracted inputs cannot honor robots: loud error, not a no-op
+    docs = pa.table({"url": ["u"], "text": ["t"]})
+    src2 = tmp_path / "docs"
+    src2.mkdir()
+    pq.write_table(docs, src2 / "d0.parquet")
+    with _pytest.raises(Exception):
+        webtext_run(str(src2 / "*.parquet"), str(tmp_path / "out2"),
+                    respect_robots=True, files_per_partition=10)
