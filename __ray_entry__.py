@@ -1268,6 +1268,70 @@ def _anchor_texts_oracle() -> str:
     )
 
 
+def q_crawl_index(sf_dir: str):
+    # composed per-url crawl index record — title, canonical, robots
+    # flags and outlink count from ONE fused narrow pass over the pages
+    # (the "many extractors, one scan" shape a 100 TB crawl wants: the
+    # html bytes are decoded and scanned once per batch, never re-read).
+    from pdf_extract_ray.stages.links import extract_links_batch
+    from pdf_extract_ray.stages.pagemeta import page_metadata_batch
+    from pdf_extract_ray.stages.robots import robots_directives_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def pages(b: pd.DataFrame) -> pd.DataFrame:
+        did = b["doc_id"].astype(str)
+        extra = pd.Series(
+            '<a href="http://x.example/e/' + did + '">extra</a>',
+            index=b.index).where(b["doc_id"] % 2 == 1, "")
+        noidx = pd.Series(
+            '<meta name="robots" content="noindex">',
+            index=b.index).where(b["doc_id"] % 6 == 0, "")
+        html = (
+            "<head><title>Doc " + did + "</title>" + noidx
+            + '<link rel="canonical" href="/c/'
+            + (b["doc_id"] % 9).astype(str) + '"></head>'
+            + '<body><a href="/p/' + did + '">self</a>' + extra + "</body>"
+        )
+        return pd.DataFrame({
+            "url": "http://host" + (b["doc_id"] % 13).astype(str)
+                   + ".example/p/" + did,
+            "html": html,
+        })
+
+    def index_record(b: pd.DataFrame) -> pd.DataFrame:
+        meta = page_metadata_batch(b)
+        robots = robots_directives_batch(b)
+        links = extract_links_batch(b)
+        counts = links.groupby("src_url").size()
+        return pd.DataFrame({
+            "url": meta["url"],
+            "title": meta["title"],
+            "canonical": meta["canonical"],
+            "noindex": robots["noindex"],
+            "nofollow": robots["nofollow"],
+            "n_outlinks": counts.reindex(meta["url"])
+                          .fillna(0).astype("int64").to_numpy(),
+        })
+
+    return (ds.map_batches(pages, batch_format="pandas")
+            .map_batches(index_record, batch_format="pandas"))
+
+
+def _crawl_index_oracle() -> str:
+    return (
+        "SELECT 'http://host' || (doc_id % 13) || '.example/p/' || doc_id "
+        "AS url, "
+        "'Doc ' || doc_id AS title, "
+        "'http://host' || (doc_id % 13) || '.example/c/' || (doc_id % 9) "
+        "AS canonical, "
+        "doc_id % 6 = 0 AS noindex, "
+        "false AS nofollow, "
+        "CAST(1 + doc_id % 2 AS BIGINT) AS n_outlinks "
+        "FROM documents"
+    )
+
+
 def q_canonical_dedup(sf_dir: str):
     # canonical-url dedup — the crawl dedup a canonical link enables
     # BEFORE touching bodies: extract the canonical (narrow,
@@ -1676,6 +1740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_metadata": q_page_metadata,
         "pack_assignments": q_pack_assignments,
         "canonical_dedup_docs": q_canonical_dedup,
+        "crawl_index": q_crawl_index,
         "host_pagerank": q_host_pagerank,
     }
 
@@ -2235,4 +2300,5 @@ def oracle_sql() -> dict[str, str]:
         "page_metadata": _page_metadata_oracle(),
         "pack_assignments": _pack_assignments_oracle(),
         "canonical_dedup_docs": _canonical_dedup_oracle(),
+        "crawl_index": _crawl_index_oracle(),
     }
