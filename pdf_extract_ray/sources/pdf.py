@@ -966,6 +966,21 @@ def _spans_from_content(content: bytes, fonts: dict[str, dict]) -> list[dict]:
                 stack.append(0.0)
         else:
             op = tok
+            if op == b"BI":
+                # inline image: skip the dict and the raw binary payload
+                # wholesale — the data is NOT content-stream syntax and
+                # would otherwise tokenize into junk operators/spans.
+                # Payload starts after "ID" + 1 whitespace byte and ends
+                # at the first whitespace-delimited "EI" (PDF 32000
+                # §8.9.7); a missing terminator skips the stream tail.
+                m_id = re.compile(rb"\bID[\x00\t\n\f\r ]").search(content, pos)
+                scan = m_id.end() if m_id else pos
+                m_ei = re.compile(
+                    rb"[\x00\t\n\f\r ]EI(?=[\x00\t\n\f\r ]|$)").search(
+                    content, scan)
+                pos = m_ei.end() if m_ei else n_content
+                stack.clear()
+                continue
             try:
                 if op == b"BT":
                     tm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]

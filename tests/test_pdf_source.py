@@ -720,3 +720,22 @@ class TestType0Widths:
         lines = pdf_pages_spans(
             make_type0_w_pdf(encoding=b"/UniKS-UCS2-H"))[0]["lines"]
         assert lines[0]["x1"] == pytest.approx(72 + 2 * 7.0, abs=1e-6)
+
+
+def test_inline_image_payload_skipped():
+    """BI/ID...EI binary payloads are not content-stream syntax: the
+    bytes (which here contain text-operator lookalikes) must be skipped
+    wholesale, and scanning resumes after the whitespace-delimited EI
+    (PDF 32000 section 8.9.7)."""
+    from pdf_extract_ray.sources.pdf import _spans_from_content
+
+    content = (b"BT /F1 12 Tf 100 700 Td (real) Tj ET\n"
+               b"BI /W 2 /H 2 /BPC 8 /CS /RGB ID \x00(junk) Tj BT 9 9 Td"
+               b"\xff\x01 EI\n"
+               b"BT 100 680 Td (after) Tj ET")
+    spans = _spans_from_content(content, {})
+    assert [s["text"] for s in spans] == ["real", "after"]
+    # unterminated payload: skip to end, never raise, keep earlier spans
+    spans = _spans_from_content(
+        b"BT 0 0 Td (keep) Tj ET BI /W 1 ID \x00\x01 no terminator", {})
+    assert [s["text"] for s in spans] == ["keep"]
