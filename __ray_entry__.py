@@ -1268,6 +1268,47 @@ def _anchor_texts_oracle() -> str:
     )
 
 
+def q_hreflang_pairs(sf_dir: str):
+    # hreflang alternate-language links (stages/links.extract_hreflang):
+    # the crawl-level translation-pairing signal feeding cross-lingual
+    # alignment; narrow explode, zero shuffles.  Synthesized pages carry
+    # a ko+en pair, a no-hreflang alternate (skipped) and a stylesheet
+    # decoy; the SQL oracle derives the rows from doc arithmetic.
+    from pdf_extract_ray.stages.links import extract_hreflang
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def pages(b: pd.DataFrame) -> pd.DataFrame:
+        did = b["doc_id"].astype(str)
+        html = (
+            '<link rel="alternate" hreflang="KO" href="/ko/' + did + '">'
+            + "<link rel='alternate' hreflang='en' "
+            + 'href="http://en.example/d/' + (b["doc_id"] % 17).astype(str)
+            + '">'
+            + '<link rel="alternate" href="/no-lang">'
+            + '<link rel="stylesheet" hreflang="fr" href="/decoy">'
+        )
+        return pd.DataFrame({
+            "url": "http://host" + (b["doc_id"] % 13).astype(str)
+                   + ".example/p/" + did,
+            "html": html,
+        })
+
+    return extract_hreflang(ds.map_batches(pages, batch_format="pandas"))
+
+
+def _hreflang_pairs_oracle() -> str:
+    return (
+        "WITH u AS (SELECT doc_id, 'http://host' || (doc_id % 13) || "
+        "'.example' AS host FROM documents) "
+        "SELECT host || '/p/' || doc_id AS src_url, 'ko' AS hreflang, "
+        "host || '/ko/' || doc_id AS alt_url FROM u "
+        "UNION ALL "
+        "SELECT host || '/p/' || doc_id, 'en', "
+        "'http://en.example/d/' || (doc_id % 17) FROM u"
+    )
+
+
 def q_crawl_index(sf_dir: str):
     # composed per-url crawl index record — title, canonical, robots
     # flags and outlink count from ONE fused narrow pass over the pages
@@ -1741,6 +1782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_assignments": q_pack_assignments,
         "canonical_dedup_docs": q_canonical_dedup,
         "crawl_index": q_crawl_index,
+        "hreflang_pairs": q_hreflang_pairs,
         "host_pagerank": q_host_pagerank,
     }
 
@@ -2301,4 +2343,5 @@ def oracle_sql() -> dict[str, str]:
         "pack_assignments": _pack_assignments_oracle(),
         "canonical_dedup_docs": _canonical_dedup_oracle(),
         "crawl_index": _crawl_index_oracle(),
+        "hreflang_pairs": _hreflang_pairs_oracle(),
     }

@@ -139,6 +139,69 @@ def extract_anchors(ds: Dataset, html_col: str = "html",
     )
 
 
+_LINK_TAG_RE = re.compile(r"<link\s[^>]*>", re.IGNORECASE | re.DOTALL)
+_ATTR_RE = re.compile(
+    r"""([a-zA-Z-]+)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""",
+    re.DOTALL,
+)
+
+
+def extract_hreflang_batch(
+    batch: pd.DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> pd.DataFrame:
+    """``(src_url, hreflang, alt_url)`` rows from ``<link rel="alternate"
+    hreflang=...>`` tags — the crawl-level signal that pairs a page with
+    its translations (the upstream feed for cross-lingual alignment).
+
+    Frozen rules: rel is a whitespace-separated token list containing
+    ``alternate`` (case-insensitive); hreflang is lowercased + trimmed;
+    href entity-unescaped, trimmed, resolved against the page url;
+    tags missing either attribute are skipped; duplicates emit as-is.
+    """
+    from urllib.parse import urljoin
+
+    from pdf_extract_ray.functions.encoding import decode_html_bytes
+
+    srcs: list[str] = []
+    langs: list[str] = []
+    alts: list[str] = []
+    for src, html in zip(batch[url_col], batch[html_col]):
+        if html is None:
+            continue
+        if isinstance(html, (bytes, bytearray)):
+            html = decode_html_bytes(bytes(html))[0]
+        for tag in _LINK_TAG_RE.findall(html):
+            a = {m.group(1).lower():
+                 (m.group(2) or m.group(3) or m.group(4) or "")
+                 for m in _ATTR_RE.finditer(tag)}
+            if "alternate" not in a.get("rel", "").lower().split():
+                continue
+            lang = a.get("hreflang", "").strip().lower()
+            href = unescape(a.get("href", "")).strip()
+            if not lang or not href:
+                continue
+            try:
+                alt = urljoin(src, href)
+            except ValueError:
+                continue
+            srcs.append(src)
+            langs.append(lang)
+            alts.append(alt)
+    return pd.DataFrame({"src_url": srcs, "hreflang": langs,
+                         "alt_url": alts})
+
+
+def extract_hreflang(ds: Dataset, html_col: str = "html",
+                     url_col: str = "url") -> Dataset:
+    """Dataset-level hreflang explode: one narrow map, no shuffle."""
+    return ds.map_batches(
+        lambda b: extract_hreflang_batch(b, html_col, url_col),
+        batch_format="pandas",
+    )
+
+
 def anchor_host_rollup(ds: Dataset, html_col: str = "html",
                        url_col: str = "url") -> Dataset:
     """Per-target-host anchor-text histogram ``(dst_host, anchor,

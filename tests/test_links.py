@@ -108,3 +108,20 @@ def test_anchor_host_rollup(ray_session):
         "n_links": [2, 1],
     })
     pd.testing.assert_frame_equal(got, expect.astype({"n_links": got.n_links.dtype}))
+
+
+def test_hreflang_extraction():
+    from pdf_extract_ray.stages.links import extract_hreflang_batch
+
+    out = extract_hreflang_batch(_page(
+        '<link rel="alternate" hreflang="KO" href="/ko/1">'
+        "<link hreflang='en-us' rel='ALTERNATE stylesheet' "
+        "href='http://en.example/1'>"
+        '<link rel="alternate" href="/no-lang">'
+        '<link rel="stylesheet" hreflang="fr" href="/decoy">'
+        '<link rel="alternate" hreflang="de" href="/de?a=1&amp;b=2">'))
+    assert list(out.hreflang) == ["ko", "en-us", "de"]
+    assert list(out.alt_url) == [
+        "http://h.example/ko/1", "http://en.example/1",
+        "http://h.example/de?a=1&b=2"]
+    assert list(out.src_url) == ["http://h.example/a/b"] * 3
