@@ -28,6 +28,7 @@ from html import unescape
 import pandas as pd
 from ray.data import Dataset
 
+from pdf_extract_ray.functions.markup import parse_tag_attrs
 from pdf_extract_ray.functions.text import clean_markup_text
 
 _HREF_RE = re.compile(
@@ -140,10 +141,6 @@ def extract_anchors(ds: Dataset, html_col: str = "html",
 
 
 _LINK_TAG_RE = re.compile(r"<link\s[^>]*>", re.IGNORECASE | re.DOTALL)
-_ATTR_RE = re.compile(
-    r"""([a-zA-Z-]+)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""",
-    re.DOTALL,
-)
 
 
 def extract_hreflang_batch(
@@ -173,9 +170,7 @@ def extract_hreflang_batch(
         if isinstance(html, (bytes, bytearray)):
             html = decode_html_bytes(bytes(html))[0]
         for tag in _LINK_TAG_RE.findall(html):
-            a = {m.group(1).lower():
-                 (m.group(2) or m.group(3) or m.group(4) or "")
-                 for m in _ATTR_RE.finditer(tag)}
+            a = parse_tag_attrs(tag)
             if "alternate" not in a.get("rel", "").lower().split():
                 continue
             lang = a.get("hreflang", "").strip().lower()

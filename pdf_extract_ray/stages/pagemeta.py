@@ -31,16 +31,10 @@ _TITLE_RE = re.compile(r"<title\b[^>]*>(.*?)</title\s*>",
                        re.IGNORECASE | re.DOTALL)
 _META_TAG_RE = re.compile(r"<meta\s[^>]*>", re.IGNORECASE | re.DOTALL)
 _LINK_TAG_RE = re.compile(r"<link\s[^>]*>", re.IGNORECASE | re.DOTALL)
-_ATTR_RE = re.compile(
-    r"""([a-zA-Z-]+)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""",
-    re.DOTALL,
-)
 _WS_RE = re.compile(r"\s+")
 
 
-def _attrs(tag: str) -> dict[str, str]:
-    return {m.group(1).lower(): (m.group(2) or m.group(3) or m.group(4) or "")
-            for m in _ATTR_RE.finditer(tag)}
+from pdf_extract_ray.functions.markup import parse_tag_attrs as _attrs
 
 
 def page_metadata(html: str, url: str) -> dict:

@@ -26,20 +26,15 @@ import pandas as pd
 from ray.data import Dataset
 
 _META_TAG_RE = re.compile(r"<meta\s[^>]*>", re.IGNORECASE | re.DOTALL)
-_ATTR_RE = re.compile(
-    r"""([a-zA-Z-]+)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""",
-    re.DOTALL,
-)
 
 
 def robots_directives(html: str) -> tuple[bool, bool]:
     """One document -> ``(noindex, nofollow)`` under the frozen rules."""
+    from pdf_extract_ray.functions.markup import parse_tag_attrs
+
     noindex = nofollow = False
     for tag in _META_TAG_RE.findall(html):
-        attrs = {
-            m.group(1).lower(): (m.group(2) or m.group(3) or m.group(4) or "")
-            for m in _ATTR_RE.finditer(tag)
-        }
+        attrs = parse_tag_attrs(tag)
         if attrs.get("name", "").strip().lower() != "robots":
             continue
         tokens = {t.strip().lower()
