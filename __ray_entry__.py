@@ -1674,6 +1674,44 @@ def q_host_pagerank(sf_dir: str):
 PAGERANK_ITERS = 8
 
 
+def q_host_prior_join(sf_dir: str):
+    # broadcast join of a COMPUTED small side: host PageRank ranks are
+    # computed first (bounded vertex table), shipped once via ray.put,
+    # and looked up inside a narrow map over the documents — the
+    # shuffle-free way to attach a host-level quality prior to every
+    # document at 10^12 rows.  Oracle: the committed pagerank golden
+    # joined by the same host arithmetic in SQL.
+    import ray as _ray
+
+    from pdf_extract_ray.stages.links import host_link_edges
+    from pdf_extract_ray.stages.pagerank import pagerank
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "source"])
+    pages = ds.map_batches(_link_pages, batch_format="pandas")
+    ranks = pagerank(host_link_edges(pages), weight_col="n_links",
+                     n_iter=PAGERANK_ITERS, tol=None)
+    handle = _ray.put(ranks.set_index("node")["rank"])
+
+    def attach(b: pd.DataFrame, h=handle) -> pd.DataFrame:
+        r = _ray.get(h)
+        host = "host" + (b["doc_id"] % 13).astype(str) + ".example"
+        return pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "host_rank": r.reindex(host).to_numpy(np.float64),
+        })
+
+    return _t(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        attach, batch_format="pandas")
+
+
+def _host_prior_join_oracle() -> str:
+    return (
+        "SELECT d.doc_id, r.rank AS host_rank FROM documents d "
+        f"JOIN read_parquet('{_GOLD_SF001_DIR}/host_pagerank.parquet') r "
+        "ON r.node = 'host' || (d.doc_id % 13) || '.example'"
+    )
+
+
 def q_host_rollup(sf_dir: str):
     # per-domain crawl rollup: canonicalize (narrow) -> map-side partial
     # aggregate -> small bucketed merge (stages/agg.grouped_aggregate)
@@ -1783,6 +1821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_dedup_docs": q_canonical_dedup,
         "crawl_index": q_crawl_index,
         "hreflang_pairs": q_hreflang_pairs,
+        "host_prior_join": q_host_prior_join,
         "host_pagerank": q_host_pagerank,
     }
 
@@ -2344,4 +2383,5 @@ def oracle_sql() -> dict[str, str]:
         "canonical_dedup_docs": _canonical_dedup_oracle(),
         "crawl_index": _crawl_index_oracle(),
         "hreflang_pairs": _hreflang_pairs_oracle(),
+        "host_prior_join": _host_prior_join_oracle(),
     }
