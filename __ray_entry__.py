@@ -1373,6 +1373,30 @@ def _crawl_index_oracle() -> str:
     )
 
 
+def q_chunk_spans(sf_dir: str):
+    # overlapping-window chunk spans (stages/packing.chunk_spans): token
+    # count (narrow) -> vectorized 1->N explode (narrow, no shuffle);
+    # the oracle reproduces the window arithmetic with generate_series.
+    from pdf_extract_ray.stages.packing import chunk_spans
+    from pdf_extract_ray.stages.textquality import token_stats_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    counted = ds.map_batches(token_stats_batch, batch_format="pandas")
+    return chunk_spans(counted, chunk_len=64, stride=48)
+
+
+def _chunk_spans_oracle() -> str:
+    return (
+        "WITH t AS (SELECT doc_id AS id, "
+        "len(regexp_extract_all(coalesce(text,''), "
+        "'[A-Za-z0-9_]+|[^A-Za-z0-9_ ]')) AS n FROM documents), "
+        "e AS (SELECT id, n, unnest(generate_series(0, "
+        "CAST(ceil(n / 48.0) AS BIGINT) - 1)) AS c FROM t WHERE n > 0) "
+        "SELECT id, c AS chunk_no, c * 48 AS start_tok, "
+        "least(c * 48 + 64, n) AS end_tok FROM e"
+    )
+
+
 def q_canonical_dedup(sf_dir: str):
     # canonical-url dedup — the crawl dedup a canonical link enables
     # BEFORE touching bodies: extract the canonical (narrow,
@@ -1819,6 +1843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_metadata": q_page_metadata,
         "pack_assignments": q_pack_assignments,
         "canonical_dedup_docs": q_canonical_dedup,
+        "chunk_spans": q_chunk_spans,
         "crawl_index": q_crawl_index,
         "hreflang_pairs": q_hreflang_pairs,
         "host_prior_join": q_host_prior_join,
@@ -2381,6 +2406,7 @@ def oracle_sql() -> dict[str, str]:
         "page_metadata": _page_metadata_oracle(),
         "pack_assignments": _pack_assignments_oracle(),
         "canonical_dedup_docs": _canonical_dedup_oracle(),
+        "chunk_spans": _chunk_spans_oracle(),
         "crawl_index": _crawl_index_oracle(),
         "hreflang_pairs": _hreflang_pairs_oracle(),
         "host_prior_join": _host_prior_join_oracle(),

@@ -105,3 +105,42 @@ def assign_packs_reference(
                                        "pack_offset", "n_tokens"]).astype(
         {"id": "int64", "bucket": "int64", "pack_id": "int64",
          "pack_offset": "int64", "n_tokens": "int64"})
+
+
+def chunk_spans(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    chunk_len: int = 256,
+    stride: int = 192,
+) -> Dataset:
+    """Overlapping-window chunk spans (RAG / long-doc training prep):
+    each document with ``n`` tokens explodes into chunks starting at
+    0, stride, 2*stride, ... while start < n, each ``[start,
+    min(start+chunk_len, n))`` — so every token is covered and adjacent
+    chunks overlap by ``chunk_len - stride``.  Empty documents emit no
+    chunks (frozen).
+
+    Scale shape: a narrow vectorized 1->N explode (np.repeat + offset
+    arange — no Python loop, no shuffle); the downstream slicing job
+    reads texts by (id, start, end) without this stage moving them.
+    """
+    if chunk_len <= 0 or stride <= 0:
+        raise ValueError("chunk_len and stride must be positive")
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        n = b[tokens_col].to_numpy(np.int64)
+        n_chunks = np.where(n > 0, -(-n // stride), 0)
+        ids = np.repeat(b[id_col].to_numpy(), n_chunks)
+        total = int(n_chunks.sum())
+        # per-doc 0..k-1 counters from a global arange minus offsets
+        starts_of_doc = np.repeat(np.concatenate(
+            ([0], np.cumsum(n_chunks)[:-1])), n_chunks)
+        chunk_no = np.arange(total, dtype=np.int64) - starts_of_doc
+        start = chunk_no * stride
+        end = np.minimum(start + chunk_len, np.repeat(n, n_chunks))
+        return pd.DataFrame({"id": ids, "chunk_no": chunk_no,
+                             "start_tok": start, "end_tok": end})
+
+    return ds.map_batches(explode, batch_format="pandas")

@@ -47,3 +47,47 @@ def test_distributed_equals_reference(ray_session):
     ref = (assign_packs_reference(df, seq_len=256, num_buckets=8)
            .sort_values("id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, ref)
+
+
+def test_chunk_spans(ray_session):
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.packing import chunk_spans
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                       "n_tokens": [500, 0, 1, 192]})
+    got = (chunk_spans(rd.from_pandas(df).repartition(2),
+                       chunk_len=256, stride=192)
+           .to_pandas().sort_values(["id", "chunk_no"])
+           .reset_index(drop=True))
+
+    def ref(n, L=256, S=192):
+        out, s, c = [], 0, 0
+        while s < n:
+            out.append((c, s, min(s + L, n)))
+            s += S
+            c += 1
+        return out
+
+    expect = []
+    for _, r in df.iterrows():
+        for c, s, e in ref(r["n_tokens"]):
+            expect.append({"id": r["doc_id"], "chunk_no": c,
+                           "start_tok": s, "end_tok": e})
+    exp = pd.DataFrame(expect,
+                       columns=["id", "chunk_no", "start_tok", "end_tok"])
+    pd.testing.assert_frame_equal(got, exp.astype("int64"))
+    assert (got[got.id == 2].empty  # empty doc -> no chunks
+            and list(got[got.id == 4][["start_tok", "end_tok"]].iloc[0])
+            == [0, 192])
+
+
+def test_chunk_spans_bad_params(ray_session):
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.packing import chunk_spans
+
+    with pytest.raises(ValueError):
+        chunk_spans(rd.from_pandas(pd.DataFrame({"doc_id": [1],
+                                                 "n_tokens": [1]})),
+                    stride=0)
