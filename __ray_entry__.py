@@ -1373,6 +1373,45 @@ def _crawl_index_oracle() -> str:
     )
 
 
+def q_ldjson_blobs(sf_dir: str):
+    # JSON-LD structured-data extraction (stages/pagemeta.extract_ldjson):
+    # narrow explode, zero shuffles.  Synthesized pages carry an Article
+    # blob, a malformed blob (raw kept, NULL type) and a non-ld+json
+    # decoy script; the SQL oracle rebuilds the rows from arithmetic.
+    from pdf_extract_ray.stages.pagemeta import extract_ldjson
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def pages(b: pd.DataFrame) -> pd.DataFrame:
+        did = b["doc_id"].astype(str)
+        html = (
+            '<script type="application/ld+json">{"@type": "Article", '
+            '"id": ' + did + "}</script>"
+            '<script type="text/javascript">{"@type": "Decoy"}</script>'
+            '<script type="application/ld+json">broken ' + did
+            + "</script>"
+        )
+        return pd.DataFrame({
+            "url": "http://host" + (b["doc_id"] % 13).astype(str)
+                   + ".example/p/" + did,
+            "html": html,
+        })
+
+    return extract_ldjson(ds.map_batches(pages, batch_format="pandas"))
+
+
+def _ldjson_blobs_oracle() -> str:
+    return (
+        "WITH u AS (SELECT doc_id, 'http://host' || (doc_id % 13) || "
+        "'.example/p/' || doc_id AS url FROM documents) "
+        "SELECT url, CAST(b AS INTEGER) AS blob_no, raw_json, ld_type "
+        "FROM ("
+        "  SELECT url, 0 AS b, '{\"@type\": \"Article\", \"id\": ' || "
+        "doc_id || '}' AS raw_json, 'Article' AS ld_type FROM u "
+        "  UNION ALL SELECT url, 1, 'broken ' || doc_id, NULL FROM u)"
+    )
+
+
 def q_chunk_spans(sf_dir: str):
     # overlapping-window chunk spans (stages/packing.chunk_spans): token
     # count (narrow) -> vectorized 1->N explode (narrow, no shuffle);
@@ -1844,6 +1883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_assignments": q_pack_assignments,
         "canonical_dedup_docs": q_canonical_dedup,
         "chunk_spans": q_chunk_spans,
+        "ldjson_blobs": q_ldjson_blobs,
         "crawl_index": q_crawl_index,
         "hreflang_pairs": q_hreflang_pairs,
         "host_prior_join": q_host_prior_join,
@@ -2407,6 +2447,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_assignments": _pack_assignments_oracle(),
         "canonical_dedup_docs": _canonical_dedup_oracle(),
         "chunk_spans": _chunk_spans_oracle(),
+        "ldjson_blobs": _ldjson_blobs_oracle(),
         "crawl_index": _crawl_index_oracle(),
         "hreflang_pairs": _hreflang_pairs_oracle(),
         "host_prior_join": _host_prior_join_oracle(),

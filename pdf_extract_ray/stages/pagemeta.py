@@ -97,3 +97,73 @@ def extract_page_metadata(ds: Dataset, html_col: str = "html",
         lambda b: page_metadata_batch(b, html_col, url_col),
         batch_format="pandas",
     )
+
+
+_LDJSON_RE = re.compile(
+    r"""<script\b[^>]*type\s*=\s*(?:"application/ld\+json"|"""
+    r"""'application/ld\+json'|application/ld\+json)[^>]*>(.*?)</script\s*>""",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def ldjson_batch(
+    batch: pd.DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> pd.DataFrame:
+    """``(url, blob_no, raw_json, ld_type)`` rows from JSON-LD scripts —
+    the schema.org structured-data channel (recipes, articles, products)
+    a training corpus mines alongside the body text.
+
+    Frozen rules: one row per ``<script type="application/ld+json">``
+    block in document order (0-based ``blob_no``); ``raw_json`` is the
+    verbatim inner text stripped of surrounding whitespace; ``ld_type``
+    is the top-level ``@type`` when the blob parses as a JSON object
+    whose ``@type`` is a string (the first element when it is a list),
+    else NULL — malformed JSON keeps its raw row, never raises.
+    """
+    import json
+
+    from pdf_extract_ray.functions.encoding import decode_html_bytes
+
+    urls: list[str] = []
+    nos: list[int] = []
+    raws: list[str] = []
+    types: list[str | None] = []
+    for url, html in zip(batch[url_col], batch[html_col]):
+        if html is None:
+            continue
+        if isinstance(html, (bytes, bytearray)):
+            html = decode_html_bytes(bytes(html))[0]
+        for i, m in enumerate(_LDJSON_RE.finditer(html)):
+            raw = m.group(1).strip()
+            t = None
+            try:
+                obj = json.loads(raw)
+                if isinstance(obj, dict):
+                    tv = obj.get("@type")
+                    if isinstance(tv, list) and tv:
+                        tv = tv[0]
+                    if isinstance(tv, str):
+                        t = tv
+            except (ValueError, RecursionError):
+                pass
+            urls.append(url)
+            nos.append(i)
+            raws.append(raw)
+            types.append(t)
+    return pd.DataFrame({
+        "url": urls,
+        "blob_no": pd.Series(nos, dtype="int32"),
+        "raw_json": raws,
+        "ld_type": pd.Series(types, dtype="object"),
+    })
+
+
+def extract_ldjson(ds: Dataset, html_col: str = "html",
+                   url_col: str = "url") -> Dataset:
+    """Dataset-level JSON-LD explode: one narrow map, no shuffle."""
+    return ds.map_batches(
+        lambda b: ldjson_batch(b, html_col, url_col),
+        batch_format="pandas",
+    )

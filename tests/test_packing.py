@@ -91,3 +91,44 @@ def test_chunk_spans_bad_params(ray_session):
         chunk_spans(rd.from_pandas(pd.DataFrame({"doc_id": [1],
                                                  "n_tokens": [1]})),
                     stride=0)
+
+
+def test_packing_and_chunking_invariants():
+    """Property checks of the frozen layouts: pack offsets tile each
+    bucket's token stream exactly (no gaps, no overlap), and chunk
+    windows cover every token with stride-bounded overlap."""
+    import numpy as np
+
+    from pdf_extract_ray.stages.packing import assign_packs_reference
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"doc_id": rng.permutation(300),
+                       "n_tokens": rng.integers(0, 700, size=300)})
+    out = assign_packs_reference(df, seq_len=512, num_buckets=4)
+    for _, grp in out.groupby("bucket"):
+        grp = grp.sort_values("id")
+        # global position = pack_id * seq_len + pack_offset must equal
+        # the exclusive running sum of token counts (exact tiling)
+        pos = grp["pack_id"].to_numpy() * 512 + grp["pack_offset"].to_numpy()
+        toks = grp["n_tokens"].to_numpy()
+        assert (pos == np.concatenate(([0], np.cumsum(toks)[:-1]))).all()
+
+    # chunk coverage: union of [start, end) == [0, n) for every doc
+    def ref_chunks(n, L, S):
+        s = 0
+        spans = []
+        while s < n:
+            spans.append((s, min(s + L, n)))
+            s += S
+        return spans
+
+    for n in (1, 47, 48, 49, 256, 500, 1000):
+        spans = ref_chunks(n, 64, 48)
+        covered = np.zeros(n, dtype=bool)
+        for s, e in spans:
+            assert e > s  # no empty chunks
+            covered[s:e] = True
+        assert covered.all()
+        # overlap between consecutive chunks is exactly L - S (except tail)
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 - s1 == 48

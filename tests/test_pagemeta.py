@@ -46,3 +46,23 @@ def test_batch_bytes_null():
     out = page_metadata_batch(b)
     assert list(out.title) == ["t", None]
     assert list(out.url) == ["u1", "u2"]
+
+
+def test_ldjson_extraction():
+    from pdf_extract_ray.stages.pagemeta import ldjson_batch
+
+    html = (
+        '<script type="application/ld+json">'
+        ' {"@type": "Article", "headline": "x"} </script>'
+        "<script type='application/ld+json'>{\"@type\": [\"Recipe\", \"y\"]}"
+        "</script>"
+        '<script type="application/ld+json">not json at all</script>'
+        '<script type="text/javascript">{"@type": "Decoy"}</script>'
+    )
+    out = ldjson_batch(pd.DataFrame({"url": ["u"], "html": [html]}))
+    assert list(out.blob_no) == [0, 1, 2]
+    assert list(out.ld_type) == ["Article", "Recipe", None]
+    assert out.raw_json[0] == '{"@type": "Article", "headline": "x"}'
+    assert out.raw_json[2] == "not json at all"
+    assert len(ldjson_batch(
+        pd.DataFrame({"url": ["u"], "html": [None]}))) == 0
