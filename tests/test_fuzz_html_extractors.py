@@ -10,7 +10,7 @@ from hypothesis import strategies as st
 from pdf_extract_ray.stages.links import (anchor_host_rollup,  # noqa: F401
                                           extract_anchors_batch,
                                           extract_links_batch)
-from pdf_extract_ray.stages.pagemeta import page_metadata_batch
+from pdf_extract_ray.stages.pagemeta import ldjson_batch, page_metadata_batch
 from pdf_extract_ray.stages.robots import robots_directives_batch
 from pdf_extract_ray.stages.tables import extract_tables_batch
 
@@ -19,6 +19,8 @@ from pdf_extract_ray.stages.tables import extract_tables_batch
 _FRAGS = st.sampled_from([
     "<a href=", "<a href='", '<a href="', "</a>", "<table>", "</table>",
     "<tr>", "<td>", "<th ", "<meta name=robots content=", "<meta ",
+    '<script type="application/ld+json">', "</script>", '{"@type":',
+    '<link rel="alternate" hreflang=', "hreflang='",
     "<title>", "</title>", "<link rel=", "javascript:", "&amp;", "&#x27;",
     "http://", "https://", "//", "#", "'", '"', ">", "<", "=", " ", "\x00",
 ])
@@ -53,4 +55,9 @@ def test_extractors_never_raise_and_keep_schema(html):
                                   "canonical", "og_title"]
     robots = robots_directives_batch(b.copy())
     assert list(robots.columns) == ["url", "noindex", "nofollow"]
+    from pdf_extract_ray.stages.links import extract_hreflang_batch
+    hl = extract_hreflang_batch(b.copy())
+    assert list(hl.columns) == ["src_url", "hreflang", "alt_url"]
+    ld = ldjson_batch(b.copy())
+    assert list(ld.columns) == ["url", "blob_no", "raw_json", "ld_type"]
     assert len(meta) == len(robots) == 1  # per-page outputs keep rows
