@@ -1341,6 +1341,14 @@ def q_crawl_index(sf_dir: str):
         })
 
     def index_record(b: pd.DataFrame) -> pd.DataFrame:
+        # decode bytes ONCE for the whole battery — each extractor skips
+        # its own decode when handed str html
+        from pdf_extract_ray.functions.encoding import decode_html_bytes
+
+        b = b.copy()
+        b["html"] = [decode_html_bytes(bytes(h))[0]
+                     if isinstance(h, (bytes, bytearray)) else h
+                     for h in b["html"]]
         meta = page_metadata_batch(b)
         robots = robots_directives_batch(b)
         links = extract_links_batch(b)
@@ -1370,6 +1378,25 @@ def _crawl_index_oracle() -> str:
         "false AS nofollow, "
         "CAST(1 + doc_id % 2 AS BIGINT) AS n_outlinks "
         "FROM documents"
+    )
+
+
+def q_top_words(sf_dir: str):
+    # canonical distributed wordcount (stages/textquality.word_counts):
+    # per-batch findall + unique pre-count (map-side combine), one
+    # (word, n) merge, deterministic top-k (n desc, word asc)
+    from pdf_extract_ray.stages.textquality import word_counts
+
+    ds = _t(sf_dir, "documents", columns=["text"])
+    return word_counts(ds, top_k=100)
+
+
+def _top_words_oracle() -> str:
+    return (
+        "WITH w AS (SELECT unnest(regexp_extract_all("
+        "lower(coalesce(text, '')), '[a-z0-9]+')) AS word FROM documents) "
+        "SELECT word, count(*) AS n FROM w GROUP BY word "
+        "ORDER BY n DESC, word LIMIT 100"
     )
 
 
@@ -1884,6 +1911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_dedup_docs": q_canonical_dedup,
         "chunk_spans": q_chunk_spans,
         "ldjson_blobs": q_ldjson_blobs,
+        "top_words": q_top_words,
         "crawl_index": q_crawl_index,
         "hreflang_pairs": q_hreflang_pairs,
         "host_prior_join": q_host_prior_join,
@@ -2448,6 +2476,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_dedup_docs": _canonical_dedup_oracle(),
         "chunk_spans": _chunk_spans_oracle(),
         "ldjson_blobs": _ldjson_blobs_oracle(),
+        "top_words": _top_words_oracle(),
         "crawl_index": _crawl_index_oracle(),
         "hreflang_pairs": _hreflang_pairs_oracle(),
         "host_prior_join": _host_prior_join_oracle(),

@@ -436,3 +436,34 @@ from pdf_extract_ray.functions.fingerprint import (  # noqa: E402,F401
     winnow_fingerprints,
     winnow_overlap,
 )
+
+
+def word_counts(ds, text_col: str = "text", *, top_k: int | None = None):
+    """Corpus word frequencies — the canonical distributed wordcount
+    (stopword discovery, vocab stats): words are ``[a-z0-9]+`` runs over
+    the lowercased text (the repetition kernel's word rule).
+
+    Scale shape: per-batch findall + np.unique pre-count (map-side
+    combine — a batch contributes at most one row per distinct word),
+    ONE (word, n) grouped merge; with ``top_k`` a final sort over the
+    vocab-sized count table (n desc, word asc tie-break) + limit.
+    """
+    import re as _re
+
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    word_re = _re.compile(r"[a-z0-9]+")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        joined = "\n".join(b[text_col].fillna("").str.lower())
+        words, counts = np.unique(word_re.findall(joined),
+                                  return_counts=True)
+        return pd.DataFrame({"word": words, "n": counts.astype(np.int64)})
+
+    merged = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["word"], {"n": ("n", "sum")})
+    if top_k is not None:
+        merged = merged.sort(["n", "word"],
+                             descending=[True, False]).limit(top_k)
+    return merged
