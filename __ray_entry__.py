@@ -1381,6 +1381,32 @@ def _crawl_index_oracle() -> str:
     )
 
 
+BPE_MERGES = 100
+
+
+def q_bpe_merges(sf_dir: str):
+    # BPE tokenizer training (stages/bpe.py, Sennrich 2016): merges are
+    # learned from the distributed wordcount's capped (word, n) table —
+    # the cap is frozen semantics, so single-process == distributed
+    # exactly (golden determinism freeze; the wordcount itself has a
+    # full SQL oracle via top_words).
+    from pdf_extract_ray.stages.bpe import train_bpe
+
+    ds = _t(sf_dir, "documents", columns=["text"])
+    return train_bpe(ds, n_merges=BPE_MERGES)
+
+
+def q_bpe_token_stats(sf_dir: str):
+    # per-document token counts under the trained tokenizer: merge ranks
+    # broadcast once, narrow map with a per-worker encoded-word cache
+    from pdf_extract_ray.stages.bpe import bpe_token_stats, train_bpe
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = train_bpe(_t(sf_dir, "documents", columns=["text"]),
+                       n_merges=BPE_MERGES)
+    return bpe_token_stats(ds, merges)
+
+
 def q_top_words(sf_dir: str):
     # canonical distributed wordcount (stages/textquality.word_counts):
     # per-batch findall + unique pre-count (map-side combine), one
@@ -1912,6 +1938,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_spans": q_chunk_spans,
         "ldjson_blobs": q_ldjson_blobs,
         "top_words": q_top_words,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_stats": q_bpe_token_stats,
         "crawl_index": q_crawl_index,
         "hreflang_pairs": q_hreflang_pairs,
         "host_prior_join": q_host_prior_join,
@@ -2447,7 +2475,8 @@ def oracle_sql() -> dict[str, str]:
                         "similarity_topk_ivf",
                         "embedding_near_dup_lsh", "pdf_extract_docs",
                         "near_dup_clusters", "near_dup_dedup_docs",
-                        "substr_dedup_docs", "host_pagerank")},
+                        "substr_dedup_docs", "host_pagerank",
+                        "bpe_merges", "bpe_token_stats")},
         "pii_redacted_docs": _pii_oracle(),
         "bm25_docs": _bm25_oracle(),
         "tfidf_docs": _tfidf_oracle(),

@@ -20,7 +20,7 @@ GOLDEN_QUERIES = (
     "pair_analyzers", "layout_tagging", "media_features",
     "media_pixel_features",
     "approx_distinct_users", "approx_event_quantiles",
-    "compression_ratio_docs",
+    "compression_ratio_docs", "bpe_merges", "bpe_token_stats",
     "similarity_topk_ivf", "embedding_near_dup_lsh",
     "pdf_extract_docs", "near_dup_clusters", "near_dup_dedup_docs",
     "substr_dedup_docs", "host_pagerank",

@@ -441,6 +441,40 @@ def gen_compression_ratio(sf_dir: str) -> dict[str, pa.Table]:
         out, preserve_index=False)}
 
 
+def gen_bpe(sf_dir: str) -> dict[str, pa.Table]:
+    # single-process path: plain-Counter wordcount (no Ray, no shuffles)
+    # -> the frozen trainer -> plain-loop encoding.  The cap and the
+    # tie-break are frozen semantics, so the distributed plan must match
+    # exactly (determinism freeze; the wordcount itself has a full SQL
+    # oracle via top_words).
+    import re
+    from collections import Counter
+
+    from pdf_extract_ray.stages.bpe import (bpe_encode_word,
+                                            learn_bpe_from_counts)
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    word_re = re.compile(r"[a-z0-9]+")
+    c = Counter()
+    for t in docs["text"]:
+        c.update(word_re.findall(("" if t is None else t).lower()))
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20_000]
+    merges = learn_bpe_from_counts(top, n_merges=100)
+    ranks = {m: i for i, m in enumerate(merges)}
+    mt = pa.table({
+        "rank": pa.array(range(len(merges)), pa.int64()),
+        "left": pa.array([a for a, _ in merges], pa.string()),
+        "right": pa.array([b for _, b in merges], pa.string()),
+    })
+    counts = [sum(len(bpe_encode_word(w, ranks))
+                  for w in word_re.findall(("" if t is None else t).lower()))
+              for t in docs["text"]]
+    st = pa.table({"doc_id": pa.array(docs["doc_id"], pa.int64()),
+                   "n_bpe_tokens": pa.array(counts, pa.int64())})
+    return {"bpe_merges": mt, "bpe_token_stats": st}
+
+
 def gen_similarity_ivf(sf_dir: str) -> dict[str, pa.Table]:
     """Single-process mirror of ivf_topk: same centroid pick (hash-spread
     sample + farthest-point traversal), same cell assignment, same probe
@@ -615,7 +649,7 @@ def gen_pagerank(sf_dir: str) -> dict[str, pa.Table]:
 GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_pair_analyzers, gen_layout, gen_media, gen_media_pixels,
               gen_approx_distinct, gen_approx_quantiles,
-              gen_compression_ratio,
+              gen_compression_ratio, gen_bpe,
               gen_similarity_ivf, gen_embedding_lsh, gen_pdf_extract,
               gen_substr_dedup, gen_pagerank)
 
