@@ -1381,6 +1381,26 @@ def _crawl_index_oracle() -> str:
     )
 
 
+def q_term_postings(sf_dir: str):
+    # inverted-index postings (stages/relevance.term_postings): per-doc-
+    # deduped (word, id) explode -> one bucketed merge; max_df drops
+    # stop-terms instead of materializing unbounded posting lists
+    from pdf_extract_ray.stages.relevance import term_postings
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return term_postings(ds, max_df=400)
+
+
+def _term_postings_oracle() -> str:
+    return (
+        "WITH w AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all("
+        "lower(coalesce(text, '')), '[a-z0-9]+')) AS word FROM documents) "
+        "SELECT word, count(*) AS df, "
+        "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) "
+        "AS postings FROM w GROUP BY word HAVING count(*) <= 400"
+    )
+
+
 BPE_MERGES = 100
 
 
@@ -1938,6 +1958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_spans": q_chunk_spans,
         "ldjson_blobs": q_ldjson_blobs,
         "top_words": q_top_words,
+        "term_postings": q_term_postings,
         "bpe_merges": q_bpe_merges,
         "bpe_token_stats": q_bpe_token_stats,
         "crawl_index": q_crawl_index,
@@ -2506,6 +2527,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_spans": _chunk_spans_oracle(),
         "ldjson_blobs": _ldjson_blobs_oracle(),
         "top_words": _top_words_oracle(),
+        "term_postings": _term_postings_oracle(),
         "crawl_index": _crawl_index_oracle(),
         "hreflang_pairs": _hreflang_pairs_oracle(),
         "host_prior_join": _host_prior_join_oracle(),

@@ -181,3 +181,57 @@ SELECT s.{id_cols}, s.dl,
        round({score_terms}, {ndigits}) AS bm25
 FROM s, c
 """
+
+
+def term_postings(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_df: int | None = None,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Inverted-index postings: ``(word, df, postings)`` where postings
+    is the comma-joined ascending doc-id list — the IR-side index build
+    over a crawl corpus.
+
+    Frozen rules: words are ``[a-z0-9]+`` runs over lowercased text,
+    DEDUPLICATED per document (presence, not term frequency); doc ids
+    sort ascending numerically; ``max_df`` DROPS terms present in more
+    than that many documents (the stop-term/posting-explosion guard —
+    same capped-bucket discipline as minhash's max_band_freq).
+
+    Scale shape: the narrow explode emits per-doc-deduped (word, id)
+    rows only — texts never shuffle; ONE bucketed merge builds each
+    term's postings, and hot stop-terms are dropped by the cap instead
+    of materializing unbounded lists.
+    """
+    import re as _re
+
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    word_re = _re.compile(r"[a-z0-9]+")
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        words: list[str] = []
+        for i, t in zip(b[id_col], b[text_col].fillna("")):
+            for w in set(word_re.findall(t.lower())):
+                ids.append(i)
+                words.append(w)
+        return pd.DataFrame({"word": words, id_col: ids})
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["word", id_col], kind="mergesort")
+        agg = g.groupby("word", sort=False)[id_col].agg(
+            df="size",
+            postings=lambda s: ",".join(str(v) for v in s))
+        agg = agg.reset_index()
+        agg["df"] = agg["df"].astype("int64")
+        if max_df is not None:
+            agg = agg[agg["df"] <= max_df]
+        return agg[["word", "df", "postings"]]
+
+    return bucketed_group_apply(
+        ds.map_batches(explode, batch_format="pandas"), ["word"], body,
+        num_buckets=num_buckets)

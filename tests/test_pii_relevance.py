@@ -195,3 +195,28 @@ def test_repetition_stats_run_not_confused_across_docs():
     b = pd.DataFrame({"doc_id": [0, 1], "text": ["y x x", "x x y"]})
     out = repetition_stats_batch(b)
     assert out["max_word_run"].tolist() == [2, 2]
+
+
+def test_term_postings(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.relevance import term_postings
+
+    docs = pd.DataFrame({
+        "doc_id": [3, 1, 2],
+        "text": ["apple banana apple", "banana Cherry", None],
+    })
+    got = (term_postings(rd.from_pandas(docs).repartition(2), max_df=2)
+           .to_pandas().sort_values("word").reset_index(drop=True))
+    expect = pd.DataFrame({
+        "word": ["apple", "banana", "cherry"],
+        "df": [1, 2, 1],
+        "postings": ["3", "1,3", "1"],   # per-doc dedup, ascending ids
+    })
+    pd.testing.assert_frame_equal(got, expect.astype({"df": got.df.dtype}))
+
+    # max_df drops the stop-term
+    got2 = (term_postings(rd.from_pandas(docs), max_df=1)
+            .to_pandas().sort_values("word").reset_index(drop=True))
+    assert list(got2.word) == ["apple", "cherry"]
