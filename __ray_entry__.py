@@ -1810,6 +1810,19 @@ def q_host_pagerank(sf_dir: str):
 PAGERANK_ITERS = 8
 
 
+def q_host_hits(sf_dir: str):
+    # HITS hubs/authorities over the DISTINCT host edges (the rolled-up
+    # host graph has one row per (src, dst); classical HITS is
+    # unweighted, so that is the frozen input contract).  Same broadcast
+    # vertex regime as host_pagerank; fixed n_iter on both sides.
+    from pdf_extract_ray.stages.links import host_link_edges
+    from pdf_extract_ray.stages.pagerank import hits
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "source"])
+    pages = ds.map_batches(_link_pages, batch_format="pandas")
+    return hits(host_link_edges(pages), n_iter=PAGERANK_ITERS)
+
+
 def q_host_prior_join(sf_dir: str):
     # broadcast join of a COMPUTED small side: host PageRank ranks are
     # computed first (bounded vertex table), shipped once via ray.put,
@@ -1964,6 +1977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_index": q_crawl_index,
         "hreflang_pairs": q_hreflang_pairs,
         "host_prior_join": q_host_prior_join,
+        "host_hits": q_host_hits,
         "host_pagerank": q_host_pagerank,
     }
 
@@ -2497,7 +2511,7 @@ def oracle_sql() -> dict[str, str]:
                         "embedding_near_dup_lsh", "pdf_extract_docs",
                         "near_dup_clusters", "near_dup_dedup_docs",
                         "substr_dedup_docs", "host_pagerank",
-                        "bpe_merges", "bpe_token_stats")},
+                        "bpe_merges", "bpe_token_stats", "host_hits")},
         "pii_redacted_docs": _pii_oracle(),
         "bm25_docs": _bm25_oracle(),
         "tfidf_docs": _tfidf_oracle(),

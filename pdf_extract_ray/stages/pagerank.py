@@ -332,3 +332,110 @@ def pagerank_reference(
             break
     vals = round_half_away(r, round_digits) if round_digits is not None else r
     return pd.DataFrame({"node": nodes.to_numpy(), "rank": vals})
+
+
+def hits(
+    edges: Dataset,
+    *,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    n_iter: int = 20,
+    round_digits: int | None = 6,
+) -> pd.DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999, public paper) over the
+    link-edge Dataset — the other classic web-graph quality signal
+    (a good hub links to good authorities and vice versa).
+
+    Frozen semantics: start all-ones; each round ``a(v) = Σ_{u→v} h(u)``
+    then L2-normalize, ``h(u) = Σ_{u→v} a(v)`` then L2-normalize;
+    fixed ``n_iter`` rounds (no tolerance early-stop, so distributed and
+    reference cannot diverge by a round).
+
+    Scale shape: same regime as :func:`pagerank` — the vertex vectors
+    broadcast per half-round (``ray.put``), the edge set is materialized
+    once and each half-round is one narrow map over edges with per-batch
+    pre-summing + one small bucketed merge.  Unweighted on purpose
+    (HITS' classical definition; parallel edges count multiply).
+    """
+    import ray
+
+    edges = edges.materialize()
+    deg = grouped_aggregate(
+        edges, [src_col], {"n": (src_col, "count")}).to_pandas()
+    dst_seen = grouped_aggregate(
+        edges, [dst_col], {"n": (dst_col, "count")}).to_pandas()
+    nodes = pd.Index(
+        sorted(set(deg[src_col]) | set(dst_seen[dst_col])), name="node")
+    n = len(nodes)
+    if n == 0:
+        e = pd.Series([], dtype="float64")
+        return pd.DataFrame({"node": pd.Series([], dtype="object"),
+                             "hub": e, "authority": e})
+
+    hub = pd.Series(1.0, index=nodes)
+    auth = pd.Series(1.0, index=nodes)
+
+    def propagate(vec: pd.Series, key_in: str, key_out: str) -> pd.Series:
+        handle = ray.put(vec)
+
+        def contrib(b: pd.DataFrame, h=handle) -> pd.DataFrame:
+            v = ray.get(h)
+            c = v.reindex(b[key_in]).fillna(0.0).to_numpy(np.float64)
+            return (pd.DataFrame({"node": b[key_out].to_numpy(), "c": c})
+                    .groupby("node", sort=False, as_index=False)["c"].sum())
+
+        sums = grouped_aggregate(
+            edges.map_batches(contrib, batch_format="pandas"),
+            ["node"], {"s": ("c", "sum")}).to_pandas()
+        out = pd.Series(0.0, index=nodes)
+        out.loc[sums["node"].to_numpy()] = sums["s"].to_numpy(np.float64)
+        norm = float(np.sqrt((out.to_numpy() ** 2).sum()))
+        return out / norm if norm > 0 else out
+
+    for _ in range(n_iter):
+        auth = propagate(hub, src_col, dst_col)
+        hub = propagate(auth, dst_col, src_col)
+
+    hv, av = hub.to_numpy(), auth.to_numpy()
+    if round_digits is not None:
+        hv = round_half_away(hv, round_digits)
+        av = round_half_away(av, round_digits)
+    return pd.DataFrame({"node": nodes.to_numpy(), "hub": hv,
+                         "authority": av})
+
+
+def hits_reference(
+    edges: pd.DataFrame,
+    *,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    n_iter: int = 20,
+    round_digits: int | None = 6,
+) -> pd.DataFrame:
+    """Dense-numpy single-process mirror of :func:`hits` (independent
+    implementation — golden generator and test comparison point)."""
+    nodes = pd.Index(
+        sorted(set(edges[src_col]) | set(edges[dst_col])), name="node")
+    n = len(nodes)
+    if n == 0:
+        e = pd.Series([], dtype="float64")
+        return pd.DataFrame({"node": pd.Series([], dtype="object"),
+                             "hub": e, "authority": e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    si = np.array([idx[v] for v in edges[src_col]], dtype=np.int64)
+    di = np.array([idx[v] for v in edges[dst_col]], dtype=np.int64)
+    h = np.ones(n)
+    a = np.ones(n)
+
+    def norm(x):
+        nn = np.sqrt((x ** 2).sum())
+        return x / nn if nn > 0 else x
+
+    for _ in range(n_iter):
+        a = norm(np.bincount(di, weights=h[si], minlength=n))
+        h = norm(np.bincount(si, weights=a[di], minlength=n))
+    if round_digits is not None:
+        h = round_half_away(h, round_digits)
+        a = round_half_away(a, round_digits)
+    return pd.DataFrame({"node": nodes.to_numpy(), "hub": h,
+                         "authority": a})

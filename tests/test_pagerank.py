@@ -101,3 +101,34 @@ def test_fully_distributed_matches_reference(ray_session):
         ref = (pagerank_reference(e, weight_col=wcol, n_iter=2, tol=None)
                .sort_values("node").reset_index(drop=True))
         pd.testing.assert_frame_equal(dist, ref)
+
+
+def test_hits_matches_reference(ray_session):
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.pagerank import hits, hits_reference
+
+    rng = np.random.default_rng(8)
+    hosts = [f"h{i}" for i in range(20)]
+    e = pd.DataFrame({
+        "src_host": rng.choice(hosts, 90),
+        "dst_host": rng.choice(hosts, 90),
+    })
+    # a pure-sink node (authority only) and a pure-source node (hub only)
+    e.loc[len(e)] = ["h0", "sink"]
+    e.loc[len(e)] = ["source", "h1"]
+    dist = (hits(rd.from_pandas(e).repartition(4), n_iter=12)
+            .sort_values("node").reset_index(drop=True))
+    ref = (hits_reference(e, n_iter=12)
+           .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(dist, ref)
+    assert ref.loc[ref.node == "sink", "hub"].iloc[0] == 0.0
+    assert ref.loc[ref.node == "source", "authority"].iloc[0] == 0.0
+
+
+def test_hits_empty():
+    from pdf_extract_ray.stages.pagerank import hits_reference
+
+    out = hits_reference(pd.DataFrame({"src_host": [], "dst_host": []}))
+    assert len(out) == 0 and list(out.columns) == ["node", "hub",
+                                                   "authority"]

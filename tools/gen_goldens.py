@@ -646,12 +646,33 @@ def gen_pagerank(sf_dir: str) -> dict[str, pa.Table]:
     return {"host_pagerank": pa.Table.from_pandas(r, preserve_index=False)}
 
 
+def gen_hits(sf_dir: str) -> dict[str, pa.Table]:
+    """Golden for `host_hits`: same arithmetic edge derivation as
+    gen_pagerank, collapsed to DISTINCT (src, dst) pairs (the rolled-up
+    host graph the query feeds), ranked by the independent dense-numpy
+    HITS reference."""
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"]).to_pandas()
+    src = "host" + (docs["doc_id"] % 13).astype(str) + ".example"
+    edges = pd.concat([
+        pd.DataFrame({"src_host": src,
+                      "dst_host": docs["source"].astype(str) + ".example"}),
+        pd.DataFrame({"src_host": src, "dst_host": src}),
+        pd.DataFrame({"src_host": src, "dst_host": "ads.example"}),
+    ]).drop_duplicates()
+
+    from pdf_extract_ray.stages.pagerank import hits_reference
+
+    r = hits_reference(edges, n_iter=8)
+    return {"host_hits": pa.Table.from_pandas(r, preserve_index=False)}
+
+
 GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_pair_analyzers, gen_layout, gen_media, gen_media_pixels,
               gen_approx_distinct, gen_approx_quantiles,
               gen_compression_ratio, gen_bpe,
               gen_similarity_ivf, gen_embedding_lsh, gen_pdf_extract,
-              gen_substr_dedup, gen_pagerank)
+              gen_substr_dedup, gen_pagerank, gen_hits)
 
 
 def generate_all(sf_dir: str) -> dict[str, pa.Table]:
