@@ -1427,6 +1427,32 @@ def q_bpe_token_stats(sf_dir: str):
     return bpe_token_stats(ds, merges)
 
 
+def q_cms_word_probe(sf_dir: str):
+    # count-min sketch probe: corpus-wide CMS over every word occurrence
+    # (map-side (depth x width) partials, merge = matrix addition -> the
+    # distributed sketch is bit-identical to single-process), probed at
+    # the exact top-20 words; overestimation bounded by eps*N (pytest).
+    import re as _re
+
+    from pdf_extract_ray.stages.sketch import cms_estimate, cms_sketch
+    from pdf_extract_ray.stages.textquality import word_counts
+
+    word_re = _re.compile(r"[a-z0-9]+")
+    ds = _t(sf_dir, "documents", columns=["text"])
+
+    def words(b: pd.DataFrame) -> pd.DataFrame:
+        joined = "\n".join(b["text"].fillna("").str.lower())
+        return pd.DataFrame({"w": word_re.findall(joined)})
+
+    m = cms_sketch(ds.map_batches(words, batch_format="pandas"), "w")
+    top = word_counts(ds, top_k=20).to_pandas()
+    return pd.DataFrame({
+        "word": top["word"],
+        "n_exact": top["n"].astype("int64"),
+        "n_cms": cms_estimate(m, top["word"]).astype("int64"),
+    })
+
+
 def q_top_words(sf_dir: str):
     # canonical distributed wordcount (stages/textquality.word_counts):
     # per-batch findall + unique pre-count (map-side combine), one
@@ -1972,6 +1998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ldjson_blobs": q_ldjson_blobs,
         "top_words": q_top_words,
         "term_postings": q_term_postings,
+        "cms_word_probe": q_cms_word_probe,
         "bpe_merges": q_bpe_merges,
         "bpe_token_stats": q_bpe_token_stats,
         "crawl_index": q_crawl_index,
@@ -2511,7 +2538,8 @@ def oracle_sql() -> dict[str, str]:
                         "embedding_near_dup_lsh", "pdf_extract_docs",
                         "near_dup_clusters", "near_dup_dedup_docs",
                         "substr_dedup_docs", "host_pagerank",
-                        "bpe_merges", "bpe_token_stats", "host_hits")},
+                        "bpe_merges", "bpe_token_stats", "host_hits",
+                        "cms_word_probe")},
         "pii_redacted_docs": _pii_oracle(),
         "bm25_docs": _bm25_oracle(),
         "tfidf_docs": _tfidf_oracle(),

@@ -256,3 +256,68 @@ def approx_quantiles_reference(
         kv = kv if isinstance(kv, tuple) else (kv,)
         rows.append(dict(zip(keys, kv)) | dict(zip(names, est)))
     return pd.DataFrame(rows, columns=keys + names)
+
+
+# --- count-min sketch (Cormode & Muthukrishnan 2005, public paper) ---
+#
+# Frequency estimation over key spaces too large to count exactly
+# (urls, shingles, hosts at 10^12 rows): a d x w int64 counter matrix
+# whose merge is elementwise addition — associative and commutative, so
+# the distributed per-batch-partial plan produces EXACTLY the matrix the
+# single-process pass does, and every estimate is deterministic.
+# Guarantee: est >= true, and est <= true + eps*N with prob 1-delta for
+# w = ceil(e/eps), d = ceil(ln 1/delta).  Hash family: one stable
+# siphash per value (the dedup kernel family), mixed into d row indexes
+# with fixed odd multipliers (splitmix-style) — vectorized, no per-row
+# Python.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 2048
+_CMS_MULT = np.array([0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9,
+                      0x94D049BB133111EB, 0xD6E8FEB86659FD93],
+                     dtype=np.uint64)
+
+
+def cms_indexes(values: pd.Series, *, depth: int = CMS_DEPTH,
+                width: int = CMS_WIDTH) -> np.ndarray:
+    """(depth, n) column indexes for each value, from one stable hash."""
+    h = pd.util.hash_pandas_object(
+        values.astype(str), index=False).to_numpy(np.uint64)
+    mixed = h[None, :] * _CMS_MULT[:depth, None]
+    mixed ^= mixed >> np.uint64(31)
+    return (mixed % np.uint64(width)).astype(np.int64)
+
+
+def cms_from_values(values: pd.Series, *, depth: int = CMS_DEPTH,
+                    width: int = CMS_WIDTH) -> np.ndarray:
+    """One (depth, width) int64 sketch of a value series."""
+    m = np.zeros((depth, width), dtype=np.int64)
+    idx = cms_indexes(values, depth=depth, width=width)
+    for j in range(depth):
+        m[j] += np.bincount(idx[j], minlength=width)
+    return m
+
+
+def cms_estimate(m: np.ndarray, values: pd.Series) -> np.ndarray:
+    """Point estimates (min over rows) for each value."""
+    depth, width = m.shape
+    idx = cms_indexes(values, depth=depth, width=width)
+    return np.min(
+        np.stack([m[j, idx[j]] for j in range(depth)]), axis=0)
+
+
+def cms_sketch(ds: Dataset, col: str, *, depth: int = CMS_DEPTH,
+               width: int = CMS_WIDTH) -> np.ndarray:
+    """Distributed sketch: one (depth*width) int64 partial per batch
+    (map-side), summed — only ``depth*width*8`` bytes per batch move."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = cms_from_values(b[col].dropna(), depth=depth, width=width)
+        return pd.DataFrame({"sketch": [m.tobytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").take_all()
+    acc = np.zeros((depth, width), dtype=np.int64)
+    for r in parts:
+        acc += np.frombuffer(r["sketch"], dtype=np.int64).reshape(
+            depth, width)
+    return acc

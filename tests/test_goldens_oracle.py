@@ -23,7 +23,7 @@ GOLDEN_QUERIES = (
     "compression_ratio_docs", "bpe_merges", "bpe_token_stats",
     "similarity_topk_ivf", "embedding_near_dup_lsh",
     "pdf_extract_docs", "near_dup_clusters", "near_dup_dedup_docs",
-    "substr_dedup_docs", "host_pagerank", "host_hits",
+    "substr_dedup_docs", "host_pagerank", "host_hits", "cms_word_probe",
 )
 
 

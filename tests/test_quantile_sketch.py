@@ -62,3 +62,29 @@ def test_distributed_equals_reference(ray_session):
     ref = (approx_quantiles_reference(df, ["k"], "v")
            .sort_values("k").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, ref)
+
+
+# --- count-min sketch (same module: stages/sketch.py) ---
+
+
+def test_cms_guarantees_and_merge_determinism(ray_session):
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.sketch import (cms_estimate,
+                                               cms_from_values, cms_sketch)
+
+    rng = np.random.default_rng(13)
+    # zipf-ish: few heavy values + a long tail
+    vals = (["heavy"] * 5000 + ["medium"] * 500
+            + [f"tail{i}" for i in rng.integers(0, 50000, size=20000)])
+    s = pd.Series(vals)
+    single = cms_from_values(s)
+    dist = cms_sketch(
+        rd.from_pandas(pd.DataFrame({"v": vals})).repartition(7), "v")
+    assert (single == dist).all()  # merge is vector addition: exact
+
+    probe = pd.Series(["heavy", "medium", "absent-value"])
+    est = cms_estimate(dist, probe)
+    true = np.array([5000, 500, 0])
+    assert (est >= true).all()                      # never underestimates
+    assert (est - true <= 0.01 * len(vals)).all()   # eps*N bound (w=2048)

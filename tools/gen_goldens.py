@@ -667,12 +667,39 @@ def gen_hits(sf_dir: str) -> dict[str, pa.Table]:
     return {"host_hits": pa.Table.from_pandas(r, preserve_index=False)}
 
 
+def gen_cms(sf_dir: str) -> dict[str, pa.Table]:
+    # single-process path: one flat word list -> one CMS build -> probe
+    # at the exact top-20 (plain Counter).  Matrix merge is addition, so
+    # the distributed per-batch-partial sketch equals this exactly.
+    import re
+    from collections import Counter
+
+    from pdf_extract_ray.stages.sketch import cms_estimate, cms_from_values
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    word_re = re.compile(r"[a-z0-9]+")
+    all_words = []
+    for t in docs["text"]:
+        all_words.extend(word_re.findall(("" if t is None else t).lower()))
+    c = Counter(all_words)
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    words = pd.Series([w for w, _ in top])
+    m = cms_from_values(pd.Series(all_words))
+    return {"cms_word_probe": pa.table({
+        "word": pa.array(words, pa.string()),
+        "n_exact": pa.array([n for _, n in top], pa.int64()),
+        "n_cms": pa.array(cms_estimate(m, words).astype("int64"),
+                          pa.int64()),
+    })}
+
+
 GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_pair_analyzers, gen_layout, gen_media, gen_media_pixels,
               gen_approx_distinct, gen_approx_quantiles,
               gen_compression_ratio, gen_bpe,
               gen_similarity_ivf, gen_embedding_lsh, gen_pdf_extract,
-              gen_substr_dedup, gen_pagerank, gen_hits)
+              gen_substr_dedup, gen_pagerank, gen_hits, gen_cms)
 
 
 def generate_all(sf_dir: str) -> dict[str, pa.Table]:
