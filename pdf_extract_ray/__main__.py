@@ -85,6 +85,22 @@ def cmd_webtext(args) -> int:
         ray.shutdown()
 
 
+def cmd_linkgraph(args) -> int:
+    from pdf_extract_ray.pipelines.linkgraph import links_run
+
+    ray = _ray_session(args.num_cpus)
+    try:
+        stats = links_run(
+            args.input, args.out, respect_robots=args.respect_robots,
+            pagerank_iters=args.pagerank_iters,
+            files_per_partition=args.files_per_partition,
+        )
+        print(json.dumps({"run": stats}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def cmd_status(args) -> int:
     from pdf_extract_ray.state.manifest import Manifest
 
@@ -152,12 +168,18 @@ def main(argv=None) -> int:
     add_common(wp)
     wp.add_argument("--keep-rejects", action="store_true",
                     help="also write the reject_* tiers to disk")
+    lg = sub.add_parser("linkgraph", help="run/resume host link-graph extraction")
+    add_common(lg)
+    lg.add_argument("--respect-robots", action="store_true",
+                    help="drop edges from robots-nofollow pages")
+    lg.add_argument("--pagerank-iters", type=int, default=0,
+                    help="if >0, also write pagerank.parquet over the global graph")
     add_common(sub.add_parser("status", help="manifest rollup"), with_input=False)
     add_common(sub.add_parser("retry-failed", help="re-run failed partitions"))
 
     args = p.parse_args(argv)
     return {"extract": cmd_extract, "quality": cmd_quality,
-            "webtext": cmd_webtext,
+            "webtext": cmd_webtext, "linkgraph": cmd_linkgraph,
             "status": cmd_status, "retry-failed": cmd_retry_failed}[args.cmd](args)
 
 

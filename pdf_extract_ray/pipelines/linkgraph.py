@@ -1,0 +1,143 @@
+"""Resumable link-graph pipeline: crawled pages -> per-partition host
+edge rollups -> one global host graph (+ optional PageRank table).
+
+Same operational contract as ``webtext_run`` / ``quality_run``: input
+shards (parquet pages or raw ``.warc``/``.warc.gz``) process in
+manifest-recorded partitions (failed runs skip finished ones on
+re-run); the global merge is recorded as partition_id -1 and re-runs
+iff the partition phase produced new partitions.
+
+Scale shape: edge extraction is the narrow per-document scan; each
+partition writes an ALREADY-ROLLED-UP (src_host, dst_host, n_links)
+table (map-side partials + one small merge inside the partition), so
+the global pass merges count tables, never raw edges; PageRank then
+runs in the bounded-vertex broadcast regime over the merged graph.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pdf_extract_ray import __version__
+
+
+def links_run(
+    input_glob: str,
+    out_dir: str,
+    *,
+    respect_robots: bool = False,
+    pagerank_iters: int = 0,
+    files_per_partition: int = 8,
+    min_rows_per_file: int = 5_000,
+) -> dict:
+    """Run (or resume) link-graph extraction over page shards.
+
+    Output: ``out_dir/part=<id>/*.parquet`` per-partition host rollups,
+    ``out_dir/global/`` the merged host graph, and (when
+    ``pagerank_iters > 0``) ``out_dir/pagerank.parquet``.
+    """
+    import ray.data as rd
+
+    from pdf_extract_ray.pipelines.runner import _rows_written
+    from pdf_extract_ray.state.manifest import run_partitioned
+
+    def pipeline(files: list[str], tmp_out: str) -> int:
+        if files[0].endswith((".warc", ".warc.gz")):
+            from pdf_extract_ray.sources.warc import read_warc
+
+            ds = read_warc(files)
+        else:
+            ds = rd.read_parquet(files)
+        if respect_robots:
+            from pdf_extract_ray.stages.robots import (
+                host_link_edges_respecting_robots)
+
+            edges = host_link_edges_respecting_robots(ds)
+        else:
+            from pdf_extract_ray.stages.links import host_link_edges
+
+            edges = host_link_edges(ds)
+        edges.write_parquet(tmp_out, min_rows_per_file=min_rows_per_file)
+        return _rows_written(tmp_out)
+
+    files = sorted(glob.glob(input_glob))
+    if not files:
+        raise FileNotFoundError(f"no input files match {input_glob}")
+    mixed = {f.endswith((".warc", ".warc.gz")) for f in files}
+    if len(mixed) > 1:
+        raise ValueError("mixed WARC and parquet inputs in one run")
+    stats = run_partitioned(
+        files, out_dir, pipeline,
+        files_per_partition=files_per_partition,
+        stage_versions={"engine": __version__, "pipeline": "linkgraph",
+                        "respect_robots": str(respect_robots)},
+    )
+    stats["global"] = _merge_global(out_dir, pagerank_iters=pagerank_iters,
+                                    min_rows_per_file=min_rows_per_file)
+    return stats
+
+
+def _merge_global(out_dir: str, *, pagerank_iters: int,
+                  min_rows_per_file: int) -> str:
+    """Merge the per-partition rollups into the corpus host graph (one
+    small grouped sum over count tables) and optionally rank it.
+    Manifest-recorded as partition_id -1; skipped when the partition set
+    is unchanged."""
+    import shutil
+    import time as _time
+
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+    from pdf_extract_ray.state.manifest import Manifest, PartitionResult
+
+    manifest = Manifest(os.path.join(out_dir, "_manifest.jsonl"))
+    part_dirs = sorted(glob.glob(os.path.join(out_dir, "part=*")))
+    versions = {"engine": __version__, "stage": "linkgraph_global",
+                "n_partitions": len(part_dirs),
+                "pagerank_iters": pagerank_iters}
+    for row in manifest.read():
+        if (row.get("partition_id") == -1 and row.get("status") == "completed"
+                and row.get("stage_versions") == versions):
+            return "skipped"
+
+    part_files = sorted(glob.glob(os.path.join(out_dir, "part=*", "*.parquet")))
+    tmp_dir = os.path.join(out_dir, ".tmp_global")
+    final_dir = os.path.join(out_dir, "global")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    shutil.rmtree(final_dir, ignore_errors=True)
+    t0 = _time.time()
+    merged = grouped_aggregate(
+        rd.read_parquet(part_files), ["src_host", "dst_host"],
+        {"n_links": ("n_links", "sum")})
+    merged.write_parquet(tmp_dir, min_rows_per_file=min_rows_per_file)
+    n_rows = _rows_from(tmp_dir)
+    os.replace(tmp_dir, final_dir)
+    if pagerank_iters > 0:
+        from pdf_extract_ray.stages.pagerank import pagerank
+
+        ranks = pagerank(
+            rd.read_parquet(sorted(
+                glob.glob(os.path.join(final_dir, "*.parquet")))),
+            weight_col="n_links", n_iter=pagerank_iters, tol=None)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.Table.from_pandas(ranks, preserve_index=False),
+                       os.path.join(out_dir, "pagerank.parquet"))
+    wall = _time.time() - t0
+    manifest.append(PartitionResult(
+        partition_id=-1, status="completed",
+        input_files=[os.path.basename(p) for p in part_dirs],
+        n_rows=n_rows, wall_s=round(wall, 3),
+        rows_per_s=round(n_rows / wall, 1) if wall > 0 else 0.0,
+        stage_versions=versions,
+    ))
+    return "completed"
+
+
+def _rows_from(d: str) -> int:
+    from pdf_extract_ray.pipelines.runner import _rows_written
+
+    return _rows_written(d)

@@ -125,3 +125,41 @@ def test_hreflang_extraction():
         "http://h.example/ko/1", "http://en.example/1",
         "http://h.example/de?a=1&b=2"]
     assert list(out.src_url) == ["http://h.example/a/b"] * 3
+
+
+def test_links_run_resume_and_global(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pdf_extract_ray.pipelines.linkgraph import links_run
+
+    src = tmp_path / "pages"
+    src.mkdir()
+    for i in range(2):
+        pq.write_table(pa.table({
+            "url": [f"http://s{i}.example/p"],
+            "html": [f'<a href="http://t.example/{i}">x</a>'
+                     '<a href="http://t.example/0">y</a>'],
+        }), src / f"p{i}.parquet")
+
+    out = tmp_path / "out"
+    stats = links_run(str(src / "*.parquet"), str(out),
+                      files_per_partition=1, min_rows_per_file=1,
+                      pagerank_iters=4)
+    assert stats["completed"] == 2 and stats["global"] == "completed"
+    g = (rd.read_parquet(str(out / "global")).to_pandas()
+         .sort_values("src_host").reset_index(drop=True))
+    assert list(g.src_host) == ["s0.example", "s1.example"]
+    assert list(g.n_links) == [2, 2]
+    assert (out / "pagerank.parquet").exists()
+    import pandas as pd
+    pr = pd.read_parquet(out / "pagerank.parquet")
+    assert set(pr.node) == {"s0.example", "s1.example", "t.example"}
+    assert pr.loc[pr.node == "t.example", "rank"].iloc[0] == pr["rank"].max()
+
+    # resume: nothing re-runs, global pass skips (same partition set)
+    stats2 = links_run(str(src / "*.parquet"), str(out),
+                       files_per_partition=1, min_rows_per_file=1,
+                       pagerank_iters=4)
+    assert stats2["skipped"] == 2 and stats2["global"] == "skipped"
