@@ -345,7 +345,11 @@ def build_warc(pages: list[dict], *, compress: bool = False) -> bytes:
                  "2020-01-01T00:00:00Z")).encode()
         rec = (b"WARC/1.0\r\n"
                b"WARC-Type: response\r\n"
-               b"WARC-Target-URI: " + str(p.get("url", "")).encode() + _CRLF
+               b"WARC-Target-URI: "
+               # total builder: unencodable code points (e.g. lone
+               # surrogates smuggled into a url string) degrade to
+               # U+FFFD rather than crashing fixture generation
+               + str(p.get("url", "")).encode("utf-8", "replace") + _CRLF
                + b"WARC-Date: " + date + _CRLF
                + b"Content-Length: " + str(len(http)).encode() + _CRLF
                + _CRLF + http + _CRLF + _CRLF)
