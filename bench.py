@@ -207,6 +207,16 @@ def run_scaling(sf_dir: str) -> dict:
     NODES, each with its own memory system).  GRAFT_SCALE_LO/HI restrict
     to a single custom pair."""
 
+    def cooldown(max_wait: float = 240.0, target: float = 1.5) -> float:
+        """Wait for residual load from the previous level's Ray session to
+        drain before sampling the next one — the recurring contaminator of
+        the 4->16 pair (a side starting at loadavg ~17 measures the box's
+        teardown, not the pipeline).  Returns seconds waited."""
+        t0 = time.time()
+        while time.time() - t0 < max_wait and os.getloadavg()[0] > target:
+            time.sleep(5)
+        return round(time.time() - t0, 1)
+
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1",
                    GRAFT_BENCH_REPS="3")
@@ -224,7 +234,11 @@ def run_scaling(sf_dir: str) -> dict:
 
     result = {"metric": "scaling_efficiency"}
     for lo, hi in pairs:
-        r_lo, r_hi = run(lo), run(hi)
+        w1 = cooldown()
+        r_lo = run(lo)
+        w2 = cooldown()
+        r_hi = run(hi)
+        result[f"cooldown_wait_{lo}_{hi}"] = [w1, w2]
         eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
         result[f"sec_{lo}"] = r_lo["value"]
         result[f"sec_{hi}"] = r_hi["value"]
