@@ -1511,6 +1511,52 @@ def _ldjson_blobs_oracle() -> str:
     )
 
 
+def q_refresh_redirects(sf_dir: str):
+    # meta-refresh soft-redirect detection (stages/pagemeta
+    # .extract_refresh_redirects): narrow scan, zero shuffles.  Pages
+    # synthesize all four cases (redirect, bare self-refresh, garbage
+    # content, no meta); the SQL oracle derives the rows arithmetically.
+    import numpy as np
+
+    from pdf_extract_ray.stages.pagemeta import extract_refresh_redirects
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def pages(b: pd.DataFrame) -> pd.DataFrame:
+        meta = np.select(
+            [(b["doc_id"] % 4 == 0), (b["doc_id"] % 4 == 1),
+             (b["doc_id"] % 4 == 2)],
+            ['<meta http-equiv="refresh" content="0; url=/r/'
+             + (b["doc_id"] % 9).astype(str) + '">',
+             '<meta http-equiv="REFRESH" content="'
+             + (b["doc_id"] % 7 + 1).astype(str) + '">',
+             '<meta http-equiv="refresh" content="garbage">'],
+            default="")
+        return pd.DataFrame({
+            "url": "http://host" + (b["doc_id"] % 13).astype(str)
+                   + ".example/p/" + b["doc_id"].astype(str),
+            "html": pd.Series(meta, index=b.index) + "<p>x</p>",
+        })
+
+    return extract_refresh_redirects(
+        ds.map_batches(pages, batch_format="pandas"))
+
+
+def _refresh_redirects_oracle() -> str:
+    return (
+        "WITH u AS (SELECT doc_id, 'http://host' || (doc_id % 13) || "
+        "'.example' AS host FROM documents) "
+        "SELECT host || '/p/' || doc_id AS url, "
+        "CAST(0 AS BIGINT) AS delay_s, "
+        "host || '/r/' || (doc_id % 9) AS target_url "
+        "FROM u WHERE doc_id % 4 = 0 "
+        "UNION ALL "
+        "SELECT host || '/p/' || doc_id, "
+        "CAST(doc_id % 7 + 1 AS BIGINT), NULL "
+        "FROM u WHERE doc_id % 4 = 1"
+    )
+
+
 def q_chunk_spans(sf_dir: str):
     # overlapping-window chunk spans (stages/packing.chunk_spans): token
     # count (narrow) -> vectorized 1->N explode (narrow, no shuffle);
@@ -1995,6 +2041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_assignments": q_pack_assignments,
         "canonical_dedup_docs": q_canonical_dedup,
         "chunk_spans": q_chunk_spans,
+        "refresh_redirects": q_refresh_redirects,
         "ldjson_blobs": q_ldjson_blobs,
         "top_words": q_top_words,
         "term_postings": q_term_postings,
@@ -2567,6 +2614,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_assignments": _pack_assignments_oracle(),
         "canonical_dedup_docs": _canonical_dedup_oracle(),
         "chunk_spans": _chunk_spans_oracle(),
+        "refresh_redirects": _refresh_redirects_oracle(),
         "ldjson_blobs": _ldjson_blobs_oracle(),
         "top_words": _top_words_oracle(),
         "term_postings": _term_postings_oracle(),

@@ -167,3 +167,71 @@ def extract_ldjson(ds: Dataset, html_col: str = "html",
         lambda b: ldjson_batch(b, html_col, url_col),
         batch_format="pandas",
     )
+
+
+_REFRESH_CONTENT_RE = re.compile(
+    r"""^\s*([0-9]+)\s*(?:;\s*url\s*=\s*("?)([^"']*)\2\s*)?$""",
+    re.IGNORECASE,
+)
+
+
+def refresh_redirects_batch(
+    batch: pd.DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> pd.DataFrame:
+    """``(url, delay_s, target_url)`` rows for pages carrying a
+    ``<meta http-equiv="refresh">`` — the soft-redirect signal: such
+    pages are boilerplate for training purposes and their target feeds
+    the crawl frontier.
+
+    Frozen rules: the FIRST refresh meta wins (http-equiv match
+    case-insensitive/trimmed); content parses as ``N`` or ``N; url=...``
+    (integer delay; optional double quotes around the target, entities
+    unescaped, urljoin-resolved); a bare ``N`` emits a NULL target
+    (self-refresh); unparseable content emits nothing.
+    """
+    from urllib.parse import urljoin
+
+    from pdf_extract_ray.functions.encoding import decode_html_bytes
+    from pdf_extract_ray.functions.markup import parse_tag_attrs
+
+    urls: list[str] = []
+    delays: list[int] = []
+    targets: list[str | None] = []
+    for url, html in zip(batch[url_col], batch[html_col]):
+        if html is None:
+            continue
+        if isinstance(html, (bytes, bytearray)):
+            html = decode_html_bytes(bytes(html))[0]
+        for tag in _META_TAG_RE.findall(html):
+            a = parse_tag_attrs(tag)
+            if a.get("http-equiv", "").strip().lower() != "refresh":
+                continue
+            m = _REFRESH_CONTENT_RE.match(unescape(a.get("content", "")))
+            if not m:
+                break  # first refresh meta wins, even if unparseable
+            target = None
+            if m.group(3):
+                try:
+                    target = urljoin(url, m.group(3).strip())
+                except ValueError:
+                    target = None
+            urls.append(url)
+            delays.append(int(m.group(1)))
+            targets.append(target)
+            break
+    return pd.DataFrame({
+        "url": urls,
+        "delay_s": pd.Series(delays, dtype="int64"),
+        "target_url": pd.Series(targets, dtype="object"),
+    })
+
+
+def extract_refresh_redirects(ds: Dataset, html_col: str = "html",
+                              url_col: str = "url") -> Dataset:
+    """Dataset-level soft-redirect scan: one narrow map, no shuffle."""
+    return ds.map_batches(
+        lambda b: refresh_redirects_batch(b, html_col, url_col),
+        batch_format="pandas",
+    )

@@ -66,3 +66,27 @@ def test_ldjson_extraction():
     assert out.raw_json[2] == "not json at all"
     assert len(ldjson_batch(
         pd.DataFrame({"url": ["u"], "html": [None]}))) == 0
+
+
+def test_refresh_redirects():
+    from pdf_extract_ray.stages.pagemeta import refresh_redirects_batch
+
+    b = pd.DataFrame({
+        "url": ["http://h.example/a", "http://h.example/b",
+                "http://h.example/c", "http://h.example/d",
+                "http://h.example/e"],
+        "html": [
+            '<meta http-equiv="refresh" content="0; url=/new">',
+            "<meta http-equiv='REFRESH' content='5;URL=\"http://x.example/\"'>"
+            '<meta http-equiv="refresh" content="9; url=/ignored-second">',
+            '<meta http-equiv="refresh" content="30">',      # self-refresh
+            '<meta http-equiv="refresh" content="garbage">',  # unparseable
+            "<p>no meta</p>",
+        ],
+    })
+    out = refresh_redirects_batch(b)
+    assert list(out.url) == ["http://h.example/a", "http://h.example/b",
+                             "http://h.example/c"]
+    assert list(out.delay_s) == [0, 5, 30]
+    assert list(out.target_url) == ["http://h.example/new",
+                                    "http://x.example/", None]
