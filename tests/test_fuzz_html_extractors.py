@@ -20,6 +20,7 @@ _FRAGS = st.sampled_from([
     "<a href=", "<a href='", '<a href="', "</a>", "<table>", "</table>",
     "<tr>", "<td>", "<th ", "<meta name=robots content=", "<meta ",
     '<script type="application/ld+json">', "</script>", '{"@type":',
+    '<meta http-equiv=refresh content="0; url=', "http-equiv='refresh'",
     '<link rel="alternate" hreflang=', "hreflang='",
     "<title>", "</title>", "<link rel=", "javascript:", "&amp;", "&#x27;",
     "http://", "https://", "//", "#", "'", '"', ">", "<", "=", " ", "\x00",
@@ -60,4 +61,7 @@ def test_extractors_never_raise_and_keep_schema(html):
     assert list(hl.columns) == ["src_url", "hreflang", "alt_url"]
     ld = ldjson_batch(b.copy())
     assert list(ld.columns) == ["url", "blob_no", "raw_json", "ld_type"]
+    from pdf_extract_ray.stages.pagemeta import refresh_redirects_batch
+    rr = refresh_redirects_batch(b.copy())
+    assert list(rr.columns) == ["url", "delay_s", "target_url"]
     assert len(meta) == len(robots) == 1  # per-page outputs keep rows
