@@ -108,13 +108,15 @@ def _merge_global(out_dir: str, *, pagerank_iters: int,
     shutil.rmtree(tmp_dir, ignore_errors=True)
     shutil.rmtree(final_dir, ignore_errors=True)
     t0 = _time.time()
-    merged = grouped_aggregate(
-        rd.read_parquet(part_files), ["src_host", "dst_host"],
-        {"n_links": ("n_links", "sum")})
-    merged.write_parquet(tmp_dir, min_rows_per_file=min_rows_per_file)
+    if part_files:
+        merged = grouped_aggregate(
+            rd.read_parquet(part_files), ["src_host", "dst_host"],
+            {"n_links": ("n_links", "sum")})
+        merged.write_parquet(tmp_dir, min_rows_per_file=min_rows_per_file)
+    os.makedirs(tmp_dir, exist_ok=True)  # all-empty corpus: empty graph
     n_rows = _rows_from(tmp_dir)
     os.replace(tmp_dir, final_dir)
-    if pagerank_iters > 0:
+    if part_files and pagerank_iters > 0:
         from pdf_extract_ray.stages.pagerank import pagerank
 
         ranks = pagerank(

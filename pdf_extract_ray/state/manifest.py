@@ -140,6 +140,11 @@ def run_partitioned(
         t0 = time.time()
         try:
             n_rows = pipeline(files, tmp_dir)
+            # a zero-row partition is legitimate (e.g. every page in it
+            # was robots-filtered) — Ray's empty write_parquet creates
+            # no directory, but the atomic rename + manifest row must
+            # still happen so resume skips it
+            os.makedirs(tmp_dir, exist_ok=True)
             os.replace(tmp_dir, final_dir)
             wall = time.time() - t0
             manifest.append(PartitionResult(

@@ -168,3 +168,35 @@ def test_extract_run_staged_plan(ray_session, tmp_path):
     import json as j
     rows = [j.loads(l) for l in open(f"{staged_out}/_manifest.jsonl")]
     assert all(r["stage_versions"]["plan"] == "staged" for r in rows)
+
+
+def test_zero_row_partition_completes(ray_session, tmp_path):
+    """A partition that legitimately writes no rows (e.g. every page in
+    it robots-filtered) must still land an atomic part dir + manifest
+    row — Ray's empty write_parquet creates no directory, which used to
+    crash the rename and poison resume."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extract_ray.pipelines.linkgraph import links_run
+
+    src = tmp_path / "pages"
+    src.mkdir()
+    pq.write_table(pa.table({
+        "url": ["http://a.example/p"],
+        "html": ['<meta name="robots" content="nofollow">'
+                 '<a href="http://b.example/x">t</a>'],
+    }), src / "p0.parquet")
+
+    out = tmp_path / "out"
+    stats = links_run(str(src / "*.parquet"), str(out),
+                      respect_robots=True, files_per_partition=1,
+                      min_rows_per_file=1)
+    assert stats == {"completed": 1, "skipped": 0, "failed": 0,
+                     "global": "completed"}
+    assert (out / "part=0").is_dir()
+    # resume: the empty partition is manifested and skips
+    stats2 = links_run(str(src / "*.parquet"), str(out),
+                       respect_robots=True, files_per_partition=1,
+                       min_rows_per_file=1)
+    assert stats2["skipped"] == 1 and stats2["global"] == "skipped"
