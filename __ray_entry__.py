@@ -1511,6 +1511,51 @@ def _ldjson_blobs_oracle() -> str:
     )
 
 
+def q_url_features(sf_dir: str):
+    # C4-style URL quality features (functions/url.url_features):
+    # vectorized narrow kernel, zero shuffles; urls synthesized in three
+    # arithmetic shapes (deep https with params / shallow http /
+    # path-less), oracle recomputes every feature from the arithmetic.
+    import numpy as np
+
+    from pdf_extract_ray.functions.url import url_features
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def rows(b: pd.DataFrame) -> pd.DataFrame:
+        did = b["doc_id"].astype(str)
+        host = "host" + (b["doc_id"] % 13).astype(str) + ".example"
+        url = pd.Series(np.select(
+            [(b["doc_id"] % 3 == 0), (b["doc_id"] % 3 == 1)],
+            ["https://" + host + "/a/b/" + did + "?x=1&y=2",
+             "http://" + host + "/p/" + did],
+            default="http://" + host), index=b.index)
+        out = url_features(url)
+        out.insert(0, "url", url)
+        return out
+
+    return ds.map_batches(rows, batch_format="pandas")
+
+
+def _url_features_oracle() -> str:
+    return (
+        "WITH u AS (SELECT doc_id, 'host' || (doc_id % 13) || '.example' "
+        "AS host, length(CAST(doc_id AS VARCHAR)) AS dlen FROM documents) "
+        "SELECT CASE doc_id % 3 "
+        "  WHEN 0 THEN 'https://' || host || '/a/b/' || doc_id || '?x=1&y=2' "
+        "  WHEN 1 THEN 'http://' || host || '/p/' || doc_id "
+        "  ELSE 'http://' || host END AS url, "
+        "CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 2 ELSE 0 END "
+        "AS BIGINT) AS path_depth, "
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END AS BIGINT) "
+        "AS n_params, "
+        "doc_id % 3 = 0 AS is_https, "
+        "CAST(CASE doc_id % 3 WHEN 0 THEN 5 + dlen WHEN 1 THEN 3 + dlen "
+        "ELSE 0 END AS BIGINT) AS path_len "
+        "FROM u"
+    )
+
+
 def q_refresh_redirects(sf_dir: str):
     # meta-refresh soft-redirect detection (stages/pagemeta
     # .extract_refresh_redirects): narrow scan, zero shuffles.  Pages
@@ -2042,6 +2087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_dedup_docs": q_canonical_dedup,
         "chunk_spans": q_chunk_spans,
         "refresh_redirects": q_refresh_redirects,
+        "url_features_docs": q_url_features,
         "ldjson_blobs": q_ldjson_blobs,
         "top_words": q_top_words,
         "term_postings": q_term_postings,
@@ -2615,6 +2661,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_dedup_docs": _canonical_dedup_oracle(),
         "chunk_spans": _chunk_spans_oracle(),
         "refresh_redirects": _refresh_redirects_oracle(),
+        "url_features_docs": _url_features_oracle(),
         "ldjson_blobs": _ldjson_blobs_oracle(),
         "top_words": _top_words_oracle(),
         "term_postings": _term_postings_oracle(),

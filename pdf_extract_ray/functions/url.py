@@ -121,3 +121,38 @@ SELECT {id_cols},
                            '^www\\.', '') END AS url_domain
 FROM q
 """
+
+
+def url_features(urls: pd.Series) -> pd.DataFrame:
+    """C4-style URL quality features, fully vectorized: ``path_depth``
+    (non-empty /-separated path segments), ``n_params`` (&-separated
+    query parts, 0 when no ``?``), ``is_https``, ``path_len`` (chars of
+    the path incl. leading slash, before ``?``/``#``).
+
+    Frozen rules: the fragment is cut first, then the query; non-url
+    strings (no ``://``) get depth/params/len 0 and is_https False.
+    Narrow per-batch kernel, zero shuffles.
+    """
+    s = urls.fillna("").astype(str)
+    is_url = s.str.contains("://", regex=False)
+    no_frag = s.str.split("#", n=1).str[0]
+    pre_q = no_frag.str.split("?", n=1).str[0]
+    query = no_frag.str.split("?", n=1).str[1]  # NaN when no '?'
+    # path = everything after the authority
+    after_scheme = pre_q.str.split("://", n=1).str[1].fillna("")
+    path = "/" + after_scheme.str.split("/", n=1).str[1].fillna("")
+    has_path = after_scheme.str.contains("/", regex=False)
+    depth = np.where(
+        is_url & has_path,
+        path.str.split("/").map(lambda xs: sum(1 for x in xs if x)), 0)
+    n_params = np.where(
+        is_url & query.notna(),
+        query.fillna("").str.split("&").str.len(), 0)
+    return pd.DataFrame({
+        "path_depth": depth.astype("int64"),
+        "n_params": n_params.astype("int64"),
+        "is_https": (is_url & s.str.lower().str.startswith(
+            "https://")).to_numpy(),
+        "path_len": np.where(is_url & has_path,
+                             path.str.len(), 0).astype("int64"),
+    }, index=urls.index)

@@ -57,3 +57,21 @@ def test_batch_alignment_with_mixed_rows():
     assert out["canonical_url"].tolist() == [
         "http://b.com/?a=2&z=1", "nope", ""]
     assert out["doc_id"].tolist() == [7, 8, 9]
+
+
+def test_url_features_rules():
+    import pandas as pd
+
+    from pdf_extract_ray.functions.url import url_features
+
+    s = pd.Series(["https://a.example/x/y/z?a=1&b=2#frag",
+                   "http://a.example", "http://a.example/",
+                   "not a url", None, "HTTPS://b.example/p?x",
+                   "http://a.example//double//slash/"])
+    f = url_features(s)
+    assert list(f.path_depth) == [3, 0, 0, 0, 0, 1, 2]
+    assert list(f.n_params) == [2, 0, 0, 0, 0, 1, 0]
+    assert list(f.is_https) == [True, False, False, False, False, True,
+                                False]
+    assert f.path_len[0] == len("/x/y/z")
+    assert f.path_len[2] == 1  # bare trailing slash
