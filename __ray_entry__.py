@@ -1514,8 +1514,9 @@ def _ldjson_blobs_oracle() -> str:
 def q_url_features(sf_dir: str):
     # C4-style URL quality features (functions/url.url_features):
     # vectorized narrow kernel, zero shuffles; urls synthesized in three
-    # arithmetic shapes (deep https with params / shallow http /
-    # path-less), oracle recomputes every feature from the arithmetic.
+    # arithmetic shapes (deep https with params / shallow http with a
+    # bare trailing '?' — empty query must count 0 params / path-less),
+    # oracle recomputes every feature from the arithmetic.
     import numpy as np
 
     from pdf_extract_ray.functions.url import url_features
@@ -1528,7 +1529,7 @@ def q_url_features(sf_dir: str):
         url = pd.Series(np.select(
             [(b["doc_id"] % 3 == 0), (b["doc_id"] % 3 == 1)],
             ["https://" + host + "/a/b/" + did + "?x=1&y=2",
-             "http://" + host + "/p/" + did],
+             "http://" + host + "/p/" + did + "?"],
             default="http://" + host), index=b.index)
         out = url_features(url)
         out.insert(0, "url", url)
@@ -1543,7 +1544,7 @@ def _url_features_oracle() -> str:
         "AS host, length(CAST(doc_id AS VARCHAR)) AS dlen FROM documents) "
         "SELECT CASE doc_id % 3 "
         "  WHEN 0 THEN 'https://' || host || '/a/b/' || doc_id || '?x=1&y=2' "
-        "  WHEN 1 THEN 'http://' || host || '/p/' || doc_id "
+        "  WHEN 1 THEN 'http://' || host || '/p/' || doc_id || '?' "
         "  ELSE 'http://' || host END AS url, "
         "CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 2 ELSE 0 END "
         "AS BIGINT) AS path_depth, "

@@ -145,8 +145,11 @@ def url_features(urls: pd.Series) -> pd.DataFrame:
     depth = np.where(
         is_url & has_path,
         path.str.split("/").map(lambda xs: sum(1 for x in xs if x)), 0)
+    # a bare trailing '?' (empty query) carries no params: ''.split('&')
+    # yields [''] so the count must be masked, matching canonicalize_urls'
+    # empty-param dropping and the documented "0 when no params" rule
     n_params = np.where(
-        is_url & query.notna(),
+        is_url & query.notna() & (query != ""),
         query.fillna("").str.split("&").str.len(), 0)
     return pd.DataFrame({
         "path_depth": depth.astype("int64"),

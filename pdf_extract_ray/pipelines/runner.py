@@ -156,9 +156,13 @@ def _quality_global_dedup(out_dir: str, *, kor_col: str, eng_col: str,
     t0 = _time.time()
     # read_parquet rejects a LIST of directories (ray 2.49): glob files
     part_files = sorted(glob.glob(os.path.join(out_dir, "part=*", "*.parquet")))
-    ds = rd.read_parquet(part_files)
-    bucketed_group_apply(ds, [kn, en], keep_first, pre_batch_size=4096) \
-        .write_parquet(tmp_dir, min_rows_per_file=min_rows_per_file)
+    if part_files:
+        ds = rd.read_parquet(part_files)
+        bucketed_group_apply(ds, [kn, en], keep_first, pre_batch_size=4096) \
+            .write_parquet(tmp_dir, min_rows_per_file=min_rows_per_file)
+    # all partitions may legitimately be empty (zero-row part dirs hold no
+    # parquet files): still complete atomically with an empty global dir
+    os.makedirs(tmp_dir, exist_ok=True)
     n_rows = _rows_written(tmp_dir)
     os.replace(tmp_dir, final_dir)
     wall = _time.time() - t0

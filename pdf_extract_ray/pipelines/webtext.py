@@ -157,5 +157,7 @@ def webtext_run(
         files_per_partition=files_per_partition,
         stage_versions={"engine": __version__, "pipeline": "webtext",
                         "extract_first": str(extract_first),
+                        "keep_rejects": str(keep_rejects),
+                        "respect_robots": str(respect_robots),
                         "rules": repr(sorted(rules.items()))},
     )

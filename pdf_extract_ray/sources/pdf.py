@@ -1316,7 +1316,10 @@ def _ser_value(v) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
-        return repr(v)
+        # repr() may emit exponent notation (1e-05), which is not valid
+        # PDF number syntax — always fixed-point
+        s = format(v, "f").rstrip("0").rstrip(".")
+        return s or "0"
     if isinstance(v, int):
         return repr(v)
     if isinstance(v, list):

@@ -125,13 +125,24 @@ def run_partitioned(
     manifest = Manifest(manifest_path or os.path.join(out_dir, "_manifest.jsonl"))
     versions = stage_versions or {}
     plan = plan_partitions(input_files, files_per_partition)
-    done = manifest.completed_ids()
+    # skip a completed partition only if it was produced by THIS pipeline
+    # configuration — a partition completed under different stage_versions
+    # (changed flags, rules, engine) is stale output and must be redone,
+    # never silently kept (latest manifest row per partition wins)
+    done: dict[int, dict] = {}
+    for r in manifest.read():
+        if r.get("status") == "completed":
+            done[r["partition_id"]] = r.get("stage_versions") or {}
+        elif r.get("status") == "failed":
+            # a failed re-run (e.g. under new versions) destroyed the old
+            # part dir before failing — the earlier completion is void
+            done.pop(r.get("partition_id"), None)
     os.makedirs(out_dir, exist_ok=True)
 
     stats = {"completed": 0, "skipped": 0, "failed": 0}
     for pid, files in enumerate(plan):
         final_dir = os.path.join(out_dir, f"part={pid}")
-        if pid in done:
+        if done.get(pid) == versions:
             stats["skipped"] += 1
             continue
         tmp_dir = os.path.join(out_dir, f".tmp_part={pid}")

@@ -78,6 +78,86 @@ def test_resume_skips_completed(tmp_path):
     assert stats == {"completed": 0, "skipped": 3, "failed": 0}
 
 
+def test_stage_version_mismatch_reprocesses(tmp_path):
+    """ADVICE r3: a partition completed under DIFFERENT stage_versions
+    (changed flags/rules) is stale — resume must redo it, not keep it."""
+    files = ["f0", "f1", "f2", "f3"]
+    out = str(tmp_path / "out")
+
+    log1 = []
+    run_partitioned(files, out, _tracking_pipeline(log1),
+                    files_per_partition=2, stage_versions={"flag": "a"})
+    assert len(log1) == 2
+
+    # same versions -> all skipped
+    log2 = []
+    stats = run_partitioned(files, out, _tracking_pipeline(log2),
+                            files_per_partition=2,
+                            stage_versions={"flag": "a"})
+    assert log2 == [] and stats["skipped"] == 2
+
+    # changed versions -> everything reprocessed
+    log3 = []
+    stats = run_partitioned(files, out, _tracking_pipeline(log3),
+                            files_per_partition=2,
+                            stage_versions={"flag": "b"})
+    assert len(log3) == 2 and stats == {"completed": 2, "skipped": 0,
+                                        "failed": 0}
+
+    # a failed re-run voids the earlier completion: the destroyed part
+    # dir must not be skipped on the next resume
+    log4 = []
+    with pytest.raises(RuntimeError):
+        run_partitioned(files, out, _tracking_pipeline(log4, {("f0", "f1")}),
+                        files_per_partition=2, stage_versions={"flag": "c"})
+    log5 = []
+    stats = run_partitioned(files, out, _tracking_pipeline(log5),
+                            files_per_partition=2,
+                            stage_versions={"flag": "c"})
+    assert ("f0", "f1") in log5
+    assert os.path.exists(os.path.join(out, "part=0", "out.txt"))
+
+
+def test_webtext_flags_recorded_in_versions():
+    """ADVICE r3: keep_rejects / respect_robots are part of the webtext
+    pipeline's identity — a flag change must invalidate old partitions."""
+    import inspect
+
+    from pdf_extract_ray.pipelines import webtext
+
+    src = inspect.getsource(webtext.webtext_run)
+    assert '"keep_rejects"' in src and '"respect_robots"' in src
+
+
+def test_quality_global_dedup_all_empty_partitions(ray_session, tmp_path):
+    """ADVICE r3 (medium): when every completed partition wrote zero rows
+    (legitimate after the zero-row-partition fix), the --global-dedup
+    merge must not crash on read_parquet([]) — it completes with an
+    empty global dir, mirrors linkgraph._merge_global."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extract_ray.pipelines.runner import quality_run
+
+    src = tmp_path / "pairs"
+    src.mkdir()
+    # numbers-only BOTH sides -> content-filtered, partition writes 0 rows
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(
+        [{"doc_id": 0, "kr_text": "123, 456.", "en_text": "789 012"}])),
+        src / "p0.parquet")
+
+    out = tmp_path / "out"
+    stats = quality_run(str(src / "*.parquet"), str(out), global_dedup=True,
+                        files_per_partition=1, min_rows_per_file=1)
+    assert stats["completed"] == 1 and stats["global"] == "completed"
+    assert (out / "global").is_dir() and (out / "part=0").is_dir()
+
+    stats2 = quality_run(str(src / "*.parquet"), str(out), global_dedup=True,
+                         files_per_partition=1, min_rows_per_file=1)
+    assert stats2["skipped"] == 1 and stats2["global"] == "skipped"
+
+
 def test_crashed_tmp_dir_discarded(tmp_path):
     files = ["f0", "f1"]
     out = str(tmp_path / "out")

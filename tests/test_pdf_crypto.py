@@ -172,3 +172,17 @@ def test_ciphertext_contains_no_plaintext(plain_pdf):
         got = pdf_pages_spans(encd)
         assert any("NEEDLE7Q" in ln["text"]
                    for p in got for ln in p["lines"])
+
+
+def test_ser_value_floats_never_exponent():
+    """ADVICE r3: PDF number syntax has no exponent form — _ser_value
+    must emit fixed-point for every float (fixture builder path)."""
+    from pdf_extract_ray.sources.pdf import _ser_value
+
+    assert _ser_value(1e-05) == "0.00001"
+    assert _ser_value(-1e-05) == "-0.00001"
+    assert _ser_value(0.0) == "0"
+    assert _ser_value(1.5) == "1.5"
+    assert _ser_value(2.0) == "2"
+    big = _ser_value(1e20)
+    assert "e" not in big.lower() and float(big) == 1e20

@@ -75,3 +75,17 @@ def test_url_features_rules():
                                 False]
     assert f.path_len[0] == len("/x/y/z")
     assert f.path_len[2] == 1  # bare trailing slash
+
+
+def test_url_features_bare_trailing_question_mark():
+    """ADVICE r3: a bare trailing '?' (empty query) must count 0 params —
+    ''.split('&') yields [''] so the count needs an explicit mask."""
+    import pandas as pd
+
+    from pdf_extract_ray.functions.url import url_features
+
+    s = pd.Series(["http://a.example/p?", "http://a.example/p?&",
+                   "http://a.example/p?a=1"])
+    f = url_features(s)
+    assert list(f.n_params) == [0, 2, 1]  # '?&' = two empty parts, kept as-is
+    assert list(f.path_len) == [2, 2, 2]
