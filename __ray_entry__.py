@@ -1557,6 +1557,64 @@ def _url_features_oracle() -> str:
     )
 
 
+def q_lang_id_v2(sf_dir: str):
+    # Latin-script language discrimination (stages/langid.py, round-3
+    # judge gap #1): script ranges + frozen function-word/diacritic
+    # profiles, one narrow vectorized map, zero shuffles.  Texts are
+    # synthesized in 12 arithmetic shapes (8 Latin-script languages,
+    # ko/zh/ru script classes, digits-only und) with a doc_id-dependent
+    # year interpolated so no two shapes share a constant string; the
+    # oracle states the ground-truth label arithmetically.
+    import numpy as np
+
+    from pdf_extract_ray.stages.langid import lang_id_v2_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def rows(b: pd.DataFrame) -> pd.DataFrame:
+        yr = (1990 + b["doc_id"] % 30).astype(str)
+        shapes = [
+            "the report was published in " + yr
+            + " and it is available for all who need it",
+            "der bericht wurde im jahr " + yr
+            + " veröffentlicht und ist für alle verfügbar",
+            "le rapport a été publié dans les années " + yr
+            + " et il est disponible pour tous",
+            "el informe fue publicado en el año " + yr
+            + " y está disponible para todos los que lo necesitan",
+            "o relatório foi publicado no ano " + yr
+            + " e não está disponível para todos",
+            "il rapporto è stato pubblicato nel " + yr
+            + " e non è disponibile per tutti",
+            "het rapport werd in het jaar " + yr
+            + " gepubliceerd en is niet voor iedereen beschikbaar",
+            "rapporten publicerades år " + yr
+            + " och den är inte tillgänglig för alla",
+            "보고서는 " + yr + "년에 발표되었다",
+            "报告于" + yr + "年发表",
+            "доклад был опубликован в " + yr + " году",
+            yr + " 12345 !!!",
+        ]
+        mod = b["doc_id"] % 12
+        text = pd.Series(
+            np.select([mod == k for k in range(11)], shapes[:11],
+                      default=shapes[11]),
+            index=b.index)
+        out = lang_id_v2_batch(
+            pd.DataFrame({"doc_id": b["doc_id"], "text": text}))
+        return out[["doc_id", "lang_id_v2"]]
+
+    return ds.map_batches(rows, batch_format="pandas")
+
+
+def _lang_id_v2_oracle() -> str:
+    labels = ["en", "de", "fr", "es", "pt", "it", "nl", "sv", "ko", "zh",
+              "ru", "und"]
+    whens = " ".join(f"WHEN {k} THEN '{v}'" for k, v in enumerate(labels))
+    return (f"SELECT doc_id, CASE doc_id % 12 {whens} END AS lang_id_v2 "
+            "FROM documents")
+
+
 def q_refresh_redirects(sf_dir: str):
     # meta-refresh soft-redirect detection (stages/pagemeta
     # .extract_refresh_redirects): narrow scan, zero shuffles.  Pages
@@ -2089,6 +2147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_spans": q_chunk_spans,
         "refresh_redirects": q_refresh_redirects,
         "url_features_docs": q_url_features,
+        "lang_id_v2": q_lang_id_v2,
         "ldjson_blobs": q_ldjson_blobs,
         "top_words": q_top_words,
         "term_postings": q_term_postings,
@@ -2663,6 +2722,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_spans": _chunk_spans_oracle(),
         "refresh_redirects": _refresh_redirects_oracle(),
         "url_features_docs": _url_features_oracle(),
+        "lang_id_v2": _lang_id_v2_oracle(),
         "ldjson_blobs": _ldjson_blobs_oracle(),
         "top_words": _top_words_oracle(),
         "term_postings": _term_postings_oracle(),
