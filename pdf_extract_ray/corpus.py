@@ -310,6 +310,31 @@ def pdfs_from_documents(documents: pa.Table) -> pa.Table:
     })
 
 
+def nb_train_frame(doc_ids) -> "pd.DataFrame":
+    """Deterministic labeled training set for the Naive-Bayes quality
+    classifier, derived arithmetically from doc_ids: even ids become
+    stopword-rich 'good' prose, odd ids become keyword-stuffed 'spam',
+    each with two interpolated numbers so no two rows are constant.
+    Shared by the ``nb_quality_docs`` driver query and its single-process
+    golden generator — no external data."""
+    import numpy as np
+    import pandas as pd
+
+    ids = pd.Series(doc_ids).astype("int64")
+    yr = (1990 + ids % 30).astype(str)
+    k = (ids % 7).astype(str)
+    good = ("the report of year " + yr + " was written and it is clear "
+            "that the results are good for " + k + " of the cases we saw")
+    spam = ("buy cheap pills " + yr + " buy cheap pills casino bonus "
+            "click here casino bonus " + k + " free free free win now")
+    even = (ids % 2 == 0)
+    return pd.DataFrame({
+        "doc_id": ids.to_numpy(),
+        "text": good.where(even, spam).to_numpy(),
+        "label": np.where(even.to_numpy(), "good", "spam"),
+    })
+
+
 def synth_layout_rows(n_docs: int = 4) -> list[dict]:
     """Deterministic synthetic span-table rows for the layout-tagging path
     (M1-M5): two-column x/y geometry, mixed sizes/flags/colors.  Shared by

@@ -30,6 +30,7 @@ import numpy as np
 import pandas as pd
 from ray.data import Dataset
 
+from pdf_extract_ray.stages.nbquality import nb_model_digest
 from pdf_extract_ray.stages.textquality import (
     quality_score_batch,
     repetition_stats_batch,
@@ -48,29 +49,51 @@ SIGNAL_COLS = ["n_words", "stop_ratio", "mean_word_len", "dup_word_frac",
 
 
 def tier_batch(batch: pd.DataFrame, text_col: str = "text",
-               rules: dict = TIER_RULES) -> pd.DataFrame:
-    """Append the signal columns and the ``tier`` label to one batch."""
+               rules: dict = TIER_RULES,
+               nb_model: dict | None = None) -> pd.DataFrame:
+    """Append the signal columns and the ``tier`` label to one batch.
+
+    With ``nb_model`` (stages/nbquality.train_nb_quality output, labels
+    sorted good-label-first) a ``reject_lowquality`` rule is inserted
+    after ``reject_repetitive``: ``nb_logit > rules["max_nb_logit"]``
+    (default 0.0 = the classifier's own decision boundary) rejects, and
+    the ``nb_logit``/``nb_label`` columns join the signal set.  The
+    classifier stays fused into the same narrow map — no extra pass."""
     out = repetition_stats_batch(batch, text_col)
     out = quality_score_batch(out, text_col)
-    out["tier"] = np.select(
-        [
-            out["n_words"] < rules["min_words"],
-            (out["dup_word_frac"] > rules["max_dup_word_frac"])
-            | (out["max_word_run"] >= rules["max_word_run"])
-            | (out["top_bigram_frac"] > rules["max_top_bigram_frac"]),
-            out["stop_ratio"] >= rules["min_stop_ratio"],
-        ],
-        ["reject_short", "reject_repetitive", "tier1"],
-        default="tier2",
-    )
+    conds = [
+        out["n_words"] < rules["min_words"],
+        (out["dup_word_frac"] > rules["max_dup_word_frac"])
+        | (out["max_word_run"] >= rules["max_word_run"])
+        | (out["top_bigram_frac"] > rules["max_top_bigram_frac"]),
+    ]
+    labels = ["reject_short", "reject_repetitive"]
+    if nb_model is not None:
+        from pdf_extract_ray.stages.nbquality import nb_score_batch
+
+        out = nb_score_batch(out, nb_model, text_col)
+        conds.append(out["nb_logit"] > rules.get("max_nb_logit", 0.0))
+        labels.append("reject_lowquality")
+    conds.append(out["stop_ratio"] >= rules["min_stop_ratio"])
+    labels.append("tier1")
+    out["tier"] = np.select(conds, labels, default="tier2")
     return out
 
 
 def webtext_tiers(ds: Dataset, text_col: str = "text",
-                  rules: dict = TIER_RULES) -> Dataset:
-    """Dataset-level tiering: one narrow fused stage."""
+                  rules: dict = TIER_RULES,
+                  nb_model: dict | None = None) -> Dataset:
+    """Dataset-level tiering: one narrow fused stage.  The optional NB
+    quality model is broadcast once via the object store."""
+    if nb_model is None:
+        return ds.map_batches(
+            lambda b: tier_batch(b, text_col, rules), batch_format="pandas")
+    import ray
+
+    ref = ray.put(nb_model)
     return ds.map_batches(
-        lambda b: tier_batch(b, text_col, rules), batch_format="pandas")
+        lambda b: tier_batch(b, text_col, rules, ray.get(ref)),
+        batch_format="pandas")
 
 
 def webtext_run(
@@ -82,6 +105,7 @@ def webtext_run(
     keep_rejects: bool = False,
     extract_first: bool = False,
     respect_robots: bool = False,
+    nb_model: dict | None = None,
     files_per_partition: int = 8,
     min_rows_per_file: int = 5_000,
 ) -> dict:
@@ -101,7 +125,13 @@ def webtext_run(
 
     ``respect_robots=True`` (raw-page inputs only) drops ``noindex``
     pages before extraction — same narrow pass cost class, no extra
-    scan, fused into the streaming plan (stages/robots.py)."""
+    scan, fused into the streaming plan (stages/robots.py).
+
+    ``nb_model`` (stages/nbquality.train_nb_quality output) adds the
+    trained-classifier ``reject_lowquality`` rule to the tier label and
+    the ``nb_logit``/``nb_label`` signal columns; the model's digest is
+    part of the run's identity, so resuming with a different model redoes
+    stale partitions instead of keeping them."""
     import ray.data as rd
 
     from pdf_extract_ray.pipelines.runner import _rows_written
@@ -131,7 +161,7 @@ def webtext_run(
                 ds = filter_indexable(ds)
             ds = extract_pages_fused(ds)
             col = "extracted_text"
-        tiers = webtext_tiers(ds, col, rules)
+        tiers = webtext_tiers(ds, col, rules, nb_model=nb_model)
         if not keep_rejects:
             tiers = tiers.map_batches(
                 lambda b: b[~b["tier"].str.startswith("reject_")],
@@ -159,5 +189,6 @@ def webtext_run(
                         "extract_first": str(extract_first),
                         "keep_rejects": str(keep_rejects),
                         "respect_robots": str(respect_robots),
+                        "nb_model": nb_model_digest(nb_model),
                         "rules": repr(sorted(rules.items()))},
     )

@@ -694,12 +694,31 @@ def gen_cms(sf_dir: str) -> dict[str, pa.Table]:
     })}
 
 
+def gen_nb_quality(sf_dir: str) -> dict[str, pa.Table]:
+    # single-process reference: dict-based count training + per-token
+    # scoring loop over the shared deterministic labeled set
+    # (corpus.nb_train_frame); the distributed closed-form NB must match
+    # byte-for-byte (same frozen hash, same summation order).
+    from pdf_extract_ray.corpus import nb_train_frame
+    from pdf_extract_ray.stages.nbquality import nb_quality_reference
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id")
+    train = nb_train_frame(docs["doc_id"].to_numpy())
+    ref = nb_quality_reference(train["text"], train["label"], docs["text"])
+    ref.insert(0, "doc_id", docs["doc_id"].to_numpy())
+    return {"nb_quality_docs": pa.Table.from_pandas(
+        ref, preserve_index=False)}
+
+
 GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_pair_analyzers, gen_layout, gen_media, gen_media_pixels,
               gen_approx_distinct, gen_approx_quantiles,
               gen_compression_ratio, gen_bpe,
               gen_similarity_ivf, gen_embedding_lsh, gen_pdf_extract,
-              gen_substr_dedup, gen_pagerank, gen_hits, gen_cms)
+              gen_substr_dedup, gen_pagerank, gen_hits, gen_cms,
+              gen_nb_quality)
 
 
 def generate_all(sf_dir: str) -> dict[str, pa.Table]:
