@@ -139,6 +139,13 @@ def webtext_run(
     from pdf_extract_ray import __version__
 
     def _read(files: list[str]):
+        if files[0].endswith((".wet", ".wet.gz")):
+            # WET = Common Crawl's pre-extracted text: conversion
+            # records already carry the text column, so extraction is
+            # skipped and tiering reads `text` directly
+            from pdf_extract_ray.sources.warc import read_wet
+
+            return read_wet(files), False
         if files[0].endswith((".warc", ".warc.gz")):
             from pdf_extract_ray.sources.warc import read_warc
 
@@ -173,13 +180,20 @@ def webtext_run(
     files = sorted(glob.glob(input_glob))
     if not files:
         raise FileNotFoundError(f"no input files match {input_glob}")
-    n_warc = sum(f.endswith((".warc", ".warc.gz")) for f in files)
-    if 0 < n_warc < len(files):
-        # a mixed glob would silently route parquet bytes through the
-        # WARC parser (zero rows, manifested complete = permanent loss)
+
+    def _kind(f: str) -> str:
+        if f.endswith((".wet", ".wet.gz")):
+            return "wet"
+        return "warc" if f.endswith((".warc", ".warc.gz")) else "parquet"
+
+    kinds = {_kind(f) for f in files}
+    if len(kinds) > 1:
+        # a mixed glob would silently route one format's bytes through
+        # another's parser (zero rows, manifested complete = permanent
+        # loss)
         raise ValueError(
-            f"{input_glob} matches both WARC and non-WARC files "
-            f"({n_warc}/{len(files)}); run them as separate inputs")
+            f"{input_glob} matches mixed input formats {sorted(kinds)}; "
+            "run them as separate inputs")
     return run_partitioned(
         files,
         out_dir,

@@ -240,6 +240,35 @@ def parse_warc_file(data: bytes) -> tuple[list[dict], int]:
     return rows, n_bad
 
 
+def parse_wet_file(data: bytes) -> tuple[list[dict], int]:
+    """All ``conversion`` records of one WET file as pages-schema rows
+    (text filled, html None), plus the malformed-record count.
+
+    WET (public Common-Crawl companion format) is WARC framing whose
+    records are ``WARC-Type: conversion`` carrying the PRE-EXTRACTED
+    plain-text of a page as the block (no HTTP message) — the cheaper
+    input most corpus builds actually start from.  Everything but the
+    record type and body handling is the existing WARC reader."""
+    rows, n_bad = [], 0
+    for rec in iter_warc_records(data):
+        if rec is None:
+            n_bad += 1
+            continue
+        headers, block = rec
+        if headers.get(b"warc-type") != b"conversion":
+            continue
+        uri = headers.get(b"warc-target-uri", b"").decode(
+            "utf-8", "replace")
+        rows.append({
+            "url": uri,
+            "warc_ts": _parse_warc_ts(headers.get(b"warc-date", b"")),
+            "html": None,
+            "text": block.decode("utf-8", "replace"),
+            "lang": None,
+        })
+    return rows, n_bad
+
+
 def _rows_to_table(rows: list[dict]) -> pa.Table:
     return pa.table({
         "url": pa.array([r["url"] for r in rows], pa.string()),
@@ -305,6 +334,28 @@ def read_warc(paths, **read_kwargs):
     return files.map_batches(parse, batch_format="pyarrow", batch_size=1)
 
 
+def read_wet(paths, **read_kwargs):
+    """``Dataset`` of pages-schema rows (``text`` filled, ``html`` None)
+    from WET/WET.GZ archives — same per-file parallelism, salvaging
+    decompressor and loudness policy as :func:`read_warc`."""
+    files = _warc_paths_ds(paths, **read_kwargs)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for path in batch["path"].to_pylist():
+            r, bad = parse_wet_file(_read_raw(path))
+            if bad:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "read_wet: %d malformed record(s) skipped in %s",
+                    bad, path)
+            rows.extend(r)
+        return _rows_to_table(rows)
+
+    return files.map_batches(parse, batch_format="pyarrow", batch_size=1)
+
+
 def parse_warc_stats(paths, **read_kwargs):
     """Audit ``Dataset``: one row ``(path, n_records, n_bad)`` per WARC
     file — the loud-by-status channel for ingest-quality monitoring."""
@@ -353,6 +404,33 @@ def build_warc(pages: list[dict], *, compress: bool = False) -> bytes:
                + b"WARC-Date: " + date + _CRLF
                + b"Content-Length: " + str(len(http)).encode() + _CRLF
                + _CRLF + http + _CRLF + _CRLF)
+        if compress:
+            gz = gzip.GzipFile(fileobj=out, mode="wb", mtime=0)
+            gz.write(rec)
+            gz.close()
+        else:
+            out.write(rec)
+    return out.getvalue()
+
+
+def build_wet(docs: list[dict], *, compress: bool = False) -> bytes:
+    """Inverse of :func:`parse_wet_file` for (url, warc_ts, text) dicts;
+    deterministic bytes for committed fixtures."""
+    out = io.BytesIO()
+    for d in docs:
+        body = ("" if d.get("text") is None else str(d["text"])) \
+            .encode("utf-8")
+        ts = d.get("warc_ts")
+        date = ((ts.strftime("%Y-%m-%dT%H:%M:%SZ") if ts else
+                 "2020-01-01T00:00:00Z")).encode()
+        rec = (b"WARC/1.0\r\n"
+               b"WARC-Type: conversion\r\n"
+               b"WARC-Target-URI: "
+               + str(d.get("url", "")).encode("utf-8", "replace") + _CRLF
+               + b"WARC-Date: " + date + _CRLF
+               + b"Content-Type: text/plain\r\n"
+               + b"Content-Length: " + str(len(body)).encode() + _CRLF
+               + _CRLF + body + _CRLF + _CRLF)
         if compress:
             gz = gzip.GzipFile(fileobj=out, mode="wb", mtime=0)
             gz.write(rec)
