@@ -1557,6 +1557,38 @@ def _url_features_oracle() -> str:
     )
 
 
+def q_minhash_delta(sf_dir: str):
+    # Signature-store delta dedup (stages/sigstore.py, round-3 judge gap
+    # #7): even-doc signatures persist as the store (one signature pass,
+    # parquet (id, minhash) rows), odd docs arrive as the increment and
+    # dedup against it WITHOUT recomputing stored signatures.  Because
+    # signatures are deterministic per document, the result equals the
+    # full-corpus run restricted to pairs with >= 1 odd side — so the
+    # oracle is the EXISTING minhash_near_dup committed golden with that
+    # WHERE clause (no new golden needed).
+    import tempfile
+
+    from pdf_extract_ray.stages.sigstore import (
+        build_minhash_store,
+        minhash_delta_pairs,
+    )
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    even = ds.map_batches(lambda b: b[b["doc_id"] % 2 == 0],
+                          batch_format="pandas")
+    odd = ds.map_batches(lambda b: b[b["doc_id"] % 2 == 1],
+                         batch_format="pandas")
+    store = tempfile.mkdtemp(prefix="minhash_store_")
+    build_minhash_store(even, store)
+    return minhash_delta_pairs(odd, store, jaccard_threshold=0.5)
+
+
+def _minhash_delta_oracle() -> str:
+    return (f"SELECT * FROM read_parquet("
+            f"'{_GOLD_SF001_DIR}/minhash_near_dup.parquet') "
+            "WHERE id_a % 2 = 1 OR id_b % 2 = 1")
+
+
 def q_shard_assignment(sf_dir: str):
     # Global-shuffle shard writer's assignment kernel (pipelines/
     # shards.py, round-3 judge gap #3): deterministic md5 hash-rank RANGE
@@ -2193,6 +2225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_v2": q_lang_id_v2,
         "nb_quality_docs": q_nb_quality,
         "shard_assignment": q_shard_assignment,
+        "minhash_delta_docs": q_minhash_delta,
         "ldjson_blobs": q_ldjson_blobs,
         "top_words": q_top_words,
         "term_postings": q_term_postings,
@@ -2769,6 +2802,7 @@ def oracle_sql() -> dict[str, str]:
         "url_features_docs": _url_features_oracle(),
         "lang_id_v2": _lang_id_v2_oracle(),
         "shard_assignment": _shard_assignment_oracle(),
+        "minhash_delta_docs": _minhash_delta_oracle(),
         "ldjson_blobs": _ldjson_blobs_oracle(),
         "top_words": _top_words_oracle(),
         "term_postings": _term_postings_oracle(),

@@ -356,19 +356,51 @@ def minhash_lsh_pairs(
     elif persist:
         sigs.write_parquet(persist)
         sigs = ray.data.read_parquet(persist)
+    return lsh_pairs_from_signatures(
+        sigs, id_col=id_col, num_perm=num_perm, bands=bands,
+        jaccard_threshold=jaccard_threshold, max_band_freq=max_band_freq,
+        sig_batch_size=sig_batch_size)
+
+
+def lsh_pairs_from_signatures(
+    sigs: Dataset,
+    *,
+    id_col: str,
+    num_perm: int = 128,
+    bands: int = 32,
+    jaccard_threshold: float = 0.8,
+    max_band_freq: int = 1000,
+    sig_batch_size: int = 4096,
+    new_col: str | None = None,
+) -> Dataset:
+    """The banding/candidate/verify tail of :func:`minhash_lsh_pairs`
+    over a PRECOMPUTED signature dataset ``(id_col, minhash
+    list<uint64>)`` — the entry point the signature-store delta dedup
+    reuses so stored signatures are never recomputed.
+
+    ``new_col``: optional bool column marking increment rows; when set,
+    only pairs with AT LEAST ONE new side are emitted (old-old pairs
+    were already found when the store was built — recomputing them is
+    the waste delta dedup exists to avoid).  Candidate filtering happens
+    INSIDE the band buckets (the origin flag rides the band shuffle
+    rows), so no id-set broadcast and no extra join."""
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+    from pdf_extract_ray.util import round_half_away
 
     def explode_bands(batch: pa.Table) -> pa.Table:
-        # (band_hash, id) only — the shuffle stays tiny
+        # (band_hash, id[, is_new]) only — the shuffle stays tiny
         arr = batch.column("minhash").combine_chunks()
         sig = arr.flatten().to_numpy(zero_copy_only=False).reshape(-1, num_perm)
         keys = minhash_band_keys(sig, bands)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "band_hash": pa.array(keys.ravel()),
-                id_col: pa.array(np.repeat(ids, bands)),
-            }
-        )
+        cols = {
+            "band_hash": pa.array(keys.ravel()),
+            id_col: pa.array(np.repeat(ids, bands)),
+        }
+        if new_col is not None:
+            flags = batch.column(new_col).to_numpy(zero_copy_only=False)
+            cols["_is_new"] = pa.array(np.repeat(flags.astype(bool), bands))
+        return pa.table(cols)
 
     bands_ds = sigs.map_batches(explode_bands, batch_format="pyarrow",
                                 batch_size=sig_batch_size)
@@ -381,10 +413,19 @@ def minhash_lsh_pairs(
             if len(g) > max_band_freq:
                 dropped += 1
                 continue
-            ids = np.sort(g[id_col].to_numpy())
-            iu, ju = np.triu_indices(len(ids), k=1)
-            out_a.extend(ids[iu])
-            out_b.extend(ids[ju])
+            if new_col is not None:
+                g = g.sort_values(id_col, kind="mergesort")
+                ids = g[id_col].to_numpy()
+                flags = g["_is_new"].to_numpy(dtype=bool)
+                iu, ju = np.triu_indices(len(ids), k=1)
+                keep = flags[iu] | flags[ju]
+                out_a.extend(ids[iu[keep]])
+                out_b.extend(ids[ju[keep]])
+            else:
+                ids = np.sort(g[id_col].to_numpy())
+                iu, ju = np.triu_indices(len(ids), k=1)
+                out_a.extend(ids[iu])
+                out_b.extend(ids[ju])
         if dropped:
             logger.warning(
                 "minhash_lsh_pairs: dropped %d band buckets larger than "
