@@ -158,7 +158,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "pii_redacted_docs", "bm25_docs", "webtext_tiers",
                      "line_dedup_docs", "perplexity_buckets",
                      "link_edges", "crawl_diff_docs",
-                     "approx_event_quantiles", "lang_id_v2"):
+                     "approx_event_quantiles", "lang_id_v2",
+                     "sessionized_events", "nb_quality_docs"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

@@ -265,3 +265,146 @@ def test_adjacent_pairs_negative_order_values(ray_session):
         expect = {(i, f"t{i}", f"t{i + 1}") for i in range(-10, 9)}
         assert got_set == expect, f"mismatch at block={block}"
         assert len(got) == len(got_set)
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native bucket-body migration (round-3 judge item 8): byte-identity
+# A/B vs the previous pandas bodies, reimplemented inline as references
+# ---------------------------------------------------------------------------
+
+def _events_df(n=3000, seed=3):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    return pd.DataFrame({
+        "user_id": rng.randint(0, 40, n),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 10**7, n), unit="s"),
+        "value": np.round(rng.uniform(0, 100, n), 3),
+    })
+
+
+def test_sessionize_arrow_body_matches_pandas_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.windows import sessionize
+    from pdf_extract_ray.util import round_half_away
+
+    df = _events_df()
+    gap = pd.Timedelta(minutes=30)
+    got = sessionize(rd.from_pandas(df).repartition(5), gap=gap) \
+        .to_pandas().sort_values(["user_id", "session_id"]) \
+        .reset_index(drop=True)
+
+    # the pre-migration pandas body, single-process
+    b = df.sort_values(["user_id", "ts"], kind="mergesort")
+    new_key = b["user_id"] != b["user_id"].shift()
+    gap_break = (b["ts"] - b["ts"].shift()) > gap
+    b = b.assign(__s=(new_key | gap_break).cumsum())
+    first = b.groupby("user_id")["__s"].transform("min")
+    b["session_id"] = b["__s"] - first + 1
+    exp = b.groupby(["user_id", "session_id"], as_index=False).agg(
+        session_start=("ts", "min"), session_end=("ts", "max"),
+        n_events=("ts", "count"), sum_value=("value", "sum"))
+    exp["sum_value"] = round_half_away(exp["sum_value"], 2)
+    exp = exp.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+    assert list(got.columns) == list(exp.columns)
+    for c in exp.columns:
+        assert np.array_equal(got[c].to_numpy(), exp[c].to_numpy()), c
+
+
+def test_grouped_lag_arrow_body_matches_pandas_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.windows import grouped_lag
+
+    df = _events_df(n=2000, seed=9)
+    df["event_id"] = np.arange(2000)          # unique order col
+    df["kind"] = np.where(df["value"] > 50, "hi", "lo")  # string 2nd key
+    got = grouped_lag(rd.from_pandas(df).repartition(4),
+                      ["user_id", "kind"], ["ts", "event_id"], "value") \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+
+    b = df.sort_values(["user_id", "kind", "ts", "event_id"],
+                       kind="mergesort")
+    b["prev_value"] = b.groupby(["user_id", "kind"], sort=False)["value"] \
+        .shift(1)
+    exp = b.sort_values("event_id").reset_index(drop=True)
+
+    assert list(got.columns) == list(exp.columns)
+    ge, ee = got["prev_value"], exp["prev_value"]
+    assert (ge.isna() == ee.isna()).all()
+    assert np.array_equal(ge.dropna().to_numpy(), ee.dropna().to_numpy())
+    for c in ("user_id", "kind", "ts", "value"):
+        assert np.array_equal(got[c].to_numpy(), exp[c].to_numpy()), c
+
+
+def test_grouped_lag_string_value_column(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.windows import grouped_lag
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2],
+        "o": [1, 2, 3, 1, 2],
+        "v": ["a", "b", "c", "x", "y"],
+    })
+    got = grouped_lag(rd.from_pandas(df), ["k"], ["o"], "v") \
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    assert list(got["prev_value"]) == [None, "a", "b", None, "x"]
+
+
+def test_crawl_diff_arrow_body_matches_pandas_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.crawldiff import crawl_diff
+
+    rng = np.random.RandomState(5)
+    urls = [f"http://h{i % 17}.example/p/{i}" for i in range(400)]
+    old = pd.DataFrame({
+        "url": urls[:350],
+        "text": [f"body {i} v1" if i % 3 else f"body {i}" for i in
+                 range(350)],
+    })
+    new = pd.DataFrame({
+        "url": urls[50:],
+        "text": [f"body {i} v1" if i % 2 else f"body {i}" for i in
+                 range(50, 400)],
+    })
+    got = crawl_diff(rd.from_pandas(old).repartition(3),
+                     rd.from_pandas(new).repartition(3)) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+
+    # single-process reference of the frozen rules
+    import hashlib
+
+    def hmax(df):
+        h = df["text"].map(
+            lambda v: hashlib.md5(("" if v is None else str(v)).encode())
+            .hexdigest())
+        return df.assign(h=h).groupby("url")["h"].max()
+
+    o, n = hmax(old), hmax(new)
+    all_urls = sorted(set(o.index) | set(n.index))
+    rows = []
+    for u in all_urls:
+        oh = o.get(u)
+        nh = n.get(u)
+        st = ("added" if oh is None else
+              "removed" if nh is None else
+              "unchanged" if oh == nh else "changed")
+        rows.append({"url": u, "status": st, "old_hash": oh,
+                     "new_hash": nh})
+    exp = pd.DataFrame(rows)
+    assert list(got.columns) == list(exp.columns)
+    for c in exp.columns:
+        assert list(got[c].where(got[c].notna(), None)) == list(exp[c]), c
