@@ -101,6 +101,22 @@ def cmd_linkgraph(args) -> int:
         ray.shutdown()
 
 
+def cmd_shards(args) -> int:
+    from pdf_extract_ray.pipelines.shards import shards_run
+
+    ray = _ray_session(args.num_cpus)
+    try:
+        stats = shards_run(
+            args.input, args.out, id_col=args.id_col,
+            n_shards=args.n_shards, method=args.method,
+            files_per_partition=args.files_per_partition,
+        )
+        print(json.dumps({"run": stats}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def cmd_status(args) -> int:
     from pdf_extract_ray.state.manifest import Manifest
 
@@ -174,12 +190,21 @@ def main(argv=None) -> int:
                     help="drop edges from robots-nofollow pages")
     lg.add_argument("--pagerank-iters", type=int, default=0,
                     help="if >0, also write pagerank.parquet over the global graph")
+    sh = sub.add_parser(
+        "shards", help="run/resume the global-permutation shard writer")
+    add_common(sh)
+    sh.add_argument("--id-col", default="doc_id")
+    sh.add_argument("--n-shards", type=int, default=16)
+    sh.add_argument("--method", default="fast", choices=["md5", "fast"],
+                    help="hash family for the permutation key (md5 = "
+                         "SQL-parity oracle mode; fast = vectorized)")
     add_common(sub.add_parser("status", help="manifest rollup"), with_input=False)
     add_common(sub.add_parser("retry-failed", help="re-run failed partitions"))
 
     args = p.parse_args(argv)
     return {"extract": cmd_extract, "quality": cmd_quality,
             "webtext": cmd_webtext, "linkgraph": cmd_linkgraph,
+            "shards": cmd_shards,
             "status": cmd_status, "retry-failed": cmd_retry_failed}[args.cmd](args)
 
 
