@@ -1557,6 +1557,31 @@ def _url_features_oracle() -> str:
     )
 
 
+def q_bloom_probe(sf_dir: str):
+    # Bloom membership sketch (stages/sketch.py): the crawl frontier's
+    # "url seen before?" primitive.  Distributed build ships one
+    # 128 KiB filter partial per batch (OR-merge = topology-independent),
+    # then 20 fixed probes (10 present urls, 10 absent).  Oracle =
+    # committed single-process golden (determinism freeze; bounds in
+    # pytest).
+    from pdf_extract_ray.stages.sketch import bloom_contains, bloom_sketch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def with_url(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "url": "http://h" + (b["doc_id"] % 13).astype(str)
+            + ".example/p/" + b["doc_id"].astype(str)})
+
+    w = bloom_sketch(ds.map_batches(with_url, batch_format="pandas"),
+                     "url")
+    probes = pd.Series(
+        [f"http://h{i % 13}.example/p/{i}" for i in range(10)]
+        + [f"http://absent{i}.example/x" for i in range(10)])
+    return pd.DataFrame({"key": probes,
+                         "in_filter": bloom_contains(w, probes)})
+
+
 def q_minhash_delta(sf_dir: str):
     # Signature-store delta dedup (stages/sigstore.py, round-3 judge gap
     # #7): even-doc signatures persist as the store (one signature pass,
@@ -2226,6 +2251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_quality_docs": q_nb_quality,
         "shard_assignment": q_shard_assignment,
         "minhash_delta_docs": q_minhash_delta,
+        "bloom_url_probe": q_bloom_probe,
         "ldjson_blobs": q_ldjson_blobs,
         "top_words": q_top_words,
         "term_postings": q_term_postings,
@@ -2770,7 +2796,8 @@ def oracle_sql() -> dict[str, str]:
                         "near_dup_clusters", "near_dup_dedup_docs",
                         "substr_dedup_docs", "host_pagerank",
                         "bpe_merges", "bpe_token_stats", "host_hits",
-                        "cms_word_probe", "nb_quality_docs")},
+                        "cms_word_probe", "nb_quality_docs",
+                        "bloom_url_probe")},
         "pii_redacted_docs": _pii_oracle(),
         "bm25_docs": _bm25_oracle(),
         "tfidf_docs": _tfidf_oracle(),

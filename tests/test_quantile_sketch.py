@@ -88,3 +88,67 @@ def test_cms_guarantees_and_merge_determinism(ray_session):
     true = np.array([5000, 500, 0])
     assert (est >= true).all()                      # never underestimates
     assert (est - true <= 0.01 * len(vals)).all()   # eps*N bound (w=2048)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (set-membership sketch)
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_fp_bound():
+    import numpy as np
+    import pandas as pd
+
+    from pdf_extract_ray.stages.sketch import (
+        bloom_contains,
+        bloom_from_values,
+    )
+
+    keys = pd.Series([f"http://h{i}.example/p/{i}" for i in range(100_000)])
+    w = bloom_from_values(keys)
+    assert bloom_contains(w, keys).all()          # never a false negative
+    absent = pd.Series([f"http://absent{i}.example/x"
+                        for i in range(100_000)])
+    fp = bloom_contains(w, absent).mean()
+    # k=7, 2^20 bits, 1e5 keys -> theoretical ~0.6%; assert a safe bound
+    assert fp < 0.02, fp
+    fill = np.unpackbits(w.view(np.uint8)).mean()
+    assert 0.3 < fill < 0.6  # the theory-predicted fill factor
+
+
+def test_bloom_merge_is_topology_independent():
+    import numpy as np
+    import pandas as pd
+
+    from pdf_extract_ray.stages.sketch import bloom_from_values
+
+    keys = pd.Series([f"k{i}" for i in range(10_000)])
+    whole = bloom_from_values(keys)
+    acc = np.zeros_like(whole)
+    for lo in range(0, 10_000, 777):             # uneven batch boundaries
+        acc |= bloom_from_values(keys[lo:lo + 777])
+    assert np.array_equal(whole, acc)
+
+
+def test_bloom_distributed_equals_single_process(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.sketch import bloom_from_values, bloom_sketch
+
+    keys = pd.Series([f"url{i}" for i in range(5_000)])
+    dist = bloom_sketch(
+        rd.from_pandas(pd.DataFrame({"u": keys})).repartition(7), "u")
+    assert np.array_equal(dist, bloom_from_values(keys))
+
+
+def test_bloom_empty_and_null_values(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.sketch import bloom_contains, bloom_sketch
+
+    w = bloom_sketch(rd.from_pandas(
+        pd.DataFrame({"u": [None, "a", None]})), "u")
+    assert bloom_contains(w, pd.Series(["a"]))[0]
+    assert not bloom_contains(w, pd.Series(["b"]))[0]

@@ -694,6 +694,27 @@ def gen_cms(sf_dir: str) -> dict[str, pa.Table]:
     })}
 
 
+def gen_bloom(sf_dir: str) -> dict[str, pa.Table]:
+    # single-process build over the same synthesized url set; merge is
+    # bitwise OR (associative/commutative/idempotent) so the distributed
+    # per-batch-partial build equals this exactly — determinism freeze;
+    # the no-false-negative and FP-rate bounds are asserted in pytest.
+    from pdf_extract_ray.stages.sketch import bloom_contains, bloom_from_values
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"]).to_pandas()
+    urls = "http://h" + (docs["doc_id"] % 13).astype(str) + ".example/p/" \
+        + docs["doc_id"].astype(str)
+    w = bloom_from_values(urls)
+    probes = pd.Series(
+        [f"http://h{i % 13}.example/p/{i}" for i in range(10)]
+        + [f"http://absent{i}.example/x" for i in range(10)])
+    return {"bloom_url_probe": pa.table({
+        "key": pa.array(probes, pa.string()),
+        "in_filter": pa.array(bloom_contains(w, probes), pa.bool_()),
+    })}
+
+
 def gen_nb_quality(sf_dir: str) -> dict[str, pa.Table]:
     # single-process reference: dict-based count training + per-token
     # scoring loop over the shared deterministic labeled set
@@ -718,7 +739,7 @@ GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_compression_ratio, gen_bpe,
               gen_similarity_ivf, gen_embedding_lsh, gen_pdf_extract,
               gen_substr_dedup, gen_pagerank, gen_hits, gen_cms,
-              gen_nb_quality)
+              gen_nb_quality, gen_bloom)
 
 
 def generate_all(sf_dir: str) -> dict[str, pa.Table]:
