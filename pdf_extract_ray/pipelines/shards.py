@@ -135,6 +135,24 @@ def shards_run(
                 "id_col": id_col, "n_shards": str(n_shards),
                 "method": method}
 
+    # run-complete short-circuit: the default cleanup deletes the tag
+    # dir (and with it the tag manifest), so without this marker a
+    # resume of a COMPLETED run would redo the whole tag pass just to
+    # discover every merge is already done
+    manifest = Manifest(os.path.join(out_dir, "_manifest.jsonl"))
+    run_versions = dict(versions, phase="complete",
+                        files_digest=hashlib.md5("\n".join(
+                            os.path.basename(f) for f in files).encode()
+                        ).hexdigest())
+    n_tag_parts = (len(files) + files_per_partition - 1) \
+        // files_per_partition
+    for row in manifest.read():
+        if (row.get("partition_id") == -2
+                and row.get("status") == "completed"
+                and row.get("stage_versions") == run_versions):
+            return {"completed": 0, "skipped": n_tag_parts, "failed": 0,
+                    "shards_completed": 0, "shards_skipped": n_shards}
+
     def tag_pipeline(part_files: list[str], tmp_out: str) -> int:
         ds = rd.read_parquet(part_files)
         ds.map_batches(
@@ -152,7 +170,6 @@ def shards_run(
 
     # ---- merge pass: one manifest row per shard (ids offset past the
     # tag partitions live in out_dir's own manifest) -------------------
-    manifest = Manifest(os.path.join(out_dir, "_manifest.jsonl"))
     merge_versions = dict(versions, phase="merge",
                           n_tag_partitions=str(stats["completed"]
                                                + stats["skipped"]))
@@ -195,9 +212,16 @@ def shards_run(
             stage_versions=merge_versions,
         ))
         stats["shards_completed"] += 1
-    if not keep_tag_dir and stats["shards_skipped"] + \
-            stats["shards_completed"] == n_shards:
-        shutil.rmtree(tag_dir, ignore_errors=True)
+    if stats["shards_skipped"] + stats["shards_completed"] == n_shards:
+        if not keep_tag_dir:
+            shutil.rmtree(tag_dir, ignore_errors=True)
+        manifest.append(PartitionResult(
+            partition_id=-2, status="completed",
+            input_files=[os.path.basename(files[0]),
+                         f"... {len(files)} files"],
+            n_rows=0, wall_s=0.0, rows_per_s=0.0,
+            stage_versions=run_versions,
+        ))
     return stats
 
 
