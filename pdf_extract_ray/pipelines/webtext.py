@@ -106,6 +106,7 @@ def webtext_run(
     extract_first: bool = False,
     respect_robots: bool = False,
     nb_model: dict | None = None,
+    split_by_lang: bool = False,
     files_per_partition: int = 8,
     min_rows_per_file: int = 5_000,
 ) -> dict:
@@ -131,7 +132,14 @@ def webtext_run(
     trained-classifier ``reject_lowquality`` rule to the tier label and
     the ``nb_logit``/``nb_label`` signal columns; the model's digest is
     part of the run's identity, so resuming with a different model redoes
-    stale partitions instead of keeping them."""
+    stale partitions instead of keeping them.
+
+    ``split_by_lang=True`` runs the v2 language classifier
+    (stages/langid.py) fused into the same narrow plan and lays output
+    out as ``part=<id>/lang_id_v2=<lang>/tier=<label>/`` — the layout a
+    multilingual corpus build needs so every downstream per-language
+    stage (perplexity models, stopword profiles, tokenizers) prunes by
+    directory instead of scanning."""
     import ray.data as rd
 
     from pdf_extract_ray.pipelines.runner import _rows_written
@@ -173,7 +181,13 @@ def webtext_run(
             tiers = tiers.map_batches(
                 lambda b: b[~b["tier"].str.startswith("reject_")],
                 batch_format="pandas")
-        tiers.write_parquet(tmp_out, partition_cols=["tier"],
+        part_cols = ["tier"]
+        if split_by_lang:
+            from pdf_extract_ray.stages.langid import lang_id_v2
+
+            tiers = lang_id_v2(tiers, col)
+            part_cols = ["lang_id_v2", "tier"]
+        tiers.write_parquet(tmp_out, partition_cols=part_cols,
                             min_rows_per_file=min_rows_per_file)
         return _rows_written(tmp_out)
 
@@ -204,5 +218,6 @@ def webtext_run(
                         "keep_rejects": str(keep_rejects),
                         "respect_robots": str(respect_robots),
                         "nb_model": nb_model_digest(nb_model),
+                        "split_by_lang": str(split_by_lang),
                         "rules": repr(sorted(rules.items()))},
     )

@@ -108,3 +108,52 @@ def test_webtext_run_extract_first_from_pages(ray_session, tmp_path):
     # extraction columns travel with the tier signals
     assert {"url", "extracted_text", "status", "tier"} <= set(got.columns)
     assert got["tier"].nunique() >= 2
+
+
+def test_webtext_run_split_by_lang(ray_session, tmp_path):
+    """split_by_lang lays output out per language then per tier, fused
+    into the same narrow plan; a flag change invalidates old partitions
+    (stage_versions carries it)."""
+    import glob
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extract_ray.pipelines.webtext import webtext_run
+
+    en = ("the report was published and it is available for all who "
+          "need it because the results of the study are good and the "
+          "method is sound so we can trust it") 
+    de = ("der bericht wurde veröffentlicht und ist für alle verfügbar "
+          "die ihn brauchen denn die ergebnisse der studie sind gut und "
+          "die methode ist solide also können wir ihr vertrauen")
+    src = tmp_path / "docs"
+    src.mkdir()
+    pq.write_table(pa.table({
+        "url": [f"http://x.example/{i}" for i in range(8)],
+        "text": [en, de] * 4,
+    }), src / "d.parquet")
+
+    out = tmp_path / "tiers"
+    res = webtext_run(str(src / "*.parquet"), str(out),
+                      keep_rejects=True, split_by_lang=True,
+                      files_per_partition=1, min_rows_per_file=1)
+    assert res["completed"] == 1
+    langs = {p.split("=")[-1] for p in
+             glob.glob(str(out / "part=*" / "lang_id_v2=*"))}
+    assert langs == {"en", "de"}
+    assert glob.glob(str(out / "part=*" / "lang_id_v2=en" / "tier=*"
+                         / "*.parquet"))
+    got = pq.read_table(str(out / "part=0")).to_pandas()
+    assert len(got) == 8 and "lang_id_v2" in got.columns
+
+    # resume with the same flag: no-op; changed flag: reprocess
+    assert webtext_run(str(src / "*.parquet"), str(out),
+                       keep_rejects=True, split_by_lang=True,
+                       files_per_partition=1,
+                       min_rows_per_file=1)["skipped"] == 1
+    res3 = webtext_run(str(src / "*.parquet"), str(out),
+                       keep_rejects=True, split_by_lang=False,
+                       files_per_partition=1, min_rows_per_file=1)
+    assert res3["completed"] == 1 and res3["skipped"] == 0
