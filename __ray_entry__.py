@@ -1557,6 +1557,60 @@ def _url_features_oracle() -> str:
     )
 
 
+def q_robots_txt(sf_dir: str):
+    # robots.txt verdicts (RFC 9309 subset, functions/robotstxt.py +
+    # stages/robots.robots_txt_verdicts): ONE host cogroup — (url, host)
+    # rows and the 13 robots texts shuffle, bodies never move; each
+    # host's file parses once per bucket.  Hosts and paths synthesized
+    # arithmetically across the three rule archetypes (prefix disallow +
+    # longer allow override / wildcard-anchor disallow / no robots.txt),
+    # so the oracle derives every verdict from doc_id arithmetic.
+    import numpy as np
+
+    import ray.data as rdata
+
+    from pdf_extract_ray.stages.robots import robots_txt_verdicts
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def pages(b: pd.DataFrame) -> pd.DataFrame:
+        host = "h" + (b["doc_id"] % 13).astype(str) + ".example"
+        did = b["doc_id"].astype(str)
+        path = pd.Series(np.select(
+            [b["doc_id"] % 4 == 0, b["doc_id"] % 4 == 1,
+             b["doc_id"] % 4 == 2],
+            ["/p/" + did, "/private/" + did, "/private/ok/" + did],
+            default="/p/" + did + ".html"), index=b.index)
+        return pd.DataFrame({"url": "http://" + host + path})
+
+    robots = rdata.from_items([
+        {"host": f"h{h}.example",
+         "robots_txt": ("User-agent: *\nDisallow: /private/\n"
+                        "Allow: /private/ok/\n" if h % 3 == 0 else
+                        "User-agent: crawler\nDisallow: /\n\n"
+                        "User-agent: *\nDisallow: /*.html$\n")}
+        for h in range(13) if h % 3 != 2])
+    return robots_txt_verdicts(
+        ds.map_batches(pages, batch_format="pandas"), robots)
+
+
+def _robots_txt_oracle() -> str:
+    return (
+        "WITH u AS (SELECT doc_id, doc_id % 13 AS h, doc_id % 4 AS p, "
+        "'h' || (doc_id % 13) || '.example' AS host FROM documents) "
+        "SELECT 'http://' || host || CASE p "
+        "  WHEN 0 THEN '/p/' || doc_id "
+        "  WHEN 1 THEN '/private/' || doc_id "
+        "  WHEN 2 THEN '/private/ok/' || doc_id "
+        "  ELSE '/p/' || doc_id || '.html' END AS url, "
+        "host, "
+        "CASE WHEN h % 3 = 0 THEN p <> 1 "   # disallow /private/, allow /private/ok/
+        "     WHEN h % 3 = 1 THEN p <> 3 "   # disallow /*.html$
+        "     ELSE TRUE END AS allowed "     # no robots.txt
+        "FROM u"
+    )
+
+
 def q_bloom_probe(sf_dir: str):
     # Bloom membership sketch (stages/sketch.py): the crawl frontier's
     # "url seen before?" primitive.  Distributed build ships one
@@ -2252,6 +2306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_assignment": q_shard_assignment,
         "minhash_delta_docs": q_minhash_delta,
         "bloom_url_probe": q_bloom_probe,
+        "robots_txt_verdicts": q_robots_txt,
         "ldjson_blobs": q_ldjson_blobs,
         "top_words": q_top_words,
         "term_postings": q_term_postings,
@@ -2830,6 +2885,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_v2": _lang_id_v2_oracle(),
         "shard_assignment": _shard_assignment_oracle(),
         "minhash_delta_docs": _minhash_delta_oracle(),
+        "robots_txt_verdicts": _robots_txt_oracle(),
         "ldjson_blobs": _ldjson_blobs_oracle(),
         "top_words": _top_words_oracle(),
         "term_postings": _term_postings_oracle(),

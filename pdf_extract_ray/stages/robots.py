@@ -109,3 +109,115 @@ def host_link_edges_respecting_robots(
     return host_link_edges(
         ds.map_batches(follow_only, batch_format="pandas"),
         html_col, url_col)
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (per-HOST file; RFC 9309) — the companion to the per-PAGE
+# META directives above.  functions/robotstxt.py holds the frozen parse
+# + most-specific-match rules.
+# ---------------------------------------------------------------------------
+
+def robots_txt_verdicts(
+    pages: Dataset,
+    robots: Dataset,
+    *,
+    url_col: str = "url",
+    robots_host_col: str = "host",
+    robots_text_col: str = "robots_txt",
+    agent: str = "*",
+    num_buckets: int | None = None,
+) -> Dataset:
+    """``(url, host, allowed)`` for every page, honoring each host's
+    robots.txt.
+
+    Scale shape: ONE tag-union-bucket cogroup by host (the crawl_diff
+    pattern) — only (url, host) rows and the robots texts shuffle, page
+    bodies never move; each host's file parses ONCE per bucket and is
+    evaluated against all of its urls.  A host with no robots.txt row
+    allows everything (RFC: fetch failure = no restrictions)."""
+    import numpy as np
+
+    from pdf_extract_ray.functions.robotstxt import (
+        parse_robots_txt,
+        robots_allowed,
+        url_path,
+    )
+    from pdf_extract_ray.functions.url import canonicalize_urls
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    def page_rows(b: pd.DataFrame) -> pd.DataFrame:
+        host = canonicalize_urls(b[url_col])["url_host"]
+        # all-None columns must be explicitly string-typed: an object
+        # column of Nones becomes Arrow `null`, and a union of
+        # mismatched block schemas breaks any downstream acero join
+        return pd.DataFrame({
+            "host": host.to_numpy(),
+            "url": b[url_col].astype(str).to_numpy(),
+            "robots_txt": pd.array([None] * len(b), dtype="string"),
+        })
+
+    def robots_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "host": b[robots_host_col].astype(str).str.lower().to_numpy(),
+            "url": pd.array([None] * len(b), dtype="string"),
+            "robots_txt": pd.array(b[robots_text_col].tolist(),
+                                   dtype="string"),
+        })
+
+    u = pages.map_batches(page_rows, batch_format="pandas").union(
+        robots.map_batches(robots_rows, batch_format="pandas"))
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        is_robots = g["url"].isna()
+        texts = dict(zip(g.loc[is_robots, "host"],
+                         g.loc[is_robots, "robots_txt"]))
+        pages_g = g[~is_robots]
+        out_url, out_host, out_ok = [], [], []
+        for host, grp in pages_g.groupby("host", sort=False):
+            rules = parse_robots_txt(texts.get(host), agent)
+            for url in grp["url"]:
+                out_url.append(url)
+                out_host.append(host)
+                out_ok.append(robots_allowed(rules, url_path(url)))
+        return pd.DataFrame({"url": out_url, "host": out_host,
+                             "allowed": np.array(out_ok, dtype=bool)})
+
+    return bucketed_group_apply(u, ["host"], body,
+                                num_buckets=num_buckets)
+
+
+def filter_by_robots_txt(
+    pages: Dataset,
+    robots: Dataset,
+    *,
+    url_col: str = "url",
+    agent: str = "*",
+    num_buckets: int | None = None,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Pages whose url the host's robots.txt allows.  The verdict
+    cogroup moves (url, host) rows only; the page BODIES are then kept
+    or dropped by an inner join of the allowed urls back onto the pages
+    dataset.
+
+    ``num_partitions`` sizes the join's hash-shuffle aggregator pool —
+    keep it at or below the CPU budget (align.py's measured contract:
+    long-lived join actors on top of the other stages deadlock a small
+    CPU budget; 8 is safe at the test floor, raise it on real
+    clusters)."""
+    def as_allowed(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b[b["allowed"]]
+        return pd.DataFrame(
+            {"__allowed_url": pd.array(keep["url"].tolist(),
+                                       dtype="string")})
+
+    # the explicit repartition before the join is load-bearing (same as
+    # pipelines/align.py): it normalizes the bucketed-cogroup output
+    # into uniformly-schema'd blocks the hash-join aggregators accept
+    allowed = robots_txt_verdicts(
+        pages, robots, url_col=url_col, agent=agent,
+        num_buckets=num_buckets).map_batches(
+            as_allowed, batch_format="pandas").repartition(num_partitions)
+    return pages.join(allowed, join_type="inner",
+                      num_partitions=num_partitions,
+                      on=(url_col,), right_on=("__allowed_url",))
