@@ -1557,6 +1557,89 @@ def _url_features_oracle() -> str:
     )
 
 
+def q_sitemap_entries(sf_dir: str):
+    # Sitemap XML parsing (stages/sitemaps.py): narrow explode, zero
+    # shuffles.  Three arithmetic document shapes — a urlset with two
+    # url blocks (one &amp;-escaped loc, one with lastmod), a
+    # sitemapindex child, and garbage — so the oracle reconstructs every
+    # emitted row from doc_id arithmetic.
+    import numpy as np
+
+    from pdf_extract_ray.stages.sitemaps import extract_sitemap_entries
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def rows(b: pd.DataFrame) -> pd.DataFrame:
+        did = b["doc_id"].astype(str)
+        host = "h" + (b["doc_id"] % 13).astype(str) + ".example"
+        urlset = ("<urlset xmlns=\"http://www.sitemaps.org/schemas/"
+                  "sitemap/0.9\"><url><loc>http://" + host + "/p/" + did
+                  + "?a=1&amp;b=2</loc><lastmod>2024-0"
+                  + (b["doc_id"] % 9 + 1).astype(str)
+                  + "-01</lastmod></url><url><loc>http://" + host
+                  + "/q/" + did + "</loc></url></urlset>")
+        index = ("<sitemapindex><sitemap><loc>http://" + host
+                 + "/sitemap-" + did + ".xml</loc></sitemap>"
+                 "</sitemapindex>")
+        xml = pd.Series(np.select(
+            [b["doc_id"] % 3 == 0, b["doc_id"] % 3 == 1],
+            [urlset, index], default="not xml " + did), index=b.index)
+        return pd.DataFrame({"sitemap_url": "http://" + host
+                             + "/sitemap.xml", "sitemap_xml": xml})
+
+    return extract_sitemap_entries(ds.map_batches(rows,
+                                                  batch_format="pandas"))
+
+
+def _sitemap_entries_oracle() -> str:
+    return (
+        "WITH u AS (SELECT doc_id, "
+        "'http://h' || (doc_id % 13) || '.example' AS base FROM documents) "
+        "SELECT base || '/sitemap.xml' AS source, 'url' AS kind, "
+        "base || '/p/' || doc_id || '?a=1&b=2' AS loc, "
+        "'2024-0' || (doc_id % 9 + 1) || '-01' AS lastmod "
+        "FROM u WHERE doc_id % 3 = 0 "
+        "UNION ALL SELECT base || '/sitemap.xml', 'url', "
+        "base || '/q/' || doc_id, NULL FROM u WHERE doc_id % 3 = 0 "
+        "UNION ALL SELECT base || '/sitemap.xml', 'sitemap', "
+        "base || '/sitemap-' || doc_id || '.xml', NULL "
+        "FROM u WHERE doc_id % 3 = 1"
+    )
+
+
+def q_text_density(sf_dir: str):
+    # boilerpipe-family structural density signals (stages/pagemeta
+    # .text_density_batch): narrow map, zero shuffles; html synthesized
+    # arithmetically (ASCII template — keeps the \\s semantics of both
+    # regex engines trivially aligned; real-html behavior is pinned by
+    # tests/test_pagemeta.py fixtures).
+    from pdf_extract_ray.stages.pagemeta import extract_text_density
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def pages(b: pd.DataFrame) -> pd.DataFrame:
+        did = b["doc_id"].astype(str)
+        html = ("<html><body><h1>Doc " + did + "</h1><p>body text "
+                + (b["doc_id"] % 7).astype(str) + " more words here"
+                "</p><a href=\"/x\">next " + (b["doc_id"] % 5).astype(str)
+                + "</a><a href=\"/y\"><b>bold</b> link</a></body></html>")
+        return pd.DataFrame({"doc_id": b["doc_id"], "html": html})
+
+    return extract_text_density(ds.map_batches(pages,
+                                               batch_format="pandas"))
+
+
+def _text_density_oracle() -> str:
+    from pdf_extract_ray.stages.pagemeta import text_density_oracle_sql
+
+    return text_density_oracle_sql(
+        "SELECT doc_id, '<html><body><h1>Doc ' || doc_id || "
+        "'</h1><p>body text ' || (doc_id % 7) || ' more words here"
+        "</p><a href=\"/x\">next ' || (doc_id % 5) || "
+        "'</a><a href=\"/y\"><b>bold</b> link</a></body></html>' AS html "
+        "FROM documents")
+
+
 def q_robots_txt(sf_dir: str):
     # robots.txt verdicts (RFC 9309 subset, functions/robotstxt.py +
     # stages/robots.robots_txt_verdicts): ONE host cogroup — (url, host)
@@ -2307,6 +2390,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_delta_docs": q_minhash_delta,
         "bloom_url_probe": q_bloom_probe,
         "robots_txt_verdicts": q_robots_txt,
+        "sitemap_entries": q_sitemap_entries,
+        "text_density_docs": q_text_density,
         "ldjson_blobs": q_ldjson_blobs,
         "top_words": q_top_words,
         "term_postings": q_term_postings,
@@ -2886,6 +2971,8 @@ def oracle_sql() -> dict[str, str]:
         "shard_assignment": _shard_assignment_oracle(),
         "minhash_delta_docs": _minhash_delta_oracle(),
         "robots_txt_verdicts": _robots_txt_oracle(),
+        "sitemap_entries": _sitemap_entries_oracle(),
+        "text_density_docs": _text_density_oracle(),
         "ldjson_blobs": _ldjson_blobs_oracle(),
         "top_words": _top_words_oracle(),
         "term_postings": _term_postings_oracle(),

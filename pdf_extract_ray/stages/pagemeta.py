@@ -235,3 +235,85 @@ def extract_refresh_redirects(ds: Dataset, html_col: str = "html",
         lambda b: refresh_redirects_batch(b, html_col, url_col),
         batch_format="pandas",
     )
+
+
+# ---------------------------------------------------------------------------
+# text-density signals (boilerpipe/jusText-family, public method): the
+# cheap structural quality cues a crawl filters on before any content
+# model — how much of the page is text vs markup, and how much of that
+# text is anchor text (navigation-heavy pages score high link density).
+# ---------------------------------------------------------------------------
+
+_TAG_RE = re.compile(r"(?s)<[^>]*>")
+_ANCHOR_RE = re.compile(r"(?s)<a[^>]*>(.*?)</a>", re.IGNORECASE)
+_WS_RE = re.compile(r"\s+")
+
+DENSITY_COLS = ["html_len", "tag_count", "text_len", "link_text_len",
+                "text_density", "link_density"]
+
+
+def _plain_len(fragment: str) -> int:
+    return len(_WS_RE.sub(" ", _TAG_RE.sub(" ", fragment)).strip())
+
+
+def text_density_batch(batch: pd.DataFrame,
+                       html_col: str = "html") -> pd.DataFrame:
+    """Append the frozen density signals (SQL-mirrored bit-for-bit):
+    ``html_len`` (chars), ``tag_count`` (``<[^>]*>`` matches),
+    ``text_len`` (tags -> space, whitespace collapsed, trimmed),
+    ``link_text_len`` (same rule over ``<a>`` inner fragments, summed),
+    ``text_density = round(text_len / max(html_len, 1), 4)``,
+    ``link_density = round(link_text_len / max(text_len, 1), 4)``.
+    Case-insensitive anchors, ``(?s)`` dot-matches-newline in both
+    engines.  Narrow map, zero shuffles."""
+    import numpy as np
+
+    from pdf_extract_ray.util import round_half_away
+
+    s = batch[html_col].fillna("").astype(str)
+    html_len = s.str.len().to_numpy(np.int64)
+    tag_count = s.str.count(_TAG_RE).to_numpy(np.int64)
+    text_len = np.fromiter((_plain_len(v) for v in s), dtype=np.int64,
+                           count=len(s))
+    link_text_len = np.fromiter(
+        (sum(_plain_len(f) for f in _ANCHOR_RE.findall(v)) for v in s),
+        dtype=np.int64, count=len(s))
+    out = batch.copy()
+    out["html_len"] = html_len
+    out["tag_count"] = tag_count
+    out["text_len"] = text_len
+    out["link_text_len"] = link_text_len
+    out["text_density"] = round_half_away(
+        text_len / np.maximum(html_len, 1), 4)
+    out["link_density"] = round_half_away(
+        link_text_len / np.maximum(text_len, 1), 4)
+    return out
+
+
+def extract_text_density(ds: Dataset, html_col: str = "html") -> Dataset:
+    """Dataset wrapper: one narrow map."""
+    return ds.map_batches(
+        lambda b: text_density_batch(b, html_col), batch_format="pandas")
+
+
+def text_density_oracle_sql(source_sql: str,
+                            html_expr: str = "html") -> str:
+    """DuckDB mirror of ``text_density_batch`` (both engines are RE2 on
+    the anchor scan; Python re and RE2 agree on these patterns)."""
+    plain = ("length(trim(regexp_replace(regexp_replace({x}, "
+             "'(?s)<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')))")
+    txt = plain.format(x=html_expr)
+    anchors = (f"list_sum(list_transform(regexp_extract_all({html_expr}, "
+               "'(?si)<a[^>]*>(.*?)</a>', 1), x -> "
+               + plain.format(x="x") + "))")
+    return f"""
+SELECT *,
+  CAST(length({html_expr}) AS BIGINT) AS html_len,
+  CAST(length(regexp_extract_all({html_expr}, '(?s)<[^>]*>')) AS BIGINT)
+    AS tag_count,
+  CAST({txt} AS BIGINT) AS text_len,
+  CAST(coalesce({anchors}, 0) AS BIGINT) AS link_text_len,
+  round({txt} / greatest(length({html_expr}), 1), 4) AS text_density,
+  round(coalesce({anchors}, 0) / greatest({txt}, 1), 4) AS link_density
+FROM ({source_sql})
+"""
