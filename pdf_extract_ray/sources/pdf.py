@@ -41,9 +41,11 @@ using only stdlib (``re``, ``zlib``):
 DOCUMENTED APPROXIMATIONS (the honest subset, asserted in tests):
 * fonts without width metrics fall back to ``0.5 * size`` per char
   (simple fonts without /Widths; Type0 fonts honor the descendant
-  CIDFont's /W + /DW for Identity-H/-V encodings, other CMap encodings
-  keep the approximation), so ``x1`` is approximate only there — the
-  layout rules use x0/column position and sizes, not exact extents;
+  CIDFont's /W + /DW for Identity-H/-V encodings AND for embedded CMap
+  encodings via the parsed code->CID map; only NAMED non-Identity CMaps
+  — whose mapping lives outside the file — keep the approximation), so
+  ``x1`` is approximate only there — the layout rules use x0/column
+  position and sizes, not exact extents;
 * /Encrypt: the standard security handler with an EMPTY user password
   (how "protected" web PDFs are produced; fitz opens these transparently)
   is fully supported — RC4-40/128, AESV2/128, AESV3/256 (R2-R6) via the
@@ -656,6 +658,36 @@ def parse_tounicode_cmap(data: bytes) -> tuple[dict[int, str], int]:
     return cmap, nbytes
 
 
+_CIDCHAR_RE = re.compile(rb"begincidchar(.*?)endcidchar", re.DOTALL)
+_CIDRANGE_RE = re.compile(rb"begincidrange(.*?)endcidrange", re.DOTALL)
+_CIDPAIR_RE = re.compile(rb"<([0-9a-fA-F]+)>\s+(\d+)")
+_CIDRANGE_ENTRY_RE = re.compile(
+    rb"<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s+(\d+)")
+
+
+def parse_cid_cmap(data: bytes) -> dict[int, int]:
+    """Embedded CID CMap (a Type0 font's /Encoding stream) ->
+    {code: CID}.  Handles ``cidchar`` (``<src> cid``) and ``cidrange``
+    (``<lo> <hi> cid_start``) entries — CID destinations are DECIMAL
+    integers, unlike ToUnicode's hex strings.  Range size is capped
+    (garbage files must not OOM).  This closes the last PDF width gap:
+    with the code->CID map the descendant CIDFont's /W table applies to
+    non-Identity encodings too (unmapped codes -> CID 0 per spec)."""
+    cid_of: dict[int, int] = {}
+    for block in _CIDCHAR_RE.finditer(data):
+        for src, cid in _CIDPAIR_RE.findall(block.group(1)):
+            cid_of[int(src, 16)] = int(cid)
+    for block in _CIDRANGE_RE.finditer(data):
+        for lo, hi, cid in _CIDRANGE_ENTRY_RE.findall(block.group(1)):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if hi_i - lo_i > 65535:
+                continue  # malformed guard
+            base = int(cid)
+            for off in range(hi_i - lo_i + 1):
+                cid_of[lo_i + off] = base + off
+    return cid_of
+
+
 _TOKEN_RE = re.compile(
     rb"\("                          # literal string opener: the FULL string
                                     # parser takes over from here (nested
@@ -818,14 +850,19 @@ def _simple_font_widths(doc: "_Doc", fobj: dict) -> tuple[dict[int, float], floa
     return widths, mw
 
 
-def _cid_font_widths(doc: "_Doc", fobj: dict) -> tuple[dict[int, float], float]:
+def _cid_font_widths(doc: "_Doc", fobj: dict,
+                     has_cid_map: bool = False) -> tuple[dict[int, float], float]:
     """({cid: width}, default_width) from a Type0 font's descendant CIDFont
-    /W + /DW arrays.  Only Identity-H/-V encodings qualify (there CID ==
-    2-byte code, so the /W table indexes directly by shown code); other
-    CMap encodings keep the legacy 0.5-em approximation.  /W grammar:
-    ``c [w1 w2 ...]`` assigns consecutively from c; ``cfirst clast w``
-    assigns a range.  Range size is capped (garbage files must not OOM)."""
-    if _nameof(fobj.get("Encoding")) not in ("Identity-H", "Identity-V"):
+    /W + /DW arrays.  Qualifying encodings: Identity-H/-V (CID == 2-byte
+    code, /W indexes directly by shown code) and — with ``has_cid_map``
+    — an embedded CMap stream whose parsed code->CID map resolves the
+    /W index (see ``parse_cid_cmap``).  NAMED non-Identity CMaps (no
+    embedded stream to parse, e.g. /UniKS-UCS2-H) keep the legacy 0.5-em
+    approximation.  /W grammar: ``c [w1 w2 ...]`` assigns consecutively
+    from c; ``cfirst clast w`` assigns a range.  Range size is capped
+    (garbage files must not OOM)."""
+    if (_nameof(fobj.get("Encoding")) not in ("Identity-H", "Identity-V")
+            and not has_cid_map):
         return {}, 500.0
     df = doc.resolve(fobj.get("DescendantFonts"))
     d0 = doc.resolve(df[0]) if isinstance(df, list) and df else None
@@ -861,7 +898,7 @@ def _cid_font_widths(doc: "_Doc", fobj: dict) -> tuple[dict[int, float], float]:
 
 
 _DEFAULT_FONT = {"flags": 0, "cmap": None, "cid_skip": False,
-                 "dec": None, "widths": {}, "mw": 500.0}
+                 "dec": None, "widths": {}, "mw": 500.0, "cid_of": None}
 
 
 def _spans_from_content(content: bytes, fonts: dict[str, dict]) -> list[dict]:
@@ -891,13 +928,17 @@ def _spans_from_content(content: bytes, fonts: dict[str, dict]) -> list[dict]:
         if cmap is not None:
             table, nb = cmap
             widths, mw = font["widths"], font["mw"]
+            cid_of = font["cid_of"]
             chars, adv = [], 0.0
             for j in range(0, len(raw) - nb + 1, nb):
                 code = int.from_bytes(raw[j : j + nb], "big")
                 chars.append(table.get(code, ""))
-                # Type0: /W-derived per-CID widths (Identity-H/V), else
-                # /DW / 0.5-em default
-                adv += (widths.get(code, mw) / 1000.0) * size + tc
+                # Type0: /W is indexed by CID — the shown code for
+                # Identity-H/V, else through the embedded CMap's
+                # code->CID map (unmapped -> CID 0 per spec); named
+                # non-Identity CMaps fall back to /DW / 0.5-em
+                cid = code if cid_of is None else cid_of.get(code, 0)
+                adv += (widths.get(cid, mw) / 1000.0) * size + tc
                 if nb == 1 and code == 32:
                     adv += tw
             text = "".join(chars).replace("\x00", "")
@@ -1189,9 +1230,21 @@ def pdf_pages_spans(data: bytes | None) -> list[dict]:
                             info["cmap"] = cmap
                         else:
                             info["cid_skip"] = True
+                        enc = fobj.get("Encoding")
+                        if isinstance(enc, tuple) and enc[0] == "ref":
+                            # embedded CMap stream: code->CID map makes
+                            # /W real for non-Identity encodings
+                            try:
+                                data_enc = doc.stream_of(enc[1])
+                                if data_enc:
+                                    info["cid_of"] = parse_cid_cmap(
+                                        data_enc) or None
+                            except Exception:
+                                pass
                         try:
-                            info["widths"], info["mw"] = \
-                                _cid_font_widths(doc, fobj)
+                            info["widths"], info["mw"] = _cid_font_widths(
+                                doc, fobj,
+                                has_cid_map=info["cid_of"] is not None)
                         except Exception:
                             pass
                     else:  # simple font

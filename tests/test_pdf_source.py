@@ -739,3 +739,81 @@ def test_inline_image_payload_skipped():
     spans = _spans_from_content(
         b"BT 0 0 Td (keep) Tj ET BI /W 1 ID \x00\x01 no terminator", {})
     assert [s["text"] for s in spans] == ["keep"]
+
+
+def make_type0_embedded_cmap_pdf():
+    """Type0 font whose /Encoding is an EMBEDDED CMap stream (object 8)
+    mapping codes to CIDs non-identically, plus the same /W CIDFont as
+    make_type0_w_pdf — so x1 geometry must come from the code->CID->W
+    chain, not from treating codes as CIDs.
+    Map: 0001->16 (W range: 1000), 0002->1 (600), 0010->2 (800),
+    0011->3 (DW 900); unmapped codes -> CID 0 (DW 900)."""
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"begincmap\n"
+            b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            b"2 beginbfchar\n<0001> <D55C>\n<0002> <AD6D>\nendbfchar\n"
+            b"1 beginbfrange\n<0010> <0012> <C548>\nendbfrange\n"
+            b"endcmap\nend")
+    cidmap = (b"/CIDInit /ProcSet findresource begin\n"
+              b"begincmap\n"
+              b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+              b"2 begincidchar\n<0001> 16\n<0002> 1\nendcidchar\n"
+              b"1 begincidrange\n<0010> <0011> 2\nendcidrange\n"
+              b"endcmap\nend")
+    content = (b"BT /F9 14 Tf 72 700 Td <00010002> Tj ET "
+               b"BT /F9 14 Tf 72 650 Td <001000110012> Tj ET")
+    objs = [
+        (f"<< /Length {len(cmap)} >>".encode()
+         + b"\nstream\n" + cmap + b"\nendstream"),
+        (b"<< /Type /Font /Subtype /Type0 /BaseFont /NotoSansKR "
+         b"/ToUnicode 1 0 R /Encoding 8 0 R "
+         b"/DescendantFonts [ 7 0 R ] >>"),
+        (f"<< /Length {len(content)} >>".encode()
+         + b"\nstream\n" + content + b"\nendstream"),
+        (b"<< /Type /Page /Parent 5 0 R /Contents 3 0 R "
+         b"/Resources << /Font << /F9 2 0 R >> >> >>"),
+        (b"<< /Type /Pages /Kids [ 4 0 R ] /Count 1 "
+         b"/MediaBox [ 0 0 612 792 ] >>"),
+        b"<< /Type /Catalog /Pages 5 0 R >>",
+        (b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /NotoSansKR "
+         b"/W [ 1 [ 600 800 ] 16 18 1000 ] /DW 900 >>"),
+        (f"<< /Length {len(cidmap)} >>".encode()
+         + b"\nstream\n" + cidmap + b"\nendstream"),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, body in enumerate(objs, start=1):
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    out += b"trailer\n<< /Root 6 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+class TestEmbeddedCMapWidths:
+    def test_code_to_cid_chain_drives_x1(self):
+        lines = pdf_pages_spans(make_type0_embedded_cmap_pdf())[0]["lines"]
+        # text decode is unchanged (ToUnicode): codes 0001 0002 -> 한국
+        assert lines[0]["text"] == "한국"
+        # widths: 0001->CID16 (1000), 0002->CID1 (600)
+        assert lines[0]["x1"] == pytest.approx(
+            72 + (1000 + 600) / 1000 * 14, abs=1e-6)
+        # 0010->CID2 (800), 0011->CID3 (DW 900), 0012 unmapped->CID0 (900)
+        assert lines[1]["text"] == "안앉않"
+        assert lines[1]["x1"] == pytest.approx(
+            72 + (800 + 900 + 900) / 1000 * 14, abs=1e-6)
+
+    def test_parse_cid_cmap_units(self):
+        from pdf_extract_ray.sources.pdf import parse_cid_cmap
+
+        m = parse_cid_cmap(
+            b"2 begincidchar\n<0001> 16\n<00A0> 7\nendcidchar\n"
+            b"1 begincidrange\n<0010> <0012> 100\nendcidrange\n")
+        assert m == {1: 16, 0xA0: 7, 0x10: 100, 0x11: 101, 0x12: 102}
+        assert parse_cid_cmap(b"garbage") == {}
+        # oversized range is skipped, not expanded
+        assert parse_cid_cmap(
+            b"1 begincidrange\n<0000> <FFFFFF> 1\nendcidrange\n") == {}
+
+    def test_named_non_identity_still_halfem(self):
+        # unchanged contract: a NAMED CMap has no stream to parse
+        lines = pdf_pages_spans(
+            make_type0_w_pdf(encoding=b"/UniKS-UCS2-H"))[0]["lines"]
+        assert lines[0]["x1"] == pytest.approx(72 + 2 * 7.0, abs=1e-6)
