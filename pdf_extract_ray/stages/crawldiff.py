@@ -75,7 +75,9 @@ def crawl_diff(
 ) -> Dataset:
     """``(url, status, old_hash, new_hash)`` with status in
     added/removed/changed/unchanged.  One bucketed shuffle of
-    (url, hash, side) rows; bodies never move.
+    (url, hash, side) rows; bodies never move.  (Thin wrapper over
+    :func:`crawl_diff_hashes` — pass precomputed hash datasets there to
+    skip re-hashing a side, e.g. from a persistent hash store.)
 
     The cogroup body is Arrow-native (round-3 judge item 8): the block's
     url/hash strings never round-trip through pandas — per-(url, side)
@@ -83,6 +85,23 @@ def crawl_diff(
     searchsorted over the sorted url union.  Output order (urls sorted
     within the bucket) and values are bit-identical to the previous
     pandas body (A/B-tested)."""
+    return crawl_diff_hashes(
+        content_hashes(old, url_col=url_col, content_col=content_col,
+                       method=method),
+        content_hashes(new, url_col=url_col, content_col=content_col,
+                       method=method),
+        num_buckets=num_buckets)
+
+
+def crawl_diff_hashes(
+    old_hashes: Dataset,
+    new_hashes: Dataset,
+    *,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """The diff cogroup over two precomputed ``(url, h)`` hash datasets
+    (the :func:`content_hashes` schema) — the entry point a persistent
+    hash store uses so the old crawl is never re-hashed."""
     import pyarrow as pa
 
     from pdf_extract_ray.stages.agg import bucketed_group_apply
@@ -93,12 +112,8 @@ def crawl_diff(
                 "side", pa.array(np.full(b.num_rows, side, dtype=np.int8)))
         return apply
 
-    u = (content_hashes(old, url_col=url_col, content_col=content_col,
-                        method=method)
-         .map_batches(tag(0), batch_format="pyarrow")
-         .union(content_hashes(new, url_col=url_col,
-                               content_col=content_col, method=method)
-                .map_batches(tag(1), batch_format="pyarrow")))
+    u = (old_hashes.map_batches(tag(0), batch_format="pyarrow")
+         .union(new_hashes.map_batches(tag(1), batch_format="pyarrow")))
 
     def body(g: pa.Table) -> pa.Table:
         agg = g.group_by(["url", "side"]).aggregate([("h", "max")])
@@ -128,3 +143,101 @@ def crawl_diff(
 
     return bucketed_group_apply(u, ["url"], body, num_buckets=num_buckets,
                                 body_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# persistent content-hash store — the incremental-crawl companion of the
+# MinHash signature store (stages/sigstore.py): hash each crawl ONCE,
+# diff every later increment against the stored (url, h) rows without
+# re-reading or re-hashing old page bodies.
+# ---------------------------------------------------------------------------
+
+def build_hash_store(
+    ds: Dataset,
+    store_dir: str,
+    *,
+    url_col: str = "url",
+    content_col: str = "text",
+    method: str = "fast",
+    min_rows_per_file: int = 100_000,
+) -> dict:
+    """Create the store from the initial crawl (generation 0): one
+    narrow hashing pass, only (url, 16/32-hex h) rows persist."""
+    from pdf_extract_ray import __version__
+    from pdf_extract_ray.state.genstore import init_meta, write_gen
+
+    init_meta(store_dir, {"url_col": url_col, "content_col": content_col,
+                          "method": method, "engine": __version__})
+    hashes = content_hashes(ds, url_col=url_col, content_col=content_col,
+                            method=method)
+    n = write_gen(store_dir, hashes, 0, min_rows_per_file)
+    return {"generation": 0, "n_hashes": n}
+
+
+def extend_hash_store(
+    store_dir: str,
+    ds: Dataset,
+    *,
+    min_rows_per_file: int = 100_000,
+) -> dict:
+    """Ingest an increment's hashes as the next generation (params from
+    the store's frozen meta).  Call AFTER diffing so the next diff
+    compares against the newest content."""
+    from pdf_extract_ray.state.genstore import next_gen, read_meta, write_gen
+
+    meta = read_meta(store_dir)
+    gen = next_gen(store_dir)
+    hashes = content_hashes(ds, url_col=meta["url_col"],
+                            content_col=meta["content_col"],
+                            method=meta["method"])
+    n = write_gen(store_dir, hashes, gen, min_rows_per_file)
+    return {"generation": gen, "n_hashes": n}
+
+
+def crawl_diff_against_store(
+    new: Dataset,
+    store_dir: str,
+    *,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """``(url, status, old_hash, new_hash)`` of a new crawl vs the
+    store, without re-hashing stored crawls.  A url re-ingested across
+    generations resolves by the frozen max-hash rule (same associative
+    rule as within one snapshot); byte-identical to ``crawl_diff``
+    against the concatenated old crawls (pytest gate)."""
+    from pdf_extract_ray.state.genstore import read_meta, read_store
+
+    meta = read_meta(store_dir)
+    return crawl_diff_hashes(
+        read_store(store_dir),
+        content_hashes(new, url_col=meta["url_col"],
+                       content_col=meta["content_col"],
+                       method=meta["method"]),
+        num_buckets=num_buckets)
+
+
+def filter_to_changed(
+    new: Dataset,
+    diff: Dataset,
+    *,
+    url_col: str = "url",
+    statuses: tuple = ("added", "changed"),
+    num_partitions: int = 8,
+) -> Dataset:
+    """The incremental-crawl ending: keep only the new crawl's pages
+    whose diff status is in ``statuses`` — downstream extraction/tiering
+    then processes just what moved.  Verdicts shrink to a narrow url
+    list; page bodies are kept or dropped by one hash join (partition
+    count kept at the documented small-CPU-safe default; the pre-join
+    repartition normalizes the cogroup output's block schemas)."""
+
+    def as_urls(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b[b["status"].isin(statuses)]
+        return pd.DataFrame({"__changed_url": pd.array(
+            keep["url"].tolist(), dtype="string")})
+
+    verd = diff.map_batches(as_urls, batch_format="pandas") \
+        .repartition(num_partitions)
+    return new.join(verd, join_type="inner",
+                    num_partitions=num_partitions,
+                    on=(url_col,), right_on=("__changed_url",))

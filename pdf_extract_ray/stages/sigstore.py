@@ -37,16 +37,16 @@ Caller contract: ids must be unique across the store and the increment
 
 from __future__ import annotations
 
-import glob
-import json
-import os
-import shutil
-
 from ray.data import Dataset
 
 from pdf_extract_ray import __version__
-
-_META = "meta.json"
+from pdf_extract_ray.state.genstore import (
+    init_meta,
+    next_gen,
+    read_meta,
+    read_store,
+    write_gen,
+)
 
 
 def _sig_ds(ds: Dataset, id_col: str, text_col: str, num_perm: int,
@@ -63,33 +63,6 @@ def _sig_ds(ds: Dataset, id_col: str, text_col: str, num_perm: int,
                           batch_size=sig_batch_size)
 
 
-def _read_meta(store_dir: str) -> dict:
-    with open(os.path.join(store_dir, _META)) as f:
-        return json.load(f)
-
-
-def _next_gen(store_dir: str) -> int:
-    gens = [int(os.path.basename(p).split("=")[1])
-            for p in glob.glob(os.path.join(store_dir, "gen=*"))]
-    return max(gens) + 1 if gens else 0
-
-
-def _write_gen(store_dir: str, sigs: Dataset, gen: int,
-               min_rows_per_file: int) -> int:
-    import pyarrow.parquet as pq
-
-    tmp = os.path.join(store_dir, f".tmp_gen={gen:08d}")
-    final = os.path.join(store_dir, f"gen={gen:08d}")
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(final, ignore_errors=True)
-    sigs.write_parquet(tmp, min_rows_per_file=min_rows_per_file)
-    os.makedirs(tmp, exist_ok=True)  # zero-row increment still commits
-    n = sum(pq.ParquetFile(p).metadata.num_rows
-            for p in glob.glob(os.path.join(tmp, "*.parquet")))
-    os.replace(tmp, final)
-    return n
-
-
 def build_minhash_store(
     ds: Dataset,
     store_dir: str,
@@ -104,30 +77,17 @@ def build_minhash_store(
     """Create the store from the initial corpus (generation 0).  One
     narrow signature pass + one parquet write; only (id, minhash) rows
     ever leave the workers."""
-    os.makedirs(store_dir, exist_ok=True)
-    meta = {"id_col": id_col, "text_col": text_col, "num_perm": num_perm,
-            "k": k, "engine": __version__}
-    meta_path = os.path.join(store_dir, _META)
-    if os.path.exists(meta_path) and _read_meta(store_dir) != meta:
-        raise ValueError(
-            f"{store_dir} already holds a store with different params "
-            f"({_read_meta(store_dir)}); signatures from different hash "
-            "families cannot be compared")
+    init_meta(store_dir, {"id_col": id_col, "text_col": text_col,
+                          "num_perm": num_perm, "k": k,
+                          "engine": __version__})
     sigs = _sig_ds(ds, id_col, text_col, num_perm, k, sig_batch_size)
-    n = _write_gen(store_dir, sigs, 0, min_rows_per_file)
-    with open(meta_path, "w") as f:
-        json.dump(meta, f)
+    n = write_gen(store_dir, sigs, 0, min_rows_per_file)
     return {"generation": 0, "n_signatures": n}
 
 
 def read_store_signatures(store_dir: str) -> Dataset:
     """All stored (id, minhash) rows across generations."""
-    import ray.data as rd
-
-    files = sorted(glob.glob(os.path.join(store_dir, "gen=*", "*.parquet")))
-    if not files:
-        raise FileNotFoundError(f"no signature generations in {store_dir}")
-    return rd.read_parquet(files, partitioning=None)
+    return read_store(store_dir)
 
 
 def extend_minhash_store(
@@ -141,11 +101,11 @@ def extend_minhash_store(
     come from the store's frozen meta).  Call AFTER delta-deduping the
     increment so the store reflects what was kept — or before, if the
     policy is to remember everything crawled."""
-    meta = _read_meta(store_dir)
-    gen = _next_gen(store_dir)
+    meta = read_meta(store_dir)
+    gen = next_gen(store_dir)
     sigs = _sig_ds(ds, meta["id_col"], meta["text_col"], meta["num_perm"],
                    meta["k"], sig_batch_size)
-    n = _write_gen(store_dir, sigs, gen, min_rows_per_file)
+    n = write_gen(store_dir, sigs, gen, min_rows_per_file)
     return {"generation": gen, "n_signatures": n}
 
 
@@ -167,7 +127,7 @@ def minhash_delta_pairs(
 
     from pdf_extract_ray.stages.dedup import lsh_pairs_from_signatures
 
-    meta = _read_meta(store_dir)
+    meta = read_meta(store_dir)
     id_col = meta["id_col"]
 
     def tag(flag: bool):

@@ -72,3 +72,96 @@ def test_content_hashes_dedup(ray_session):
     got = content_hashes(ds).to_pandas().sort_values("url")
     assert len(got) == 2
     assert got.set_index("url").loc["a", "h"] == max(_md5("x"), _md5("y"))
+
+
+# ---------------------------------------------------------------------------
+# persistent hash store + incremental composition
+# ---------------------------------------------------------------------------
+
+def _snap(rows):
+    import pandas as pd
+
+    return pd.DataFrame(rows, columns=["url", "text"])
+
+
+def test_hash_store_diff_equals_direct_crawl_diff(ray_session, tmp_path):
+    """Diff-against-store must equal crawl_diff against the concatenated
+    stored crawls, byte for byte — old bodies are never re-hashed."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.crawldiff import (
+        build_hash_store,
+        crawl_diff,
+        crawl_diff_against_store,
+        extend_hash_store,
+    )
+
+    gen0 = _snap([("u1", "alpha"), ("u2", "beta"), ("u3", "gamma")])
+    gen1 = _snap([("u2", "beta v2"), ("u4", "delta")])
+    new = _snap([("u1", "alpha"), ("u2", "beta v3"), ("u5", "epsilon")])
+
+    store = str(tmp_path / "hashes")
+    r0 = build_hash_store(rd.from_pandas(gen0), store, method="md5")
+    assert r0 == {"generation": 0, "n_hashes": 3}
+    r1 = extend_hash_store(store, rd.from_pandas(gen1))
+    assert r1 == {"generation": 1, "n_hashes": 2}
+
+    got = crawl_diff_against_store(rd.from_pandas(new), store) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    exp = crawl_diff(rd.from_pandas(pd.concat([gen0, gen1])),
+                     rd.from_pandas(new)) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    verdicts = dict(zip(got["url"], got["status"]))
+    assert verdicts == {"u1": "unchanged", "u2": "changed",
+                        "u3": "removed", "u4": "removed", "u5": "added"}
+
+
+def test_hash_store_param_mismatch_rejected(ray_session, tmp_path):
+    import pytest
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.crawldiff import build_hash_store
+
+    store = str(tmp_path / "hashes")
+    build_hash_store(rd.from_pandas(_snap([("u1", "a")])), store)
+    with pytest.raises(ValueError, match="different params"):
+        build_hash_store(rd.from_pandas(_snap([("u1", "a")])), store,
+                         method="md5")
+
+
+def test_incremental_webtext_composition(ray_session, tmp_path):
+    """The full incremental ending: diff the new crawl against the hash
+    store, tier-extract ONLY added/changed pages, and match the full
+    run restricted to those urls."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_extract_ray.pipelines.webtext import webtext_tiers
+    from pdf_extract_ray.stages.crawldiff import (
+        build_hash_store,
+        crawl_diff_against_store,
+        filter_to_changed,
+    )
+
+    body_a = ("the report was published and it is available for all who "
+              "need it because the results are good and we can trust it "
+              "so the method is sound and complete")
+    body_b = body_a.replace("good", "excellent")
+    old = _snap([("u1", body_a), ("u2", body_a)])
+    new = _snap([("u1", body_a), ("u2", body_b), ("u3", body_a)])
+
+    store = str(tmp_path / "hashes")
+    build_hash_store(rd.from_pandas(old), store)
+    diff = crawl_diff_against_store(rd.from_pandas(new), store)
+    changed = filter_to_changed(rd.from_pandas(new), diff)
+    got = webtext_tiers(changed, "text").to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert list(got["url"]) == ["u2", "u3"]   # u1 unchanged -> skipped
+
+    full = webtext_tiers(rd.from_pandas(new), "text").to_pandas()
+    exp = full[full["url"].isin(["u2", "u3"])] \
+        .sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)])
