@@ -1557,6 +1557,23 @@ def _url_features_oracle() -> str:
     )
 
 
+def q_corpus_profile(sf_dir: str):
+    # One-scan corpus summary (stages/profile.py): all metrics computed
+    # as map-side additive partials in a single fused pass (the 100 TB
+    # rule: one profile = one read), one O(metrics) merge, single-block
+    # finalize for the ratio metrics.  Full SQL oracle.
+    from pdf_extract_ray.stages.profile import corpus_profile
+
+    return corpus_profile(_t(sf_dir, "documents",
+                             columns=["doc_id", "text"]))
+
+
+def _corpus_profile_oracle() -> str:
+    from pdf_extract_ray.stages.profile import corpus_profile_oracle_sql
+
+    return corpus_profile_oracle_sql("documents")
+
+
 def q_sitemap_entries(sf_dir: str):
     # Sitemap XML parsing (stages/sitemaps.py): narrow explode, zero
     # shuffles.  Three arithmetic document shapes — a urlset with two
@@ -2392,6 +2409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_txt_verdicts": q_robots_txt,
         "sitemap_entries": q_sitemap_entries,
         "text_density_docs": q_text_density,
+        "corpus_profile": q_corpus_profile,
         "ldjson_blobs": q_ldjson_blobs,
         "top_words": q_top_words,
         "term_postings": q_term_postings,
@@ -2973,6 +2991,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_txt_verdicts": _robots_txt_oracle(),
         "sitemap_entries": _sitemap_entries_oracle(),
         "text_density_docs": _text_density_oracle(),
+        "corpus_profile": _corpus_profile_oracle(),
         "ldjson_blobs": _ldjson_blobs_oracle(),
         "top_words": _top_words_oracle(),
         "term_postings": _term_postings_oracle(),

@@ -173,3 +173,37 @@ def test_compression_ratio_rules():
     assert out.loc[1, "compression_ratio"] == 0.0   # null -> empty -> 0.0
     assert out.loc[2, "compression_ratio"] == 0.0
     assert out.loc[3, "compression_ratio"] > 1.0    # tiny doc: header dominates
+
+
+# ---------------------------------------------------------------------------
+# corpus profile (stages/profile.py): one-scan additive summary
+# ---------------------------------------------------------------------------
+
+def test_corpus_profile_values_and_topology_independence(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.profile import corpus_profile
+
+    df = pd.DataFrame({"text": [
+        "hello world two words",     # en, 4 words
+        "안녕 하세요",                  # ko, 2 words
+        "привет мир",                 # ru
+        "你好",                        # zh
+        "", None,                     # two empties
+        "12345 !!!",                  # und
+    ]})
+
+    def run(n_parts):
+        got = corpus_profile(rd.from_pandas(df).repartition(n_parts)) \
+            .to_pandas()
+        return dict(zip(got["metric"], got["value"]))
+
+    v = run(3)
+    assert v["n_docs"] == 7 and v["n_empty"] == 2
+    assert v["total_words"] == 4 + 2 + 2 + 1 + 0 + 0 + 2
+    assert v["lang_ko"] == 1 and v["lang_zh"] == 1 and v["lang_ru"] == 1
+    assert v["lang_en"] == 1 and v["lang_und"] == 3  # empties are 'und'
+    assert v["avg_words"] == round(v["total_words"] / 7, 4)
+    # additive partials: any block layout gives identical totals
+    assert run(1) == v and run(7) == v
