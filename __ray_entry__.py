@@ -1768,6 +1768,28 @@ def _minhash_delta_oracle() -> str:
             "WHERE id_a % 2 = 1 OR id_b % 2 = 1")
 
 
+def q_nb_topic(sf_dir: str):
+    # Multiclass NB (stages/nbquality.train_nb_classifier): the
+    # training-mix/domain labeling tier over the same hashed-n-gram
+    # machinery as the binary quality model — 3-class arithmetic
+    # labeled set (corpus.nb_topic_frame), scored over the documents
+    # table; oracle = committed single-process golden (dict counts +
+    # per-token loop, tools/gen_goldens.gen_nb_topic).
+    from pdf_extract_ray.corpus import nb_topic_frame
+    from pdf_extract_ray.stages.nbquality import (
+        nb_classify,
+        train_nb_classifier,
+    )
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    train = ds.map_batches(
+        lambda b: nb_topic_frame(b["doc_id"].to_numpy()),
+        batch_format="pandas")
+    model = train_nb_classifier(train, n_labels=3)
+    return nb_classify(ds, model).select_columns(
+        ["doc_id", "nb_class", "nb_margin"])
+
+
 def q_shard_assignment(sf_dir: str):
     # Global-shuffle shard writer's assignment kernel (pipelines/
     # shards.py, round-3 judge gap #3): deterministic md5 hash-rank RANGE
@@ -2403,6 +2425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_features_docs": q_url_features,
         "lang_id_v2": q_lang_id_v2,
         "nb_quality_docs": q_nb_quality,
+        "nb_topic_docs": q_nb_topic,
         "shard_assignment": q_shard_assignment,
         "minhash_delta_docs": q_minhash_delta,
         "bloom_url_probe": q_bloom_probe,
@@ -2955,7 +2978,7 @@ def oracle_sql() -> dict[str, str]:
                         "substr_dedup_docs", "host_pagerank",
                         "bpe_merges", "bpe_token_stats", "host_hits",
                         "cms_word_probe", "nb_quality_docs",
-                        "bloom_url_probe")},
+                        "nb_topic_docs", "bloom_url_probe")},
         "pii_redacted_docs": _pii_oracle(),
         "bm25_docs": _bm25_oracle(),
         "tfidf_docs": _tfidf_oracle(),

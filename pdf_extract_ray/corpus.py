@@ -335,6 +335,31 @@ def nb_train_frame(doc_ids) -> "pd.DataFrame":
     })
 
 
+def nb_topic_frame(doc_ids) -> "pd.DataFrame":
+    """Deterministic 3-class labeled set (news / code / shop prose,
+    interpolated numbers) for the multiclass NB classifier — shared by
+    the ``nb_topic_docs`` driver query and its golden generator."""
+    import numpy as np
+    import pandas as pd
+
+    ids = pd.Series(doc_ids).astype("int64")
+    yr = (1990 + ids % 30).astype(str)
+    k = (ids % 7).astype(str)
+    news = ("the minister said the report was published in " + yr
+            + " and officials confirmed the decision after " + k
+            + " meetings with the committee")
+    code = ("def function " + k + " return value import module class "
+            "object print error raise exception for loop in range " + yr)
+    shop = ("buy now price " + yr + " discount free shipping cart "
+            "checkout order sale save " + k + " percent today only")
+    mod = (ids % 3).to_numpy()
+    text = np.select([mod == 0, mod == 1], [news, code], default=shop)
+    label = np.select([mod == 0, mod == 1], ["news", "code"],
+                      default="shop")
+    return pd.DataFrame({"doc_id": ids.to_numpy(), "text": text,
+                         "label": label})
+
+
 def synth_layout_rows(n_docs: int = 4) -> list[dict]:
     """Deterministic synthetic span-table rows for the layout-tagging path
     (M1-M5): two-column x/y geometry, mixed sizes/flags/colors.  Shared by

@@ -94,17 +94,19 @@ def ngram_features(texts: pd.Series, n_buckets: int
     return doc, uni_b
 
 
-def train_nb_quality(
+def train_nb_classifier(
     ds: Dataset,
     *,
     label_col: str = "label",
     text_col: str = "text",
     n_buckets: int = DEFAULT_N_BUCKETS,
     alpha: float = DEFAULT_ALPHA,
+    n_labels: int | None = None,
 ) -> dict:
-    """Closed-form distributed training.  Returns
-    ``{"labels": [l0, l1], "log_cond": (n_buckets, 2) float64,
-    "log_prior": (2,) float64, "n_buckets": int}``."""
+    """Closed-form distributed training over ANY number of labels
+    (sorted).  Returns ``{"labels": [...], "log_cond": (n_buckets, L)
+    float64, "log_prior": (L,) float64, "n_buckets": int}``.
+    ``n_labels`` optionally asserts the expected label count."""
     from pdf_extract_ray.stages.agg import grouped_aggregate
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -127,10 +129,13 @@ def train_nb_quality(
     ).to_pandas()  # bounded: <= n_buckets * n_labels + n_labels rows
 
     labels = sorted(merged["label"].unique())
-    if len(labels) != 2:
-        raise ValueError(f"binary labels required, got {labels}")
-    cond = np.zeros((n_buckets, 2), dtype=np.float64)
-    docs = np.zeros(2, dtype=np.float64)
+    if n_labels is not None and len(labels) != n_labels:
+        raise ValueError(f"expected {n_labels} labels, got {labels}")
+    if len(labels) < 2:
+        raise ValueError(f"at least two labels required, got {labels}")
+    nl = len(labels)
+    cond = np.zeros((n_buckets, nl), dtype=np.float64)
+    docs = np.zeros(nl, dtype=np.float64)
     for j, lab in enumerate(labels):
         sub = merged[merged["label"] == lab]
         feats = sub[sub["bucket"] >= 0]
@@ -143,6 +148,27 @@ def train_nb_quality(
     log_prior = np.log(docs / docs.sum())
     return {"labels": list(labels), "log_cond": log_cond,
             "log_prior": log_prior, "n_buckets": n_buckets}
+
+
+def train_nb_quality(
+    ds: Dataset,
+    *,
+    label_col: str = "label",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    alpha: float = DEFAULT_ALPHA,
+) -> dict:
+    """The binary (quality) specialization — exactly two labels; the
+    scorer's nb_logit/nb_label contract depends on it."""
+    try:
+        return train_nb_classifier(
+            ds, label_col=label_col, text_col=text_col,
+            n_buckets=n_buckets, alpha=alpha, n_labels=2)
+    except ValueError as e:
+        if "expected 2 labels" in str(e):
+            raise ValueError(str(e).replace("expected 2 labels",
+                                            "binary labels required"))
+        raise
 
 
 def nb_score_batch(batch: pd.DataFrame, model: dict,
@@ -174,6 +200,39 @@ def nb_quality(ds: Dataset, model: dict, text_col: str = "text") -> Dataset:
     return ds.map_batches(score, batch_format="pandas")
 
 
+def nb_classify_batch(batch: pd.DataFrame, model: dict,
+                      text_col: str = "text") -> pd.DataFrame:
+    """Multiclass scoring: append ``nb_class`` (argmax label; ties break
+    to the lexicographically smaller label = lower index) and
+    ``nb_margin`` (best minus second-best log-score, round-half-away 6
+    — a calibration-free confidence)."""
+    doc, buckets = ngram_features(batch[text_col], model["n_buckets"])
+    n_docs = len(batch)
+    scores = np.tile(model["log_prior"], (n_docs, 1))
+    if len(doc):
+        np.add.at(scores, doc, model["log_cond"][buckets])
+    order = np.argsort(-scores, axis=1, kind="stable")  # ties -> low idx
+    best = order[:, 0]
+    second = scores[np.arange(n_docs), order[:, 1]]
+    labels = np.array(model["labels"], dtype=object)
+    out = batch.copy()
+    out["nb_class"] = labels[best]
+    out["nb_margin"] = round_half_away(
+        scores[np.arange(n_docs), best] - second, 6)
+    return out
+
+
+def nb_classify(ds: Dataset, model: dict, text_col: str = "text") -> Dataset:
+    """Multiclass corpus scoring: model broadcast once, one narrow map."""
+    import ray
+
+    model_ref = ray.put(model)
+
+    return ds.map_batches(
+        lambda b: nb_classify_batch(b, ray.get(model_ref), text_col),
+        batch_format="pandas")
+
+
 def nb_model_digest(model: dict | None) -> str:
     """Stable content digest for manifest stage_versions: a resumed run
     with a different model must not skip stale partitions."""
@@ -187,6 +246,53 @@ def nb_model_digest(model: dict | None) -> str:
     h.update(np.ascontiguousarray(model["log_prior"]).tobytes())
     h.update(str(model["n_buckets"]).encode())
     return h.hexdigest()
+
+
+def nb_classify_reference(texts, labels, score_texts, *,
+                          n_buckets: int = DEFAULT_N_BUCKETS,
+                          alpha: float = DEFAULT_ALPHA) -> pd.DataFrame:
+    """Single-process multiclass reference (dict counts + per-token
+    loop) for the golden generator and the A/B pytest; the distributed
+    train+classify must match byte-for-byte."""
+    import re
+    from collections import Counter, defaultdict
+
+    def grams(text: str) -> list[int]:
+        ws = re.findall(_TOKEN_RE, ("" if text is None else str(text)).lower())
+        items = list(ws) + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        if not items:
+            return []
+        return list(hash_buckets(np.array(items, dtype=object), n_buckets))
+
+    lab_sorted = sorted({str(l) for l in labels})
+    counts: dict[str, Counter] = defaultdict(Counter)
+    docs = Counter()
+    for text, lab in zip(texts, labels):
+        lab = str(lab)
+        docs[lab] += 1
+        for b in grams(text):
+            counts[lab][b] += 1
+    totals = {l: sum(counts[l].values()) for l in lab_sorted}
+    n_total = sum(docs.values())
+
+    rows = []
+    for text in score_texts:
+        bs = grams(text)
+        score = {}
+        for l in lab_sorted:
+            s = float(np.log(docs[l] / n_total))
+            for b in bs:
+                s += float(np.log((counts[l].get(b, 0) + alpha)
+                                  / (totals[l] + alpha * n_buckets)))
+            score[l] = s
+        ranked = sorted(lab_sorted, key=lambda l: (-score[l], l))
+        rows.append({
+            "nb_class": ranked[0],
+            "nb_margin": float(round_half_away(
+                np.float64(score[ranked[0]]) - np.float64(score[ranked[1]]),
+                6)),
+        })
+    return pd.DataFrame(rows)
 
 
 def nb_quality_reference(texts, labels, score_texts, *,

@@ -24,7 +24,7 @@ GOLDEN_QUERIES = (
     "similarity_topk_ivf", "embedding_near_dup_lsh",
     "pdf_extract_docs", "near_dup_clusters", "near_dup_dedup_docs",
     "substr_dedup_docs", "host_pagerank", "host_hits", "cms_word_probe",
-    "nb_quality_docs", "bloom_url_probe",
+    "nb_quality_docs", "bloom_url_probe", "nb_topic_docs",
 )
 
 

@@ -150,3 +150,54 @@ def test_webtext_tier_integration(model, ray_session):
     tiered = webtext_tiers(ds, rules=rules, nb_model=model).to_pandas()
     assert {"nb_logit", "nb_label"} <= set(tiered.columns)
     assert list(tiered["tier"]) == ["tier1", "reject_lowquality"]
+
+
+def test_multiclass_train_and_classify(ray_session):
+    """3-class training + argmax classify; distributed == plain-loop
+    reference byte-for-byte (same hash, same summation order)."""
+    import numpy as np
+    import ray.data as rd
+
+    from pdf_extract_ray.corpus import nb_topic_frame
+    from pdf_extract_ray.stages.nbquality import (
+        nb_classify,
+        nb_classify_reference,
+        train_nb_classifier,
+    )
+
+    train = nb_topic_frame(np.arange(90))
+    model = train_nb_classifier(
+        rd.from_pandas(train).repartition(4), n_buckets=1 << 12,
+        n_labels=3)
+    assert model["labels"] == ["code", "news", "shop"]
+
+    score_texts = [
+        "officials said the committee published the report",
+        "import module def function return print",
+        "free shipping discount price checkout",
+        "", "zzz unseen words",
+    ]
+    got = nb_classify(
+        rd.from_pandas(pd.DataFrame({"text": score_texts})).repartition(2),
+        model).to_pandas()
+    assert list(got["nb_class"][:3]) == ["news", "code", "shop"]
+    exp = nb_classify_reference(train["text"], train["label"], score_texts,
+                                n_buckets=1 << 12)
+    assert list(got["nb_class"]) == list(exp["nb_class"])
+    assert list(got["nb_margin"]) == list(exp["nb_margin"])
+    assert (got["nb_margin"] >= 0).all()
+
+
+def test_multiclass_label_count_enforced(ray_session):
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.nbquality import train_nb_classifier
+
+    df = pd.DataFrame({"text": ["a b", "c d"], "label": ["x", "y"]})
+    with pytest.raises(ValueError, match="expected 3 labels"):
+        train_nb_classifier(rd.from_pandas(df), n_buckets=1 << 8,
+                            n_labels=3)
+    with pytest.raises(ValueError, match="at least two"):
+        train_nb_classifier(rd.from_pandas(
+            pd.DataFrame({"text": ["a"], "label": ["x"]})),
+            n_buckets=1 << 8)

@@ -733,13 +733,30 @@ def gen_nb_quality(sf_dir: str) -> dict[str, pa.Table]:
         ref, preserve_index=False)}
 
 
+def gen_nb_topic(sf_dir: str) -> dict[str, pa.Table]:
+    # single-process multiclass reference over the shared 3-class
+    # arithmetic labeled set (corpus.nb_topic_frame)
+    from pdf_extract_ray.corpus import nb_topic_frame
+    from pdf_extract_ray.stages.nbquality import nb_classify_reference
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id")
+    train = nb_topic_frame(docs["doc_id"].to_numpy())
+    ref = nb_classify_reference(train["text"], train["label"],
+                                docs["text"])
+    ref.insert(0, "doc_id", docs["doc_id"].to_numpy())
+    return {"nb_topic_docs": pa.Table.from_pandas(ref,
+                                                  preserve_index=False)}
+
+
 GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_pair_analyzers, gen_layout, gen_media, gen_media_pixels,
               gen_approx_distinct, gen_approx_quantiles,
               gen_compression_ratio, gen_bpe,
               gen_similarity_ivf, gen_embedding_lsh, gen_pdf_extract,
               gen_substr_dedup, gen_pagerank, gen_hits, gen_cms,
-              gen_nb_quality, gen_bloom)
+              gen_nb_quality, gen_bloom, gen_nb_topic)
 
 
 def generate_all(sf_dir: str) -> dict[str, pa.Table]:
