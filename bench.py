@@ -159,7 +159,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "line_dedup_docs", "perplexity_buckets",
                      "link_edges", "crawl_diff_docs",
                      "approx_event_quantiles", "lang_id_v2",
-                     "sessionized_events", "nb_quality_docs"):
+                     "sessionized_events", "nb_quality_docs",
+                     "nb_topic_docs", "corpus_profile",
+                     "robots_txt_verdicts", "text_density_docs",
+                     "shard_assignment", "minhash_delta_docs"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

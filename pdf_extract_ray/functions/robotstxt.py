@@ -114,3 +114,22 @@ def url_path(url: str) -> str:
         slash = rest.find("/")
         return rest[slash:] if slash >= 0 else "/"
     return s if s.startswith("/") else "/"
+
+
+def sitemap_urls(text: str | None) -> list[str]:
+    """``Sitemap:`` lines from a robots.txt (RFC 9309 §2.3 allows them
+    anywhere, outside any group; values are absolute URLs).  The crawl
+    discovery link: robots.txt -> sitemap urls -> stages/sitemaps."""
+    if not text:
+        return []
+    out = []
+    for raw in str(text).splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        field, value = line.split(":", 1)
+        if field.strip().lower() == "sitemap":
+            v = value.strip()
+            if v:
+                out.append(v)
+    return out

@@ -116,3 +116,15 @@ def test_verdicts_cogroup_and_filter(ray_session):
                                    "http://a.example/private/ok/2",
                                    "http://b.example/anything"]
     assert set(kept.columns) == {"url", "body"}  # bodies survive intact
+
+
+def test_sitemap_lines_extracted_anywhere():
+    from pdf_extract_ray.functions.robotstxt import sitemap_urls
+
+    t = ("Sitemap: http://a.example/sitemap.xml\n"
+         "User-agent: *\nDisallow: /x/\n"
+         "sitemap: http://a.example/s2.xml  # comment\n"
+         "Sitemap:\n")  # empty value skipped
+    assert sitemap_urls(t) == ["http://a.example/sitemap.xml",
+                               "http://a.example/s2.xml"]
+    assert sitemap_urls(None) == [] and sitemap_urls("no colons") == []
