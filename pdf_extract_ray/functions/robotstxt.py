@@ -73,8 +73,10 @@ def parse_robots_txt(text: str | None, agent: str = "*") -> Rules:
             if field == "disallow" and value == "":
                 continue  # empty Disallow = allow everything (no rule)
             cur_rules.append((field == "allow", value))
-        else:
-            in_agent_run = False  # Crawl-delay etc. end an agent run
+        # unknown fields (Crawl-delay, Sitemap, ...) are ignored and do
+        # NOT end a user-agent stacking run (RFC 9309 §2.2.4: crawlers
+        # ignore unsupported lines) — 'UA: a / Crawl-delay: 1 / UA: b /
+        # Disallow: /x' stacks a AND b onto the /x rule block
     if cur_agents:
         groups.append((cur_agents, cur_rules))
 

@@ -168,22 +168,23 @@ def stratified_sample(
     k: int,
     *,
     num_buckets: int | None = None,
-    order: str = "md5",
+    order: str = "fast",
 ) -> Dataset:
     """Deterministic per-key sample: the k rows with the smallest
-    ``md5(id)`` within each key group — a seedless, order-independent,
-    SQL-mirrorable "random" sample (md5 of the id is uniform but fixed,
-    so every run and every parallelism picks the same rows; balanced
+    ``hash(id)`` within each key group — a seedless, order-independent
+    "random" sample (the hash of the id is uniform but fixed, so every
+    run and every parallelism picks the same rows; balanced
     per-domain/per-language corpus sampling at crawl scale).
 
     One bucketed shuffle; rank computed vectorized per bucket.
 
-    ``order`` picks the rank key: ``"md5"`` (default) is the
-    SQL-mirrorable oracle mode but hashes ids in a per-row loop;
-    ``"fast"`` ranks by the vectorized numpy hash family used for bucket
-    tagging (same determinism contract — seedless, order/parallelism
-    independent — different sample membership, not SQL-expressible).
-    At crawl scale use ``"fast"``."""
+    ``order`` picks the rank key: ``"fast"`` (default) ranks by the
+    vectorized numpy hash family used for bucket tagging — the right
+    default at corpus scale, where a per-row ``hashlib.md5`` loop in a
+    full-corpus pass is the bottleneck.  ``"md5"`` is the SQL-mirrorable
+    oracle mode (same determinism contract — seedless,
+    order/parallelism independent — different sample membership); pin
+    it explicitly where a DuckDB oracle must reproduce the sample."""
     import hashlib
 
     keys = list(keys)

@@ -265,7 +265,15 @@ def text_density_batch(batch: pd.DataFrame,
     ``text_density = round(text_len / max(html_len, 1), 4)``,
     ``link_density = round(link_text_len / max(text_len, 1), 4)``.
     Case-insensitive anchors, ``(?s)`` dot-matches-newline in both
-    engines.  Narrow map, zero shuffles."""
+    engines.  Narrow map, zero shuffles.
+
+    SQL-parity caveat (round-4 ADVICE): the mirror is bit-for-bit on
+    ASCII-whitespace inputs only — Python's ``\\s`` / ``str.strip()``
+    are Unicode-aware while DuckDB/RE2 ``\\s`` and ``trim()`` are
+    ASCII-only, so ``text_len`` (and the densities derived from it)
+    diverge on non-ASCII whitespace such as a literal NBSP.  The engine
+    keeps the Unicode rule (correct for real HTML); oracle inputs must
+    be ASCII-whitespace (the driver query's synthetic template is)."""
     import numpy as np
 
     from pdf_extract_ray.util import round_half_away
@@ -299,7 +307,9 @@ def extract_text_density(ds: Dataset, html_col: str = "html") -> Dataset:
 def text_density_oracle_sql(source_sql: str,
                             html_expr: str = "html") -> str:
     """DuckDB mirror of ``text_density_batch`` (both engines are RE2 on
-    the anchor scan; Python re and RE2 agree on these patterns)."""
+    the anchor scan; Python re and RE2 agree on these patterns).  Parity
+    holds on ASCII-whitespace inputs — see ``text_density_batch``'s
+    caveat on Unicode whitespace (NBSP etc.)."""
     plain = ("length(trim(regexp_replace(regexp_replace({x}, "
              "'(?s)<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')))")
     txt = plain.format(x=html_expr)

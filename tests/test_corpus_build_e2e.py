@@ -47,7 +47,8 @@ def test_pages_to_tiers_to_shards(ray_session, tmp_path):
         for f in sorted(glob.glob(os.path.join(sd, "*.parquet"))):
             got.extend(pq.read_table(f, columns=["url"])
                        .column("url").to_pylist())
-    assert got == permutation_reference(kept_urls, n_shards=4)
+    assert got == permutation_reference(kept_urls, n_shards=4,
+                                        method="fast")  # shards_run default
 
     # the tier rows' signal columns survive the permutation
     f0 = sorted(glob.glob(os.path.join(shards, "shard=*",

@@ -128,3 +128,64 @@ def test_sitemap_lines_extracted_anywhere():
     assert sitemap_urls(t) == ["http://a.example/sitemap.xml",
                                "http://a.example/s2.xml"]
     assert sitemap_urls(None) == [] and sitemap_urls("no colons") == []
+
+
+def test_unknown_fields_do_not_end_agent_stacking_run():
+    # RFC 9309 §2.2.4 (round-4 ADVICE): unrecognized lines are ignored —
+    # 'UA: a / Crawl-delay: 1 / UA: b / Disallow: /x' stacks a AND b
+    # onto the same rule block.
+    from pdf_extract_ray.functions.robotstxt import (
+        parse_robots_txt,
+        robots_allowed,
+    )
+
+    t = ("User-agent: a\nCrawl-delay: 1\nUser-agent: b\nDisallow: /x\n")
+    for agent in ("a", "b"):
+        rules = parse_robots_txt(t, agent)
+        assert robots_allowed(rules, "/x/page") is False, agent
+        assert robots_allowed(rules, "/y") is True, agent
+    # a rule line still ends the run: a later UA starts a NEW group
+    t2 = ("User-agent: a\nDisallow: /x\nUser-agent: b\nDisallow: /y\n"
+          "Sitemap: http://e/s.xml\nDisallow: /z\n")
+    ra = parse_robots_txt(t2, "a")
+    rb = parse_robots_txt(t2, "b")
+    assert robots_allowed(ra, "/x") is False and robots_allowed(ra, "/y") is True
+    # b's block keeps accumulating across the ignored Sitemap line
+    assert robots_allowed(rb, "/y") is False and robots_allowed(rb, "/z") is False
+    assert robots_allowed(rb, "/x") is True
+
+
+def test_filter_by_robots_txt_duplicate_urls_not_multiplied(ray_session):
+    # round-4 ADVICE (medium): pages with duplicate urls were multiplied
+    # by the verdict inner join (2 allowed rows with the same url came
+    # back as 4).  The verdict side now dedups urls in-bucket.
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.robots import (
+        filter_by_robots_txt,
+        robots_txt_verdicts,
+    )
+
+    pages = rd.from_pandas(pd.DataFrame({
+        "url": ["http://a.example/p/1", "http://a.example/p/1",
+                "http://a.example/private/2", "http://a.example/private/2",
+                "http://b.example/x"],
+        "body": [f"b{i}" for i in range(5)],
+    })).repartition(2)
+    robots = rd.from_items([
+        {"host": "a.example",
+         "robots_txt": "User-agent: *\nDisallow: /private/\n"},
+    ])
+    kept = filter_by_robots_txt(pages, robots).to_pandas()
+    # BOTH copies of the allowed duplicate survive — exactly once each
+    assert sorted(kept["url"]) == ["http://a.example/p/1",
+                                   "http://a.example/p/1",
+                                   "http://b.example/x"]
+    assert sorted(kept["body"]) == ["b0", "b1", "b4"]
+    # the verdicts query itself keeps one row PER PAGE ROW by default
+    # (its frozen oracle semantics)...
+    v = robots_txt_verdicts(pages, robots).to_pandas()
+    assert len(v) == 5
+    # ...and one row per DISTINCT url in unique_urls mode
+    vu = robots_txt_verdicts(pages, robots, unique_urls=True).to_pandas()
+    assert len(vu) == 3 and vu["url"].is_unique

@@ -128,7 +128,7 @@ def test_changed_n_shards_invalidates_tag_pass(ray_session, tmp_path):
     # different n_shards = different stage_versions: nothing skips
     assert stats["completed"] == 2 and stats["shards_completed"] == 4
     assert _read_permutation(out) == permutation_reference(
-        range(40), n_shards=4)
+        range(40), n_shards=4, method="fast")  # shards_run default
 
 
 def test_mostly_empty_shards_complete(ray_session, tmp_path):
@@ -167,3 +167,33 @@ def test_fast_method_is_parallelism_independent():
     b = pd.concat(parts)
     assert list(a["shard"]) == list(b["shard"])
     assert list(a["_shard_key"]) == list(b["_shard_key"])
+
+
+def test_shard_bounds_sql_parity_non_power_of_two():
+    # round-4 ADVICE: floor-division bounds disagreed with the engine's
+    # `prefix * n // 2^32` rule whenever n_shards does not divide 16^8;
+    # ceil bounds are exact for every n.
+    import duckdb
+
+    for n in (10, 7, 12):
+        ids = list(range(400))
+        got = assign_shard_batch(pd.DataFrame({"doc_id": ids}),
+                                 n_shards=n)
+        con = duckdb.connect()
+        exp = con.sql(shard_oracle_sql(
+            "SELECT unnest(range(400)) AS doc_id", n_shards=n)).df()
+        assert list(got["shard"]) == list(exp["shard"]), f"n_shards={n}"
+        b = shard_bounds(n)
+        assert b[:-1] == sorted(b[:-1]) and b[-1] == "gggggggg"
+
+
+def test_shard_bounds_boundary_prefix_non_dividing():
+    # the exact failure shape from the ADVICE: a key whose 8-hex prefix
+    # equals floor((s+1)*2^32/n) must be shard s on BOTH sides when n
+    # does not divide 2^32 (engine: 429496729*10 // 2^32 == 0)
+    n = 10
+    prefix = (16 ** 8) // n          # floor bound for shard 0
+    assert (prefix * n) // (16 ** 8) == 0   # engine says shard 0
+    b = shard_bounds(n)
+    key = format(prefix, "08x") + "00000000"
+    assert key[:8] < b[0], "ceil bound must place the boundary key in shard 0"
