@@ -588,7 +588,29 @@ def simhash_pairs(
     max_hamming: int = 3,
     max_bucket: int = 1000,
 ) -> Dataset:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+    """Near-dup pairs with Hamming(simhash) <= max_hamming: the simhash
+    signature map followed by the generic 64-bit Hamming-LSH banding
+    stage (``hamming_lsh_pairs``, which holds the frozen banding /
+    ownership / bucket-cap semantics)."""
+    sigs = ds.map_batches(
+        lambda b: simhash_batch(b, id_col, text_col), batch_format="pandas",
+        batch_size=4096,
+    )
+    return hamming_lsh_pairs(sigs, id_col, hash_col="simhash",
+                             max_hamming=max_hamming, max_bucket=max_bucket)
+
+
+def hamming_lsh_pairs(
+    sigs: Dataset,
+    id_col: str,
+    *,
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> Dataset:
+    """Near-dup pairs with Hamming(``hash_col``) <= max_hamming over ANY
+    64-bit signature column — text simhash, image dHash
+    (stages/multimodal.image_dup_pairs), audio fingerprints.
 
     Banding guarantee (pigeonhole): with ``max_hamming + 1`` bands, any
     pair within the distance budget shares at least one identical band.
@@ -616,13 +638,8 @@ def simhash_pairs(
         masks.append((pos, (1 << w) - 1))
         pos += w
 
-    sigs = ds.map_batches(
-        lambda b: simhash_batch(b, id_col, text_col), batch_format="pandas",
-        batch_size=4096,
-    )
-
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        h = batch["simhash"].to_numpy().astype(np.uint64)
+        h = batch[hash_col].to_numpy().astype(np.uint64)
         ids = batch[id_col].to_numpy()
         n = len(h)
         keys = np.concatenate(
@@ -676,7 +693,7 @@ def simhash_pairs(
                 }))
         if dropped:
             logger.warning(
-                "simhash_pairs: dropped %d candidate buckets larger than "
+                "hamming_lsh_pairs: dropped %d candidate buckets larger than "
                 "max_bucket=%d (degenerate/boilerplate content)",
                 dropped, max_bucket,
             )

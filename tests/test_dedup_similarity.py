@@ -523,3 +523,107 @@ class TestNgramJaccard:
         # raising max_df brings the stop-phrase overlap back
         assert len(ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.05,
                                        max_df=10).take_all()) == 15
+
+
+# ---------------------------------------------------------------------------
+# image near-dup (stages/multimodal dHash + generic hamming_lsh_pairs)
+# ---------------------------------------------------------------------------
+
+def test_dhash_frozen_rule_and_noise_tolerance():
+    import numpy as np
+
+    from pdf_extract_ray.functions.bmp import decode_bmp, encode_bmp
+    from pdf_extract_ray.stages.multimodal import _mean_pool, dhash64
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, (20, 30, 3), dtype=np.uint8)
+    h0 = dhash64(px)
+    # frozen: bit (row*8+col) == cells[row][col+1] > cells[row][col]
+    g = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    cells = _mean_pool(g, 8, 9)
+    for r in range(8):
+        for c in range(8):
+            assert bool((h0 >> (r * 8 + c)) & 1) == \
+                bool(cells[r][c + 1] > cells[r][c])
+    # codec round-trip is exact -> hash identical
+    assert dhash64(decode_bmp(encode_bmp(px))) == h0
+    # small perturbation -> small hamming; unrelated image -> large
+    near = px.copy()
+    ys, xs = rng.randint(0, 20, 8), rng.randint(0, 30, 8)
+    near[ys, xs] = np.clip(near[ys, xs].astype(np.int16)
+                           + rng.randint(-40, 41, (8, 3)),
+                           0, 255).astype(np.uint8)
+    other = rng.randint(0, 256, (20, 30, 3), dtype=np.uint8)
+    d_near = bin(h0 ^ dhash64(near)).count("1")
+    d_other = bin(h0 ^ dhash64(other)).count("1")
+    assert d_near <= 5 < d_other
+
+
+def test_dhash_tiny_images_upsample_deterministically():
+    import numpy as np
+
+    from pdf_extract_ray.stages.multimodal import dhash64
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert dhash64(px) == dhash64(px)  # total, no crash on h<8 / w<9
+    # pure magnification keeps the hash CLOSE: pooled cells are equal up
+    # to summation order, so only near-tie gradient bits can flip (the
+    # strict > on almost-equal floats), never structure
+    rng = np.random.RandomState(11)
+    mid = rng.randint(0, 256, (16, 18, 3), dtype=np.uint8)
+    big = np.repeat(np.repeat(mid, 2, axis=0), 2, axis=1)
+    assert bin(dhash64(mid) ^ dhash64(big)).count("1") <= 3
+
+
+def test_image_dup_pairs_match_bruteforce(ray_session):
+    import itertools
+
+    import numpy as np
+    import ray.data as rd
+
+    from pdf_extract_ray.functions.bmp import decode_bmp
+    from pdf_extract_ray.stages.multimodal import (
+        dhash64,
+        image_dup_pairs,
+        synth_image_dup_table,
+    )
+
+    t = synth_image_dup_table(90)
+    got = (image_dup_pairs(rd.from_arrow(t).repartition(5))
+           .to_pandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+    hs = [dhash64(decode_bmp(p)) for p in t["payload"].to_pylist()]
+    exp = sorted((a, b, bin(hs[a] ^ hs[b]).count("1"))
+                 for a, b in itertools.combinations(range(90), 2)
+                 if bin(hs[a] ^ hs[b]).count("1") <= 5)
+    assert [tuple(r) for r in got.to_numpy()] == exp
+    # every planted triple's (3k, 3k+1) near-dup is recovered
+    planted = {(3 * k, 3 * k + 1) for k in range(30)}
+    found = set(zip(got["id_a"], got["id_b"]))
+    assert planted <= found
+
+
+def test_image_dup_skips_non_images_and_garbage(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        image_dup_pairs,
+        synth_image_dup_table,
+    )
+
+    t = synth_image_dup_table(6)
+    junk = pa.table({
+        "media_id": [100, 101],
+        "url": ["u1", "u2"],
+        "kind": ["audio", "image"],
+        "payload": [b"not audio", b"not a bmp"],
+        "content_type": ["audio/wav", "image/bmp"],
+        "n_bytes": [9, 9],
+    }, schema=MEDIA_SCHEMA)
+    ds = rd.from_arrow(pa.concat_tables([t, junk]))
+    got = image_dup_pairs(ds).to_pandas()
+    ids = set(got["id_a"]) | set(got["id_b"])
+    assert 100 not in ids and 101 not in ids
+    assert {(0, 1), (3, 4)} <= set(zip(got["id_a"], got["id_b"]))

@@ -750,13 +750,42 @@ def gen_nb_topic(sf_dir: str) -> dict[str, pa.Table]:
                                                   preserve_index=False)}
 
 
+def gen_image_dup(sf_dir: str) -> dict[str, pa.Table]:
+    """Brute-force all-pairs Hamming over per-image dHash — independent
+    of the banding/shuffle path (pigeonhole guarantees the LSH output
+    equals the full <=max_hamming pair set when no bucket overflows,
+    which the synth corpus can't at this size)."""
+    from pdf_extract_ray.functions.bmp import decode_bmp
+    from pdf_extract_ray.stages.multimodal import (
+        dhash64,
+        image_dup_n,
+        synth_image_dup_table,
+    )
+
+    t = synth_image_dup_table(image_dup_n(_sf_of(sf_dir)))
+    ids = t["media_id"].to_pylist()
+    hs = [dhash64(decode_bmp(p)) for p in t["payload"].to_pylist()]
+    out = {"id_a": [], "id_b": [], "hamming": []}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            d = bin(hs[x] ^ hs[y]).count("1")
+            if d <= 5:
+                out["id_a"].append(ids[x])
+                out["id_b"].append(ids[y])
+                out["hamming"].append(d)
+    df = (pd.DataFrame(out).astype(np.int64)
+          .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    return {"image_near_dup": pa.Table.from_pandas(df,
+                                                   preserve_index=False)}
+
+
 GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_pair_analyzers, gen_layout, gen_media, gen_media_pixels,
               gen_approx_distinct, gen_approx_quantiles,
               gen_compression_ratio, gen_bpe,
               gen_similarity_ivf, gen_embedding_lsh, gen_pdf_extract,
               gen_substr_dedup, gen_pagerank, gen_hits, gen_cms,
-              gen_nb_quality, gen_bloom, gen_nb_topic)
+              gen_nb_quality, gen_bloom, gen_nb_topic, gen_image_dup)
 
 
 def generate_all(sf_dir: str) -> dict[str, pa.Table]:
