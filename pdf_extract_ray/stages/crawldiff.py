@@ -233,8 +233,16 @@ def filter_to_changed(
 
     def as_urls(b: pd.DataFrame) -> pd.DataFrame:
         keep = b[b["status"].isin(statuses)]
-        return pd.DataFrame({"__changed_url": pd.array(
-            keep["url"].tolist(), dtype="string")})
+        # object (string) key columns must be explicitly string-typed so
+        # an EMPTY batch doesn't become an Arrow null column (join
+        # schema mismatch); non-object keys (int ids — the quality
+        # pipeline's order_col) keep their dtype
+        vals = keep["url"]
+        if vals.dtype == object:
+            vals = pd.array(vals.tolist(), dtype="string")
+        else:
+            vals = vals.to_numpy()
+        return pd.DataFrame({"__changed_url": vals})
 
     verd = diff.map_batches(as_urls, batch_format="pandas") \
         .repartition(num_partitions)

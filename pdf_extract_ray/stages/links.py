@@ -242,3 +242,30 @@ def host_link_edges(ds: Dataset, html_col: str = "html",
         ["src_host", "dst_host"],
         {"n_links": ("dst_host", "count")},
     )
+
+
+def url_host_link_edges(ds: Dataset, html_col: str = "html",
+                        url_col: str = "url") -> Dataset:
+    """``(src_url, src_host, dst_host, n_links)`` per-PAGE edge rollup —
+    the granularity the incremental link graph stores so a changed
+    page's old contribution can be SUBTRACTED without re-parsing old
+    crawls (pipelines/linkgraph.incremental_host_graph).  Same narrow
+    extract + one grouped merge as ``host_link_edges``; rows are bounded
+    by the corpus's total out-degree."""
+    from pdf_extract_ray.functions.url import canonicalize_urls
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    links = extract_links(ds, html_col, url_col)
+
+    def hostify(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src_url": b["src_url"].astype(str).to_numpy(),
+            "src_host": canonicalize_urls(b["src_url"])["url_host"],
+            "dst_host": canonicalize_urls(b["dst_url"])["url_host"],
+        })
+
+    return grouped_aggregate(
+        links.map_batches(hostify, batch_format="pandas"),
+        ["src_url", "src_host", "dst_host"],
+        {"n_links": ("dst_host", "count")},
+    )
