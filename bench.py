@@ -162,7 +162,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "sessionized_events", "nb_quality_docs",
                      "nb_topic_docs", "corpus_profile",
                      "robots_txt_verdicts", "text_density_docs",
-                     "shard_assignment", "minhash_delta_docs"):
+                     "shard_assignment", "minhash_delta_docs",
+                     "webtext_tiers_lang", "perplexity_buckets_lang",
+                     "image_near_dup"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise
