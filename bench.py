@@ -163,8 +163,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "nb_topic_docs", "corpus_profile",
                      "robots_txt_verdicts", "text_density_docs",
                      "shard_assignment", "minhash_delta_docs",
-                     "webtext_tiers_lang", "perplexity_buckets_lang",
-                     "image_near_dup"):
+                     # perplexity_buckets_lang is oracle-checked but kept
+                     # out of the bench: it trains 5 per-language models
+                     # = 20 fixed-cost plan executions (~1 s each at toy
+                     # scale) that measure Ray plan startup, not the
+                     # kernel (which IS benched via perplexity_buckets)
+                     "webtext_tiers_lang", "image_near_dup"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise
