@@ -441,6 +441,36 @@ def q_embedding_near_dup(sf_dir: str):
     return embedding_dup_pairs(ds, threshold=0.4, num_buckets=1)
 
 
+def q_dsir_weights(sf_dir: str):
+    # DSIR importance weights (stages/dsir.py; Xie et al. 2023): log
+    # likelihood ratio of hashed n-gram features under target-vs-raw
+    # smoothed bucket distributions — target = the English slice, raw =
+    # the whole corpus. Two bounded training vectors (driver tables
+    # capped at n_buckets), one broadcast diff vector, one narrow
+    # scoring map. Oracle = committed single-process golden
+    # (dict-count + per-feature loop reference).
+    from pdf_extract_ray.stages.dsir import dsir_weights, train_bucket_dist
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    log_t = train_bucket_dist(ds.filter(expr="lang == 'en'"))
+    log_r = train_bucket_dist(ds)
+    return dsir_weights(ds, log_t, log_r)
+
+
+def q_semdedup_embeddings(sf_dir: str):
+    # SemDeDup (stages/semdedup.py; Abbas et al. 2023): coarse k-means
+    # cells (the IVF centroid machinery) + a greedy
+    # farthest-from-centroid-first keep sweep within each cell — drops
+    # all but one member of every within-cell group with cosine >= tau.
+    # One bucketed shuffle (by cell); the quadratic step is bounded by
+    # the cluster, never the corpus. Oracle = committed single-process
+    # brute-force golden (independent plain-loop sweep).
+    from pdf_extract_ray.stages.semdedup import semantic_dedup
+
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semantic_dedup(ds, threshold=0.4, n_cells=16)
+
+
 def q_similarity_topk_ivf(sf_dir: str):
     # the ANN scale path: IVF coarse cells, nprobe-limited scoring.
     # Deterministic (fixed centroid sample + farthest-point traversal), so
@@ -2493,6 +2523,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk_ivf": q_similarity_topk_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "semdedup_embeddings": q_semdedup_embeddings,
+        "dsir_weights_docs": q_dsir_weights,
         "minhash_near_dup": q_minhash_near_dup,
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_dedup_docs": q_near_dup_dedup_docs,
@@ -3147,7 +3179,8 @@ def oracle_sql() -> dict[str, str]:
                         "bpe_merges", "bpe_token_stats", "host_hits",
                         "cms_word_probe", "nb_quality_docs",
                         "nb_topic_docs", "bloom_url_probe",
-                        "image_near_dup")},
+                        "image_near_dup", "semdedup_embeddings",
+                        "dsir_weights_docs")},
         "pii_redacted_docs": _pii_oracle(),
         "bm25_docs": _bm25_oracle(),
         "tfidf_docs": _tfidf_oracle(),

@@ -163,12 +163,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "nb_topic_docs", "corpus_profile",
                      "robots_txt_verdicts", "text_density_docs",
                      "shard_assignment", "minhash_delta_docs",
-                     # perplexity_buckets_lang is oracle-checked but kept
-                     # out of the bench: it trains 5 per-language models
-                     # = 20 fixed-cost plan executions (~1 s each at toy
-                     # scale) that measure Ray plan startup, not the
-                     # kernel (which IS benched via perplexity_buckets)
-                     "webtext_tiers_lang", "image_near_dup"):
+                     "webtext_tiers_lang", "image_near_dup",
+                     # back in the bench after the one-pass per-language
+                     # trainer (22.7 s -> ~11 s: ONE corpus scan + 2L
+                     # small cap plans instead of L filtered scans)
+                     "perplexity_buckets_lang",
+                     "semdedup_embeddings", "dsir_weights_docs"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

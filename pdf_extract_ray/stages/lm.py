@@ -308,6 +308,26 @@ FROM toks t LEFT JOIN per_doc p USING ({id_col})
 BUCKET_NOMODEL = "nomodel"
 
 
+def _bigram_rows_by_lang(batch: pd.DataFrame, text_col: str,
+                         lang_col: str) -> pd.DataFrame:
+    """``(lang, w1, w2, c)`` partial counts for one batch — the
+    ``_bigram_rows`` kernel applied per language subset (each document
+    carries exactly one language, so per-subset counts equal
+    filter-then-count)."""
+    arr = batch[lang_col].astype(str).to_numpy()
+    outs = []
+    for lg in pd.unique(arr):
+        rows = _bigram_rows(batch[arr == lg], text_col)
+        if len(rows):
+            rows.insert(0, "lang", lg)
+            outs.append(rows)
+    if not outs:
+        return pd.DataFrame({"lang": [], "w1": [], "w2": [], "c": []}
+                            ).astype({"lang": str, "w1": str, "w2": str,
+                                      "c": np.int64})
+    return pd.concat(outs, ignore_index=True)
+
+
 def train_bigram_lm_by_lang(
     ds: Dataset,
     *,
@@ -320,22 +340,49 @@ def train_bigram_lm_by_lang(
     """One capped bigram model per language over the TRAINING SLICE
     ``ds`` (pre-filter it like ``train_bigram_lm``'s contract).
 
-    The driver loop is bounded by the number of languages, not the
-    corpus; each per-language train is the existing bounded pipeline.
-    At corpus scale, prefer pointing each train at that language's
-    ``split_by_lang`` output directory (a directory-pruned read —
-    pipelines/webtext.py's layout exists for exactly this) instead of
-    filtering the mixed corpus L times; the filter form here is the
-    layout-independent fallback.  Passing ``langs`` explicitly skips the
-    ``unique()`` discovery shuffle."""
+    ONE corpus pass trains every model (vs the naive
+    filter-per-language loop = L full scans): per-batch partial counts
+    keyed ``(lang, w1, w2)``, one grouped merge, then per-language
+    sort+limit cap plans over the pinned post-aggregation count table
+    (already collapsed to distinct-ngram rows — the 2L cap plans never
+    rescan the corpus).  Models are identical to training each language
+    separately because every document carries exactly one language.
+    Passing ``langs`` explicitly skips the ``unique()`` discovery scan;
+    a listed language with no rows gets the empty model, matching the
+    filtered-train behavior."""
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
     if langs is None:
         langs = sorted(ds.unique(lang_col))
-    return {
-        lg: train_bigram_lm(ds.filter(expr=f"{lang_col} == '{lg}'"),
-                            text_col=text_col, max_vocab=max_vocab,
-                            max_bigrams=max_bigrams)
-        for lg in langs
-    }
+    counts = grouped_aggregate(
+        ds.map_batches(lambda b: _bigram_rows_by_lang(b, text_col,
+                                                      lang_col),
+                       batch_format="pandas"),
+        ["lang", "w1", "w2"],
+        {"c": ("c", "sum")},
+    ).materialize()
+    models: dict[str, dict] = {}
+    for lg in langs:
+        sub = counts.filter(expr=f"lang == '{lg}'")
+        uni_top = (
+            sub.filter(expr="w2 == ''")
+            .sort(["c", "w1"], descending=[True, False])
+            .limit(max_vocab).to_pandas())
+        bi_top = (
+            sub.filter(expr="w2 != ''")
+            .sort(["c", "w1", "w2"], descending=[True, False, False])
+            .limit(max_bigrams).to_pandas())
+        # a listed language with no rows yields 0-column frames (Ray's
+        # empty-dataset to_pandas drops the schema): the empty model
+        uni = (pd.Series(uni_top["c"].to_numpy(np.int64),
+                         index=uni_top["w1"].to_numpy())
+               if len(uni_top) else pd.Series([], dtype=np.int64))
+        bi = (pd.Series(bi_top["c"].to_numpy(np.int64),
+                        index=(bi_top["w1"] + " "
+                               + bi_top["w2"]).to_numpy())
+              if len(bi_top) else pd.Series([], dtype=np.int64))
+        models[lg] = {"uni": uni, "bi": bi, "V": len(uni) + 1}
+    return models
 
 
 def perplexity_buckets_by_lang(

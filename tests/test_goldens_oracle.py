@@ -25,7 +25,7 @@ GOLDEN_QUERIES = (
     "pdf_extract_docs", "near_dup_clusters", "near_dup_dedup_docs",
     "substr_dedup_docs", "host_pagerank", "host_hits", "cms_word_probe",
     "nb_quality_docs", "bloom_url_probe", "nb_topic_docs",
-    "image_near_dup",
+    "image_near_dup", "semdedup_embeddings", "dsir_weights_docs",
 )
 
 

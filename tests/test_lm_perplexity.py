@@ -199,3 +199,44 @@ def test_by_lang_oracle_sql_matches_engine(ray_session):
                        rtol=0, atol=0)
     assert list(got["bucket"]) == list(exp["bucket"])
     assert list(got["n_bigrams"]) == list(exp["n_bigrams"])
+
+
+def test_one_pass_by_lang_equals_filtered_train(ray_session):
+    # the one-pass (lang, w1, w2) trainer must produce models
+    # byte-identical to training each language on its filtered slice
+    # (the naive L-scan shape it replaced)
+    from pdf_extract_ray.stages.lm import train_bigram_lm_by_lang
+
+    ds = rd.from_pandas(MULTI).repartition(4)
+    got = train_bigram_lm_by_lang(ds, lang_col="lang",
+                                  langs=["en", "fr", "de"])
+    for lg in ("en", "fr"):
+        sub = MULTI[MULTI["lang"] == lg].reset_index(drop=True)
+        exp = train_bigram_lm(rd.from_pandas(sub))
+        assert got[lg]["V"] == exp["V"]
+        pd.testing.assert_series_equal(got[lg]["uni"], exp["uni"])
+        pd.testing.assert_series_equal(got[lg]["bi"], exp["bi"])
+    # a listed language with no rows gets the empty model, like the
+    # filtered-train behavior (V = 1 = the OOV type alone)
+    assert got["de"]["V"] == 1
+    assert len(got["de"]["uni"]) == 0 and len(got["de"]["bi"]) == 0
+
+
+def test_one_pass_cap_applies_per_language(ray_session):
+    # the vocab/bigram caps bound each LANGUAGE's model independently —
+    # a dominant language must not evict another language's entries
+    from pdf_extract_ray.stages.lm import train_bigram_lm_by_lang
+
+    df = pd.DataFrame({
+        "doc_id": range(4),
+        "lang": ["en", "en", "en", "fr"],
+        "text": ["aa bb cc dd ee ff gg hh", "aa bb cc dd ee ff gg hh",
+                 "aa bb cc dd ee ff gg hh", "le chat dort"],
+    })
+    models = train_bigram_lm_by_lang(
+        rd.from_pandas(df), lang_col="lang", langs=["en", "fr"],
+        max_vocab=3, max_bigrams=2)
+    assert len(models["en"]["uni"]) == 3 and len(models["en"]["bi"]) == 2
+    # fr keeps its own (small) model even though en saturates its caps
+    assert set(models["fr"]["uni"].index) == {"le", "chat", "dort"}
+    assert models["fr"]["V"] == 4

@@ -779,13 +779,93 @@ def gen_image_dup(sf_dir: str) -> dict[str, pa.Table]:
                                                    preserve_index=False)}
 
 
+def gen_dsir(sf_dir: str) -> dict[str, pa.Table]:
+    # single-process DSIR reference: dict-count target/raw distributions
+    # + per-feature scoring loop (stages/dsir.dsir_reference); target =
+    # the English slice, raw = all documents — matching q_dsir_weights
+    from pdf_extract_ray.stages.dsir import dsir_reference
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"]).to_pandas() \
+        .sort_values("doc_id")
+    ref = dsir_reference(docs.loc[docs["lang"] == "en", "text"],
+                         docs["text"], docs["text"])
+    ref.insert(0, "doc_id", docs["doc_id"].to_numpy())
+    return {"dsir_weights_docs": pa.Table.from_pandas(
+        ref, preserve_index=False)}
+
+
+def gen_semdedup(sf_dir: str) -> dict[str, pa.Table]:
+    """Single-process mirror of semantic_dedup (threshold 0.4, 16 cells):
+    same deterministic centroid pick (the shared frozen constant, like
+    dhash64 for the image golden), but cluster assignment, centroid
+    cosine and the greedy farthest-from-centroid-first keep sweep are
+    re-derived here with plain per-row loops — independent of BOTH the
+    engine's bucketed shuffle and semdedup.sweep_cluster."""
+    from pdf_extract_ray.stages.similarity import _kmeanspp_lite
+    from pdf_extract_ray.util import round_half_away
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas()
+    ids = emb["vec_id"].to_numpy()
+    v = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    stride = max(1, len(emb) // 2048)
+    h = pd.util.hash_pandas_object(emb["vec_id"], index=False).to_numpy()
+    mask = (h % np.uint64(stride)) == 0
+    if mask.sum() < 16:
+        sample = v[:2048]
+    else:
+        order = np.lexsort((ids[mask], h[mask]))[:2048]
+        sample = v[mask][order]
+    cents = _kmeanspp_lite(sample, 16)
+    # cell assignment + centroid cosine use the engine's exact float
+    # expressions (frozen constants of the operator, like the centroid
+    # pick itself — bit-equality matters for the argmin); the SWEEP below
+    # is the independently re-derived part
+    cents_sq = (cents ** 2).sum(axis=1)
+    dots = v @ cents.T
+    cell_of = (cents_sq[None, :] - 2.0 * dots).argmin(axis=1)
+    norms = np.linalg.norm(v, axis=1)
+    norms[norms == 0] = 1.0
+    vn = v / norms[:, None]
+    cn = np.linalg.norm(cents, axis=1)
+    cn[cn == 0] = 1.0
+    all_ccos = round_half_away(
+        dots[np.arange(len(v)), cell_of] / (norms * cn[cell_of]), 6)
+    rows = []
+    for c in range(len(cents)):
+        members = sorted(
+            (float(all_ccos[i]), int(ids[i]), i)
+            for i in range(len(ids)) if cell_of[i] == c)
+        kept_rows = []  # (id, row index) in keep order
+        for ccos, id_, i in members:
+            best, dup = -2.0, None
+            for kid, kidx in kept_rows:
+                cos = float(round_half_away(float(vn[i] @ vn[kidx]), 6))
+                if cos > best:
+                    best, dup = cos, kid
+            if kept_rows and best >= 0.4:
+                rows.append((id_, c, ccos, False, dup))
+            else:
+                kept_rows.append((id_, i))
+                rows.append((id_, c, ccos, True, -1))
+    df = pd.DataFrame(rows, columns=["vec_id", "cluster", "centroid_cos",
+                                     "kept", "dup_of"])
+    df = df.astype({"vec_id": np.int64, "cluster": np.int64,
+                    "centroid_cos": np.float64, "kept": bool,
+                    "dup_of": np.int64})
+    return {"semdedup_embeddings": pa.Table.from_pandas(
+        df, preserve_index=False)}
+
+
 GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_pair_analyzers, gen_layout, gen_media, gen_media_pixels,
               gen_approx_distinct, gen_approx_quantiles,
               gen_compression_ratio, gen_bpe,
               gen_similarity_ivf, gen_embedding_lsh, gen_pdf_extract,
               gen_substr_dedup, gen_pagerank, gen_hits, gen_cms,
-              gen_nb_quality, gen_bloom, gen_nb_topic, gen_image_dup)
+              gen_nb_quality, gen_bloom, gen_nb_topic, gen_image_dup,
+              gen_semdedup, gen_dsir)
 
 
 def generate_all(sf_dir: str) -> dict[str, pa.Table]:
