@@ -441,6 +441,46 @@ def q_embedding_near_dup(sf_dir: str):
     return embedding_dup_pairs(ds, threshold=0.4, num_buckets=1)
 
 
+# the C4 query's deterministic page derivation: the synthetic documents
+# are single-line with no punctuation, so both engines (pandas replace
+# chain / nested SQL replace) first derive multi-line pages from the
+# same words — every line/page rule then fires on real variety.  The
+# chain is ORDERED and frozen; keep the two forms in sync.
+_C4_DERIVE_SQL = (
+    "SELECT doc_id, replace(replace(replace(replace(coalesce(text, ''),"
+    " ' a ', '.' || chr(10)), ' the ', '?' || chr(10)),"
+    " ' slow ', ' javascript '), ' fast ', ' {{ fast ') AS text"
+    " FROM {table}"
+)
+
+
+def _c4_pages_batch(b):
+    t = (b["text"].fillna("").astype(str)
+         .str.replace(" a ", ".\n", regex=False)
+         .str.replace(" the ", "?\n", regex=False)
+         .str.replace(" slow ", " javascript ", regex=False)
+         .str.replace(" fast ", " { fast ", regex=False))
+    return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(), "text": t})
+
+
+def q_c4_clean_docs(sf_dir: str):
+    # C4 heuristic cleaning (stages/c4.py; Raffel et al. 2020 §2.2):
+    # terminal-punctuation + min-words + javascript line rules, lorem
+    # ipsum / curly-brace / min-sentences page rules — ONE narrow map,
+    # full SQL oracle (DuckDB list_filter mirrors the line sweep).
+    from pdf_extract_ray.stages.c4 import c4_clean
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return c4_clean(ds.map_batches(_c4_pages_batch, batch_format="pandas"))
+
+
+def _c4_oracle() -> str:
+    from pdf_extract_ray.stages.c4 import c4_oracle_sql
+
+    return c4_oracle_sql("(" + _C4_DERIVE_SQL.format(table="documents")
+                         + ")")
+
+
 def q_dsir_weights(sf_dir: str):
     # DSIR importance weights (stages/dsir.py; Xie et al. 2023): log
     # likelihood ratio of hashed n-gram features under target-vs-raw
@@ -2525,6 +2565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "semdedup_embeddings": q_semdedup_embeddings,
         "dsir_weights_docs": q_dsir_weights,
+        "c4_clean_docs": q_c4_clean_docs,
         "minhash_near_dup": q_minhash_near_dup,
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_dedup_docs": q_near_dup_dedup_docs,
@@ -3182,6 +3223,7 @@ def oracle_sql() -> dict[str, str]:
                         "image_near_dup", "semdedup_embeddings",
                         "dsir_weights_docs")},
         "pii_redacted_docs": _pii_oracle(),
+        "c4_clean_docs": _c4_oracle(),
         "bm25_docs": _bm25_oracle(),
         "tfidf_docs": _tfidf_oracle(),
         "repetition_stats": _repetition_oracle(),

@@ -168,7 +168,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      # trainer (22.7 s -> ~11 s: ONE corpus scan + 2L
                      # small cap plans instead of L filtered scans)
                      "perplexity_buckets_lang",
-                     "semdedup_embeddings", "dsir_weights_docs"):
+                     "semdedup_embeddings", "dsir_weights_docs",
+                     "c4_clean_docs"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise
