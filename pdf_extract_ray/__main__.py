@@ -79,6 +79,7 @@ def cmd_webtext(args) -> int:
             args.input, args.out, keep_rejects=args.keep_rejects,
             split_by_lang=args.split_by_lang,
             per_lang_rules=args.per_lang_rules,
+            c4_rules=args.c4_rules,
             files_per_partition=args.files_per_partition,
         )
         print(json.dumps({"run": stats}))
@@ -191,6 +192,9 @@ def main(argv=None) -> int:
     wp.add_argument("--per-lang-rules", action="store_true",
                     help="gate tier1 on each document's own language's "
                          "stop profile (stages/langquality.py)")
+    wp.add_argument("--c4-rules", action="store_true",
+                    help="fuse C4 line/page cleaning in front of tiering "
+                         "(stages/c4.py)")
     lg = sub.add_parser("linkgraph", help="run/resume host link-graph extraction")
     add_common(lg)
     lg.add_argument("--respect-robots", action="store_true",

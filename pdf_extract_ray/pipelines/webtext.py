@@ -108,6 +108,7 @@ def webtext_run(
     nb_model: dict | None = None,
     split_by_lang: bool = False,
     per_lang_rules: bool = False,
+    c4_rules: bool = False,
     files_per_partition: int = 8,
     min_rows_per_file: int = 5_000,
 ) -> dict:
@@ -148,7 +149,13 @@ def webtext_run(
     profile and threshold (CCNet shape) instead of the English list —
     without it, every non-English document fails tier1 by construction.
     Still one fused narrow map (the classifier runs inside it, so
-    ``split_by_lang`` reuses its ``lang_id_v2`` column at zero cost)."""
+    ``split_by_lang`` reuses its ``lang_id_v2`` column at zero cost).
+
+    ``c4_rules=True`` fuses C4 heuristic cleaning (stages/c4.py) in
+    front of tiering: line rules rewrite the text column in place and
+    pages failing the C4 page rules are dropped before any signal is
+    computed — the same narrow pass, no extra scan.  The flag is part
+    of the run identity (resuming with it toggled redoes partitions)."""
     import ray.data as rd
 
     from pdf_extract_ray.pipelines.runner import _rows_written
@@ -185,6 +192,11 @@ def webtext_run(
                 ds = filter_indexable(ds)
             ds = extract_pages_fused(ds)
             col = "extracted_text"
+        if c4_rules:
+            from pdf_extract_ray.stages.c4 import apply_c4_filter
+
+            ds = ds.map_batches(lambda b: apply_c4_filter(b, col),
+                                batch_format="pandas")
         if per_lang_rules:
             from pdf_extract_ray.stages.langquality import webtext_tiers_lang
 
@@ -237,5 +249,6 @@ def webtext_run(
                         "nb_model": nb_model_digest(nb_model),
                         "split_by_lang": str(split_by_lang),
                         "per_lang_rules": str(per_lang_rules),
+                        "c4_rules": str(c4_rules),
                         "rules": repr(sorted(rules.items()))},
     )

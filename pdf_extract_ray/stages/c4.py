@@ -109,6 +109,25 @@ def c4_clean(ds: Dataset, *, id_col: str = "doc_id",
         batch_format="pandas")
 
 
+def apply_c4_filter(batch: pd.DataFrame, text_col: str = "text", *,
+                    min_words: int = MIN_WORDS,
+                    min_sentences: int = MIN_SENTENCES) -> pd.DataFrame:
+    """Pipeline form for fusing into a streaming plan (webtext_run's
+    ``c4_rules`` flag): the ORIGINAL batch filtered to ``c4_kept`` pages
+    with ``text_col`` replaced by the cleaned text — every other column
+    rides through untouched, so it composes before any tier/signal
+    stage."""
+    b = batch.reset_index(drop=True)
+    tmp = pd.DataFrame({"__id": np.arange(len(b)),
+                        text_col: b[text_col].to_numpy()})
+    res = c4_clean_batch(tmp, id_col="__id", text_col=text_col,
+                         min_words=min_words, min_sentences=min_sentences)
+    keep = res["c4_kept"].to_numpy()
+    out = b.loc[keep].copy()
+    out[text_col] = res["c4_text"].to_numpy()[keep]
+    return out.reset_index(drop=True)
+
+
 def c4_oracle_sql(table: str = "documents", *, id_col: str = "doc_id",
                   text_col: str = "text", min_words: int = MIN_WORDS,
                   min_sentences: int = MIN_SENTENCES) -> str:

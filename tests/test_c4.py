@@ -85,3 +85,53 @@ def test_thresholds_are_knobs():
     # the short-lines doc now keeps its three tiny lines and the page
     assert out.loc[5, "n_lines_kept"] == 3
     assert bool(out.loc[5, "c4_kept"])
+
+
+def test_webtext_run_c4_rules(ray_session, tmp_path):
+    # c4_rules fuses cleaning in front of tiering: line-rewritten text,
+    # C4-dropped pages never reach a tier, flag is in the run identity
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pdf_extract_ray.pipelines.webtext import webtext_run, webtext_tiers
+    from pdf_extract_ray.stages.c4 import apply_c4_filter
+
+    good = ("The cat sat on a mat and looked to the sky for it was "
+            "that kind of day when every animal wanders far away.\n"
+            "It is one of those long and gentle sentences that the "
+            "filter should keep without any complaint at all!\n"
+            "And here is a third one so the page passes the gate?")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [good,
+                 good + "\ncode { display: none }",  # '{' -> page drop
+                 "no terminal punctuation here at all"],
+    })
+    docs.to_parquet(f"{src}/a.parquet")
+    out = str(tmp_path / "out")
+    webtext_run(f"{src}/*.parquet", out, c4_rules=True,
+                files_per_partition=1, min_rows_per_file=1)
+    import glob as _glob
+    import re as _re
+
+    frames = []
+    for p in _glob.glob(f"{out}/part=*/tier=*/*.parquet"):
+        f = pq.read_table(p).to_pandas()
+        f["tier"] = _re.search(r"tier=([^/]+)/", p).group(1)
+        frames.append(f)
+    got = pd.concat(frames, ignore_index=True).sort_values("doc_id")
+    # only doc 0 survives C4 (1: curly brace, 2: no kept lines)
+    assert list(got["doc_id"]) == [0]
+    # and its tier was computed on the CLEANED text: equal to the manual
+    # composition apply_c4_filter -> webtext_tiers
+    manual = webtext_tiers(
+        rd.from_pandas(apply_c4_filter(docs, "text"))).to_pandas()
+    manual = manual[manual["doc_id"] == 0]
+    assert got["tier"].iloc[0] == manual["tier"].iloc[0]
+    # resuming with the flag toggled must NOT skip: identity differs
+    stats2 = webtext_run(f"{src}/*.parquet", out, c4_rules=False,
+                         files_per_partition=1, min_rows_per_file=1)
+    assert stats2["completed"] == 1 and stats2["skipped"] == 0
