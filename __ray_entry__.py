@@ -1366,6 +1366,19 @@ MIX_RATES = {"src1": 1.0, "src2": 0.5, "src3": 0.25}
 MIX_DEFAULT_RATE = 0.1
 
 
+def q_temperature_mix_docs(sf_dir: str):
+    # temperature (alpha) sampling over the skewed lang column
+    # (stages/mix.py, XLM-R shape): ONE bounded count pass derives the
+    # per-language keep rates r = sqrt(n_min/n_lang), then the same
+    # zero-shuffle md5-rank filter as source_mixed_docs. alpha=0.5 is
+    # the sqrt exponent — correctly rounded, so bit-par with the SQL.
+    from pdf_extract_ray.stages.mix import temperature_sample
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    return temperature_sample(ds, "lang", alpha=0.5, id_col="doc_id",
+                              method="md5")
+
+
 def _link_pages(b: pd.DataFrame) -> pd.DataFrame:
     """Deterministic link-bearing pages from the documents table: one
     absolute cross-host link, one relative link (urljoin against the
@@ -2616,6 +2629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_docs": q_line_dedup_docs,
         "nfc_docs": q_nfc_docs,
         "source_mixed_docs": q_source_mixed_docs,
+        "temperature_mix_docs": q_temperature_mix_docs,
         "link_edges": q_link_edges,
         "anchor_texts": q_anchor_texts,
         "robots_indexable": q_robots_indexable,
@@ -2919,6 +2933,14 @@ def _host_rollup_oracle() -> str:
         "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
         "round(sum(n_chars) * 1.0 / count(*), 4) AS avg_chars "
         "FROM canon JOIN chars USING (doc_id) GROUP BY url_domain")
+
+
+def _temperature_mix_oracle() -> str:
+    from pdf_extract_ray.stages.mix import temperature_sample_oracle_sql
+
+    return temperature_sample_oracle_sql(
+        "SELECT doc_id, lang, source FROM documents",
+        "lang", alpha=0.5, id_col="doc_id")
 
 
 def _source_mixed_oracle() -> str:
@@ -3243,6 +3265,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "source_mixed_docs": _source_mixed_oracle(),
+        "temperature_mix_docs": _temperature_mix_oracle(),
         "link_edges": _link_edges_oracle(),
         "anchor_texts": _anchor_texts_oracle(),
         "robots_indexable": _robots_indexable_oracle(),

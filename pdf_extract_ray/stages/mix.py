@@ -87,6 +87,111 @@ def weighted_sample(
     )
 
 
+def temperature_rates(
+    counts: dict[str, int], alpha: float = 0.5,
+) -> dict[str, float]:
+    """Per-group keep rates for temperature sampling (Conneau et al.
+    2020 XLM-R §3.1; Raffel et al. 2020 mC4 — public papers): sample
+    group g with probability proportional to ``p_g ** alpha`` where
+    ``p_g = n_g / N``.  Realized as per-document keep rates normalized
+    so the smallest group keeps everything::
+
+        r_g = (n_min / n_g) ** (1 - alpha)
+
+    alpha=1 reproduces the raw distribution (all rates 1), alpha=0
+    equalizes group sizes, alpha in between (0.3-0.7 in practice)
+    upweights low-resource groups without flattening the mix.
+
+    For bit-parity with the SQL oracle the alpha=0.5 exponent is
+    computed via np.sqrt (correctly rounded in IEEE-754, so numpy and
+    DuckDB agree bitwise); other alphas use np.power (engine-only).
+    """
+    if not counts:
+        return {}
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    n_min = min(counts.values())
+    exp = 1.0 - alpha
+    out: dict[str, float] = {}
+    for g, n in counts.items():
+        ratio = np.float64(n_min) / np.float64(n)
+        if exp == 0.5:
+            out[g] = float(np.sqrt(ratio))
+        else:
+            out[g] = float(np.power(ratio, np.float64(exp)))
+    return out
+
+
+def temperature_sample(
+    ds: Dataset,
+    group_col: str,
+    *,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    method: str = "md5",
+) -> Dataset:
+    """Temperature-based corpus rebalancing: ONE bounded count pass
+    (map-side partials; the merged table and the driver dict are
+    bounded by the number of distinct groups — languages/sources, a
+    few hundred at most), then the same zero-shuffle hash-threshold
+    filter as ``weighted_sample``.  Deterministic: membership is a
+    pure function of (id, group counts, alpha)."""
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    cnt = grouped_aggregate(
+        ds.select_columns([group_col]), [group_col],
+        {"n": (group_col, "count")})
+    # bounded driver materialization: one row per distinct group.
+    counts = {
+        str(r[group_col]): int(r["n"]) for r in cnt.take_all()
+    }
+    rates = temperature_rates(counts, alpha)
+    return weighted_sample(
+        ds, group_col, rates, id_col=id_col, method=method)
+
+
+def temperature_sample_oracle_sql(
+    table_sql: str,
+    group_col: str,
+    *,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of ``temperature_sample(alpha=0.5, method='md5')``.
+
+    The rate is data-dependent, so the SQL computes the group counts in
+    a CTE and derives the same 8-hex bound: sqrt and double division
+    are correctly rounded in both engines, and
+    ``printf('%08x', floor(rate * 2**32))`` reproduces
+    ``_bound_hex`` digit for digit (verified bitwise over random count
+    pairs in tests).  Only alpha=0.5 is oracle-expressible with exact
+    parity; the min-count group keeps everything via the 'gggggggg'
+    sentinel exactly as ``_bound_hex(1.0)`` does.
+    """
+    if alpha != 0.5:
+        raise ValueError("oracle parity is only guaranteed for alpha=0.5")
+    key = f"substr(md5(CAST({id_col} AS VARCHAR)), 1, 8)"
+    return f"""
+WITH src AS ({table_sql}),
+cnt AS (
+  SELECT CAST({group_col} AS VARCHAR) AS g, COUNT(*) AS n
+  FROM src GROUP BY 1
+),
+bounds AS (
+  SELECT g,
+    CASE WHEN n = (SELECT MIN(n) FROM cnt) THEN 'gggggggg'
+         ELSE printf('%08x', CAST(floor(
+           sqrt(CAST((SELECT MIN(n) FROM cnt) AS DOUBLE) / n)
+           * 4294967296.0) AS BIGINT))
+    END AS bound
+  FROM cnt
+)
+SELECT src.* FROM src
+JOIN bounds ON CAST(src.{group_col} AS VARCHAR) = bounds.g
+WHERE {key} < bounds.bound
+"""
+
+
 def weighted_sample_oracle_sql(
     table_sql: str,
     group_col: str,

@@ -138,3 +138,106 @@ def test_split_oracle_sql_escapes_quotes():
                                    fr)).df()
     assert list(got.sort_values("doc_id")["split"]) == list(
         ours.sort_values("doc_id")["split"])
+
+
+# ---------------------------------------------------------------- #
+# temperature sampling (XLM-R alpha-sampling shape)
+
+
+def test_temperature_rates_endpoints_and_monotonicity():
+    from pdf_extract_ray.stages.mix import temperature_rates
+
+    counts = {"en": 1000, "de": 250, "fr": 40}
+    # alpha=1: raw distribution, nothing dropped
+    assert temperature_rates(counts, alpha=1.0) == {
+        "en": 1.0, "de": 1.0, "fr": 1.0}
+    # alpha=0: fully equalized — every group downsampled to n_min
+    r0 = temperature_rates(counts, alpha=0.0)
+    assert r0["fr"] == 1.0
+    assert abs(r0["en"] - 40 / 1000) < 1e-12
+    assert abs(r0["de"] - 40 / 250) < 1e-12
+    # alpha=0.5: between the two, min group keeps all, ordering by size
+    r5 = temperature_rates(counts, alpha=0.5)
+    assert r5["fr"] == 1.0
+    assert r0["en"] < r5["en"] < 1.0
+    assert r5["en"] < r5["de"] < r5["fr"]
+    with pytest.raises(ValueError):
+        temperature_rates(counts, alpha=1.5)
+    assert temperature_rates({}, alpha=0.5) == {}
+
+
+def test_temperature_bound_hex_bitparity_with_duckdb():
+    # the oracle formats floor(sqrt(n_min/n) * 2^32) as 8-hex in SQL;
+    # sqrt and double division are correctly rounded in both engines,
+    # so the hex bounds must agree digit-for-digit.
+    import duckdb
+
+    from pdf_extract_ray.stages.mix import _bound_hex, temperature_rates
+
+    rng = np.random.default_rng(7)
+    los = rng.integers(1, 10**6, size=500)
+    his = np.maximum(los, rng.integers(1, 10**6, size=500))
+    con = duckdb.connect()
+    sql_hex = con.execute(
+        "SELECT printf('%08x', CAST(floor(sqrt(CAST(a AS DOUBLE)/b)"
+        " * 4294967296.0) AS BIGINT)) FROM (SELECT unnest($1::BIGINT[]) a,"
+        " unnest($2::BIGINT[]) b)",
+        [los.tolist(), his.tolist()]).fetchall()
+    for lo, hi, (hx,) in zip(los, his, sql_hex):
+        r = temperature_rates({"min": int(lo), "g": int(hi)},
+                              alpha=0.5)["g"]
+        py = _bound_hex(r)
+        if lo == hi:
+            assert py == "g" * 8
+        else:
+            assert py == hx, (lo, hi, py, hx)
+
+
+def test_temperature_sample_oracle_parity_dataset_level():
+    import duckdb
+    import ray.data
+
+    from pdf_extract_ray.stages.mix import (
+        temperature_sample,
+        temperature_sample_oracle_sql,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lang": rng.choice(["en"] * 6 + ["de"] * 3 + ["fr"], size=n),
+    })
+    ds = ray.data.from_pandas(df).repartition(4)
+    kept = temperature_sample(ds, "lang", alpha=0.5,
+                              id_col="doc_id").to_pandas()
+    con = duckdb.connect()
+    con.register("t", df)
+    got = con.sql(temperature_sample_oracle_sql(
+        "SELECT doc_id, lang FROM t", "lang", alpha=0.5,
+        id_col="doc_id")).df()
+    assert sorted(got.doc_id) == sorted(kept.doc_id)
+    # the min-count group is kept whole
+    fr_total = int((df.lang == "fr").sum())
+    assert int((kept.lang == "fr").sum()) == fr_total
+    # bigger groups are strictly downsampled at this skew
+    assert int((kept.lang == "en").sum()) < int((df.lang == "en").sum())
+
+
+def test_temperature_sample_fast_method_same_rates_contract():
+    import ray.data
+
+    from pdf_extract_ray.stages.mix import temperature_sample
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(1000, dtype=np.int64),
+        "lang": (["en"] * 800 + ["fr"] * 200),
+    })
+    ds = ray.data.from_pandas(df).repartition(3)
+    kept = temperature_sample(ds, "lang", alpha=0.5, id_col="doc_id",
+                              method="fast").to_pandas()
+    # determinism: re-running yields the identical membership
+    kept2 = temperature_sample(ds, "lang", alpha=0.5, id_col="doc_id",
+                               method="fast").to_pandas()
+    assert sorted(kept.doc_id) == sorted(kept2.doc_id)
+    assert int((kept.lang == "fr").sum()) == 200
