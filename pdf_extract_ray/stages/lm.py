@@ -342,15 +342,19 @@ def train_bigram_lm_by_lang(
 
     ONE corpus pass trains every model (vs the naive
     filter-per-language loop = L full scans): per-batch partial counts
-    keyed ``(lang, w1, w2)``, one grouped merge, then per-language
-    sort+limit cap plans over the pinned post-aggregation count table
-    (already collapsed to distinct-ngram rows — the 2L cap plans never
-    rescan the corpus).  Models are identical to training each language
+    keyed ``(lang, w1, w2)``, one grouped merge, then ONE per-group
+    top-k cap pass — a per-batch partial top-k (exact: the counts are
+    final after the merge, so selection decomposes — any row in a
+    language's global top-k is in its batch's top-k) followed by a
+    bucketed per-language final top-k.  The whole trainer is a single
+    streaming plan + one bounded ``to_pandas`` (≤ L × (max_vocab +
+    max_bigrams) rows by construction, the same bound as the broadcast
+    model dict).  Models are identical to training each language
     separately because every document carries exactly one language.
     Passing ``langs`` explicitly skips the ``unique()`` discovery scan;
     a listed language with no rows gets the empty model, matching the
     filtered-train behavior."""
-    from pdf_extract_ray.stages.agg import grouped_aggregate
+    from pdf_extract_ray.stages.agg import bucketed_group_apply, grouped_aggregate
 
     if langs is None:
         langs = sorted(ds.unique(lang_col))
@@ -360,20 +364,39 @@ def train_bigram_lm_by_lang(
                        batch_format="pandas"),
         ["lang", "w1", "w2"],
         {"c": ("c", "sum")},
-    ).materialize()
+    )
+
+    def topk_cap(b: pd.DataFrame) -> pd.DataFrame:
+        # exact per-(lang, uni|bi) top-k with the global tie-break
+        # (c desc, w1, w2): w2 is '' on every uni row, so one sort key
+        # serves both families
+        if not len(b):
+            return b
+        b = b.assign(__bi=(b["w2"] != "").to_numpy())
+        parts = []
+        for (_, is_bi), g in b.groupby(["lang", "__bi"], sort=False):
+            k = max_bigrams if is_bi else max_vocab
+            parts.append(g.sort_values(
+                ["c", "w1", "w2"], ascending=[False, True, True],
+                kind="mergesort").head(k))
+        return pd.concat(parts).drop(columns="__bi")
+
+    capped = bucketed_group_apply(
+        counts.map_batches(topk_cap, batch_format="pandas"),
+        ["lang"], topk_cap).to_pandas()
+    if not len(capped):  # empty-dataset to_pandas drops the schema
+        capped = pd.DataFrame({"lang": [], "w1": [], "w2": [], "c": []})
+
     models: dict[str, dict] = {}
     for lg in langs:
-        sub = counts.filter(expr=f"lang == '{lg}'")
-        uni_top = (
-            sub.filter(expr="w2 == ''")
-            .sort(["c", "w1"], descending=[True, False])
-            .limit(max_vocab).to_pandas())
-        bi_top = (
-            sub.filter(expr="w2 != ''")
-            .sort(["c", "w1", "w2"], descending=[True, False, False])
-            .limit(max_bigrams).to_pandas())
-        # a listed language with no rows yields 0-column frames (Ray's
-        # empty-dataset to_pandas drops the schema): the empty model
+        sub = capped[capped["lang"] == lg]
+        uni_top = (sub[sub["w2"] == ""]
+                   .sort_values(["c", "w1"], ascending=[False, True],
+                                kind="mergesort"))
+        bi_top = (sub[sub["w2"] != ""]
+                  .sort_values(["c", "w1", "w2"],
+                               ascending=[False, True, True],
+                               kind="mergesort"))
         uni = (pd.Series(uni_top["c"].to_numpy(np.int64),
                          index=uni_top["w1"].to_numpy())
                if len(uni_top) else pd.Series([], dtype=np.int64))
