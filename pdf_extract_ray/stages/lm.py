@@ -381,8 +381,15 @@ def train_bigram_lm_by_lang(
                 kind="mergesort").head(k))
         return pd.concat(parts).drop(columns="__bi")
 
+    # two cap levels before the per-language final: level 1 bounds each
+    # batch's contribution at (max_vocab+max_bigrams) per language;
+    # level 2 re-caps after coalescing to 16 blocks, so the final
+    # bucket holds <= 16 x (max_vocab+max_bigrams) rows per language no
+    # matter how many batches the counts table spans.
+    partials = counts.map_batches(topk_cap, batch_format="pandas")
     capped = bucketed_group_apply(
-        counts.map_batches(topk_cap, batch_format="pandas"),
+        partials.repartition(16).map_batches(topk_cap,
+                                             batch_format="pandas"),
         ["lang"], topk_cap).to_pandas()
     if not len(capped):  # empty-dataset to_pandas drops the schema
         capped = pd.DataFrame({"lang": [], "w1": [], "w2": [], "c": []})
