@@ -280,6 +280,15 @@ def q_quality_scores(sf_dir: str):
     )
 
 
+def q_char_entropy_docs(sf_dir: str):
+    # per-doc character-distribution Shannon entropy (gibberish cue):
+    # one narrow vectorized map, zero shuffles; full SQL oracle
+    from pdf_extract_ray.stages.textquality import char_entropy_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(char_entropy_batch, batch_format="pandas")
+
+
 def q_fingerprints(sf_dir: str):
     from pdf_extract_ray.stages.textquality import fingerprint_batch
 
@@ -2564,6 +2573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
+        "char_entropy_docs": q_char_entropy_docs,
         "fingerprints": q_fingerprints,
         "content_filter_docs": q_content_filter_docs,
         "cleaned_text": q_cleaned_text,
@@ -2943,6 +2953,12 @@ def _temperature_mix_oracle() -> str:
         "lang", alpha=0.5, id_col="doc_id")
 
 
+def _char_entropy_oracle() -> str:
+    from pdf_extract_ray.stages.textquality import char_entropy_oracle_sql
+
+    return char_entropy_oracle_sql()
+
+
 def _source_mixed_oracle() -> str:
     from pdf_extract_ray.stages.mix import weighted_sample_oracle_sql
 
@@ -3053,6 +3069,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "quality_scores": _quality_scores_sql(),
+        "char_entropy_docs": _char_entropy_oracle(),
         "fingerprints": f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents",
         "content_filter_docs": (
             "SELECT doc_id FROM documents WHERE NOT ("

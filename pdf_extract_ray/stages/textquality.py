@@ -251,6 +251,72 @@ def quality_score_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataF
     return batch
 
 
+def char_entropy_batch(batch: pd.DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> pd.DataFrame:
+    """``(id_col, n_chars, n_unique_chars, char_entropy)`` — Shannon
+    entropy in bits over each document's character (codepoint)
+    distribution, the classic gibberish/randomness cue (near-zero for
+    single-char runs, ~log2(alphabet) for keyboard mash / random
+    bytes; natural prose sits in a stable per-language band).  Public
+    heuristic family: RefinedWeb / Dolma-style quality filtering.
+
+    Fully vectorized over the batch: one utf-32 code array for all
+    texts (``_joined_codes``), per-(doc, codepoint) counts via a single
+    ``np.unique`` on the packed ``doc << 21 | code`` key (codepoints
+    are < 2^21 by Unicode's definition), then per-doc scatter-adds of
+    the ``(k/n)·log2(n/k)`` terms.  Empty/NULL text scores 0.0 with 0
+    unique chars.  Entropy is rounded to 4 places — summation order
+    differs between engines, so the last-ulp noise is quantized away
+    (same convention as the perplexity oracle)."""
+    vals = batch[text_col].fillna("").tolist()
+    codes, n_chars, _starts = _joined_codes(vals)
+    n_docs = len(vals)
+    ent = np.zeros(n_docs)
+    nuniq = np.zeros(n_docs, dtype=np.int64)
+    if len(codes):
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_chars)
+        key = (doc_of << np.int64(21)) | codes.astype(np.int64)
+        uniq, cnt = np.unique(key, return_counts=True)
+        d = (uniq >> np.int64(21)).astype(np.int64)
+        n_d = n_chars[d].astype(np.float64)
+        np.add.at(ent, d, (cnt / n_d) * np.log2(n_d / cnt))
+        np.add.at(nuniq, d, 1)
+    return pd.DataFrame({
+        id_col: batch[id_col].to_numpy(),
+        "n_chars": n_chars,
+        "n_unique_chars": nuniq,
+        "char_entropy": round_half_away(ent, 4),
+    })
+
+
+def char_entropy_oracle_sql(table: str = "documents",
+                            text_expr: str = "text",
+                            id_col: str = "doc_id") -> str:
+    """DuckDB mirror of ``char_entropy_batch``: ``string_split(t, '')``
+    splits to codepoints exactly like Python iteration (and ``length``
+    counts codepoints, matching ``len``); the empty string splits to
+    ``['']`` in DuckDB, filtered by ``c <> ''`` (a real character is
+    never the empty string)."""
+    return f"""
+WITH b AS (SELECT {id_col}, coalesce({text_expr}, '') AS t FROM {table}),
+tot AS (SELECT {id_col}, length(t) AS n FROM b),
+cc AS (
+  SELECT {id_col}, c, count(*) AS k
+  FROM (SELECT {id_col}, unnest(string_split(t, '')) AS c FROM b)
+  WHERE c <> '' GROUP BY 1, 2
+),
+ag AS (
+  SELECT cc.{id_col}, count(*) AS nu,
+         sum((k / CAST(n AS DOUBLE)) * log2(CAST(n AS DOUBLE) / k)) AS h
+  FROM cc JOIN tot USING ({id_col}) GROUP BY cc.{id_col}
+)
+SELECT tot.{id_col}, tot.n AS n_chars,
+       coalesce(ag.nu, 0) AS n_unique_chars,
+       round(coalesce(ag.h, 0.0), 4) AS char_entropy
+FROM tot LEFT JOIN ag USING ({id_col})
+"""
+
+
 def compression_ratio_batch(batch: pd.DataFrame,
                             text_col: str = "text",
                             level: int = 6) -> pd.DataFrame:

@@ -207,3 +207,69 @@ def test_corpus_profile_values_and_topology_independence(ray_session):
     assert v["avg_words"] == round(v["total_words"] / 7, 4)
     # additive partials: any block layout gives identical totals
     assert run(1) == v and run(7) == v
+
+
+# ---------------------------------------------------------------- #
+# character-entropy signal
+
+
+def _entropy_ref(s: str) -> float:
+    # independent plain-Python reference: Counter + math.log2
+    import math
+    from collections import Counter
+
+    n = len(s)
+    if n == 0:
+        return 0.0
+    return round_half_away(
+        np.array([sum((k / n) * math.log2(n / k)
+                      for k in Counter(s).values())]), 4)[0]
+
+
+def test_char_entropy_known_values():
+    from pdf_extract_ray.stages.textquality import char_entropy_batch
+
+    df = pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["aaaa", "ab", "abcd", "", None, "añ漢b"],
+    })
+    out = char_entropy_batch(df)
+    assert list(out["char_entropy"]) == [0.0, 1.0, 2.0, 0.0, 0.0, 2.0]
+    assert list(out["n_chars"]) == [4, 2, 4, 0, 0, 4]
+    assert list(out["n_unique_chars"]) == [1, 2, 4, 0, 0, 4]
+
+
+def test_char_entropy_matches_plain_reference():
+    from pdf_extract_ray.stages.textquality import char_entropy_batch
+
+    rng = np.random.default_rng(5)
+    alphabet = list("abcdefg XYZ.,!0123") + ["ñ", "漢", "é"]
+    texts = ["".join(rng.choice(alphabet, size=int(rng.integers(0, 200))))
+             for _ in range(300)]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = char_entropy_batch(df)
+    for t, got in zip(texts, out["char_entropy"]):
+        assert got == _entropy_ref(t), t
+
+
+def test_char_entropy_sql_oracle_parity():
+    import duckdb
+
+    from pdf_extract_ray.stages.textquality import (
+        char_entropy_batch,
+        char_entropy_oracle_sql,
+    )
+
+    rng = np.random.default_rng(9)
+    alphabet = list("abc def.!?") + ["ü", "汉"]
+    texts = ["".join(rng.choice(alphabet, size=int(rng.integers(0, 80))))
+             for _ in range(200)] + ["", "aaaa", "a"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ours = char_entropy_batch(df).sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", df)
+    got = (con.sql(char_entropy_oracle_sql()).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        ours.astype({"n_unique_chars": "int64", "n_chars": "int64"}),
+        got.astype({"n_unique_chars": "int64", "n_chars": "int64"}))
