@@ -214,6 +214,46 @@ def q_customer_order_rollup(sf_dir: str):
 # queries — dedup / reassembly / text analysis (SURVEY.md §2.7 + extensions)
 # ---------------------------------------------------------------------------
 
+def q_dedup_keep_latest_docs(sf_dir: str):
+    # crawl-refresh dedup: same content key as dedup_exact_documents,
+    # but keep the FRESHEST copy (max doc_id) — the url-revisit rule
+    from pdf_extract_ray.stages.dedup import dedup_exact
+    from pdf_extract_ray.stages.textquality import fingerprint_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    fp = ds.map_batches(lambda b: fingerprint_batch(b), batch_format="pandas")
+    out = dedup_exact(fp, "fingerprint", "doc_id", keep="last")
+    return out.map_batches(
+        lambda b: b[["doc_id", "fingerprint"]], batch_format="pandas"
+    )
+
+
+_SEG_DERIVE_SQL = (
+    "SELECT doc_id, replace(replace(coalesce(text, ''),"
+    " ' a ', chr(10)), ' the ', chr(10) || chr(10)) AS text"
+    " FROM {table}"
+)
+
+
+def _seg_pages_batch(b):
+    t = (b["text"].fillna("").astype(str)
+         .str.replace(" a ", "\n", regex=False)
+         .str.replace(" the ", "\n\n", regex=False))
+    return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(), "text": t})
+
+
+def q_dup_segment_docs(sf_dir: str):
+    # Gopher duplicate-line/paragraph character fractions (Rae et al.
+    # 2021 §A1.1) over multi-line pages derived from the single-line
+    # synthetic docs by the frozen replace chain (both engines apply it
+    # identically — the c4_clean_docs convention). One narrow map.
+    from pdf_extract_ray.stages.textquality import dup_segment_stats_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(_seg_pages_batch, batch_format="pandas").map_batches(
+        dup_segment_stats_batch, batch_format="pandas")
+
+
 def q_dedup_exact_documents(sf_dir: str):
     # D1: exact dedup, first = min doc_id (metadata_generator.py:618-622,
     # determinism rule SURVEY.md §7.4.2)
@@ -2569,6 +2609,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_join": q_orders_customer_join,
         "customer_order_rollup": q_customer_order_rollup,
         "dedup_exact_documents": q_dedup_exact_documents,
+        "dedup_keep_latest_docs": q_dedup_keep_latest_docs,
+        "dup_segment_docs": q_dup_segment_docs,
         "doc_reassembly": q_doc_reassembly,
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
@@ -2953,6 +2995,12 @@ def _temperature_mix_oracle() -> str:
         "lang", alpha=0.5, id_col="doc_id")
 
 
+def _dup_segment_oracle() -> str:
+    from pdf_extract_ray.stages.textquality import dup_segment_oracle_sql
+
+    return dup_segment_oracle_sql(_SEG_DERIVE_SQL.format(table="documents"))
+
+
 def _char_entropy_oracle() -> str:
     from pdf_extract_ray.stages.textquality import char_entropy_oracle_sql
 
@@ -3013,6 +3061,14 @@ def oracle_sql() -> dict[str, str]:
             f"row_number() OVER (PARTITION BY {_FP_SQL} ORDER BY doc_id) AS rn "
             f"FROM documents) WHERE rn = 1"
         ),
+        "dedup_keep_latest_docs": (
+            f"SELECT doc_id, fingerprint FROM ("
+            f"SELECT doc_id, {_FP_SQL} AS fingerprint, "
+            f"row_number() OVER (PARTITION BY {_FP_SQL} "
+            f"ORDER BY doc_id DESC) AS rn "
+            f"FROM documents) WHERE rn = 1"
+        ),
+        "dup_segment_docs": _dup_segment_oracle(),
         "ngram_jaccard_dup": (
             # word-3-gram sets over lower(text) split on single spaces —
             # identical tokenization to ngram_jaccard_pairs; Jaccard over

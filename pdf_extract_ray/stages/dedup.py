@@ -57,9 +57,13 @@ logger = logging.getLogger("pdf_extract_ray.dedup")
 # exact dedup (D1)
 # ---------------------------------------------------------------------------
 
-def dedup_exact(ds: Dataset, key_col: str, order_col: str) -> Dataset:
-    """Keep the first row per ``key_col`` where "first" = minimal
-    ``order_col`` — deterministic at any parallelism (SURVEY.md §7.4.2).
+def dedup_exact(ds: Dataset, key_col: str, order_col: str,
+                keep: str = "first") -> Dataset:
+    """Keep one row per ``key_col``: ``keep="first"`` = minimal
+    ``order_col`` (the reference's first-occurrence rule, SURVEY.md
+    §7.4.2), ``keep="last"`` = maximal ``order_col`` (the crawl-refresh
+    rule: a url revisited across snapshots keeps the FRESHEST copy).
+    Deterministic at any parallelism either way.
 
     One coarse hash shuffle on the key, then a VECTORIZED
     sort+drop_duplicates per bucket (per-group Python would cost ~0.15 ms
@@ -70,12 +74,15 @@ def dedup_exact(ds: Dataset, key_col: str, order_col: str) -> Dataset:
     order fall back to arrival order, which a shuffle does not fix."""
     from pdf_extract_ray.stages.agg import bucketed_group_apply
 
-    def keep_first(bucket: pd.DataFrame) -> pd.DataFrame:
+    if keep not in ("first", "last"):
+        raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
+
+    def keep_rule(bucket: pd.DataFrame) -> pd.DataFrame:
         return bucket.sort_values(order_col, kind="mergesort").drop_duplicates(
-            subset=[key_col], keep="first"
+            subset=[key_col], keep=keep
         )
 
-    return bucketed_group_apply(ds, [key_col], keep_first)
+    return bucketed_group_apply(ds, [key_col], keep_rule)
 
 
 # ---------------------------------------------------------------------------

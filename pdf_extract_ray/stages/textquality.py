@@ -289,6 +289,73 @@ def char_entropy_batch(batch: pd.DataFrame, text_col: str = "text",
     })
 
 
+def dup_segment_stats_batch(batch: pd.DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id") -> pd.DataFrame:
+    """``(id_col, n_lines, dup_line_char_frac, n_paras,
+    dup_para_char_frac)`` — the Gopher duplicate-segment signals (Rae
+    et al. 2021 §A1.1, public paper): the fraction of a document's
+    characters sitting inside lines (split on ``\\n``) / paragraphs
+    (split on ``\\n\\n``) that occur more than once IN THAT DOCUMENT.
+
+    Frozen accounting: separators are excluded from both numerator and
+    denominator; empty segments (consecutive separators) count like any
+    other segment — Python ``str.split(sep)`` and DuckDB
+    ``string_split`` agree on them; a document whose segments hold zero
+    characters scores 0.0.  All-integer arithmetic until the final
+    division, so the SQL oracle is exact (round 4 by convention)."""
+    vals = batch[text_col].fillna("").astype(str)
+    out = {id_col: batch[id_col].to_numpy()}
+    for name, sep in (("line", "\n"), ("para", "\n\n")):
+        segs = vals.str.split(sep)
+        n_seg = segs.str.len().to_numpy(np.int64)
+        d = np.repeat(np.arange(len(vals), dtype=np.int64), n_seg)
+        flat = segs.explode()
+        df = pd.DataFrame({"d": d, "s": flat.to_numpy(),
+                           "L": flat.str.len().to_numpy(np.int64)})
+        g = df.groupby(["d", "s"], sort=False, as_index=False).agg(
+            n=("L", "size"), L=("L", "first"))
+        occ_chars = g["n"].to_numpy(np.int64) * g["L"].to_numpy(np.int64)
+        tot = np.zeros(len(vals), dtype=np.int64)
+        dup = np.zeros(len(vals), dtype=np.int64)
+        gd = g["d"].to_numpy(np.int64)
+        np.add.at(tot, gd, occ_chars)
+        np.add.at(dup, gd, np.where(g["n"].to_numpy() > 1, occ_chars, 0))
+        out[f"n_{name}s"] = n_seg
+        out[f"dup_{name}_char_frac"] = round_half_away(
+            dup / np.maximum(tot, 1), 4)
+    return pd.DataFrame(out)[
+        [id_col, "n_lines", "dup_line_char_frac",
+         "n_paras", "dup_para_char_frac"]]
+
+
+def dup_segment_oracle_sql(source_sql: str,
+                           id_col: str = "doc_id") -> str:
+    """DuckDB mirror of ``dup_segment_stats_batch`` over ``source_sql``
+    (a query producing ``(id_col, text)``)."""
+
+    def one(sep_sql: str, name: str) -> str:
+        return f"""
+  SELECT {id_col}, CAST(sum(n) AS BIGINT) AS n_{name}s,
+         round(sum(CASE WHEN n > 1 THEN n * L ELSE 0 END)
+               / CAST(greatest(sum(n * L), 1) AS DOUBLE), 4)
+           AS dup_{name}_char_frac
+  FROM (
+    SELECT {id_col}, s, count(*) AS n, length(s) AS L
+    FROM (SELECT {id_col}, unnest(string_split(coalesce(text, ''),
+                                               {sep_sql})) AS s
+          FROM src)
+    GROUP BY {id_col}, s
+  ) GROUP BY {id_col}"""
+
+    return f"""
+WITH src AS ({source_sql}),
+lines AS ({one("chr(10)", "line")}),
+paras AS ({one("chr(10) || chr(10)", "para")})
+SELECT {id_col}, n_lines, dup_line_char_frac, n_paras, dup_para_char_frac
+FROM lines JOIN paras USING ({id_col})
+"""
+
+
 def char_entropy_oracle_sql(table: str = "documents",
                             text_expr: str = "text",
                             id_col: str = "doc_id") -> str:

@@ -627,3 +627,19 @@ def test_image_dup_skips_non_images_and_garbage(ray_session):
     ids = set(got["id_a"]) | set(got["id_b"])
     assert 100 not in ids and 101 not in ids
     assert {(0, 1), (3, 4)} <= set(zip(got["id_a"], got["id_b"]))
+
+
+def test_dedup_exact_keep_last_keeps_max_order_key(ray_session):
+    ds, rows = _docs_ds(ray_session)
+    with_fp = ds.map_batches(lambda b: fingerprint_batch(b, "text"),
+                             batch_format="pandas")
+    out = dedup_exact(with_fp, "fingerprint", "doc_id",
+                      keep="last").take_all()
+    kept = sorted(r["doc_id"] for r in out)
+    texts = {}
+    for r in rows:
+        texts.setdefault(r["text"], []).append(r["doc_id"])
+    expect = sorted(max(ids) for ids in texts.values())
+    assert kept == expect
+    with pytest.raises(ValueError):
+        dedup_exact(with_fp, "fingerprint", "doc_id", keep="best")

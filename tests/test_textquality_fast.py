@@ -273,3 +273,56 @@ def test_char_entropy_sql_oracle_parity():
     pd.testing.assert_frame_equal(
         ours.astype({"n_unique_chars": "int64", "n_chars": "int64"}),
         got.astype({"n_unique_chars": "int64", "n_chars": "int64"}))
+
+
+# ---------------------------------------------------------------- #
+# duplicate-segment (Gopher dup line/paragraph) signal
+
+
+def test_dup_segment_known_values():
+    from pdf_extract_ray.stages.textquality import dup_segment_stats_batch
+
+    df = pd.DataFrame({
+        "doc_id": range(5),
+        "text": [
+            "ab\nab\ncd",        # 'ab' duplicated: 4 of 6 chars
+            "x\n\nx",            # lines: x,'',x -> dup 2/2; paras: x,x -> dup 2/2
+            "",                  # single empty segment, 0 chars -> 0.0
+            None,                # NULL == empty
+            "abc\ndef",          # no dups
+        ],
+    })
+    out = dup_segment_stats_batch(df)
+    assert list(out["n_lines"]) == [3, 3, 1, 1, 2]
+    assert list(out["dup_line_char_frac"]) == [
+        round(4 / 6, 4), 1.0, 0.0, 0.0, 0.0]
+    assert list(out["n_paras"]) == [1, 2, 1, 1, 1]
+    assert list(out["dup_para_char_frac"]) == [0.0, 1.0, 0.0, 0.0, 0.0]
+
+
+def test_dup_segment_sql_oracle_parity():
+    import duckdb
+
+    from pdf_extract_ray.stages.textquality import (
+        dup_segment_oracle_sql,
+        dup_segment_stats_batch,
+    )
+
+    rng = np.random.default_rng(13)
+    words = ["aa", "bb", "cc", "dd"]
+    texts = []
+    for _ in range(200):
+        n = int(rng.integers(0, 12))
+        parts = [str(rng.choice(words)) for _ in range(n)]
+        seps = [str(rng.choice(["\n", "\n\n", " ", "\n\n\n"]))
+                for _ in range(max(n - 1, 0))]
+        texts.append("".join(p + s for p, s in zip(parts, seps + [""])))
+    texts += ["", "\n", "\n\n", "a\n\n\nb", None]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ours = (dup_segment_stats_batch(df)
+            .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    got = (con.sql(dup_segment_oracle_sql("SELECT doc_id, text FROM t"))
+           .df().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(ours, got)
