@@ -254,6 +254,35 @@ def q_dup_segment_docs(sf_dir: str):
         dup_segment_stats_batch, batch_format="pandas")
 
 
+_GOPHER_DERIVE_SQL = (
+    "SELECT doc_id, replace(replace(replace(replace(coalesce(text, ''),"
+    " ' a ', chr(10)), ' the ', '...' || chr(10)),"
+    " ' big ', chr(10) || '- '), ' slow ', ' # ') AS text"
+    " FROM {table}"
+)
+
+
+def _gopher_pages_batch(b):
+    t = (b["text"].fillna("").astype(str)
+         .str.replace(" a ", "\n", regex=False)
+         .str.replace(" the ", "...\n", regex=False)
+         .str.replace(" big ", "\n- ", regex=False)
+         .str.replace(" slow ", " # ", regex=False))
+    return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(), "text": t})
+
+
+def q_gopher_line_docs(sf_dir: str):
+    # Gopher line-level cues (Rae et al. 2021 §A1.1): ellipsis-ending /
+    # bullet-starting line fractions, symbol-to-word ratio, alpha-word
+    # fraction — one narrow map over pages derived by the frozen
+    # replace chain (both engines apply it identically).
+    from pdf_extract_ray.stages.textquality import gopher_line_signals_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(_gopher_pages_batch, batch_format="pandas").map_batches(
+        gopher_line_signals_batch, batch_format="pandas")
+
+
 def q_dedup_exact_documents(sf_dir: str):
     # D1: exact dedup, first = min doc_id (metadata_generator.py:618-622,
     # determinism rule SURVEY.md §7.4.2)
@@ -2611,6 +2640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_keep_latest_docs": q_dedup_keep_latest_docs,
         "dup_segment_docs": q_dup_segment_docs,
+        "gopher_line_docs": q_gopher_line_docs,
         "doc_reassembly": q_doc_reassembly,
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
@@ -2995,6 +3025,14 @@ def _temperature_mix_oracle() -> str:
         "lang", alpha=0.5, id_col="doc_id")
 
 
+def _gopher_line_oracle() -> str:
+    from pdf_extract_ray.stages.textquality import gopher_line_oracle_sql
+
+    return gopher_line_oracle_sql(
+        _GOPHER_DERIVE_SQL.format(table="documents"),
+        word_count_sql=_word_count_sql)
+
+
 def _dup_segment_oracle() -> str:
     from pdf_extract_ray.stages.textquality import dup_segment_oracle_sql
 
@@ -3069,6 +3107,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM documents) WHERE rn = 1"
         ),
         "dup_segment_docs": _dup_segment_oracle(),
+        "gopher_line_docs": _gopher_line_oracle(),
         "ngram_jaccard_dup": (
             # word-3-gram sets over lower(text) split on single spaces —
             # identical tokenization to ngram_jaccard_pairs; Jaccard over

@@ -328,6 +328,116 @@ def dup_segment_stats_batch(batch: pd.DataFrame, text_col: str = "text",
          "n_paras", "dup_para_char_frac"]]
 
 
+_BULLET_CHARS = ("•", "‣", "▪", "-", "*", "–")
+
+
+def gopher_line_signals_batch(batch: pd.DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id") -> pd.DataFrame:
+    """The remaining Gopher line-level quality cues (Rae et al. 2021
+    §A1.1, public paper): ``(id_col, n_lines, frac_lines_end_ellipsis,
+    frac_lines_start_bullet, symbol_word_ratio, frac_words_alpha)``.
+
+    Frozen rules (all SQL-mirrorable, judged on the RAW line — no
+    trimming, sidestepping the Unicode-vs-ASCII ``\\s`` divergence):
+      * a line "ends with ellipsis" iff it ends with ``...`` or ``…``;
+      * a line "starts with a bullet" iff its first character is one of
+        ``• ‣ ▪ - * –``;
+      * ``symbol_word_ratio`` = (count('#') + count('…') +
+        non-overlapping count('...')) / max(words, 1);
+      * ``frac_words_alpha`` = fraction of whitespace words containing
+        at least one ASCII letter (ASCII by design — see the
+        text-density ASCII caveat).
+    Ratios rounded to 4 places; words = ``len(s.split())``."""
+    t = batch[text_col].fillna("").astype(str)
+    n_docs = len(t)
+    # --- line cues ---------------------------------------------------
+    segs = t.str.split("\n")
+    n_lines = segs.str.len().to_numpy(np.int64)
+    d = np.repeat(np.arange(n_docs, dtype=np.int64), n_lines)
+    flat = segs.explode()
+    ell = flat.str.endswith(("...", "…")).to_numpy(bool)
+    first = flat.str.slice(0, 1)
+    bul = first.isin(_BULLET_CHARS).to_numpy(bool)
+    n_ell = np.zeros(n_docs, dtype=np.int64)
+    n_bul = np.zeros(n_docs, dtype=np.int64)
+    np.add.at(n_ell, d, ell)
+    np.add.at(n_bul, d, bul)
+    safe_lines = np.maximum(n_lines, 1).astype(np.float64)
+    # --- word cues ---------------------------------------------------
+    words = t.str.split()
+    n_words = words.str.len().fillna(0).to_numpy(np.int64)
+    wd = np.repeat(np.arange(n_docs, dtype=np.int64), n_words)
+    wflat = words.explode().dropna()
+    alpha = wflat.str.contains("[A-Za-z]", regex=True).to_numpy(bool)
+    n_alpha = np.zeros(n_docs, dtype=np.int64)
+    np.add.at(n_alpha, wd, alpha)
+    symbols = (t.str.count("#", ).to_numpy(np.int64)
+               + t.str.count("…").to_numpy(np.int64)
+               + t.str.count(r"\.\.\.").to_numpy(np.int64))
+    safe_words = np.maximum(n_words, 1).astype(np.float64)
+    return pd.DataFrame({
+        id_col: batch[id_col].to_numpy(),
+        "n_lines": n_lines,
+        "frac_lines_end_ellipsis": round_half_away(n_ell / safe_lines, 4),
+        "frac_lines_start_bullet": round_half_away(n_bul / safe_lines, 4),
+        "symbol_word_ratio": round_half_away(symbols / safe_words, 4),
+        "frac_words_alpha": round_half_away(n_alpha / safe_words, 4),
+    })
+
+
+def gopher_line_oracle_sql(source_sql: str, id_col: str = "doc_id",
+                           word_count_sql=None) -> str:
+    """DuckDB mirror of ``gopher_line_signals_batch`` over ``source_sql``
+    (producing ``(id_col, text)``).  ``word_count_sql`` is a callable
+    rendering Python ``len(s.split())`` for a SQL expression (the
+    engine-wide convention, ``__ray_entry__._word_count_sql``)."""
+    wc = word_count_sql("t") if word_count_sql else "len(regexp_split_to_array(trim(t), '\\s+'))"
+    bullets = ", ".join(f"'{c}'" for c in _BULLET_CHARS)
+    return f"""
+WITH src AS ({source_sql}),
+b AS (SELECT {id_col}, coalesce(text, '') AS t FROM src),
+ln AS (
+  SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_lines,
+    CAST(sum(CASE WHEN s LIKE '%...' OR s LIKE '%…' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_ell,
+    CAST(sum(CASE WHEN substr(s, 1, 1) IN ({bullets}) THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_bul
+  FROM (SELECT {id_col}, unnest(string_split(t, chr(10))) AS s FROM b)
+  GROUP BY {id_col}
+),
+wa AS (
+  -- plain ASCII trim here (the text-density ASCII caveat): parity with
+  -- the Unicode-aware Python .split() holds on ASCII-whitespace input
+  SELECT {id_col},
+    CAST(sum(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_alpha
+  FROM (SELECT {id_col},
+               unnest(regexp_split_to_array(trim(t), '\\s+')) AS w
+        FROM b WHERE trim(t) <> '')
+  GROUP BY {id_col}
+),
+sy AS (
+  SELECT {id_col}, {wc} AS words,
+    (length(t) - length(replace(t, '#', '')))
+    + (length(t) - length(replace(t, '…', '')))
+    + (length(t) - length(replace(t, '...', ''))) / 3 AS symbols
+  FROM b
+)
+SELECT b.{id_col}, ln.n_lines,
+  round(ln.n_ell / CAST(ln.n_lines AS DOUBLE), 4)
+    AS frac_lines_end_ellipsis,
+  round(ln.n_bul / CAST(ln.n_lines AS DOUBLE), 4)
+    AS frac_lines_start_bullet,
+  round(sy.symbols / CAST(greatest(sy.words, 1) AS DOUBLE), 4)
+    AS symbol_word_ratio,
+  round(coalesce(wa.n_alpha, 0)
+        / CAST(greatest(sy.words, 1) AS DOUBLE), 4)
+    AS frac_words_alpha
+FROM b JOIN ln USING ({id_col}) JOIN sy USING ({id_col})
+LEFT JOIN wa USING ({id_col})
+"""
+
+
 def dup_segment_oracle_sql(source_sql: str,
                            id_col: str = "doc_id") -> str:
     """DuckDB mirror of ``dup_segment_stats_batch`` over ``source_sql``

@@ -326,3 +326,59 @@ def test_dup_segment_sql_oracle_parity():
     got = (con.sql(dup_segment_oracle_sql("SELECT doc_id, text FROM t"))
            .df().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(ours, got)
+
+
+# ---------------------------------------------------------------- #
+# Gopher line-level cues (ellipsis/bullet lines, symbol ratio, alpha)
+
+
+def test_gopher_line_signals_known_values():
+    from pdf_extract_ray.stages.textquality import gopher_line_signals_batch
+
+    df = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [
+            "hello...\nworld",       # 1 of 2 lines ends ..., 1 '...' / 2 words
+            "- b\n• c\nplain",       # 2 of 3 bullet starts
+            "# x # y",               # 2 '#' / 4 words
+            "w.....…",               # '.....'->1 + '…'->1 = 2 symbols, ends …
+            "",                      # 1 empty line, no words
+            None,
+        ],
+    })
+    out = gopher_line_signals_batch(df)
+    assert list(out["frac_lines_end_ellipsis"]) == [0.5, 0.0, 0.0, 1.0,
+                                                    0.0, 0.0]
+    assert list(out["frac_lines_start_bullet"]) == [0.0, round(2 / 3, 4),
+                                                    0.0, 0.0, 0.0, 0.0]
+    assert list(out["symbol_word_ratio"]) == [0.5, 0.0, 0.5, 2.0, 0.0, 0.0]
+    # doc 1: words are ['-','b','•','c','plain'] -> 3 of 5 alphabetic
+    assert list(out["frac_words_alpha"]) == [1.0, 0.6, 0.5, 1.0, 0.0, 0.0]
+
+
+def test_gopher_line_signals_sql_parity_random():
+    import duckdb
+
+    from pdf_extract_ray.stages.textquality import (
+        gopher_line_oracle_sql,
+        gopher_line_signals_batch,
+    )
+
+    rng = np.random.default_rng(17)
+    atoms = ["word", "abc...", "…", "#", "- item", "• pt", "123", "..", "a"]
+    seps = ["\n", " ", "\n\n", "  "]
+    texts = []
+    for _ in range(250):
+        n = int(rng.integers(0, 10))
+        parts = [str(rng.choice(atoms)) for _ in range(n)]
+        s = [str(rng.choice(seps)) for _ in range(max(n - 1, 0))]
+        texts.append("".join(p + q for p, q in zip(parts, s + [""])))
+    texts += ["", "...", "…\n…", "#", None]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ours = (gopher_line_signals_batch(df)
+            .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    got = (con.sql(gopher_line_oracle_sql("SELECT doc_id, text FROM t"))
+           .df().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(ours, got)
