@@ -1343,6 +1343,52 @@ def q_contamination(sf_dir: str):
         ds, [r["text"] for r in bench], n=8, key="text")
 
 
+def q_fuzzy_contamination(sf_dir: str):
+    # fuzzy benchmark decontamination (stages/decontam.py): per-doc MAX
+    # 5-gram-set Jaccard vs any eval doc (every 20th doc, no external
+    # data) — catches lightly edited eval text that exact 13-gram
+    # collision misses.  Bench distinct-gram table broadcast once; one
+    # hash join per batch, zero shuffles.  key="text" = SQL-parity mode.
+    from pdf_extract_ray.stages.decontam import fuzzy_contamination_stats
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = (
+        ds.map_batches(lambda b: b[b["doc_id"] % 20 == 0],
+                       batch_format="pandas")
+        .take_all())
+    return fuzzy_contamination_stats(
+        ds, [r["text"] for r in bench], n=5, key="text", threshold=0.5)
+
+
+def q_split_by_host(sf_dir: str):
+    # leakage-safe group-exclusive split: hash the HOST, not the doc, so
+    # every page of a site lands in the same train/val/test slice (near-
+    # duplicate pages within a host can't straddle the split boundary).
+    # One narrow map (canonicalize + md5 threshold), zero shuffles.
+    from pdf_extract_ray.functions.url import canonicalize_batch
+    from pdf_extract_ray.stages.split import assign_split_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def body(b: pd.DataFrame) -> pd.DataFrame:
+        b = canonicalize_batch(_with_url(b))
+        b = assign_split_batch(b, id_col="url_host")
+        return b[["doc_id", "url_host", "split"]]
+
+    return ds.map_batches(body, batch_format="pandas")
+
+
+def q_length_outliers(sf_dir: str):
+    # corpus-relative length trim (stages/outliers.py): exact 5th/95th
+    # word-count percentiles from ONE bounded count pass (distinct word
+    # counts only), then a narrow threshold filter.  Zero shuffles on
+    # the wide pass.
+    from pdf_extract_ray.stages.outliers import length_outlier_trim
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return length_outlier_trim(ds, lower_pct=5, upper_pct=95)
+
+
 def _with_lines(b: pd.DataFrame) -> pd.DataFrame:
     # deterministic multi-line page text (testdata documents are
     # single-line): a corpus-wide cookie banner on 2/3 of docs + a
@@ -2705,6 +2751,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "webtext_tiers_lang": q_webtext_tiers_lang,
         "split_assignment": q_split_assignment,
         "contamination": q_contamination,
+        "fuzzy_contamination": q_fuzzy_contamination,
+        "split_by_host_docs": q_split_by_host,
+        "length_outlier_docs": q_length_outliers,
         "host_rollup": q_host_rollup,
         "perplexity_buckets": q_perplexity_buckets,
         "perplexity_buckets_lang": q_perplexity_lang,
@@ -2979,6 +3028,33 @@ def _contamination_oracle() -> str:
 
     return contamination_oracle_sql(
         "documents", n=8, bench_pred="doc_id % 20 = 0")
+
+
+def _fuzzy_contamination_oracle() -> str:
+    from pdf_extract_ray.stages.decontam import (
+        fuzzy_contamination_oracle_sql,
+    )
+
+    return fuzzy_contamination_oracle_sql(
+        "documents", n=5, threshold=0.5, bench_pred="doc_id % 20 = 0")
+
+
+def _split_by_host_oracle() -> str:
+    from pdf_extract_ray.functions.url import canonicalize_oracle_sql
+    from pdf_extract_ray.stages.split import split_oracle_sql
+
+    inner = canonicalize_oracle_sql(
+        f"SELECT doc_id, {_URL_SYNTH_SQL} FROM documents")
+    return ("SELECT doc_id, url_host, split FROM ("
+            + split_oracle_sql(inner, id_col="url_host") + ")")
+
+
+def _length_outlier_oracle() -> str:
+    from pdf_extract_ray.stages.outliers import length_outlier_oracle_sql
+
+    return length_outlier_oracle_sql(
+        "documents", lower_pct=5, upper_pct=95,
+        word_count_sql=_word_count_sql)
 
 
 def _line_dedup_oracle() -> str:
@@ -3367,6 +3443,9 @@ def oracle_sql() -> dict[str, str]:
         "webtext_tiers_lang": _webtext_tiers_lang_oracle(),
         "split_assignment": _split_oracle(),
         "contamination": _contamination_oracle(),
+        "fuzzy_contamination": _fuzzy_contamination_oracle(),
+        "split_by_host_docs": _split_by_host_oracle(),
+        "length_outlier_docs": _length_outlier_oracle(),
         "host_rollup": _host_rollup_oracle(),
         "perplexity_buckets": _perplexity_oracle(),
         "perplexity_buckets_lang": _perplexity_lang_oracle(),

@@ -171,7 +171,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "semdedup_embeddings", "dsir_weights_docs",
                      "c4_clean_docs", "temperature_mix_docs",
                      "char_entropy_docs", "dup_segment_docs",
-                     "gopher_line_docs"):
+                     "gopher_line_docs", "fuzzy_contamination",
+                     "length_outlier_docs"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

@@ -132,3 +132,138 @@ SELECT t.{id_col}, t.n_grams,
        coalesce(h.n_hits, 0) > 0 AS contaminated
 FROM tot t LEFT JOIN hits h USING ({id_col})
 """
+
+
+def benchmark_gram_table(bench_texts, n: int,
+                         key: str = "hash") -> tuple[pd.DataFrame, np.ndarray]:
+    """Distinct-gram rows for the benchmark side of fuzzy decontam:
+    ``(gram table with columns g / __bid, per-bench distinct-gram
+    counts)``.  One row per (bench doc, distinct gram)."""
+    rows = shingle_rows(list(bench_texts), n, key)
+    dd = rows.drop_duplicates(["__doc", "g"])
+    tbl = pd.DataFrame({"g": dd["g"].to_numpy(),
+                        "__bid": dd["__doc"].to_numpy(np.int64)})
+    sizes = np.bincount(tbl["__bid"], minlength=len(list(bench_texts)))
+    return tbl, sizes.astype(np.int64)
+
+
+def fuzzy_contamination_stats(
+    ds: Dataset,
+    bench_texts,
+    *,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key: str = "hash",
+    threshold: float = 0.5,
+) -> Dataset:
+    """Fuzzy benchmark decontamination: per-document MAX n-gram-set
+    Jaccard similarity against any eval-set document (the near-duplicate
+    analogue of :func:`contamination_stats` — catches lightly edited /
+    reformatted eval text that exact 13-gram collision misses; the
+    fuzzy-match step of Brown et al. 2020 appendix C and the
+    dedup-based decontamination of Lee et al. 2022 — public papers).
+
+    Scale shape: the benchmark side is SMALL by definition — its
+    distinct (bench doc, gram) table broadcasts ONCE via ``ray.put``
+    (``key="hash"`` = 16 bytes/row).  The corpus side is one narrow
+    ``map_batches``: per-batch distinct doc grams, ONE hash join
+    against the broadcast table (no loop over bench docs), a grouped
+    intersection count, and a scatter-max.  Zero shuffles; texts never
+    leave their block.  For eval sets too large to broadcast, compose
+    the MinHash band machinery instead (``stages/dedup.py`` +
+    ``stages/sigstore.py`` delta mode).
+
+    ``key="text"`` probes literal shingle strings — collision-free and
+    byte-parity with :func:`fuzzy_contamination_oracle_sql`.
+
+    Returns ``(id_col, n_distinct_grams, max_jaccard,
+    fuzzy_contaminated)`` where ``max_jaccard`` is rounded half-away to
+    4 places and ``fuzzy_contaminated = max_jaccard >= threshold``.
+    """
+    import ray
+
+    from pdf_extract_ray.util import round_half_away
+
+    bench_tbl, bench_sizes = benchmark_gram_table(bench_texts, n, key)
+    ref = ray.put((bench_tbl, bench_sizes))
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        btbl, bsizes = ray.get(ref)
+        texts = batch[text_col].tolist()
+        rows = shingle_rows(texts, n, key).drop_duplicates(["__doc", "g"])
+        na = np.bincount(rows["__doc"], minlength=len(texts)).astype(
+            np.int64)
+        mx = np.zeros(len(texts), dtype=np.float64)
+        m = rows.merge(btbl, on="g")
+        if len(m):
+            pairs = (m.groupby(["__doc", "__bid"], sort=False)
+                     .size().reset_index(name="i"))
+            inter = pairs["i"].to_numpy(np.int64)
+            union = (na[pairs["__doc"].to_numpy()]
+                     + bsizes[pairs["__bid"].to_numpy()] - inter)
+            j = round_half_away(inter / np.maximum(union, 1), 4)
+            np.maximum.at(mx, pairs["__doc"].to_numpy(), j)
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "n_distinct_grams": na,
+            "max_jaccard": mx,
+            "fuzzy_contaminated": mx >= threshold,
+        })
+
+    return ds.map_batches(probe, batch_format="pandas")
+
+
+def fuzzy_contamination_oracle_sql(
+    table: str = "documents",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.5,
+    bench_pred: str = "doc_id % 20 = 0",
+) -> str:
+    """DuckDB SQL equal to :func:`fuzzy_contamination_stats` with
+    ``key="text"`` and the benchmark drawn from the same table by
+    ``bench_pred`` (the driver-query convention: synthesize the eval
+    set from the corpus itself, no external data).  Rounding before the
+    max is safe: round is monotone, so max(round(j)) = round(max(j))."""
+    return f"""
+WITH s AS (
+  SELECT {id_col},
+         regexp_extract_all(lower(coalesce({text_col}, '')), '[a-z0-9]+')
+           AS arr
+  FROM {table}
+), p AS (
+  SELECT {id_col}, unnest(range(1, len(arr) - {n} + 2)) AS pos, arr
+  FROM s WHERE len(arr) >= {n}
+), dg AS (
+  SELECT {id_col},
+         array_to_string(arr[pos : pos + {n} - 1], ' ') AS g
+  FROM p GROUP BY {id_col}, g
+), sz AS (
+  SELECT {id_col}, count(*) AS na FROM dg GROUP BY {id_col}
+), bench AS (
+  SELECT {id_col} AS bid, g FROM dg WHERE {bench_pred}
+), bsz AS (
+  SELECT bid, count(*) AS nb FROM bench GROUP BY bid
+), inter AS (
+  SELECT d.{id_col}, b.bid, count(*) AS i
+  FROM dg d JOIN bench b USING (g)
+  GROUP BY d.{id_col}, b.bid
+), mx AS (
+  SELECT i.{id_col},
+         max(round(i.i * 1.0 / (sz.na + bsz.nb - i.i), 4)) AS max_jaccard
+  FROM inter i
+  JOIN sz USING ({id_col})
+  JOIN bsz USING (bid)
+  GROUP BY i.{id_col}
+)
+SELECT t.{id_col},
+       coalesce(sz.na, 0) AS n_distinct_grams,
+       coalesce(mx.max_jaccard, 0.0) AS max_jaccard,
+       coalesce(mx.max_jaccard, 0.0) >= {threshold} AS fuzzy_contaminated
+FROM (SELECT {id_col} FROM {table}) t
+LEFT JOIN sz USING ({id_col})
+LEFT JOIN mx USING ({id_col})
+"""

@@ -101,3 +101,84 @@ def test_benchmark_gram_set_shapes():
     t = benchmark_gram_set(BENCH, 8, "text")
     assert h.dtype == np.uint64 and len(h) == len(t)
     assert all(len(g.split(" ")) == 8 for g in t)
+
+
+# ---------------------------------------------------------------- #
+# fuzzy decontamination (max n-gram-set Jaccard vs the eval set)
+
+
+def test_fuzzy_contamination_known_values(ray_session):
+    from pdf_extract_ray.stages.decontam import fuzzy_contamination_stats
+
+    bench = ["a b c d"]  # 2-grams {a b, b c, c d}
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "a b c d",     # identical -> 1.0
+            "a b c x",     # {a b, b c, c x}: inter 2, union 4 -> 0.5
+            "z z z z",     # {z z}: inter 0 -> 0.0
+            "",            # no grams -> 0.0
+        ],
+    })
+    ds = rd.from_pandas(df).repartition(2)
+    got = (fuzzy_contamination_stats(ds, bench, n=2, key="text",
+                                     threshold=0.5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["max_jaccard"].tolist() == [1.0, 0.5, 0.0, 0.0]
+    assert got["fuzzy_contaminated"].tolist() == [True, True, False, False]
+    assert got["n_distinct_grams"].tolist() == [3, 3, 1, 0]
+
+
+def test_fuzzy_contamination_hash_equals_text_mode(ray_session):
+    from pdf_extract_ray.stages.decontam import fuzzy_contamination_stats
+
+    ds = rd.from_pandas(_corpus())
+    a = (fuzzy_contamination_stats(ds, BENCH, n=3, key="text")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (fuzzy_contamination_stats(ds, BENCH, n=3, key="hash")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_fuzzy_contamination_sql_parity(ray_session):
+    import duckdb
+
+    from pdf_extract_ray.stages.decontam import (
+        fuzzy_contamination_oracle_sql,
+        fuzzy_contamination_stats,
+    )
+
+    rng = np.random.default_rng(23)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "Eta!"]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(0, 15))))
+             for _ in range(120)] + ["", None]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    bench_texts = [t for i, t in enumerate(texts)
+                   if i % 5 == 0 and t is not None]
+    got = (fuzzy_contamination_stats(
+        rd.from_pandas(df).repartition(3), bench_texts,
+        n=3, key="text", threshold=0.4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = (con.sql(fuzzy_contamination_oracle_sql(
+        "documents", n=3, threshold=0.4, bench_pred="doc_id % 5 = 0"))
+        .df().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"n_distinct_grams": "int64"}),
+        want.astype({"n_distinct_grams": "int64"}))
+
+
+# ---------------------------------------------------------------- #
+# leakage-safe group-exclusive split (hash the host, not the doc)
+
+
+def test_split_by_host_is_host_exclusive(ray_session):
+    hosts = pd.DataFrame({
+        "doc_id": np.arange(400),
+        "url_host": [f"site{h}.example" for h in np.arange(400) % 23],
+    })
+    out = assign_split_batch(hosts, id_col="url_host")
+    per_host = out.groupby("url_host")["split"].nunique()
+    assert (per_host == 1).all()
+    assert out["split"].nunique() > 1  # 23 hosts spread across splits
