@@ -1378,6 +1378,20 @@ def q_split_by_host(sf_dir: str):
     return ds.map_batches(body, batch_format="pandas")
 
 
+def q_host_cap_docs(sf_dir: str):
+    # anti-spam per-host page cap (stages/mix.cap_per_group, RefinedWeb
+    # §3.1): keep the 10 deterministically-ranked pages per host; one
+    # narrow rank map + one bucketed group shuffle.  md5 = SQL parity.
+    from pdf_extract_ray.functions.url import canonicalize_batch
+    from pdf_extract_ray.stages.mix import cap_per_group
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+    hosts = ds.map_batches(
+        lambda b: canonicalize_batch(_with_url(b))[["doc_id", "url_host"]],
+        batch_format="pandas")
+    return cap_per_group(hosts, "url_host", 10)
+
+
 def q_length_outliers(sf_dir: str):
     # corpus-relative length trim (stages/outliers.py): exact 5th/95th
     # word-count percentiles from ONE bounded count pass (distinct word
@@ -1387,6 +1401,29 @@ def q_length_outliers(sf_dir: str):
 
     ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
     return length_outlier_trim(ds, lower_pct=5, upper_pct=95)
+
+
+def q_token_budget_docs(sf_dir: str):
+    # greedy selection under a token budget (stages/budget.py, the
+    # DCLM/FineWeb-Edu "top docs by score up to N tokens" step): global
+    # (score DESC, id ASC) prefix rule realized with three bounded
+    # driver tables + one narrow filter — no global sort, no running-sum
+    # shuffle.  score = n_chars (int), weight = words, budget = 10k.
+    from pdf_extract_ray.stages.budget import take_token_budget
+    from pdf_extract_ray.stages.outliers import _n_words
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "n_chars", "text"])
+
+    def addw(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "n_chars": b["n_chars"].to_numpy(),
+            "n_words": _n_words(b["text"]),
+        })
+
+    return take_token_budget(
+        ds.map_batches(addw, batch_format="pandas"), 10_000,
+        score_col="n_chars", weight_col="n_words")
 
 
 def _with_lines(b: pd.DataFrame) -> pd.DataFrame:
@@ -2753,7 +2790,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": q_contamination,
         "fuzzy_contamination": q_fuzzy_contamination,
         "split_by_host_docs": q_split_by_host,
+        "host_cap_docs": q_host_cap_docs,
         "length_outlier_docs": q_length_outliers,
+        "token_budget_docs": q_token_budget_docs,
         "host_rollup": q_host_rollup,
         "perplexity_buckets": q_perplexity_buckets,
         "perplexity_buckets_lang": q_perplexity_lang,
@@ -3047,6 +3086,25 @@ def _split_by_host_oracle() -> str:
         f"SELECT doc_id, {_URL_SYNTH_SQL} FROM documents")
     return ("SELECT doc_id, url_host, split FROM ("
             + split_oracle_sql(inner, id_col="url_host") + ")")
+
+
+def _host_cap_oracle() -> str:
+    from pdf_extract_ray.functions.url import canonicalize_oracle_sql
+    from pdf_extract_ray.stages.mix import cap_per_group_oracle_sql
+
+    inner = canonicalize_oracle_sql(
+        f"SELECT doc_id, {_URL_SYNTH_SQL} FROM documents")
+    return cap_per_group_oracle_sql(
+        f"SELECT doc_id, url_host FROM ({inner})", "url_host", 10)
+
+
+def _token_budget_oracle() -> str:
+    from pdf_extract_ray.stages.budget import take_token_budget_oracle_sql
+
+    inner = (f"SELECT doc_id, n_chars, {_word_count_sql(_TEXT_COL)} "
+             f"AS n_words FROM documents")
+    return take_token_budget_oracle_sql(
+        inner, 10_000, score_col="n_chars", weight_col="n_words")
 
 
 def _length_outlier_oracle() -> str:
@@ -3445,7 +3503,9 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _contamination_oracle(),
         "fuzzy_contamination": _fuzzy_contamination_oracle(),
         "split_by_host_docs": _split_by_host_oracle(),
+        "host_cap_docs": _host_cap_oracle(),
         "length_outlier_docs": _length_outlier_oracle(),
+        "token_budget_docs": _token_budget_oracle(),
         "host_rollup": _host_rollup_oracle(),
         "perplexity_buckets": _perplexity_oracle(),
         "perplexity_buckets_lang": _perplexity_lang_oracle(),

@@ -207,3 +207,78 @@ def weighted_sample_oracle_sql(
         for g, r in rates.items())
     bound = f"CASE {whens} ELSE '{_bound_hex(default_rate)}' END"
     return f"SELECT * FROM ({table_sql}) WHERE {key} < {bound}"
+
+
+def cap_per_group(
+    ds: Dataset,
+    group_col: str,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    method: str = "md5",
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Anti-spam group cap: keep at most ``k`` documents per group —
+    the per-host page cap of RefinedWeb (Penedo et al. 2023 §3.1) and
+    C4's per-domain limits (public papers).  A handful of hosts
+    dominating a crawl would otherwise dominate the training mix.
+
+    Which ``k`` survive is deterministic: the k smallest
+    ``(hash(id), id)`` ranks within each group — seedless, order- and
+    parallelism-independent, and NESTED (the kept set for k=10 is a
+    subset of the kept set for k=100: cap experiments compose).
+    ``method="md5"`` is the SQL-parity mode; ``method="fast"`` is the
+    vectorized numpy hash for crawl scale (same contract, different
+    membership).
+
+    Scale shape: one narrow rank map, then ONE bucketed shuffle on the
+    group key (the same coarse-bucket machinery as every grouped op
+    here); within a bucket the cap is a vectorized sort + groupby-head.
+    Skew note: a single pathological group lands in one bucket — salt
+    upstream if a host exceeds a block (the webtext reassembly salting
+    pattern applies unchanged).
+    """
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    if method == "md5":
+        def add_rank(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["__rank"] = [
+                hashlib.md5(s.encode()).hexdigest()[:8]
+                for s in b[id_col].astype(str)]
+            return b
+    elif method == "fast":
+        def add_rank(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["__rank"] = _hash_numpy_col(b[id_col].to_numpy())
+            return b
+    else:
+        raise ValueError(f"method must be 'md5' or 'fast', got {method!r}")
+
+    def cap(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(
+            [group_col, "__rank", id_col], kind="mergesort")
+        return (g.groupby(group_col, as_index=False, sort=False)
+                .head(k).drop(columns="__rank"))
+
+    ranked = ds.map_batches(add_rank, batch_format="pandas")
+    return bucketed_group_apply(
+        ranked, [group_col], cap, num_buckets=num_buckets)
+
+
+def cap_per_group_oracle_sql(
+    table_sql: str,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of ``cap_per_group(method='md5')``."""
+    key = f"substr(md5(CAST({id_col} AS VARCHAR)), 1, 8)"
+    return (
+        f"SELECT * EXCLUDE (__rn) FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY {group_col} "
+        f"ORDER BY {key}, {id_col}) AS __rn FROM ({table_sql})) "
+        f"WHERE __rn <= {k}")

@@ -241,3 +241,71 @@ def test_temperature_sample_fast_method_same_rates_contract():
                                method="fast").to_pandas()
     assert sorted(kept.doc_id) == sorted(kept2.doc_id)
     assert int((kept.lang == "fr").sum()) == 200
+
+
+# ---------------------------------------------------------------- #
+# per-group cap (anti-spam host cap)
+
+
+def _cap_frame():
+    rng = np.random.default_rng(11)
+    return pd.DataFrame({
+        "doc_id": np.arange(300),
+        "host": [f"h{int(g)}" for g in rng.integers(0, 7, size=300)],
+    })
+
+
+def test_cap_per_group_caps_and_nests(ray_session):
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.mix import cap_per_group
+
+    df = _cap_frame()
+    ds = rd.from_pandas(df).repartition(4)
+    k2 = cap_per_group(ds, "host", 2, method="md5").to_pandas()
+    k5 = cap_per_group(ds, "host", 5, method="md5").to_pandas()
+    assert (k2.groupby("host").size() <= 2).all()
+    assert (k5.groupby("host").size() == 5).all()  # every host has >5
+    # nested: the k=2 survivors are a subset of the k=5 survivors
+    assert set(k2["doc_id"]) <= set(k5["doc_id"])
+
+
+def test_cap_per_group_sql_parity(ray_session):
+    import duckdb
+
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.mix import (
+        cap_per_group,
+        cap_per_group_oracle_sql,
+    )
+
+    df = _cap_frame()
+    got = (cap_per_group(rd.from_pandas(df).repartition(3), "host", 10)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(cap_per_group_oracle_sql(
+        "SELECT doc_id, host FROM t", "host", 10))
+        .df().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["doc_id", "host"]],
+                                  want[["doc_id", "host"]])
+
+
+def test_cap_per_group_fast_mode_and_validation(ray_session):
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.mix import cap_per_group
+
+    df = _cap_frame()
+    ds = rd.from_pandas(df)
+    a = cap_per_group(ds, "host", 3, method="fast").to_pandas()
+    b = (cap_per_group(ds.repartition(5), "host", 3, method="fast")
+         .to_pandas())
+    # parallelism-independent membership
+    assert set(a["doc_id"]) == set(b["doc_id"])
+    assert (a.groupby("host").size() <= 3).all()
+    with pytest.raises(ValueError):
+        cap_per_group(ds, "host", 0)
+    with pytest.raises(ValueError):
+        cap_per_group(ds, "host", 3, method="seeded")
