@@ -1456,6 +1456,99 @@ def q_line_dedup_docs(sf_dir: str):
         text_col="page_text", key="text")
 
 
+def _dupline_pages_batch(b: pd.DataFrame) -> pd.DataFrame:
+    # frozen derive: multi-line pages with guaranteed within-doc
+    # duplicate lines (a repeated share-widget line + a cohort footer)
+    t = b["text"].fillna("").astype(str).str.replace(" a ", "\n", regex=False)
+    foot = "\nshare this\nshare this\nfooter " + (b["doc_id"] % 5).astype(str)
+    return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                         "page_text": t + foot})
+
+
+_DUPLINE_DERIVE_SQL = (
+    "SELECT doc_id, replace(coalesce(text, ''), ' a ', chr(10)) "
+    "|| chr(10) || 'share this' || chr(10) || 'share this' "
+    "|| chr(10) || 'footer ' || CAST(doc_id % 5 AS VARCHAR) AS page_text "
+    "FROM documents"
+)
+
+
+def q_doc_line_dedup_docs(sf_dir: str):
+    # WITHIN-document duplicated-line removal (keep-first; the Gopher
+    # per-doc line cleaning) — stages/boilerplate.dedup_lines_in_doc:
+    # one narrow vectorized map, ZERO shuffles (the dup test never
+    # leaves the document).
+    from pdf_extract_ray.stages.boilerplate import dedup_lines_in_doc
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_lines_in_doc(
+        ds.map_batches(_dupline_pages_batch, batch_format="pandas"),
+        text_col="page_text")
+
+
+def q_mojibake_docs(sf_dir: str):
+    # mojibake repair (stages/mojibake.py, the ftfy UTF-8-as-cp1252
+    # trick as a frozen substitution chain): corrupted pages derived by
+    # a frozen chain (testdata text is clean), repaired by ONE narrow
+    # chained-replace map, zero shuffles.
+    from pdf_extract_ray.stages.mojibake import repair_mojibake_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def corrupt(b: pd.DataFrame) -> pd.DataFrame:
+        did = b["doc_id"]
+        t = (b["text"].fillna("").astype(str)
+             .str.replace(" a ", " Ã\xa0 ", regex=False)
+             .str.replace(" the ", " â€œthe ", regex=False))
+        tail = np.select(
+            [(did % 3 == 0).to_numpy(), (did % 3 == 1).to_numpy()],
+            [" donâ€™t", " Ã©cole"], default=" clean")
+        return pd.DataFrame({"doc_id": did.to_numpy(), "text": t + tail})
+
+    return ds.map_batches(corrupt, batch_format="pandas").map_batches(
+        repair_mojibake_batch, batch_format="pandas")
+
+
+_MOJIBAKE_DERIVE_SQL = (
+    "SELECT doc_id, replace(replace(coalesce(text, ''),"
+    " ' a ', ' Ã' || chr(160) || ' '), ' the ', ' â€œthe ')"
+    " || CASE doc_id % 3 WHEN 0 THEN ' donâ€™t'"
+    " WHEN 1 THEN ' Ã©cole' ELSE ' clean' END AS text"
+    " FROM documents"
+)
+
+
+def q_readability_docs(sf_dir: str):
+    # Flesch reading ease under frozen ASCII rules
+    # (stages/textquality.readability_batch): one narrow vectorized map
+    # (four C-level regex counts), zero shuffles.
+    from pdf_extract_ray.stages.textquality import readability_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(readability_batch, batch_format="pandas")
+
+
+def q_url_blocklist_docs(sf_dir: str):
+    # URL blocklist gate (stages/urlfilter.py, the RefinedWeb/UT1
+    # stage-1 screen): canonical-host suffix probe + url substring
+    # patterns, one narrow map, zero shuffles.  The suffix set-probe is
+    # the scale mode; the SQL oracle mirrors the frozen semantics.
+    from pdf_extract_ray.stages.urlfilter import filter_by_url_blocklist
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+    pages = ds.map_batches(
+        lambda b: _with_url(b)[["doc_id", "url"]], batch_format="pandas")
+    return filter_by_url_blocklist(
+        pages, BLOCKED_HOSTS, BLOCKED_URL_PATTERNS, method="suffix")
+
+
+# frozen blocklist for the url_blocklist_docs query: one exact synth
+# host, one parent domain (blocks every exampleN.com subdomain), one
+# substring pattern hitting the fbclid tracking urls
+BLOCKED_HOSTS = ["news.site1.org", "example3.com"]
+BLOCKED_URL_PATTERNS = ["/path7"]
+
+
 def q_perplexity_buckets(sf_dir: str):
     # CCNet-style perplexity bucketing (stages/lm.py): capped bigram LM
     # trained on the deterministic doc_id%10==0 slice (bounded model =
@@ -2797,6 +2890,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_buckets": q_perplexity_buckets,
         "perplexity_buckets_lang": q_perplexity_lang,
         "line_dedup_docs": q_line_dedup_docs,
+        "doc_line_dedup_docs": q_doc_line_dedup_docs,
+        "mojibake_docs": q_mojibake_docs,
+        "readability_docs": q_readability_docs,
+        "url_blocklist_docs": q_url_blocklist_docs,
         "nfc_docs": q_nfc_docs,
         "source_mixed_docs": q_source_mixed_docs,
         "temperature_mix_docs": q_temperature_mix_docs,
@@ -3179,6 +3276,40 @@ def _char_entropy_oracle() -> str:
     return char_entropy_oracle_sql()
 
 
+def _doc_line_dedup_oracle() -> str:
+    from pdf_extract_ray.stages.boilerplate import (
+        dedup_lines_in_doc_oracle_sql,
+    )
+
+    return dedup_lines_in_doc_oracle_sql(
+        f"({_DUPLINE_DERIVE_SQL})", text_col="page_text")
+
+
+def _mojibake_oracle() -> str:
+    from pdf_extract_ray.stages.mojibake import mojibake_oracle_sql
+
+    return mojibake_oracle_sql(_MOJIBAKE_DERIVE_SQL)
+
+
+def _readability_oracle() -> str:
+    from pdf_extract_ray.stages.textquality import readability_oracle_sql
+
+    return readability_oracle_sql("SELECT doc_id, text FROM documents")
+
+
+def _url_blocklist_oracle() -> str:
+    from pdf_extract_ray.functions.url import canonicalize_oracle_sql
+    from pdf_extract_ray.stages.urlfilter import url_blocklist_oracle_sql
+
+    src = f"SELECT doc_id, {_URL_SYNTH_SQL} FROM documents"
+    can = canonicalize_oracle_sql(src)
+    joined = (f"SELECT s.doc_id, s.url, c.url_host "
+              f"FROM ({src}) s JOIN ({can}) c USING (doc_id)")
+    filt = url_blocklist_oracle_sql(
+        joined, BLOCKED_HOSTS, BLOCKED_URL_PATTERNS)
+    return f"SELECT doc_id, url FROM ({filt})"
+
+
 def _source_mixed_oracle() -> str:
     from pdf_extract_ray.stages.mix import weighted_sample_oracle_sql
 
@@ -3510,6 +3641,10 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_buckets": _perplexity_oracle(),
         "perplexity_buckets_lang": _perplexity_lang_oracle(),
         "line_dedup_docs": _line_dedup_oracle(),
+        "doc_line_dedup_docs": _doc_line_dedup_oracle(),
+        "mojibake_docs": _mojibake_oracle(),
+        "readability_docs": _readability_oracle(),
+        "url_blocklist_docs": _url_blocklist_oracle(),
         "nfc_docs": (
             "SELECT doc_id, nfc_normalize(coalesce(text, '')) AS text_nfc, "
             "nfc_normalize(coalesce(text, '')) != coalesce(text, '') AS changed "

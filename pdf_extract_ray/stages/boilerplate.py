@@ -169,3 +169,88 @@ SELECT tot.{id_col},
        tot.n_lines - coalesce(agg.n_kept, 0) AS n_removed_lines
 FROM tot LEFT JOIN agg USING ({id_col})
 """
+
+
+def dedup_lines_in_doc(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """WITHIN-document duplicated-line removal — keep only the FIRST
+    occurrence of each exact line inside each document (the per-document
+    "remove repeated lines" cleaning of Gopher-family pipelines, Rae et
+    al. 2021 §A1.1; complements the corpus-wide :func:`dedup_lines`).
+
+    Semantics (frozen, SQL-mirrorable): lines = ``text.split("\\n")``
+    with 1-based positions; a line is kept iff no EQUAL line (exact
+    bytes, no stripping) occurs earlier in the same document; cleaned
+    text = kept lines re-joined with ``"\\n"``.  Empty lines dedup like
+    any other line (repeated blank separators collapse to the first).
+
+    Scale shape: ONE narrow map — the duplicate test never leaves the
+    document, so there is no shuffle at all; the per-batch kernel is
+    vectorized pandas (split / explode / drop_duplicates / groupby-agg).
+    """
+
+    def clean(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col].fillna("").astype(str)
+        ls = t.str.split("\n")
+        n_lines = ls.str.len().to_numpy(np.int64)
+        ex = pd.DataFrame({
+            "__i": np.repeat(np.arange(len(b)), n_lines),
+            "line": np.concatenate(ls.to_numpy()) if len(b) else
+                    np.array([], dtype=object),
+        })
+        kept = ex.drop_duplicates(["__i", "line"], keep="first")
+        agg = kept.groupby("__i", sort=True)["line"].agg("\n".join)
+        cleaned = np.full(len(b), "", dtype=object)
+        cleaned[agg.index.to_numpy()] = agg.to_numpy()
+        n_kept = np.zeros(len(b), dtype=np.int64)
+        cnt = kept.groupby("__i", sort=True).size()
+        n_kept[cnt.index.to_numpy()] = cnt.to_numpy()
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            "cleaned_text": cleaned,
+            "n_lines": n_lines,
+            "n_removed_lines": n_lines - n_kept,
+        })
+
+    return ds.map_batches(clean, batch_format="pandas")
+
+
+def dedup_lines_in_doc_oracle_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`dedup_lines_in_doc` (row_number over
+    (doc, line) picks the first occurrence; positions re-join in input
+    order)."""
+    return f"""
+WITH s AS (
+  SELECT {id_col},
+         string_split(coalesce({text_col}, ''), chr(10)) AS ls
+  FROM {table}
+), p AS (
+  SELECT {id_col}, unnest(ls) AS line,
+         unnest(range(1, len(ls) + 1)) AS pos
+  FROM s
+), r AS (
+  SELECT {id_col}, line, pos,
+         row_number() OVER (PARTITION BY {id_col}, line ORDER BY pos)
+           AS rn
+  FROM p
+), agg AS (
+  SELECT {id_col},
+         string_agg(line, chr(10) ORDER BY pos) AS cleaned_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM r WHERE rn = 1 GROUP BY {id_col}
+), tot AS (
+  SELECT {id_col}, CAST(len(ls) AS BIGINT) AS n_lines FROM s
+)
+SELECT tot.{id_col},
+       coalesce(agg.cleaned_text, '') AS cleaned_text,
+       tot.n_lines,
+       tot.n_lines - coalesce(agg.n_kept, 0) AS n_removed_lines
+FROM tot LEFT JOIN agg USING ({id_col})
+"""

@@ -1,0 +1,106 @@
+"""Mojibake repair — undo the classic "UTF-8 bytes decoded as cp1252"
+corruption that litters real web crawls (the core trick of the public
+`ftfy` library, Speer 2019; reimplemented from scratch as a FROZEN
+substitution table so the SQL oracle can mirror it exactly).
+
+How the corruption arises: a page is encoded as UTF-8, but a careless
+consumer decodes the bytes as cp1252 (Windows Latin-1).  Every
+non-ASCII character then shows up as 2-3 garbage characters — é (UTF-8
+``C3 A9``) becomes ``Ã©``, the right single quote ’ (``E2 80 99``)
+becomes ``â€™``, and so on.
+
+This module repairs a frozen subset: the table below lists the target
+characters; each mojibake key is DERIVED at import time by encoding the
+target to UTF-8 and decoding byte-by-byte with "sloppy cp1252" (cp1252
+where defined, Latin-1 for the five undefined bytes — exactly how real
+decoders leak the bytes through).  Repair = one ordered chain of
+literal global replacements; the DuckDB oracle is the same chain as
+nested ``replace()`` calls, so parity is by construction.
+
+The keys are 2-3 chars starting with ``Ã``/``â``/``Â``/``Å``/``Ÿ``,
+pairwise non-substring, and plain ASCII passes through untouched.
+Chain-order quirk (frozen, identical in both engines): a repair output
+can complete a LATER key — e.g. ``Å`` + mojibake ``â€™`` repairs to
+``Å’`` which the later ``Œ`` rule then repairs again; that is the
+double-encoded case, and repairing it twice is the desired behavior.
+
+Scale shape: ONE narrow ``map_batches`` (chained C-level
+``Series.str.replace`` literals), zero shuffles, no state.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+# Frozen target repertoire: the high-frequency Latin-script accents and
+# Windows punctuation seen in crawled text.  Order is part of the
+# frozen rule (3-byte keys listed before 2-byte keys that share no
+# prefix anyway; kept stable for byte-parity across versions).
+_TARGETS = (
+    # Windows punctuation (3-byte UTF-8, E2 80 xx)
+    "’‘“”–—…• "
+    # Latin-1 accents (2-byte UTF-8, C3 xx)
+    "éèêëáàâäãåíìîïóòôöõúùûüñçýÿ"
+    "ÉÈÊËÁÀÂÄÃÅÍÌÎÏÓÒÔÖÕÚÙÛÜÑÇ"
+    # other 2-byte commons
+    "ß«»°±·×÷¿¡µ€ŒœŠšŽžŸ"
+)
+
+
+def _sloppy_cp1252(byte: int) -> str:
+    """Decode one byte the way lenient real-world decoders do: cp1252
+    where defined, Latin-1 (C1 control) for the 5 undefined bytes."""
+    b = bytes([byte])
+    try:
+        return b.decode("cp1252")
+    except UnicodeDecodeError:
+        return b.decode("latin-1")
+
+
+def _build_table() -> list[tuple[str, str]]:
+    pairs = []
+    for ch in _TARGETS:
+        moji = "".join(_sloppy_cp1252(b) for b in ch.encode("utf-8"))
+        pairs.append((moji, ch))
+    return pairs
+
+
+#: the frozen (mojibake, repaired) chain, applied in order
+MOJIBAKE_TABLE: list[tuple[str, str]] = _build_table()
+
+
+def repair_mojibake_batch(
+    batch: pd.DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """Narrow map: repaired text + a changed flag.  Chained literal
+    replaces are C-level pandas kernels — no per-row Python."""
+    t = batch[text_col].fillna("").astype(str)
+    fixed = t
+    for moji, ch in MOJIBAKE_TABLE:
+        fixed = fixed.str.replace(moji, ch, regex=False)
+    return pd.DataFrame({
+        id_col: batch[id_col].to_numpy(),
+        "text_fixed": fixed,
+        "changed": (fixed != t).to_numpy(),
+    })
+
+
+def _sql_lit(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def mojibake_oracle_sql(
+    source_sql: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror: the same ordered chain as nested ``replace()``."""
+    expr = f"coalesce({text_col}, '')"
+    for moji, ch in MOJIBAKE_TABLE:
+        expr = f"replace({expr}, {_sql_lit(moji)}, {_sql_lit(ch)})"
+    return (
+        f"SELECT {id_col}, {expr} AS text_fixed, "
+        f"{expr} != coalesce({text_col}, '') AS changed "
+        f"FROM ({source_sql})")

@@ -494,6 +494,76 @@ FROM tot LEFT JOIN ag USING ({id_col})
 """
 
 
+_RD_WORD_RE = re.compile(r"[A-Za-z]+")
+_RD_VOWEL_RE = re.compile(r"[aeiouyAEIOUY]+")
+_RD_VOWEL_WORD_RE = re.compile(r"[A-Za-z]*[aeiouyAEIOUY][A-Za-z]*")
+_RD_SENT_RE = re.compile(r"[.!?]+")
+
+
+def readability_batch(batch: pd.DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> pd.DataFrame:
+    """Flesch reading-ease score (Flesch 1948; the readability gate of
+    education-quality corpus filters) under FROZEN ASCII rules so the
+    SQL oracle mirrors it exactly:
+
+    - words     = maximal ``[A-Za-z]+`` runs
+    - sentences = maximal ``[.!?]+`` runs, floor 1
+    - syllables = maximal vowel-group runs ``[aeiouy]+`` (case-blind),
+      with vowel-less words (``tv``) counting 1: since every vowel sits
+      inside some letter run, total vowel groups in the TEXT equals the
+      per-word sum, and the vowel-less-word count is ``n_words`` minus
+      matches of ``[A-Za-z]*[aeiouy][A-Za-z]*`` (regex leftmost-longest
+      over a letter run == "the run contains a vowel" — identical in
+      Python re and RE2).
+
+    ``flesch = round(206.835 - 1.015*(w/s) - 84.6*(syll/w), 4)`` with
+    the exact same IEEE expression shape as the SQL; NULL (NaN) when a
+    doc has no words.  One narrow vectorized map, zero shuffles.
+    """
+    t = batch[text_col].fillna("").astype(str)
+    nw = t.str.count(_RD_WORD_RE).to_numpy(np.int64)
+    vg = t.str.count(_RD_VOWEL_RE).to_numpy(np.int64)
+    vw = t.str.count(_RD_VOWEL_WORD_RE).to_numpy(np.int64)
+    ns = np.maximum(t.str.count(_RD_SENT_RE).to_numpy(np.int64), 1)
+    syll = vg + (nw - vw)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        flesch = np.round(
+            206.835 - 1.015 * (nw / ns) - 84.6 * (syll / nw), 4)
+    flesch = np.where(nw > 0, flesch, np.nan)
+    return pd.DataFrame({
+        id_col: batch[id_col].to_numpy(),
+        "n_words_rd": nw,
+        "n_sentences": ns,
+        "n_syllables": syll,
+        "flesch": flesch,
+    })
+
+
+def readability_oracle_sql(source_sql: str, text_col: str = "text",
+                           id_col: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`readability_batch` (same counts via
+    ``len(regexp_extract_all(...))``, same expression shape)."""
+    t = f"coalesce({text_col}, '')"
+    nw = f"len(regexp_extract_all({t}, '[A-Za-z]+'))"
+    vg = f"len(regexp_extract_all({t}, '[aeiouyAEIOUY]+'))"
+    vw = (f"len(regexp_extract_all({t}, "
+          f"'[A-Za-z]*[aeiouyAEIOUY][A-Za-z]*'))")
+    ns = f"greatest(len(regexp_extract_all({t}, '[.!?]+')), 1)"
+    return f"""
+WITH c AS (
+  SELECT {id_col}, {nw} AS nw, {vg} + ({nw} - {vw}) AS syll, {ns} AS ns
+  FROM ({source_sql})
+)
+SELECT {id_col}, nw AS n_words_rd, ns AS n_sentences,
+       syll AS n_syllables,
+       CASE WHEN nw > 0 THEN round(
+         206.835 - 1.015*(nw / CAST(ns AS DOUBLE))
+                 - 84.6*(syll / CAST(nw AS DOUBLE)), 4)
+       END AS flesch
+FROM c
+"""
+
+
 def compression_ratio_batch(batch: pd.DataFrame,
                             text_col: str = "text",
                             level: int = 6) -> pd.DataFrame:

@@ -1,0 +1,119 @@
+"""URL blocklist filtering — the very first gate of web-corpus
+pipelines (RefinedWeb Penedo et al. 2023 §3.1 filters against the
+public UT1 blocklist of ~4.6M adult/malicious hosts before any content
+work; C4 applies a banned-word URL screen).  Dropping a page here is
+~free; every later stage pays full price.
+
+Semantics (frozen, SQL-mirrorable):
+
+* a page is BLOCKED iff its canonical host (``functions.url``
+  canonicalization: lowercased, port stripped) equals a blocked host or
+  is a subdomain of one (``host == b`` or ``host ends with "." + b``),
+  OR its lowercased url contains any blocked substring pattern;
+* everything else passes through unchanged.
+
+Scale shape: ONE narrow map, zero shuffles.  Two probe modes:
+
+* ``method="suffix"`` (default; the 100-TB path): the blocklist ships
+  once as a broadcast frozenset (``ray.put`` outside, plain closure
+  capture here — Ray serializes the function once per task, and the
+  set is shared per-node via the object store when passed through
+  ``fn_constructor_kwargs``-style capture); each host probes the set
+  with its O(#labels) dot-suffix chain — list size does not matter.
+* ``method="regex"`` (small lists / SQL parity): a single compiled
+  alternation applied as one C-level vectorized ``str.contains`` per
+  batch.  This is the mode the DuckDB oracle mirrors.
+
+Pattern matching is always the single compiled alternation (pattern
+lists are small in practice — UT1-scale lists are host lists).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from ray.data import Dataset
+
+
+def _host_suffixes(host: str) -> list[str]:
+    """All dot-suffix chains of a host: a.b.c -> [a.b.c, b.c, c]."""
+    parts = host.split(".")
+    return [".".join(parts[i:]) for i in range(len(parts))]
+
+
+def filter_by_url_blocklist(
+    ds: Dataset,
+    blocked_hosts: list[str],
+    blocked_patterns: list[str] = (),
+    *,
+    url_col: str = "url",
+    method: str = "suffix",
+    invert: bool = False,
+) -> Dataset:
+    """Drop rows whose url hits the blocklist (keep only hits when
+    ``invert=True`` — the audit view).  Hosts are canonicalized with the
+    engine's url canonicalizer before probing."""
+    from pdf_extract_ray.functions.url import canonicalize_urls
+
+    hosts = frozenset(h.lower().strip(".") for h in blocked_hosts)
+    pat_rx = (re.compile("|".join(re.escape(p.lower())
+                                  for p in blocked_patterns))
+              if blocked_patterns else None)
+    if method == "suffix":
+        def blocked_host(hs: pd.Series) -> np.ndarray:
+            uniq = hs.fillna("").unique()
+            bad = {h for h in uniq
+                   if any(s in hosts for s in _host_suffixes(h))}
+            return hs.isin(bad).to_numpy()
+    elif method == "regex":
+        host_rx = (re.compile(
+            r"(?:^|\.)(?:" + "|".join(re.escape(h) for h in sorted(hosts))
+            + r")$") if hosts else None)
+
+        def blocked_host(hs: pd.Series) -> np.ndarray:
+            if host_rx is None:
+                return np.zeros(len(hs), dtype=bool)
+            return hs.fillna("").str.contains(host_rx).to_numpy()
+    else:
+        raise ValueError(f"method must be 'suffix' or 'regex', got {method!r}")
+
+    def filt(b: pd.DataFrame) -> pd.DataFrame:
+        canon = canonicalize_urls(b[url_col].fillna(""))
+        hit = blocked_host(canon["url_host"])
+        if pat_rx is not None:
+            hit |= (b[url_col].fillna("").str.lower()
+                    .str.contains(pat_rx).to_numpy())
+        return b[hit] if invert else b[~hit]
+
+    return ds.map_batches(filt, batch_format="pandas")
+
+
+def url_blocklist_oracle_sql(
+    source_sql: str,
+    blocked_hosts: list[str],
+    blocked_patterns: list[str] = (),
+    *,
+    url_col: str = "url",
+    host_col: str = "url_host",
+    invert: bool = False,
+) -> str:
+    """DuckDB mirror of :func:`filter_by_url_blocklist`.  ``source_sql``
+    must already expose the canonical host as ``host_col`` (compose with
+    ``functions.url.canonicalize_oracle_sql``, exactly like the engine
+    composes with ``canonicalize_urls``)."""
+    hc = f"coalesce({host_col}, '')"  # engine fillna('') on non-urls
+    conds = []
+    for h in sorted(set(x.lower().strip(".") for x in blocked_hosts)):
+        lit = h.replace("'", "''")
+        conds.append(f"{hc} = '{lit}'")
+        like = h.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+        conds.append(
+            f"{hc} LIKE '%.{like}' ESCAPE '\\'")
+    for p in blocked_patterns:
+        lit = p.lower().replace("'", "''")
+        conds.append(f"contains(lower(coalesce({url_col}, '')), '{lit}')")
+    hit = "(" + " OR ".join(conds) + ")" if conds else "FALSE"
+    keep = hit if invert else f"NOT {hit}"
+    return f"SELECT * FROM ({source_sql}) WHERE {keep}"

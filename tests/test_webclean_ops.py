@@ -1,0 +1,221 @@
+"""Mojibake repair, Flesch readability, URL blocklist, within-doc line
+dedup (stages/mojibake.py, textquality.readability_batch,
+stages/urlfilter.py, boilerplate.dedup_lines_in_doc)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+# ---------------------------------------------------------------- #
+# mojibake
+
+
+def test_mojibake_known_values():
+    from pdf_extract_ray.stages.mojibake import repair_mojibake_batch
+
+    b = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["cafÃ© â€” naÃ¯ve â€œquoteâ€\x9d donâ€™t",
+                 "plain ascii stays", None,
+                 "Ã‰cole franÃ§aise Â« lÃ\xa0 Â»"],
+    })
+    out = repair_mojibake_batch(b)
+    assert out["text_fixed"].tolist()[0] == "café — naïve “quote” don’t"
+    assert out["text_fixed"].tolist()[1] == "plain ascii stays"
+    assert out["text_fixed"].tolist()[2] == ""
+    assert out["text_fixed"].tolist()[3] == "École française « là »"
+    assert out["changed"].tolist() == [True, False, False, True]
+
+
+def test_mojibake_idempotent_on_repaired_text():
+    from pdf_extract_ray.stages.mojibake import repair_mojibake_batch
+
+    once = repair_mojibake_batch(pd.DataFrame({
+        "doc_id": [0], "text": ["rÃ©sumÃ© â€” naÃ¯ve donâ€™t"]}))
+    twice = repair_mojibake_batch(
+        once.rename(columns={"text_fixed": "text"})[["doc_id", "text"]])
+    assert twice["text_fixed"].iloc[0] == once["text_fixed"].iloc[0]
+    assert not twice["changed"].iloc[0]
+
+
+def test_mojibake_double_encoding_chain_quirk():
+    # Å + â€™ (the double-encoded Œ) repairs all the way to Œ — the
+    # frozen chain-order behavior documented in the module
+    from pdf_extract_ray.stages.mojibake import repair_mojibake_batch
+
+    out = repair_mojibake_batch(
+        pd.DataFrame({"doc_id": [0], "text": ["Åâ€™uvre"]}))
+    assert out["text_fixed"].iloc[0] == "Œuvre"
+
+
+def test_mojibake_sql_parity_randomized():
+    from pdf_extract_ray.stages.mojibake import (
+        MOJIBAKE_TABLE,
+        mojibake_oracle_sql,
+        repair_mojibake_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    keys = [k for k, _ in MOJIBAKE_TABLE]
+    words = ["word", "cafÃ©", "â€œx", "yâ€\x9d", "Ã¼ber", "Âµ", "", "Å¡"]
+    texts = [" ".join(rng.choice(words + keys, size=rng.integers(0, 12)))
+             for _ in range(200)]
+    df = pd.DataFrame({"doc_id": np.arange(200), "text": texts})
+    got = repair_mojibake_batch(df.copy())
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(mojibake_oracle_sql("SELECT doc_id, text FROM t")).df()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        want.sort_values("doc_id").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------- #
+# readability
+
+
+def test_readability_known_values():
+    from pdf_extract_ray.stages.textquality import readability_batch
+
+    b = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["The cat sat. It ran!", "tv tv", "12345 !!!"],
+    })
+    out = readability_batch(b)
+    r0 = out.iloc[0]
+    # words: The cat sat It ran = 5; sentences: '.' '!' = 2
+    # syllables: each word one vowel group = 5
+    assert (r0["n_words_rd"], r0["n_sentences"], r0["n_syllables"]) == (5, 2, 5)
+    assert r0["flesch"] == round(206.835 - 1.015 * 2.5 - 84.6 * 1.0, 4)
+    r1 = out.iloc[1]
+    # vowel-less words count 1 syllable each; sentence floor 1
+    assert (r1["n_words_rd"], r1["n_sentences"], r1["n_syllables"]) == (2, 1, 2)
+    # no letters at all -> NaN flesch
+    assert np.isnan(out.iloc[2]["flesch"]) and out.iloc[2]["n_words_rd"] == 0
+
+
+def test_readability_sql_parity_randomized():
+    from pdf_extract_ray.stages.textquality import (
+        readability_batch,
+        readability_oracle_sql,
+    )
+
+    rng = np.random.default_rng(3)
+    vocab = ["Hello", "rhythm", "queueing", "a", "I", "Dr.", "x!",
+             "beautiful", "tv", "?!", "one.two", "CRT", ""]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 25)))
+             for _ in range(300)]
+    df = pd.DataFrame({"doc_id": np.arange(300), "text": texts})
+    got = readability_batch(df.copy())
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        readability_oracle_sql("SELECT doc_id, text FROM t")).df()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        want.sort_values("doc_id").reset_index(drop=True),
+        check_dtype=False)
+
+
+# ---------------------------------------------------------------- #
+# url blocklist
+
+
+def _url_frame():
+    return pd.DataFrame({
+        "doc_id": np.arange(8),
+        "url": [
+            "http://bad.example.com/x",        # subdomain of blocked
+            "http://example.com/y",            # exact blocked
+            "https://good.org/page",           # kept
+            "http://notexample.com/z",         # NOT a subdomain (no dot)
+            "https://Ads.Tracker.NET:443/a",   # blocked host, case/port
+            "http://good.org/buy-cheap-pills", # pattern hit
+            None,                              # not a url -> kept
+            "http://sub.good.org/ok",          # kept
+        ],
+    })
+
+
+def test_url_blocklist_semantics_and_modes(ray_session):
+    from pdf_extract_ray.stages.urlfilter import filter_by_url_blocklist
+
+    df = _url_frame()
+    ds = rd.from_pandas(df).repartition(3)
+    hosts = ["example.com", "ads.tracker.net"]
+    pats = ["cheap-pills"]
+    kept_suffix = filter_by_url_blocklist(
+        ds, hosts, pats, method="suffix").to_pandas()
+    kept_regex = filter_by_url_blocklist(
+        ds, hosts, pats, method="regex").to_pandas()
+    assert sorted(kept_suffix["doc_id"]) == [2, 3, 6, 7]
+    assert sorted(kept_regex["doc_id"]) == sorted(kept_suffix["doc_id"])
+    blocked = filter_by_url_blocklist(
+        ds, hosts, pats, method="suffix", invert=True).to_pandas()
+    assert sorted(blocked["doc_id"]) == [0, 1, 4, 5]
+    with pytest.raises(ValueError):
+        filter_by_url_blocklist(ds, hosts, method="bloom")
+
+
+def test_url_blocklist_sql_parity(ray_session):
+    from pdf_extract_ray.functions.url import canonicalize_oracle_sql
+    from pdf_extract_ray.stages.urlfilter import (
+        filter_by_url_blocklist,
+        url_blocklist_oracle_sql,
+    )
+
+    df = _url_frame()
+    hosts = ["example.com", "ads.tracker.net"]
+    pats = ["cheap-pills"]
+    got = (filter_by_url_blocklist(rd.from_pandas(df), hosts, pats)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    src = "SELECT doc_id, url FROM t"
+    can = canonicalize_oracle_sql(src)
+    joined = (f"SELECT s.doc_id, s.url, c.url_host FROM ({src}) s "
+              f"JOIN ({can}) c USING (doc_id)")
+    want = (con.sql("SELECT doc_id, url FROM ("
+                    + url_blocklist_oracle_sql(joined, hosts, pats) + ")")
+            .df().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+
+# ---------------------------------------------------------------- #
+# within-doc line dedup
+
+
+def test_doc_line_dedup_known_values(ray_session):
+    from pdf_extract_ray.stages.boilerplate import dedup_lines_in_doc
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a\nb\na\nc\nb", "x\n\n\nx\n", None],
+    })
+    out = (dedup_lines_in_doc(rd.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["cleaned_text"].tolist() == ["a\nb\nc", "x\n", ""]
+    assert out["n_lines"].tolist() == [5, 5, 1]
+    assert out["n_removed_lines"].tolist() == [2, 3, 0]
+
+
+def test_doc_line_dedup_sql_parity_randomized(ray_session):
+    from pdf_extract_ray.stages.boilerplate import (
+        dedup_lines_in_doc,
+        dedup_lines_in_doc_oracle_sql,
+    )
+
+    rng = np.random.default_rng(9)
+    lines = ["nav", "menu", "", "body text", "© footer", "x"]
+    texts = ["\n".join(rng.choice(lines, size=rng.integers(1, 10)))
+             for _ in range(250)]
+    df = pd.DataFrame({"doc_id": np.arange(250), "text": texts})
+    got = (dedup_lines_in_doc(rd.from_pandas(df).repartition(4))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(dedup_lines_in_doc_oracle_sql("t"))
+            .df().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
