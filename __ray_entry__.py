@@ -1486,6 +1486,34 @@ def q_doc_line_dedup_docs(sf_dir: str):
         text_col="page_text")
 
 
+def q_keep_best_copy_docs(sf_dir: str):
+    # canonical-copy selection (dedup.dedup_keep_best): fingerprint
+    # groups whitespace/case-variant copies (frozen 3-copy derive),
+    # keep the LONGEST raw copy per group (ties -> min doc_id).  One
+    # narrow fingerprint map + ONE bucketed shuffle on the key.
+    from pdf_extract_ray.stages.dedup import dedup_keep_best
+    from pdf_extract_ray.stages.textquality import fingerprint_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def copies(b: pd.DataFrame) -> pd.DataFrame:
+        did = b["doc_id"]
+        g = (did // 3).astype(str)
+        m = (did % 3).to_numpy()
+        raw = np.select(
+            [m == 0, m == 1],
+            ["Shared Page " + g, "  shared   PAGE " + g + " "],
+            default="SHARED page " + g + "   ")
+        out = pd.DataFrame({"doc_id": did.to_numpy(), "text": raw})
+        fp = fingerprint_batch(out)[["doc_id", "fingerprint"]]
+        fp["n_chars_raw"] = out["text"].str.len().astype("int64")
+        return fp
+
+    return dedup_keep_best(
+        ds.map_batches(copies, batch_format="pandas"),
+        "fingerprint", "n_chars_raw", "doc_id")
+
+
 def q_mojibake_docs(sf_dir: str):
     # mojibake repair (stages/mojibake.py, the ftfy UTF-8-as-cp1252
     # trick as a frozen substitution chain): corrupted pages derived by
@@ -2891,6 +2919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_buckets_lang": q_perplexity_lang,
         "line_dedup_docs": q_line_dedup_docs,
         "doc_line_dedup_docs": q_doc_line_dedup_docs,
+        "keep_best_copy_docs": q_keep_best_copy_docs,
         "mojibake_docs": q_mojibake_docs,
         "readability_docs": q_readability_docs,
         "url_blocklist_docs": q_url_blocklist_docs,
@@ -3285,6 +3314,22 @@ def _doc_line_dedup_oracle() -> str:
         f"({_DUPLINE_DERIVE_SQL})", text_col="page_text")
 
 
+def _keep_best_copy_oracle() -> str:
+    from pdf_extract_ray.stages.dedup import keep_best_oracle_sql
+
+    derive = (
+        "SELECT doc_id, CASE doc_id % 3 "
+        "WHEN 0 THEN 'Shared Page ' || CAST(doc_id // 3 AS VARCHAR) "
+        "WHEN 1 THEN '  shared   PAGE ' || CAST(doc_id // 3 AS VARCHAR)"
+        " || ' ' "
+        "ELSE 'SHARED page ' || CAST(doc_id // 3 AS VARCHAR) || '   ' "
+        "END AS text FROM documents")
+    inner = (f"SELECT doc_id, {_FP_SQL} AS fingerprint, "
+             f"length(text) AS n_chars_raw FROM ({derive})")
+    return keep_best_oracle_sql(
+        inner, "fingerprint", "n_chars_raw", "doc_id")
+
+
 def _mojibake_oracle() -> str:
     from pdf_extract_ray.stages.mojibake import mojibake_oracle_sql
 
@@ -3642,6 +3687,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_buckets_lang": _perplexity_lang_oracle(),
         "line_dedup_docs": _line_dedup_oracle(),
         "doc_line_dedup_docs": _doc_line_dedup_oracle(),
+        "keep_best_copy_docs": _keep_best_copy_oracle(),
         "mojibake_docs": _mojibake_oracle(),
         "readability_docs": _readability_oracle(),
         "url_blocklist_docs": _url_blocklist_oracle(),

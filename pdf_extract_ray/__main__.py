@@ -80,6 +80,12 @@ def cmd_webtext(args) -> int:
             split_by_lang=args.split_by_lang,
             per_lang_rules=args.per_lang_rules,
             c4_rules=args.c4_rules,
+            blocked_hosts=(args.blocked_hosts.split(",")
+                           if args.blocked_hosts else None),
+            blocked_patterns=[p for p in args.blocked_patterns.split(",")
+                              if p],
+            fix_mojibake=args.fix_mojibake,
+            dedup_doc_lines=args.dedup_doc_lines,
             files_per_partition=args.files_per_partition,
         )
         print(json.dumps({"run": stats}))
@@ -195,6 +201,18 @@ def main(argv=None) -> int:
     wp.add_argument("--c4-rules", action="store_true",
                     help="fuse C4 line/page cleaning in front of tiering "
                          "(stages/c4.py)")
+    wp.add_argument("--blocked-hosts", default=None,
+                    help="comma-separated host blocklist applied to the "
+                         "url column before any content work "
+                         "(stages/urlfilter.py; subdomains match)")
+    wp.add_argument("--blocked-patterns", default="",
+                    help="comma-separated url substring blocklist")
+    wp.add_argument("--fix-mojibake", action="store_true",
+                    help="repair UTF-8-as-cp1252 mojibake in the text "
+                         "column (stages/mojibake.py)")
+    wp.add_argument("--dedup-doc-lines", action="store_true",
+                    help="remove within-document repeated lines "
+                         "(keep-first; stages/boilerplate.py)")
     lg = sub.add_parser("linkgraph", help="run/resume host link-graph extraction")
     add_common(lg)
     lg.add_argument("--respect-robots", action="store_true",

@@ -109,6 +109,10 @@ def webtext_run(
     split_by_lang: bool = False,
     per_lang_rules: bool = False,
     c4_rules: bool = False,
+    blocked_hosts: list[str] | None = None,
+    blocked_patterns: list[str] = (),
+    fix_mojibake: bool = False,
+    dedup_doc_lines: bool = False,
     files_per_partition: int = 8,
     min_rows_per_file: int = 5_000,
 ) -> dict:
@@ -155,7 +159,19 @@ def webtext_run(
     front of tiering: line rules rewrite the text column in place and
     pages failing the C4 page rules are dropped before any signal is
     computed — the same narrow pass, no extra scan.  The flag is part
-    of the run identity (resuming with it toggled redoes partitions)."""
+    of the run identity (resuming with it toggled redoes partitions).
+
+    ``blocked_hosts``/``blocked_patterns`` apply the URL blocklist gate
+    (stages/urlfilter.py, the RefinedWeb/UT1 stage-1 screen) FIRST —
+    before robots, extraction or any content work; the input must carry
+    a ``url`` column (raw pages and WET records do).  ``fix_mojibake``
+    repairs UTF-8-as-cp1252 corruption (stages/mojibake.py) and
+    ``dedup_doc_lines`` removes within-document repeated lines
+    (stages/boilerplate.dedup_lines_in_doc rule), both rewriting the
+    text column in place AFTER extraction and BEFORE the C4 rules —
+    the frozen stage order is blocklist -> robots -> extract ->
+    mojibake -> doc-line dedup -> C4 -> tier, all fused into the one
+    streaming plan.  Every flag rides the run identity."""
     import ray.data as rd
 
     from pdf_extract_ray.pipelines.runner import _rows_written
@@ -182,6 +198,13 @@ def webtext_run(
             raise ValueError(
                 "respect_robots needs raw pages (extract_first=True or "
                 "WARC input) — pre-extracted documents carry no html")
+        if blocked_hosts is not None:
+            from pdf_extract_ray.stages.urlfilter import (
+                filter_by_url_blocklist,
+            )
+
+            ds = filter_by_url_blocklist(
+                ds, blocked_hosts, blocked_patterns)
         col = text_col
         if do_extract:
             from pdf_extract_ray.pipelines.extract import extract_pages_fused
@@ -192,6 +215,21 @@ def webtext_run(
                 ds = filter_indexable(ds)
             ds = extract_pages_fused(ds)
             col = "extracted_text"
+        if fix_mojibake:
+            from pdf_extract_ray.stages.mojibake import repair_series
+
+            ds = ds.map_batches(
+                lambda b: b.assign(**{col: repair_series(b[col])}),
+                batch_format="pandas")
+        if dedup_doc_lines:
+            from pdf_extract_ray.stages.boilerplate import (
+                dedup_doc_lines_arrays,
+            )
+
+            ds = ds.map_batches(
+                lambda b: b.assign(
+                    **{col: dedup_doc_lines_arrays(b[col])[0]}),
+                batch_format="pandas")
         if c4_rules:
             from pdf_extract_ray.stages.c4 import apply_c4_filter
 
@@ -250,5 +288,10 @@ def webtext_run(
                         "split_by_lang": str(split_by_lang),
                         "per_lang_rules": str(per_lang_rules),
                         "c4_rules": str(c4_rules),
+                        "url_blocklist": repr(
+                            (sorted(blocked_hosts), sorted(blocked_patterns))
+                            if blocked_hosts is not None else None),
+                        "fix_mojibake": str(fix_mojibake),
+                        "dedup_doc_lines": str(dedup_doc_lines),
                         "rules": repr(sorted(rules.items()))},
     )

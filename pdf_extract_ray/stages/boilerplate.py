@@ -171,6 +171,28 @@ FROM tot LEFT JOIN agg USING ({id_col})
 """
 
 
+def dedup_doc_lines_arrays(texts: pd.Series):
+    """Vectorized keep-first within-doc line dedup over one Series ->
+    ``(cleaned, n_lines, n_kept)`` arrays.  Shared by the standalone
+    dataset op and the fused webtext-pipeline flag."""
+    t = texts.fillna("").astype(str)
+    ls = t.str.split("\n")
+    n_lines = ls.str.len().to_numpy(np.int64)
+    ex = pd.DataFrame({
+        "__i": np.repeat(np.arange(len(t)), n_lines),
+        "line": np.concatenate(ls.to_numpy()) if len(t) else
+                np.array([], dtype=object),
+    })
+    kept = ex.drop_duplicates(["__i", "line"], keep="first")
+    agg = kept.groupby("__i", sort=True)["line"].agg("\n".join)
+    cleaned = np.full(len(t), "", dtype=object)
+    cleaned[agg.index.to_numpy()] = agg.to_numpy()
+    n_kept = np.zeros(len(t), dtype=np.int64)
+    cnt = kept.groupby("__i", sort=True).size()
+    n_kept[cnt.index.to_numpy()] = cnt.to_numpy()
+    return cleaned, n_lines, n_kept
+
+
 def dedup_lines_in_doc(
     ds: Dataset,
     text_col: str = "text",
@@ -193,21 +215,7 @@ def dedup_lines_in_doc(
     """
 
     def clean(b: pd.DataFrame) -> pd.DataFrame:
-        t = b[text_col].fillna("").astype(str)
-        ls = t.str.split("\n")
-        n_lines = ls.str.len().to_numpy(np.int64)
-        ex = pd.DataFrame({
-            "__i": np.repeat(np.arange(len(b)), n_lines),
-            "line": np.concatenate(ls.to_numpy()) if len(b) else
-                    np.array([], dtype=object),
-        })
-        kept = ex.drop_duplicates(["__i", "line"], keep="first")
-        agg = kept.groupby("__i", sort=True)["line"].agg("\n".join)
-        cleaned = np.full(len(b), "", dtype=object)
-        cleaned[agg.index.to_numpy()] = agg.to_numpy()
-        n_kept = np.zeros(len(b), dtype=np.int64)
-        cnt = kept.groupby("__i", sort=True).size()
-        n_kept[cnt.index.to_numpy()] = cnt.to_numpy()
+        cleaned, n_lines, n_kept = dedup_doc_lines_arrays(b[text_col])
         return pd.DataFrame({
             id_col: b[id_col].to_numpy(),
             "cleaned_text": cleaned,

@@ -85,6 +85,36 @@ def dedup_exact(ds: Dataset, key_col: str, order_col: str,
     return bucketed_group_apply(ds, [key_col], keep_rule)
 
 
+def dedup_keep_best(ds: Dataset, key_col: str, score_col: str,
+                    order_col: str) -> Dataset:
+    """Keep the BEST row per ``key_col``: maximal ``score_col``, ties
+    broken by minimal ``order_col`` — canonical-copy selection when a
+    content fingerprint groups near-identical copies and a quality
+    signal (length, NB score, compression ratio) says which one to
+    train on.  Same one-coarse-hash-shuffle plan as :func:`dedup_exact`;
+    deterministic at any parallelism (``(key, order)`` must be unique).
+    """
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    def keep_rule(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(
+            [key_col, score_col, order_col],
+            ascending=[True, False, True], kind="mergesort")
+        return g.drop_duplicates(subset=[key_col], keep="first")
+
+    return bucketed_group_apply(ds, [key_col], keep_rule)
+
+
+def keep_best_oracle_sql(table_sql: str, key_col: str, score_col: str,
+                         order_col: str) -> str:
+    """DuckDB window mirror of :func:`dedup_keep_best`."""
+    return (
+        f"SELECT * EXCLUDE (__rn) FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY {key_col} "
+        f"ORDER BY {score_col} DESC, {order_col}) AS __rn "
+        f"FROM ({table_sql})) WHERE __rn = 1")
+
+
 # ---------------------------------------------------------------------------
 # vectorized token / shingle hashing (shared by MinHash and SimHash)
 # ---------------------------------------------------------------------------

@@ -69,17 +69,24 @@ def _build_table() -> list[tuple[str, str]]:
 MOJIBAKE_TABLE: list[tuple[str, str]] = _build_table()
 
 
+def repair_series(t: pd.Series) -> pd.Series:
+    """The repair chain over one text Series (chained literal replaces,
+    all C-level pandas kernels — no per-row Python).  Shared by the
+    standalone batch op and the fused webtext-pipeline flag."""
+    fixed = t.fillna("").astype(str)
+    for moji, ch in MOJIBAKE_TABLE:
+        fixed = fixed.str.replace(moji, ch, regex=False)
+    return fixed
+
+
 def repair_mojibake_batch(
     batch: pd.DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> pd.DataFrame:
-    """Narrow map: repaired text + a changed flag.  Chained literal
-    replaces are C-level pandas kernels — no per-row Python."""
+    """Narrow map: repaired text + a changed flag."""
     t = batch[text_col].fillna("").astype(str)
-    fixed = t
-    for moji, ch in MOJIBAKE_TABLE:
-        fixed = fixed.str.replace(moji, ch, regex=False)
+    fixed = repair_series(t)
     return pd.DataFrame({
         id_col: batch[id_col].to_numpy(),
         "text_fixed": fixed,

@@ -643,3 +643,37 @@ def test_dedup_exact_keep_last_keeps_max_order_key(ray_session):
     assert kept == expect
     with pytest.raises(ValueError):
         dedup_exact(with_fp, "fingerprint", "doc_id", keep="best")
+
+
+def test_dedup_keep_best_and_sql_parity(ray_session):
+    import duckdb
+
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.dedup import (
+        dedup_keep_best,
+        keep_best_oracle_sql,
+    )
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "doc_id": np.arange(200),
+        "key": [f"k{int(x)}" for x in rng.integers(0, 40, size=200)],
+        "score": rng.integers(0, 5, size=200),  # heavy score ties
+    })
+    got = (dedup_keep_best(rd.from_pandas(df).repartition(4),
+                           "key", "score", "doc_id")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # one row per key, and it is the (max score, min id) row
+    assert len(got) == df["key"].nunique()
+    best = (df.sort_values(["key", "score", "doc_id"],
+                           ascending=[True, False, True], kind="mergesort")
+            .drop_duplicates("key"))
+    assert sorted(got["doc_id"]) == sorted(best["doc_id"])
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(keep_best_oracle_sql(
+        "SELECT doc_id, key, score FROM t", "key", "score", "doc_id"))
+        .df().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  want[sorted(want.columns)])

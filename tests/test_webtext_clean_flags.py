@@ -1,0 +1,90 @@
+"""webtext_run cleaning flags: url blocklist gate, fused mojibake
+repair, fused within-doc line dedup (pipelines/webtext.py)."""
+
+import glob
+import os
+import re
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+
+def _read_out(out: str) -> pd.DataFrame:
+    frames = []
+    for p in glob.glob(f"{out}/part=*/tier=*/*.parquet"):
+        f = pq.read_table(p).to_pandas()
+        f["tier"] = re.search(r"tier=([^/]+)/", p).group(1)
+        frames.append(f)
+    return pd.concat(frames, ignore_index=True).sort_values(
+        "doc_id").reset_index(drop=True)
+
+
+def test_webtext_run_clean_flags(ray_session, tmp_path):
+    from pdf_extract_ray.pipelines.webtext import webtext_run, webtext_tiers
+    from pdf_extract_ray.stages.boilerplate import dedup_doc_lines_arrays
+    from pdf_extract_ray.stages.mojibake import repair_series
+
+    body = ("the cat sat on the mat and it was a very long day for "
+            "all of the animals in the house by the sea")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "url": ["http://good.org/a",
+                "http://spam.example.com/b",   # blocked subdomain
+                "http://fine.net/c"],
+        "text": [body + " donâ€™t stop\nnav menu\nnav menu\nmore text",
+                 body,
+                 body + "\nrepeat line\nrepeat line"],
+    })
+    docs.to_parquet(f"{src}/a.parquet")
+    out = str(tmp_path / "out")
+    webtext_run(f"{src}/*.parquet", out,
+                blocked_hosts=["example.com"],
+                fix_mojibake=True, dedup_doc_lines=True,
+                keep_rejects=True,
+                files_per_partition=1, min_rows_per_file=1)
+    got = _read_out(out)
+    # blocked host never reaches a tier
+    assert list(got["doc_id"]) == [0, 2]
+    # text was repaired AND line-deduped before tiering, equal to the
+    # manual composition over the kept rows
+    kept = docs[docs["doc_id"] != 1].reset_index(drop=True)
+    fixed = repair_series(kept["text"])
+    cleaned, _, _ = dedup_doc_lines_arrays(fixed)
+    manual = webtext_tiers(
+        rd.from_pandas(kept.assign(text=cleaned))).to_pandas()
+    assert got["text"].tolist() == list(cleaned)
+    assert "â€™" not in got["text"].iloc[0] and "’" in got["text"].iloc[0]
+    assert got["text"].iloc[1].count("repeat line") == 1
+    assert got["tier"].tolist() == manual.sort_values(
+        "doc_id")["tier"].tolist()
+    # toggling a cleaning flag changes the run identity: no skip
+    stats2 = webtext_run(f"{src}/*.parquet", out,
+                         blocked_hosts=["example.com"],
+                         fix_mojibake=False, dedup_doc_lines=True,
+                         keep_rejects=True,
+                         files_per_partition=1, min_rows_per_file=1)
+    assert stats2["completed"] == 1 and stats2["skipped"] == 0
+    # unchanged flags resume-skip
+    stats3 = webtext_run(f"{src}/*.parquet", out,
+                         blocked_hosts=["example.com"],
+                         fix_mojibake=False, dedup_doc_lines=True,
+                         keep_rejects=True,
+                         files_per_partition=1, min_rows_per_file=1)
+    assert stats3["skipped"] == 1 and stats3["completed"] == 0
+
+
+def test_webtext_run_blocklist_needs_url_column(ray_session, tmp_path):
+    from pdf_extract_ray.pipelines.webtext import webtext_run
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pd.DataFrame({"doc_id": [0], "text": ["x"]}).to_parquet(
+        f"{src}/a.parquet")
+    with pytest.raises(Exception):  # KeyError inside the ray task
+        webtext_run(f"{src}/*.parquet", str(tmp_path / "out"),
+                    blocked_hosts=["example.com"],
+                    files_per_partition=1, min_rows_per_file=1)
