@@ -1403,6 +1403,17 @@ def q_length_outliers(sf_dir: str):
     return length_outlier_trim(ds, lower_pct=5, upper_pct=95)
 
 
+def q_score_percentile_docs(sf_dir: str):
+    # corpus-relative percentile-rank calibration (outliers.
+    # score_percentile, the FineWeb-Edu "top X% by classifier score"
+    # knob): one bounded distinct-count pass + one narrow searchsorted
+    # map — NO global sort.  score = n_chars (quantized int).
+    from pdf_extract_ray.stages.outliers import score_percentile
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return score_percentile(ds, score_col="n_chars")
+
+
 def q_token_budget_docs(sf_dir: str):
     # greedy selection under a token budget (stages/budget.py, the
     # DCLM/FineWeb-Edu "top docs by score up to N tokens" step): global
@@ -2913,6 +2924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_by_host_docs": q_split_by_host,
         "host_cap_docs": q_host_cap_docs,
         "length_outlier_docs": q_length_outliers,
+        "score_percentile_docs": q_score_percentile_docs,
         "token_budget_docs": q_token_budget_docs,
         "host_rollup": q_host_rollup,
         "perplexity_buckets": q_perplexity_buckets,
@@ -3681,6 +3693,10 @@ def oracle_sql() -> dict[str, str]:
         "split_by_host_docs": _split_by_host_oracle(),
         "host_cap_docs": _host_cap_oracle(),
         "length_outlier_docs": _length_outlier_oracle(),
+        "score_percentile_docs": (
+            "SELECT doc_id, n_chars, "
+            "round(percent_rank() OVER (ORDER BY n_chars), 4) "
+            "AS pct_rank FROM documents"),
         "token_budget_docs": _token_budget_oracle(),
         "host_rollup": _host_rollup_oracle(),
         "perplexity_buckets": _perplexity_oracle(),

@@ -93,6 +93,74 @@ def length_outlier_trim(
     return ds.map_batches(filt, batch_format="pandas")
 
 
+def score_percentile(
+    ds: Dataset,
+    *,
+    score_col: str,
+    id_col: str = "doc_id",
+    out_col: str = "pct_rank",
+) -> Dataset:
+    """Corpus-relative percentile rank of a quantized score column —
+    the calibration step that turns a raw classifier score into "this
+    document is in the top X% of the corpus" (the FineWeb-Edu /
+    DCLM-style selection knob) WITHOUT a global sort.
+
+    Rule (exactly SQL ``percent_rank()``): ``rank_below / (N - 1)``
+    where ``rank_below`` counts rows with a strictly smaller score;
+    ``0.0`` when N == 1; rounded to 4 decimals (the engine float
+    convention).
+
+    Scale shape: one bounded distinct-count pass (map-side ``np.unique``
+    partials -> grouped merge; the driver table has one row per DISTINCT
+    score, bounded by the quantized score codomain), then ONE narrow
+    ``searchsorted`` map.  Zero shuffles on the wide data.
+    ``score_col`` must be quantized (ints / 4-decimal rounds).
+    """
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    def counts_batch(b: pd.DataFrame) -> pd.DataFrame:
+        v, c = np.unique(b[score_col].to_numpy(), return_counts=True)
+        return pd.DataFrame({"v": v, "c": c.astype(np.int64)})
+
+    cnt = grouped_aggregate(
+        ds.select_columns([score_col]).map_batches(
+            counts_batch, batch_format="pandas"),
+        ["v"], {"c": ("c", "sum")})
+    # bounded driver materialization: one row per distinct score
+    rows = sorted((r["v"], int(r["c"])) for r in cnt.take_all())
+    vs = np.array([v for v, _ in rows])
+    below = np.concatenate(
+        [[0], np.cumsum([c for _, c in rows])[:-1]]).astype(np.int64)
+    n = int(below[-1] + rows[-1][1]) if rows else 0
+
+    def rank(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[score_col].to_numpy()
+        idx = np.searchsorted(vs, s, side="left")
+        pct = (np.round(below[idx] / (n - 1), 4) if n > 1
+               else np.zeros(len(b)))
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            score_col: s,
+            out_col: pct,
+        })
+
+    return ds.map_batches(rank, batch_format="pandas")
+
+
+def score_percentile_oracle_sql(
+    table_sql: str,
+    *,
+    score_col: str,
+    id_col: str = "doc_id",
+    out_col: str = "pct_rank",
+) -> str:
+    """DuckDB mirror of :func:`score_percentile`."""
+    return (
+        f"SELECT {id_col}, {score_col}, "
+        f"round(percent_rank() OVER (ORDER BY {score_col}), 4) "
+        f"AS {out_col} FROM ({table_sql})")
+
+
 def length_outlier_oracle_sql(
     table: str = "documents",
     *,

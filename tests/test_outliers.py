@@ -73,3 +73,51 @@ def test_length_outlier_sql_parity(ray_session):
     pd.testing.assert_frame_equal(
         got.astype({"n_words": "int64"}),
         want.astype({"n_words": "int64"}))
+
+
+def test_score_percentile_matches_sql_and_reference(ray_session):
+    import duckdb
+
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.outliers import (
+        score_percentile,
+        score_percentile_oracle_sql,
+    )
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({
+        "doc_id": np.arange(400),
+        "score": rng.integers(0, 50, size=400),  # heavy ties
+    })
+    got = (score_percentile(rd.from_pandas(df).repartition(5),
+                            score_col="score")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(score_percentile_oracle_sql(
+        "SELECT doc_id, score FROM t", score_col="score"))
+        .df().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # top-10% selection via the rank column matches the sort definition
+    top = set(got.loc[got["pct_rank"] >= 0.9, "doc_id"])
+    n_below = (df["score"].to_numpy()[:, None]
+               > df["score"].to_numpy()[None, :]).sum(1)
+    expect = set(df.loc[np.round(n_below / 399, 4) >= 0.9, "doc_id"])
+    assert top == expect
+
+
+def test_score_percentile_single_row_and_constant(ray_session):
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.outliers import score_percentile
+
+    one = score_percentile(
+        rd.from_pandas(pd.DataFrame({"doc_id": [7], "score": [3]})),
+        score_col="score").to_pandas()
+    assert one["pct_rank"].tolist() == [0.0]
+    const = score_percentile(
+        rd.from_pandas(pd.DataFrame({"doc_id": [1, 2, 3],
+                                     "score": [5, 5, 5]})),
+        score_col="score").to_pandas()
+    assert const["pct_rank"].tolist() == [0.0, 0.0, 0.0]
