@@ -1497,6 +1497,24 @@ def q_doc_line_dedup_docs(sf_dir: str):
         text_col="page_text")
 
 
+def q_host_template_stats(sf_dir: str):
+    # per-host template/spam cue (links.host_template_stats): distinct
+    # content fingerprints per host over (host, fp) pairs only — 32-byte
+    # hashes shuffle, bodies never move; map-side partial counts.
+    # doc_id%25 as the content seed gives real per-host template reuse.
+    from pdf_extract_ray.stages.links import host_template_stats
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def pages(b: pd.DataFrame) -> pd.DataFrame:
+        out = _with_url(b)[["doc_id", "url"]]
+        out["text"] = "template body " + (b["doc_id"] % 25).astype(str)
+        return out
+
+    return host_template_stats(
+        ds.map_batches(pages, batch_format="pandas"))
+
+
 def q_keep_best_copy_docs(sf_dir: str):
     # canonical-copy selection (dedup.dedup_keep_best): fingerprint
     # groups whitespace/case-variant copies (frozen 3-copy derive),
@@ -2932,6 +2950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_docs": q_line_dedup_docs,
         "doc_line_dedup_docs": q_doc_line_dedup_docs,
         "keep_best_copy_docs": q_keep_best_copy_docs,
+        "host_template_stats": q_host_template_stats,
         "mojibake_docs": q_mojibake_docs,
         "readability_docs": q_readability_docs,
         "url_blocklist_docs": q_url_blocklist_docs,
@@ -3326,6 +3345,20 @@ def _doc_line_dedup_oracle() -> str:
         f"({_DUPLINE_DERIVE_SQL})", text_col="page_text")
 
 
+def _host_template_oracle() -> str:
+    from pdf_extract_ray.functions.url import canonicalize_oracle_sql
+    from pdf_extract_ray.stages.links import host_template_stats_oracle_sql
+
+    src = f"SELECT doc_id, {_URL_SYNTH_SQL} FROM documents"
+    can = canonicalize_oracle_sql(src)
+    pages = (
+        f"SELECT c.url_host, {_FP_SQL} AS fingerprint FROM ({can}) c "
+        f"JOIN (SELECT doc_id, 'template body ' "
+        f"|| CAST(doc_id % 25 AS VARCHAR) AS text FROM documents) d "
+        f"USING (doc_id)")
+    return host_template_stats_oracle_sql(pages)
+
+
 def _keep_best_copy_oracle() -> str:
     from pdf_extract_ray.stages.dedup import keep_best_oracle_sql
 
@@ -3704,6 +3737,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup_docs": _line_dedup_oracle(),
         "doc_line_dedup_docs": _doc_line_dedup_oracle(),
         "keep_best_copy_docs": _keep_best_copy_oracle(),
+        "host_template_stats": _host_template_oracle(),
         "mojibake_docs": _mojibake_oracle(),
         "readability_docs": _readability_oracle(),
         "url_blocklist_docs": _url_blocklist_oracle(),

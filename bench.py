@@ -172,7 +172,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "c4_clean_docs", "temperature_mix_docs",
                      "char_entropy_docs", "dup_segment_docs",
                      "gopher_line_docs", "fuzzy_contamination",
-                     "length_outlier_docs"):
+                     "length_outlier_docs",
+                     # final round-5 ops: selection/cleaning battery
+                     "token_budget_docs", "score_percentile_docs",
+                     "url_blocklist_docs", "mojibake_docs",
+                     "doc_line_dedup_docs", "keep_best_copy_docs",
+                     "host_cap_docs", "readability_docs"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

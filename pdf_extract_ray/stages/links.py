@@ -269,3 +269,81 @@ def url_host_link_edges(ds: Dataset, html_col: str = "html",
         ["src_url", "src_host", "dst_host"],
         {"n_links": ("dst_host", "count")},
     )
+
+
+def host_template_stats(
+    ds: Dataset,
+    *,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> Dataset:
+    """Per-host template/spam cue: how many DISTINCT content
+    fingerprints a host's pages collapse to — template farms and
+    scraped-mirror hosts publish thousands of urls over a handful of
+    templates, and host-level spam screens (RefinedWeb-style curation)
+    cut them before any per-document work.
+
+    Output: ``(url_host, n_docs, n_templates, dup_frac)`` with
+    ``dup_frac = round(1 - n_templates/n_docs, 4)`` (0 = every page
+    unique, -> 1 = one template stamped everywhere).
+
+    Scale shape: the narrow map emits only ``(url_host, fingerprint)``
+    pairs — 32-byte hashes, never bodies — pre-deduplicated per batch
+    (map-side shrink: a template farm's batches collapse before the
+    wire); then ONE bucketed shuffle on the host and a vectorized
+    nunique/size per bucket.  Host groups are count-bounded by the
+    crawl's per-host page cap (compose with ``mix.cap_per_group``).
+    """
+    from pdf_extract_ray.functions.url import canonicalize_urls
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+    from pdf_extract_ray.stages.textquality import fingerprint_batch
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        host = canonicalize_urls(b[url_col])["url_host"].to_numpy()
+        fp = fingerprint_batch(
+            b[[text_col]].rename(columns={text_col: "text"}).copy()
+        )["fingerprint"].to_numpy()
+        out = pd.DataFrame({"url_host": host, "fingerprint": fp,
+                            "__n": 1})
+        # map-side shrink: per-batch (host, fp) partial counts
+        return (out.groupby(["url_host", "fingerprint"], as_index=False)
+                .agg(__n=("__n", "sum")))
+
+    def rollup(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("url_host").agg(
+            n_docs=("__n", "sum"), n_templates=("fingerprint", "nunique"))
+        import numpy as np
+
+        n_docs = g["n_docs"].to_numpy("int64")
+        n_templates = g["n_templates"].to_numpy("int64")
+        return pd.DataFrame({
+            "url_host": g.index.to_numpy(),
+            "n_docs": n_docs,
+            "n_templates": n_templates,
+            "dup_frac": np.round(1.0 - n_templates / n_docs, 4),
+        })
+
+    # second-level partial merge happens inside the bucket (all rows of
+    # a host land in one bucket, so per-batch partials just sum)
+    return bucketed_group_apply(
+        ds.map_batches(pairs, batch_format="pandas"),
+        ["url_host"], rollup)
+
+
+def host_template_stats_oracle_sql(
+    source_sql: str,
+    *,
+    host_col: str = "url_host",
+    fp_col: str = "fingerprint",
+) -> str:
+    """DuckDB mirror of :func:`host_template_stats` — ``source_sql``
+    must expose the canonical host and the content fingerprint per
+    page row."""
+    return f"""
+SELECT {host_col} AS url_host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT {fp_col}) AS BIGINT) AS n_templates,
+       round(1.0 - count(DISTINCT {fp_col})
+                   / CAST(count(*) AS DOUBLE), 4) AS dup_frac
+FROM ({source_sql}) GROUP BY {host_col}
+"""

@@ -219,3 +219,51 @@ def test_doc_line_dedup_sql_parity_randomized(ray_session):
     want = (con.sql(dedup_lines_in_doc_oracle_sql("t"))
             .df().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ---------------------------------------------------------------- #
+# host template stats
+
+
+def test_host_template_stats_and_sql_parity(ray_session):
+    from pdf_extract_ray.functions.url import canonicalize_oracle_sql
+    from pdf_extract_ray.stages.links import (
+        host_template_stats,
+        host_template_stats_oracle_sql,
+    )
+    from pdf_extract_ray.stages.textquality import fingerprint_batch
+
+    rng = np.random.default_rng(17)
+    n = 300
+    df = pd.DataFrame({
+        "doc_id": np.arange(n),
+        "url": ["http://h" + str(int(x)) + ".example/p" + str(i)
+                for i, x in enumerate(rng.integers(0, 6, size=n))],
+        # host h0 is a template farm: few distinct bodies
+        "text": ["body " + str(int(x)) for x in rng.integers(0, 8, size=n)],
+    })
+    got = (host_template_stats(rd.from_pandas(df).repartition(5))
+           .to_pandas().sort_values("url_host").reset_index(drop=True))
+    # independent reference
+    ref = df.copy()
+    ref["url_host"] = ref["url"].str.extract(r"http://([^/]+)/")[0]
+    ref["fp"] = fingerprint_batch(ref[["text"]].copy())["fingerprint"]
+    want = (ref.groupby("url_host")
+            .agg(n_docs=("fp", "size"), n_templates=("fp", "nunique"))
+            .reset_index())
+    assert got["n_docs"].tolist() == want["n_docs"].tolist()
+    assert got["n_templates"].tolist() == want["n_templates"].tolist()
+    assert (got["dup_frac"] == np.round(
+        1.0 - want["n_templates"].to_numpy()
+        / want["n_docs"].to_numpy(), 4)).all()
+    # SQL parity
+    con = duckdb.connect()
+    con.register("t", df)
+    can = canonicalize_oracle_sql("SELECT doc_id, url FROM t")
+    pages = (
+        "SELECT c.url_host, md5(lower(trim(regexp_replace("
+        "coalesce(d.text, ''), '\\s+', ' ', 'g')))) AS fingerprint "
+        f"FROM ({can}) c JOIN t d USING (doc_id)")
+    sql = (con.sql(host_template_stats_oracle_sql(pages)).df()
+           .sort_values("url_host").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, sql, check_dtype=False)
