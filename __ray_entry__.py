@@ -1467,6 +1467,41 @@ def q_line_dedup_docs(sf_dir: str):
         text_col="page_text", key="text")
 
 
+def _para_pages_batch(b: pd.DataFrame) -> pd.DataFrame:
+    # frozen derive: paragraph-structured pages with a corpus-wide
+    # promo paragraph on half the docs + a cohort footer paragraph
+    t = b["text"].fillna("").astype(str).str.replace(
+        " the ", "\n\n", regex=False)
+    did = b["doc_id"]
+    promo = np.where(did % 2 == 0, "\n\nshared promo paragraph", "")
+    foot = "\n\ncohort footer " + (did % 7).astype(str)
+    return pd.DataFrame({"doc_id": did.to_numpy(),
+                         "page_text": t + promo + foot})
+
+
+_PARA_DERIVE_SQL = (
+    "SELECT doc_id, replace(coalesce(text, ''), ' the ', "
+    "chr(10) || chr(10)) "
+    "|| CASE WHEN doc_id % 2 = 0 THEN chr(10) || chr(10) "
+    "|| 'shared promo paragraph' ELSE '' END "
+    "|| chr(10) || chr(10) || 'cohort footer ' "
+    "|| CAST(doc_id % 7 AS VARCHAR) AS page_text FROM documents"
+)
+
+
+def q_para_dedup_docs(sf_dir: str):
+    # corpus-wide duplicated-PARAGRAPH removal — the other granularity
+    # of the CCNet-family segment dedup (boilerplate.dedup_lines with
+    # sep="\n\n"): same ids+positions-only shuffle plan, promo/footer
+    # paragraphs vanish corpus-wide, body paragraphs stay.
+    from pdf_extract_ray.stages.boilerplate import dedup_lines
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_lines(
+        ds.map_batches(_para_pages_batch, batch_format="pandas"),
+        text_col="page_text", key="text", sep="\n\n")
+
+
 def _dupline_pages_batch(b: pd.DataFrame) -> pd.DataFrame:
     # frozen derive: multi-line pages with guaranteed within-doc
     # duplicate lines (a repeated share-widget line + a cohort footer)
@@ -2948,6 +2983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_buckets": q_perplexity_buckets,
         "perplexity_buckets_lang": q_perplexity_lang,
         "line_dedup_docs": q_line_dedup_docs,
+        "para_dedup_docs": q_para_dedup_docs,
         "doc_line_dedup_docs": q_doc_line_dedup_docs,
         "keep_best_copy_docs": q_keep_best_copy_docs,
         "host_template_stats": q_host_template_stats,
@@ -3278,6 +3314,14 @@ def _line_dedup_oracle() -> str:
     return dedup_lines_oracle_sql(
         f"(SELECT doc_id, {_LINES_SYNTH_SQL} FROM documents)",
         text_col="page_text")
+
+
+def _para_dedup_oracle() -> str:
+    from pdf_extract_ray.stages.boilerplate import dedup_lines_oracle_sql
+
+    return dedup_lines_oracle_sql(
+        f"({_PARA_DERIVE_SQL})", text_col="page_text",
+        sep_sql="chr(10) || chr(10)")
 
 
 def _perplexity_oracle() -> str:
@@ -3735,6 +3779,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_buckets": _perplexity_oracle(),
         "perplexity_buckets_lang": _perplexity_lang_oracle(),
         "line_dedup_docs": _line_dedup_oracle(),
+        "para_dedup_docs": _para_dedup_oracle(),
         "doc_line_dedup_docs": _doc_line_dedup_oracle(),
         "keep_best_copy_docs": _keep_best_copy_oracle(),
         "host_template_stats": _host_template_oracle(),

@@ -35,9 +35,11 @@ from pdf_extract_ray.stages.agg import bucketed_group_apply
 from pdf_extract_ray.util import PY_WS
 
 
-def _line_rows(texts, key: str) -> pd.DataFrame:
-    """(g, __doc, pos) for every non-empty-stripped line."""
-    s = pd.Series(texts).fillna("").str.split("\n")
+def _line_rows(texts, key: str, sep: str = "\n") -> pd.DataFrame:
+    """(g, __doc, pos) for every non-empty-stripped segment (lines by
+    default; pass sep="\n\n" for paragraph-level dedup — the other
+    granularity CCNet-family pipelines run)."""
+    s = pd.Series(texts).fillna("").str.split(sep)
     ex = s.explode()
     pos = ex.groupby(level=0).cumcount() + 1
     stripped = ex.str.strip()
@@ -63,12 +65,14 @@ def dup_line_positions(
     key: str = "hash",
     min_count: int = 2,
     num_buckets: int | None = None,
+    sep: str = "\n",
 ) -> Dataset:
-    """(id, pos) of every line whose stripped form occurs at least
-    ``min_count`` times corpus-wide."""
+    """(id, pos) of every segment (line by default, paragraph with
+    sep="\n\n") whose stripped form occurs at least ``min_count``
+    times corpus-wide."""
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = _line_rows(batch[text_col].tolist(), key)
+        rows = _line_rows(batch[text_col].tolist(), key, sep)
         rows[id_col] = batch[id_col].to_numpy()[rows["__doc"].to_numpy()]
         return rows[["g", id_col, "pos"]]
 
@@ -90,12 +94,14 @@ def dedup_lines(
     key: str = "hash",
     min_count: int = 2,
     num_buckets: int | None = None,
+    sep: str = "\n",
 ) -> Dataset:
-    """Remove corpus-wide duplicated lines from every document:
+    """Remove corpus-wide duplicated segments (lines by default,
+    paragraphs with sep="\n\n") from every document:
     ``(id, cleaned_text, n_lines, n_removed_lines)``."""
     pos = dup_line_positions(
         ds, id_col=id_col, text_col=text_col, key=key,
-        min_count=min_count, num_buckets=num_buckets)
+        min_count=min_count, num_buckets=num_buckets, sep=sep)
 
     def tag_docs(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -116,10 +122,10 @@ def dedup_lines(
             texts = g.loc[g["__pos"] == -1, "__text"]
             if not len(texts):
                 continue
-            lines = (texts.iloc[0] or "").split("\n")
+            lines = (texts.iloc[0] or "").split(sep)
             drop = set(g.loc[g["__pos"] > 0, "__pos"].tolist())
             kept = [ln for i, ln in enumerate(lines, 1) if i not in drop]
-            out.append((did, "\n".join(kept), len(lines),
+            out.append((did, sep.join(kept), len(lines),
                         len(lines) - len(kept)))
         return pd.DataFrame(
             out, columns=[id_col, "cleaned_text", "n_lines",
@@ -135,13 +141,15 @@ def dedup_lines_oracle_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_count: int = 2,
+    sep_sql: str = "chr(10)",
 ) -> str:
-    """DuckDB SQL equal to :func:`dedup_lines` with ``key="text"``."""
+    """DuckDB SQL equal to :func:`dedup_lines` with ``key="text"``
+    (``sep_sql="chr(10) || chr(10)"`` mirrors the paragraph mode)."""
     ws = PY_WS.replace("'", "''")
     return f"""
 WITH s AS (
   SELECT {id_col},
-         string_split(coalesce({text_col}, ''), chr(10)) AS ls
+         string_split(coalesce({text_col}, ''), {sep_sql}) AS ls
   FROM {table}
 ), p AS (
   SELECT {id_col}, unnest(ls) AS line,
@@ -157,7 +165,7 @@ WITH s AS (
   FROM t LEFT JOIN d USING (key) WHERE d.key IS NULL
 ), agg AS (
   SELECT {id_col},
-         string_agg(line, chr(10) ORDER BY pos) AS cleaned_text,
+         string_agg(line, {sep_sql} ORDER BY pos) AS cleaned_text,
          CAST(count(*) AS BIGINT) AS n_kept
   FROM kept GROUP BY {id_col}
 ), tot AS (

@@ -267,3 +267,42 @@ def test_host_template_stats_and_sql_parity(ray_session):
     sql = (con.sql(host_template_stats_oracle_sql(pages)).df()
            .sort_values("url_host").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, sql, check_dtype=False)
+
+
+# ---------------------------------------------------------------- #
+# paragraph-level corpus dedup (dedup_lines sep="\n\n")
+
+
+def test_para_dedup_corpus_wide_and_sql_parity(ray_session):
+    from pdf_extract_ray.stages.boilerplate import (
+        dedup_lines,
+        dedup_lines_oracle_sql,
+    )
+
+    rng = np.random.default_rng(23)
+    paras = ["unique body " + str(i) for i in range(300)]
+    texts = []
+    for i in range(120):
+        parts = [paras[i], paras[120 + i]]
+        if i % 2 == 0:
+            parts.append("shared promo\nwith inner newline")  # corpus dup
+        rng.shuffle(parts)
+        texts.append("\n\n".join(parts))
+    df = pd.DataFrame({"doc_id": np.arange(120), "text": texts})
+    got = (dedup_lines(rd.from_pandas(df).repartition(4),
+                       key="text", sep="\n\n")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # the shared paragraph vanished everywhere; unique bodies survive
+    assert not got["cleaned_text"].str.contains("shared promo").any()
+    assert (got.loc[got["doc_id"] % 2 == 0, "n_removed_lines"] == 1).all()
+    assert (got.loc[got["doc_id"] % 2 == 1, "n_removed_lines"] == 0).all()
+    con = duckdb.connect()
+    con.register("pages", df)
+    want = (con.sql(dedup_lines_oracle_sql(
+        "pages", sep_sql="chr(10) || chr(10)"))
+        .df().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # hash mode = same kept set at scale (uint64 segment hashes)
+    hashed = (dedup_lines(rd.from_pandas(df), key="hash", sep="\n\n")
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, hashed, check_dtype=False)
