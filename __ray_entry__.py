@@ -358,6 +358,40 @@ def q_char_entropy_docs(sf_dir: str):
     return ds.map_batches(char_entropy_batch, batch_format="pandas")
 
 
+def q_word_entropy_docs(sf_dir: str):
+    # per-doc unigram WORD entropy (lexical-diversity / keyword-stuffing
+    # cue, the word-level twin of char_entropy): one narrow vectorized
+    # map, zero shuffles; full SQL oracle
+    from pdf_extract_ray.stages.textquality import word_entropy_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(word_entropy_batch, batch_format="pandas")
+
+
+def q_gopher_ngram_docs(sf_dir: str):
+    # the remaining Gopher §A1.1 repetition battery: top-{2,3,4}-gram
+    # char fractions + duplicated-{5..10}-gram union-coverage fractions
+    # per doc — ONE narrow vectorized map (incremental gram coding),
+    # zero shuffles; full SQL oracle (lead() windows + coverage joins)
+    from pdf_extract_ray.stages.textquality import gopher_ngram_stats_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(gopher_ngram_stats_batch, batch_format="pandas")
+
+
+def q_host_quality_docs(sf_dir: str):
+    # host-level quality prior (links.host_quality_prior): each page
+    # gets its host's doc count + mean score and a kept flag — curation
+    # by site, not only by page.  Narrow (id, host, score) rows shuffle
+    # once; bodies never move.  score = n_chars (integer-exact mean).
+    from pdf_extract_ray.stages.links import host_quality_prior
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return host_quality_prior(
+        ds.map_batches(_with_url, batch_format="pandas"),
+        score_col="n_chars", min_avg=298.0)
+
+
 def q_fingerprints(sf_dir: str):
     from pdf_extract_ray.stages.textquality import fingerprint_batch
 
@@ -2914,6 +2948,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "char_entropy_docs": q_char_entropy_docs,
+        "word_entropy_docs": q_word_entropy_docs,
+        "gopher_ngram_docs": q_gopher_ngram_docs,
+        "host_quality_docs": q_host_quality_docs,
         "fingerprints": q_fingerprints,
         "content_filter_docs": q_content_filter_docs,
         "cleaned_text": q_cleaned_text,
@@ -3374,6 +3411,30 @@ def _dup_segment_oracle() -> str:
     return dup_segment_oracle_sql(_SEG_DERIVE_SQL.format(table="documents"))
 
 
+def _word_entropy_oracle() -> str:
+    from pdf_extract_ray.stages.textquality import word_entropy_oracle_sql
+
+    return word_entropy_oracle_sql()
+
+
+def _gopher_ngram_oracle() -> str:
+    from pdf_extract_ray.stages.textquality import gopher_ngram_oracle_sql
+
+    return gopher_ngram_oracle_sql()
+
+
+def _host_quality_oracle() -> str:
+    from pdf_extract_ray.functions.url import canonicalize_oracle_sql
+    from pdf_extract_ray.stages.links import host_quality_prior_oracle_sql
+
+    can = canonicalize_oracle_sql(
+        f"SELECT doc_id, {_URL_SYNTH_SQL} FROM documents")
+    src = (f"SELECT c.doc_id, c.url_host, d.n_chars FROM ({can}) c "
+           f"JOIN documents d USING (doc_id)")
+    return host_quality_prior_oracle_sql(
+        src, score_col="n_chars", min_avg=298.0)
+
+
 def _char_entropy_oracle() -> str:
     from pdf_extract_ray.stages.textquality import char_entropy_oracle_sql
 
@@ -3564,6 +3625,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "quality_scores": _quality_scores_sql(),
         "char_entropy_docs": _char_entropy_oracle(),
+        "word_entropy_docs": _word_entropy_oracle(),
+        "gopher_ngram_docs": _gopher_ngram_oracle(),
+        "host_quality_docs": _host_quality_oracle(),
         "fingerprints": f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents",
         "content_filter_docs": (
             "SELECT doc_id FROM documents WHERE NOT ("

@@ -330,6 +330,90 @@ def host_template_stats(
         ["url_host"], rollup)
 
 
+def host_quality_prior(
+    ds: Dataset,
+    *,
+    url_col: str = "url",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    min_avg: float | None = None,
+) -> Dataset:
+    """Host-level quality prior: every page gets its host's document
+    count and mean quality score, plus a ``kept`` flag when ``min_avg``
+    is set — the RefinedWeb/CCNet-style "curate by site, not only by
+    page" step (a spam farm's individually-plausible pages fall to the
+    host mean; a reputable host rescues borderline pages from noisy
+    page-level scores).
+
+    Output: ``(id_col, url_host, host_n_docs, host_avg_score[, kept])``
+    with ``host_avg_score = round(mean, 4)`` and ``kept =
+    round(mean, 4) >= min_avg`` (the threshold applies to the rounded
+    value — the frozen rule the SQL oracle mirrors).  Integer scores
+    make the mean exact (int64 sum, one division); float scores carry
+    the usual sum-order ulps, absorbed by the round.
+
+    Scale shape: ONE bucketed shuffle of narrow ``(id, host, score)``
+    rows — bodies never move (join the verdict back by id downstream);
+    the per-host state inside a bucket is two scalars (sum, count), so
+    skewed hosts cost memory proportional to their row count only."""
+    from pdf_extract_ray.functions.url import canonicalize_urls
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+    from pdf_extract_ray.util import round_half_away
+
+    def narrow(b: pd.DataFrame) -> pd.DataFrame:
+        host = canonicalize_urls(b[url_col])["url_host"].to_numpy()
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            "url_host": host,
+            score_col: b[score_col].to_numpy(),
+        })
+
+    def rollup(bucket: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        g = bucket.groupby("url_host", sort=False)[score_col]
+        s = g.transform("sum").to_numpy(np.float64)
+        c = g.transform("size").to_numpy(np.int64)
+        avg = round_half_away(s / c, 4)
+        out = pd.DataFrame({
+            id_col: bucket[id_col].to_numpy(),
+            "url_host": bucket["url_host"].to_numpy(),
+            "host_n_docs": c,
+            "host_avg_score": avg,
+        })
+        if min_avg is not None:
+            out["kept"] = avg >= min_avg
+        return out
+
+    return bucketed_group_apply(
+        ds.map_batches(narrow, batch_format="pandas"),
+        ["url_host"], rollup)
+
+
+def host_quality_prior_oracle_sql(
+    source_sql: str,
+    *,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    min_avg: float | None = None,
+) -> str:
+    """DuckDB mirror of :func:`host_quality_prior` — ``source_sql``
+    must expose ``(id_col, url_host, score_col)`` per page row."""
+    kept = (f", round(avg({score_col}), 4) >= {min_avg} AS kept"
+            if min_avg is not None else "")
+    return f"""
+WITH src AS ({source_sql}),
+h AS (
+  SELECT url_host, CAST(count(*) AS BIGINT) AS host_n_docs,
+         round(avg({score_col}), 4) AS host_avg_score{kept}
+  FROM src GROUP BY url_host
+)
+SELECT src.{id_col}, src.url_host, h.host_n_docs, h.host_avg_score
+       {', h.kept' if min_avg is not None else ''}
+FROM src JOIN h USING (url_host)
+"""
+
+
 def host_template_stats_oracle_sql(
     source_sql: str,
     *,

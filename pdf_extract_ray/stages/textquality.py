@@ -289,6 +289,250 @@ def char_entropy_batch(batch: pd.DataFrame, text_col: str = "text",
     })
 
 
+def word_entropy_batch(batch: pd.DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> pd.DataFrame:
+    """``(id_col, n_words, n_unique_words, word_entropy)`` — Shannon
+    entropy in bits over each document's unigram WORD distribution
+    (words = ``[a-z0-9]+`` runs of the lowercased text, the corpus word
+    rule shared with ``repetition_stats_batch``).  The lexical-diversity
+    twin of :func:`char_entropy_batch`: SEO keyword-stuffing and
+    template spam repeat a tiny vocabulary (entropy near 0 despite
+    normal char entropy), while natural prose sits near
+    ``log2(n_unique_words)``-ish bands.  Public heuristic family:
+    Gopher / RefinedWeb-style repetition+diversity filters.
+
+    Vectorized: one ``pd.factorize`` over the batch's flattened words,
+    per-(doc, word) counts via a single ``np.unique`` on the packed
+    ``doc*C + code`` key, then per-doc scatter-adds of the
+    ``(k/n)·log2(n/k)`` terms.  Empty/NULL text scores 0.0.  Entropy is
+    rounded to 4 places (sum-order ulp convention, as char entropy)."""
+    low = batch[text_col].fillna("").str.lower().reset_index(drop=True)
+    words = low.str.findall(_WORD_ONLY_RE)
+    n = words.str.len().to_numpy(dtype=np.int64)
+    nb = len(low)
+    flat = [w for lst in words for w in lst]
+    ent = np.zeros(nb)
+    nuniq = np.zeros(nb, dtype=np.int64)
+    if flat:
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+        codes = codes.astype(np.int64)
+        i = np.repeat(np.arange(nb, dtype=np.int64), n)
+        C = np.int64(len(uniq))
+        uk, cnt = np.unique(i * C + codes, return_counts=True)
+        d = uk // C
+        n_d = n[d].astype(np.float64)
+        np.add.at(ent, d, (cnt / n_d) * np.log2(n_d / cnt))
+        np.add.at(nuniq, d, 1)
+    return pd.DataFrame({
+        id_col: batch[id_col].to_numpy(),
+        "n_words": n,
+        "n_unique_words": nuniq,
+        "word_entropy": round_half_away(ent, 4),
+    })
+
+
+def word_entropy_oracle_sql(table: str = "documents",
+                            text_expr: str = "text",
+                            id_col: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`word_entropy_batch` (same shape as the
+    char-entropy oracle, words via ``regexp_extract_all``)."""
+    return f"""
+WITH b AS (SELECT {id_col},
+                  regexp_extract_all(lower(coalesce({text_expr}, '')),
+                                     '[a-z0-9]+') AS arr
+           FROM {table}),
+tot AS (SELECT {id_col}, len(arr) AS n FROM b),
+wc AS (
+  SELECT {id_col}, w, count(*) AS k
+  FROM (SELECT {id_col}, unnest(arr) AS w FROM b)
+  GROUP BY 1, 2
+),
+ag AS (
+  SELECT wc.{id_col}, count(*) AS nu,
+         sum((k / CAST(n AS DOUBLE)) * log2(CAST(n AS DOUBLE) / k)) AS h
+  FROM wc JOIN tot USING ({id_col}) GROUP BY wc.{id_col}
+)
+SELECT tot.{id_col}, tot.n AS n_words,
+       coalesce(ag.nu, 0) AS n_unique_words,
+       round(coalesce(ag.h, 0.0), 4) AS word_entropy
+FROM tot LEFT JOIN ag USING ({id_col})
+"""
+
+
+def gopher_ngram_stats_batch(
+    batch: pd.DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> pd.DataFrame:
+    """The remaining Gopher §A1.1 repetition battery (Rae et al. 2021,
+    public paper): per document,
+
+    - ``top_{n}gram_char_frac`` (n in ``top_ns``): word-characters in
+      occurrences of the MOST FREQUENT n-gram divided by total word
+      characters (overlapping occurrences double-count, the public
+      reimplementation convention; ties on count break to the larger
+      character coverage — a frozen deterministic rule);
+    - ``dup_{n}gram_char_frac`` (n in ``dup_ns``): word-characters
+      COVERED by at least one n-gram occurring >= 2 times in the doc,
+      divided by total word characters (union coverage — overlapping
+      duplicate grams never double-count, per the paper's "taking care
+      not to count characters twice").
+
+    Frozen accounting: words are ``[a-z0-9]+`` runs of the lowercased
+    text; "characters" = word characters only (separators excluded), so
+    the DuckDB oracle's space-joined gram strings are injective.
+
+    Vectorized: ONE factorize of the batch's words, then gram codes for
+    k = 2..max(n) built incrementally by packing (prev-gram code, next
+    word code) through ``np.unique`` — every count/coverage after that
+    is integer scatter-add / reduceat work.  No corpus state, zero
+    shuffles."""
+    low = batch[text_col].fillna("").str.lower().reset_index(drop=True)
+    words = low.str.findall(_WORD_ONLY_RE)
+    n = words.str.len().to_numpy(dtype=np.int64)
+    nb = len(low)
+    flat = [w for lst in words for w in lst]
+    max_n = max((*top_ns, *dup_ns), default=0)
+    top_out = {k: np.zeros(nb) for k in top_ns}
+    dup_out = {k: np.zeros(nb) for k in dup_ns}
+    if flat and max_n:
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+        codes = codes.astype(np.int64)
+        L = len(codes)
+        i = np.repeat(np.arange(nb, dtype=np.int64), n)
+        wlen = np.fromiter((len(u) for u in uniq), np.int64,
+                           len(uniq))[codes]
+        pref = np.concatenate(([np.int64(0)], np.cumsum(wlen)))
+        tot = np.zeros(nb, dtype=np.int64)
+        np.add.at(tot, i, wlen)
+        totf = np.maximum(tot.astype(np.float64), 1.0)
+        C = np.int64(len(uniq))
+
+        starts = np.arange(L, dtype=np.int64)  # k=1 grams: every word
+        gcode = codes
+        for k in range(2, max_n + 1):
+            # extend the (k-1)-grams at `starts` by the next word:
+            # valid where that word exists and stays in the doc
+            keep = starts + (k - 1) < L
+            s2 = starts[keep]
+            same = i[s2] == i[s2 + (k - 1)]
+            s2 = s2[same]
+            if not len(s2):
+                starts = s2
+                gcode = s2
+                continue
+            pack = gcode[keep][same] * C + codes[s2 + (k - 1)]
+            _, inv = np.unique(pack, return_inverse=True)
+            starts, gcode = s2, inv.astype(np.int64)
+            if k not in top_ns and k not in dup_ns:
+                continue
+            G = np.int64(gcode.max()) + 1
+            key = i[starts] * G + gcode
+            uk, inv2, cnt = np.unique(key, return_inverse=True,
+                                      return_counts=True)
+            doc_of = (uk // G).astype(np.int64)
+            glen = pref[starts + k] - pref[starts]
+            if k in dup_ns:
+                dstart = starts[cnt[inv2] >= 2]
+                delta = np.zeros(L + 1, dtype=np.int64)
+                np.add.at(delta, dstart, 1)
+                np.add.at(delta, dstart + k, -1)
+                covered = np.cumsum(delta[:L]) > 0
+                cov = np.zeros(nb, dtype=np.int64)
+                np.add.at(cov, i[covered], wlen[covered])
+                dup_out[k] = cov / totf
+            if k in top_ns:
+                glen_g = np.zeros(len(uk), dtype=np.int64)
+                glen_g[inv2] = glen  # all occurrences share the length
+                mx = np.zeros(nb, dtype=np.int64)
+                np.maximum.at(mx, doc_of, cnt)
+                cand = np.where(cnt == mx[doc_of], cnt * glen_g, 0)
+                best = np.zeros(nb, dtype=np.int64)
+                np.maximum.at(best, doc_of, cand)
+                top_out[k] = best / totf
+    out = {id_col: batch[id_col].to_numpy(), "n_words": n}
+    for k in top_ns:
+        out[f"top_{k}gram_char_frac"] = round_half_away(top_out[k], 4)
+    for k in dup_ns:
+        out[f"dup_{k}gram_char_frac"] = round_half_away(dup_out[k], 4)
+    return pd.DataFrame(out)
+
+
+def gopher_ngram_oracle_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> str:
+    """DuckDB mirror of :func:`gopher_ngram_stats_batch`: grams are the
+    space-joined word windows (injective — words never contain spaces),
+    duplicate-gram coverage is the DISTINCT covered word-position set
+    joined back to per-word lengths, top-gram ties break to
+    ``max(count * gram_chars)`` exactly like the engine."""
+    ctes, joins, sel = [], [], []
+    for k in sorted(set(top_ns) | set(dup_ns)):
+        leads = ", ".join(
+            f"lead(word, {j}) OVER (PARTITION BY d ORDER BY pos) AS w{j}"
+            for j in range(1, k))
+        gram = " || ' ' || ".join(["word"] + [f"w{j}" for j in range(1, k)])
+        glen = " + ".join(["length(word)"]
+                          + [f"length(w{j})" for j in range(1, k)])
+        ctes.append(f"""g{k} AS (
+  SELECT d, pos, {gram} AS gram, {glen} AS glen
+  FROM (SELECT d, pos, word, {leads} FROM w)
+  WHERE w{k - 1} IS NOT NULL
+)""")
+        if k in dup_ns:
+            ctes.append(f"""dup{k} AS (
+  SELECT d, gram FROM g{k} GROUP BY d, gram HAVING count(*) >= 2
+), cov{k} AS (
+  SELECT DISTINCT d, p FROM (
+    SELECT g.d AS d, unnest(range(g.pos, g.pos + {k})) AS p
+    FROM g{k} g JOIN dup{k} USING (d, gram))
+), dupc{k} AS (
+  SELECT c.d, sum(length(w.word)) AS v
+  FROM cov{k} c JOIN w ON w.d = c.d AND w.pos = c.p GROUP BY c.d
+)""")
+            joins.append(f"LEFT JOIN dupc{k} USING (d)")
+        if k in top_ns:
+            ctes.append(f"""gc{k} AS (
+  SELECT d, gram, count(*) AS c, min(glen) AS glen
+  FROM g{k} GROUP BY d, gram
+), mt{k} AS (SELECT d, max(c) AS mc FROM gc{k} GROUP BY d),
+topc{k} AS (
+  SELECT gc.d, max(c * glen) AS v
+  FROM gc{k} gc JOIN mt{k} USING (d) WHERE c = mc GROUP BY gc.d
+)""")
+            joins.append(f"LEFT JOIN topc{k} USING (d)")
+    for k in top_ns:
+        sel.append(f"round(coalesce(topc{k}.v, 0) "
+                   f"/ greatest(chars, 1.0), 4) AS top_{k}gram_char_frac")
+    for k in dup_ns:
+        sel.append(f"round(coalesce(dupc{k}.v, 0) "
+                   f"/ greatest(chars, 1.0), 4) AS dup_{k}gram_char_frac")
+    body = ",\n".join(ctes)
+    return f"""
+WITH s AS (SELECT {id_col} AS d,
+                  regexp_extract_all(lower(coalesce({text_expr}, '')),
+                                     '[a-z0-9]+') AS arr
+           FROM {table}),
+w AS (SELECT d, unnest(arr) AS word,
+             unnest(range(1, len(arr) + 1)) AS pos
+      FROM s),
+tot AS (SELECT s.d, len(s.arr) AS n_words,
+               CAST(coalesce(t.c, 0) AS DOUBLE) AS chars
+        FROM s LEFT JOIN (SELECT d, sum(length(word)) AS c FROM w
+                          GROUP BY d) t USING (d)),
+{body}
+SELECT tot.d AS {id_col}, tot.n_words,
+       {", ".join(sel)}
+FROM tot {" ".join(joins)}
+"""
+
+
 def dup_segment_stats_batch(batch: pd.DataFrame, text_col: str = "text",
                             id_col: str = "doc_id") -> pd.DataFrame:
     """``(id_col, n_lines, dup_line_char_frac, n_paras,

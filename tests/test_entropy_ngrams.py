@@ -1,0 +1,171 @@
+"""Word-entropy, the Gopher top/dup n-gram battery, and the host-level
+quality prior (textquality.word_entropy_batch /
+gopher_ngram_stats_batch, links.host_quality_prior)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+# ---------------------------------------------------------------- #
+# word entropy
+
+
+def test_word_entropy_known_values():
+    from pdf_extract_ray.stages.textquality import word_entropy_batch
+
+    b = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["", None, "aaa aaa aaa", "cat dog", "Cat CAT dog DOG"],
+    })
+    out = word_entropy_batch(b)
+    assert out["n_words"].tolist() == [0, 0, 3, 2, 4]
+    assert out["n_unique_words"].tolist() == [0, 0, 1, 2, 2]
+    # single repeated word -> 0 bits; two equally-likely words -> 1 bit
+    assert out["word_entropy"].tolist() == [0.0, 0.0, 0.0, 1.0, 1.0]
+
+
+def test_word_entropy_sql_parity_randomized():
+    from pdf_extract_ray.stages.textquality import (
+        word_entropy_batch,
+        word_entropy_oracle_sql,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = ["alpha", "beta", "g4mma", "the", "of", "zz"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 30)))
+             + (" Ünïcode-tail" if i % 9 == 0 else "")
+             for i in range(250)]
+    texts[0], texts[1] = "", None
+    df = pd.DataFrame({"doc_id": np.arange(250), "text": texts})
+    got = word_entropy_batch(df).sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = (con.sql(word_entropy_oracle_sql()).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ---------------------------------------------------------------- #
+# Gopher top/dup n-gram battery
+
+
+def test_gopher_ngram_hand_computed():
+    from pdf_extract_ray.stages.textquality import gopher_ngram_stats_batch
+
+    b = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            # "x y" * 5: top 2-gram "x y" count 5 (overlap convention:
+            # 5*2/10 chars = 1.0); every 5-gram occurs >= 2 times, so
+            # dup_5gram union coverage = all 10 word positions = 1.0
+            "x y x y x y x y x y",
+            # no repeated 5-gram; top 2-gram "aa bb" count 2 -> 8/14
+            "aa bb cc aa bb dd zz",
+            "",
+        ],
+    })
+    out = gopher_ngram_stats_batch(b)
+    r0 = out.iloc[0]
+    assert r0["top_2gram_char_frac"] == 1.0
+    assert r0["dup_5gram_char_frac"] == 1.0
+    assert r0["dup_10gram_char_frac"] == 0.0  # only one 10-gram exists
+    r1 = out.iloc[1]
+    assert r1["top_2gram_char_frac"] == round(8 / 14, 4)
+    assert r1["dup_5gram_char_frac"] == 0.0
+    assert (out.iloc[2][2:] == 0.0).all()
+
+
+def test_gopher_ngram_dup_coverage_no_double_count():
+    from pdf_extract_ray.stages.textquality import gopher_ngram_stats_batch
+
+    # overlapping duplicated 5-grams: union accounting, not
+    # per-occurrence sums
+    text = "a b c d e f " + "a b c d e f " + "tail1 tail2 tail3"
+    out = gopher_ngram_stats_batch(
+        pd.DataFrame({"doc_id": [0], "text": [text]}))
+    # words: a b c d e f a b c d e f tail1 tail2 tail3 (15 words,
+    # 12·1 + 3·5 = 27 chars).  Dup 5-grams: "a b c d e" (starts 1, 7)
+    # and "b c d e f" (starts 2, 8) -> covered positions 1..6 ∪ 7..12 =
+    # 12 single-char words.  Per-occurrence summing would claim 20.
+    assert out["dup_5gram_char_frac"].iloc[0] == round(12 / 27, 4)
+
+
+def test_gopher_ngram_sql_parity_randomized():
+    from pdf_extract_ray.stages.textquality import (
+        gopher_ngram_oracle_sql,
+        gopher_ngram_stats_batch,
+    )
+
+    rng = np.random.default_rng(5)
+    vocab = ["buy", "cheap", "pills", "now", "alpha", "beta", "x"]
+    texts = []
+    for i in range(200):
+        ws = list(rng.choice(vocab, size=rng.integers(0, 25)))
+        if i % 4 == 0:
+            ws += list(rng.choice(vocab, size=7)) * rng.integers(2, 4)
+        texts.append(" ".join(ws))
+    texts[0], texts[1] = "", None
+    df = pd.DataFrame({"doc_id": np.arange(200), "text": texts})
+    got = (gopher_ngram_stats_batch(df)
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = (con.sql(gopher_ngram_oracle_sql()).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_gopher_ngram_batch_split_invariant():
+    # per-doc semantics: splitting the batch changes nothing
+    from pdf_extract_ray.stages.textquality import gopher_ngram_stats_batch
+
+    rng = np.random.default_rng(3)
+    vocab = ["a", "bb", "ccc", "dd"]
+    df = pd.DataFrame({
+        "doc_id": np.arange(60),
+        "text": [" ".join(rng.choice(vocab, size=rng.integers(4, 30)))
+                 for _ in range(60)],
+    })
+    whole = gopher_ngram_stats_batch(df)
+    parts = pd.concat([gopher_ngram_stats_batch(df.iloc[i:i + 7])
+                       for i in range(0, 60, 7)], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        whole.reset_index(drop=True), parts, check_dtype=False)
+
+
+# ---------------------------------------------------------------- #
+# host quality prior
+
+
+def test_host_quality_prior_and_sql_parity(ray_session):
+    from pdf_extract_ray.functions.url import canonicalize_oracle_sql
+    from pdf_extract_ray.stages.links import (
+        host_quality_prior,
+        host_quality_prior_oracle_sql,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 300
+    df = pd.DataFrame({
+        "doc_id": np.arange(n),
+        "url": ["https://site" + str(i % 9) + ".example.com/p/" + str(i)
+                for i in range(n)],
+        "score": rng.integers(0, 1000, size=n),
+    })
+    got = (host_quality_prior(rd.from_pandas(df).repartition(5),
+                              min_avg=500.0)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("pages", df)
+    can = canonicalize_oracle_sql("SELECT doc_id, url, score FROM pages",
+                                  id_cols="doc_id, score")
+    src = f"SELECT doc_id, url_host, score FROM ({can})"
+    want = (con.sql(host_quality_prior_oracle_sql(src, min_avg=500.0))
+            .df().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # both kept and dropped hosts exist at this threshold
+    assert got["kept"].any() and (~got["kept"]).any()
+    # every page of a host carries the same verdict
+    per_host = got.groupby("url_host")["kept"].nunique()
+    assert (per_host == 1).all()
