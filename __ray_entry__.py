@@ -392,6 +392,24 @@ def q_host_quality_docs(sf_dir: str):
         score_col="n_chars", min_avg=298.0)
 
 
+def q_cross_corpus_dedup(sf_dir: str):
+    # cross-corpus anti-dedup (dedup.dedup_against_reference): drop
+    # every doc whose content fingerprint appears in the "previous
+    # snapshot" (doc_id % 5 == 0 slice — no external data).  Both sides
+    # reduce to (id, key) rows, ONE bucketed cogroup on the key; no
+    # broadcast of the reference key set, no driver materialization.
+    from pdf_extract_ray.stages.dedup import dedup_against_reference
+    from pdf_extract_ray.stages.textquality import fingerprint_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    fp = ds.map_batches(
+        lambda b: fingerprint_batch(b)[["doc_id", "fingerprint"]],
+        batch_format="pandas")
+    ref = fp.map_batches(lambda b: b[b["doc_id"] % 5 == 0],
+                         batch_format="pandas")
+    return dedup_against_reference(fp, ref, "fingerprint")
+
+
 def q_fingerprints(sf_dir: str):
     from pdf_extract_ray.stages.textquality import fingerprint_batch
 
@@ -2951,6 +2969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_entropy_docs": q_word_entropy_docs,
         "gopher_ngram_docs": q_gopher_ngram_docs,
         "host_quality_docs": q_host_quality_docs,
+        "cross_corpus_dedup": q_cross_corpus_dedup,
         "fingerprints": q_fingerprints,
         "content_filter_docs": q_content_filter_docs,
         "cleaned_text": q_cleaned_text,
@@ -3435,6 +3454,16 @@ def _host_quality_oracle() -> str:
         src, score_col="n_chars", min_avg=298.0)
 
 
+def _cross_corpus_dedup_oracle() -> str:
+    from pdf_extract_ray.stages.dedup import (
+        dedup_against_reference_oracle_sql,
+    )
+
+    corpus = f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents"
+    ref = f"SELECT doc_id, fingerprint FROM ({corpus}) WHERE doc_id % 5 = 0"
+    return dedup_against_reference_oracle_sql(corpus, ref, "fingerprint")
+
+
 def _char_entropy_oracle() -> str:
     from pdf_extract_ray.stages.textquality import char_entropy_oracle_sql
 
@@ -3628,6 +3657,7 @@ def oracle_sql() -> dict[str, str]:
         "word_entropy_docs": _word_entropy_oracle(),
         "gopher_ngram_docs": _gopher_ngram_oracle(),
         "host_quality_docs": _host_quality_oracle(),
+        "cross_corpus_dedup": _cross_corpus_dedup_oracle(),
         "fingerprints": f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents",
         "content_filter_docs": (
             "SELECT doc_id FROM documents WHERE NOT ("

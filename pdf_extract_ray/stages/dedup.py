@@ -105,6 +105,67 @@ def dedup_keep_best(ds: Dataset, key_col: str, score_col: str,
     return bucketed_group_apply(ds, [key_col], keep_rule)
 
 
+def dedup_against_reference(ds: Dataset, ref: Dataset, key_col: str,
+                            *, id_col: str = "doc_id") -> Dataset:
+    """Cross-corpus anti-dedup: drop every ``ds`` row whose ``key_col``
+    appears ANYWHERE in ``ref`` — the "new snapshot minus everything
+    already ingested" step when merging crawl dumps (RefinedWeb / Dolma
+    dedup new CC snapshots against the previous ones; eval-set removal
+    by content hash is the same shape).  Returns the surviving
+    ``(id_col, key_col)`` rows of ``ds`` — narrow on purpose; join
+    bodies back by id downstream so they never ride the shuffle.
+
+    Scale shape: both sides are reduced to ``(id, key, __ref)`` rows
+    (the reference side pre-deduplicated per batch — map-side shrink),
+    then ONE bucketed cogroup on the key; membership inside a bucket is
+    a vectorized ``isin`` against that bucket's reference keys.  No
+    broadcast of the reference key set (it can be another 100 TB
+    corpus), no driver materialization.
+
+    ``ref`` must also carry ``id_col`` (any values — only its keys are
+    read; the column keeps the union schema Arrow-typed, never
+    all-null)."""
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    def corpus_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            key_col: b[key_col].to_numpy(),
+            "__ref": np.int8(0),
+        })
+
+    def ref_rows(b: pd.DataFrame) -> pd.DataFrame:
+        k = b[[id_col, key_col]].drop_duplicates(subset=[key_col])
+        return pd.DataFrame({
+            id_col: k[id_col].to_numpy(),
+            key_col: k[key_col].to_numpy(),
+            "__ref": np.int8(1),
+        })
+
+    tagged = ds.map_batches(corpus_rows, batch_format="pandas").union(
+        ref.map_batches(ref_rows, batch_format="pandas"))
+
+    def rule(bucket: pd.DataFrame) -> pd.DataFrame:
+        is_ref = bucket["__ref"].to_numpy() == 1
+        bad = bucket.loc[is_ref, key_col].unique()
+        keep = (~is_ref) & (~bucket[key_col].isin(bad).to_numpy())
+        return bucket.loc[keep, [id_col, key_col]]
+
+    return bucketed_group_apply(tagged, [key_col], rule)
+
+
+def dedup_against_reference_oracle_sql(corpus_sql: str, ref_sql: str,
+                                       key_col: str,
+                                       id_col: str = "doc_id") -> str:
+    """DuckDB anti-join mirror of :func:`dedup_against_reference`."""
+    return f"""
+SELECT c.{id_col}, c.{key_col}
+FROM ({corpus_sql}) c
+WHERE NOT EXISTS (SELECT 1 FROM ({ref_sql}) r
+                  WHERE r.{key_col} = c.{key_col})
+"""
+
+
 def keep_best_oracle_sql(table_sql: str, key_col: str, score_col: str,
                          order_col: str) -> str:
     """DuckDB window mirror of :func:`dedup_keep_best`."""

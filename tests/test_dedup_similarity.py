@@ -677,3 +677,40 @@ def test_dedup_keep_best_and_sql_parity(ray_session):
         .df().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got[sorted(got.columns)],
                                   want[sorted(want.columns)])
+
+
+def test_dedup_against_reference_and_sql_parity(ray_session):
+    import duckdb
+
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.dedup import (
+        dedup_against_reference,
+        dedup_against_reference_oracle_sql,
+    )
+
+    rng = np.random.default_rng(29)
+    corpus = pd.DataFrame({
+        "doc_id": np.arange(200),
+        "key": [f"k{int(x)}" for x in rng.integers(0, 80, size=200)],
+    })
+    ref = pd.DataFrame({
+        "doc_id": np.arange(1000, 1060),
+        "key": [f"k{int(x)}" for x in rng.integers(40, 120, size=60)],
+    })
+    got = (dedup_against_reference(
+        rd.from_pandas(corpus).repartition(4),
+        rd.from_pandas(ref).repartition(3), "key")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("c", corpus)
+    con.register("r", ref)
+    want = (con.sql(dedup_against_reference_oracle_sql(
+        "SELECT doc_id, key FROM c", "SELECT doc_id, key FROM r", "key"))
+        .df().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # sanity: survivors' keys are disjoint from the reference, and
+    # rows with non-overlapping keys (< k40) all survive
+    assert not set(got["key"]) & set(ref["key"])
+    low = corpus[~corpus["key"].isin(set(ref["key"]))]
+    assert sorted(got["doc_id"]) == sorted(low["doc_id"])
