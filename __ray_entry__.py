@@ -392,6 +392,27 @@ def q_host_quality_docs(sf_dir: str):
         score_col="n_chars", min_avg=298.0)
 
 
+def q_script_mix_docs(sf_dir: str):
+    # mixed-script spam cue (langid.script_mix_batch over the frozen
+    # lang_id_v2 script ranges): one narrow vectorized map, zero
+    # shuffles.  Frozen derive plants Cyrillic/Hangul tails on cohorts
+    # so dominance/tie rules are exercised (testdata text is English).
+    from pdf_extract_ray.stages.langid import script_mix_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        did = b["doc_id"]
+        tail = np.select(
+            [(did % 3 == 0).to_numpy(), (did % 7 == 0).to_numpy()],
+            [" Привет мир", " 한국어 텍스트"], "")
+        return pd.DataFrame({"doc_id": did.to_numpy(),
+                             "text": b["text"].fillna("") + tail})
+
+    return ds.map_batches(derive, batch_format="pandas").map_batches(
+        script_mix_batch, batch_format="pandas")
+
+
 def q_cross_corpus_dedup(sf_dir: str):
     # cross-corpus anti-dedup (dedup.dedup_against_reference): drop
     # every doc whose content fingerprint appears in the "previous
@@ -2970,6 +2991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_ngram_docs": q_gopher_ngram_docs,
         "host_quality_docs": q_host_quality_docs,
         "cross_corpus_dedup": q_cross_corpus_dedup,
+        "script_mix_docs": q_script_mix_docs,
         "fingerprints": q_fingerprints,
         "content_filter_docs": q_content_filter_docs,
         "cleaned_text": q_cleaned_text,
@@ -3454,6 +3476,17 @@ def _host_quality_oracle() -> str:
         src, score_col="n_chars", min_avg=298.0)
 
 
+def _script_mix_oracle() -> str:
+    from pdf_extract_ray.stages.langid import script_mix_oracle_sql
+
+    derive = (
+        "SELECT doc_id, coalesce(text, '') || CASE "
+        "WHEN doc_id % 3 = 0 THEN ' Привет мир' "
+        "WHEN doc_id % 7 = 0 THEN ' 한국어 텍스트' "
+        "ELSE '' END AS text FROM documents")
+    return script_mix_oracle_sql(f"({derive})")
+
+
 def _cross_corpus_dedup_oracle() -> str:
     from pdf_extract_ray.stages.dedup import (
         dedup_against_reference_oracle_sql,
@@ -3658,6 +3691,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_ngram_docs": _gopher_ngram_oracle(),
         "host_quality_docs": _host_quality_oracle(),
         "cross_corpus_dedup": _cross_corpus_dedup_oracle(),
+        "script_mix_docs": _script_mix_oracle(),
         "fingerprints": f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents",
         "content_filter_docs": (
             "SELECT doc_id FROM documents WHERE NOT ("

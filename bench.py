@@ -177,7 +177,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "token_budget_docs", "score_percentile_docs",
                      "url_blocklist_docs", "mojibake_docs",
                      "doc_line_dedup_docs", "keep_best_copy_docs",
-                     "host_cap_docs", "readability_docs"):
+                     "host_cap_docs", "readability_docs",
+                     "para_dedup_docs", "host_template_stats",
+                     "word_entropy_docs", "gopher_ngram_docs",
+                     "host_quality_docs", "cross_corpus_dedup"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

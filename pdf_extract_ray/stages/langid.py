@@ -222,3 +222,74 @@ def lang_id_v2(ds, text_col: str = "text"):
     """Dataset wrapper: one narrow vectorized map, zero shuffles."""
     return ds.map_batches(
         lambda b: lang_id_v2_batch(b, text_col), batch_format="pandas")
+
+
+def script_mix_batch(batch: pd.DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> pd.DataFrame:
+    """``(id_col, n_script_chars, n_scripts, dominant_script,
+    dominant_script_frac)`` — mixed-script spam cue: keyword-stuffed /
+    machine-mangled pages interleave scripts (Latin SEO terms inside
+    CJK spam, Cyrillic homoglyph tricks), while natural text is
+    overwhelmingly one script plus incidental loanwords.  Curation
+    pipelines gate on ``dominant_script_frac`` and ``n_scripts``.
+
+    Frozen rule over the module's ``_SCRIPTS`` ranges (the lang_id_v2
+    tables): counts per script via the same char-class regexes;
+    ``dominant_script`` = max count with ties resolving to the earlier
+    class in the frozen priority order ("none" when no script char
+    exists); ``dominant_script_frac`` = dominant count / max(total, 1),
+    rounded to 4.  One narrow vectorized map, zero shuffles; every
+    range mirrors literally into the DuckDB oracle's
+    ``regexp_extract_all``."""
+    from pdf_extract_ray.util import round_half_away
+
+    t = batch[text_col].fillna("").astype(str)
+    names = [n for n, _, _ in _SCRIPTS]
+    stack = np.stack(
+        [t.str.count(rx).to_numpy(np.int64) for _, rx, _ in _SCRIPTS],
+        axis=1)
+    total = stack.sum(axis=1)
+    dom = np.argmax(stack, axis=1)  # ties -> earlier class (np argmax)
+    dom_cnt = stack[np.arange(len(t)), dom]
+    dom_name = np.where(total > 0,
+                        np.array(names, dtype=object)[dom], "none")
+    return pd.DataFrame({
+        id_col: batch[id_col].to_numpy(),
+        "n_script_chars": total,
+        "n_scripts": (stack > 0).sum(axis=1).astype(np.int64),
+        "dominant_script": dom_name,
+        "dominant_script_frac": round_half_away(
+            dom_cnt / np.maximum(total, 1), 4),
+    })
+
+
+def script_mix_oracle_sql(table: str = "documents",
+                          text_expr: str = "text",
+                          id_col: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`script_mix_batch`: per-script counts via
+    ``regexp_extract_all`` over the SAME frozen char classes; the
+    dominant-script tie rule is the CASE chain in priority order."""
+    cols = ", ".join(
+        f"len(regexp_extract_all(t, '{rx.pattern}')) AS c{i}"
+        for i, (_, rx, _) in enumerate(_SCRIPTS))
+    total = " + ".join(f"c{i}" for i in range(len(_SCRIPTS)))
+    g = "greatest(" + ", ".join(f"c{i}" for i in range(len(_SCRIPTS))) + ")"
+    dom = ("CASE WHEN tot = 0 THEN 'none' "
+           + " ".join(f"WHEN c{i} = g THEN '{name}'"
+                      for i, (name, _, _) in enumerate(_SCRIPTS))
+           + " END")
+    nsc = " + ".join(
+        f"CASE WHEN c{i} > 0 THEN 1 ELSE 0 END"
+        for i in range(len(_SCRIPTS)))
+    return f"""
+WITH b AS (SELECT {id_col}, coalesce({text_expr}, '') AS t FROM {table}),
+c AS (SELECT {id_col}, {cols} FROM b),
+m AS (SELECT *, {total} AS tot, {g} AS g FROM c)
+SELECT {id_col}, CAST(tot AS BIGINT) AS n_script_chars,
+       CAST({nsc} AS BIGINT) AS n_scripts,
+       {dom} AS dominant_script,
+       round(CASE WHEN tot = 0 THEN 0.0
+                  ELSE g / CAST(tot AS DOUBLE) END, 4)
+         AS dominant_script_frac
+FROM m
+"""

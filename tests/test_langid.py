@@ -137,3 +137,54 @@ def test_scores_vectorization_matches_plain_loop():
         for mark, wvec in L._CHAR_ITEMS:
             ref += txt.count(mark) * wvec
         assert np.allclose(got[i], ref), (txt, got[i], ref)
+
+
+# ---------------------------------------------------------------- #
+# script-mix spam signal
+
+
+def test_script_mix_known_values():
+    import pandas as pd
+
+    from pdf_extract_ray.stages.langid import script_mix_batch
+
+    b = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["hello world", "Привет world", "", None,
+                 "안녕하세요 hello spam"],
+    })
+    out = script_mix_batch(b)
+    # doc 4: 9 latin chars ("hellospam") vs 5 hangul -> latin dominates
+    assert out["dominant_script"].tolist() == [
+        "latin", "cyrillic", "none", "none", "latin"]
+    assert out["n_scripts"].tolist() == [1, 2, 0, 0, 2]
+    assert out["dominant_script_frac"].tolist()[4] == round(9 / 14, 4)
+    # "Привет world": 6 cyrillic of 11 script chars
+    assert out["dominant_script_frac"].tolist()[1] == round(6 / 11, 4)
+    # priority tie rule: equal counts resolve to the earlier class
+    tie = script_mix_batch(pd.DataFrame({"doc_id": [0], "text": ["가a"]}))
+    assert tie["dominant_script"].iloc[0] == "hangul"
+
+
+def test_script_mix_sql_parity_randomized():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from pdf_extract_ray.stages.langid import (
+        script_mix_batch,
+        script_mix_oracle_sql,
+    )
+
+    rng = np.random.default_rng(31)
+    pool = list("aя가еxظתひ漢ไ 1.é")
+    texts = ["".join(rng.choice(pool, size=rng.integers(0, 60)))
+             for _ in range(300)]
+    texts[0], texts[1] = "", None
+    df = pd.DataFrame({"doc_id": np.arange(300), "text": texts})
+    got = script_mix_batch(df).sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = (con.sql(script_mix_oracle_sql()).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
