@@ -392,6 +392,17 @@ def q_host_quality_docs(sf_dir: str):
         score_col="n_chars", min_avg=298.0)
 
 
+def q_top_ngrams_docs(sf_dir: str):
+    # corpus-wide boilerplate-phrase mining (textquality.ngram_counts):
+    # most frequent trigrams with map-side per-batch pre-counts, ONE
+    # (gram, n) grouped merge, deterministic (count desc, gram asc)
+    # top-k.  Exact counts; the CMS sketch is the estimate path.
+    from pdf_extract_ray.stages.textquality import ngram_counts
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_counts(ds, 3, top_k=100)
+
+
 def q_script_mix_docs(sf_dir: str):
     # mixed-script spam cue (langid.script_mix_batch over the frozen
     # lang_id_v2 script ranges): one narrow vectorized map, zero
@@ -2992,6 +3003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_quality_docs": q_host_quality_docs,
         "cross_corpus_dedup": q_cross_corpus_dedup,
         "script_mix_docs": q_script_mix_docs,
+        "top_ngrams_docs": q_top_ngrams_docs,
         "fingerprints": q_fingerprints,
         "content_filter_docs": q_content_filter_docs,
         "cleaned_text": q_cleaned_text,
@@ -3476,6 +3488,12 @@ def _host_quality_oracle() -> str:
         src, score_col="n_chars", min_avg=298.0)
 
 
+def _top_ngrams_oracle() -> str:
+    from pdf_extract_ray.stages.textquality import ngram_counts_oracle_sql
+
+    return ngram_counts_oracle_sql(3, top_k=100)
+
+
 def _script_mix_oracle() -> str:
     from pdf_extract_ray.stages.langid import script_mix_oracle_sql
 
@@ -3692,6 +3710,7 @@ def oracle_sql() -> dict[str, str]:
         "host_quality_docs": _host_quality_oracle(),
         "cross_corpus_dedup": _cross_corpus_dedup_oracle(),
         "script_mix_docs": _script_mix_oracle(),
+        "top_ngrams_docs": _top_ngrams_oracle(),
         "fingerprints": f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents",
         "content_filter_docs": (
             "SELECT doc_id FROM documents WHERE NOT ("

@@ -180,7 +180,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "host_cap_docs", "readability_docs",
                      "para_dedup_docs", "host_template_stats",
                      "word_entropy_docs", "gopher_ngram_docs",
-                     "host_quality_docs", "cross_corpus_dedup"):
+                     "host_quality_docs", "cross_corpus_dedup",
+                     "script_mix_docs", "top_ngrams_docs"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

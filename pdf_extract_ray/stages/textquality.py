@@ -1047,3 +1047,79 @@ def word_counts(ds, text_col: str = "text", *, top_k: int | None = None):
         merged = merged.sort(["n", "word"],
                              descending=[True, False]).limit(top_k)
     return merged
+
+
+def ngram_counts(ds, n: int, text_col: str = "text",
+                 *, top_k: int | None = None):
+    """Corpus n-gram frequencies — boilerplate-phrase mining (the most
+    frequent 3/5-grams of a crawl are its cookie banners, share
+    widgets and nav chrome; feed them back as cleaning rules).  Words
+    are the corpus rule (``[a-z0-9]+`` over lowercased text); grams
+    never straddle documents; gram strings are space-joined
+    (injective).
+
+    Scale shape: per-batch vectorized gram build + ``np.unique``
+    pre-count (map-side combine), ONE (gram, n) grouped merge, then
+    the deterministic (count desc, gram asc) top-k.  The shuffle moves
+    DISTINCT grams per block — exact counts over a 100 TB corpus are
+    heavy by nature; for frequency ESTIMATES use the CMS sketch
+    (`stages/sketch.py`) instead."""
+    import re as _re
+
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    word_re = _re.compile(r"[a-z0-9]+")
+    empty = pd.DataFrame({"gram": pd.Series([], dtype=object),
+                          "n": pd.Series([], dtype=np.int64)})
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        lists = b[text_col].fillna("").str.lower().str.findall(word_re)
+        ns = lists.str.len().to_numpy(np.int64)
+        flat = np.array([w for lst in lists for w in lst], dtype=object)
+        if len(flat) < n:
+            return empty.copy()
+        i = np.repeat(np.arange(len(lists), dtype=np.int64), ns)
+        m = len(flat) - n + 1
+        ok = i[:m] == i[n - 1:]
+        if not ok.any():
+            return empty.copy()
+        parts = flat[:m][ok]
+        for j in range(1, n):
+            parts = parts + " " + flat[j:m + j][ok]
+        grams, counts = np.unique(parts, return_counts=True)
+        return pd.DataFrame({"gram": grams,
+                             "n": counts.astype(np.int64)})
+
+    merged = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["gram"], {"n": ("n", "sum")})
+    if top_k is not None:
+        merged = merged.sort(["n", "gram"],
+                             descending=[True, False]).limit(top_k)
+    return merged
+
+
+def ngram_counts_oracle_sql(n: int, table: str = "documents",
+                            text_expr: str = "text",
+                            id_col: str = "doc_id",
+                            top_k: int | None = None) -> str:
+    """DuckDB mirror of :func:`ngram_counts` (lead() windows build the
+    same space-joined grams; ties break (count desc, gram asc))."""
+    leads = ", ".join(
+        f"lead(word, {j}) OVER (PARTITION BY d ORDER BY pos) AS w{j}"
+        for j in range(1, n))
+    gram = " || ' ' || ".join(["word"] + [f"w{j}" for j in range(1, n)])
+    lim = f"ORDER BY n DESC, gram LIMIT {top_k}" if top_k else ""
+    return f"""
+WITH s AS (SELECT {id_col} AS d,
+                  regexp_extract_all(lower(coalesce({text_expr}, '')),
+                                     '[a-z0-9]+') AS arr
+           FROM {table}),
+w AS (SELECT d, unnest(arr) AS word,
+             unnest(range(1, len(arr) + 1)) AS pos
+      FROM s),
+g AS (SELECT {gram} AS gram
+      FROM (SELECT d, pos, word, {leads} FROM w)
+      WHERE w{n - 1} IS NOT NULL)
+SELECT gram, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY gram {lim}
+"""

@@ -169,3 +169,47 @@ def test_host_quality_prior_and_sql_parity(ray_session):
     # every page of a host carries the same verdict
     per_host = got.groupby("url_host")["kept"].nunique()
     assert (per_host == 1).all()
+
+
+# ---------------------------------------------------------------- #
+# corpus n-gram top-k (boilerplate phrase mining)
+
+
+def test_ngram_counts_and_sql_parity(ray_session):
+    from pdf_extract_ray.stages.textquality import (
+        ngram_counts,
+        ngram_counts_oracle_sql,
+    )
+
+    rng = np.random.default_rng(41)
+    vocab = ["accept", "all", "cookies", "share", "this", "page",
+             "unique" ]
+    texts = []
+    for i in range(150):
+        ws = list(rng.choice(vocab, size=rng.integers(0, 20)))
+        if i % 2 == 0:
+            ws = ["please", "accept", "all", "cookies"] + ws
+        texts.append(" ".join(ws) + f" tail{i}")
+    texts[0], texts[1] = "", None
+    df = pd.DataFrame({"doc_id": np.arange(150), "text": texts})
+    got = (ngram_counts(rd.from_pandas(df).repartition(5), 3, top_k=25)
+           .to_pandas().reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = (con.sql(ngram_counts_oracle_sql(3, top_k=25)).df()
+            .reset_index(drop=True))
+    # compare as sets of rows (driver convention: order-insensitive)
+    key = lambda d: d.sort_values(["n", "gram"],
+                                  ascending=[False, True],
+                                  kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(got), key(want), check_dtype=False)
+    # the planted banner trigrams dominate; "please" never occurs in
+    # random text, so its trigram counts exactly the banner docs
+    # (75 even docs minus the emptied doc 0)
+    top = key(got)
+    assert top.iloc[0]["gram"].split()[0] in ("please", "accept")
+    assert int(top.loc[top["gram"] == "please accept all", "n"].iloc[0]) == 74
+    # grams never straddle documents: "tail<i> please" bigrams absent
+    got5 = (ngram_counts(rd.from_pandas(df), 2)
+            .to_pandas())
+    assert not got5["gram"].str.match(r"tail\d+ please").any()
