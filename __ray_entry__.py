@@ -392,6 +392,27 @@ def q_host_quality_docs(sf_dir: str):
         score_col="n_chars", min_avg=298.0)
 
 
+def q_sanitize_controls_docs(sf_dir: str):
+    # control-char sanitization (mojibake.sanitize_controls_batch):
+    # strip the frozen C0/C1/DEL class (keeping \t \n \r) and report
+    # the stripped fraction — the binary-in-text rejection cue.  One
+    # narrow map, zero shuffles.  Frozen derive plants control chars.
+    from pdf_extract_ray.stages.mojibake import sanitize_controls_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        did = b["doc_id"]
+        tail = np.select(
+            [(did % 4 == 0).to_numpy(), (did % 9 == 0).to_numpy()],
+            ["\x07\x00garbage\x9f", "\x1b[0m ansi"], "")
+        return pd.DataFrame({"doc_id": did.to_numpy(),
+                             "text": b["text"].fillna("") + tail})
+
+    return ds.map_batches(derive, batch_format="pandas").map_batches(
+        sanitize_controls_batch, batch_format="pandas")
+
+
 def q_top_ngrams_docs(sf_dir: str):
     # corpus-wide boilerplate-phrase mining (textquality.ngram_counts):
     # most frequent trigrams with map-side per-batch pre-counts, ONE
@@ -3004,6 +3025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_corpus_dedup": q_cross_corpus_dedup,
         "script_mix_docs": q_script_mix_docs,
         "top_ngrams_docs": q_top_ngrams_docs,
+        "sanitize_controls_docs": q_sanitize_controls_docs,
         "fingerprints": q_fingerprints,
         "content_filter_docs": q_content_filter_docs,
         "cleaned_text": q_cleaned_text,
@@ -3488,6 +3510,18 @@ def _host_quality_oracle() -> str:
         src, score_col="n_chars", min_avg=298.0)
 
 
+def _sanitize_controls_oracle() -> str:
+    from pdf_extract_ray.stages.mojibake import sanitize_controls_oracle_sql
+
+    derive = (
+        "SELECT doc_id, coalesce(text, '') || CASE "
+        "WHEN doc_id % 4 = 0 THEN chr(7) || chr(0) || 'garbage' "
+        "|| chr(159) "
+        "WHEN doc_id % 9 = 0 THEN chr(27) || '[0m ansi' "
+        "ELSE '' END AS text FROM documents")
+    return sanitize_controls_oracle_sql(f"({derive})")
+
+
 def _top_ngrams_oracle() -> str:
     from pdf_extract_ray.stages.textquality import ngram_counts_oracle_sql
 
@@ -3711,6 +3745,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_corpus_dedup": _cross_corpus_dedup_oracle(),
         "script_mix_docs": _script_mix_oracle(),
         "top_ngrams_docs": _top_ngrams_oracle(),
+        "sanitize_controls_docs": _sanitize_controls_oracle(),
         "fingerprints": f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents",
         "content_filter_docs": (
             "SELECT doc_id FROM documents WHERE NOT ("

@@ -181,7 +181,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "para_dedup_docs", "host_template_stats",
                      "word_entropy_docs", "gopher_ngram_docs",
                      "host_quality_docs", "cross_corpus_dedup",
-                     "script_mix_docs", "top_ngrams_docs"):
+                     "script_mix_docs", "top_ngrams_docs",
+                     "sanitize_controls_docs"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

@@ -111,3 +111,62 @@ def mojibake_oracle_sql(
         f"SELECT {id_col}, {expr} AS text_fixed, "
         f"{expr} != coalesce({text_col}, '') AS changed "
         f"FROM ({source_sql})")
+
+
+# ---------------------------------------------------------------------------
+# control-character sanitization (the other ubiquitous web-crawl repair:
+# Dolma/CCNet-style cleanup strips non-printable bytes before any
+# tokenizer sees them)
+# ---------------------------------------------------------------------------
+
+# Frozen class: C0 controls except \t \n \r, DEL, and the C1 block —
+# the characters no tokenizer should ever ingest.  \t\n\r are KEPT
+# (they are structure: the line/paragraph operators key on them).
+_CONTROL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\x80-\x9f]"
+_CONTROL_RE_SQL = (
+    r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\x{80}-\x{9f}]")
+
+
+def sanitize_controls_batch(batch: pd.DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id") -> pd.DataFrame:
+    """``(id_col, text_clean, n_control, control_frac)`` — strip the
+    frozen control-char class and report how much was stripped (a high
+    ``control_frac`` flags binary-in-text / transfer-mangled documents
+    for rejection rather than repair).
+
+    One narrow vectorized map (a single C-level regex replace), zero
+    shuffles; Python ``re`` and DuckDB/RE2 agree on every character in
+    the frozen class, so the SQL oracle is exact.  ``control_frac`` =
+    stripped / max(len, 1), rounded to 4."""
+    import numpy as np
+
+    from pdf_extract_ray.util import round_half_away
+
+    t = batch[text_col].fillna("").astype(str)
+    clean = t.str.replace(_CONTROL_RE, "", regex=True)
+    n0 = t.str.len().to_numpy(np.int64)
+    n1 = clean.str.len().to_numpy(np.int64)
+    return pd.DataFrame({
+        id_col: batch[id_col].to_numpy(),
+        "text_clean": clean.to_numpy(),
+        "n_control": n0 - n1,
+        "control_frac": round_half_away((n0 - n1) / np.maximum(n0, 1), 4),
+    })
+
+
+def sanitize_controls_oracle_sql(table: str = "documents",
+                                 text_expr: str = "text",
+                                 id_col: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`sanitize_controls_batch` (RE2 spells the
+    C1 range ``\\x{80}-\\x{9f}``; the class is otherwise identical)."""
+    return f"""
+WITH b AS (SELECT {id_col}, coalesce({text_expr}, '') AS t FROM {table}),
+c AS (SELECT {id_col}, t,
+             regexp_replace(t, '{_CONTROL_RE_SQL}', '', 'g') AS text_clean
+      FROM b)
+SELECT {id_col}, text_clean,
+       CAST(length(t) - length(text_clean) AS BIGINT) AS n_control,
+       round((length(t) - length(text_clean))
+             / CAST(greatest(length(t), 1) AS DOUBLE), 4) AS control_frac
+FROM c
+"""

@@ -306,3 +306,42 @@ def test_para_dedup_corpus_wide_and_sql_parity(ray_session):
     hashed = (dedup_lines(rd.from_pandas(df), key="hash", sep="\n\n")
               .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, hashed, check_dtype=False)
+
+
+# ---------------------------------------------------------------- #
+# control-character sanitization
+
+
+def test_sanitize_controls_known_values():
+    from pdf_extract_ray.stages.mojibake import sanitize_controls_batch
+
+    b = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["keep\ttabs\nand\rreturns\x00strip\x9fthese",
+                 "plain", "", None],
+    })
+    out = sanitize_controls_batch(b)
+    assert out["text_clean"].tolist()[0] == "keep\ttabs\nand\rreturnsstripthese"
+    assert out["n_control"].tolist() == [2, 0, 0, 0]
+    assert out["control_frac"].tolist()[1:] == [0.0, 0.0, 0.0]
+
+
+def test_sanitize_controls_sql_parity_randomized():
+    from pdf_extract_ray.stages.mojibake import (
+        sanitize_controls_batch,
+        sanitize_controls_oracle_sql,
+    )
+
+    rng = np.random.default_rng(13)
+    pool = list("abc \t\n\r\x00\x07\x0b\x1f\x7f\x85\x9f é漢")
+    texts = ["".join(rng.choice(pool, size=rng.integers(0, 60)))
+             for _ in range(300)]
+    texts[0], texts[1] = "", None
+    df = pd.DataFrame({"doc_id": np.arange(300), "text": texts})
+    got = (sanitize_controls_batch(df)
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = (con.sql(sanitize_controls_oracle_sql()).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
