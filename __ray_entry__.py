@@ -392,6 +392,33 @@ def q_host_quality_docs(sf_dir: str):
         score_col="n_chars", min_avg=298.0)
 
 
+def q_top_events_per_user(sf_dir: str):
+    # grouped top-k (agg.grouped_top_k): 2 highest-value events per
+    # user — map-side per-batch pre-trim to k rows per group BEFORE
+    # the shuffle (a million-row group ships k x #blocks rows), ONE
+    # bucketed final top-k.  tie_col=event_id: determinism contract.
+    # (The older top_orders_per_customer query keeps the in-bucket
+    # window shape; this one exercises the pre-trim plan.)
+    from pdf_extract_ray.stages.agg import grouped_top_k
+
+    ds = _t(sf_dir, "events", columns=["user_id", "event_id", "value"])
+    return grouped_top_k(ds, ["user_id"], "value", 2,
+                         tie_col="event_id")
+
+
+def q_grouped_median_lineitem(sf_dir: str):
+    # exact per-group discrete quantile (agg.grouped_quantile_disc):
+    # lower-median quantity per returnflag — distinct-count partials
+    # shuffle, raw rows never move; frozen ceil(q*n) rule == DuckDB
+    # quantile_disc.
+    from pdf_extract_ray.stages.agg import grouped_quantile_disc
+
+    ds = _t(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    return grouped_quantile_disc(
+        ds, ["l_returnflag"], "l_quantity", 0.5,
+        out_col="median_qty")
+
+
 def q_sanitize_controls_docs(sf_dir: str):
     # control-char sanitization (mojibake.sanitize_controls_batch):
     # strip the frozen C0/C1/DEL class (keeping \t \n \r) and report
@@ -3026,6 +3053,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "script_mix_docs": q_script_mix_docs,
         "top_ngrams_docs": q_top_ngrams_docs,
         "sanitize_controls_docs": q_sanitize_controls_docs,
+        "top_events_per_user": q_top_events_per_user,
+        "grouped_median_lineitem": q_grouped_median_lineitem,
         "fingerprints": q_fingerprints,
         "content_filter_docs": q_content_filter_docs,
         "cleaned_text": q_cleaned_text,
@@ -3510,6 +3539,22 @@ def _host_quality_oracle() -> str:
         src, score_col="n_chars", min_avg=298.0)
 
 
+def _grouped_median_oracle() -> str:
+    from pdf_extract_ray.stages.agg import grouped_quantile_disc_oracle_sql
+
+    return grouped_quantile_disc_oracle_sql(
+        "SELECT l_returnflag, l_quantity FROM lineitem",
+        ["l_returnflag"], "l_quantity", 0.5, out_col="median_qty")
+
+
+def _top_events_per_user_oracle() -> str:
+    from pdf_extract_ray.stages.agg import grouped_top_k_oracle_sql
+
+    return grouped_top_k_oracle_sql(
+        "SELECT user_id, event_id, value FROM events",
+        ["user_id"], "value", 2, tie_col="event_id")
+
+
 def _sanitize_controls_oracle() -> str:
     from pdf_extract_ray.stages.mojibake import sanitize_controls_oracle_sql
 
@@ -3746,6 +3791,8 @@ def oracle_sql() -> dict[str, str]:
         "script_mix_docs": _script_mix_oracle(),
         "top_ngrams_docs": _top_ngrams_oracle(),
         "sanitize_controls_docs": _sanitize_controls_oracle(),
+        "top_events_per_user": _top_events_per_user_oracle(),
+        "grouped_median_lineitem": _grouped_median_oracle(),
         "fingerprints": f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents",
         "content_filter_docs": (
             "SELECT doc_id FROM documents WHERE NOT ("

@@ -242,3 +242,123 @@ def grouped_aggregate(
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return bucketed_group_apply(partials, keys, final, num_buckets=num_buckets)
+
+
+def grouped_top_k(
+    ds: Dataset,
+    keys: Sequence[str],
+    order_col: str,
+    k: int,
+    *,
+    descending: bool = True,
+    tie_col: str | None = None,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Top-k rows PER GROUP by ``order_col`` (the classic "best 3
+    orders per customer" / "top pages per host by score") — the
+    grouped counterpart of global ``sort().limit()``.
+
+    Selection decomposes: each group's global top-k is a subset of the
+    union of its per-batch top-k's, so the map side pre-trims every
+    batch to <= k rows per group BEFORE the shuffle (a group with a
+    million rows ships k × #blocks rows, not a million), then ONE
+    bucketed final top-k.
+
+    DETERMINISM CONTRACT (same as ``dedup_exact``): pass ``tie_col``
+    such that ``(keys, order_col, tie_col)`` orders rows uniquely;
+    without it, rows tied on the boundary fall to arrival order, which
+    a shuffle does not fix."""
+    keys = list(keys)
+    sort_cols = keys + [order_col] + ([tie_col] if tie_col else [])
+    asc = ([True] * len(keys) + [not descending]
+           + ([True] if tie_col else []))
+
+    def topk(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.sort_values(sort_cols, ascending=asc, kind="mergesort")
+        return g.groupby(keys, sort=False).head(k)
+
+    partials = ds.map_batches(topk, batch_format="pandas")
+    return bucketed_group_apply(partials, keys, topk,
+                                num_buckets=num_buckets)
+
+
+def grouped_quantile_disc(
+    ds: Dataset,
+    keys: Sequence[str],
+    val_col: str,
+    q: float,
+    *,
+    out_col: str | None = None,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """EXACT per-group discrete quantile (``q=0.5`` = the lower
+    median): the value at 1-indexed position ``ceil(q * n)`` of the
+    group's sorted values — DuckDB's ``quantile_disc`` rule, frozen
+    (probed: n=1..6 medians and 0.25/0.9 tails match).
+
+    Scale shape: per-batch DISTINCT-COUNT partials ``(keys, val, c)``
+    shrink the shuffle (raw rows never move), ONE bucketed merge, then
+    a vectorized per-group cumsum pick.  The wire cost is the distinct
+    value codomain per group — intended for quantized values (counts,
+    quantized scores); near-unique doubles degrade to ~row-count rows
+    (still narrow).  Output: ``keys + (out_col, n_rows)``."""
+    keys = list(keys)
+    out_col = out_col or f"{val_col}_q"
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(keys + [val_col], as_index=False).size()
+        return g.rename(columns={"size": "__c"})
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = (bucket.groupby(keys + [val_col], as_index=False)["__c"].sum()
+             .sort_values(keys + [val_col], kind="mergesort"))
+        grp = g.groupby(keys, sort=False)
+        cum = grp["__c"].cumsum().to_numpy(np.int64)
+        n = grp["__c"].transform("sum").to_numpy(np.int64)
+        c = g["__c"].to_numpy(np.int64)
+        kth = np.ceil(np.float64(q) * n.astype(np.float64))
+        pick = (cum >= kth) & ((cum - c) < kth)
+        out = g.loc[pick, keys + [val_col]].rename(
+            columns={val_col: out_col})
+        out["n_rows"] = n[pick]
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return bucketed_group_apply(partials, keys, final,
+                                num_buckets=num_buckets)
+
+
+def grouped_quantile_disc_oracle_sql(
+    table_sql: str,
+    keys: Sequence[str],
+    val_col: str,
+    q: float,
+    *,
+    out_col: str | None = None,
+) -> str:
+    """DuckDB mirror of :func:`grouped_quantile_disc`."""
+    part = ", ".join(keys)
+    out_col = out_col or f"{val_col}_q"
+    return (
+        f"SELECT {part}, quantile_disc({val_col}, {q!r}) AS {out_col}, "
+        f"CAST(count(*) AS BIGINT) AS n_rows "
+        f"FROM ({table_sql}) GROUP BY {part}")
+
+
+def grouped_top_k_oracle_sql(
+    table_sql: str,
+    keys: Sequence[str],
+    order_col: str,
+    k: int,
+    *,
+    descending: bool = True,
+    tie_col: str | None = None,
+) -> str:
+    """DuckDB window mirror of :func:`grouped_top_k`."""
+    part = ", ".join(keys)
+    direc = "DESC" if descending else "ASC"
+    order = f"{order_col} {direc}" + (f", {tie_col}" if tie_col else "")
+    return (
+        f"SELECT * EXCLUDE (__rn) FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY {part} "
+        f"ORDER BY {order}) AS __rn FROM ({table_sql})) WHERE __rn <= {k}")

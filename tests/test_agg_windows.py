@@ -408,3 +408,78 @@ def test_crawl_diff_arrow_body_matches_pandas_reference(ray_session):
     assert list(got.columns) == list(exp.columns)
     for c in exp.columns:
         assert list(got[c].where(got[c].notna(), None)) == list(exp[c]), c
+
+
+def test_grouped_top_k_and_sql_parity(ray_session):
+    import duckdb
+
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.agg import (
+        grouped_top_k,
+        grouped_top_k_oracle_sql,
+    )
+
+    rng = np.random.default_rng(47)
+    df = pd.DataFrame({
+        "g": [f"g{int(x)}" for x in rng.integers(0, 30, size=400)],
+        "score": rng.integers(0, 6, size=400),  # heavy boundary ties
+        "id": np.arange(400),
+    })
+    got = (grouped_top_k(rd.from_pandas(df).repartition(7),
+                         ["g"], "score", 3, tie_col="id")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(grouped_top_k_oracle_sql(
+        "SELECT g, score, id FROM t", ["g"], "score", 3, tie_col="id"))
+        .df().sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  want[sorted(want.columns)],
+                                  check_dtype=False)
+    # every group has at most k rows, and groups with >= 3 rows have 3
+    sizes = got.groupby("g").size()
+    assert (sizes <= 3).all()
+    full = df.groupby("g").size()
+    assert (sizes[full[full >= 3].index] == 3).all()
+    # ascending mode: k smallest
+    asc = (grouped_top_k(rd.from_pandas(df), ["g"], "score", 2,
+                         descending=False, tie_col="id").to_pandas())
+    ref = (df.sort_values(["g", "score", "id"], kind="mergesort")
+           .groupby("g").head(2))
+    assert sorted(asc["id"]) == sorted(ref["id"])
+
+
+def test_grouped_quantile_disc_and_sql_parity(ray_session):
+    import duckdb
+
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.agg import (
+        grouped_quantile_disc,
+        grouped_quantile_disc_oracle_sql,
+    )
+
+    rng = np.random.default_rng(53)
+    df = pd.DataFrame({
+        "g": [f"g{int(x)}" for x in rng.integers(0, 25, size=500)],
+        "v": rng.integers(0, 40, size=500),
+    })
+    for q in (0.5, 0.25, 0.9):
+        got = (grouped_quantile_disc(
+            rd.from_pandas(df).repartition(6), ["g"], "v", q)
+            .to_pandas().sort_values("g").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("t", df)
+        want = (con.sql(grouped_quantile_disc_oracle_sql(
+            "SELECT g, v FROM t", ["g"], "v", q))
+            .df().sort_values("g").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], want[sorted(want.columns)],
+            check_dtype=False)
+    # singleton and tiny groups hit the ceil boundary exactly
+    tiny = pd.DataFrame({"g": ["a", "b", "b", "c", "c", "c"],
+                         "v": [7, 1, 2, 5, 6, 9]})
+    got = (grouped_quantile_disc(rd.from_pandas(tiny), ["g"], "v", 0.5)
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    assert got["v_q"].tolist() == [7, 1, 6]
