@@ -406,6 +406,17 @@ def q_top_events_per_user(sf_dir: str):
                          tie_col="event_id")
 
 
+def q_casing_stats_docs(sf_dir: str):
+    # casing cues (textquality.casing_stats_batch): ALL-CAPS shouting,
+    # Title-Case headline fraction, upper/letter ratio — one narrow
+    # vectorized map, zero shuffles; full SQL oracle (list_filter +
+    # anchored regexp_matches, RE2-safe).
+    from pdf_extract_ray.stages.textquality import casing_stats_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(casing_stats_batch, batch_format="pandas")
+
+
 def q_grouped_median_lineitem(sf_dir: str):
     # exact per-group discrete quantile (agg.grouped_quantile_disc):
     # lower-median quantity per returnflag — distinct-count partials
@@ -3055,6 +3066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sanitize_controls_docs": q_sanitize_controls_docs,
         "top_events_per_user": q_top_events_per_user,
         "grouped_median_lineitem": q_grouped_median_lineitem,
+        "casing_stats_docs": q_casing_stats_docs,
         "fingerprints": q_fingerprints,
         "content_filter_docs": q_content_filter_docs,
         "cleaned_text": q_cleaned_text,
@@ -3539,6 +3551,12 @@ def _host_quality_oracle() -> str:
         src, score_col="n_chars", min_avg=298.0)
 
 
+def _casing_stats_oracle() -> str:
+    from pdf_extract_ray.stages.textquality import casing_stats_oracle_sql
+
+    return casing_stats_oracle_sql()
+
+
 def _grouped_median_oracle() -> str:
     from pdf_extract_ray.stages.agg import grouped_quantile_disc_oracle_sql
 
@@ -3793,6 +3811,7 @@ def oracle_sql() -> dict[str, str]:
         "sanitize_controls_docs": _sanitize_controls_oracle(),
         "top_events_per_user": _top_events_per_user_oracle(),
         "grouped_median_lineitem": _grouped_median_oracle(),
+        "casing_stats_docs": _casing_stats_oracle(),
         "fingerprints": f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents",
         "content_filter_docs": (
             "SELECT doc_id FROM documents WHERE NOT ("

@@ -359,6 +359,68 @@ FROM tot LEFT JOIN ag USING ({id_col})
 """
 
 
+def casing_stats_batch(batch: pd.DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> pd.DataFrame:
+    """``(id_col, n_alpha_words, caps_word_frac, title_word_frac,
+    upper_char_frac)`` — casing cues: ALL-CAPS shouting (spam/ads),
+    Title-Case-Every-Word headlines and listicles, and the raw
+    upper/letter ratio.  Frozen ASCII rules: words are maximal
+    ``[A-Za-z]+`` runs; a caps word fully matches ``[A-Z]{2,}``; a
+    title word fully matches ``[A-Z][a-z]+``; fractions divide by
+    ``max(count, 1)`` and round to 4.  One vectorized explode +
+    fullmatch pass, zero shuffles; every rule mirrors in DuckDB
+    (``list_filter`` + anchored ``regexp_matches``)."""
+    t = batch[text_col].fillna("").astype(str)
+    words = t.str.findall(r"[A-Za-z]+")
+    n = words.str.len().to_numpy(np.int64)
+    nb = len(t)
+    flat = words.explode().dropna()
+    caps = np.zeros(nb, dtype=np.int64)
+    title = np.zeros(nb, dtype=np.int64)
+    if len(flat):
+        idx = flat.index.to_numpy()
+        np.add.at(caps, idx,
+                  flat.str.fullmatch(r"[A-Z]{2,}").to_numpy(bool))
+        np.add.at(title, idx,
+                  flat.str.fullmatch(r"[A-Z][a-z]+").to_numpy(bool))
+    upper = t.str.count(r"[A-Z]").to_numpy(np.int64)
+    letters = t.str.count(r"[A-Za-z]").to_numpy(np.int64)
+    safe_n = np.maximum(n, 1)
+    return pd.DataFrame({
+        id_col: batch[id_col].to_numpy(),
+        "n_alpha_words": n,
+        "caps_word_frac": round_half_away(caps / safe_n, 4),
+        "title_word_frac": round_half_away(title / safe_n, 4),
+        "upper_char_frac": round_half_away(
+            upper / np.maximum(letters, 1), 4),
+    })
+
+
+def casing_stats_oracle_sql(table: str = "documents",
+                            text_expr: str = "text",
+                            id_col: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`casing_stats_batch` (anchored
+    regexp_matches inside list_filter — no lookarounds, RE2-safe)."""
+    return f"""
+WITH b AS (SELECT {id_col}, coalesce({text_expr}, '') AS t FROM {table}),
+c AS (
+  SELECT {id_col},
+         regexp_extract_all(t, '[A-Za-z]+') AS ws,
+         len(regexp_extract_all(t, '[A-Z]')) AS nup,
+         len(regexp_extract_all(t, '[A-Za-z]')) AS nlet
+  FROM b
+)
+SELECT {id_col},
+       CAST(len(ws) AS BIGINT) AS n_alpha_words,
+       round(len(list_filter(ws, x -> regexp_matches(x, '^[A-Z]{{2,}}$')))
+             / CAST(greatest(len(ws), 1) AS DOUBLE), 4) AS caps_word_frac,
+       round(len(list_filter(ws, x -> regexp_matches(x, '^[A-Z][a-z]+$')))
+             / CAST(greatest(len(ws), 1) AS DOUBLE), 4) AS title_word_frac,
+       round(nup / CAST(greatest(nlet, 1) AS DOUBLE), 4) AS upper_char_frac
+FROM c
+"""
+
+
 def gopher_ngram_stats_batch(
     batch: pd.DataFrame,
     text_col: str = "text",

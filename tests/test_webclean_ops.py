@@ -345,3 +345,51 @@ def test_sanitize_controls_sql_parity_randomized():
     want = (con.sql(sanitize_controls_oracle_sql()).df()
             .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ---------------------------------------------------------------- #
+# casing cues
+
+
+def test_casing_stats_known_values():
+    from pdf_extract_ray.stages.textquality import casing_stats_batch
+
+    b = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["BUY NOW Cheap Pills online", "", None,
+                 "I a MiXeD x9y"],
+    })
+    out = casing_stats_batch(b)
+    r = out.iloc[0]
+    # words: BUY NOW Cheap Pills online -> caps 2/5, title 2/5
+    assert r["n_alpha_words"] == 5
+    assert r["caps_word_frac"] == 0.4
+    assert r["title_word_frac"] == 0.4
+    # "I" (len 1) is neither caps (needs 2+) nor title (needs a tail);
+    # words in doc 3: I a MiXeD x y -> 5 alpha words, 0 caps, 0 title
+    r3 = out.iloc[3]
+    assert r3["n_alpha_words"] == 5
+    assert r3["caps_word_frac"] == 0.0 and r3["title_word_frac"] == 0.0
+    assert (out.iloc[1][1:] == 0.0).all() and (out.iloc[2][1:] == 0.0).all()
+
+
+def test_casing_stats_sql_parity_randomized():
+    from pdf_extract_ray.stages.textquality import (
+        casing_stats_batch,
+        casing_stats_oracle_sql,
+    )
+
+    rng = np.random.default_rng(61)
+    pool = ["HELLO", "World", "spam", "BUY", "Now", "a", "I", "x9y",
+            "MiXeD", "Éclair"]
+    texts = [" ".join(rng.choice(pool, size=rng.integers(0, 30)))
+             for _ in range(300)]
+    texts[0], texts[1] = "", None
+    df = pd.DataFrame({"doc_id": np.arange(300), "text": texts})
+    got = (casing_stats_batch(df)
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = (con.sql(casing_stats_oracle_sql()).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
