@@ -406,6 +406,19 @@ def q_top_events_per_user(sf_dir: str):
                          tie_col="event_id")
 
 
+def q_embedding_covariance(sf_dir: str):
+    # distributed PCA moments (stages/pca.embedding_covariance): the
+    # ONE full pass over the vectors — bounded (D^2+D+1)-float partials
+    # per batch, tree-reduced through a 16-block combine level; the
+    # driver never sees more than 16 rows.  Full SQL oracle (unnest
+    # self-join, DOUBLE-widened products).  fit/transform are
+    # pytest-gated (eig amplifies ulp noise by the inverse eigen gap).
+    from pdf_extract_ray.stages.pca import embedding_covariance
+
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_covariance(ds)
+
+
 def q_casing_stats_docs(sf_dir: str):
     # casing cues (textquality.casing_stats_batch): ALL-CAPS shouting,
     # Title-Case headline fraction, upper/letter ratio — one narrow
@@ -3067,6 +3080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": q_top_events_per_user,
         "grouped_median_lineitem": q_grouped_median_lineitem,
         "casing_stats_docs": q_casing_stats_docs,
+        "embedding_covariance": q_embedding_covariance,
         "fingerprints": q_fingerprints,
         "content_filter_docs": q_content_filter_docs,
         "cleaned_text": q_cleaned_text,
@@ -3551,6 +3565,12 @@ def _host_quality_oracle() -> str:
         src, score_col="n_chars", min_avg=298.0)
 
 
+def _embedding_covariance_oracle() -> str:
+    from pdf_extract_ray.stages.pca import embedding_covariance_oracle_sql
+
+    return embedding_covariance_oracle_sql()
+
+
 def _casing_stats_oracle() -> str:
     from pdf_extract_ray.stages.textquality import casing_stats_oracle_sql
 
@@ -3812,6 +3832,7 @@ def oracle_sql() -> dict[str, str]:
         "top_events_per_user": _top_events_per_user_oracle(),
         "grouped_median_lineitem": _grouped_median_oracle(),
         "casing_stats_docs": _casing_stats_oracle(),
+        "embedding_covariance": _embedding_covariance_oracle(),
         "fingerprints": f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents",
         "content_filter_docs": (
             "SELECT doc_id FROM documents WHERE NOT ("

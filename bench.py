@@ -183,7 +183,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "host_quality_docs", "cross_corpus_dedup",
                      "script_mix_docs", "top_ngrams_docs",
                      "sanitize_controls_docs", "top_events_per_user",
-                     "grouped_median_lineitem", "casing_stats_docs"):
+                     "grouped_median_lineitem", "casing_stats_docs",
+                     "embedding_covariance"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise
