@@ -406,6 +406,29 @@ def q_top_events_per_user(sf_dir: str):
                          tie_col="event_id")
 
 
+def q_quantized_embeddings(sf_dir: str):
+    # per-vector symmetric int8 quantization (similarity.
+    # quantize_embeddings_batch): the 4x-smaller storage/ANN transport
+    # form.  One narrow vectorized map, zero shuffles; full SQL oracle
+    # (list_max / list_transform with DOUBLE-widened math).
+    from pdf_extract_ray.stages.similarity import quantize_embeddings_batch
+
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ds.map_batches(quantize_embeddings_batch,
+                          batch_format="pandas")
+
+
+def q_value_histogram_events(sf_dir: str):
+    # fixed-width histogram of event values (agg.value_histogram):
+    # per-batch bincount partials (<= nbins rows per batch), one tiny
+    # grouped merge; bin rule is the identical IEEE double expression
+    # in both engines, so parity is exact.  [0, 500) x 50 bins.
+    from pdf_extract_ray.stages.agg import value_histogram
+
+    ds = _t(sf_dir, "events", columns=["value"])
+    return value_histogram(ds, "value", 0.0, 500.0, 50)
+
+
 def q_embedding_covariance(sf_dir: str):
     # distributed PCA moments (stages/pca.embedding_covariance): the
     # ONE full pass over the vectors — bounded (D^2+D+1)-float partials
@@ -3081,6 +3104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_median_lineitem": q_grouped_median_lineitem,
         "casing_stats_docs": q_casing_stats_docs,
         "embedding_covariance": q_embedding_covariance,
+        "quantized_embeddings": q_quantized_embeddings,
+        "value_histogram_events": q_value_histogram_events,
         "fingerprints": q_fingerprints,
         "content_filter_docs": q_content_filter_docs,
         "cleaned_text": q_cleaned_text,
@@ -3565,6 +3590,21 @@ def _host_quality_oracle() -> str:
         src, score_col="n_chars", min_avg=298.0)
 
 
+def _quantized_embeddings_oracle() -> str:
+    from pdf_extract_ray.stages.similarity import (
+        quantize_embeddings_oracle_sql,
+    )
+
+    return quantize_embeddings_oracle_sql()
+
+
+def _value_histogram_oracle() -> str:
+    from pdf_extract_ray.stages.agg import value_histogram_oracle_sql
+
+    return value_histogram_oracle_sql(
+        "SELECT value FROM events", "value", 0.0, 500.0, 50)
+
+
 def _embedding_covariance_oracle() -> str:
     from pdf_extract_ray.stages.pca import embedding_covariance_oracle_sql
 
@@ -3833,6 +3873,8 @@ def oracle_sql() -> dict[str, str]:
         "grouped_median_lineitem": _grouped_median_oracle(),
         "casing_stats_docs": _casing_stats_oracle(),
         "embedding_covariance": _embedding_covariance_oracle(),
+        "quantized_embeddings": _quantized_embeddings_oracle(),
+        "value_histogram_events": _value_histogram_oracle(),
         "fingerprints": f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents",
         "content_filter_docs": (
             "SELECT doc_id FROM documents WHERE NOT ("

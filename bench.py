@@ -184,7 +184,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "script_mix_docs", "top_ngrams_docs",
                      "sanitize_controls_docs", "top_events_per_user",
                      "grouped_median_lineitem", "casing_stats_docs",
-                     "embedding_covariance"):
+                     "embedding_covariance", "quantized_embeddings",
+                     "value_histogram_events"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

@@ -282,6 +282,77 @@ def grouped_top_k(
                                 num_buckets=num_buckets)
 
 
+def value_histogram(
+    ds: Dataset,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    *,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Fixed-width histogram of a numeric column — the distribution
+    report behind threshold tuning (pick the perplexity/score cutoffs
+    by LOOKING at the corpus first).  Frozen rule: only values with
+    ``lo <= v < hi`` count; ``bin = floor((v - lo) / w)`` with
+    ``w = (hi - lo) / nbins`` — both engines evaluate the SAME IEEE
+    double expression, so parity is exact, not approximate.
+
+    Scale shape: per-batch ``np.bincount`` partials (<= nbins rows per
+    batch regardless of batch size), ONE tiny grouped merge.  Output:
+    ``(bin, bin_lo, n)``, bins with zero count omitted (SQL GROUP BY
+    semantics)."""
+    w = (float(hi) - float(lo)) / int(nbins)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(np.float64)
+        v = v[(v >= lo) & (v < hi)]
+        bins = np.floor((v - lo) / w).astype(np.int64)
+        cnt = np.bincount(bins, minlength=nbins)
+        nz = np.nonzero(cnt)[0]
+        return pd.DataFrame({"bin": nz.astype(np.int64),
+                             "n": cnt[nz].astype(np.int64)})
+
+    merged = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["bin"], {"n": ("n", "sum")}, num_buckets=num_buckets)
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:
+        from pdf_extract_ray.util import round_half_away
+
+        bins = b["bin"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "bin": bins,
+            "bin_lo": round_half_away(lo + bins * w, 6),
+            "n": b["n"].to_numpy(np.int64),
+        })
+
+    return merged.map_batches(edges, batch_format="pandas")
+
+
+def value_histogram_oracle_sql(
+    table_sql: str,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> str:
+    """DuckDB mirror of :func:`value_histogram` (identical double
+    expression for the bin, so the histogram is bit-exact)."""
+    w = (float(hi) - float(lo)) / int(nbins)
+    return f"""
+SELECT CAST(floor((CAST({col} AS DOUBLE) - {lo!r}) / {w!r}) AS BIGINT)
+         AS bin,
+       round({lo!r} + CAST(floor((CAST({col} AS DOUBLE) - {lo!r})
+                                 / {w!r}) AS BIGINT) * {w!r}, 6)
+         AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n
+FROM ({table_sql})
+WHERE {col} >= {lo!r} AND {col} < {hi!r}
+GROUP BY 1, 2
+"""
+
+
 def grouped_quantile_disc(
     ds: Dataset,
     keys: Sequence[str],

@@ -238,3 +238,56 @@ def ivf_topk(
         return g
 
     return partial.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+
+
+def quantize_embeddings_batch(batch: pd.DataFrame,
+                              vec_col: str = "embedding",
+                              id_col: str = "vec_id") -> pd.DataFrame:
+    """Per-vector symmetric int8 quantization — the storage/transport
+    form ANN services keep vectors in (4x smaller than float32, one
+    dequant multiply to restore): ``scale = max(|v|) / 127`` per
+    vector, ``q_i = round(v_i / scale)`` (half away from zero, the SQL
+    round rule), all-zero vectors get scale 0 and all-zero codes.
+
+    Frozen rule: float32 inputs widen to float64 BEFORE the divide
+    (matching the oracle's DOUBLE casts); ``scale`` is emitted rounded
+    to 8 places for the oracle while codes use the unrounded scale.
+    One narrow vectorized map, zero shuffles.
+
+    Output: ``(id_col, q: list<int64 in [-127,127]>, scale)``."""
+    from pdf_extract_ray.util import round_half_away as _r
+
+    X = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+    amax = np.abs(X).max(axis=1)
+    scale = amax / 127.0
+    safe = np.where(scale > 0, scale, 1.0)
+    q = np.sign(X) * np.floor(np.abs(X / safe[:, None]) + 0.5)
+    q = np.where(scale[:, None] > 0, q, 0.0).astype(np.int64)
+    return pd.DataFrame({
+        id_col: batch[id_col].to_numpy(),
+        "q": list(q),
+        "scale": _r(scale, 8),
+    })
+
+
+def quantize_embeddings_oracle_sql(table: str = "embeddings",
+                                   vec_col: str = "embedding",
+                                   id_col: str = "vec_id") -> str:
+    """DuckDB mirror of :func:`quantize_embeddings_batch` (list_max of
+    |v| / 127, per-element round; all-zero vectors -> zero codes)."""
+    return f"""
+WITH b AS (
+  SELECT {id_col},
+         list_transform({vec_col},
+                        x -> abs(CAST(x AS DOUBLE))) AS av,
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+  FROM {table}
+),
+s AS (SELECT {id_col}, v, list_max(av) / 127.0 AS scale FROM b)
+SELECT {id_col},
+       CASE WHEN scale > 0
+            THEN list_transform(v, x -> CAST(round(x / scale) AS BIGINT))
+            ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q,
+       round(scale, 8) AS scale
+FROM s
+"""

@@ -483,3 +483,32 @@ def test_grouped_quantile_disc_and_sql_parity(ray_session):
     got = (grouped_quantile_disc(rd.from_pandas(tiny), ["g"], "v", 0.5)
            .to_pandas().sort_values("g").reset_index(drop=True))
     assert got["v_q"].tolist() == [7, 1, 6]
+
+
+def test_value_histogram_exact_parity(ray_session):
+    import duckdb
+
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.agg import (
+        value_histogram,
+        value_histogram_oracle_sql,
+    )
+
+    rng = np.random.default_rng(71)
+    df = pd.DataFrame({"v": np.concatenate([
+        rng.exponential(30, size=3000),
+        [-5.0, 0.0, 99.999999, 100.0, 250.0],  # boundary + out-of-range
+    ])})
+    got = (value_histogram(rd.from_pandas(df).repartition(6),
+                           "v", 0.0, 100.0, 10)
+           .to_pandas().sort_values("bin").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(value_histogram_oracle_sql(
+        "SELECT v FROM t", "v", 0.0, 100.0, 10))
+        .df().sort_values("bin").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # frozen range rule: v < lo and v >= hi dropped, lo itself counted
+    assert got["n"].sum() == ((df["v"] >= 0) & (df["v"] < 100)).sum()
+    assert got["bin"].between(0, 9).all()

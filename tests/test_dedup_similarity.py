@@ -714,3 +714,35 @@ def test_dedup_against_reference_and_sql_parity(ray_session):
     assert not set(got["key"]) & set(ref["key"])
     low = corpus[~corpus["key"].isin(set(ref["key"]))]
     assert sorted(got["doc_id"]) == sorted(low["doc_id"])
+
+
+def test_quantize_embeddings_roundtrip_and_sql_parity():
+    import duckdb
+
+    from pdf_extract_ray.stages.similarity import (
+        quantize_embeddings_batch,
+        quantize_embeddings_oracle_sql,
+    )
+
+    rng = np.random.default_rng(3)
+    X = [rng.normal(0, 2, size=16).astype(np.float32) for _ in range(300)]
+    X[0] = np.zeros(16, dtype=np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(300), "embedding": X})
+    got = (quantize_embeddings_batch(df)
+           .sort_values("vec_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("embeddings", df)
+    want = (con.sql(quantize_embeddings_oracle_sql()).df()
+            .sort_values("vec_id").reset_index(drop=True))
+    key = lambda d: d.assign(q=d["q"].map(lambda a: list(map(int, a))))
+    pd.testing.assert_frame_equal(key(got), key(want), check_dtype=False)
+    # codes bounded, max-|v| element hits exactly +-127, dequant error
+    # bounded by scale/2 per element; zero vector -> zero codes, scale 0
+    allq = np.stack(got["q"].to_numpy())
+    assert np.abs(allq).max() == 127
+    assert (np.abs(allq[1:]).max(axis=1) == 127).all()
+    deq = allq * got["scale"].to_numpy()[:, None]
+    orig = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    err = np.abs(deq - orig)
+    assert (err <= got["scale"].to_numpy()[:, None] / 2 + 1e-9).all()
+    assert got.loc[0, "scale"] == 0.0 and not got.loc[0, "q"].any()
