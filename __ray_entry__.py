@@ -406,6 +406,34 @@ def q_top_events_per_user(sf_dir: str):
                          tie_col="event_id")
 
 
+def q_pair_edit_distance(sf_dir: str):
+    # candidate-pair refinement by exact edit distance (dedup.
+    # refine_pairs_levenshtein): two hash joins ship each pair its two
+    # texts, byte-level DP == DuckDB levenshtein.  Frozen derive:
+    # neighbor pairs over 60-char lowered slices, odd ids e->3.
+    from pdf_extract_ray.stages.dedup import refine_pairs_levenshtein
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def variants(b: pd.DataFrame) -> pd.DataFrame:
+        base = b["text"].fillna("").str.lower().str.slice(0, 60)
+        odd = (b["doc_id"] % 2 == 1).to_numpy()
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "text": np.where(odd,
+                             base.str.replace("e", "3", regex=False),
+                             base),
+        })
+
+    def mk_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        a = b.loc[b["doc_id"] % 2 == 0, "doc_id"].to_numpy()
+        return pd.DataFrame({"a": a, "b": a + 1})
+
+    return refine_pairs_levenshtein(
+        ds.map_batches(mk_pairs, batch_format="pandas"),
+        ds.map_batches(variants, batch_format="pandas"))
+
+
 def q_quantized_embeddings(sf_dir: str):
     # per-vector symmetric int8 quantization (similarity.
     # quantize_embeddings_batch): the 4x-smaller storage/ANN transport
@@ -3106,6 +3134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": q_embedding_covariance,
         "quantized_embeddings": q_quantized_embeddings,
         "value_histogram_events": q_value_histogram_events,
+        "pair_edit_distance": q_pair_edit_distance,
         "fingerprints": q_fingerprints,
         "content_filter_docs": q_content_filter_docs,
         "cleaned_text": q_cleaned_text,
@@ -3590,6 +3619,20 @@ def _host_quality_oracle() -> str:
         src, score_col="n_chars", min_avg=298.0)
 
 
+def _pair_edit_distance_oracle() -> str:
+    from pdf_extract_ray.stages.dedup import (
+        refine_pairs_levenshtein_oracle_sql,
+    )
+
+    base = "substr(lower(coalesce(text, '')), 1, 60)"
+    docs = (f"SELECT doc_id, CASE WHEN doc_id % 2 = 1 "
+            f"THEN replace({base}, 'e', '3') ELSE {base} END AS text "
+            f"FROM documents")
+    pairs = ("SELECT doc_id AS a, doc_id + 1 AS b FROM documents "
+             "WHERE doc_id % 2 = 0")
+    return refine_pairs_levenshtein_oracle_sql(pairs, docs)
+
+
 def _quantized_embeddings_oracle() -> str:
     from pdf_extract_ray.stages.similarity import (
         quantize_embeddings_oracle_sql,
@@ -3875,6 +3918,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_covariance": _embedding_covariance_oracle(),
         "quantized_embeddings": _quantized_embeddings_oracle(),
         "value_histogram_events": _value_histogram_oracle(),
+        "pair_edit_distance": _pair_edit_distance_oracle(),
         "fingerprints": f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents",
         "content_filter_docs": (
             "SELECT doc_id FROM documents WHERE NOT ("

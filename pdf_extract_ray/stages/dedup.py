@@ -154,6 +154,156 @@ def dedup_against_reference(ds: Dataset, ref: Dataset, key_col: str,
     return bucketed_group_apply(tagged, [key_col], rule)
 
 
+def levenshtein(a: str, b: str) -> int:
+    """Unweighted edit distance over UTF-8 BYTES (insert/delete/
+    substitute cost 1) — exactly DuckDB's ``levenshtein()``, which is
+    byte-oriented (probed: levenshtein('héllo','hello') = 2, the é is
+    two bytes).  Row DP with the running-min trick so the inner loop
+    is numpy: the insert recurrence ``cur[j] = min over j' <= j of
+    (cand[j'] + (j - j'))`` becomes one ``np.minimum.accumulate``."""
+    if a == b:
+        return 0
+    ab = a.encode("utf-8")
+    bbts = b.encode("utf-8")
+    la, lb = len(ab), len(bbts)
+    if la == 0 or lb == 0:
+        return la or lb
+    bb = np.frombuffer(bbts, dtype=np.uint8)
+    idx = np.arange(lb + 1, dtype=np.int64)
+    prev = idx.copy()
+    cand = np.empty(lb + 1, dtype=np.int64)
+    for i, ca in enumerate(ab, 1):
+        cand[0] = i
+        np.minimum(prev[1:] + 1, prev[:-1] + (bb != np.uint8(ca)),
+                   out=cand[1:])
+        prev = np.minimum(cand, idx + np.minimum.accumulate(cand - idx))
+    return int(prev[-1])
+
+
+def refine_pairs_levenshtein(
+    pairs: Dataset,
+    docs: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    a_col: str = "a",
+    b_col: str = "b",
+    max_dist: int | None = None,
+) -> Dataset:
+    """Verify candidate near-dup pairs by EXACT edit distance — the
+    refinement step after a sketch (minhash/simhash/LSH) proposes
+    candidates: sketches bound set overlap, edit distance certifies
+    character-level closeness, and pairs above ``max_dist`` are cut.
+
+    Output: ``(a, b, edit_distance, edit_sim)`` with ``edit_sim =
+    round(1 - dist / max(bytes_a, bytes_b, 1), 4)`` — distances and
+    lengths are both in UTF-8 bytes (the DuckDB levenshtein unit).
+
+    Scale shape: two bucketed cogroups ship each pair its two texts
+    (shuffle 1 keys on the member id to attach texts, shuffle 2 keys
+    on the pair to bring both sides together) — the repo's own
+    cogroup machinery, no acero joins.  Pairs are the SMALL candidate
+    set by contract (never run this on the raw corpus: the DP is
+    O(len_a x len_b) per pair); duplicate (a, b) pair rows collapse
+    to one.  The DP itself is a numpy row recurrence."""
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+    from pdf_extract_ray.util import round_half_away
+
+    def pair_rows(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[a_col].to_numpy()
+        bb = b[b_col].to_numpy()
+        return pd.DataFrame({
+            "__m": np.concatenate([a, bb]),
+            a_col: np.concatenate([a, a]),
+            b_col: np.concatenate([bb, bb]),
+            "__role": np.repeat(np.array([0, 1], np.int8), len(a)),
+            "__t": "",
+        })
+
+    def text_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy()
+        return pd.DataFrame({
+            "__m": ids,
+            a_col: np.zeros(len(ids), dtype=ids.dtype),
+            b_col: np.zeros(len(ids), dtype=ids.dtype),
+            "__role": np.int8(2),
+            "__t": b[text_col].fillna("").to_numpy(),
+        })
+
+    tagged = pairs.map_batches(pair_rows, batch_format="pandas").union(
+        docs.map_batches(text_rows, batch_format="pandas"))
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        is_text = g["__role"].to_numpy() == 2
+        tmap = (g.loc[is_text].drop_duplicates("__m")
+                .set_index("__m")["__t"])
+        mem = g.loc[~is_text,
+                    ["__m", a_col, b_col, "__role"]].copy()
+        mem["__t"] = mem["__m"].map(tmap)
+        return mem.dropna(subset=["__t"])[
+            [a_col, b_col, "__role", "__t"]]
+
+    withtext = bucketed_group_apply(tagged, ["__m"], attach)
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        p = (g.drop_duplicates([a_col, b_col, "__role"])
+             .pivot_table(index=[a_col, b_col], columns="__role",
+                          values="__t", aggfunc="first")
+             .dropna(subset=[0, 1]))
+        if not len(p):
+            return pd.DataFrame({a_col: [], b_col: [],
+                                 "edit_distance": [], "edit_sim": []})
+        ta = p[0].tolist()
+        tb = p[1].tolist()
+        d = np.fromiter((levenshtein(x, y) for x, y in zip(ta, tb)),
+                        np.int64, len(ta))
+        ml = np.maximum(
+            np.fromiter((len(x.encode("utf-8")) for x in ta),
+                        np.int64, len(ta)),
+            np.fromiter((len(y.encode("utf-8")) for y in tb),
+                        np.int64, len(tb)))
+        out = pd.DataFrame({
+            a_col: p.index.get_level_values(0).to_numpy(),
+            b_col: p.index.get_level_values(1).to_numpy(),
+            "edit_distance": d,
+            "edit_sim": round_half_away(1.0 - d / np.maximum(ml, 1), 4),
+        })
+        if max_dist is not None:
+            out = out[out["edit_distance"] <= max_dist]
+        return out
+
+    return bucketed_group_apply(withtext, [a_col, b_col], score)
+
+
+def refine_pairs_levenshtein_oracle_sql(
+    pairs_sql: str,
+    docs_sql: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    a_col: str = "a",
+    b_col: str = "b",
+    max_dist: int | None = None,
+) -> str:
+    """DuckDB mirror of :func:`refine_pairs_levenshtein`."""
+    cut = (f"WHERE levenshtein(da.t, db.t) <= {max_dist}"
+           if max_dist is not None else "")
+    return f"""
+WITH __lev_p AS ({pairs_sql}),
+__lev_d AS (SELECT {id_col} AS id, coalesce({text_col}, '') AS t
+            FROM ({docs_sql}))
+SELECT __lev_p.{a_col} AS {a_col}, __lev_p.{b_col} AS {b_col},
+       CAST(levenshtein(da.t, db.t) AS BIGINT) AS edit_distance,
+       round(1.0 - levenshtein(da.t, db.t)
+             / CAST(greatest(strlen(da.t), strlen(db.t), 1) AS DOUBLE),
+             4) AS edit_sim
+FROM __lev_p
+JOIN __lev_d da ON da.id = __lev_p.{a_col}
+JOIN __lev_d db ON db.id = __lev_p.{b_col}
+{cut}
+"""
+
+
 def dedup_against_reference_oracle_sql(corpus_sql: str, ref_sql: str,
                                        key_col: str,
                                        id_col: str = "doc_id") -> str:

@@ -746,3 +746,61 @@ def test_quantize_embeddings_roundtrip_and_sql_parity():
     err = np.abs(deq - orig)
     assert (err <= got["scale"].to_numpy()[:, None] / 2 + 1e-9).all()
     assert got.loc[0, "scale"] == 0.0 and not got.loc[0, "q"].any()
+
+
+def test_levenshtein_matches_duckdb_bytes():
+    import duckdb
+
+    from pdf_extract_ray.stages.dedup import levenshtein
+
+    rng = np.random.default_rng(5)
+    al = list("abcdef 123é한")
+    cases = [("", ""), ("a", ""), ("", "xyz"), ("kitten", "sitting"),
+             ("héllo", "hello"), ("한국", "한글국")]
+    cases += [("".join(rng.choice(al, size=rng.integers(0, 25))),
+               "".join(rng.choice(al, size=rng.integers(0, 25))))
+              for _ in range(200)]
+    con = duckdb.connect()
+    for a, b in cases:
+        want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert levenshtein(a, b) == want, (a, b)
+    # the byte convention: a 2-byte char substitution costs 2
+    assert levenshtein("héllo", "hello") == 2
+
+
+def test_refine_pairs_levenshtein_and_sql_parity(ray_session):
+    import duckdb
+
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.dedup import (
+        refine_pairs_levenshtein,
+        refine_pairs_levenshtein_oracle_sql,
+    )
+
+    rng = np.random.default_rng(67)
+    texts = ["shared prefix " + "".join(rng.choice(list("abcdef "), 20))
+             for _ in range(80)]
+    docs = pd.DataFrame({"doc_id": np.arange(80), "text": texts})
+    pairs = pd.DataFrame({"a": np.arange(0, 80, 2),
+                          "b": np.arange(1, 80, 2)})
+    got = (refine_pairs_levenshtein(
+        rd.from_pandas(pairs).repartition(3),
+        rd.from_pandas(docs).repartition(4), max_dist=15)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("d", docs)
+    con.register("p", pairs)
+    want = (con.sql(refine_pairs_levenshtein_oracle_sql(
+        "SELECT a, b FROM p", "SELECT doc_id, text FROM d",
+        max_dist=15)).df()
+        .sort_values(["a", "b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  want[sorted(want.columns)],
+                                  check_dtype=False)
+    # identical pair scores distance 0 / sim 1
+    same = refine_pairs_levenshtein(
+        rd.from_pandas(pd.DataFrame({"a": [0], "b": [0]})),
+        rd.from_pandas(docs)).to_pandas()
+    assert same["edit_distance"].iloc[0] == 0
+    assert same["edit_sim"].iloc[0] == 1.0
