@@ -406,6 +406,45 @@ def q_top_events_per_user(sf_dir: str):
                          tie_col="event_id")
 
 
+def q_validate_orders(sf_dir: str):
+    # data-contract validation (stages/contract.validate_table): the
+    # ingest gate — null/range/regex/enum rules are additive per-batch
+    # counts (one narrow pass); the unique rule is the one shuffle
+    # (distinct (key, count) partials, ids only).
+    from pdf_extract_ray.stages.contract import validate_table
+
+    ds = _t(sf_dir, "orders",
+            columns=["o_orderkey", "o_custkey", "o_totalprice",
+                     "o_orderstatus", "o_orderpriority"])
+    return validate_table(
+        ds,
+        not_null=["o_custkey"],
+        ranges={"o_totalprice": (0.0, 400000.0)},
+        patterns={"o_orderpriority": "[1-5]-[A-Z]+"},
+        allowed={"o_orderstatus": ["O", "F", "P"]},
+        unique=["o_orderkey"])
+
+
+def q_debounced_events(sf_dir: str):
+    # streaming debounce (drop same-user-same-type events arriving
+    # within 60 s of the previous one — the event-pipeline dedup for
+    # retry storms / double-clicks): PURE COMPOSITION of the existing
+    # grouped LAG (one bucketed shuffle) + a narrow filter.
+    from pdf_extract_ray.stages.windows import grouped_lag
+
+    ds = _t(sf_dir, "events",
+            columns=["event_id", "user_id", "event_type", "ts"])
+    lagged = grouped_lag(ds, ["user_id", "event_type"],
+                         ["ts", "event_id"], "ts", out_col="pts")
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["pts"].isna() | (
+            (b["ts"] - b["pts"]) >= pd.Timedelta(seconds=60))
+        return b.loc[ok, ["event_id", "user_id", "event_type", "ts"]]
+
+    return lagged.map_batches(keep, batch_format="pandas")
+
+
 def q_pair_edit_distance(sf_dir: str):
     # candidate-pair refinement by exact edit distance (dedup.
     # refine_pairs_levenshtein): two hash joins ship each pair its two
@@ -3135,6 +3174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantized_embeddings": q_quantized_embeddings,
         "value_histogram_events": q_value_histogram_events,
         "pair_edit_distance": q_pair_edit_distance,
+        "debounced_events": q_debounced_events,
+        "validate_orders": q_validate_orders,
         "fingerprints": q_fingerprints,
         "content_filter_docs": q_content_filter_docs,
         "cleaned_text": q_cleaned_text,
@@ -3619,6 +3660,18 @@ def _host_quality_oracle() -> str:
         src, score_col="n_chars", min_avg=298.0)
 
 
+def _validate_orders_oracle() -> str:
+    from pdf_extract_ray.stages.contract import validate_table_oracle_sql
+
+    return validate_table_oracle_sql(
+        "SELECT * FROM orders",
+        not_null=["o_custkey"],
+        ranges={"o_totalprice": (0.0, 400000.0)},
+        patterns={"o_orderpriority": "[1-5]-[A-Z]+"},
+        allowed={"o_orderstatus": ["O", "F", "P"]},
+        unique=["o_orderkey"])
+
+
 def _pair_edit_distance_oracle() -> str:
     from pdf_extract_ray.stages.dedup import (
         refine_pairs_levenshtein_oracle_sql,
@@ -3919,6 +3972,13 @@ def oracle_sql() -> dict[str, str]:
         "quantized_embeddings": _quantized_embeddings_oracle(),
         "value_histogram_events": _value_histogram_oracle(),
         "pair_edit_distance": _pair_edit_distance_oracle(),
+        "debounced_events": (
+            "SELECT event_id, user_id, event_type, ts FROM ("
+            "SELECT event_id, user_id, event_type, ts, "
+            "lag(ts) OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts, event_id) AS pts FROM events) "
+            "WHERE pts IS NULL OR ts - pts >= INTERVAL 60 SECOND"),
+        "validate_orders": _validate_orders_oracle(),
         "fingerprints": f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents",
         "content_filter_docs": (
             "SELECT doc_id FROM documents WHERE NOT ("

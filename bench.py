@@ -185,7 +185,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "sanitize_controls_docs", "top_events_per_user",
                      "grouped_median_lineitem", "casing_stats_docs",
                      "embedding_covariance", "quantized_embeddings",
-                     "value_histogram_events", "pair_edit_distance"):
+                     "value_histogram_events", "pair_edit_distance",
+                     "debounced_events", "validate_orders"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

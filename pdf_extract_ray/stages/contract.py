@@ -1,0 +1,139 @@
+"""Data-contract validation — the schema/content gate a production
+ingest runs before a table enters the pipeline: null checks, value
+ranges, regex shapes, enums and key uniqueness, reported as one tiny
+``(rule, n_violations)`` table instead of a crash on row one.
+
+Frozen rule semantics (the SQL oracle mirrors each exactly):
+- ``not_null:col``      — count of NULL values;
+- ``range:col``         — non-null values outside ``lo <= v <= hi``
+                          (nulls are not_null's job, counted nowhere
+                          else);
+- ``pattern:col``       — non-null values not FULLY matching the
+                          anchored regex (RE2-safe patterns only);
+- ``allowed:col``       — non-null values outside the enum;
+- ``unique:col``        — duplicate non-null values, counted as
+                          ``n_nonnull - n_distinct``.
+
+Scale shape: every rule except ``unique`` is an additive per-batch
+count — ONE narrow pass emits a <=R-row partial per batch and a tiny
+grouped merge sums them.  ``unique`` is the one rule that genuinely
+needs a shuffle; it moves per-batch DISTINCT (col, count) partials
+(map-side shrink) through one grouped merge and sums ``count - 1``
+over duplicated keys — ids-only, bodies never move.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from ray.data import Dataset
+
+
+def validate_table(
+    ds: Dataset,
+    *,
+    not_null: list[str] | None = None,
+    ranges: dict[str, tuple[float, float]] | None = None,
+    patterns: dict[str, str] | None = None,
+    allowed: dict[str, list] | None = None,
+    unique: list[str] | None = None,
+) -> Dataset:
+    """``(rule, n_violations)`` — one row per declared rule (zero rows
+    are reported too: a rule that found nothing proves it ran)."""
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    not_null = list(not_null or [])
+    ranges = dict(ranges or {})
+    patterns = {c: re.compile(p) for c, p in (patterns or {}).items()}
+    allowed = {c: set(v) for c, v in (allowed or {}).items()}
+    unique = list(unique or [])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows: dict[str, int] = {}
+        for c in not_null:
+            rows[f"not_null:{c}"] = int(b[c].isna().sum())
+        for c, (lo, hi) in ranges.items():
+            v = b[c].dropna()
+            rows[f"range:{c}"] = int(((v < lo) | (v > hi)).sum())
+        for c, rx in patterns.items():
+            v = b[c].dropna().astype(str)
+            rows[f"pattern:{c}"] = int((~v.str.fullmatch(rx)).sum())
+        for c, vals in allowed.items():
+            v = b[c].dropna()
+            rows[f"allowed:{c}"] = int((~v.isin(vals)).sum())
+        return pd.DataFrame({
+            "rule": list(rows),
+            "n_violations": np.array(list(rows.values()), np.int64),
+        })
+
+    parts = [grouped_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["rule"], {"n_violations": ("n_violations", "sum")})]
+
+    for c in unique:
+        def key_counts(b: pd.DataFrame, c=c) -> pd.DataFrame:
+            v = b[c].dropna()
+            k, n = np.unique(v.to_numpy(), return_counts=True)
+            return pd.DataFrame({"__k": k, "__n": n.astype(np.int64)})
+
+        merged = grouped_aggregate(
+            ds.map_batches(key_counts, batch_format="pandas"),
+            ["__k"], {"__n": ("__n", "sum")})
+
+        def dup_total(b: pd.DataFrame, c=c) -> pd.DataFrame:
+            n = b["__n"].to_numpy(np.int64)
+            return pd.DataFrame({
+                "rule": [f"unique:{c}"],
+                "n_violations": np.array([int((n - 1).sum())], np.int64),
+            })
+
+        parts.append(grouped_aggregate(
+            merged.map_batches(dup_total, batch_format="pandas"),
+            ["rule"], {"n_violations": ("n_violations", "sum")}))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def validate_table_oracle_sql(
+    table_sql: str,
+    *,
+    not_null: list[str] | None = None,
+    ranges: dict[str, tuple[float, float]] | None = None,
+    patterns: dict[str, str] | None = None,
+    allowed: dict[str, list] | None = None,
+    unique: list[str] | None = None,
+) -> str:
+    """DuckDB mirror of :func:`validate_table` (UNION ALL of one
+    aggregate per rule)."""
+    sel = []
+    for c in (not_null or []):
+        sel.append(f"SELECT 'not_null:{c}' AS rule, "
+                   f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) "
+                   f"AS BIGINT) AS n_violations FROM t")
+    for c, (lo, hi) in (ranges or {}).items():
+        sel.append(f"SELECT 'range:{c}', "
+                   f"CAST(sum(CASE WHEN {c} IS NOT NULL AND "
+                   f"({c} < {lo!r} OR {c} > {hi!r}) THEN 1 ELSE 0 END) "
+                   f"AS BIGINT) FROM t")
+    for c, p in (patterns or {}).items():
+        sel.append(f"SELECT 'pattern:{c}', "
+                   f"CAST(sum(CASE WHEN {c} IS NOT NULL AND NOT "
+                   f"regexp_matches(CAST({c} AS VARCHAR), '^({p})$') "
+                   f"THEN 1 ELSE 0 END) AS BIGINT) FROM t")
+    for c, vals in (allowed or {}).items():
+        lit = ", ".join(
+            f"'{v}'" if isinstance(v, str) else repr(v) for v in vals)
+        sel.append(f"SELECT 'allowed:{c}', "
+                   f"CAST(sum(CASE WHEN {c} IS NOT NULL AND {c} NOT IN "
+                   f"({lit}) THEN 1 ELSE 0 END) AS BIGINT) FROM t")
+    for c in (unique or []):
+        sel.append(f"SELECT 'unique:{c}', "
+                   f"CAST(count({c}) - count(DISTINCT {c}) AS BIGINT) "
+                   f"FROM t")
+    body = "\nUNION ALL\n".join(sel)
+    return f"WITH t AS ({table_sql})\n{body}"
