@@ -533,6 +533,64 @@ def q_grouped_median_lineitem(sf_dir: str):
         out_col="median_qty")
 
 
+def q_rollup_pricing(sf_dir: str):
+    # GROUP BY ROLLUP (olap.rollup_aggregate): per-(flag,status),
+    # per-flag and grand-total quantity totals from ONE scan — finest
+    # map-side partials shuffle once, coarser levels re-aggregate the
+    # tiny finest result; rolled slots are typed Arrow nulls.
+    from pdf_extract_ray.stages.olap import rollup_aggregate
+
+    ds = _t(sf_dir, "lineitem",
+            columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return rollup_aggregate(
+        ds, ["l_returnflag", "l_linestatus"],
+        {"sum_qty": ("l_quantity", "sum"), "n": ("l_quantity", "count")})
+
+
+def q_cube_order_status(sf_dir: str):
+    # GROUP BY CUBE (olap.cube_aggregate): all 4 subsets of
+    # (status, priority) from one scan — same derive-from-finest plan
+    # as rollup, so the cube costs one shuffle of partials.
+    from pdf_extract_ray.stages.olap import cube_aggregate
+
+    ds = _t(sf_dir, "orders",
+            columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    return cube_aggregate(
+        ds, ["o_orderstatus", "o_orderpriority"],
+        {"n": ("o_totalprice", "count"),
+         "max_price": ("o_totalprice", "max")})
+
+
+def q_pivot_event_counts(sf_dir: str):
+    # pivot-to-wide (olap.pivot_wide): per-user event-type counts as
+    # fixed columns — map-side conditional partials mean the shuffle
+    # ships one narrow row per (user, batch), never raw events; the
+    # category vocabulary is an explicit argument (no discovery scan).
+    from pdf_extract_ray.stages.olap import pivot_wide
+
+    ds = _t(sf_dir, "events", columns=["user_id", "event_type"])
+    return pivot_wide(ds, ["user_id"], "event_type",
+                      _EVENT_TYPES, op="count", prefix="n_")
+
+
+def q_ranked_orders(sf_dir: str):
+    # per-group window ranking (olap.grouped_rank): row_number + 4-tile
+    # per customer by price — ONE bucketed cogroup (whole customers
+    # co-locate), vectorized in-bucket sort; deterministic via the
+    # (price desc, orderkey) total order.  Full SQL window oracle.
+    from pdf_extract_ray.stages.olap import grouped_rank
+
+    ds = _t(sf_dir, "orders",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return grouped_rank(ds, ["o_custkey"], "o_totalprice",
+                        descending=True, tie_col="o_orderkey",
+                        out_col="price_rank", method="row_number",
+                        ntile=4, ntile_col="price_quartile")
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
 def q_sanitize_controls_docs(sf_dir: str):
     # control-char sanitization (mojibake.sanitize_controls_batch):
     # strip the frozen C0/C1/DEL class (keeping \t \n \r) and report
@@ -3169,6 +3227,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sanitize_controls_docs": q_sanitize_controls_docs,
         "top_events_per_user": q_top_events_per_user,
         "grouped_median_lineitem": q_grouped_median_lineitem,
+        "rollup_pricing": q_rollup_pricing,
+        "cube_order_status": q_cube_order_status,
+        "pivot_event_counts": q_pivot_event_counts,
+        "ranked_orders": q_ranked_orders,
         "casing_stats_docs": q_casing_stats_docs,
         "embedding_covariance": q_embedding_covariance,
         "quantized_embeddings": q_quantized_embeddings,
@@ -3721,6 +3783,41 @@ def _grouped_median_oracle() -> str:
         ["l_returnflag"], "l_quantity", 0.5, out_col="median_qty")
 
 
+def _rollup_pricing_oracle() -> str:
+    from pdf_extract_ray.stages.olap import rollup_oracle_sql
+
+    return rollup_oracle_sql(
+        "lineitem", ["l_returnflag", "l_linestatus"],
+        {"sum_qty": ("l_quantity", "sum"), "n": ("l_quantity", "count")})
+
+
+def _cube_order_status_oracle() -> str:
+    from pdf_extract_ray.stages.olap import cube_oracle_sql
+
+    return cube_oracle_sql(
+        "orders", ["o_orderstatus", "o_orderpriority"],
+        {"n": ("o_totalprice", "count"),
+         "max_price": ("o_totalprice", "max")})
+
+
+def _pivot_event_counts_oracle() -> str:
+    from pdf_extract_ray.stages.olap import pivot_wide_oracle_sql
+
+    return pivot_wide_oracle_sql(
+        "events", ["user_id"], "event_type", _EVENT_TYPES,
+        op="count", prefix="n_")
+
+
+def _ranked_orders_oracle() -> str:
+    from pdf_extract_ray.stages.olap import grouped_rank_oracle_sql
+
+    return grouped_rank_oracle_sql(
+        "(SELECT o_orderkey, o_custkey, o_totalprice FROM orders)",
+        ["o_custkey"], "o_totalprice", descending=True,
+        tie_col="o_orderkey", out_col="price_rank",
+        method="row_number", ntile=4, ntile_col="price_quartile")
+
+
 def _top_events_per_user_oracle() -> str:
     from pdf_extract_ray.stages.agg import grouped_top_k_oracle_sql
 
@@ -3967,6 +4064,10 @@ def oracle_sql() -> dict[str, str]:
         "sanitize_controls_docs": _sanitize_controls_oracle(),
         "top_events_per_user": _top_events_per_user_oracle(),
         "grouped_median_lineitem": _grouped_median_oracle(),
+        "rollup_pricing": _rollup_pricing_oracle(),
+        "cube_order_status": _cube_order_status_oracle(),
+        "pivot_event_counts": _pivot_event_counts_oracle(),
+        "ranked_orders": _ranked_orders_oracle(),
         "casing_stats_docs": _casing_stats_oracle(),
         "embedding_covariance": _embedding_covariance_oracle(),
         "quantized_embeddings": _quantized_embeddings_oracle(),
