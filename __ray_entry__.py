@@ -445,6 +445,42 @@ def q_debounced_events(sf_dir: str):
     return lagged.map_batches(keep, batch_format="pandas")
 
 
+def q_zscore_docs_by_lang(sf_dir: str):
+    # per-group score standardization (agg.grouped_standardize): each
+    # doc's length as a z-score WITHIN its language — the calibrator
+    # that makes quality signals comparable across languages before a
+    # corpus-wide threshold.  Moments shuffle as tiny (lang, n, s, ss)
+    # partial rows; the merged per-group table (5 langs) broadcasts via
+    # ray.put; bodies never move.  n_chars is int64, so every sum is
+    # exact in float64 and the z-scores are bit-identical to the SQL
+    # oracle's moment formula at any parallelism.
+    from pdf_extract_ray.stages.agg import grouped_standardize
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return grouped_standardize(ds, ["lang"], "n_chars")
+
+
+def q_rolling_quantity_lineitem(sf_dir: str):
+    # grouped sliding-window aggregates (windows.grouped_rolling): the
+    # per-key moving sum/mean/min/max — SQL ROWS BETWEEN 2 PRECEDING AND
+    # CURRENT ROW — over order line numbers.  ONE bucketed shuffle
+    # co-locates key groups, then vectorized pandas rolling C kernels
+    # per bucket.  l_quantity is integer-valued, so the sliding sums
+    # are exact and bit-identical to the window-function oracle.
+    # (linenumber alone is NOT unique per order in this synthetic data;
+    # partkey+suppkey complete the required unique ordering.)
+    from pdf_extract_ray.stages.windows import grouped_rolling
+
+    ds = _t(sf_dir, "lineitem",
+            columns=["l_orderkey", "l_linenumber", "l_partkey",
+                     "l_suppkey", "l_quantity"])
+    return grouped_rolling(
+        ds, ["l_orderkey"], ["l_linenumber", "l_partkey", "l_suppkey"],
+        "l_quantity",
+        {"qty3_sum": "sum", "qty3_mean": "mean",
+         "qty3_min": "min", "qty3_max": "max"}, window=3)
+
+
 def q_pair_edit_distance(sf_dir: str):
     # candidate-pair refinement by exact edit distance (dedup.
     # refine_pairs_levenshtein): two hash joins ship each pair its two
@@ -3238,6 +3274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pair_edit_distance": q_pair_edit_distance,
         "debounced_events": q_debounced_events,
         "validate_orders": q_validate_orders,
+        "zscore_docs_by_lang": q_zscore_docs_by_lang,
+        "rolling_quantity_lineitem": q_rolling_quantity_lineitem,
         "fingerprints": q_fingerprints,
         "content_filter_docs": q_content_filter_docs,
         "cleaned_text": q_cleaned_text,
@@ -3826,6 +3864,26 @@ def _top_events_per_user_oracle() -> str:
         ["user_id"], "value", 2, tie_col="event_id")
 
 
+def _zscore_docs_oracle() -> str:
+    from pdf_extract_ray.stages.agg import grouped_standardize_oracle_sql
+
+    return grouped_standardize_oracle_sql(
+        "(SELECT doc_id, lang, n_chars FROM documents)",
+        ["lang"], "n_chars")
+
+
+def _rolling_quantity_oracle() -> str:
+    from pdf_extract_ray.stages.windows import grouped_rolling_oracle_sql
+
+    return grouped_rolling_oracle_sql(
+        "(SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+        "l_quantity FROM lineitem)",
+        ["l_orderkey"], ["l_linenumber", "l_partkey", "l_suppkey"],
+        "l_quantity",
+        {"qty3_sum": "sum", "qty3_mean": "mean",
+         "qty3_min": "min", "qty3_max": "max"}, window=3)
+
+
 def _sanitize_controls_oracle() -> str:
     from pdf_extract_ray.stages.mojibake import sanitize_controls_oracle_sql
 
@@ -4080,6 +4138,8 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id) AS pts FROM events) "
             "WHERE pts IS NULL OR ts - pts >= INTERVAL 60 SECOND"),
         "validate_orders": _validate_orders_oracle(),
+        "zscore_docs_by_lang": _zscore_docs_oracle(),
+        "rolling_quantity_lineitem": _rolling_quantity_oracle(),
         "fingerprints": f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents",
         "content_filter_docs": (
             "SELECT doc_id FROM documents WHERE NOT ("

@@ -433,3 +433,87 @@ def grouped_top_k_oracle_sql(
         f"SELECT * EXCLUDE (__rn) FROM ("
         f"SELECT *, row_number() OVER (PARTITION BY {part} "
         f"ORDER BY {order}) AS __rn FROM ({table_sql})) WHERE __rn <= {k}")
+
+
+def grouped_standardize(
+    ds: Dataset,
+    keys: Sequence[str],
+    col: str,
+    *,
+    out_col: str = "zscore",
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Per-group z-score — ``(v - mean_g) / stddev_pop_g`` — the score
+    calibrator for mixing quality signals with different scales.
+
+    Two narrow passes, broadcast join back (never a row shuffle):
+    pass 1 computes per-group (n, sum, sumsq) moments with map-side
+    partials (one tiny row per group per batch), merged in a small
+    bucketed stage; the merged moment table (one row per group — small
+    by assumption, e.g. languages / event types / quality buckets) is
+    broadcast via ``ray.put`` and looked up vectorized inside a second
+    ``map_batches`` over the raw rows.  Groups with zero variance get a
+    NULL z-score (SQL ``x / 0.0`` semantics differ per engine; NULL is
+    the portable contract — filter or coalesce downstream).
+    """
+    import ray
+
+    keys = list(keys)
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(dtype=np.float64)
+        f = pd.DataFrame({k: b[k] for k in keys})
+        f["__n"], f["__s"], f["__ss"] = 1.0, v, v * v
+        return f.groupby(keys, as_index=False).sum()
+
+    merged = bucketed_group_apply(
+        ds.map_batches(moments, batch_format="pandas"), keys,
+        lambda g: g.groupby(keys, as_index=False).sum(),
+        num_buckets=num_buckets)
+    mom = merged.to_pandas()  # one row per group: the broadcast side
+    mean = (mom["__s"] / mom["__n"]).to_numpy()
+    var = mom["__ss"].to_numpy() / mom["__n"].to_numpy() - mean * mean
+    std = np.sqrt(np.maximum(var, 0.0))
+    lut = mom[keys].copy()
+    lut["__mean"], lut["__std"] = mean, std
+    lut_ref = ray.put(lut)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        # vectorized broadcast join: left merge preserves row order
+        j = b.merge(ray.get(lut_ref), on=keys, how="left", sort=False)
+        m = j["__mean"].to_numpy(dtype=np.float64)
+        s = j["__std"].to_numpy(dtype=np.float64)
+        v = b[col].to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (v - m) / s
+        b[out_col] = np.where(s > 0.0, z, np.nan)
+        return b
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def grouped_standardize_oracle_sql(
+    table_sql: str,
+    keys: Sequence[str],
+    col: str,
+    *,
+    out_col: str = "zscore",
+) -> str:
+    """DuckDB mirror of :func:`grouped_standardize` that reproduces the
+    engine's moment formula BIT-FOR-BIT on integer-valued inputs: sums of
+    exactly-representable doubles are exact in any summation order, and
+    every remaining op (``s/n``, ``mean*mean``, subtract, ``sqrt``,
+    divide) is a single correctly-rounded IEEE op evaluated identically
+    here and in numpy.  (``stddev_pop`` would use Welford's recurrence —
+    near-equal but not bit-equal.)  NULL where the variance is <= 0."""
+    part = ", ".join(keys)
+    var = "(__ss / __n - (__s / __n) * (__s / __n))"
+    return (
+        f"WITH __t AS (SELECT * FROM {table_sql}), "
+        f"__m AS (SELECT {part}, CAST(count(*) AS DOUBLE) AS __n, "
+        f"sum(CAST({col} AS DOUBLE)) AS __s, "
+        f"sum(CAST({col} AS DOUBLE) * CAST({col} AS DOUBLE)) AS __ss "
+        f"FROM __t GROUP BY {part}) "
+        f"SELECT __t.*, CASE WHEN {var} > 0 THEN "
+        f"(CAST({col} AS DOUBLE) - __s / __n) / sqrt({var}) "
+        f"END AS {out_col} FROM __t JOIN __m USING ({part})")

@@ -266,3 +266,71 @@ def adjacent_pairs(
         ds.map_batches(route, batch_format="pandas"), ["__rb"], pair,
         num_buckets=num_buckets, pre_batch_size=pre_batch_size,
     )
+
+
+_ROLL_OPS = ("sum", "mean", "min", "max")
+
+
+def grouped_rolling(
+    ds: Dataset,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    ops: dict[str, str],
+    *,
+    window: int | None = None,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Per-key sliding-window aggregates over a row ordering — SQL
+    ``op(v) OVER (PARTITION BY keys ORDER BY order_cols ROWS BETWEEN
+    {window-1} PRECEDING AND CURRENT ROW)``; ``window=None`` is the
+    running/cumulative form (``ROWS UNBOUNDED PRECEDING``).
+
+    ``ops``: out_col -> op in {sum, mean, min, max}.  Same contract as
+    ``grouped_lag``: ``order_cols`` must order rows uniquely within a
+    key; one bucketed shuffle co-locates whole key groups, then a
+    vectorized sorted pandas ``groupby.rolling`` / ``expanding`` per
+    bucket (C kernels — no Python per-row work).  Partitioning
+    assumption: one key group fits a bucket worker (the engine-wide
+    grouped contract).
+    """
+    for out, op in ops.items():
+        if op not in _ROLL_OPS:
+            raise ValueError(f"unsupported rolling op {op!r} for {out!r}")
+    if window is not None and window < 1:
+        raise ValueError("window must be >= 1")
+    keys, order_cols = list(keys), list(order_cols)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys + order_cols, kind="mergesort")
+        grp = g.groupby(keys, sort=False)[value_col]
+        for out, op in ops.items():
+            win = (grp.rolling(window, min_periods=1) if window
+                   else grp.expanding(min_periods=1))
+            g[out] = getattr(win, op)().to_numpy()
+        return g
+
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    return bucketed_group_apply(ds, keys, per_bucket,
+                                num_buckets=num_buckets)
+
+
+def grouped_rolling_oracle_sql(
+    table_sql: str,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    ops: dict[str, str],
+    *,
+    window: int | None = None,
+) -> str:
+    """DuckDB window-function mirror of ``grouped_rolling``."""
+    frame = (f"ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW"
+             if window else
+             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+    over = (f"OVER (PARTITION BY {', '.join(keys)} "
+            f"ORDER BY {', '.join(order_cols)} {frame})")
+    cols = [f"{'avg' if op == 'mean' else op}({value_col}) {over} AS {out}"
+            for out, op in ops.items()]
+    return f"SELECT *, {', '.join(cols)} FROM {table_sql}"

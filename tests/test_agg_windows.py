@@ -512,3 +512,128 @@ def test_value_histogram_exact_parity(ray_session):
     # frozen range rule: v < lo and v >= hi dropped, lo itself counted
     assert got["n"].sum() == ((df["v"] >= 0) & (df["v"] < 100)).sum()
     assert got["bin"].between(0, 9).all()
+
+
+def test_grouped_rolling_matches_pandas_and_sql(ray_session):
+    import duckdb
+
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.windows import (
+        grouped_rolling,
+        grouped_rolling_oracle_sql,
+    )
+
+    rng = np.random.default_rng(83)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 25, size=600),
+        "o": np.arange(600),  # unique ordering within any key
+        "v": rng.integers(-10, 100, size=600).astype(np.float64),
+    })
+    ops = {"s3": "sum", "m3": "mean", "lo3": "min", "hi3": "max"}
+    got = (grouped_rolling(rd.from_pandas(df).repartition(7),
+                           ["k"], ["o"], "v", ops, window=3)
+           .to_pandas().sort_values("o").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(grouped_rolling_oracle_sql(
+        "(SELECT k, o, v FROM t)", ["k"], ["o"], "v", ops, window=3))
+        .df().sort_values("o").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  want[sorted(want.columns)],
+                                  check_dtype=False)
+    # integer inputs: sliding sums are exact -> bit-identical values
+    assert (got["s3"].to_numpy() == want["s3"].to_numpy()).all()
+    # plain-pandas reference for one key
+    sub = df[df["k"] == df["k"].iloc[0]].sort_values("o")
+    ref = sub["v"].rolling(3, min_periods=1).sum().to_numpy()
+    chk = got[got["k"] == df["k"].iloc[0]].sort_values("o")["s3"].to_numpy()
+    assert (chk == ref).all()
+
+
+def test_grouped_rolling_expanding_and_topology(ray_session):
+    import duckdb
+
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.windows import (
+        grouped_rolling,
+        grouped_rolling_oracle_sql,
+    )
+
+    rng = np.random.default_rng(84)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 8, size=300),
+        "o": np.arange(300),
+        "v": rng.integers(0, 50, size=300).astype(np.float64),
+    })
+    ops = {"run_sum": "sum", "run_max": "max"}
+    # window=None -> cumulative (ROWS UNBOUNDED PRECEDING)
+    a = (grouped_rolling(rd.from_pandas(df).repartition(3), ["k"], ["o"],
+                         "v", ops, num_buckets=4)
+         .to_pandas().sort_values("o").reset_index(drop=True))
+    b = (grouped_rolling(rd.from_pandas(df).repartition(11), ["k"], ["o"],
+                         "v", ops, num_buckets=32)
+         .to_pandas().sort_values("o").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)  # topology-independent
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(grouped_rolling_oracle_sql(
+        "(SELECT k, o, v FROM t)", ["k"], ["o"], "v", ops))
+        .df().sort_values("o").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a[sorted(a.columns)],
+                                  want[sorted(want.columns)],
+                                  check_dtype=False)
+    # cumulative sum for one key equals cumsum
+    sub = df[df["k"] == 3].sort_values("o")
+    assert (a[a["k"] == 3].sort_values("o")["run_sum"].to_numpy()
+            == sub["v"].cumsum().to_numpy()).all()
+    with pytest.raises(ValueError):
+        grouped_rolling(rd.from_pandas(df), ["k"], ["o"], "v",
+                        {"x": "median"})
+    with pytest.raises(ValueError):
+        grouped_rolling(rd.from_pandas(df), ["k"], ["o"], "v",
+                        {"x": "sum"}, window=0)
+
+
+def test_grouped_standardize_sql_parity_and_null_variance(ray_session):
+    import duckdb
+
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.agg import (
+        grouped_standardize,
+        grouped_standardize_oracle_sql,
+    )
+
+    rng = np.random.default_rng(85)
+    df = pd.DataFrame({
+        "g": [f"g{int(x)}" for x in rng.integers(0, 6, size=500)],
+        "v": rng.integers(0, 1000, size=500).astype(np.int64),
+        "id": np.arange(500),
+    })
+    # one constant group: variance 0 -> NULL z-score
+    df.loc[df["g"] == "g0", "v"] = 7
+    got = (grouped_standardize(rd.from_pandas(df).repartition(5),
+                               ["g"], "v", out_col="z")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(grouped_standardize_oracle_sql(
+        "(SELECT g, v, id FROM t)", ["g"], "v", out_col="z"))
+        .df().sort_values("id").reset_index(drop=True))
+    # int inputs -> exact moments -> bit-identical z-scores vs SQL
+    gz, wz = got["z"].to_numpy(), want["z"].to_numpy()
+    assert (np.isnan(gz) == np.isnan(wz)).all()
+    assert (gz[~np.isnan(gz)] == wz[~np.isnan(wz)]).all()
+    assert got.loc[got["g"] == "g0", "z"].isna().all()
+    assert (~got.loc[got["g"] != "g0", "z"].isna()).all()
+    # per-group z-scores: mean ~ 0, pop-std ~ 1
+    for g, sub in got[got["g"] != "g0"].groupby("g"):
+        assert abs(sub["z"].mean()) < 1e-12
+        assert abs(sub["z"].std(ddof=0) - 1.0) < 1e-12
+    # topology independence
+    again = (grouped_standardize(rd.from_pandas(df).repartition(13),
+                                 ["g"], "v", out_col="z", num_buckets=32)
+             .to_pandas().sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, again)
