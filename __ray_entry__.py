@@ -481,6 +481,52 @@ def q_rolling_quantity_lineitem(sf_dir: str):
          "qty3_min": "min", "qty3_max": "max"}, window=3)
 
 
+def q_interval_overlap_join(sf_dir: str):
+    # overlapping-interval stabbing join (joins.broadcast_interval_join):
+    # each event row emits one row per OVERLAPPING value band it falls in
+    # (1:N — broadcast_range_join's disjoint contract can't express
+    # this).  The band table is segment-decomposed once on the driver,
+    # broadcast via ray.put; per batch ONE searchsorted + np.repeat
+    # gather — zero shuffle, the fact stream never moves.
+    from pdf_extract_ray.stages.joins import broadcast_interval_join
+
+    ds = _t(sf_dir, "events", columns=["event_id", "value"])
+    bands = pd.DataFrame({
+        "band_id": np.array([0, 1, 2, 3], dtype=np.int64),
+        "lo": [0.0, 50.0, 150.0, 0.0],
+        "hi": [100.0, 200.0, 500.0, 500.0],
+        "band": ["low", "mid", "high", "all"],
+    })
+    return broadcast_interval_join(
+        ds, bands, value_col="value", lo_col="lo", hi_col="hi",
+        payload_cols=["band_id", "band"])
+
+
+def q_rolling_value_1h_events(sf_dir: str):
+    # time-window rolling aggregates (windows.grouped_rolling_time): per
+    # user, count/sum/mean/max of event values over the trailing hour —
+    # SQL RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW.  One
+    # bucketed shuffle co-locates user groups, then pandas time-based
+    # rolling C kernels per bucket.  Values floored to integers so the
+    # sliding sums are exact (bit-identical to the window oracle); ts is
+    # unique per user in this data (the RANGE-frame peer contract).
+    from pdf_extract_ray.stages.windows import grouped_rolling_time
+
+    ds = _t(sf_dir, "events",
+            columns=["event_id", "user_id", "ts", "value"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        b["v"] = np.floor(b["value"].to_numpy()).astype(np.int64).astype(
+            np.float64)
+        return b.drop(columns=["value"])
+
+    return grouped_rolling_time(
+        ds.map_batches(derive, batch_format="pandas"),
+        ["user_id"], "ts", "v",
+        {"n_1h": "count", "sum_1h": "sum",
+         "mean_1h": "mean", "max_1h": "max"}, "1h")
+
+
 def q_pair_edit_distance(sf_dir: str):
     # candidate-pair refinement by exact edit distance (dedup.
     # refine_pairs_levenshtein): two hash joins ship each pair its two
@@ -3276,6 +3322,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_orders": q_validate_orders,
         "zscore_docs_by_lang": q_zscore_docs_by_lang,
         "rolling_quantity_lineitem": q_rolling_quantity_lineitem,
+        "interval_overlap_join": q_interval_overlap_join,
+        "rolling_value_1h_events": q_rolling_value_1h_events,
         "fingerprints": q_fingerprints,
         "content_filter_docs": q_content_filter_docs,
         "cleaned_text": q_cleaned_text,
@@ -3864,6 +3912,26 @@ def _top_events_per_user_oracle() -> str:
         ["user_id"], "value", 2, tie_col="event_id")
 
 
+def _interval_overlap_oracle() -> str:
+    return (
+        "SELECT e.event_id, e.value, b.band_id, b.band FROM events e "
+        "JOIN (VALUES (0, 0.0, 100.0, 'low'), (1, 50.0, 200.0, 'mid'), "
+        "(2, 150.0, 500.0, 'high'), (3, 0.0, 500.0, 'all')) "
+        "b(band_id, lo, hi, band) "
+        "ON e.value >= b.lo AND e.value < b.hi")
+
+
+def _rolling_value_1h_oracle() -> str:
+    from pdf_extract_ray.stages.windows import grouped_rolling_time_oracle_sql
+
+    derive = ("SELECT event_id, user_id, ts, "
+              "CAST(floor(value) AS DOUBLE) AS v FROM events")
+    return grouped_rolling_time_oracle_sql(
+        f"({derive})", ["user_id"], "ts", "v",
+        {"n_1h": "count", "sum_1h": "sum",
+         "mean_1h": "mean", "max_1h": "max"}, "INTERVAL 1 HOUR")
+
+
 def _zscore_docs_oracle() -> str:
     from pdf_extract_ray.stages.agg import grouped_standardize_oracle_sql
 
@@ -4140,6 +4208,8 @@ def oracle_sql() -> dict[str, str]:
         "validate_orders": _validate_orders_oracle(),
         "zscore_docs_by_lang": _zscore_docs_oracle(),
         "rolling_quantity_lineitem": _rolling_quantity_oracle(),
+        "interval_overlap_join": _interval_overlap_oracle(),
+        "rolling_value_1h_events": _rolling_value_1h_oracle(),
         "fingerprints": f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents",
         "content_filter_docs": (
             "SELECT doc_id FROM documents WHERE NOT ("

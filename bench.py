@@ -186,7 +186,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "grouped_median_lineitem", "casing_stats_docs",
                      "embedding_covariance", "quantized_embeddings",
                      "value_histogram_events", "pair_edit_distance",
-                     "debounced_events", "validate_orders"):
+                     "debounced_events", "validate_orders",
+                     "zscore_docs_by_lang", "rolling_quantity_lineitem",
+                     "interval_overlap_join", "rolling_value_1h_events"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

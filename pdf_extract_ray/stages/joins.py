@@ -296,3 +296,89 @@ def broadcast_hash_join(
         return joined.reset_index(drop=True)
 
     return ds.map_batches(apply, batch_format="pandas")
+
+
+def broadcast_interval_join(
+    ds: Dataset,
+    intervals: pd.DataFrame,
+    *,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    payload_cols: Sequence[str] | None = None,
+    how: str = "inner",
+) -> Dataset:
+    """Stabbing join against a SMALL table of POSSIBLY-OVERLAPPING
+    half-open intervals [lo, hi): each fact row emits ONE OUTPUT ROW PER
+    interval containing ``value_col`` (the 1:N generalization of
+    :func:`broadcast_range_join`, which requires disjoint intervals) —
+    SQL ``JOIN b ON v >= b.lo AND v < b.hi``.
+
+    Scale contract: the interval table is decomposed ONCE on the driver
+    into elementary segments (sorted unique endpoints) with a CSR
+    segment -> covering-intervals index, then ``ray.put`` — every
+    interval is a union of whole segments, so per batch ONE
+    ``np.searchsorted`` finds each row's segment and a pure ``np.repeat``
+    gather expands rows to their covering intervals.  Zero shuffle; the
+    big side streams; work scales with the true join cardinality.
+    Driver setup is O(total segment coverage) — bounded by
+    n_intervals x overlap depth, fine for broadcast-sized tables.
+
+    Output row order is deterministic: input order, then intervals in
+    ascending ``lo`` (ties by input position).  ``how="left"`` keeps
+    rows covered by no interval with null payload; ``"inner"`` drops
+    them.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError("how must be 'left' or 'inner'")
+    if payload_cols is None:
+        payload_cols = [c for c in intervals.columns if c not in (lo_col, hi_col)]
+    payload_cols = list(payload_cols)
+
+    iv = intervals.sort_values(lo_col, kind="mergesort").reset_index(drop=True)
+    lo = iv[lo_col].to_numpy(dtype="float64")
+    hi = iv[hi_col].to_numpy(dtype="float64")
+    if np.any(hi <= lo):
+        raise ValueError("empty or inverted interval in interval table")
+    # elementary segments: [bounds[k], bounds[k+1]) for k in 0..n_seg-1
+    bounds = np.unique(np.concatenate([lo, hi]))
+    n_seg = len(bounds) - 1
+    first = np.searchsorted(bounds, lo)   # first segment of interval i
+    last = np.searchsorted(bounds, hi)    # one-past-last segment
+    seg_of = np.concatenate(
+        [np.arange(f, e) for f, e in zip(first, last)]) if len(lo) else \
+        np.empty(0, dtype=np.int64)
+    iv_of = np.repeat(np.arange(len(lo)), last - first)
+    order = np.argsort(seg_of, kind="stable")  # lo-sorted within segment
+    csr_iv = iv_of[order]
+    csr_ptr = np.searchsorted(seg_of[order], np.arange(n_seg + 1))
+    payload = {c: pa.Array.from_pandas(iv[c]) for c in payload_cols}
+    handle = ray.put((bounds, csr_ptr, csr_iv, payload))
+
+    def apply(t: pa.Table) -> pa.Table:
+        b_bounds, b_ptr, b_iv, b_pay = ray.get(handle)
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype("float64")
+        seg = np.searchsorted(b_bounds, v, side="right") - 1
+        in_rng = (seg >= 0) & (seg < len(b_bounds) - 1)
+        seg_safe = np.where(in_rng, seg, 0)
+        counts = np.where(in_rng, b_ptr[seg_safe + 1] - b_ptr[seg_safe], 0)
+        keep_empty = (how == "left") & (counts == 0)
+        out_counts = counts + keep_empty  # left: one null row for misses
+        row_idx = np.repeat(np.arange(len(v)), out_counts)
+        # position of each output row within its source row's run
+        run_start = np.cumsum(out_counts) - out_counts
+        within = np.arange(out_counts.sum()) - np.repeat(run_start, out_counts)
+        iv_ids = b_iv[np.repeat(b_ptr[seg_safe], out_counts) + within] \
+            if len(row_idx) else np.empty(0, dtype=np.int64)
+        matched = np.repeat(counts > 0, out_counts)
+        out = t.take(pa.array(row_idx))
+        iv_safe = pa.array(np.where(matched, iv_ids, 0))
+        for c in payload_cols:
+            col = b_pay[c].take(iv_safe)
+            if not matched.all():
+                col = pc.if_else(pa.array(matched), col,
+                                 pa.nulls(len(matched), col.type))
+            out = out.append_column(c, col)
+        return out
+
+    return ds.map_batches(apply, batch_format="pyarrow")

@@ -334,3 +334,71 @@ def grouped_rolling_oracle_sql(
     cols = [f"{'avg' if op == 'mean' else op}({value_col}) {over} AS {out}"
             for out, op in ops.items()]
     return f"SELECT *, {', '.join(cols)} FROM {table_sql}"
+
+
+_TIME_ROLL_OPS = ("sum", "mean", "min", "max", "count")
+
+
+def grouped_rolling_time(
+    ds: Dataset,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    ops: dict[str, str],
+    window: pd.Timedelta | str,
+    *,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Per-key TIME-window aggregates — SQL ``op(v) OVER (PARTITION BY
+    keys ORDER BY ts RANGE BETWEEN {window} PRECEDING AND CURRENT ROW)``:
+    each row aggregates every row of its key whose timestamp lies in
+    ``[ts - window, ts]`` (both ends inclusive, the RANGE-frame rule).
+
+    ``ops``: out_col -> op in {sum, mean, min, max, count}.  Contract:
+    ``ts_col`` must be UNIQUE within a key (the engine-wide grouped
+    ordering contract; with duplicate timestamps SQL's RANGE frame
+    includes later peer ROWS while a forward scan cannot).  One bucketed
+    shuffle co-locates key groups, then pandas' time-based
+    ``groupby.rolling(window, on=ts, closed="both")`` C kernels per
+    bucket — no per-row Python.  Partitioning assumption: one key group
+    fits a bucket worker.
+    """
+    for out, op in ops.items():
+        if op not in _TIME_ROLL_OPS:
+            raise ValueError(f"unsupported time-rolling op {op!r} for {out!r}")
+    keys = list(keys)
+    window = pd.Timedelta(window)
+    if window <= pd.Timedelta(0):
+        raise ValueError("window must be a positive Timedelta")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys + [ts_col], kind="mergesort")
+        grp = g.groupby(keys, sort=False)[[ts_col, value_col]]
+        for out, op in ops.items():
+            r = getattr(grp.rolling(window, on=ts_col, closed="both"), op)()
+            vals = r[value_col].to_numpy()
+            g[out] = vals.astype(np.int64) if op == "count" else vals
+        return g
+
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    return bucketed_group_apply(ds, keys, per_bucket,
+                                num_buckets=num_buckets)
+
+
+def grouped_rolling_time_oracle_sql(
+    table_sql: str,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    ops: dict[str, str],
+    window_sql: str,
+) -> str:
+    """DuckDB RANGE-frame mirror of ``grouped_rolling_time`` (e.g.
+    ``window_sql="INTERVAL 1 HOUR"``)."""
+    frame = f"RANGE BETWEEN {window_sql} PRECEDING AND CURRENT ROW"
+    over = (f"OVER (PARTITION BY {', '.join(keys)} "
+            f"ORDER BY {ts_col} {frame})")
+    cols = [f"{'avg' if op == 'mean' else op}({value_col}) {over} AS {out}"
+            for out, op in ops.items()]
+    return f"SELECT *, {', '.join(cols)} FROM {table_sql}"

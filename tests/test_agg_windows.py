@@ -637,3 +637,60 @@ def test_grouped_standardize_sql_parity_and_null_variance(ray_session):
                                  ["g"], "v", out_col="z", num_buckets=32)
              .to_pandas().sort_values("id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_grouped_rolling_time_sql_parity(ray_session):
+    import duckdb
+
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.windows import (
+        grouped_rolling_time,
+        grouped_rolling_time_oracle_sql,
+    )
+
+    rng = np.random.default_rng(91)
+    t0 = pd.Timestamp("2024-03-01")
+    # unique ts within key (the RANGE-frame peer contract)
+    offs = rng.choice(100_000, size=400, replace=False)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 10, size=400),
+        "ts": t0 + pd.to_timedelta(offs, unit="s"),
+        "v": rng.integers(0, 50, size=400).astype(np.float64),
+        "id": np.arange(400),
+    })
+    ops = {"n1h": "count", "s1h": "sum", "m1h": "mean", "hi1h": "max"}
+    got = (grouped_rolling_time(rd.from_pandas(df).repartition(5),
+                                ["k"], "ts", "v", ops, "1h")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(grouped_rolling_time_oracle_sql(
+        "(SELECT k, ts, v, id FROM t)", ["k"], "ts", "v", ops,
+        "INTERVAL 1 HOUR"))
+        .df().sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  want[sorted(want.columns)],
+                                  check_dtype=False)
+    # integer values: sliding sums exact -> bit-identical
+    assert (got["s1h"].to_numpy() == want["s1h"].to_numpy()).all()
+    # boundary rule is inclusive both ends ([ts - 1h, ts])
+    sub = pd.DataFrame({
+        "k": [0, 0], "ts": [t0, t0 + pd.Timedelta(hours=1)],
+        "v": [3.0, 4.0], "id": [0, 1]})
+    two = (grouped_rolling_time(rd.from_pandas(sub), ["k"], "ts", "v",
+                                {"s": "sum"}, "1h")
+           .to_pandas().sort_values("id"))
+    assert two["s"].tolist() == [3.0, 7.0]
+    # topology independence
+    again = (grouped_rolling_time(rd.from_pandas(df).repartition(13),
+                                  ["k"], "ts", "v", ops, "1h",
+                                  num_buckets=32)
+             .to_pandas().sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, again)
+    with pytest.raises(ValueError):
+        grouped_rolling_time(rd.from_pandas(df), ["k"], "ts", "v",
+                             {"x": "median"}, "1h")
+    with pytest.raises(ValueError):
+        grouped_rolling_time(rd.from_pandas(df), ["k"], "ts", "v",
+                             {"x": "sum"}, pd.Timedelta(0))

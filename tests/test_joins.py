@@ -158,3 +158,76 @@ def test_broadcast_hash_join_left_inner_and_unique_check(ray_session):
 
     with pytest.raises(ValueError, match="unique"):
         broadcast_hash_join(ds, pd.concat([dim, dim]), on="k", right_on="dk")
+
+
+def test_interval_join_overlapping_matches_bruteforce(ray_session):
+    from pdf_extract_ray.stages.joins import broadcast_interval_join
+
+    rng = np.random.RandomState(11)
+    big = pd.DataFrame({"v": rng.uniform(-20, 120, 500),
+                        "i": np.arange(500, dtype="int64")})
+    iv = pd.DataFrame({
+        "lo": [0.0, 10.0, 10.0, 50.0, 90.0],
+        "hi": [40.0, 60.0, 25.0, 100.0, 95.0],
+        "bid": np.arange(5, dtype="int64"),
+    })
+    got = (broadcast_interval_join(
+        rd.from_pandas(big).repartition(4), iv,
+        value_col="v", lo_col="lo", hi_col="hi")
+        .to_pandas().sort_values(["i", "bid"]).reset_index(drop=True))
+    # brute-force reference: cross product filtered
+    ref = big.merge(iv, how="cross")
+    ref = (ref[(ref["v"] >= ref["lo"]) & (ref["v"] < ref["hi"])]
+           [["v", "i", "bid"]]
+           .sort_values(["i", "bid"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["v", "i", "bid"]], ref)
+    # rows can match several overlapping bands
+    assert (got.groupby("i").size() > 1).any()
+
+
+def test_interval_join_left_and_validation(ray_session):
+    from pdf_extract_ray.stages.joins import broadcast_interval_join
+
+    big = pd.DataFrame({"v": [-5.0, 5.0, 15.0, 99.0],
+                        "i": np.arange(4, dtype="int64")})
+    iv = pd.DataFrame({"lo": [0.0, 10.0], "hi": [20.0, 30.0],
+                       "name": ["a", "b"]})
+    left = (broadcast_interval_join(
+        rd.from_pandas(big), iv, value_col="v", lo_col="lo", hi_col="hi",
+        how="left").to_pandas().sort_values(["i", "name"])
+        .reset_index(drop=True))
+    # v=-5 and v=99 survive with null payload; v=15 matches both bands
+    assert len(left) == 5
+    assert left.loc[left["i"] == 0, "name"].isna().all()
+    assert left.loc[left["i"] == 3, "name"].isna().all()
+    assert sorted(left.loc[left["i"] == 2, "name"]) == ["a", "b"]
+    inner = broadcast_interval_join(
+        rd.from_pandas(big), iv, value_col="v", lo_col="lo",
+        hi_col="hi").to_pandas()
+    assert sorted(inner["i"].unique()) == [1, 2]
+    with pytest.raises(ValueError, match="inverted"):
+        broadcast_interval_join(
+            rd.from_pandas(big),
+            pd.DataFrame({"lo": [5.0], "hi": [5.0], "name": ["x"]}),
+            value_col="v", lo_col="lo", hi_col="hi")
+    with pytest.raises(ValueError, match="how"):
+        broadcast_interval_join(rd.from_pandas(big), iv, value_col="v",
+                                lo_col="lo", hi_col="hi", how="outer")
+
+
+def test_interval_join_agrees_with_range_join_when_disjoint(ray_session):
+    from pdf_extract_ray.stages.joins import broadcast_interval_join
+
+    rng = np.random.RandomState(13)
+    big = pd.DataFrame({"v": rng.uniform(0, 100, 300),
+                        "i": np.arange(300, dtype="int64")})
+    iv = pd.DataFrame({"lo": [0.0, 25.0, 50.0], "hi": [25.0, 50.0, 75.0],
+                       "tag": ["p", "q", "r"]})
+    a = (broadcast_interval_join(rd.from_pandas(big).repartition(3), iv,
+                                 value_col="v", lo_col="lo", hi_col="hi")
+         .to_pandas().sort_values("i").reset_index(drop=True))
+    b = (broadcast_range_join(rd.from_pandas(big).repartition(3), iv,
+                              value_col="v", lo_col="lo", hi_col="hi",
+                              how="inner")
+         .to_pandas().sort_values("i").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
