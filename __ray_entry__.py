@@ -527,6 +527,54 @@ def q_rolling_value_1h_events(sf_dir: str):
          "mean_1h": "mean", "max_1h": "max"}, "1h")
 
 
+def q_funnel_events(sf_dir: str):
+    # funnel progression (events.funnel): per user, earliest click, then
+    # earliest view strictly after it, then earliest purchase after that
+    # — the classic conversion analysis.  ONE bucketed shuffle by user;
+    # each per-key reduction is a filtered min (order/parallelism
+    # independent); timestamps exact to the microsecond vs the chained
+    # filtered-min CTE oracle.
+    from pdf_extract_ray.stages.events import funnel
+
+    ds = _t(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return funnel(ds, ["click", "view", "purchase"])
+
+
+def q_cohort_retention_events(sf_dir: str):
+    # cohort retention (events.cohort_retention): users bucketed by
+    # first-seen week (7-day periods anchored at 1970-01-01), counted
+    # per (cohort, period_offset).  The shuffle ships per-batch-deduped
+    # (user, period) pairs; the final aggregate is a tiny groupby.
+    from pdf_extract_ray.stages.events import cohort_retention
+
+    ds = _t(sf_dir, "events", columns=["user_id", "ts"])
+    return cohort_retention(ds, period_days=7)
+
+
+def q_mode_event_type_user(sf_dir: str):
+    # deterministic grouped mode (agg.grouped_mode): each user's
+    # dominant event type (ties -> smallest value).  Distinct-count
+    # pre-aggregate shrinks the shuffle to (user, type, n) rows, then
+    # the map-side-pre-trimmed grouped top-1.
+    from pdf_extract_ray.stages.agg import grouped_mode
+
+    ds = _t(sf_dir, "events", columns=["user_id", "event_type"])
+    return grouped_mode(ds, ["user_id"], "event_type")
+
+
+def q_global_rank_docs(sf_dir: str):
+    # distributed row_number() OVER (ORDER BY n_chars, doc_id)
+    # (agg.global_rank): three narrow passes — per-batch min/max
+    # partials, per-range-bucket counts -> broadcast prefix offsets,
+    # ONE bucketed shuffle + per-bucket sort/arange.  The zipWithIndex-
+    # by-sort-key primitive (stable sample ids, deterministic train
+    # order) Ray Data has no native operator for.
+    from pdf_extract_ray.stages.agg import global_rank
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return global_rank(ds, ["n_chars", "doc_id"])
+
+
 def q_pair_edit_distance(sf_dir: str):
     # candidate-pair refinement by exact edit distance (dedup.
     # refine_pairs_levenshtein): two hash joins ship each pair its two
@@ -3324,6 +3372,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_quantity_lineitem": q_rolling_quantity_lineitem,
         "interval_overlap_join": q_interval_overlap_join,
         "rolling_value_1h_events": q_rolling_value_1h_events,
+        "funnel_events": q_funnel_events,
+        "cohort_retention_events": q_cohort_retention_events,
+        "mode_event_type_user": q_mode_event_type_user,
+        "global_rank_docs": q_global_rank_docs,
         "fingerprints": q_fingerprints,
         "content_filter_docs": q_content_filter_docs,
         "cleaned_text": q_cleaned_text,
@@ -3932,6 +3984,37 @@ def _rolling_value_1h_oracle() -> str:
          "mean_1h": "mean", "max_1h": "max"}, "INTERVAL 1 HOUR")
 
 
+def _funnel_events_oracle() -> str:
+    from pdf_extract_ray.stages.events import funnel_oracle_sql
+
+    return funnel_oracle_sql(
+        "(SELECT user_id, ts, event_type FROM events)",
+        ["click", "view", "purchase"])
+
+
+def _cohort_retention_oracle() -> str:
+    from pdf_extract_ray.stages.events import cohort_retention_oracle_sql
+
+    return cohort_retention_oracle_sql(
+        "(SELECT user_id, ts FROM events)", period_days=7)
+
+
+def _mode_event_type_oracle() -> str:
+    from pdf_extract_ray.stages.agg import grouped_mode_oracle_sql
+
+    return grouped_mode_oracle_sql(
+        "SELECT user_id, event_type FROM events",
+        ["user_id"], "event_type")
+
+
+def _global_rank_docs_oracle() -> str:
+    from pdf_extract_ray.stages.agg import global_rank_oracle_sql
+
+    return global_rank_oracle_sql(
+        "(SELECT doc_id, n_chars FROM documents)",
+        ["n_chars", "doc_id"])
+
+
 def _zscore_docs_oracle() -> str:
     from pdf_extract_ray.stages.agg import grouped_standardize_oracle_sql
 
@@ -4210,6 +4293,10 @@ def oracle_sql() -> dict[str, str]:
         "rolling_quantity_lineitem": _rolling_quantity_oracle(),
         "interval_overlap_join": _interval_overlap_oracle(),
         "rolling_value_1h_events": _rolling_value_1h_oracle(),
+        "funnel_events": _funnel_events_oracle(),
+        "cohort_retention_events": _cohort_retention_oracle(),
+        "mode_event_type_user": _mode_event_type_oracle(),
+        "global_rank_docs": _global_rank_docs_oracle(),
         "fingerprints": f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents",
         "content_filter_docs": (
             "SELECT doc_id FROM documents WHERE NOT ("

@@ -188,7 +188,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "value_histogram_events", "pair_edit_distance",
                      "debounced_events", "validate_orders",
                      "zscore_docs_by_lang", "rolling_quantity_lineitem",
-                     "interval_overlap_join", "rolling_value_1h_events"):
+                     "interval_overlap_join", "rolling_value_1h_events",
+                     "funnel_events", "cohort_retention_events",
+                     "mode_event_type_user", "global_rank_docs"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

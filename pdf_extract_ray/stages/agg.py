@@ -517,3 +517,138 @@ def grouped_standardize_oracle_sql(
         f"SELECT __t.*, CASE WHEN {var} > 0 THEN "
         f"(CAST({col} AS DOUBLE) - __s / __n) / sqrt({var}) "
         f"END AS {out_col} FROM __t JOIN __m USING ({part})")
+
+
+def grouped_mode(
+    ds: Dataset,
+    keys: Sequence[str],
+    val_col: str,
+    *,
+    n_col: str = "n",
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Most-frequent value per group (deterministic mode: ties go to the
+    SMALLEST value) — "dominant event type per user", "majority language
+    per host".  Pure composition: a distinct-count pre-aggregate (the
+    shuffle sees (keys, val, count) rows, not raw rows) feeding the
+    map-side-pre-trimmed :func:`grouped_top_k` with ``k=1`` and the
+    value itself as the tie-break.  Output: ``keys + [val_col, n_col]``.
+    """
+    counts = grouped_aggregate(ds, list(keys) + [val_col],
+                               {n_col: (val_col, "count")},
+                               num_buckets=num_buckets)
+    return grouped_top_k(counts, keys, n_col, 1, tie_col=val_col,
+                         num_buckets=num_buckets)
+
+
+def grouped_mode_oracle_sql(
+    table_sql: str,
+    keys: Sequence[str],
+    val_col: str,
+    *,
+    n_col: str = "n",
+) -> str:
+    """DuckDB mirror of :func:`grouped_mode`."""
+    part = ", ".join(keys)
+    return (
+        f"SELECT * EXCLUDE (__rn) FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY {part} "
+        f"ORDER BY {n_col} DESC, {val_col}) AS __rn FROM ("
+        f"SELECT {part}, {val_col}, CAST(count(*) AS BIGINT) AS {n_col} "
+        f"FROM ({table_sql}) GROUP BY {part}, {val_col})) WHERE __rn = 1")
+
+
+def global_rank(
+    ds: Dataset,
+    cols: Sequence[str],
+    *,
+    out_col: str = "rank",
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Global 1-based row numbers by a total ordering — the distributed
+    ``row_number() OVER (ORDER BY cols)`` / zipWithIndex-by-sort-key
+    primitive Ray Data lacks (stable sample ids, deterministic train
+    ordering, resumable cursors).
+
+    CONTRACT: ``cols`` must order rows uniquely (ties would fall to
+    arrival order, which no shuffle fixes).  ``cols[0]`` must be numeric
+    — it drives the range partition.
+
+    Scale shape — three passes, none moving more than it must:
+      A. per-batch (min, max) partials of ``cols[0]`` -> driver (one
+         row per batch, bounded by block count);
+      B. per-batch per-range-bucket counts -> driver prefix sums (at
+         most ``num_buckets`` rows per batch; the offsets table is
+         O(num_buckets) and broadcast once via ``ray.put``);
+      C. ONE bucketed shuffle by range-bucket id, then per bucket a
+         vectorized sort + ``arange`` + offset.
+    Equal-width range buckets: skewed value distributions concentrate
+    rows in few buckets (the ranks stay CORRECT — a bucket is a
+    contiguous key range — but one worker does more of the sort); raise
+    ``num_buckets`` or pre-transform the key if ``cols[0]`` is heavily
+    skewed.
+    """
+    import ray
+
+    cols = list(cols)
+    first = cols[0]
+    nb = num_buckets or default_num_buckets()
+
+    def mm(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[first].to_numpy()
+        return pd.DataFrame({"mn": [v.min()], "mx": [v.max()]})
+
+    mmt = ds.map_batches(mm, batch_format="pandas").to_pandas()
+    mn = float(mmt["mn"].min())
+    mx = float(mmt["mx"].max())
+    width = (mx - mn) / nb if mx > mn else 1.0
+
+    def bucket_id(v: np.ndarray) -> np.ndarray:
+        # correctly-rounded ops are weakly monotone, so equal values
+        # always share a bucket and buckets are contiguous key ranges
+        return np.clip(((v.astype(np.float64) - mn) / width).astype(
+            np.int64), 0, nb - 1)
+
+    def cnt(b: pd.DataFrame) -> pd.DataFrame:
+        ids = bucket_id(b[first].to_numpy())
+        u, c = np.unique(ids, return_counts=True)
+        return pd.DataFrame({"__rb": u.astype(np.int64),
+                             "__c": c.astype(np.int64)})
+
+    counts = ds.map_batches(cnt, batch_format="pandas").to_pandas()
+    per = counts.groupby("__rb")["__c"].sum()
+    full = np.zeros(nb, dtype=np.int64)
+    full[per.index.to_numpy()] = per.to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(full)[:-1]])
+    off_ref = ray.put(offsets)
+
+    def route(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__rb"] = bucket_id(b[first].to_numpy())
+        return b
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        parts = []
+        for rb, sub in g.groupby("__rb", sort=True):
+            sub = sub.sort_values(cols, kind="mergesort").drop(
+                columns="__rb")
+            sub[out_col] = off[int(rb)] + np.arange(
+                1, len(sub) + 1, dtype=np.int64)
+            parts.append(sub)
+        return pd.concat(parts, ignore_index=True)
+
+    return bucketed_group_apply(
+        ds.map_batches(route, batch_format="pandas"), ["__rb"], body,
+        num_buckets=num_buckets)
+
+
+def global_rank_oracle_sql(
+    table_sql: str,
+    cols: Sequence[str],
+    *,
+    out_col: str = "rank",
+) -> str:
+    """DuckDB mirror of :func:`global_rank`."""
+    return (f"SELECT *, row_number() OVER (ORDER BY "
+            f"{', '.join(cols)}) AS {out_col} FROM {table_sql}")

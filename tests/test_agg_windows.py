@@ -694,3 +694,73 @@ def test_grouped_rolling_time_sql_parity(ray_session):
     with pytest.raises(ValueError):
         grouped_rolling_time(rd.from_pandas(df), ["k"], "ts", "v",
                              {"x": "sum"}, pd.Timedelta(0))
+
+
+def test_grouped_mode_tie_rule_and_sql(ray_session):
+    import duckdb
+
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.agg import grouped_mode, grouped_mode_oracle_sql
+
+    df = pd.DataFrame({
+        "g": ["x"] * 5 + ["y"] * 4,
+        "v": ["b", "b", "a", "a", "c", "q", "p", "q", "p"],
+    })
+    got = (grouped_mode(rd.from_pandas(df).repartition(3), ["g"], "v")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    # x: a and b tie at 2 -> smallest value wins; y: p/q tie -> p
+    assert got["v"].tolist() == ["a", "p"]
+    assert got["n"].tolist() == [2, 2]
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(grouped_mode_oracle_sql("SELECT g, v FROM t",
+                                            ["g"], "v"))
+            .df().sort_values("g").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_global_rank_matches_sorted_arange(ray_session):
+    import duckdb
+
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.agg import global_rank, global_rank_oracle_sql
+
+    rng = np.random.default_rng(97)
+    # heavy duplication in the range column; id breaks ties uniquely
+    df = pd.DataFrame({
+        "v": rng.integers(0, 40, size=700).astype("int64"),
+        "id": rng.permutation(700).astype("int64"),
+    })
+    got = (global_rank(rd.from_pandas(df).repartition(6), ["v", "id"])
+           .to_pandas().sort_values("rank").reset_index(drop=True))
+    ref = df.sort_values(["v", "id"], kind="mergesort").reset_index(drop=True)
+    assert got["rank"].tolist() == list(range(1, 701))
+    assert got["v"].tolist() == ref["v"].tolist()
+    assert got["id"].tolist() == ref["id"].tolist()
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(global_rank_oracle_sql("(SELECT v, id FROM t)",
+                                           ["v", "id"]))
+            .df().sort_values("rank").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # topology independence
+    again = (global_rank(rd.from_pandas(df).repartition(13), ["v", "id"],
+                         num_buckets=8)
+             .to_pandas().sort_values("rank").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, again)
+
+
+def test_global_rank_constant_range_column(ray_session):
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.agg import global_rank
+
+    # mn == mx: every row lands in bucket 0, ranks still correct
+    df = pd.DataFrame({"v": np.zeros(50, dtype="int64"),
+                       "id": np.arange(50, dtype="int64")[::-1].copy()})
+    got = (global_rank(rd.from_pandas(df).repartition(4), ["v", "id"])
+           .to_pandas().sort_values("rank").reset_index(drop=True))
+    assert got["rank"].tolist() == list(range(1, 51))
+    assert got["id"].tolist() == list(range(50))
