@@ -575,6 +575,72 @@ def q_global_rank_docs(sf_dir: str):
     return global_rank(ds, ["n_chars", "doc_id"])
 
 
+def q_pmi_terms_lang(sf_dir: str):
+    # distinctive terms per language by PMI (relevance.pmi_terms): the
+    # corpus-mix debugging report.  (lang, word, n) partials shuffle
+    # once keyed by word (c_w is an in-bucket sum); per-lang totals are
+    # a tiny driver broadcast; final per-lang top-k is the pre-trimmed
+    # grouped_top_k.  PMI rounded to 6 on both sides before ranking.
+    from pdf_extract_ray.stages.relevance import pmi_terms
+
+    ds = _t(sf_dir, "documents", columns=["lang", "text"])
+    return pmi_terms(ds, "lang", min_count=5, top_k=20)
+
+
+def q_melt_lineitem_metrics(sf_dir: str):
+    # wide -> long unpivot (olap.unpivot, the inverse of pivot_wide):
+    # one row per (line, metric), zero shuffle, streams.
+    from pdf_extract_ray.stages.olap import unpivot
+
+    ds = _t(sf_dir, "lineitem",
+            columns=["l_orderkey", "l_linenumber", "l_quantity",
+                     "l_extendedprice", "l_discount", "l_tax"])
+    return unpivot(ds, ["l_orderkey", "l_linenumber"],
+                   ["l_quantity", "l_extendedprice", "l_discount",
+                    "l_tax"], var_col="metric", value_col="value")
+
+
+def q_funnel_latency_events(sf_dir: str):
+    # conversion-latency report: PURE COMPOSITION of events.funnel and
+    # a narrow microsecond-difference map — per fully-converted user,
+    # integer-exact click->view and click->purchase latencies.
+    from pdf_extract_ray.stages.events import funnel
+
+    ds = _t(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    fun = funnel(ds, ["click", "view", "purchase"])
+
+    def latency(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b["steps_completed"] == 3]
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(),
+            "us_to_view": (b["t2"] - b["t1"]).to_numpy().astype(
+                "timedelta64[us]").astype(np.int64),
+            "us_to_purchase": (b["t3"] - b["t1"]).to_numpy().astype(
+                "timedelta64[us]").astype(np.int64),
+        })
+
+    return fun.map_batches(latency, batch_format="pandas")
+
+
+def q_event_time_profile(sf_dir: str):
+    # activity heatmap input: counts by (day-of-week, hour) — a narrow
+    # derive (integer day/hour arithmetic, DuckDB dow convention:
+    # Sunday=0; 1970-01-01 was a Thursday) + one tiny grouped merge.
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    ds = _t(sf_dir, "events", columns=["event_id", "ts"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["ts"].to_numpy()
+        days = t.astype("datetime64[D]").astype(np.int64)
+        hours = t.astype("datetime64[h]").astype(np.int64)
+        return pd.DataFrame({"dow": (days + 4) % 7, "hour": hours % 24})
+
+    return grouped_aggregate(
+        ds.map_batches(derive, batch_format="pandas"),
+        ["dow", "hour"], {"n": ("dow", "count")})
+
+
 def q_pair_edit_distance(sf_dir: str):
     # candidate-pair refinement by exact edit distance (dedup.
     # refine_pairs_levenshtein): two hash joins ship each pair its two
@@ -3376,6 +3442,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention_events": q_cohort_retention_events,
         "mode_event_type_user": q_mode_event_type_user,
         "global_rank_docs": q_global_rank_docs,
+        "pmi_terms_lang": q_pmi_terms_lang,
+        "melt_lineitem_metrics": q_melt_lineitem_metrics,
+        "funnel_latency_events": q_funnel_latency_events,
+        "event_time_profile": q_event_time_profile,
         "fingerprints": q_fingerprints,
         "content_filter_docs": q_content_filter_docs,
         "cleaned_text": q_cleaned_text,
@@ -4015,6 +4085,44 @@ def _global_rank_docs_oracle() -> str:
         ["n_chars", "doc_id"])
 
 
+def _pmi_terms_oracle() -> str:
+    from pdf_extract_ray.stages.relevance import pmi_terms_oracle_sql
+
+    return pmi_terms_oracle_sql(
+        "SELECT lang, text FROM documents", "lang",
+        min_count=5, top_k=20)
+
+
+def _melt_lineitem_oracle() -> str:
+    from pdf_extract_ray.stages.olap import unpivot_oracle_sql
+
+    return unpivot_oracle_sql(
+        "(SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
+        "l_discount, l_tax FROM lineitem)",
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        var_col="metric", value_col="value")
+
+
+def _funnel_latency_oracle() -> str:
+    from pdf_extract_ray.stages.events import funnel_oracle_sql
+
+    fun = funnel_oracle_sql(
+        "(SELECT user_id, ts, event_type FROM events)",
+        ["click", "view", "purchase"])
+    return (
+        f"SELECT user_id, "
+        f"datediff('microsecond', t1, t2) AS us_to_view, "
+        f"datediff('microsecond', t1, t3) AS us_to_purchase "
+        f"FROM ({fun}) WHERE steps_completed = 3")
+
+
+_EVENT_TIME_PROFILE_SQL = (
+    "SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, "
+    "CAST(hour(ts) AS BIGINT) AS hour, "
+    "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2")
+
+
 def _zscore_docs_oracle() -> str:
     from pdf_extract_ray.stages.agg import grouped_standardize_oracle_sql
 
@@ -4297,6 +4405,10 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention_events": _cohort_retention_oracle(),
         "mode_event_type_user": _mode_event_type_oracle(),
         "global_rank_docs": _global_rank_docs_oracle(),
+        "pmi_terms_lang": _pmi_terms_oracle(),
+        "melt_lineitem_metrics": _melt_lineitem_oracle(),
+        "funnel_latency_events": _funnel_latency_oracle(),
+        "event_time_profile": _EVENT_TIME_PROFILE_SQL,
         "fingerprints": f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents",
         "content_filter_docs": (
             "SELECT doc_id FROM documents WHERE NOT ("

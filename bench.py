@@ -190,7 +190,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "zscore_docs_by_lang", "rolling_quantity_lineitem",
                      "interval_overlap_join", "rolling_value_1h_events",
                      "funnel_events", "cohort_retention_events",
-                     "mode_event_type_user", "global_rank_docs"):
+                     "mode_event_type_user", "global_rank_docs",
+                     "pmi_terms_lang", "melt_lineitem_metrics",
+                     "funnel_latency_events", "event_time_profile"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

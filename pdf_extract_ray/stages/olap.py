@@ -369,3 +369,46 @@ def grouped_rank_oracle_sql(
         cols.append(f"ntile({ntile}) OVER (PARTITION BY {part} "
                     f"ORDER BY {order}) AS {ntile_col}")
     return f"SELECT *, {', '.join(cols)} FROM {table_sql}"
+
+
+def unpivot(
+    ds: Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    *,
+    var_col: str = "variable",
+    value_col: str = "value",
+) -> Dataset:
+    """Wide -> long melt (the inverse of :func:`pivot_wide`): one output
+    row per (input row, value column), value cast to float64 so the long
+    column has one type.  Pure narrow map — zero shuffle, streams.
+    """
+    id_cols, value_cols = list(id_cols), list(value_cols)
+
+    def m(b: pd.DataFrame) -> pd.DataFrame:
+        w = b[id_cols + value_cols].copy()
+        for c in value_cols:
+            w[c] = w[c].astype(np.float64)
+        return w.melt(id_vars=id_cols, value_vars=value_cols,
+                      var_name=var_col, value_name=value_col)
+
+    return ds.map_batches(m, batch_format="pandas")
+
+
+def unpivot_oracle_sql(
+    table_sql: str,
+    id_cols: list[str],
+    value_cols: list[str],
+    *,
+    var_col: str = "variable",
+    value_col: str = "value",
+) -> str:
+    """DuckDB UNION-ALL mirror of :func:`unpivot`."""
+    ids = ", ".join(id_cols)
+    arms = [
+        f"SELECT {ids}, '{c}' AS {var_col}, "
+        f"CAST({c} AS DOUBLE) AS {value_col} FROM __t"
+        for c in value_cols
+    ]
+    return (f"WITH __t AS (SELECT * FROM {table_sql}) "
+            + " UNION ALL ".join(arms))

@@ -235,3 +235,114 @@ def term_postings(
     return bucketed_group_apply(
         ds.map_batches(explode, batch_format="pandas"), ["word"], body,
         num_buckets=num_buckets)
+
+
+def pmi_terms(
+    ds: Dataset,
+    group_col: str,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Distinctive terms per group by pointwise mutual information —
+    ``pmi(g, w) = ln(c_gw * N / (c_w * c_g))`` over the frozen
+    ``[a-z0-9]+`` tokenization: the "which words characterize this
+    language/source/host" report behind corpus-mix debugging.
+
+    Scale shape: per-batch ``(group, word, count)`` partials (raw text
+    never shuffles), ONE bucketed merge keyed by word (each word's rows
+    co-locate, so ``c_w`` is an in-bucket transform-sum); the per-group
+    totals and ``N`` come from a tiny grouped aggregate materialized on
+    the driver (O(groups) rows — comment-bounded) and broadcast in the
+    closure.  Final per-group top-k reuses the pre-trimmed
+    :func:`~pdf_extract_ray.stages.agg.grouped_top_k`.
+
+    PMI is rounded half-away to 6 digits on BOTH sides (engine and SQL
+    oracle) before ranking, so the top-k selection is deterministic and
+    oracle-stable: counts are exact int64, every product stays under
+    2^53, and the single ``ln`` is the only non-exact op.  Output:
+    ``(group_col, word, n, pmi)`` with ``n = c_gw >= min_count``.
+    """
+    from pdf_extract_ray.stages.agg import (
+        bucketed_group_apply,
+        grouped_aggregate,
+        grouped_top_k,
+    )
+
+    word_re = re.compile(_WORD)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        groups, words = [], []
+        for g, t in zip(b[group_col].tolist(),
+                        b[text_col].fillna("").str.lower().tolist()):
+            ws = word_re.findall(t)
+            groups.extend([g] * len(ws))
+            words.extend(ws)
+        f = pd.DataFrame({group_col: groups, "word": words})
+        return (f.groupby([group_col, "word"], as_index=False).size()
+                .rename(columns={"size": "n"}))
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    # tiny side: per-group token totals + grand total (O(groups) rows)
+    gt = grouped_aggregate(partials, [group_col],
+                           {"c_g": ("n", "sum")},
+                           num_buckets=num_buckets).to_pandas()
+    c_g = dict(zip(gt[group_col], gt["c_g"].astype(np.int64)))
+    n_total = int(gt["c_g"].sum())
+
+    def per_word_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby([group_col, "word"], as_index=False)["n"].sum()
+        c_w = g.groupby("word")["n"].transform("sum").to_numpy(np.int64)
+        g = g[g["n"] >= min_count].copy()
+        if not len(g):
+            return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                                 "word": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "pmi": pd.Series([], dtype=np.float64)})
+        cw = c_w[g.index.to_numpy()]
+        cgw = g["n"].to_numpy(np.int64)
+        cg = np.array([c_g[x] for x in g[group_col]], dtype=np.int64)
+        pmi = np.log(cgw.astype(np.float64) * n_total
+                     / (cw.astype(np.float64) * cg))
+        g["pmi"] = round_half_away(pmi, 6)
+        return g
+
+    scored = bucketed_group_apply(partials, ["word"], per_word_bucket,
+                                  num_buckets=num_buckets)
+    return grouped_top_k(scored, [group_col], "pmi", top_k,
+                         tie_col="word", num_buckets=num_buckets)
+
+
+def pmi_terms_oracle_sql(
+    table_sql: str,
+    group_col: str,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> str:
+    """DuckDB mirror of :func:`pmi_terms` (identical float expression,
+    both sides round to 6 before ranking)."""
+    g = group_col
+    return f"""
+WITH w AS (SELECT {g}, unnest(regexp_extract_all(
+             lower(coalesce({text_col}, '')), '{_WORD}')) AS word
+           FROM ({table_sql})),
+gw AS (SELECT {g}, word, CAST(count(*) AS BIGINT) AS n
+       FROM w GROUP BY 1, 2),
+wt AS (SELECT word, CAST(sum(n) AS BIGINT) AS c_w FROM gw GROUP BY 1),
+gt AS (SELECT {g}, CAST(sum(n) AS BIGINT) AS c_g FROM gw GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM gw),
+p AS (SELECT {g}, word, n,
+             round(ln(CAST(n AS DOUBLE) * n_total
+                      / (CAST(c_w AS DOUBLE) * c_g)), 6) AS pmi
+      FROM gw JOIN wt USING (word) JOIN gt USING ({g}) CROSS JOIN tot
+      WHERE n >= {min_count})
+SELECT * EXCLUDE (__rn) FROM (
+  SELECT *, row_number() OVER (PARTITION BY {g}
+             ORDER BY pmi DESC, word) AS __rn FROM p)
+WHERE __rn <= {top_k}
+"""

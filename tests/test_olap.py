@@ -156,3 +156,33 @@ def test_grouped_rank_dense_and_small_groups(ray_session):
     with pytest.raises(ValueError, match="tie_col"):
         grouped_rank(rd.from_pandas(df), ["k"], "v",
                      method="row_number")
+
+
+def test_unpivot_matches_sql_and_melt(ray_session):
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.olap import unpivot, unpivot_oracle_sql
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({
+        "id": np.arange(200, dtype="int64"),
+        "a": rng.integers(0, 9, 200).astype("int64"),
+        "b": rng.random(200),
+        "c": rng.integers(-5, 5, 200).astype("float64"),
+    })
+    got = (unpivot(rd.from_pandas(df).repartition(3), ["id"],
+                   ["a", "b", "c"])
+           .to_pandas().sort_values(["id", "variable"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(unpivot_oracle_sql("(SELECT * FROM t)", ["id"],
+                                       ["a", "b", "c"]))
+            .df().sort_values(["id", "variable"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # pandas melt reference
+    ref = (df.assign(a=df["a"].astype(float))
+           .melt(id_vars=["id"], value_vars=["a", "b", "c"])
+           .sort_values(["id", "variable"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+    assert len(got) == 3 * len(df)

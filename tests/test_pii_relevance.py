@@ -220,3 +220,56 @@ def test_term_postings(ray_session):
     got2 = (term_postings(rd.from_pandas(docs), max_df=1)
             .to_pandas().sort_values("word").reset_index(drop=True))
     assert list(got2.word) == ["apple", "cherry"]
+
+
+def test_pmi_terms_distinctive_and_sql_parity(ray_session):
+    import duckdb
+
+    from pdf_extract_ray.stages.relevance import (
+        pmi_terms,
+        pmi_terms_oracle_sql,
+    )
+
+    # "kat" is exclusive to group a, "chat" to group b; "the" is common
+    rows = []
+    for i in range(30):
+        rows.append(("a", f"the kat sat {i % 3}"))
+        rows.append(("b", f"the chat dort {i % 3}"))
+    df = pd.DataFrame(rows, columns=["g", "text"])
+    got = (pmi_terms(rd.from_pandas(df).repartition(4), "g",
+                     min_count=5, top_k=3)
+           .to_pandas().sort_values(["g", "word"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(pmi_terms_oracle_sql("SELECT g, text FROM t", "g",
+                                         min_count=5, top_k=3))
+            .df().sort_values(["g", "word"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  want[sorted(want.columns)],
+                                  check_dtype=False)
+    # exclusive words rank as MOST distinctive; the shared "the" never
+    # beats them
+    top_a = got[got["g"] == "a"].sort_values(
+        ["pmi", "word"], ascending=[False, True])
+    assert set(top_a.head(2)["word"]) <= {"kat", "sat"}
+    assert "chat" not in set(got.loc[got["g"] == "a", "word"])
+    # exclusive-to-half-the-corpus word: pmi = ln(2) (both groups equal
+    # token counts by construction)
+    kat = got[(got["g"] == "a") & (got["word"] == "kat")]["pmi"].iloc[0]
+    assert abs(kat - math.log(2)) < 1e-6
+    # topology independence
+    again = (pmi_terms(rd.from_pandas(df).repartition(9), "g",
+                       min_count=5, top_k=3, num_buckets=32)
+             .to_pandas().sort_values(["g", "word"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, again)
+
+
+def test_pmi_terms_min_count_filters(ray_session):
+    from pdf_extract_ray.stages.relevance import pmi_terms
+
+    df = pd.DataFrame({"g": ["a"] * 4, "text": ["rare word"] * 1 +
+                       ["common word"] * 3})
+    out = (pmi_terms(rd.from_pandas(df), "g", min_count=2, top_k=10)
+           .to_pandas())
+    assert "rare" not in set(out["word"])
+    assert {"common", "word"} <= set(out["word"])
