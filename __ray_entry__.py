@@ -641,6 +641,65 @@ def q_event_time_profile(sf_dir: str):
         ["dow", "hour"], {"n": ("dow", "count")})
 
 
+def q_weighted_sample_docs(sf_dir: str):
+    # weighted sampling without replacement (agg.weighted_sample, A-ES
+    # keys u^(1/w) from a seedless md5 uniform): longer docs
+    # proportionally likelier — the curation-aware sampler.  Narrow key
+    # map + per-batch top-k pre-trim; only k x #blocks rows reach the
+    # single final reduce.  md5 mode pinned for SQL parity (engine
+    # default is the vectorized fast hash).
+    from pdf_extract_ray.stages.agg import weighted_sample
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return weighted_sample(ds, "doc_id", "n_chars", 50, method="md5")
+
+
+def q_dense_windows_events(sf_dir: str):
+    # gap filling / resample (windows.fill_window_gaps): daily counts of
+    # rare high-value (>300) events per type, densified so every (type, day)
+    # between the type's first and last active day exists with n=0 —
+    # the step between a windowed aggregate and anything assuming
+    # contiguous series.  Dense ranges generated vectorized per bucket.
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+    from pdf_extract_ray.stages.windows import fill_window_gaps
+
+    ds = _t(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def day_windows(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b["value"].to_numpy() > 300.0]
+        return pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(),
+            "win": b["ts"].to_numpy().astype("datetime64[D]").astype(
+                "datetime64[us]"),
+        })
+
+    daily = grouped_aggregate(
+        ds.map_batches(day_windows, batch_format="pandas"),
+        ["event_type", "win"], {"n": ("win", "count")})
+    return fill_window_gaps(daily, ["event_type"], "win", "1D",
+                            {"n": 0})
+
+
+def q_event_transitions(sf_dir: str):
+    # Markov transition counts (PURE COMPOSITION: grouped LAG + tiny
+    # grouped merge): how often event type A is followed by B within a
+    # user's timeline — the session-model / bot-detection input.
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+    from pdf_extract_ray.stages.windows import grouped_lag
+
+    ds = _t(sf_dir, "events",
+            columns=["event_id", "user_id", "event_type", "ts"])
+    lagged = grouped_lag(ds, ["user_id"], ["ts", "event_id"],
+                         "event_type", out_col="prev_type")
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["prev_type"].notna(), ["prev_type", "event_type"]]
+
+    return grouped_aggregate(
+        lagged.map_batches(keep, batch_format="pandas"),
+        ["prev_type", "event_type"], {"n": ("event_type", "count")})
+
+
 def q_pair_edit_distance(sf_dir: str):
     # candidate-pair refinement by exact edit distance (dedup.
     # refine_pairs_levenshtein): two hash joins ship each pair its two
@@ -3446,6 +3505,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "melt_lineitem_metrics": q_melt_lineitem_metrics,
         "funnel_latency_events": q_funnel_latency_events,
         "event_time_profile": q_event_time_profile,
+        "weighted_sample_docs": q_weighted_sample_docs,
+        "dense_windows_events": q_dense_windows_events,
+        "event_transitions": q_event_transitions,
         "fingerprints": q_fingerprints,
         "content_filter_docs": q_content_filter_docs,
         "cleaned_text": q_cleaned_text,
@@ -4123,6 +4185,32 @@ _EVENT_TIME_PROFILE_SQL = (
     "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2")
 
 
+def _weighted_sample_oracle() -> str:
+    from pdf_extract_ray.stages.agg import weighted_sample_oracle_sql
+
+    return weighted_sample_oracle_sql(
+        "SELECT doc_id, lang, n_chars FROM documents",
+        "doc_id", "n_chars", 50)
+
+
+def _dense_windows_oracle() -> str:
+    from pdf_extract_ray.stages.windows import fill_window_gaps_oracle_sql
+
+    daily = (
+        "SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS win, "
+        "CAST(count(*) AS BIGINT) AS n FROM events "
+        "WHERE value > 300.0 GROUP BY 1, 2")
+    return fill_window_gaps_oracle_sql(
+        f"({daily})", ["event_type"], "win", "INTERVAL 1 DAY", {"n": 0})
+
+
+_EVENT_TRANSITIONS_SQL = (
+    "SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n FROM ("
+    "SELECT event_type, lag(event_type) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id) AS prev_type FROM events) "
+    "WHERE prev_type IS NOT NULL GROUP BY 1, 2")
+
+
 def _zscore_docs_oracle() -> str:
     from pdf_extract_ray.stages.agg import grouped_standardize_oracle_sql
 
@@ -4409,6 +4497,9 @@ def oracle_sql() -> dict[str, str]:
         "melt_lineitem_metrics": _melt_lineitem_oracle(),
         "funnel_latency_events": _funnel_latency_oracle(),
         "event_time_profile": _EVENT_TIME_PROFILE_SQL,
+        "weighted_sample_docs": _weighted_sample_oracle(),
+        "dense_windows_events": _dense_windows_oracle(),
+        "event_transitions": _EVENT_TRANSITIONS_SQL,
         "fingerprints": f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents",
         "content_filter_docs": (
             "SELECT doc_id FROM documents WHERE NOT ("

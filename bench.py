@@ -192,7 +192,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "funnel_events", "cohort_retention_events",
                      "mode_event_type_user", "global_rank_docs",
                      "pmi_terms_lang", "melt_lineitem_metrics",
-                     "funnel_latency_events", "event_time_profile"):
+                     "funnel_latency_events", "event_time_profile",
+                     "weighted_sample_docs", "dense_windows_events",
+                     "event_transitions"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

@@ -652,3 +652,81 @@ def global_rank_oracle_sql(
     """DuckDB mirror of :func:`global_rank`."""
     return (f"SELECT *, row_number() OVER (ORDER BY "
             f"{', '.join(cols)}) AS {out_col} FROM {table_sql}")
+
+
+def weighted_sample(
+    ds: Dataset,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    method: str = "fast",
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Deterministic weighted sampling WITHOUT replacement (A-ES,
+    Efraimidis & Spirakis 2006): each row gets ``key = u ** (1 / w)``
+    with ``u`` a seedless uniform in [0, 1) derived from ``hash(id)``;
+    the k LARGEST keys are exactly a weighted sample without
+    replacement.  Seedless-hash determinism contract as
+    :func:`stratified_sample`: every run and every parallelism picks
+    the same rows.  Rows with ``w <= 0`` are excluded (A-ES domain).
+
+    Scale shape: one narrow key map, per-batch top-k pre-trim (only
+    ``k x #blocks`` rows reach the single final reduce — the global
+    analogue of ``grouped_top_k``'s pre-trim).  ``method="fast"``
+    (default) uses the vectorized numpy hash; ``"md5"`` is the
+    SQL-parity mode (``u`` = first 8 md5 hex chars / 2^32 — the
+    division by a power of two is exact, so engine and oracle feed
+    ``pow`` identical doubles).
+    """
+    import hashlib
+
+    if method not in ("md5", "fast"):
+        raise ValueError(f"method must be 'md5' or 'fast', got {method!r}")
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        w = b[weight_col].to_numpy(np.float64)
+        if method == "md5":
+            ids = b[id_col].astype(str).to_numpy()
+            pref = np.array(
+                [int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                 for s in ids], dtype=np.float64)
+        else:
+            pref = (_hash_numpy_col(b[id_col].to_numpy())
+                    >> np.uint64(32)).astype(np.float64)
+        u = pref / 4294967296.0
+        b = b.copy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            b["__sk"] = np.power(u, 1.0 / w)
+        b = b.loc[w > 0.0]
+        return b.sort_values(["__sk", id_col], ascending=[False, True],
+                             kind="mergesort").head(k)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__sk", id_col], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return g.drop(columns=["__sk", "__g"])
+
+    trimmed = ds.map_batches(keyed, batch_format="pandas")
+    tagged = trimmed.map_batches(lambda b: b.assign(__g=np.int64(0)),
+                                 batch_format="pandas")
+    return bucketed_group_apply(tagged, ["__g"], final,
+                                num_buckets=num_buckets)
+
+
+def weighted_sample_oracle_sql(
+    table_sql: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> str:
+    """DuckDB mirror of ``weighted_sample(method="md5")`` (identical
+    float expression: exact power-of-two division, correctly-rounded
+    ``1.0 / w``, one ``pow``)."""
+    u = (f"CAST(CAST('0x' || substr(md5(CAST({id_col} AS VARCHAR)), "
+         f"1, 8) AS UBIGINT) AS DOUBLE) / 4294967296.0")
+    return (
+        f"SELECT * EXCLUDE (__sk) FROM ("
+        f"SELECT *, pow({u}, 1.0 / {weight_col}) AS __sk "
+        f"FROM ({table_sql}) WHERE {weight_col} > 0.0) "
+        f"ORDER BY __sk DESC, {id_col} LIMIT {k}")

@@ -402,3 +402,85 @@ def grouped_rolling_time_oracle_sql(
     cols = [f"{'avg' if op == 'mean' else op}({value_col}) {over} AS {out}"
             for out, op in ops.items()]
     return f"SELECT *, {', '.join(cols)} FROM {table_sql}"
+
+
+def fill_window_gaps(
+    ds: Dataset,
+    keys: list[str],
+    win_col: str,
+    step: pd.Timedelta | str,
+    fill: dict[str, float],
+    *,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Densify a per-key time series: emit one row per key for EVERY
+    ``step``-aligned window between that key's min and max observed
+    window, inserting ``fill`` values (col -> constant) where a window
+    is missing — the gap-filling/resample step between a windowed
+    aggregate and anything that assumes contiguous series (rate deltas,
+    moving averages, charting).
+
+    Contract: within a key, ``win_col`` values are unique and all lie
+    on the same ``step`` grid (a tumbling-window aggregate output by
+    construction) — violations raise.  One bucketed shuffle of the
+    (already aggregated, small) window rows; the dense ranges are
+    generated vectorized per bucket (repeat + cumsum-offset arange,
+    no per-row Python).  Output size is bounded by keys x span/step.
+    """
+    keys = list(keys)
+    step_us = int(pd.Timedelta(step) // pd.Timedelta("1us"))
+    if step_us <= 0:
+        raise ValueError("step must be a positive Timedelta")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.duplicated(keys + [win_col]).any():
+            raise ValueError("duplicate (keys, window) rows")
+        dtypes = {c: g[c].dtype for c in fill}
+        kf = g.groupby(keys, as_index=False).agg(
+            __mn=(win_col, "min"), __mx=(win_col, "max"))
+        mn = kf["__mn"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        mx = kf["__mx"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cnt = (mx - mn) // step_us + 1
+        total = int(cnt.sum())
+        run_start = np.cumsum(cnt) - cnt
+        within = np.arange(total, dtype=np.int64) - np.repeat(run_start, cnt)
+        full = pd.DataFrame(
+            {c: np.repeat(kf[c].to_numpy(), cnt) for c in keys})
+        full[win_col] = (np.repeat(mn, cnt)
+                         + within * step_us).astype("datetime64[us]")
+        out = full.merge(g, on=keys + [win_col], how="left", sort=False,
+                         indicator=True)
+        if int((out["_merge"] == "both").sum()) != len(g):
+            raise ValueError(
+                f"{win_col} values not aligned to the {step!r} grid")
+        out = out.drop(columns=["_merge"])
+        for c, v in fill.items():
+            out[c] = out[c].fillna(v).astype(dtypes[c])
+        return out
+
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    return bucketed_group_apply(ds, keys, per_bucket,
+                                num_buckets=num_buckets)
+
+
+def fill_window_gaps_oracle_sql(
+    table_sql: str,
+    keys: list[str],
+    win_col: str,
+    step_sql: str,
+    fill: dict[str, float],
+) -> str:
+    """DuckDB generate_series mirror of :func:`fill_window_gaps`
+    (``step_sql`` e.g. ``"INTERVAL 1 DAY"``)."""
+    part = ", ".join(keys)
+    cols = ", ".join(f"coalesce(c.{c}, {v!r}) AS {c}"
+                     for c, v in fill.items())
+    return (
+        f"WITH c AS (SELECT * FROM {table_sql}), "
+        f"b AS (SELECT {part}, min({win_col}) AS __mn, "
+        f"max({win_col}) AS __mx FROM c GROUP BY {part}), "
+        f"g AS (SELECT {part}, unnest(generate_series(__mn, __mx, "
+        f"{step_sql})) AS {win_col} FROM b) "
+        f"SELECT g.*, {cols} FROM g LEFT JOIN c "
+        f"USING ({part}, {win_col})")

@@ -764,3 +764,94 @@ def test_global_rank_constant_range_column(ray_session):
            .to_pandas().sort_values("rank").reset_index(drop=True))
     assert got["rank"].tolist() == list(range(1, 51))
     assert got["id"].tolist() == list(range(50))
+
+
+def test_weighted_sample_aes_properties(ray_session):
+    import duckdb
+
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.agg import (
+        weighted_sample,
+        weighted_sample_oracle_sql,
+    )
+
+    # 900 light rows (w=1) vs 100 heavy rows (w=100): heavy dominates
+    df = pd.DataFrame({
+        "id": np.arange(1000, dtype="int64"),
+        "w": np.where(np.arange(1000) % 10 == 0, 100.0, 1.0),
+    })
+    got = (weighted_sample(rd.from_pandas(df).repartition(5),
+                           "id", "w", 50, method="md5")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert len(got) == 50
+    heavy = (got["w"] == 100.0).mean()
+    assert heavy > 0.6  # expected ~0.9 under A-ES
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(weighted_sample_oracle_sql(
+        "SELECT id, w FROM t", "id", "w", 50))
+        .df().sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # topology independence (fast mode too)
+    for method in ("md5", "fast"):
+        a = (weighted_sample(rd.from_pandas(df).repartition(3), "id", "w",
+                             20, method=method)
+             .to_pandas().sort_values("id").reset_index(drop=True))
+        b = (weighted_sample(rd.from_pandas(df).repartition(11), "id", "w",
+                             20, method=method, num_buckets=16)
+             .to_pandas().sort_values("id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+    # non-positive weights are excluded entirely
+    dfz = pd.DataFrame({"id": np.arange(10, dtype="int64"),
+                        "w": [0.0, -1.0] + [1.0] * 8})
+    out = weighted_sample(rd.from_pandas(dfz), "id", "w", 10).to_pandas()
+    assert len(out) == 8 and not set(out["id"]) & {0, 1}
+    with pytest.raises(ValueError, match="method"):
+        weighted_sample(rd.from_pandas(dfz), "id", "w", 5, method="xx")
+
+
+def test_fill_window_gaps_crafted_and_sql(ray_session):
+    import duckdb
+
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.windows import (
+        fill_window_gaps,
+        fill_window_gaps_oracle_sql,
+    )
+
+    t0 = pd.Timestamp("2024-02-01")
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "b"],
+        "win": [t0, t0 + pd.Timedelta(days=3), t0 + pd.Timedelta(days=5),
+                t0 + pd.Timedelta(days=2)],
+        "n": np.array([4, 2, 1, 7], dtype="int64"),
+    })
+    got = (fill_window_gaps(rd.from_pandas(df).repartition(2), ["k"],
+                            "win", "1D", {"n": 0})
+           .to_pandas().sort_values(["k", "win"]).reset_index(drop=True))
+    # a spans 6 days (2 gaps filled with 0), b is a single day
+    assert len(got) == 7
+    assert got.loc[got["k"] == "a", "n"].tolist() == [4, 0, 0, 2, 0, 1]
+    assert got.loc[got["k"] == "b", "n"].tolist() == [7]
+    assert str(got["n"].dtype) == "int64"  # fill preserves the dtype
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(fill_window_gaps_oracle_sql(
+        "(SELECT k, win, n FROM t)", ["k"], "win", "INTERVAL 1 DAY",
+        {"n": 0}))
+        .df().sort_values(["k", "win"]).reset_index(drop=True))
+    want["win"] = want["win"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # misaligned window raises
+    bad = df.copy()
+    bad.loc[1, "win"] = t0 + pd.Timedelta(days=3, hours=7)
+    with pytest.raises(Exception, match="aligned|duplicate"):
+        fill_window_gaps(rd.from_pandas(bad), ["k"], "win", "1D",
+                         {"n": 0}).materialize()
+    # duplicate (key, window) raises
+    dup = pd.concat([df, df.iloc[[0]]], ignore_index=True)
+    with pytest.raises(Exception, match="duplicate"):
+        fill_window_gaps(rd.from_pandas(dup), ["k"], "win", "1D",
+                         {"n": 0}).materialize()
