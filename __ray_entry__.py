@@ -700,6 +700,51 @@ def q_event_transitions(sf_dir: str):
         ["prev_type", "event_type"], {"n": ("event_type", "count")})
 
 
+def q_linreg_value_trend(sf_dir: str):
+    # per-group OLS trend (agg.grouped_linreg): slope/intercept of
+    # (floored) event value over day index, per event type — the
+    # "is this signal drifting" detector.  One narrow moment-partial
+    # pass + ONE tiny bucketed merge; integer-valued x/y keep every sum
+    # exact, so slope/intercept are bit-identical to the moment-formula
+    # SQL mirror.
+    from pdf_extract_ray.stages.agg import grouped_linreg
+
+    ds = _t(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(),
+            "day": b["ts"].to_numpy().astype("datetime64[D]").astype(
+                np.int64).astype(np.float64),
+            "v": np.floor(b["value"].to_numpy()),
+        })
+
+    return grouped_linreg(
+        ds.map_batches(derive, batch_format="pandas"),
+        ["event_type"], "day", "v")
+
+
+def q_bloom_join_orders(sf_dir: str):
+    # Bloom-prefiltered big-big join (joins.bloom_filtered_join): only
+    # ~1/37 of customers form the cohort, so the Bloom probe drops most
+    # order rows BEFORE the join shuffle; false positives are dropped by
+    # the join itself, so the result equals the plain inner join.
+    from pdf_extract_ray.stages.joins import bloom_filtered_join
+
+    orders = _t(sf_dir, "orders",
+                columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def cohort(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["c_custkey"] % 37 == 0]
+
+    joined = bloom_filtered_join(
+        orders, cust.map_batches(cohort, batch_format="pandas"),
+        on="o_custkey", right_on="c_custkey")
+    return joined.select_columns(
+        ["o_orderkey", "o_custkey", "o_totalprice", "c_name"])
+
+
 def q_pair_edit_distance(sf_dir: str):
     # candidate-pair refinement by exact edit distance (dedup.
     # refine_pairs_levenshtein): two hash joins ship each pair its two
@@ -3508,6 +3553,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_docs": q_weighted_sample_docs,
         "dense_windows_events": q_dense_windows_events,
         "event_transitions": q_event_transitions,
+        "linreg_value_trend": q_linreg_value_trend,
+        "bloom_join_orders": q_bloom_join_orders,
         "fingerprints": q_fingerprints,
         "content_filter_docs": q_content_filter_docs,
         "cleaned_text": q_cleaned_text,
@@ -4211,6 +4258,23 @@ _EVENT_TRANSITIONS_SQL = (
     "WHERE prev_type IS NOT NULL GROUP BY 1, 2")
 
 
+def _linreg_value_trend_oracle() -> str:
+    from pdf_extract_ray.stages.agg import grouped_linreg_oracle_sql
+
+    derive = (
+        "SELECT event_type, CAST(datediff('day', DATE '1970-01-01', "
+        "CAST(ts AS DATE)) AS DOUBLE) AS day, floor(value) AS v "
+        "FROM events")
+    return grouped_linreg_oracle_sql(f"({derive})", ["event_type"],
+                                     "day", "v")
+
+
+_BLOOM_JOIN_ORDERS_SQL = (
+    "SELECT o_orderkey, o_custkey, o_totalprice, c_name "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "WHERE c_custkey % 37 = 0")
+
+
 def _zscore_docs_oracle() -> str:
     from pdf_extract_ray.stages.agg import grouped_standardize_oracle_sql
 
@@ -4500,6 +4564,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_docs": _weighted_sample_oracle(),
         "dense_windows_events": _dense_windows_oracle(),
         "event_transitions": _EVENT_TRANSITIONS_SQL,
+        "linreg_value_trend": _linreg_value_trend_oracle(),
+        "bloom_join_orders": _BLOOM_JOIN_ORDERS_SQL,
         "fingerprints": f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents",
         "content_filter_docs": (
             "SELECT doc_id FROM documents WHERE NOT ("

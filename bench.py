@@ -194,7 +194,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "pmi_terms_lang", "melt_lineitem_metrics",
                      "funnel_latency_events", "event_time_profile",
                      "weighted_sample_docs", "dense_windows_events",
-                     "event_transitions"):
+                     "event_transitions", "linreg_value_trend",
+                     "bloom_join_orders"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

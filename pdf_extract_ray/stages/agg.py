@@ -730,3 +730,79 @@ def weighted_sample_oracle_sql(
         f"SELECT *, pow({u}, 1.0 / {weight_col}) AS __sk "
         f"FROM ({table_sql}) WHERE {weight_col} > 0.0) "
         f"ORDER BY __sk DESC, {id_col} LIMIT {k}")
+
+
+def grouped_linreg(
+    ds: Dataset,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    *,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Per-group ordinary-least-squares trend line — ``slope =
+    (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)``, ``intercept = (Σy −
+    slope·Σx) / n`` — the "is this host's quality drifting" / per-key
+    trend detector.
+
+    One narrow pass of per-batch ``(keys, n, Σx, Σy, Σxy, Σx²)`` moment
+    partials (tiny rows), ONE bucketed merge, final formula vectorized
+    over the merged table.  On integer-valued inputs every sum is exact
+    in float64 (any summation order), and the final expression is the
+    same chain of correctly-rounded IEEE ops the SQL mirror evaluates —
+    bit-identical parity, like :func:`grouped_standardize`.  Groups
+    with zero x-variance get NULL slope/intercept.  Output:
+    ``keys + (n, slope, intercept)``.
+    """
+    keys = list(keys)
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[x_col].to_numpy(dtype=np.float64)
+        y = b[y_col].to_numpy(dtype=np.float64)
+        f = pd.DataFrame({c: b[c] for c in keys})
+        f["__n"], f["__sx"], f["__sy"] = 1.0, x, y
+        f["__sxy"], f["__sxx"] = x * y, x * x
+        return f.groupby(keys, as_index=False).sum()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(keys, as_index=False).sum()
+        n = m["__n"].to_numpy()
+        sx, sy = m["__sx"].to_numpy(), m["__sy"].to_numpy()
+        sxy, sxx = m["__sxy"].to_numpy(), m["__sxx"].to_numpy()
+        den = n * sxx - sx * sx
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = (n * sxy - sx * sy) / den
+            intercept = (sy - slope * sx) / n
+        out = m[keys].copy()
+        out["n"] = n.astype(np.int64)
+        out["slope"] = np.where(den > 0.0, slope, np.nan)
+        out["intercept"] = np.where(den > 0.0, intercept, np.nan)
+        return out
+
+    partials = ds.map_batches(moments, batch_format="pandas")
+    return bucketed_group_apply(partials, keys, final,
+                                num_buckets=num_buckets)
+
+
+def grouped_linreg_oracle_sql(
+    table_sql: str,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> str:
+    """DuckDB mirror of :func:`grouped_linreg` — the SAME moment
+    formula (not regr_slope, whose streaming recurrence is near- but
+    not bit-equal on integer inputs)."""
+    part = ", ".join(keys)
+    x = f"CAST({x_col} AS DOUBLE)"
+    y = f"CAST({y_col} AS DOUBLE)"
+    den = "(__n * __sxx - __sx * __sx)"
+    slope = f"(__n * __sxy - __sx * __sy) / {den}"
+    return (
+        f"WITH __m AS (SELECT {part}, CAST(count(*) AS DOUBLE) AS __n, "
+        f"sum({x}) AS __sx, sum({y}) AS __sy, sum({x} * {y}) AS __sxy, "
+        f"sum({x} * {x}) AS __sxx FROM {table_sql} GROUP BY {part}) "
+        f"SELECT {part}, CAST(__n AS BIGINT) AS n, "
+        f"CASE WHEN {den} > 0 THEN {slope} END AS slope, "
+        f"CASE WHEN {den} > 0 THEN (__sy - ({slope}) * __sx) / __n END "
+        f"AS intercept FROM __m")

@@ -382,3 +382,47 @@ def broadcast_interval_join(
         return out
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def bloom_filtered_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    on: str,
+    right_on: str | None = None,
+    num_partitions: int = 8,
+    bits: int | None = None,
+    k: int | None = None,
+) -> Dataset:
+    """Inner equi-join where the LEFT side is pre-filtered through a
+    Bloom filter of the right side's keys BEFORE the join shuffle — the
+    classic big-big join optimization when most left rows have no match
+    (enriching a crawl with a curated subset, joining events to a small
+    cohort).  Bloom false positives are harmless: the join itself drops
+    them, so the result equals the plain inner join exactly.
+
+    Scale shape: the filter build moves only ``bits/8`` bytes per block
+    (OR-merged on the driver, broadcast once via ``ray.put``); the probe
+    is a narrow vectorized map; only surviving left rows (true matches +
+    the bounded false-positive mass) enter ``Dataset.join``'s shuffle.
+    """
+    from pdf_extract_ray.stages.sketch import (
+        BLOOM_BITS,
+        BLOOM_K,
+        bloom_contains,
+        bloom_sketch,
+    )
+
+    r_on = right_on or on
+    bits = bits or BLOOM_BITS
+    k = k or BLOOM_K
+    words = bloom_sketch(right, r_on, bits=bits, k=k)
+    ref = ray.put(words)
+
+    def probe(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[bloom_contains(ray.get(ref), b[on], k=k)]
+
+    filtered = left.map_batches(probe, batch_format="pandas")
+    return filtered.join(right, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=(on,), right_on=(r_on,))

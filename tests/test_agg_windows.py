@@ -855,3 +855,51 @@ def test_fill_window_gaps_crafted_and_sql(ray_session):
     with pytest.raises(Exception, match="duplicate"):
         fill_window_gaps(rd.from_pandas(dup), ["k"], "win", "1D",
                          {"n": 0}).materialize()
+
+
+def test_grouped_linreg_exact_and_sql_parity(ray_session):
+    import duckdb
+
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.agg import (
+        grouped_linreg,
+        grouped_linreg_oracle_sql,
+    )
+
+    rng = np.random.default_rng(101)
+    # group a: exact line y = 3x + 7; group b: noisy ints; group c:
+    # constant x (zero variance -> NULL slope)
+    xa = np.arange(50, dtype=np.int64)
+    df = pd.concat([
+        pd.DataFrame({"g": "a", "x": xa, "y": 3 * xa + 7}),
+        pd.DataFrame({"g": "b", "x": rng.integers(0, 100, 80),
+                      "y": rng.integers(-50, 50, 80)}),
+        pd.DataFrame({"g": "c", "x": np.full(5, 9), "y": np.arange(5)}),
+    ], ignore_index=True).astype({"x": "float64", "y": "float64"})
+    got = (grouped_linreg(rd.from_pandas(df).repartition(5), ["g"],
+                          "x", "y")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    assert got.loc[0, "slope"] == 3.0 and got.loc[0, "intercept"] == 7.0
+    assert pd.isna(got.loc[2, "slope"]) and pd.isna(got.loc[2, "intercept"])
+    # numpy polyfit agreement on the noisy group
+    sub = df[df["g"] == "b"]
+    ref = np.polyfit(sub["x"], sub["y"], 1)
+    assert abs(got.loc[1, "slope"] - ref[0]) < 1e-9
+    assert abs(got.loc[1, "intercept"] - ref[1]) < 1e-9
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(grouped_linreg_oracle_sql("(SELECT g, x, y FROM t)",
+                                              ["g"], "x", "y"))
+            .df().sort_values("g").reset_index(drop=True))
+    # integer-valued inputs: bit-identical to the SQL moment mirror
+    for c in ("slope", "intercept"):
+        gv, wv = got[c].to_numpy(), want[c].to_numpy()
+        assert (np.isnan(gv) == np.isnan(wv)).all()
+        assert (gv[~np.isnan(gv)] == wv[~np.isnan(wv)]).all()
+    assert got["n"].tolist() == want["n"].tolist()
+    # topology independence
+    again = (grouped_linreg(rd.from_pandas(df).repartition(13), ["g"],
+                            "x", "y", num_buckets=32)
+             .to_pandas().sort_values("g").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, again)

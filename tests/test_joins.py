@@ -231,3 +231,29 @@ def test_interval_join_agrees_with_range_join_when_disjoint(ray_session):
                               how="inner")
          .to_pandas().sort_values("i").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_bloom_filtered_join_equals_plain_join(ray_session):
+    from pdf_extract_ray.stages.joins import bloom_filtered_join
+
+    rng = np.random.RandomState(29)
+    left = pd.DataFrame({
+        "k": rng.randint(0, 5000, 3000).astype("int64"),
+        "lid": np.arange(3000, dtype="int64"),
+    })
+    right = pd.DataFrame({
+        "rk": (np.arange(40, dtype="int64") * 53) % 5000,
+        "name": [f"r{i}" for i in range(40)],
+    }).drop_duplicates("rk")
+    got = (bloom_filtered_join(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right), on="k", right_on="rk",
+        num_partitions=4)
+        .to_pandas().sort_values("lid").reset_index(drop=True))
+    ref = (left.merge(right, left_on="k", right_on="rk", how="inner")
+           .sort_values("lid").reset_index(drop=True))
+    assert got["lid"].tolist() == ref["lid"].tolist()
+    assert got["name"].tolist() == ref["name"].tolist()
+    # the probe genuinely filters: most of the 3000 left rows never
+    # reach the join (40/5000 keys match; FPR is bounded by the fill)
+    assert len(got) == len(ref) < 300
