@@ -1517,6 +1517,68 @@ def q_ngram_jaccard_dup(sf_dir: str):
                                max_df=100)
 
 
+def q_prefix_jaccard_dup(sf_dir: str):
+    # EXACT full-set word Jaccard join with PREFIX-FILTER blocking
+    # (dedup.prefix_filter_jaccard_pairs — the AllPairs/PPJoin candidate
+    # rule): unlike set_jaccard_pairs' max_df universe truncation, the
+    # reported Jaccard is over the COMPLETE sets; the frequency-ordered
+    # prefix keeps candidate buckets rare-token-sized.  Planted derive:
+    # doc pairs (2g, 2g+1) share 8 group tokens + 2 corpus-wide commons,
+    # the odd twin adds one unique token (J = 10/11 >= 0.8); cross-group
+    # pairs share only the commons (J ~ 0.1).  Oracle = brute-force
+    # all-pairs SQL over the identical tokenization, so it checks the
+    # arithmetic AND the prefix filter's completeness.
+    from pdf_extract_ray.stages.dedup import prefix_filter_jaccard_pairs
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy()
+        d = d[d < 120]
+        g8 = (d // 2) * 8
+        text = pd.Series(["t"] * len(d)) + pd.Series(g8).astype(str)
+        for j in range(1, 8):
+            text = text + " t" + pd.Series(g8 + j).astype(str)
+        text = text + " common0 common1"
+        odd = (d % 2 == 1)
+        text = text.where(~odd, text + " x" + pd.Series(d).astype(str))
+        return pd.DataFrame({"doc_id": d, "text": text.to_numpy()})
+
+    return prefix_filter_jaccard_pairs(
+        ds.map_batches(derive, batch_format="pandas"), threshold=0.8)
+
+
+def q_sorted_neighbors_docs(sf_dir: str):
+    # sorted-neighborhood blocking (dedup.sorted_neighborhood_pairs,
+    # Hernandez & Stolfo SIGMOD'95): candidate pairs within window 3 of
+    # the global (n_chars, doc_id) sort order — the record-linkage
+    # blocking for near-dups that cluster under a sort key.  Ranks from
+    # agg.global_rank; one-block halo emission makes pairs complete and
+    # duplicate-free with rows shipping exactly twice.
+    from pdf_extract_ray.stages.dedup import sorted_neighborhood_pairs
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return sorted_neighborhood_pairs(ds, ["n_chars", "doc_id"], window=3)
+
+
+def q_nearest_event_order(sf_dir: str):
+    # nearest-direction temporal join with tolerance (joins.asof_join,
+    # direction="nearest"): each event picks the user's CLOSEST order in
+    # time, either side, within 45 days inclusive — equidistant ties
+    # resolve backward (the earlier order), the frozen pandas rule the
+    # SQL oracle mirrors with ORDER BY abs(delta), o_orderdate.
+    from pdf_extract_ray.stages.joins import asof_join
+
+    ev = _t(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    od = _t(sf_dir, "orders",
+            columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"])
+    return asof_join(
+        ev, od, on="ts", by="user_id",
+        right_on="o_orderdate", right_by="o_custkey",
+        right_cols=["o_orderkey", "o_totalprice"], tie_break="o_orderkey",
+        direction="nearest", tolerance=pd.Timedelta(days=45))
+
+
 def q_asof_event_order(sf_dir: str):
     # as-of (temporal) join: each event picks the user's most recent order
     # at-or-before the event time — ONE key-bucketed shuffle, vectorized
@@ -3577,6 +3639,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dup": q_image_near_dup,
         "winnow_near_dup": q_winnow_near_dup,
         "ngram_jaccard_dup": q_ngram_jaccard_dup,
+        "prefix_jaccard_dup": q_prefix_jaccard_dup,
+        "sorted_neighbors_docs": q_sorted_neighbors_docs,
+        "nearest_event_order": q_nearest_event_order,
         "asof_event_order": q_asof_event_order,
         "orders_price_tier": q_orders_price_tier,
         "extract_flagship": q_extract_flagship,
@@ -4051,6 +4116,32 @@ def _validate_orders_oracle() -> str:
         unique=["o_orderkey"])
 
 
+def _prefix_jaccard_oracle() -> str:
+    # the same planted derive as q_prefix_jaccard_dup, then the
+    # brute-force all-pairs Jaccard mirror (checks completeness of the
+    # prefix filter, not just the arithmetic)
+    from pdf_extract_ray.stages.dedup import prefix_filter_jaccard_oracle_sql
+
+    toks = " || ' t' || ".join(
+        f"((doc_id // 2) * 8 + {j})" for j in range(1, 8))
+    derive = (
+        "SELECT doc_id, 't' || ((doc_id // 2) * 8) || ' t' || "
+        + toks
+        + " || ' common0 common1' || "
+        "CASE WHEN doc_id % 2 = 1 THEN ' x' || doc_id ELSE '' END AS text "
+        "FROM documents WHERE doc_id < 120"
+    )
+    return prefix_filter_jaccard_oracle_sql(derive, threshold=0.8)
+
+
+def _sorted_neighbors_oracle() -> str:
+    from pdf_extract_ray.stages.dedup import sorted_neighborhood_oracle_sql
+
+    return sorted_neighborhood_oracle_sql(
+        "SELECT doc_id, n_chars FROM documents",
+        ["n_chars", "doc_id"], window=3)
+
+
 def _pair_edit_distance_oracle() -> str:
     from pdf_extract_ray.stages.dedup import (
         refine_pairs_levenshtein_oracle_sql,
@@ -4500,6 +4591,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.event_id, e.ts, e.user_id, r.o_orderkey, r.o_totalprice "
             "FROM events e ASOF LEFT JOIN r "
             "  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate"
+        ),
+        "prefix_jaccard_dup": _prefix_jaccard_oracle(),
+        "sorted_neighbors_docs": _sorted_neighbors_oracle(),
+        "nearest_event_order": (
+            # nearest-direction as-of with 45-day inclusive tolerance;
+            # the lateral ORDER BY abs(delta), o_orderdate freezes the
+            # equidistant tie to the EARLIER order (the pandas rule)
+            "WITH r AS (SELECT o_custkey, o_orderdate, "
+            "    max(o_orderkey) AS o_orderkey, "
+            "    max_by(o_totalprice, o_orderkey) AS o_totalprice "
+            "  FROM orders GROUP BY 1, 2) "
+            "SELECT e.event_id, e.ts, e.user_id, n.o_orderkey, n.o_totalprice "
+            "FROM events e LEFT JOIN LATERAL ("
+            "  SELECT r.o_orderkey, r.o_totalprice FROM r "
+            "  WHERE r.o_custkey = e.user_id "
+            "    AND abs(datediff('microsecond', e.ts, r.o_orderdate)) "
+            "        <= 45 * 24 * 3600 * 1000000::BIGINT "
+            "  ORDER BY abs(datediff('microsecond', e.ts, r.o_orderdate)), "
+            "           r.o_orderdate LIMIT 1) n ON true"
         ),
         "orders_price_tier": (
             "WITH tiers(tier, lo, hi) AS (VALUES "

@@ -43,11 +43,13 @@ natively).
 from __future__ import annotations
 
 import logging
+from typing import Sequence
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data
 from ray.data import Dataset
 
@@ -180,36 +182,31 @@ def levenshtein(a: str, b: str) -> int:
     return int(prev[-1])
 
 
-def refine_pairs_levenshtein(
+def _pairs_with_texts(
     pairs: Dataset,
     docs: Dataset,
     *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    a_col: str = "a",
-    b_col: str = "b",
-    max_dist: int | None = None,
+    id_col: str,
+    text_col: str,
+    a_col: str,
+    b_col: str,
 ) -> Dataset:
-    """Verify candidate near-dup pairs by EXACT edit distance — the
-    refinement step after a sketch (minhash/simhash/LSH) proposes
-    candidates: sketches bound set overlap, edit distance certifies
-    character-level closeness, and pairs above ``max_dist`` are cut.
+    """Ship each candidate pair its two member texts — the shared
+    attach step behind every exact pair-refinement operator
+    (:func:`refine_pairs_levenshtein`, :func:`prefix_filter_jaccard_pairs`).
 
-    Output: ``(a, b, edit_distance, edit_sim)`` with ``edit_sim =
-    round(1 - dist / max(bytes_a, bytes_b, 1), 4)`` — distances and
-    lengths are both in UTF-8 bytes (the DuckDB levenshtein unit).
+    Output rows: ``(a_col, b_col, __role, __t)`` with ``__role`` 0 for
+    the a-side text and 1 for the b-side; a downstream cogroup on
+    ``(a_col, b_col)`` sees both sides of every pair together.
 
-    Scale shape: two bucketed cogroups ship each pair its two texts
-    (shuffle 1 keys on the member id to attach texts, shuffle 2 keys
-    on the pair to bring both sides together) — the repo's own
-    cogroup machinery, no acero joins.  Pairs are the SMALL candidate
-    set by contract (never run this on the raw corpus: the DP is
-    O(len_a x len_b) per pair); duplicate (a, b) pair rows collapse
-    to one.  The DP itself is a numpy row recurrence."""
+    Scale shape: two bucketed cogroups — shuffle 1 keys on the member
+    id to attach texts (pair rows + text rows union into ONE shuffle),
+    shuffle 2 (run by the caller) keys on the pair.  No acero joins;
+    texts move once, only for ids that appear in some pair."""
     from pdf_extract_ray.stages.agg import bucketed_group_apply
-    from pdf_extract_ray.util import round_half_away
 
     def pair_rows(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates([a_col, b_col])
         a = b[a_col].to_numpy()
         bb = b[b_col].to_numpy()
         return pd.DataFrame({
@@ -243,7 +240,42 @@ def refine_pairs_levenshtein(
         return mem.dropna(subset=["__t"])[
             [a_col, b_col, "__role", "__t"]]
 
-    withtext = bucketed_group_apply(tagged, ["__m"], attach)
+    return bucketed_group_apply(tagged, ["__m"], attach)
+
+
+def refine_pairs_levenshtein(
+    pairs: Dataset,
+    docs: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    a_col: str = "a",
+    b_col: str = "b",
+    max_dist: int | None = None,
+) -> Dataset:
+    """Verify candidate near-dup pairs by EXACT edit distance — the
+    refinement step after a sketch (minhash/simhash/LSH) proposes
+    candidates: sketches bound set overlap, edit distance certifies
+    character-level closeness, and pairs above ``max_dist`` are cut.
+
+    Output: ``(a, b, edit_distance, edit_sim)`` with ``edit_sim =
+    round(1 - dist / max(bytes_a, bytes_b, 1), 4)`` — distances and
+    lengths are both in UTF-8 bytes (the DuckDB levenshtein unit).
+
+    Scale shape: two bucketed cogroups ship each pair its two texts
+    (:func:`_pairs_with_texts`: shuffle 1 keys on the member id to
+    attach texts, shuffle 2 keys on the pair to bring both sides
+    together) — the repo's own cogroup machinery, no acero joins.
+    Pairs are the SMALL candidate set by contract (never run this on
+    the raw corpus: the DP is O(len_a x len_b) per pair); duplicate
+    (a, b) pair rows collapse to one.  The DP itself is a numpy row
+    recurrence."""
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+    from pdf_extract_ray.util import round_half_away
+
+    withtext = _pairs_with_texts(
+        pairs, docs, id_col=id_col, text_col=text_col,
+        a_col=a_col, b_col=b_col)
 
     def score(g: pd.DataFrame) -> pd.DataFrame:
         p = (g.drop_duplicates([a_col, b_col, "__role"])
@@ -301,6 +333,295 @@ FROM __lev_p
 JOIN __lev_d da ON da.id = __lev_p.{a_col}
 JOIN __lev_d db ON db.id = __lev_p.{b_col}
 {cut}
+"""
+
+
+_PJ_TOKEN_PAT = "[a-z0-9]+"   # frozen, SQL-mirrorable (ASCII corpus contract)
+
+
+def _pj_token_frame(b: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFrame:
+    """Per-document unique word tokens as flat ``(id_col, tok)`` rows —
+    ``lower(text)`` + the frozen ``[a-z0-9]+`` extraction, identical to
+    DuckDB ``list_distinct(regexp_extract_all(lower(text), ...))``.
+    Python ``str.lower`` is Unicode-aware where DuckDB's is locale-free;
+    parity is exact on ASCII input (the same caveat as text_density)."""
+    toks = b[text_col].fillna("").str.lower().str.findall(_PJ_TOKEN_PAT)
+    flat = pd.DataFrame({id_col: b[id_col], "tok": toks}).explode("tok")
+    flat = flat.dropna(subset=["tok"])
+    return flat.drop_duplicates([id_col, "tok"], ignore_index=True)
+
+
+def prefix_filter_jaccard_pairs(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float,
+    freq_cap: int = 65536,
+    bucket_cap: int | None = None,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """EXACT word-set Jaccard join with PREFIX-FILTER blocking (the
+    AllPairs/PPJoin candidate rule, Bayardo et al. WWW'07 / Chaudhuri
+    et al. ICDE'06): all pairs of documents whose full unique-word-set
+    Jaccard is >= ``threshold``, without the ``max_freq`` universe
+    truncation :func:`set_jaccard_pairs` applies — the reported number
+    is the Jaccard of the COMPLETE sets.
+
+    Candidate rule: order every token by (doc-frequency, token) — a
+    global total order; each document emits only its first
+    ``p = n - max(1, floor(threshold*n)) + 1`` tokens (its prefix).
+    Two documents with Jaccard >= t MUST share a token inside both
+    prefixes (if all shared tokens sat past A's prefix, fewer than
+    ceil(t*n_A) tokens could be shared — contradiction with
+    |A∩B| >= t*|A∪B| >= t*n_A), so grouping prefix rows by token
+    proposes a COMPLETE candidate set; exact verification re-tokenizes
+    both texts per pair.  ``floor`` (not ceil) of ``threshold*n`` keeps
+    the prefix one token longer whenever float rounding is ambiguous —
+    extra candidates, never a lost pair.
+
+    Output: ``(a, b, n_common, n_union, jaccard)`` with a < b and
+    ``jaccard = n_common / n_union`` (one IEEE division of exact ints,
+    bit-identical to the SQL mirror).
+
+    Scale shape: ONE narrow (token, id) shuffle of prefix rows only —
+    the frequency ordering puts the rarest tokens in prefixes, so
+    token groups stay small where an unordered inverted index would
+    bucket every stopword; texts move once, only for candidate pairs
+    (:func:`_pairs_with_texts`).  The ordering table broadcast is
+    capped at ``freq_cap`` tokens (the frequent ones — the only ranks
+    that matter); absent tokens order first by a stable hash, which
+    changes WHICH tokens form a prefix, never completeness.
+    ``bucket_cap`` optionally drops candidate generation for token
+    groups larger than the cap (adversarial stop-token guard; breaks
+    the exactness contract, so the SQL-checked default is None)."""
+    from pdf_extract_ray.stages.agg import bucketed_group_apply, grouped_aggregate
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+
+    narrow = ds.select_columns([id_col, text_col])
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        flat = _pj_token_frame(b, id_col, text_col)
+        vc = flat["tok"].value_counts()
+        return pd.DataFrame({"tok": vc.index.to_numpy(),
+                             "df": vc.to_numpy().astype(np.int64)})
+
+    freq = grouped_aggregate(
+        narrow.map_batches(df_partial, batch_format="pandas"),
+        ["tok"], {"df": ("df", "sum")},
+    ).sort("df", descending=True).limit(freq_cap).to_pandas()
+    freq_ref = ray.put(dict(zip(freq["tok"], freq["df"].astype(np.int64))))
+
+    def prefix_rows(b: pd.DataFrame) -> pd.DataFrame:
+        flat = _pj_token_frame(b, id_col, text_col)
+        if not len(flat):
+            return pd.DataFrame({"tok": pd.Series([], dtype=object),
+                                 id_col: pd.Series([], dtype=np.int64)})
+        fmap = ray.get(freq_ref)
+        dfv = flat["tok"].map(fmap)
+        known = dfv.notna().to_numpy()
+        # rare (non-broadcast) tokens order first by stable hash; the
+        # hash is a deterministic function of the token, so the order
+        # is globally consistent across workers
+        h = pd.util.hash_pandas_object(flat["tok"], index=False).to_numpy()
+        key = np.where(known, dfv.fillna(0).to_numpy().astype(np.float64),
+                       h.astype(np.float64))
+        flat = flat.assign(__known=known.astype(np.int8), __key=key)
+        flat = flat.sort_values([id_col, "__known", "__key", "tok"],
+                                kind="mergesort", ignore_index=True)
+        n = flat.groupby(id_col, sort=False)["tok"].transform("size").to_numpy()
+        pos = flat.groupby(id_col, sort=False).cumcount().to_numpy()
+        minreq = np.maximum(1, np.floor(threshold * n).astype(np.int64))
+        keep = pos < (n - minreq + 1)
+        out = flat.loc[keep, ["tok", id_col]]
+        return out.reset_index(drop=True)
+
+    prefixes = narrow.map_batches(prefix_rows, batch_format="pandas")
+
+    def cand_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in bucket.groupby("tok", sort=False):
+            ids = np.unique(g[id_col].to_numpy())
+            if len(ids) < 2 or (bucket_cap and len(ids) > bucket_cap):
+                continue
+            iu, ju = np.triu_indices(len(ids), k=1)
+            outs.append(pd.DataFrame({"a": ids[iu], "b": ids[ju]}))
+        if not outs:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True).drop_duplicates(
+            ignore_index=True)
+
+    cands = bucketed_group_apply(prefixes, ["tok"], cand_pairs,
+                                 num_buckets=num_buckets)
+
+    withtext = _pairs_with_texts(cands, narrow, id_col=id_col,
+                                 text_col=text_col, a_col="a", b_col="b")
+
+    import re
+
+    tok_re = re.compile(_PJ_TOKEN_PAT)
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        p = (g.drop_duplicates(["a", "b", "__role"])
+             .pivot_table(index=["a", "b"], columns="__role",
+                          values="__t", aggfunc="first")
+             .dropna(subset=[0, 1]))
+        if not len(p):
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "n_common": pd.Series([], dtype=np.int64),
+                                 "n_union": pd.Series([], dtype=np.int64),
+                                 "jaccard": pd.Series([], dtype=np.float64)})
+        sa = [set(tok_re.findall(x.lower())) for x in p[0]]
+        sb = [set(tok_re.findall(y.lower())) for y in p[1]]
+        inter = np.fromiter((len(x & y) for x, y in zip(sa, sb)),
+                            np.int64, len(sa))
+        union = np.fromiter((len(x | y) for x, y in zip(sa, sb)),
+                            np.int64, len(sa))
+        jac = inter / np.maximum(union, 1)
+        out = pd.DataFrame({
+            "a": p.index.get_level_values(0).to_numpy(),
+            "b": p.index.get_level_values(1).to_numpy(),
+            "n_common": inter,
+            "n_union": union,
+            "jaccard": jac,
+        })
+        return out[out["jaccard"] >= threshold].reset_index(drop=True)
+
+    return bucketed_group_apply(withtext, ["a", "b"], score,
+                                num_buckets=num_buckets)
+
+
+def prefix_filter_jaccard_oracle_sql(
+    docs_sql: str,
+    *,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB brute-force mirror of :func:`prefix_filter_jaccard_pairs`
+    — all-pairs over the identical tokenization, so it checks both the
+    Jaccard arithmetic AND the prefix filter's completeness."""
+    return f"""
+WITH __pj_tok AS (
+  SELECT {id_col} AS id,
+         unnest(list_distinct(regexp_extract_all(
+             lower(coalesce({text_col}, '')), '{_PJ_TOKEN_PAT}'))) AS tok
+  FROM ({docs_sql})
+),
+__pj_sz AS (SELECT id, count(*) AS n FROM __pj_tok GROUP BY id),
+__pj_i AS (
+  SELECT a.id AS a, b.id AS b, count(*) AS n_common
+  FROM __pj_tok a JOIN __pj_tok b ON b.tok = a.tok AND b.id > a.id
+  GROUP BY 1, 2)
+SELECT a, b, n_common, sa.n + sb.n - n_common AS n_union,
+       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+FROM __pj_i
+JOIN __pj_sz sa ON sa.id = a
+JOIN __pj_sz sb ON sb.id = b
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {threshold}
+"""
+
+
+def sorted_neighborhood_pairs(
+    ds: Dataset,
+    cols: Sequence[str],
+    *,
+    window: int,
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo, SIGMOD'95):
+    emit every pair of rows within ``window`` positions of each other
+    in the global ``cols`` sort order — the classic record-linkage
+    alternative to hash blocking when near-duplicates cluster under a
+    sort key (length, normalized title, zip code) rather than an exact
+    one.
+
+    CONTRACT: ``cols`` must order rows uniquely (``global_rank``'s
+    contract — append the id column as the final tie-break).
+
+    Output: ``(a, b, rank_a, rank_b)`` with ``rank_a < rank_b <=
+    rank_a + window`` — feed the pairs to
+    :func:`refine_pairs_levenshtein` / exact Jaccard for verification.
+
+    Scale shape: ranks come from :func:`agg.global_rank` (three
+    bounded passes, ONE bucketed shuffle); then each narrow
+    ``(id, rank)`` row is emitted into its own rank-block
+    ``rank // window`` AND the next block (a one-block halo), so any
+    pair within ``window`` shares a block; a pair materializes only in
+    the block of its LARGER rank, which makes the output duplicate-free
+    without a dedup shuffle.  Every row ships exactly twice, blocks
+    hold <= 2*window rows."""
+    from pdf_extract_ray.stages.agg import bucketed_group_apply, global_rank
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    w = int(window)
+
+    ranked = global_rank(ds, list(cols), out_col="__rank",
+                         num_buckets=num_buckets)
+    narrow = ranked.select_columns([id_col, "__rank"])
+
+    def halo(b: pd.DataFrame) -> pd.DataFrame:
+        r = b["__rank"].to_numpy()
+        ids = b[id_col].to_numpy()
+        blk = r // w
+        return pd.DataFrame({
+            "__blk": np.concatenate([blk, blk + 1]),
+            "__r": np.concatenate([r, r]),
+            id_col: np.concatenate([ids, ids]),
+        })
+
+    rows = narrow.map_batches(halo, batch_format="pandas")
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for blk, sub in g.groupby("__blk", sort=False):
+            sub = sub.sort_values("__r", kind="mergesort")
+            r = sub["__r"].to_numpy()
+            ids = sub[id_col].to_numpy()
+            for d in range(1, min(w, len(r) - 1) + 1):
+                ra, rb = r[:-d], r[d:]
+                # ranks are globally dense, so rb - ra == d inside a
+                # block; the mask also pins each pair to the block of
+                # its larger rank (duplicate-free across the halo)
+                m = (rb - ra <= w) & (rb // w == blk)
+                if m.any():
+                    outs.append(pd.DataFrame({
+                        "a": ids[:-d][m], "b": ids[d:][m],
+                        "rank_a": ra[m], "rank_b": rb[m]}))
+        if not outs:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "rank_a": pd.Series([], dtype=np.int64),
+                                 "rank_b": pd.Series([], dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_group_apply(rows, ["__blk"], body,
+                                num_buckets=num_buckets)
+
+
+def sorted_neighborhood_oracle_sql(
+    table_sql: str,
+    cols: Sequence[str],
+    *,
+    window: int,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB window mirror of :func:`sorted_neighborhood_pairs`."""
+    order = ", ".join(cols)
+    return f"""
+WITH __sn_r AS (
+  SELECT {id_col} AS id,
+         row_number() OVER (ORDER BY {order}) AS rk
+  FROM ({table_sql}))
+SELECT a.id AS a, b.id AS b, a.rk AS rank_a, b.rk AS rank_b
+FROM __sn_r a JOIN __sn_r b
+  ON b.rk > a.rk AND b.rk <= a.rk + {int(window)}
 """
 
 

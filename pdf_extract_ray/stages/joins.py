@@ -57,10 +57,20 @@ def asof_join(
     tie_break: str | None = None,
     how: str = "left",
     num_buckets: int | None = None,
+    tolerance=None,
 ) -> Dataset:
     """As-of join: for each left row, attach the single right row with the
     same key whose ``right_on`` is the latest value <= the left row's
-    ``on`` (direction="backward"; "forward" = earliest >=).
+    ``on`` (direction="backward"; "forward" = earliest >=;
+    "nearest" = smallest absolute distance, equidistant ties resolved
+    BACKWARD — the earlier right row — matching pandas ``merge_asof``,
+    frozen by pytest and the SQL-oracle tie rule ``ORDER BY abs(delta),
+    right_ts``).
+
+    ``tolerance``: optional maximum INCLUSIVE distance between ``on``
+    and the matched ``right_on`` (a ``pd.Timedelta`` for timestamp
+    keys, a number for numeric keys); rows with no right match inside
+    the tolerance stay unmatched.
 
     Matches DuckDB ``ASOF [LEFT] JOIN`` / pandas ``merge_asof`` semantics.
     Output = every left column + ``right_cols`` (renamed with ``suffix``
@@ -81,8 +91,9 @@ def asof_join(
     """
     right_on = right_on or on
     right_by = right_by or by
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward' or 'nearest'")
     if how not in ("left", "inner"):
         raise ValueError("how must be 'left' or 'inner'")
 
@@ -169,7 +180,8 @@ def asof_join(
         else:
             merged = pd.merge_asof(
                 ldf, rdf, on="__t", by="__k", direction=direction,
-                allow_exact_matches=allow_exact_matches)
+                allow_exact_matches=allow_exact_matches,
+                tolerance=tolerance)
         if how == "inner":
             merged = merged[merged["__m"].notna()]
         merged = merged.rename(columns={"__k": by, "__t": on})

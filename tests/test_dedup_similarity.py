@@ -804,3 +804,128 @@ def test_refine_pairs_levenshtein_and_sql_parity(ray_session):
         rd.from_pandas(docs)).to_pandas()
     assert same["edit_distance"].iloc[0] == 0
     assert same["edit_sim"].iloc[0] == 1.0
+
+
+def test_prefix_jaccard_matches_bruteforce_and_sql(ray_session):
+    import itertools
+    import re
+
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.dedup import (
+        _PJ_TOKEN_PAT,
+        prefix_filter_jaccard_pairs,
+        prefix_filter_jaccard_oracle_sql,
+    )
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(70):
+        k = int(rng.integers(0, 14))  # includes empty-token docs
+        rows.append((i, " ".join(rng.choice(vocab, size=k, replace=True))))
+    rows.append((70, ""))          # empty text
+    rows.append((71, None))        # null text
+    docs = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    cols = ["a", "b", "n_common", "n_union", "jaccard"]
+    tok_re = re.compile(_PJ_TOKEN_PAT)
+    for thr in (0.5, 0.75):
+        got = prefix_filter_jaccard_pairs(
+            rd.from_pandas(docs).repartition(5), threshold=thr).to_pandas()
+        if not len(got):  # empty Dataset loses its schema
+            got = pd.DataFrame({c: [] for c in cols})
+        got = got.sort_values(["a", "b"]).reset_index(drop=True)
+        ref = []
+        for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+            sa = set(tok_re.findall((ta or "").lower()))
+            sb = set(tok_re.findall((tb or "").lower()))
+            if not (sa | sb):
+                continue
+            i, u = len(sa & sb), len(sa | sb)
+            if i / u >= thr:
+                ref.append((ia, ib, i, u, i / u))
+        want = pd.DataFrame(
+            ref, columns=cols).sort_values(["a", "b"]).reset_index(drop=True)
+        assert len(got) == len(want), f"thr={thr}"
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    con = duckdb.connect()
+    con.register("d", docs)
+    sql = prefix_filter_jaccard_oracle_sql(
+        "SELECT doc_id, text FROM d", threshold=0.5)
+    want_sql = (con.sql(sql).df()
+                .sort_values(["a", "b"]).reset_index(drop=True))
+    got = (prefix_filter_jaccard_pairs(
+        rd.from_pandas(docs).repartition(5), threshold=0.5)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want_sql, check_dtype=False)
+
+
+def test_prefix_jaccard_exact_threshold_boundary(ray_session):
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.dedup import prefix_filter_jaccard_pairs
+
+    # J exactly == threshold must survive: sets {a b c d} vs {a b c e}
+    # -> 3/5 = 0.6
+    docs = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["a b c d", "a b c e"],
+    })
+    got = prefix_filter_jaccard_pairs(
+        rd.from_pandas(docs), threshold=0.6).to_pandas()
+    assert len(got) == 1
+    assert got["jaccard"].iloc[0] == 3 / 5
+    # and strictly above the boundary it is excluded
+    got2 = prefix_filter_jaccard_pairs(
+        rd.from_pandas(docs), threshold=0.61).to_pandas()
+    assert len(got2) == 0
+
+
+def test_prefix_jaccard_validation_and_freq_cap(ray_session):
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.dedup import prefix_filter_jaccard_pairs
+
+    docs = pd.DataFrame({"doc_id": [0, 1], "text": ["a b", "a b"]})
+    with pytest.raises(ValueError):
+        prefix_filter_jaccard_pairs(rd.from_pandas(docs), threshold=0.0)
+    # a tiny freq_cap forces the rare-token hash-order path; results
+    # must be unchanged (ordering affects candidates, never the answer)
+    got = prefix_filter_jaccard_pairs(
+        rd.from_pandas(docs), threshold=0.9, freq_cap=1).to_pandas()
+    assert len(got) == 1 and got["jaccard"].iloc[0] == 1.0
+
+
+def test_sorted_neighborhood_matches_sql(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.dedup import (
+        sorted_neighborhood_pairs,
+        sorted_neighborhood_oracle_sql,
+    )
+
+    rng = np.random.default_rng(23)
+    # heavy duplicate sort keys -> the id tie-break carries uniqueness
+    df = pd.DataFrame({"doc_id": np.arange(120),
+                       "n_chars": rng.integers(0, 9, 120)})
+    con = duckdb.connect()
+    con.register("t", df)
+    for w in (1, 3, 5):
+        got = (sorted_neighborhood_pairs(
+            rd.from_pandas(df).repartition(6), ["n_chars", "doc_id"],
+            window=w)
+            .to_pandas().sort_values(["rank_a", "rank_b"])
+            .reset_index(drop=True))
+        want = (con.sql(sorted_neighborhood_oracle_sql(
+            "SELECT doc_id, n_chars FROM t", ["n_chars", "doc_id"],
+            window=w)).df()
+            .sort_values(["rank_a", "rank_b"]).reset_index(drop=True))
+        assert len(got) == len(want) == 120 * w - w * (w + 1) // 2
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(rd.from_pandas(df),
+                                  ["n_chars", "doc_id"], window=0)

@@ -257,3 +257,57 @@ def test_bloom_filtered_join_equals_plain_join(ray_session):
     # the probe genuinely filters: most of the 3000 left rows never
     # reach the join (40/5000 keys match; FPR is bounded by the fill)
     assert len(got) == len(ref) < 300
+
+
+def test_asof_join_nearest_with_tolerance_matches_pandas(ray_session):
+    left = _left_df()
+    rng = np.random.RandomState(11)
+    right = pd.DataFrame({
+        "k": rng.randint(0, 12, 150).astype("int64"),
+        "t": rng.randint(0, 1000, 150).astype("int64"),
+        "v": rng.randint(0, 500, 150).astype("int64"),
+    }).drop_duplicates(["k", "t"]).reset_index(drop=True)
+    for tol in (None, 30, 120):
+        got = (asof_join(
+            rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right).repartition(3),
+            on="t", by="k", direction="nearest", tolerance=tol)
+            .to_pandas().sort_values(["k", "t", "lid"])
+            .reset_index(drop=True))
+        want = (pd.merge_asof(
+            left.sort_values("t", kind="mergesort"),
+            right.sort_values("t", kind="mergesort"),
+            on="t", by="k", direction="nearest", tolerance=tol)
+            .sort_values(["k", "t", "lid"]).reset_index(drop=True))
+        assert len(got) == len(want)
+        np.testing.assert_array_equal(
+            got["v"].to_numpy(dtype="float64"),
+            want["v"].to_numpy(dtype="float64"))
+
+
+def test_asof_join_nearest_tie_goes_backward(ray_session):
+    # equidistant right rows: the EARLIER one wins (frozen pandas rule
+    # the nearest_event_order SQL oracle mirrors)
+    left = pd.DataFrame({"k": [1], "t": [10], "lid": [0]})
+    right = pd.DataFrame({"k": [1, 1], "t": [5, 15],
+                          "v": np.array([100, 200], dtype="int64")})
+    got = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    on="t", by="k", direction="nearest").to_pandas()
+    assert got["v"].iloc[0] == 100  # t=5, the earlier (backward) row
+    # inclusive tolerance boundary: distance 5 matches at tol=5,
+    # not at tol=4
+    got5 = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                     on="t", by="k", direction="nearest",
+                     tolerance=5).to_pandas()
+    assert got5["v"].iloc[0] == 100
+    got4 = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                     on="t", by="k", direction="nearest",
+                     tolerance=4).to_pandas()
+    assert pd.isna(got4["v"].iloc[0])
+
+
+def test_asof_join_rejects_bad_direction(ray_session):
+    left = pd.DataFrame({"k": [1], "t": [10]})
+    with pytest.raises(ValueError, match="nearest"):
+        asof_join(rd.from_pandas(left), rd.from_pandas(left),
+                  on="t", by="k", direction="sideways")
