@@ -1517,6 +1517,34 @@ def q_ngram_jaccard_dup(sf_dir: str):
                                max_df=100)
 
 
+def q_balanced_shards_docs(sf_dir: str):
+    # weight-balanced shard assignment (agg.serpentine_assign): rows in
+    # descending n_chars order snake across 8 shards, so shard weight
+    # sums differ by at most one document — the equal-token-shards
+    # builder.  global_rank's three bounded passes + one arithmetic map.
+    from pdf_extract_ray.stages.agg import serpentine_assign
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return serpentine_assign(ds, "n_chars", 8, tie_cols=["doc_id"])
+
+
+def q_salted_join_lineitem(sf_dir: str):
+    # hot-key salted equi-join (joins.skew_salted_join): every supplier
+    # key with >= 500 lineitem rows (all of them at this sf — rows/key
+    # ~600) scatters across 4 salted sub-keys before the join shuffle,
+    # the replicated right rows follow, and the result equals the plain
+    # inner join EXACTLY — the skew treatment the north rule's
+    # "salting skewed hosts" names, as a reusable operator.
+    from pdf_extract_ray.stages.joins import skew_salted_join
+
+    li = _t(sf_dir, "lineitem",
+            columns=["l_orderkey", "l_suppkey", "l_quantity"])
+    sup = _t(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    return skew_salted_join(
+        li, sup, on="l_suppkey", right_on="s_suppkey",
+        salt_col="l_orderkey", salts=4, hot_threshold=500)
+
+
 def q_prefix_jaccard_dup(sf_dir: str):
     # EXACT full-set word Jaccard join with PREFIX-FILTER blocking
     # (dedup.prefix_filter_jaccard_pairs — the AllPairs/PPJoin candidate
@@ -3639,6 +3667,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dup": q_image_near_dup,
         "winnow_near_dup": q_winnow_near_dup,
         "ngram_jaccard_dup": q_ngram_jaccard_dup,
+        "balanced_shards_docs": q_balanced_shards_docs,
+        "salted_join_lineitem": q_salted_join_lineitem,
         "prefix_jaccard_dup": q_prefix_jaccard_dup,
         "sorted_neighbors_docs": q_sorted_neighbors_docs,
         "nearest_event_order": q_nearest_event_order,
@@ -4116,6 +4146,14 @@ def _validate_orders_oracle() -> str:
         unique=["o_orderkey"])
 
 
+def _balanced_shards_oracle() -> str:
+    from pdf_extract_ray.stages.agg import serpentine_assign_oracle_sql
+
+    return serpentine_assign_oracle_sql(
+        "SELECT doc_id, n_chars FROM documents", "n_chars", 8,
+        tie_cols=["doc_id"])
+
+
 def _prefix_jaccard_oracle() -> str:
     # the same planted derive as q_prefix_jaccard_dup, then the
     # brute-force all-pairs Jaccard mirror (checks completeness of the
@@ -4591,6 +4629,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.event_id, e.ts, e.user_id, r.o_orderkey, r.o_totalprice "
             "FROM events e ASOF LEFT JOIN r "
             "  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate"
+        ),
+        "balanced_shards_docs": _balanced_shards_oracle(),
+        "salted_join_lineitem": (
+            # the salted join equals the plain inner join exactly
+            "SELECT l.l_orderkey, l.l_suppkey, l.l_quantity, s.s_name "
+            "FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey"
         ),
         "prefix_jaccard_dup": _prefix_jaccard_oracle(),
         "sorted_neighbors_docs": _sorted_neighbors_oracle(),

@@ -806,3 +806,72 @@ def grouped_linreg_oracle_sql(
         f"CASE WHEN {den} > 0 THEN {slope} END AS slope, "
         f"CASE WHEN {den} > 0 THEN (__sy - ({slope}) * __sx) / __n END "
         f"AS intercept FROM __m")
+
+
+def serpentine_assign(
+    ds: Dataset,
+    weight_col: str,
+    n_shards: int,
+    *,
+    tie_cols: Sequence[str],
+    out_col: str = "shard",
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Weight-balanced shard assignment by SERPENTINE (boustrophedon)
+    placement over the descending-weight order — the deterministic,
+    shuffle-friendly stand-in for greedy LPT when building equal-weight
+    training shards (equal token counts per file, equal bytes per
+    partition).  Row at 1-based weight-rank ``rn`` goes to::
+
+        block = (rn - 1) // K;  pos = (rn - 1) % K
+        shard = pos               on even blocks
+              = K - 1 - pos       on odd blocks
+
+    so each consecutive block of K rows hits every shard once, and the
+    direction flips each block (the shard that got the heaviest row of
+    one block gets the lightest of the next) — shard weight sums differ
+    by at most the largest single weight.
+
+    CONTRACT: ``(weight_col DESC, tie_cols)`` must order rows uniquely
+    (``global_rank``'s contract).
+
+    Scale shape: exactly :func:`global_rank`'s three bounded passes +
+    one narrow arithmetic map; no extra shuffle."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    k = int(n_shards)
+
+    def neg(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(__negw=-b[weight_col])
+
+    ranked = global_rank(
+        ds.map_batches(neg, batch_format="pandas"),
+        ["__negw", *tie_cols], out_col="__rank", num_buckets=num_buckets)
+
+    def place(b: pd.DataFrame) -> pd.DataFrame:
+        rn = b["__rank"].to_numpy() - 1
+        blk, pos = rn // k, rn % k
+        shard = np.where(blk % 2 == 0, pos, k - 1 - pos)
+        return b.drop(columns=["__negw", "__rank"]).assign(
+            **{out_col: shard.astype(np.int64)})
+
+    return ranked.map_batches(place, batch_format="pandas")
+
+
+def serpentine_assign_oracle_sql(
+    table_sql: str,
+    weight_col: str,
+    n_shards: int,
+    *,
+    tie_cols: Sequence[str],
+    out_col: str = "shard",
+) -> str:
+    """DuckDB window mirror of :func:`serpentine_assign`."""
+    k = int(n_shards)
+    order = f"{weight_col} DESC, " + ", ".join(tie_cols)
+    return (
+        f"SELECT * EXCLUDE (__rn), "
+        f"CASE WHEN ((__rn - 1) // {k}) % 2 = 0 THEN (__rn - 1) % {k} "
+        f"ELSE {k} - 1 - ((__rn - 1) % {k}) END AS {out_col} "
+        f"FROM (SELECT *, row_number() OVER (ORDER BY {order}) AS __rn "
+        f"FROM ({table_sql}))")

@@ -438,3 +438,82 @@ def bloom_filtered_join(
     return filtered.join(right, join_type="inner",
                          num_partitions=num_partitions,
                          on=(on,), right_on=(r_on,))
+
+
+def skew_salted_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    on: str,
+    right_on: str | None = None,
+    salt_col: str,
+    salts: int = 8,
+    hot_threshold: int = 100_000,
+    max_hot: int = 65536,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Inner equi-join with HOT-KEY SALTING — the skew treatment for a
+    big-big join whose key distribution has heavy hitters (a handful of
+    hosts holding most pages, a celebrity user id): without salting,
+    every row of a hot key lands on ONE join partition and that worker
+    becomes the job.  The result equals the plain inner join exactly;
+    only the shuffle layout changes.
+
+    Mechanics: a bounded census finds keys with >= ``hot_threshold``
+    left rows (at most ``n_left / hot_threshold`` keys by construction,
+    capped at ``max_hot`` — a key past the cap just stays unsalted).
+    Hot left rows scatter across ``salts`` sub-keys by a deterministic
+    hash of ``salt_col`` (any stable column — the row's primary key);
+    hot RIGHT rows replicate once per salt (the small per-key side —
+    right is the dimension-ish side of the hot keys by contract); cold
+    rows keep salt 0 on both sides.  The join runs on
+    ``(key, __salt)``, so a hot key now spreads over ``salts``
+    partitions.
+
+    Scale shape: census moves only per-batch (key, count) partials;
+    replication multiplies ONLY hot right rows; one ``Dataset.join``
+    hash shuffle on the composite key."""
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    if salts < 2:
+        raise ValueError("salts must be >= 2")
+    r_on = right_on or on
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b[on].value_counts()
+        return pd.DataFrame({on: vc.index.to_numpy(),
+                             "__n": vc.to_numpy().astype(np.int64)})
+
+    counts = grouped_aggregate(
+        left.map_batches(census, batch_format="pandas"),
+        [on], {"__n": ("__n", "sum")})
+    hot_df = (counts.filter(expr=f"__n >= {int(hot_threshold)}")
+              .sort("__n", descending=True).limit(int(max_hot)).to_pandas())
+    # an all-cold census comes back as an EMPTY frame with no columns
+    hot_keys = set(hot_df[on].tolist()) if on in hot_df.columns else set()
+    hot_ref = ray.put(hot_keys)
+
+    def salt_left(b: pd.DataFrame) -> pd.DataFrame:
+        hot = ray.get(hot_ref)
+        is_hot = b[on].isin(hot).to_numpy()
+        h = pd.util.hash_pandas_object(b[salt_col], index=False).to_numpy()
+        return b.assign(__salt=np.where(
+            is_hot, (h % np.uint64(salts)).astype(np.int64), np.int64(0)))
+
+    def replicate_right(b: pd.DataFrame) -> pd.DataFrame:
+        hot = ray.get(hot_ref)
+        is_hot = b[r_on].isin(hot).to_numpy()
+        reps = np.where(is_hot, salts, 1)
+        out = b.loc[b.index.repeat(reps)].reset_index(drop=True)
+        salt = np.concatenate([np.arange(r, dtype=np.int64) for r in reps]
+                              ) if len(reps) else np.array([], np.int64)
+        return out.assign(__salt=salt)
+
+    lsalted = left.map_batches(salt_left, batch_format="pandas")
+    rsalted = right.map_batches(replicate_right, batch_format="pandas")
+    joined = lsalted.join(
+        rsalted, join_type="inner", num_partitions=num_partitions,
+        on=(on, "__salt"), right_on=(r_on, "__salt"))
+    cols = [c for c in joined.schema().names
+            if c not in ("__salt", "__salt_1", "__salt_r")]
+    return joined.select_columns(cols)

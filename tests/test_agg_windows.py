@@ -903,3 +903,36 @@ def test_grouped_linreg_exact_and_sql_parity(ray_session):
                             "x", "y", num_buckets=32)
              .to_pandas().sort_values("g").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_serpentine_assign_sql_parity_and_balance(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.agg import (
+        serpentine_assign,
+        serpentine_assign_oracle_sql,
+    )
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"doc_id": np.arange(257, dtype="int64"),
+                       "w": rng.integers(1, 5000, 257).astype("int64")})
+    con = duckdb.connect()
+    con.register("t", df)
+    for k in (1, 8):
+        got = (serpentine_assign(
+            rd.from_pandas(df).repartition(5), "w", k,
+            tie_cols=["doc_id"])
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        want = (con.sql(serpentine_assign_oracle_sql(
+            "SELECT doc_id, w FROM t", "w", k, tie_cols=["doc_id"])).df()
+            .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "w", "shard"]],
+            want[["doc_id", "w", "shard"]], check_dtype=False)
+        sums = got.groupby("shard")["w"].sum()
+        assert len(sums) == k
+        # serpentine guarantee: shard sums within the largest weight
+        assert sums.max() - sums.min() <= df["w"].max()
+    with pytest.raises(ValueError):
+        serpentine_assign(rd.from_pandas(df), "w", 0, tie_cols=["doc_id"])

@@ -311,3 +311,42 @@ def test_asof_join_rejects_bad_direction(ray_session):
     with pytest.raises(ValueError, match="nearest"):
         asof_join(rd.from_pandas(left), rd.from_pandas(left),
                   on="t", by="k", direction="sideways")
+
+
+def test_skew_salted_join_equals_plain_join(ray_session):
+    from pdf_extract_ray.stages.joins import skew_salted_join
+
+    rng = np.random.RandomState(5)
+    # heavy skew: key 3 holds ~60% of the left side
+    k = np.where(rng.rand(4000) < 0.6, 3,
+                 rng.randint(0, 25, 4000)).astype("int64")
+    left = pd.DataFrame({"k": k, "lid": np.arange(4000, dtype="int64"),
+                         "v": rng.randint(0, 9, 4000).astype("int64")})
+    # right misses some keys (20..24) so unmatched-left drops are covered
+    right = pd.DataFrame({"rk": np.arange(0, 20, dtype="int64"),
+                          "code": np.arange(100, 120, dtype="int64")})
+    got = (skew_salted_join(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right).repartition(2),
+        on="k", right_on="rk", salt_col="lid", salts=4,
+        hot_threshold=200)
+        .to_pandas().sort_values("lid").reset_index(drop=True))
+    want = (left.merge(right, left_on="k", right_on="rk", how="inner")
+            .sort_values("lid").reset_index(drop=True))
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got[["k", "lid", "v", "code"]],
+                                  want[["k", "lid", "v", "code"]],
+                                  check_dtype=False)
+    # no-hot-keys path: threshold higher than any key count
+    got2 = (skew_salted_join(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right).repartition(2),
+        on="k", right_on="rk", salt_col="lid", salts=4,
+        hot_threshold=10_000_000)
+        .to_pandas().sort_values("lid").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got2[["k", "lid", "v", "code"]],
+                                  want[["k", "lid", "v", "code"]],
+                                  check_dtype=False)
+    with pytest.raises(ValueError):
+        skew_salted_join(rd.from_pandas(left), rd.from_pandas(right),
+                         on="k", right_on="rk", salt_col="lid", salts=1)
