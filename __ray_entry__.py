@@ -1517,6 +1517,29 @@ def q_ngram_jaccard_dup(sf_dir: str):
                                max_df=100)
 
 
+def q_url_path_rollup(sf_dir: str):
+    # site-structure report (links.url_path_rollup): pages per (host,
+    # path-prefix) at depths 1..2 — map-side value_counts partials,
+    # ONE grouped merge, output O(distinct prefixes).  Frozen derive:
+    # multi-segment paths /s{id%3}/p{id%10}/x{id} over 6 hosts, every
+    # 4th row not a url (skipped by the host<>'' rule).
+    from pdf_extract_ray.stages.links import url_path_rollup
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"]
+        ds_ = d.astype(str)
+        url = ("https://site" + (d % 6).astype(str) + ".example/s"
+               + (d % 3).astype(str) + "/p" + (d % 10).astype(str)
+               + "/x" + ds_)
+        url = url.where((d % 4) != 3, "not a url " + ds_)
+        return pd.DataFrame({"doc_id": d.to_numpy(), "url": url.to_numpy()})
+
+    return url_path_rollup(
+        ds.map_batches(derive, batch_format="pandas"), max_depth=2)
+
+
 def q_balanced_shards_docs(sf_dir: str):
     # weight-balanced shard assignment (agg.serpentine_assign): rows in
     # descending n_chars order snake across 8 shards, so shard weight
@@ -3667,6 +3690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dup": q_image_near_dup,
         "winnow_near_dup": q_winnow_near_dup,
         "ngram_jaccard_dup": q_ngram_jaccard_dup,
+        "url_path_rollup": q_url_path_rollup,
         "balanced_shards_docs": q_balanced_shards_docs,
         "salted_join_lineitem": q_salted_join_lineitem,
         "prefix_jaccard_dup": q_prefix_jaccard_dup,
@@ -4144,6 +4168,19 @@ def _validate_orders_oracle() -> str:
         patterns={"o_orderpriority": "[1-5]-[A-Z]+"},
         allowed={"o_orderstatus": ["O", "F", "P"]},
         unique=["o_orderkey"])
+
+
+def _url_path_rollup_oracle() -> str:
+    from pdf_extract_ray.stages.links import url_path_rollup_oracle_sql
+
+    derive = (
+        "SELECT doc_id, CASE WHEN doc_id % 4 = 3 "
+        "THEN 'not a url ' || doc_id "
+        "ELSE 'https://site' || (doc_id % 6) || '.example/s' "
+        "|| (doc_id % 3) || '/p' || (doc_id % 10) || '/x' || doc_id "
+        "END AS url FROM documents"
+    )
+    return url_path_rollup_oracle_sql(derive, max_depth=2)
 
 
 def _balanced_shards_oracle() -> str:
@@ -4630,6 +4667,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e ASOF LEFT JOIN r "
             "  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate"
         ),
+        "url_path_rollup": _url_path_rollup_oracle(),
         "balanced_shards_docs": _balanced_shards_oracle(),
         "salted_join_lineitem": (
             # the salted join equals the plain inner join exactly

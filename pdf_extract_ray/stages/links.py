@@ -431,3 +431,83 @@ SELECT {host_col} AS url_host,
                    / CAST(count(*) AS DOUBLE), 4) AS dup_frac
 FROM ({source_sql}) GROUP BY {host_col}
 """
+
+
+def url_path_rollup(ds: Dataset, url_col: str = "url", *,
+                    max_depth: int = 2) -> Dataset:
+    """Pages per (host, path-prefix) at each depth 1..``max_depth`` —
+    the site-structure report behind per-section crawl budgeting and
+    template-farm triage (one forum section holding 90% of a host's
+    pages is a different curation decision than an even spread).
+
+    Frozen rule: the depth-``d`` prefix is the leading ``d`` non-empty
+    path segments, matched by the single regex ``^((?:/[^/?#]+){d})``
+    over the raw (untouched-case) path — one vectorized
+    ``Series.str.extract`` per depth, identical to the SQL mirror's
+    ``regexp_extract`` per depth, so parity is exact.  Rows whose url
+    does not parse (no scheme) are skipped; a path shallower than ``d``
+    contributes no depth-``d`` row.
+
+    Scale shape: per-batch value_counts = map-side combine; only
+    (host, depth, prefix, n) partials shuffle into ONE grouped merge —
+    output is O(distinct prefixes), bodies never move."""
+    from pdf_extract_ray.functions.url import canonicalize_urls, URL_PARTS_RE
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[url_col].fillna("").astype(str).str.strip()
+        host = canonicalize_urls(b[url_col])["url_host"]
+        path = s.str.extract(URL_PARTS_RE)[2].fillna("")
+        frames = []
+        for d in range(1, max_depth + 1):
+            pref = path.str.extract(rf"^((?:/[^/?#]+){{{d}}})")[0]
+            ok = pref.notna() & (host.to_numpy() != "")
+            if ok.any():
+                frames.append(pd.DataFrame({
+                    "url_host": host[ok.to_numpy()].to_numpy(),
+                    "depth": d,
+                    "prefix": pref[ok].to_numpy(),
+                }))
+        if not frames:
+            return pd.DataFrame({
+                "url_host": pd.Series([], dtype=object),
+                "depth": pd.Series([], dtype="int64"),
+                "prefix": pd.Series([], dtype=object),
+                "n_docs": pd.Series([], dtype="int64")})
+        flat = pd.concat(frames, ignore_index=True)
+        out = (flat.groupby(["url_host", "depth", "prefix"], as_index=False)
+               .size().rename(columns={"size": "n_docs"}))
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["url_host", "depth", "prefix"], {"n_docs": ("n_docs", "sum")})
+
+
+def url_path_rollup_oracle_sql(source_sql: str, *, url_expr: str = "url",
+                               max_depth: int = 2) -> str:
+    """DuckDB mirror of :func:`url_path_rollup` — the identical
+    per-depth ``regexp_extract`` over the identical path extraction."""
+    host = ("regexp_replace(lower(regexp_extract(url, "
+            "'^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), "
+            "':[0-9]+$', '')")
+    path = ("regexp_extract(url, "
+            "'^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1)")
+    branches = " UNION ALL ".join(
+        f"SELECT url_host, {d} AS depth, "
+        f"regexp_extract(path, '^((?:/[^/?#]+){{{d}}})', 1) AS prefix "
+        "FROM hp"
+        for d in range(1, int(max_depth) + 1))
+    return f"""
+WITH u AS (SELECT trim({url_expr}) AS url FROM ({source_sql})),
+hp AS (SELECT {host} AS url_host, {path} AS path FROM u
+       WHERE {host} <> ''),
+pref AS ({branches})
+SELECT url_host, depth, prefix, count(*) AS n_docs
+FROM pref WHERE prefix <> ''
+GROUP BY url_host, depth, prefix
+"""

@@ -163,3 +163,45 @@ def test_links_run_resume_and_global(ray_session, tmp_path):
                        files_per_partition=1, min_rows_per_file=1,
                        pagerank_iters=4)
     assert stats2["skipped"] == 2 and stats2["global"] == "skipped"
+
+
+def test_url_path_rollup_sql_parity_and_edges(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.links import (
+        url_path_rollup,
+        url_path_rollup_oracle_sql,
+    )
+
+    urls = [
+        "https://a.example/x/y/z?q=1",      # depth1 /x, depth2 /x/y
+        "https://a.example/x/w",            # depth1 /x, depth2 /x/w
+        "HTTP://A.Example:80/x/y",          # same host after canon
+        "https://b.example/",               # no non-empty segment
+        "https://b.example//double/slash",  # leading // -> no prefixes
+        "not a url at all",                 # skipped (no scheme)
+        None,                               # skipped
+        "https://c.example/only",           # depth1 only
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(urls), dtype="int64"),
+                       "url": urls})
+    got = (url_path_rollup(rd.from_pandas(df).repartition(3), max_depth=2)
+           .to_pandas()
+           .sort_values(["url_host", "depth", "prefix"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(url_path_rollup_oracle_sql("SELECT url FROM t",
+                                               max_depth=2)).df()
+            .sort_values(["url_host", "depth", "prefix"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # known values: host a.example has 3 pages under /x at depth 1
+    a1 = got[(got["url_host"] == "a.example") & (got["depth"] == 1)]
+    assert a1["prefix"].tolist() == ["/x"] and a1["n_docs"].iloc[0] == 3
+    # the // path and the bare / contribute nothing
+    assert not (got["url_host"] == "b.example").any()
+    with pytest.raises(ValueError):
+        url_path_rollup(rd.from_pandas(df), max_depth=0)
