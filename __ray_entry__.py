@@ -1517,6 +1517,50 @@ def q_ngram_jaccard_dup(sf_dir: str):
                                max_df=100)
 
 
+def q_typo_norm_docs(sf_dir: str):
+    # typographic normalization (mojibake.normalize_typography_batch):
+    # curly quotes / dashes / NBSP-family / ellipsis / soft hyphen fold
+    # to ASCII via the frozen _TYPO_MAP; one count + translate pass,
+    # zero shuffles.  Derive plants the typographic chars on every 3rd
+    # doc (chr()-mirrored in SQL).
+    from pdf_extract_ray.stages.mojibake import normalize_typography_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        planted = (t + "\u201cq\u201d\u2019s \u2014 a\u00a0b\u2026so\u00adft")
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "text": t.where((b["doc_id"] % 3) != 0, planted).to_numpy(),
+        })
+
+    return ds.map_batches(derive, batch_format="pandas").map_batches(
+        normalize_typography_batch, batch_format="pandas")
+
+
+def q_trending_events(sf_dir: str):
+    # trending items per window — pure composition: tumbling-hour x
+    # event_type counts (grouped_aggregate with map-side partials)
+    # feeding grouped_top_k's pre-trimmed per-window top-2 by
+    # (count DESC, event_type) — the hourly-leaderboard shape.
+    from pdf_extract_ray.stages.agg import grouped_aggregate, grouped_top_k
+
+    ds = _t(sf_dir, "events", columns=["ts", "event_type"])
+
+    def add_window(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hour": b["ts"].dt.floor("h").to_numpy(),
+            "event_type": b["event_type"].to_numpy(),
+        })
+
+    counts = grouped_aggregate(
+        ds.map_batches(add_window, batch_format="pandas"),
+        ["hour", "event_type"], {"n": ("event_type", "count")})
+    return grouped_top_k(counts, ["hour"], "n", 2,
+                         tie_col="event_type")
+
+
 def q_url_path_rollup(sf_dir: str):
     # site-structure report (links.url_path_rollup): pages per (host,
     # path-prefix) at depths 1..2 — map-side value_counts partials,
@@ -3690,6 +3734,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dup": q_image_near_dup,
         "winnow_near_dup": q_winnow_near_dup,
         "ngram_jaccard_dup": q_ngram_jaccard_dup,
+        "typo_norm_docs": q_typo_norm_docs,
+        "trending_events": q_trending_events,
         "url_path_rollup": q_url_path_rollup,
         "balanced_shards_docs": q_balanced_shards_docs,
         "salted_join_lineitem": q_salted_join_lineitem,
@@ -4168,6 +4214,21 @@ def _validate_orders_oracle() -> str:
         patterns={"o_orderpriority": "[1-5]-[A-Z]+"},
         allowed={"o_orderstatus": ["O", "F", "P"]},
         unique=["o_orderkey"])
+
+
+def _typo_norm_oracle() -> str:
+    from pdf_extract_ray.stages.mojibake import normalize_typography_oracle_sql
+
+    # the same planted suffix as q_typo_norm_docs, chr()-derived
+    suffix = ("chr(8220) || 'q' || chr(8221) || chr(8217) || 's ' || "
+              "chr(8212) || ' a' || chr(160) || 'b' || chr(8230) || "
+              "'so' || chr(173) || 'ft'")
+    derive = (
+        "SELECT doc_id, CASE WHEN doc_id % 3 = 0 "
+        f"THEN coalesce(text, '') || {suffix} "
+        "ELSE coalesce(text, '') END AS text FROM documents"
+    )
+    return normalize_typography_oracle_sql(f"({derive})")
 
 
 def _url_path_rollup_oracle() -> str:
@@ -4666,6 +4727,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.event_id, e.ts, e.user_id, r.o_orderkey, r.o_totalprice "
             "FROM events e ASOF LEFT JOIN r "
             "  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate"
+        ),
+        "typo_norm_docs": _typo_norm_oracle(),
+        "trending_events": (
+            # tumbling-hour counts -> top-2 per window by (n DESC,
+            # event_type) — mirrors grouped_top_k's tie rule
+            "WITH c AS (SELECT date_trunc('hour', ts) AS hour, "
+            "event_type, count(*) AS n FROM events GROUP BY 1, 2) "
+            "SELECT hour, event_type, n FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY hour "
+            "ORDER BY n DESC, event_type) AS __rn FROM c) WHERE __rn <= 2"
         ),
         "url_path_rollup": _url_path_rollup_oracle(),
         "balanced_shards_docs": _balanced_shards_oracle(),

@@ -170,3 +170,59 @@ SELECT {id_col}, text_clean,
              / CAST(greatest(length(t), 1) AS DOUBLE), 4) AS control_frac
 FROM c
 """
+
+
+# frozen typographic-normalization map: curly quotes -> ASCII quotes,
+# dashes -> hyphen, exotic spaces -> space, ellipsis -> "...", soft
+# hyphen -> removed.  Code points listed once here; both engines derive
+# from this table.
+_TYPO_MAP: list[tuple[int, str]] = [
+    (0x2018, "'"), (0x2019, "'"), (0x201A, "'"), (0x201B, "'"),
+    (0x201C, '"'), (0x201D, '"'), (0x201E, '"'), (0x201F, '"'),
+    (0x2013, "-"), (0x2014, "-"), (0x2015, "-"),
+    (0x00A0, " "), (0x2007, " "), (0x202F, " "),
+    (0x2026, "..."),
+    (0x00AD, ""),
+]
+_TYPO_CLASS_RE = "[" + "".join(chr(cp) for cp, _ in _TYPO_MAP) + "]"
+
+
+def normalize_typography_batch(batch: pd.DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id") -> pd.DataFrame:
+    """``(id_col, text_typo, n_typo)`` — fold typographic Unicode
+    (curly quotes, en/em dashes, NBSP-family spaces, ellipsis, soft
+    hyphen) to their ASCII training-text forms via the frozen
+    ``_TYPO_MAP``; ``n_typo`` counts replaced characters (a
+    normalization-pressure signal: high counts flag word-processor /
+    PDF-flow text).
+
+    One vectorized count + one ``str.translate`` pass over the frozen
+    codepoint table, zero shuffles; the SQL mirror applies the same
+    table as chained ``replace()`` calls, so parity is exact."""
+    t = batch[text_col].fillna("").astype(str)
+    n_typo = t.str.count(_TYPO_CLASS_RE).to_numpy("int64")
+    table = {cp: rep for cp, rep in _TYPO_MAP}
+    return pd.DataFrame({
+        id_col: batch[id_col].to_numpy(),
+        "text_typo": t.str.translate(table).to_numpy(),
+        "n_typo": n_typo,
+    })
+
+
+def normalize_typography_oracle_sql(table: str = "documents",
+                                    text_expr: str = "text",
+                                    id_col: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`normalize_typography_batch` — the same
+    frozen table as chained ``replace(..., chr(cp), ...)``; ``n_typo``
+    sums per-codepoint length deltas (every source is one char)."""
+    norm = "t"
+    for cp, rep in _TYPO_MAP:
+        norm = f"replace({norm}, chr({cp}), {_sql_lit(rep)})"
+    counts = " + ".join(
+        f"(length(t) - length(replace(t, chr({cp}), '')))"
+        for cp, _ in _TYPO_MAP)
+    return (
+        f"WITH b AS (SELECT {id_col}, coalesce({text_expr}, '') AS t "
+        f"FROM {table}) "
+        f"SELECT {id_col}, {norm} AS text_typo, "
+        f"CAST({counts} AS BIGINT) AS n_typo FROM b")

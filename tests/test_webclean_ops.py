@@ -393,3 +393,43 @@ def test_casing_stats_sql_parity_randomized():
     want = (con.sql(casing_stats_oracle_sql()).df()
             .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_normalize_typography_known_values_and_sql(ray_session):
+    import duckdb
+
+    from pdf_extract_ray.stages.mojibake import (
+        normalize_typography_batch,
+        normalize_typography_oracle_sql,
+    )
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(5, dtype="int64"),
+        "text": [
+            "“Hi” — it’s fine…",
+            "plain ascii stays",
+            "a b–c­d",      # NBSP, en dash, soft hyphen
+            "",
+            None,
+        ],
+    })
+    out = normalize_typography_batch(df)
+    assert out["text_typo"].tolist() == [
+        '"Hi" - it\'s fine...', "plain ascii stays", "a b-cd", "", ""]
+    assert out["n_typo"].tolist() == [5, 0, 3, 0, 0]
+
+    # randomized SQL parity over planted + clean rows
+    rng = np.random.default_rng(77)
+    chars = list("ab “”’— …­–")
+    rnd = pd.DataFrame({
+        "doc_id": np.arange(300, dtype="int64"),
+        "text": ["".join(rng.choice(chars, size=rng.integers(0, 30)))
+                 for _ in range(300)],
+    })
+    con = duckdb.connect()
+    con.register("documents", rnd)
+    want = (con.sql(normalize_typography_oracle_sql()).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    got = (normalize_typography_batch(rnd)
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
