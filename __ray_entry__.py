@@ -1517,6 +1517,20 @@ def q_ngram_jaccard_dup(sf_dir: str):
                                max_df=100)
 
 
+def q_markdown_docs(sf_dir: str):
+    # HTML -> Markdown conversion (stages/markdown.py): the structure-
+    # preserving sibling of the flat-text extraction path — headings,
+    # lists, links, code fences under a frozen subset.  One narrow
+    # per-document map, zero shuffles; the committed golden is the
+    # plain single-process loop over the same frozen kernel, so the
+    # driver check proves the Ray plumbing byte-for-byte.
+    from pdf_extract_ray.stages.markdown import to_markdown_batch
+
+    return _pages_ds(sf_dir).map_batches(
+        lambda b: to_markdown_batch(b[["url", "html"]]),
+        batch_format="pandas")
+
+
 def q_typo_norm_docs(sf_dir: str):
     # typographic normalization (mojibake.normalize_typography_batch):
     # curly quotes / dashes / NBSP-family / ellipsis / soft hyphen fold
@@ -3734,6 +3748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dup": q_image_near_dup,
         "winnow_near_dup": q_winnow_near_dup,
         "ngram_jaccard_dup": q_ngram_jaccard_dup,
+        "markdown_docs": q_markdown_docs,
         "typo_norm_docs": q_typo_norm_docs,
         "trending_events": q_trending_events,
         "url_path_rollup": q_url_path_rollup,
@@ -5019,7 +5034,7 @@ def oracle_sql() -> dict[str, str]:
                         "cms_word_probe", "nb_quality_docs",
                         "nb_topic_docs", "bloom_url_probe",
                         "image_near_dup", "semdedup_embeddings",
-                        "dsir_weights_docs")},
+                        "dsir_weights_docs", "markdown_docs")},
         "pii_redacted_docs": _pii_oracle(),
         "c4_clean_docs": _c4_oracle(),
         "bm25_docs": _bm25_oracle(),

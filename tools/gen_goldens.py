@@ -858,6 +858,20 @@ def gen_semdedup(sf_dir: str) -> dict[str, pa.Table]:
         df, preserve_index=False)}
 
 
+def gen_markdown(sf_dir: str) -> dict[str, pa.Table]:
+    from pdf_extract_ray.corpus import pages_from_documents
+    from pdf_extract_ray.stages.markdown import html_to_markdown
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    pages = pages_from_documents(docs).to_pylist()
+    md = [html_to_markdown(p["html"]) for p in pages]
+    return {"markdown_docs": pa.table({
+        "url": pa.array([p["url"] for p in pages], pa.string()),
+        "markdown": pa.array(md, pa.string()),
+        "n_md_chars": pa.array([len(m) for m in md], pa.int64()),
+    })}
+
+
 GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_pair_analyzers, gen_layout, gen_media, gen_media_pixels,
               gen_approx_distinct, gen_approx_quantiles,
@@ -865,7 +879,7 @@ GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_similarity_ivf, gen_embedding_lsh, gen_pdf_extract,
               gen_substr_dedup, gen_pagerank, gen_hits, gen_cms,
               gen_nb_quality, gen_bloom, gen_nb_topic, gen_image_dup,
-              gen_semdedup, gen_dsir)
+              gen_semdedup, gen_dsir, gen_markdown)
 
 
 def generate_all(sf_dir: str) -> dict[str, pa.Table]:
