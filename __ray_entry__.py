@@ -1517,6 +1517,31 @@ def q_ngram_jaccard_dup(sf_dir: str):
                                max_df=100)
 
 
+def q_token_coverage_docs(sf_dir: str):
+    # vocabulary coverage curve (textquality.token_coverage): top-20
+    # words + cumulative share of all token occurrences — the
+    # tokenizer-sizing report.  Map-side np.unique combine, ONE grouped
+    # merge, one scalar-per-batch total; curve math touches only the
+    # bounded top-k rows.
+    from pdf_extract_ray.stages.textquality import token_coverage
+
+    ds = _t(sf_dir, "documents", columns=["text"])
+    return token_coverage(ds, top_k=20)
+
+
+def q_grouped_distinct_users(sf_dir: str):
+    # grouped HLL approx distinct (sketch.grouped_approx_distinct):
+    # distinct users per event type with only 4 KiB register sketches
+    # per (batch, group) moving — the crawl-scale COUNT(DISTINCT)
+    # rollup.  Register max-merge is associative + deterministic, so
+    # the committed single-process golden matches EXACTLY; accuracy vs
+    # the exact count is a pytest property.
+    from pdf_extract_ray.stages.sketch import grouped_approx_distinct
+
+    ds = _t(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_approx_distinct(ds, ["event_type"], "user_id")
+
+
 def q_markdown_docs(sf_dir: str):
     # HTML -> Markdown conversion (stages/markdown.py): the structure-
     # preserving sibling of the flat-text extraction path — headings,
@@ -3748,6 +3773,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dup": q_image_near_dup,
         "winnow_near_dup": q_winnow_near_dup,
         "ngram_jaccard_dup": q_ngram_jaccard_dup,
+        "token_coverage_docs": q_token_coverage_docs,
+        "grouped_distinct_users": q_grouped_distinct_users,
         "markdown_docs": q_markdown_docs,
         "typo_norm_docs": q_typo_norm_docs,
         "trending_events": q_trending_events,
@@ -4229,6 +4256,12 @@ def _validate_orders_oracle() -> str:
         patterns={"o_orderpriority": "[1-5]-[A-Z]+"},
         allowed={"o_orderstatus": ["O", "F", "P"]},
         unique=["o_orderkey"])
+
+
+def _token_coverage_oracle() -> str:
+    from pdf_extract_ray.stages.textquality import token_coverage_oracle_sql
+
+    return token_coverage_oracle_sql(top_k=20)
 
 
 def _typo_norm_oracle() -> str:
@@ -4743,6 +4776,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e ASOF LEFT JOIN r "
             "  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate"
         ),
+        "token_coverage_docs": _token_coverage_oracle(),
         "typo_norm_docs": _typo_norm_oracle(),
         "trending_events": (
             # tumbling-hour counts -> top-2 per window by (n DESC,
@@ -5034,7 +5068,8 @@ def oracle_sql() -> dict[str, str]:
                         "cms_word_probe", "nb_quality_docs",
                         "nb_topic_docs", "bloom_url_probe",
                         "image_near_dup", "semdedup_embeddings",
-                        "dsir_weights_docs", "markdown_docs")},
+                        "dsir_weights_docs", "markdown_docs",
+                        "grouped_distinct_users")},
         "pii_redacted_docs": _pii_oracle(),
         "c4_clean_docs": _c4_oracle(),
         "bm25_docs": _bm25_oracle(),

@@ -391,3 +391,63 @@ def bloom_sketch(ds: Dataset, col: str, *, bits: int = BLOOM_BITS,
     for r in parts:
         acc |= np.frombuffer(r["sketch"], dtype=np.uint64)
     return acc
+
+
+def grouped_approx_distinct(
+    ds: "Dataset",
+    keys,
+    col: str,
+    *,
+    p: int = 12,
+    num_buckets: int | None = None,
+) -> "Dataset":
+    """Approximate ``COUNT(DISTINCT col)`` PER GROUP — the crawl-scale
+    "distinct visitors per host" / "unique urls per snapshot" rollup
+    where the exact distinct would ship every value through the
+    shuffle.  Per-batch per-group HLL register sketches move instead
+    (``2^p`` bytes per (batch, group) pair); ONE bucketed max-merge
+    produces the estimates.
+
+    Register max-merge is associative and commutative and the hash is
+    deterministic, so the distributed result equals a single-process
+    sketch of the same column EXACTLY at any parallelism — the
+    determinism freeze the ``grouped_distinct_users`` golden checks;
+    accuracy vs the exact count is a pytest property (~1.6% typical
+    error at p=12).
+
+    Output: ``(*keys, approx_distinct: float64)``."""
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    keys = list(keys)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {k: [] for k in keys}
+        sk = []
+        for kv, g in b.groupby(keys, sort=False, dropna=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            h = HyperLogLog(p)
+            h.add(g[col].dropna())
+            for k, v in zip(keys, kv):
+                rows[k].append(v)
+            sk.append(h.to_bytes())
+        rows["__sk"] = sk
+        return pd.DataFrame(rows)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs = {k: [] for k in keys}
+        est = []
+        for kv, g in bucket.groupby(keys, sort=False, dropna=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            regs = np.frombuffer(
+                b"".join(g["__sk"]), dtype=np.uint8).reshape(len(g), -1)
+            acc = HyperLogLog(p)
+            acc.registers = regs.max(axis=0)
+            for k, v in zip(keys, kv):
+                outs[k].append(v)
+            est.append(acc.estimate())
+        outs["approx_distinct"] = pd.Series(est, dtype="float64")
+        return pd.DataFrame(outs)
+
+    return bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pandas"), keys, merge,
+        num_buckets=num_buckets)

@@ -1185,3 +1185,63 @@ g AS (SELECT {gram} AS gram
       WHERE w{n - 1} IS NOT NULL)
 SELECT gram, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY gram {lim}
 """
+
+
+def token_coverage(ds, text_col: str = "text", *, top_k: int):
+    """Vocabulary coverage curve: the ``top_k`` most frequent words
+    with their CUMULATIVE share of all token occurrences — the
+    tokenizer-sizing / vocabulary-pruning report ("the top 5k words
+    cover 92% of the corpus", the Zipf head a byte-level BPE spends
+    its merges on).
+
+    Counts come from :func:`ngram_counts` at n=1 (per-batch
+    ``np.unique`` map-side combine, ONE grouped merge, deterministic
+    (count desc, word asc) top-k); the corpus token total is a
+    separate per-batch scalar partial (one int per batch to the
+    driver); the curve itself touches only the ``top_k`` surviving
+    rows — bounded by contract, so the driver-side cumsum is O(top_k).
+
+    Output: ``(rank, word, n, cum_share)`` with ``cum_share =
+    round(cumsum(n) / total_tokens, 6)``."""
+    import re as _re
+
+    from pdf_extract_ray.util import round_half_away
+
+    word_re = _re.compile(r"[a-z0-9]+")
+
+    def tot_partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col].fillna("").str.lower().str.count(word_re)
+        return pd.DataFrame({"t": [np.int64(t.sum())]})
+
+    total = int(ds.map_batches(tot_partial, batch_format="pandas")
+                .to_pandas()["t"].sum())
+    top = ngram_counts(ds, 1, text_col, top_k=top_k).to_pandas()
+    top = top.sort_values(["n", "gram"], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+    cum = np.cumsum(top["n"].to_numpy(np.int64))
+    return pd.DataFrame({
+        "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+        "word": top["gram"].to_numpy(),
+        "n": top["n"].to_numpy(np.int64),
+        "cum_share": round_half_away(cum / max(total, 1), 6),
+    })
+
+
+def token_coverage_oracle_sql(table: str = "documents",
+                              text_expr: str = "text",
+                              *, top_k: int) -> str:
+    """DuckDB mirror of :func:`token_coverage` — the same word rule,
+    the same (n DESC, word) ranking, the same single int/int division
+    (DuckDB ``/`` on integers is double division)."""
+    return f"""
+WITH w AS (SELECT unnest(regexp_extract_all(lower(coalesce({text_expr},
+           '')), '[a-z0-9]+')) AS word FROM {table}),
+c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY word),
+t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM w),
+r AS (SELECT word, n,
+             row_number() OVER (ORDER BY n DESC, word) AS rank FROM c)
+SELECT rank, word, n,
+       round(CAST(sum(n) OVER (ORDER BY rank) AS BIGINT)
+             / greatest((SELECT tot FROM t), 1), 6) AS cum_share
+FROM r WHERE rank <= {int(top_k)}
+"""

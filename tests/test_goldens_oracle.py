@@ -26,7 +26,7 @@ GOLDEN_QUERIES = (
     "substr_dedup_docs", "host_pagerank", "host_hits", "cms_word_probe",
     "nb_quality_docs", "bloom_url_probe", "nb_topic_docs",
     "image_near_dup", "semdedup_embeddings", "dsir_weights_docs",
-    "markdown_docs",
+    "markdown_docs", "grouped_distinct_users",
 )
 
 

@@ -872,6 +872,25 @@ def gen_markdown(sf_dir: str) -> dict[str, pa.Table]:
     })}
 
 
+def gen_grouped_distinct(sf_dir: str) -> dict[str, pa.Table]:
+    # single-process per-group HLL over the full column; register
+    # max-merge is associative + deterministic, so the distributed
+    # grouped_approx_distinct must match EXACTLY
+    from pdf_extract_ray.stages.sketch import HyperLogLog
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_type", "user_id"]).to_pandas()
+    rows = []
+    for et, g in ev.groupby("event_type", sort=True):
+        h = HyperLogLog(12)
+        h.add(g["user_id"].dropna())
+        rows.append((et, h.estimate()))
+    return {"grouped_distinct_users": pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "approx_distinct": pa.array([r[1] for r in rows], pa.float64()),
+    })}
+
+
 GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_pair_analyzers, gen_layout, gen_media, gen_media_pixels,
               gen_approx_distinct, gen_approx_quantiles,
@@ -879,7 +898,8 @@ GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_similarity_ivf, gen_embedding_lsh, gen_pdf_extract,
               gen_substr_dedup, gen_pagerank, gen_hits, gen_cms,
               gen_nb_quality, gen_bloom, gen_nb_topic, gen_image_dup,
-              gen_semdedup, gen_dsir, gen_markdown)
+              gen_semdedup, gen_dsir, gen_markdown,
+              gen_grouped_distinct)
 
 
 def generate_all(sf_dir: str) -> dict[str, pa.Table]:
