@@ -1517,6 +1517,28 @@ def q_ngram_jaccard_dup(sf_dir: str):
                                max_df=100)
 
 
+def q_embedding_centroids(sf_dir: str):
+    # grouped vector mean (similarity.grouped_centroids): the k-means /
+    # IVF assignment-step reducer — one (sum-vector, n) partial per
+    # (batch, group), ONE tiny bucketed merge.  Derive floors components
+    # to integer values so every sum is exact and the mean is
+    # bit-identical to the SQL per-dimension AVG.
+    from pdf_extract_ray.stages.similarity import grouped_centroids
+
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        embs = [np.floor(np.asarray(v, dtype=np.float64) * 1000.0)
+                for v in b["embedding"]]
+        return pd.DataFrame({
+            "grp": (b["vec_id"] % 4).to_numpy(),
+            "embedding": embs,
+        })
+
+    return grouped_centroids(
+        ds.map_batches(derive, batch_format="pandas"), ["grp"])
+
+
 def q_token_coverage_docs(sf_dir: str):
     # vocabulary coverage curve (textquality.token_coverage): top-20
     # words + cumulative share of all token occurrences — the
@@ -3773,6 +3795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dup": q_image_near_dup,
         "winnow_near_dup": q_winnow_near_dup,
         "ngram_jaccard_dup": q_ngram_jaccard_dup,
+        "embedding_centroids": q_embedding_centroids,
         "token_coverage_docs": q_token_coverage_docs,
         "grouped_distinct_users": q_grouped_distinct_users,
         "markdown_docs": q_markdown_docs,
@@ -4256,6 +4279,17 @@ def _validate_orders_oracle() -> str:
         patterns={"o_orderpriority": "[1-5]-[A-Z]+"},
         allowed={"o_orderstatus": ["O", "F", "P"]},
         unique=["o_orderkey"])
+
+
+def _embedding_centroids_oracle() -> str:
+    from pdf_extract_ray.stages.similarity import grouped_centroids_oracle_sql
+
+    derive = (
+        "SELECT vec_id % 4 AS grp, "
+        "list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000.0)) "
+        "AS embedding FROM embeddings"
+    )
+    return grouped_centroids_oracle_sql(derive, ["grp"])
 
 
 def _token_coverage_oracle() -> str:
@@ -4776,6 +4810,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e ASOF LEFT JOIN r "
             "  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate"
         ),
+        "embedding_centroids": _embedding_centroids_oracle(),
         "token_coverage_docs": _token_coverage_oracle(),
         "typo_norm_docs": _typo_norm_oracle(),
         "trending_events": (

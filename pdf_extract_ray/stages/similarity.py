@@ -291,3 +291,89 @@ SELECT {id_col},
        round(scale, 8) AS scale
 FROM s
 """
+
+
+def grouped_centroids(
+    ds: Dataset,
+    keys,
+    vec_col: str = "embedding",
+    *,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Mean embedding per group — the k-means/IVF assignment-step
+    reducer and the per-language / per-source class-centroid builder.
+
+    Scale shape: each batch reduces to ONE (sum-vector, n) partial per
+    group it contains (a D-float row, bodies never move), then ONE tiny
+    bucketed merge divides summed vectors by summed counts.  Vector
+    sums are numpy column sums; on integer-valued components every sum
+    is exact, so the mean is bit-identical to the SQL mirror's
+    per-dimension AVG (one IEEE division of exact values).
+
+    Output: ``(*keys, centroid: list<double>, n_vecs: int64)``."""
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    keys = list(keys)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {k: [] for k in keys}
+        sums, ns = [], []
+        for kv, g in b.groupby(keys, sort=False, dropna=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            m = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in g[vec_col]])
+            for k, v in zip(keys, kv):
+                rows[k].append(v)
+            sums.append(m.sum(axis=0))
+            ns.append(np.int64(len(g)))
+        rows["__sum"] = sums
+        rows["__n"] = pd.Series(ns, dtype="int64")
+        return pd.DataFrame(rows)
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = {k: [] for k in keys}
+        cents, ns = [], []
+        for kv, g in bucket.groupby(keys, sort=False, dropna=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            total = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in g["__sum"]]).sum(axis=0)
+            n = int(g["__n"].sum())
+            for k, v in zip(keys, kv):
+                rows[k].append(v)
+            cents.append(total / n)
+            ns.append(np.int64(n))
+        rows["centroid"] = cents
+        rows["n_vecs"] = pd.Series(ns, dtype="int64")
+        return pd.DataFrame(rows)
+
+    return bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pandas"), keys, merge,
+        num_buckets=num_buckets)
+
+
+def grouped_centroids_oracle_sql(
+    table_sql: str,
+    keys,
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB mirror of :func:`grouped_centroids` — per-dimension
+    sum/count over unnest-with-subscripts, re-assembled in dimension
+    order.  Bit-identical on integer-valued components (exact sums,
+    one division)."""
+    part = ", ".join(keys)
+    return f"""
+WITH __gc_x AS (
+  SELECT {part},
+         unnest({vec_col}) AS x,
+         generate_subscripts({vec_col}, 1) AS dim
+  FROM ({table_sql})),
+__gc_d AS (
+  SELECT {part}, dim,
+         sum(CAST(x AS DOUBLE)) / count(*) AS m,
+         count(*) AS c
+  FROM __gc_x GROUP BY {part}, dim)
+SELECT {part},
+       list(m ORDER BY dim) AS centroid,
+       CAST(min(c) AS BIGINT) AS n_vecs
+FROM __gc_d GROUP BY {part}
+"""

@@ -929,3 +929,44 @@ def test_sorted_neighborhood_matches_sql(ray_session):
     with pytest.raises(ValueError):
         sorted_neighborhood_pairs(rd.from_pandas(df),
                                   ["n_chars", "doc_id"], window=0)
+
+
+def test_grouped_centroids_exact_and_sql(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.similarity import (
+        grouped_centroids,
+        grouped_centroids_oracle_sql,
+    )
+
+    rng = np.random.default_rng(55)
+    n, d = 200, 8
+    df = pd.DataFrame({
+        "grp": rng.choice(["a", "b", "c"], n),
+        "embedding": [rng.integers(-50, 50, d).astype("float64")
+                      for _ in range(n)],
+    })
+    got = (grouped_centroids(rd.from_pandas(df).repartition(5), ["grp"])
+           .to_pandas().sort_values("grp").reset_index(drop=True))
+    # numpy reference: exact mean per group
+    for _, row in got.iterrows():
+        m = np.stack(df.loc[df["grp"] == row["grp"], "embedding"].to_numpy())
+        np.testing.assert_array_equal(np.asarray(row["centroid"]),
+                                      m.mean(axis=0))
+        assert row["n_vecs"] == len(m)
+    # SQL bit-parity on the integer-valued components
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(grouped_centroids_oracle_sql("SELECT * FROM t",
+                                                 ["grp"])).df()
+            .sort_values("grp").reset_index(drop=True))
+    assert got["grp"].tolist() == want["grp"].tolist()
+    assert got["n_vecs"].tolist() == want["n_vecs"].tolist()
+    for a, b in zip(got["centroid"], want["centroid"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # topology independence
+    got2 = (grouped_centroids(rd.from_pandas(df).repartition(1), ["grp"])
+            .to_pandas().sort_values("grp").reset_index(drop=True))
+    for a, b in zip(got["centroid"], got2["centroid"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
