@@ -195,7 +195,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "funnel_latency_events", "event_time_profile",
                      "weighted_sample_docs", "dense_windows_events",
                      "event_transitions", "linreg_value_trend",
-                     "bloom_join_orders"):
+                     "bloom_join_orders",
+                     # continuation-8 ops: blocking/join/report battery
+                     "prefix_jaccard_dup", "sorted_neighbors_docs",
+                     "nearest_event_order", "balanced_shards_docs",
+                     "salted_join_lineitem", "url_path_rollup",
+                     "typo_norm_docs", "trending_events",
+                     "markdown_docs", "token_coverage_docs",
+                     "grouped_distinct_users", "embedding_centroids"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise
