@@ -1517,6 +1517,39 @@ def q_ngram_jaccard_dup(sf_dir: str):
                                max_df=100)
 
 
+def q_length_hist_by_lang(sf_dir: str):
+    # per-group fixed-width histogram (agg.grouped_value_histogram):
+    # the per-language length distribution behind per-group threshold
+    # tuning; per-batch groupby+bincount partials, ONE merge on
+    # (lang, bin); the bin rule is the identical IEEE expression in
+    # both engines.
+    from pdf_extract_ray.stages.agg import grouped_value_histogram
+
+    ds = _t(sf_dir, "documents", columns=["lang", "n_chars"])
+    return grouped_value_histogram(ds, ["lang"], "n_chars", 0.0, 600.0, 12)
+
+
+def q_mad_outlier_events(sf_dir: str):
+    # robust per-group outlier flag (agg.grouped_mad_outliers): median
+    # + MAD instead of mean + stddev, so one viral value cannot mask
+    # the rest; two exact grouped_quantile_disc passes (distinct-count
+    # partials shuffle, bodies never move) + broadcast lookups.
+    # Floored-int values keep every intermediate exact -> bit parity.
+    from pdf_extract_ray.stages.agg import grouped_mad_outliers
+
+    ds = _t(sf_dir, "events", columns=["event_type", "value"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(),
+            "v": np.floor(b["value"].to_numpy(np.float64)),
+        })
+
+    return grouped_mad_outliers(
+        ds.map_batches(derive, batch_format="pandas"),
+        ["event_type"], "v", k=3.0)
+
+
 def q_embedding_centroids(sf_dir: str):
     # grouped vector mean (similarity.grouped_centroids): the k-means /
     # IVF assignment-step reducer — one (sum-vector, n) partial per
@@ -3795,6 +3828,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dup": q_image_near_dup,
         "winnow_near_dup": q_winnow_near_dup,
         "ngram_jaccard_dup": q_ngram_jaccard_dup,
+        "length_hist_by_lang": q_length_hist_by_lang,
+        "mad_outlier_events": q_mad_outlier_events,
         "embedding_centroids": q_embedding_centroids,
         "token_coverage_docs": q_token_coverage_docs,
         "grouped_distinct_users": q_grouped_distinct_users,
@@ -4279,6 +4314,22 @@ def _validate_orders_oracle() -> str:
         patterns={"o_orderpriority": "[1-5]-[A-Z]+"},
         allowed={"o_orderstatus": ["O", "F", "P"]},
         unique=["o_orderkey"])
+
+
+def _length_hist_oracle() -> str:
+    from pdf_extract_ray.stages.agg import grouped_value_histogram_oracle_sql
+
+    return grouped_value_histogram_oracle_sql(
+        "SELECT lang, n_chars FROM documents", ["lang"], "n_chars",
+        0.0, 600.0, 12)
+
+
+def _mad_outlier_oracle() -> str:
+    from pdf_extract_ray.stages.agg import grouped_mad_outliers_oracle_sql
+
+    return grouped_mad_outliers_oracle_sql(
+        "SELECT event_type, floor(value) AS v FROM events",
+        ["event_type"], "v", k=3.0)
 
 
 def _embedding_centroids_oracle() -> str:
@@ -4810,6 +4861,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e ASOF LEFT JOIN r "
             "  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate"
         ),
+        "length_hist_by_lang": _length_hist_oracle(),
+        "mad_outlier_events": _mad_outlier_oracle(),
         "embedding_centroids": _embedding_centroids_oracle(),
         "token_coverage_docs": _token_coverage_oracle(),
         "typo_norm_docs": _typo_norm_oracle(),

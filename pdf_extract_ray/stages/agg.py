@@ -875,3 +875,180 @@ def serpentine_assign_oracle_sql(
         f"ELSE {k} - 1 - ((__rn - 1) % {k}) END AS {out_col} "
         f"FROM (SELECT *, row_number() OVER (ORDER BY {order}) AS __rn "
         f"FROM ({table_sql}))")
+
+
+def grouped_value_histogram(
+    ds: Dataset,
+    keys: Sequence[str],
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    *,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Fixed-width histogram of ``col`` PER GROUP — the per-language /
+    per-source distribution report behind per-group threshold tuning
+    (:func:`value_histogram`'s frozen bin rule, so parity stays exact:
+    ``lo <= v < hi``, ``bin = floor((v - lo) / w)``, the identical IEEE
+    double expression in both engines).
+
+    Scale shape: per-batch groupby + ``np.bincount`` partials (at most
+    ``groups-in-batch x nbins`` rows per batch), ONE tiny grouped
+    merge on ``(keys, bin)``.  Output: ``(*keys, bin, bin_lo, n)``,
+    zero-count bins omitted."""
+    from pdf_extract_ray.util import round_half_away
+
+    keys = list(keys)
+    w = (float(hi) - float(lo)) / int(nbins)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {k: [] for k in keys}
+        bins_out, n_out = [], []
+        for kv, g in b.groupby(keys, sort=False, dropna=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            v = g[col].to_numpy(np.float64)
+            v = v[(v >= lo) & (v < hi)]
+            if not len(v):
+                continue
+            bins = np.floor((v - lo) / w).astype(np.int64)
+            cnt = np.bincount(bins, minlength=nbins)
+            nz = np.nonzero(cnt)[0]
+            for k, val in zip(keys, kv):
+                rows[k].extend([val] * len(nz))
+            bins_out.append(nz.astype(np.int64))
+            n_out.append(cnt[nz].astype(np.int64))
+        rows["bin"] = (np.concatenate(bins_out)
+                       if bins_out else np.array([], np.int64))
+        rows["n"] = (np.concatenate(n_out)
+                     if n_out else np.array([], np.int64))
+        return pd.DataFrame(rows)
+
+    merged = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys + ["bin"], {"n": ("n", "sum")}, num_buckets=num_buckets)
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:
+        bins = b["bin"].to_numpy(np.int64)
+        out = b[keys].copy()
+        out["bin"] = bins
+        out["bin_lo"] = round_half_away(lo + bins * w, 6)
+        out["n"] = b["n"].to_numpy(np.int64)
+        return out
+
+    return merged.map_batches(edges, batch_format="pandas")
+
+
+def grouped_value_histogram_oracle_sql(
+    table_sql: str,
+    keys: Sequence[str],
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> str:
+    """DuckDB mirror of :func:`grouped_value_histogram`."""
+    part = ", ".join(keys)
+    w = (float(hi) - float(lo)) / int(nbins)
+    return f"""
+SELECT {part},
+       CAST(floor((CAST({col} AS DOUBLE) - {lo!r}) / {w!r}) AS BIGINT)
+         AS bin,
+       round({lo!r} + CAST(floor((CAST({col} AS DOUBLE) - {lo!r})
+                                 / {w!r}) AS BIGINT) * {w!r}, 6)
+         AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n
+FROM ({table_sql})
+WHERE {col} >= {lo!r} AND {col} < {hi!r}
+GROUP BY ALL
+"""
+
+
+def grouped_mad_outliers(
+    ds: Dataset,
+    keys: Sequence[str],
+    col: str,
+    *,
+    k: float = 3.0,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Robust per-group outlier flag by MEDIAN ABSOLUTE DEVIATION —
+    the heavy-tail-safe alternative to :func:`grouped_standardize`'s
+    z-score (one viral page inflates a host's mean AND stddev; the
+    median and MAD barely move).  Frozen rule: ``med = per-group
+    median of col`` (:func:`grouped_quantile_disc`'s exact
+    ``ceil(q*n)`` discrete quantile), ``mad = per-group median of
+    |v - med|``, outlier iff ``|v - med| > k * mad``.  Intended for
+    integer-valued/quantized columns — every intermediate is then
+    exact, so the SQL oracle matches bit-for-bit (``k * mad`` is one
+    IEEE product on both sides).  Groups with ``mad = 0`` flag every
+    value off the median (the strict-> rule, documented).
+
+    Scale shape: two :func:`grouped_quantile_disc` passes (DISTINCT
+    value-count partials shuffle, raw rows never move) + two broadcast
+    lookups; bodies never shuffle.
+
+    Output: every input column + ``grp_median, grp_mad, abs_dev,
+    is_outlier``."""
+    import ray as _ray
+
+    keys = list(keys)
+    med = grouped_quantile_disc(ds, keys, col, 0.5, out_col="__med",
+                                num_buckets=num_buckets).to_pandas()
+    med_map = {tuple(r[k] for k in keys): r["__med"]
+               for _, r in med.iterrows()}
+    med_ref = _ray.put(med_map)
+
+    def add_dev(b: pd.DataFrame) -> pd.DataFrame:
+        mm = _ray.get(med_ref)
+        kv = list(zip(*(b[k] for k in keys)))
+        gm = np.array([mm[t] for t in kv], dtype=np.float64)
+        out = b.copy()
+        out["grp_median"] = gm
+        out["abs_dev"] = np.abs(b[col].to_numpy(np.float64) - gm)
+        return out
+
+    with_dev = ds.map_batches(add_dev, batch_format="pandas")
+    mad = grouped_quantile_disc(
+        with_dev.select_columns(keys + ["abs_dev"]), keys, "abs_dev",
+        0.5, out_col="__mad", num_buckets=num_buckets).to_pandas()
+    mad_map = {tuple(r[k] for k in keys): r["__mad"]
+               for _, r in mad.iterrows()}
+    mad_ref = _ray.put(mad_map)
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        mm = _ray.get(mad_ref)
+        kv = list(zip(*(b[k] for k in keys)))
+        gm = np.array([mm[t] for t in kv], dtype=np.float64)
+        out = b.copy()
+        out["grp_mad"] = gm
+        out["is_outlier"] = out["abs_dev"].to_numpy(np.float64) > k * gm
+        return out
+
+    return with_dev.map_batches(flag, batch_format="pandas")
+
+
+def grouped_mad_outliers_oracle_sql(
+    table_sql: str,
+    keys: Sequence[str],
+    col: str,
+    *,
+    k: float = 3.0,
+) -> str:
+    """DuckDB mirror of :func:`grouped_mad_outliers` (quantile_disc ==
+    the engine's exact ceil(q*n) rule, probed in
+    grouped_quantile_disc)."""
+    part = ", ".join(keys)
+    return f"""
+WITH __mo_t AS ({table_sql}),
+__mo_m AS (SELECT {part}, quantile_disc({col}, 0.5) AS med
+           FROM __mo_t GROUP BY {part}),
+__mo_d AS (SELECT __mo_t.*, CAST(med AS DOUBLE) AS grp_median,
+                  abs(CAST({col} AS DOUBLE) - med) AS abs_dev
+           FROM __mo_t JOIN __mo_m USING ({part})),
+__mo_s AS (SELECT {part}, quantile_disc(abs_dev, 0.5) AS mad
+           FROM __mo_d GROUP BY {part})
+SELECT __mo_d.*, CAST(mad AS DOUBLE) AS grp_mad,
+       abs_dev > {k!r} * CAST(mad AS DOUBLE) AS is_outlier
+FROM __mo_d JOIN __mo_s USING ({part})
+"""

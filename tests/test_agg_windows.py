@@ -936,3 +936,69 @@ def test_serpentine_assign_sql_parity_and_balance(ray_session):
         assert sums.max() - sums.min() <= df["w"].max()
     with pytest.raises(ValueError):
         serpentine_assign(rd.from_pandas(df), "w", 0, tie_cols=["doc_id"])
+
+
+def test_grouped_value_histogram_sql_parity(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.agg import (
+        grouped_value_histogram,
+        grouped_value_histogram_oracle_sql,
+    )
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y"], 2000),
+        "v": rng.uniform(-10, 110, 2000),
+    })
+    got = (grouped_value_histogram(
+        rd.from_pandas(df).repartition(6), ["g"], "v", 0.0, 100.0, 10)
+        .to_pandas().sort_values(["g", "bin"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(grouped_value_histogram_oracle_sql(
+        "SELECT * FROM t", ["g"], "v", 0.0, 100.0, 10)).df()
+        .sort_values(["g", "bin"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # out-of-range rows were dropped on both sides
+    in_range = ((df["v"] >= 0) & (df["v"] < 100)).sum()
+    assert got.groupby("g")["n"].sum().sum() == in_range
+
+
+def test_grouped_mad_outliers_sql_parity_and_robustness(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.agg import (
+        grouped_mad_outliers,
+        grouped_mad_outliers_oracle_sql,
+    )
+
+    rng = np.random.default_rng(29)
+    # group a: tight cluster + planted extreme; group b: all-constant
+    # (mad=0 -> every off-median value flags)
+    va = np.concatenate([rng.integers(95, 106, 300), [500, -400]])
+    df = pd.DataFrame({
+        "g": ["a"] * len(va) + ["b"] * 50,
+        "v": np.concatenate([va, np.full(50, 7)]).astype("float64"),
+    })
+    got = (grouped_mad_outliers(
+        rd.from_pandas(df.sample(frac=1.0, random_state=0)
+                       .reset_index(drop=True)).repartition(5),
+        ["g"], "v", k=3.0)
+        .to_pandas().sort_values(["g", "v"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(grouped_mad_outliers_oracle_sql(
+        "SELECT * FROM t", ["g"], "v", k=3.0)).df()
+        .sort_values(["g", "v"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the planted extremes flag; the tight cluster's median does not
+    a = got[got["g"] == "a"]
+    assert a.loc[a["v"] == 500, "is_outlier"].all()
+    assert a.loc[a["v"] == -400, "is_outlier"].all()
+    assert not a.loc[a["v"] == a["grp_median"].iloc[0], "is_outlier"].any()
+    # constant group: mad == 0, nothing off-median exists, nothing flags
+    b = got[got["g"] == "b"]
+    assert (b["grp_mad"] == 0).all() and not b["is_outlier"].any()
