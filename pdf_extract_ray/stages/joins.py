@@ -487,10 +487,17 @@ def skew_salted_join(
     counts = grouped_aggregate(
         left.map_batches(census, batch_format="pandas"),
         [on], {"__n": ("__n", "sum")})
-    hot_df = (counts.filter(expr=f"__n >= {int(hot_threshold)}")
-              .sort("__n", descending=True).limit(int(max_hot)).to_pandas())
+    # keys >= hot_threshold number at most n_left/hot_threshold by
+    # pigeonhole, so the filtered table is driver-bounded and the
+    # max_hot truncation is a trivial pandas nlargest — no Ray sort
+    # stage (a whole all-to-all saved vs sort().limit())
+    hot_df = counts.filter(expr=f"__n >= {int(hot_threshold)}").to_pandas()
     # an all-cold census comes back as an EMPTY frame with no columns
-    hot_keys = set(hot_df[on].tolist()) if on in hot_df.columns else set()
+    if on in hot_df.columns:
+        hot_df = hot_df.nlargest(int(max_hot), "__n")
+        hot_keys = set(hot_df[on].tolist())
+    else:
+        hot_keys = set()
     hot_ref = ray.put(hot_keys)
 
     def salt_left(b: pd.DataFrame) -> pd.DataFrame:
@@ -514,6 +521,14 @@ def skew_salted_join(
     joined = lsalted.join(
         rsalted, join_type="inner", num_partitions=num_partitions,
         on=(on, "__salt"), right_on=(r_on, "__salt"))
-    cols = [c for c in joined.schema().names
-            if c not in ("__salt", "__salt_1", "__salt_r")]
-    return joined.select_columns(cols)
+    # output projection computed STATICALLY from the input schemas
+    # (parquet metadata): joined.schema() on a lazy join would execute
+    # the whole shuffle once just to learn column names, then the
+    # consumer would execute it again — a silent 2x.
+    lcols = list(left.schema().names)
+    rcols = [c for c in right.schema().names if c != r_on]
+    clash = set(lcols) & set(rcols)
+    if clash:
+        raise ValueError(
+            f"non-key columns must not collide across sides: {sorted(clash)}")
+    return joined.select_columns(lcols + rcols)
