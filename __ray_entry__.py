@@ -1517,6 +1517,33 @@ def q_ngram_jaccard_dup(sf_dir: str):
                                max_df=100)
 
 
+def q_neighbor_jw_docs(sf_dir: str):
+    # the classic SNM record-linkage pipeline: sorted-neighborhood
+    # blocking (window 2 over the (n_chars, doc_id) sort) -> exact
+    # Jaro-Winkler certification (dedup.refine_pairs_jaro_winkler; the
+    # byte-level kernel reproduces DuckDB's jaro_winkler_similarity to
+    # the last ulp, probed on 3k random cases).
+    from pdf_extract_ray.stages.dedup import (
+        refine_pairs_jaro_winkler,
+        sorted_neighborhood_pairs,
+    )
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "text": b["text"].fillna("").str.lower().str.slice(0, 40),
+            "n_chars": b["n_chars"].to_numpy(),
+        })
+
+    docs = ds.map_batches(derive, batch_format="pandas")
+    pairs = sorted_neighborhood_pairs(
+        docs.select_columns(["doc_id", "n_chars"]),
+        ["n_chars", "doc_id"], window=2)
+    return refine_pairs_jaro_winkler(pairs, docs)
+
+
 def q_length_hist_by_lang(sf_dir: str):
     # per-group fixed-width histogram (agg.grouped_value_histogram):
     # the per-language length distribution behind per-group threshold
@@ -3828,6 +3855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dup": q_image_near_dup,
         "winnow_near_dup": q_winnow_near_dup,
         "ngram_jaccard_dup": q_ngram_jaccard_dup,
+        "neighbor_jw_docs": q_neighbor_jw_docs,
         "length_hist_by_lang": q_length_hist_by_lang,
         "mad_outlier_events": q_mad_outlier_events,
         "embedding_centroids": q_embedding_centroids,
@@ -4314,6 +4342,19 @@ def _validate_orders_oracle() -> str:
         patterns={"o_orderpriority": "[1-5]-[A-Z]+"},
         allowed={"o_orderstatus": ["O", "F", "P"]},
         unique=["o_orderkey"])
+
+
+def _neighbor_jw_oracle() -> str:
+    from pdf_extract_ray.stages.dedup import (
+        refine_pairs_jaro_winkler_oracle_sql,
+        sorted_neighborhood_oracle_sql,
+    )
+
+    derive = ("SELECT doc_id, lower(substr(coalesce(text, ''), 1, 40)) "
+              "AS text, n_chars FROM documents")
+    pairs = sorted_neighborhood_oracle_sql(
+        derive, ["n_chars", "doc_id"], window=2, id_col="doc_id")
+    return refine_pairs_jaro_winkler_oracle_sql(pairs, derive)
 
 
 def _length_hist_oracle() -> str:
@@ -4861,6 +4902,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e ASOF LEFT JOIN r "
             "  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate"
         ),
+        "neighbor_jw_docs": _neighbor_jw_oracle(),
         "length_hist_by_lang": _length_hist_oracle(),
         "mad_outlier_events": _mad_outlier_oracle(),
         "embedding_centroids": _embedding_centroids_oracle(),

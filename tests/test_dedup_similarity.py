@@ -970,3 +970,63 @@ def test_grouped_centroids_exact_and_sql(ray_session):
             .to_pandas().sort_values("grp").reset_index(drop=True))
     for a, b in zip(got["centroid"], got2["centroid"]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_jaro_winkler_duckdb_byte_parity():
+    import random
+
+    import duckdb
+
+    from pdf_extract_ray.stages.dedup import jaro_winkler
+
+    con = duckdb.connect()
+    rng = random.Random(17)
+    alpha = "abcdefé한 xyz"
+    cases = [("a", "a"), ("ab", "ba"), ("", ""), ("a", ""),
+             ("martha", "marhta"), ("dixon", "dicksonx"),
+             ("aa", "ab"),          # jaro 2/3 <= 0.7: NO winkler boost
+             ("héllo", "hello"),    # multibyte: byte-oriented window
+             ("abcd", "dcba")]
+    for _ in range(400):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14)))
+        cases.append((a, b))
+    for a, b in cases:
+        want = con.execute("SELECT jaro_winkler_similarity(?, ?)",
+                           [a, b]).fetchone()[0]
+        assert jaro_winkler(a, b) == want, (a, b)
+
+
+def test_refine_pairs_jaro_winkler_sql_parity(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.dedup import (
+        refine_pairs_jaro_winkler,
+        refine_pairs_jaro_winkler_oracle_sql,
+    )
+
+    rng = np.random.default_rng(71)
+    texts = ["name " + "".join(rng.choice(list("abcde "), 15))
+             for _ in range(60)]
+    docs = pd.DataFrame({"doc_id": np.arange(60, dtype="int64"),
+                         "text": texts})
+    pairs = pd.DataFrame({"a": np.arange(0, 60, 2, dtype="int64"),
+                          "b": np.arange(1, 60, 2, dtype="int64")})
+    got = (refine_pairs_jaro_winkler(
+        rd.from_pandas(pairs).repartition(3),
+        rd.from_pandas(docs).repartition(4), min_sim=0.5)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("d", docs)
+    con.register("p", pairs)
+    want = (con.sql(refine_pairs_jaro_winkler_oracle_sql(
+        "SELECT a, b FROM p", "SELECT doc_id, text FROM d",
+        min_sim=0.5)).df()
+        .sort_values(["a", "b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # identical pair scores exactly 1
+    same = refine_pairs_jaro_winkler(
+        rd.from_pandas(pd.DataFrame({"a": [0], "b": [0]})),
+        rd.from_pandas(docs)).to_pandas()
+    assert same["jw_sim"].iloc[0] == 1.0
