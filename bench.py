@@ -202,7 +202,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "salted_join_lineitem", "url_path_rollup",
                      "typo_norm_docs", "trending_events",
                      "markdown_docs", "token_coverage_docs",
-                     "grouped_distinct_users", "embedding_centroids"):
+                     "grouped_distinct_users", "embedding_centroids",
+                     "length_hist_by_lang", "mad_outlier_events",
+                     "neighbor_jw_docs"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise
