@@ -1517,6 +1517,83 @@ def q_ngram_jaccard_dup(sf_dir: str):
                                max_df=100)
 
 
+def q_word_overlap_pairs(sf_dir: str):
+    # directional word-overlap report (dedup.refine_pairs_word_overlap):
+    # Jaccard AND both containments — the quote/subset detector Jaccard
+    # alone hides.  Derive pairs each doc with its own 8-word prefix
+    # (doc_id + 1000): containment of the prefix in the full doc is
+    # high while Jaccard is middling — the exact asymmetry under test.
+    from pdf_extract_ray.stages.dedup import refine_pairs_word_overlap
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def derive_docs(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        prefix = t.str.split(" ").str[:8].str.join(" ")
+        return pd.DataFrame({
+            "doc_id": np.concatenate([b["doc_id"].to_numpy(),
+                                      b["doc_id"].to_numpy() + 1000]),
+            "text": np.concatenate([t.to_numpy(), prefix.to_numpy()]),
+        })
+
+    def derive_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy()
+        d = d[d % 5 == 0]
+        return pd.DataFrame({"a": d, "b": d + 1000})
+
+    return refine_pairs_word_overlap(
+        ds.map_batches(derive_pairs, batch_format="pandas"),
+        ds.map_batches(derive_docs, batch_format="pandas"))
+
+
+def q_distinct_users_exact(sf_dir: str):
+    # exact grouped COUNT(DISTINCT) (agg.grouped_count_distinct): the
+    # exact twin of the HLL sketch — map-side pair dedup shrinks the
+    # shuffle to the per-group distinct codomain.
+    from pdf_extract_ray.stages.agg import grouped_count_distinct
+
+    ds = _t(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_count_distinct(ds, ["event_type"], "user_id")
+
+
+def q_interarrival_stats_events(sf_dir: str):
+    # inter-arrival time statistics per user — pure composition:
+    # grouped LAG (one bucketed shuffle) -> integer-exact microsecond
+    # deltas -> grouped aggregate with map-side partials.  The event-
+    # pipeline heartbeat/health report.
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+    from pdf_extract_ray.stages.windows import grouped_lag
+
+    ds = _t(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    lagged = grouped_lag(ds, ["user_id"], ["ts", "event_id"], "ts",
+                         out_col="prev_ts")
+
+    def delta(b: pd.DataFrame) -> pd.DataFrame:
+        gap = (b["ts"].astype("datetime64[us]")
+               - b["prev_ts"].astype("datetime64[us]")).dt.total_seconds()
+        us = (gap * 1_000_000).round()
+        return pd.DataFrame({"user_id": b["user_id"].to_numpy(),
+                             "gap_us": us}).dropna(subset=["gap_us"])
+
+    gaps = lagged.map_batches(delta, batch_format="pandas")
+
+    def to_int(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(gap_us=b["gap_us"].astype("int64"))
+
+    out = grouped_aggregate(
+        gaps.map_batches(to_int, batch_format="pandas"), ["user_id"],
+        {"n_gaps": ("gap_us", "count"), "min_gap_us": ("gap_us", "min"),
+         "max_gap_us": ("gap_us", "max"), "sum_gap_us": ("gap_us", "sum")})
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["mean_gap_us"] = b["sum_gap_us"].to_numpy(np.float64) \
+            / b["n_gaps"].to_numpy(np.float64)
+        return b.drop(columns=["sum_gap_us"])
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
 def q_neighbor_jw_docs(sf_dir: str):
     # the classic SNM record-linkage pipeline: sorted-neighborhood
     # blocking (window 2 over the (n_chars, doc_id) sort) -> exact
@@ -3855,6 +3932,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dup": q_image_near_dup,
         "winnow_near_dup": q_winnow_near_dup,
         "ngram_jaccard_dup": q_ngram_jaccard_dup,
+        "word_overlap_pairs": q_word_overlap_pairs,
+        "distinct_users_exact": q_distinct_users_exact,
+        "interarrival_stats_events": q_interarrival_stats_events,
         "neighbor_jw_docs": q_neighbor_jw_docs,
         "length_hist_by_lang": q_length_hist_by_lang,
         "mad_outlier_events": q_mad_outlier_events,
@@ -4342,6 +4422,23 @@ def _validate_orders_oracle() -> str:
         patterns={"o_orderpriority": "[1-5]-[A-Z]+"},
         allowed={"o_orderstatus": ["O", "F", "P"]},
         unique=["o_orderkey"])
+
+
+def _word_overlap_oracle() -> str:
+    from pdf_extract_ray.stages.dedup import (
+        refine_pairs_word_overlap_oracle_sql,
+    )
+
+    docs = (
+        "SELECT doc_id, coalesce(text, '') AS text FROM documents "
+        "UNION ALL "
+        "SELECT doc_id + 1000, "
+        "array_to_string(list_slice(string_split("
+        "coalesce(text, ''), ' '), 1, 8), ' ') FROM documents"
+    )
+    pairs = ("SELECT doc_id AS a, doc_id + 1000 AS b FROM documents "
+             "WHERE doc_id % 5 = 0")
+    return refine_pairs_word_overlap_oracle_sql(pairs, docs)
 
 
 def _neighbor_jw_oracle() -> str:
@@ -4901,6 +4998,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.event_id, e.ts, e.user_id, r.o_orderkey, r.o_totalprice "
             "FROM events e ASOF LEFT JOIN r "
             "  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate"
+        ),
+        "word_overlap_pairs": _word_overlap_oracle(),
+        "distinct_users_exact": (
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
+            "AS n_distinct FROM events GROUP BY event_type"
+        ),
+        "interarrival_stats_events": (
+            # lag window -> integer-exact microsecond gaps -> aggregates;
+            # mean = one BIGINT/BIGINT double division on both sides
+            "WITH l AS (SELECT user_id, ts, "
+            "  lag(ts) OVER (PARTITION BY user_id "
+            "                ORDER BY ts, event_id) AS prev_ts "
+            "  FROM events), "
+            "g AS (SELECT user_id, "
+            "  datediff('microsecond', prev_ts, ts) AS gap_us "
+            "  FROM l WHERE prev_ts IS NOT NULL) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps, "
+            "  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us, "
+            "  CAST(sum(gap_us) AS DOUBLE) / count(*) AS mean_gap_us "
+            "FROM g GROUP BY user_id"
         ),
         "neighbor_jw_docs": _neighbor_jw_oracle(),
         "length_hist_by_lang": _length_hist_oracle(),

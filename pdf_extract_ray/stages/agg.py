@@ -1052,3 +1052,50 @@ SELECT __mo_d.*, CAST(mad AS DOUBLE) AS grp_mad,
        abs_dev > {k!r} * CAST(mad AS DOUBLE) AS is_outlier
 FROM __mo_d JOIN __mo_s USING ({part})
 """
+
+
+def grouped_count_distinct(
+    ds: Dataset,
+    keys: Sequence[str],
+    col: str,
+    *,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """EXACT ``COUNT(DISTINCT col)`` per group — the exact twin of
+    ``sketch.grouped_approx_distinct`` for when the distinct codomain
+    per group is small enough to ship (bounded enums, user ids per
+    small key) and the answer must be a number, not an estimate.
+
+    Scale shape: every batch pre-dedups its ``(keys, col)`` pairs
+    (map-side distinct — a million repeats of one value ship once per
+    batch), then ONE bucketed shuffle of the surviving pairs and a
+    vectorized per-group ``nunique``.  The wire cost is the per-group
+    distinct codomain; when that itself is huge, use the HLL sketch.
+
+    Output: ``(*keys, n_distinct: int64)``."""
+    keys = list(keys)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b[keys + [col]].drop_duplicates(ignore_index=True)
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.drop_duplicates(keys + [col])
+               .groupby(keys, as_index=False, dropna=False)[col]
+               .size().rename(columns={"size": "n_distinct"}))
+        out["n_distinct"] = out["n_distinct"].astype("int64")
+        return out
+
+    return bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pandas"), keys, body,
+        num_buckets=num_buckets)
+
+
+def grouped_count_distinct_oracle_sql(
+    table_sql: str,
+    keys: Sequence[str],
+    col: str,
+) -> str:
+    """DuckDB mirror of :func:`grouped_count_distinct`."""
+    part = ", ".join(keys)
+    return (f"SELECT {part}, CAST(count(DISTINCT {col}) AS BIGINT) "
+            f"AS n_distinct FROM ({table_sql}) GROUP BY {part}")

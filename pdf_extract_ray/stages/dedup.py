@@ -430,6 +430,127 @@ JOIN __jw_d db ON db.id = __jw_p.{b_col}
 """
 
 
+def refine_pairs_word_overlap(
+    pairs: Dataset,
+    docs: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> Dataset:
+    """Full word-set overlap REPORT for candidate pairs: sizes,
+    intersection, Jaccard AND both containments — the asymmetric
+    numbers Jaccard alone hides (a tweet quoted inside an article has
+    containment_a ~= 1 with tiny Jaccard; quote/subset detection needs
+    the directional ratio).  A scorer, not a filter: every pair whose
+    ids carry a document comes back, zero-overlap included.
+
+    Tokenization is the frozen corpus word rule (``[a-z0-9]+`` over
+    lowered text).  Ratios are single IEEE divisions of exact ints
+    (NULL when the denominator is 0), so the SQL mirror matches
+    exactly.  CONTRACT: pair ids must exist in ``docs`` — pairs with a
+    missing side are dropped (the oracle semijoins both sides).
+
+    Output: ``(a, b, n_a, n_b, n_common, jaccard, containment_a,
+    containment_b)``.  Scale shape: :func:`_pairs_with_texts`' two
+    bucketed cogroups; pairs are the SMALL candidate set by contract."""
+    import re
+
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    tok_re = re.compile(_PJ_TOKEN_PAT)
+    withtext = _pairs_with_texts(pairs, docs, id_col=id_col,
+                                 text_col=text_col, a_col=a_col,
+                                 b_col=b_col)
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        p = (g.drop_duplicates([a_col, b_col, "__role"])
+             .pivot_table(index=[a_col, b_col], columns="__role",
+                          values="__t", aggfunc="first")
+             .dropna(subset=[0, 1]))
+        if not len(p):
+            return pd.DataFrame({
+                a_col: pd.Series([], dtype=np.int64),
+                b_col: pd.Series([], dtype=np.int64),
+                "n_a": pd.Series([], dtype=np.int64),
+                "n_b": pd.Series([], dtype=np.int64),
+                "n_common": pd.Series([], dtype=np.int64),
+                "jaccard": pd.Series([], dtype=np.float64),
+                "containment_a": pd.Series([], dtype=np.float64),
+                "containment_b": pd.Series([], dtype=np.float64)})
+        sa = [set(tok_re.findall(x.lower())) for x in p[0]]
+        sb = [set(tok_re.findall(y.lower())) for y in p[1]]
+        na = np.fromiter((len(x) for x in sa), np.int64, len(sa))
+        nb = np.fromiter((len(y) for y in sb), np.int64, len(sb))
+        nc = np.fromiter((len(x & y) for x, y in zip(sa, sb)),
+                         np.int64, len(sa))
+        union = na + nb - nc
+        with np.errstate(invalid="ignore", divide="ignore"):
+            jac = np.where(union > 0, nc / np.maximum(union, 1), np.nan)
+            ca = np.where(na > 0, nc / np.maximum(na, 1), np.nan)
+            cb = np.where(nb > 0, nc / np.maximum(nb, 1), np.nan)
+        return pd.DataFrame({
+            a_col: p.index.get_level_values(0).to_numpy(),
+            b_col: p.index.get_level_values(1).to_numpy(),
+            "n_a": na, "n_b": nb, "n_common": nc,
+            "jaccard": jac, "containment_a": ca, "containment_b": cb,
+        })
+
+    return bucketed_group_apply(withtext, [a_col, b_col], score)
+
+
+def refine_pairs_word_overlap_oracle_sql(
+    pairs_sql: str,
+    docs_sql: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> str:
+    """DuckDB mirror of :func:`refine_pairs_word_overlap`."""
+    return f"""
+WITH __wo_p AS (
+  SELECT DISTINCT {a_col}, {b_col} FROM ({pairs_sql}) p0
+  WHERE EXISTS (SELECT 1 FROM ({docs_sql}) dx
+                WHERE dx.{id_col} = p0.{a_col})
+    AND EXISTS (SELECT 1 FROM ({docs_sql}) dy
+                WHERE dy.{id_col} = p0.{b_col})),
+__wo_tok AS (
+  SELECT {id_col} AS id,
+         unnest(list_distinct(regexp_extract_all(
+             lower(coalesce({text_col}, '')), '{_PJ_TOKEN_PAT}'))) AS tok
+  FROM ({docs_sql})),
+__wo_sz AS (SELECT id, count(*) AS n FROM __wo_tok GROUP BY id),
+__wo_i AS (
+  SELECT p.{a_col} AS a0, p.{b_col} AS b0, count(*) AS nc
+  FROM __wo_p p
+  JOIN __wo_tok ta ON ta.id = p.{a_col}
+  JOIN __wo_tok tb ON tb.id = p.{b_col} AND tb.tok = ta.tok
+  GROUP BY 1, 2)
+SELECT p.{a_col} AS {a_col}, p.{b_col} AS {b_col},
+       coalesce(sa.n, 0) AS n_a,
+       coalesce(sb.n, 0) AS n_b,
+       coalesce(i.nc, 0) AS n_common,
+       CASE WHEN coalesce(sa.n, 0) + coalesce(sb.n, 0)
+                 - coalesce(i.nc, 0) > 0
+            THEN CAST(coalesce(i.nc, 0) AS DOUBLE)
+                 / (coalesce(sa.n, 0) + coalesce(sb.n, 0)
+                    - coalesce(i.nc, 0)) END AS jaccard,
+       CASE WHEN coalesce(sa.n, 0) > 0
+            THEN CAST(coalesce(i.nc, 0) AS DOUBLE) / sa.n
+       END AS containment_a,
+       CASE WHEN coalesce(sb.n, 0) > 0
+            THEN CAST(coalesce(i.nc, 0) AS DOUBLE) / sb.n
+       END AS containment_b
+FROM __wo_p p
+LEFT JOIN __wo_sz sa ON sa.id = p.{a_col}
+LEFT JOIN __wo_sz sb ON sb.id = p.{b_col}
+LEFT JOIN __wo_i i ON i.a0 = p.{a_col} AND i.b0 = p.{b_col}
+"""
+
+
 def refine_pairs_levenshtein_oracle_sql(
     pairs_sql: str,
     docs_sql: str,

@@ -1002,3 +1002,32 @@ def test_grouped_mad_outliers_sql_parity_and_robustness(ray_session):
     # constant group: mad == 0, nothing off-median exists, nothing flags
     b = got[got["g"] == "b"]
     assert (b["grp_mad"] == 0).all() and not b["is_outlier"].any()
+
+
+def test_grouped_count_distinct_sql_parity(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.agg import (
+        grouped_count_distinct,
+        grouped_count_distinct_oracle_sql,
+    )
+
+    rng = np.random.default_rng(43)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c", "d"], 3000),
+        "v": rng.integers(0, 50, 3000).astype("int64"),
+    })
+    got = (grouped_count_distinct(
+        rd.from_pandas(df).repartition(7), ["g"], "v")
+        .to_pandas().sort_values("g").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(grouped_count_distinct_oracle_sql(
+        "SELECT * FROM t", ["g"], "v")).df()
+        .sort_values("g").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # equals the pandas exact nunique
+    exact = df.groupby("g")["v"].nunique()
+    for _, r in got.iterrows():
+        assert r["n_distinct"] == exact[r["g"]]

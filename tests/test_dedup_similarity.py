@@ -1030,3 +1030,51 @@ def test_refine_pairs_jaro_winkler_sql_parity(ray_session):
         rd.from_pandas(pd.DataFrame({"a": [0], "b": [0]})),
         rd.from_pandas(docs)).to_pandas()
     assert same["jw_sim"].iloc[0] == 1.0
+
+
+def test_refine_pairs_word_overlap_containment(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.dedup import (
+        refine_pairs_word_overlap,
+        refine_pairs_word_overlap_oracle_sql,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype="int64"),
+        "text": [
+            "the cat sat on the mat today",   # 0: superset
+            "cat mat",                        # 1: subset of 0
+            "dogs only here",                 # 2: disjoint from 0
+            "",                               # 3: empty text
+            "the cat sat on the mat today",   # 4: identical to 0
+            None,                             # 5: null text
+        ],
+    })
+    pairs = pd.DataFrame({"a": [0, 0, 0, 0, 0],
+                          "b": [1, 2, 3, 4, 5]})
+    got = (refine_pairs_word_overlap(
+        rd.from_pandas(pairs).repartition(2),
+        rd.from_pandas(docs).repartition(3))
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    # subset: containment_b == 1, jaccard < 1
+    r1 = got[got["b"] == 1].iloc[0]
+    assert r1["containment_b"] == 1.0 and r1["jaccard"] < 1.0
+    # disjoint: zero-overlap pair still reported
+    r2 = got[got["b"] == 2].iloc[0]
+    assert r2["n_common"] == 0 and r2["jaccard"] == 0.0
+    # empty/null side: NULL ratios, pair kept
+    for bid in (3, 5):
+        r = got[got["b"] == bid].iloc[0]
+        assert r["n_b"] == 0 and pd.isna(r["containment_b"])
+    # identical: everything 1
+    r4 = got[got["b"] == 4].iloc[0]
+    assert r4["jaccard"] == 1.0 == r4["containment_a"]
+    con = duckdb.connect()
+    con.register("d", docs)
+    con.register("p", pairs)
+    want = (con.sql(refine_pairs_word_overlap_oracle_sql(
+        "SELECT a, b FROM p", "SELECT doc_id, text FROM d")).df()
+        .sort_values(["a", "b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
