@@ -1517,6 +1517,90 @@ def q_ngram_jaccard_dup(sf_dir: str):
                                max_df=100)
 
 
+def q_rising_event_types(sf_dir: str):
+    # window-over-window trend: per (hour, type) counts -> grouped LAG
+    # over hours within each type -> integer delta + guarded ratio.
+    # The "what is spiking right now" report; counts shuffle once into
+    # the rollup, then only (type, hour, n) rows move through the lag.
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+    from pdf_extract_ray.stages.windows import grouped_lag
+
+    ds = _t(sf_dir, "events", columns=["ts", "event_type"])
+
+    def add_window(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hour": b["ts"].dt.floor("h").to_numpy(),
+            "event_type": b["event_type"].to_numpy(),
+        })
+
+    counts = grouped_aggregate(
+        ds.map_batches(add_window, batch_format="pandas"),
+        ["hour", "event_type"], {"n": ("event_type", "count")})
+    lagged = grouped_lag(counts, ["event_type"], ["hour"], "n",
+                         out_col="prev_n")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(np.float64)
+        p = b["prev_n"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ratio = np.where(p > 0, n / p, np.nan)
+        out = b.copy()
+        # float64 (NaN for the first window) — the dtype DuckDB's
+        # nullable BIGINT lands on via .df(), so the compare is direct
+        out["delta"] = n - p
+        out["ratio"] = ratio
+        return out
+
+    return lagged.map_batches(finish, batch_format="pandas")
+
+
+def q_burstiness_events(sf_dir: str):
+    # burstiness (Fano factor = var/mean of per-window counts) per
+    # user: the retry-storm / crawler-trap cue — a Poisson-ish steady
+    # stream has Fano ~1, a bursty one >> 1.  Two tiny grouped
+    # aggregates over (user, hour) count rows; the final number is
+    # (n*ssq - s*s)/(n*s) — exact int64 moments, ONE IEEE division,
+    # bit-identical to the SQL mirror.
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    ds = _t(sf_dir, "events", columns=["ts", "user_id"])
+
+    def add_window(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hour": b["ts"].dt.floor("h").to_numpy(),
+            "user_id": b["user_id"].to_numpy(),
+        })
+
+    counts = grouped_aggregate(
+        ds.map_batches(add_window, batch_format="pandas"),
+        ["hour", "user_id"], {"c": ("user_id", "count")})
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["c"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(),
+            "n": np.ones(len(b), np.int64),
+            "s": c, "ssq": c * c,
+        })
+
+    agg = grouped_aggregate(
+        counts.map_batches(moments, batch_format="pandas"), ["user_id"],
+        {"n": ("n", "sum"), "s": ("s", "sum"), "ssq": ("ssq", "sum")})
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(np.int64)
+        s = b["s"].to_numpy(np.int64)
+        ssq = b["ssq"].to_numpy(np.int64)
+        fano = (n * ssq - s * s).astype(np.float64) \
+            / (n * s).astype(np.float64)
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(),
+            "n_windows": n, "n_events": s, "fano": fano,
+        })
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 def q_word_overlap_pairs(sf_dir: str):
     # directional word-overlap report (dedup.refine_pairs_word_overlap):
     # Jaccard AND both containments — the quote/subset detector Jaccard
@@ -3932,6 +4016,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dup": q_image_near_dup,
         "winnow_near_dup": q_winnow_near_dup,
         "ngram_jaccard_dup": q_ngram_jaccard_dup,
+        "rising_event_types": q_rising_event_types,
+        "burstiness_events": q_burstiness_events,
         "word_overlap_pairs": q_word_overlap_pairs,
         "distinct_users_exact": q_distinct_users_exact,
         "interarrival_stats_events": q_interarrival_stats_events,
@@ -4998,6 +5084,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.event_id, e.ts, e.user_id, r.o_orderkey, r.o_totalprice "
             "FROM events e ASOF LEFT JOIN r "
             "  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate"
+        ),
+        "rising_event_types": (
+            "WITH c AS (SELECT date_trunc('hour', ts) AS hour, "
+            "  event_type, CAST(count(*) AS BIGINT) AS n "
+            "  FROM events GROUP BY 1, 2), "
+            "l AS (SELECT *, lag(n) OVER (PARTITION BY event_type "
+            "  ORDER BY hour) AS prev_n FROM c) "
+            "SELECT hour, event_type, n, prev_n, "
+            "  n - prev_n AS delta, "
+            "  CASE WHEN prev_n > 0 "
+            "       THEN CAST(n AS DOUBLE) / prev_n END AS ratio FROM l"
+        ),
+        "burstiness_events": (
+            # exact int64 moments over per-(hour,user) counts; the Fano
+            # factor is ONE double division on both sides
+            "WITH c AS (SELECT date_trunc('hour', ts) AS hour, user_id, "
+            "  CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
+            "m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, "
+            "  CAST(sum(c) AS BIGINT) AS s, "
+            "  CAST(sum(c * c) AS BIGINT) AS ssq FROM c GROUP BY user_id) "
+            "SELECT user_id, n AS n_windows, s AS n_events, "
+            "  CAST(n * ssq - s * s AS DOUBLE) / CAST(n * s AS DOUBLE) "
+            "  AS fano FROM m"
         ),
         "word_overlap_pairs": _word_overlap_oracle(),
         "distinct_users_exact": (
