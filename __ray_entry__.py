@@ -1517,6 +1517,17 @@ def q_ngram_jaccard_dup(sf_dir: str):
                                max_df=100)
 
 
+def q_vocab_filter_docs(sf_dir: str):
+    # OOV -> <unk> rewrite against the corpus's own top-12 vocabulary
+    # (textquality.vocab_filter): one counts pass, bounded vocab
+    # broadcast, one narrow rewrite — the classic fixed-vocab LM
+    # preprocessing step with its UNK-rate report.
+    from pdf_extract_ray.stages.textquality import vocab_filter
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return vocab_filter(ds, top_k=12)
+
+
 def q_rising_event_types(sf_dir: str):
     # window-over-window trend: per (hour, type) counts -> grouped LAG
     # over hours within each type -> integer delta + guarded ratio.
@@ -4016,6 +4027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dup": q_image_near_dup,
         "winnow_near_dup": q_winnow_near_dup,
         "ngram_jaccard_dup": q_ngram_jaccard_dup,
+        "vocab_filter_docs": q_vocab_filter_docs,
         "rising_event_types": q_rising_event_types,
         "burstiness_events": q_burstiness_events,
         "word_overlap_pairs": q_word_overlap_pairs,
@@ -4508,6 +4520,12 @@ def _validate_orders_oracle() -> str:
         patterns={"o_orderpriority": "[1-5]-[A-Z]+"},
         allowed={"o_orderstatus": ["O", "F", "P"]},
         unique=["o_orderkey"])
+
+
+def _vocab_filter_oracle() -> str:
+    from pdf_extract_ray.stages.textquality import vocab_filter_oracle_sql
+
+    return vocab_filter_oracle_sql(top_k=12)
 
 
 def _word_overlap_oracle() -> str:
@@ -5085,6 +5103,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e ASOF LEFT JOIN r "
             "  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate"
         ),
+        "vocab_filter_docs": _vocab_filter_oracle(),
         "rising_event_types": (
             "WITH c AS (SELECT date_trunc('hour', ts) AS hour, "
             "  event_type, CAST(count(*) AS BIGINT) AS n "

@@ -1245,3 +1245,83 @@ SELECT rank, word, n,
              / greatest((SELECT tot FROM t), 1), 6) AS cum_share
 FROM r WHERE rank <= {int(top_k)}
 """
+
+
+def vocab_filter(ds, text_col: str = "text", *, top_k: int,
+                 id_col: str = "doc_id", unk: str = "<unk>"):
+    """Replace out-of-vocabulary words with ``unk`` — the classic LM
+    preprocessing step (fixed-vocab n-gram models, UNK-rate reports,
+    vocabulary-truncation ablations).  The vocabulary is the corpus's
+    own ``top_k`` most frequent words (the :func:`token_coverage`
+    ranking: count desc, word asc), computed in the same job.
+
+    Output: ``(id_col, text_unk, n_tokens, n_unk)`` where ``text_unk``
+    is the SPACE-JOINED token stream (the frozen word rule
+    ``[a-z0-9]+`` over lowered text — original spacing/punctuation is
+    not preserved, documented).
+
+    Scale shape: one counts pass (map-side ``np.unique`` combine + ONE
+    grouped merge) -> bounded top-k vocab broadcast via ``ray.put`` ->
+    one narrow vectorized rewrite (explode + isin + join), zero
+    further shuffles."""
+    import re as _re
+
+    import ray as _ray
+
+    word_re = _re.compile(r"[a-z0-9]+")
+    top = ngram_counts(ds, 1, text_col, top_k=top_k).to_pandas()
+    top = top.sort_values(["n", "gram"], ascending=[False, True],
+                          kind="mergesort")
+    vocab_ref = _ray.put(frozenset(top["gram"].tolist()))
+
+    def rewrite(b: pd.DataFrame) -> pd.DataFrame:
+        vocab = _ray.get(vocab_ref)
+        toks = b[text_col].fillna("").str.lower().str.findall(word_re)
+        lens = toks.str.len().to_numpy(np.int64)
+        flat = pd.Series([w for lst in toks for w in lst], dtype=object)
+        keep = flat.isin(vocab).to_numpy() if len(flat) else \
+            np.array([], dtype=bool)
+        out_flat = np.where(keep, flat.to_numpy(), unk) if len(flat) \
+            else np.array([], dtype=object)
+        texts, n_unk = [], []
+        pos = 0
+        for ln in lens:
+            texts.append(" ".join(out_flat[pos:pos + ln]))
+            n_unk.append(int((~keep[pos:pos + ln]).sum()))
+            pos += ln
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            "text_unk": texts,
+            "n_tokens": lens,
+            "n_unk": pd.Series(n_unk, dtype="int64"),
+        })
+
+    return ds.map_batches(rewrite, batch_format="pandas")
+
+
+def vocab_filter_oracle_sql(table: str = "documents",
+                            text_expr: str = "text",
+                            *, top_k: int, id_col: str = "doc_id",
+                            unk: str = "<unk>") -> str:
+    """DuckDB mirror of :func:`vocab_filter` — the same counts CTE and
+    top-k ranking, vocabulary applied via a joined list value."""
+    return f"""
+WITH __vf_w AS (SELECT unnest(regexp_extract_all(lower(coalesce(
+                {text_expr}, '')), '[a-z0-9]+')) AS word FROM {table}),
+__vf_c AS (SELECT word, count(*) AS n FROM __vf_w GROUP BY word),
+__vf_v AS (SELECT list(word ORDER BY n DESC, word) AS vl FROM (
+             SELECT word, n FROM __vf_c
+             ORDER BY n DESC, word LIMIT {int(top_k)})),
+__vf_d AS (SELECT {id_col},
+                  regexp_extract_all(lower(coalesce({text_expr}, '')),
+                                     '[a-z0-9]+') AS arr
+           FROM {table})
+SELECT {id_col},
+       coalesce(array_to_string(list_transform(arr,
+         w -> CASE WHEN list_contains(vl, w) THEN w
+                   ELSE '{unk}' END), ' '), '') AS text_unk,
+       CAST(len(arr) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(arr,
+         w -> NOT list_contains(vl, w))) AS BIGINT) AS n_unk
+FROM __vf_d, __vf_v
+"""

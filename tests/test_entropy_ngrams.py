@@ -213,3 +213,39 @@ def test_ngram_counts_and_sql_parity(ray_session):
     got5 = (ngram_counts(rd.from_pandas(df), 2)
             .to_pandas())
     assert not got5["gram"].str.match(r"tail\d+ please").any()
+
+
+def test_vocab_filter_sql_parity_and_unk_rule(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.textquality import (
+        vocab_filter,
+        vocab_filter_oracle_sql,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype="int64"),
+        "text": [
+            "aa aa aa bb bb cc",    # aa, bb frequent
+            "aa bb rare1",
+            "aa bb rare2 rare2",
+            "",                     # empty
+            None,                   # null
+            "AA Bb cc",             # case folds into the same vocab
+        ],
+    })
+    got = (vocab_filter(rd.from_pandas(docs).repartition(3), top_k=3)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # vocab = 3 most frequent: aa(5) bb(4) cc(2)... rare2 has 2 too ->
+    # tie broken by word asc: cc < rare2
+    assert got.loc[1, "text_unk"] == "aa bb <unk>"
+    assert got.loc[2, "text_unk"] == "aa bb <unk> <unk>"
+    assert got.loc[2, "n_unk"] == 2
+    assert got.loc[3, "text_unk"] == "" and got.loc[3, "n_tokens"] == 0
+    assert got.loc[5, "text_unk"] == "aa bb cc"
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = (con.sql(vocab_filter_oracle_sql(top_k=3)).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
