@@ -1517,6 +1517,18 @@ def q_ngram_jaccard_dup(sf_dir: str):
                                max_df=100)
 
 
+def q_pct_rank_docs_by_lang(sf_dir: str):
+    # per-group percentile calibration (agg.grouped_percent_rank):
+    # every document's length percentile WITHIN its own language —
+    # the per-language twin of the global score_percentile_docs.
+    # Frozen DuckDB window semantics (min-rank ties, (r-1)/(n-1),
+    # singleton 0.0); exact-int operands -> bit parity.
+    from pdf_extract_ray.stages.agg import grouped_percent_rank
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return grouped_percent_rank(ds, ["lang"], "n_chars")
+
+
 def q_vocab_filter_docs(sf_dir: str):
     # OOV -> <unk> rewrite against the corpus's own top-12 vocabulary
     # (textquality.vocab_filter): one counts pass, bounded vocab
@@ -4027,6 +4039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dup": q_image_near_dup,
         "winnow_near_dup": q_winnow_near_dup,
         "ngram_jaccard_dup": q_ngram_jaccard_dup,
+        "pct_rank_docs_by_lang": q_pct_rank_docs_by_lang,
         "vocab_filter_docs": q_vocab_filter_docs,
         "rising_event_types": q_rising_event_types,
         "burstiness_events": q_burstiness_events,
@@ -5102,6 +5115,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.event_id, e.ts, e.user_id, r.o_orderkey, r.o_totalprice "
             "FROM events e ASOF LEFT JOIN r "
             "  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate"
+        ),
+        "pct_rank_docs_by_lang": (
+            "SELECT doc_id, lang, n_chars, "
+            "percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) "
+            "AS pct_rank FROM documents"
         ),
         "vocab_filter_docs": _vocab_filter_oracle(),
         "rising_event_types": (

@@ -1099,3 +1099,51 @@ def grouped_count_distinct_oracle_sql(
     part = ", ".join(keys)
     return (f"SELECT {part}, CAST(count(DISTINCT {col}) AS BIGINT) "
             f"AS n_distinct FROM ({table_sql}) GROUP BY {part}")
+
+
+def grouped_percent_rank(
+    ds: Dataset,
+    keys: Sequence[str],
+    val_col: str,
+    *,
+    out_col: str = "pct_rank",
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Per-group ``percent_rank()`` — corpus-relative score calibration
+    WITHIN each group (per-language quality percentiles: a 0.9 means
+    "better than 90% of its own language", where the global percentile
+    would just rank languages against each other).
+
+    Frozen to DuckDB's window semantics (probed): ties take the
+    minimum rank, ``pct = (rank - 1) / (n - 1)``, single-row groups
+    get 0.0.  The two operands are exact ints, so the one IEEE
+    division is bit-identical to the SQL mirror.
+
+    Scale shape: ONE bucketed shuffle of the projected rows, a
+    vectorized per-group rank per bucket.  Project ``ds`` to
+    ``keys + [val_col] + carried ids`` first — every projected column
+    rides the shuffle."""
+    keys = list(keys)
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby(keys, sort=False, dropna=False)
+        r = grp[val_col].rank(method="min").to_numpy(np.float64)
+        n = grp[val_col].transform("size").to_numpy(np.float64)
+        out = g.copy()
+        out[out_col] = np.where(n > 1, (r - 1) / np.maximum(n - 1, 1), 0.0)
+        return out
+
+    return bucketed_group_apply(ds, keys, body, num_buckets=num_buckets)
+
+
+def grouped_percent_rank_oracle_sql(
+    table_sql: str,
+    keys: Sequence[str],
+    val_col: str,
+    *,
+    out_col: str = "pct_rank",
+) -> str:
+    """DuckDB mirror of :func:`grouped_percent_rank`."""
+    part = ", ".join(keys)
+    return (f"SELECT *, percent_rank() OVER (PARTITION BY {part} "
+            f"ORDER BY {val_col}) AS {out_col} FROM ({table_sql})")

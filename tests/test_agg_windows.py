@@ -1031,3 +1031,36 @@ def test_grouped_count_distinct_sql_parity(ray_session):
     exact = df.groupby("g")["v"].nunique()
     for _, r in got.iterrows():
         assert r["n_distinct"] == exact[r["g"]]
+
+
+def test_grouped_percent_rank_sql_parity(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.agg import (
+        grouped_percent_rank,
+        grouped_percent_rank_oracle_sql,
+    )
+
+    rng = np.random.default_rng(61)
+    df = pd.DataFrame({
+        "g": list(rng.choice(["a", "b"], 299)) + ["solo"],
+        "v": rng.integers(0, 40, 300).astype("int64"),  # heavy ties
+        "i": np.arange(300, dtype="int64"),
+    })
+    got = (grouped_percent_rank(
+        rd.from_pandas(df).repartition(6), ["g"], "v")
+        .to_pandas().sort_values("i").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(grouped_percent_rank_oracle_sql(
+        "SELECT * FROM t", ["g"], "v")).df()
+        .sort_values("i").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["g", "v", "i", "pct_rank"]],
+        want[["g", "v", "i", "pct_rank"]], check_dtype=False)
+    # bit parity, not approximate
+    assert (got["pct_rank"].to_numpy()
+            == want["pct_rank"].to_numpy()).all()
+    # singleton group pins to 0.0
+    assert got.loc[got["g"] == "solo", "pct_rank"].iloc[0] == 0.0
