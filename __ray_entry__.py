@@ -1517,6 +1517,56 @@ def q_ngram_jaccard_dup(sf_dir: str):
                                max_df=100)
 
 
+def q_semi_join_docs(sf_dir: str):
+    # big-big SEMI join (dedup.semi_join_reference): keep documents
+    # whose lang appears in a reference slice — ids+keys-only cogroup,
+    # no broadcast of the reference (it can be another 100 TB corpus).
+    # Derive reference = docs with doc_id % 7 == 0 (their langs).
+    from pdf_extract_ray.stages.dedup import semi_join_reference
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+
+    def corpus(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                             "key": (b["lang"].fillna("")
+                                     + "|" + b["source"].fillna(""))})
+
+    def ref(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["doc_id"] % 7 == 0
+        return pd.DataFrame({
+            "doc_id": b.loc[m, "doc_id"].to_numpy(),
+            "key": (b.loc[m, "lang"].fillna("")
+                    + "|" + b.loc[m, "source"].fillna("")),
+        })
+
+    return semi_join_reference(
+        ds.map_batches(corpus, batch_format="pandas"),
+        ds.map_batches(ref, batch_format="pandas"), "key")
+
+
+def q_impute_median_events(sf_dir: str):
+    # group-median NULL imputation (agg.impute_by_group_median):
+    # per-event-type median fills a derived sometimes-NULL value —
+    # one exact quantile pass + broadcast fill, bodies never shuffle.
+    # Floored-int values keep quantile_disc parity exact.
+    from pdf_extract_ray.stages.agg import impute_by_group_median
+
+    ds = _t(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.floor(b["value"].to_numpy(np.float64))
+        v = np.where(b["event_id"].to_numpy() % 5 == 0, np.nan, v)
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(),
+            "event_type": b["event_type"].to_numpy(),
+            "v": v,
+        })
+
+    return impute_by_group_median(
+        ds.map_batches(derive, batch_format="pandas"),
+        ["event_type"], "v")
+
+
 def q_pct_rank_docs_by_lang(sf_dir: str):
     # per-group percentile calibration (agg.grouped_percent_rank):
     # every document's length percentile WITHIN its own language —
@@ -4039,6 +4089,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dup": q_image_near_dup,
         "winnow_near_dup": q_winnow_near_dup,
         "ngram_jaccard_dup": q_ngram_jaccard_dup,
+        "semi_join_docs": q_semi_join_docs,
+        "impute_median_events": q_impute_median_events,
         "pct_rank_docs_by_lang": q_pct_rank_docs_by_lang,
         "vocab_filter_docs": q_vocab_filter_docs,
         "rising_event_types": q_rising_event_types,
@@ -4533,6 +4585,26 @@ def _validate_orders_oracle() -> str:
         patterns={"o_orderpriority": "[1-5]-[A-Z]+"},
         allowed={"o_orderstatus": ["O", "F", "P"]},
         unique=["o_orderkey"])
+
+
+def _semi_join_oracle() -> str:
+    from pdf_extract_ray.stages.dedup import semi_join_reference_oracle_sql
+
+    corpus = ("SELECT doc_id, coalesce(lang, '') || '|' || "
+              "coalesce(source, '') AS key FROM documents")
+    ref = corpus + " WHERE doc_id % 7 = 0"
+    return semi_join_reference_oracle_sql(corpus, ref, "key")
+
+
+def _impute_median_oracle() -> str:
+    from pdf_extract_ray.stages.agg import impute_by_group_median_oracle_sql
+
+    derive = (
+        "SELECT event_id, event_type, "
+        "CASE WHEN event_id % 5 = 0 THEN NULL "
+        "ELSE floor(value) END AS v FROM events"
+    )
+    return impute_by_group_median_oracle_sql(derive, ["event_type"], "v")
 
 
 def _vocab_filter_oracle() -> str:
@@ -5116,6 +5188,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e ASOF LEFT JOIN r "
             "  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate"
         ),
+        "semi_join_docs": _semi_join_oracle(),
+        "impute_median_events": _impute_median_oracle(),
         "pct_rank_docs_by_lang": (
             "SELECT doc_id, lang, n_chars, "
             "percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) "

@@ -1147,3 +1147,75 @@ def grouped_percent_rank_oracle_sql(
     part = ", ".join(keys)
     return (f"SELECT *, percent_rank() OVER (PARTITION BY {part} "
             f"ORDER BY {val_col}) AS {out_col} FROM ({table_sql})")
+
+
+def impute_by_group_median(
+    ds: Dataset,
+    keys: Sequence[str],
+    col: str,
+    *,
+    out_col: str | None = None,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Fill NULLs in ``col`` with the GROUP's median — the standard
+    robust imputation for feature columns before scoring/training
+    (a host's missing text-density gets its host's typical value, not
+    the corpus's).  The median is :func:`grouped_quantile_disc`'s
+    exact discrete quantile over the NON-NULL values (DuckDB's
+    ``quantile_disc`` ignores NULLs, probed); a group that is entirely
+    NULL stays NULL (no global fallback — explicit is better).
+
+    Scale shape: one distinct-count quantile pass (raw rows never
+    move) -> bounded per-group table broadcast via ``ray.put`` -> one
+    narrow fill map; bodies never shuffle.
+
+    Output: every input column, with ``out_col`` (default: ``col``
+    filled in place) plus ``was_imputed``."""
+    import ray as _ray
+
+    keys = list(keys)
+    out_col = out_col or col
+
+    def non_null(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b[col].notna(), keys + [col]]
+
+    med = grouped_quantile_disc(
+        ds.map_batches(non_null, batch_format="pandas"), keys, col, 0.5,
+        out_col="__med", num_buckets=num_buckets).to_pandas()
+    med_map = {tuple(r[k] for k in keys): r["__med"]
+               for _, r in med.iterrows()}
+    med_ref = _ray.put(med_map)
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        mm = _ray.get(med_ref)
+        kv = list(zip(*(b[k] for k in keys)))
+        gm = pd.Series([mm.get(t) for t in kv], index=b.index)
+        miss = b[col].isna()
+        out = b.copy()
+        out[out_col] = b[col].where(~miss, gm)
+        out["was_imputed"] = (miss & gm.notna()).to_numpy()
+        return out
+
+    return ds.map_batches(fill, batch_format="pandas")
+
+
+def impute_by_group_median_oracle_sql(
+    table_sql: str,
+    keys: Sequence[str],
+    col: str,
+    *,
+    out_col: str | None = None,
+) -> str:
+    """DuckDB mirror of :func:`impute_by_group_median`."""
+    part = ", ".join(keys)
+    out_col = out_col or col
+    excl = f" EXCLUDE ({col})" if out_col == col else ""
+    return f"""
+WITH __im_t AS ({table_sql}),
+__im_m AS (SELECT {part}, quantile_disc({col}, 0.5) AS med
+           FROM __im_t WHERE {col} IS NOT NULL GROUP BY {part})
+SELECT __im_t.*{excl},
+       coalesce({col}, med) AS {out_col},
+       ({col} IS NULL AND med IS NOT NULL) AS was_imputed
+FROM __im_t LEFT JOIN __im_m USING ({part})
+"""

@@ -156,6 +156,59 @@ def dedup_against_reference(ds: Dataset, ref: Dataset, key_col: str,
     return bucketed_group_apply(tagged, [key_col], rule)
 
 
+def semi_join_reference(ds: Dataset, ref: Dataset, key_col: str,
+                        *, id_col: str = "doc_id") -> Dataset:
+    """SEMI join against a reference corpus: keep every ``ds`` row whose
+    ``key_col`` appears anywhere in ``ref`` — the mirror image of
+    :func:`dedup_against_reference` (anti), for "restrict this crawl to
+    urls we have labels for" / "keep only pages whose host passed the
+    curation list" when the reference is itself too big to broadcast.
+
+    Same scale shape as the anti op: both sides reduce to narrow
+    ``(id, key)`` rows (reference pre-deduped per batch), ONE bucketed
+    cogroup, vectorized in-bucket ``isin``; returns the surviving
+    ``(id_col, key_col)`` rows of ``ds``."""
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    def corpus_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            key_col: b[key_col].to_numpy(),
+            "__ref": np.int8(0),
+        })
+
+    def ref_rows(b: pd.DataFrame) -> pd.DataFrame:
+        k = b[[id_col, key_col]].drop_duplicates(subset=[key_col])
+        return pd.DataFrame({
+            id_col: k[id_col].to_numpy(),
+            key_col: k[key_col].to_numpy(),
+            "__ref": np.int8(1),
+        })
+
+    tagged = ds.map_batches(corpus_rows, batch_format="pandas").union(
+        ref.map_batches(ref_rows, batch_format="pandas"))
+
+    def rule(bucket: pd.DataFrame) -> pd.DataFrame:
+        is_ref = bucket["__ref"].to_numpy() == 1
+        good = bucket.loc[is_ref, key_col].unique()
+        keep = (~is_ref) & bucket[key_col].isin(good).to_numpy()
+        return bucket.loc[keep, [id_col, key_col]]
+
+    return bucketed_group_apply(tagged, [key_col], rule)
+
+
+def semi_join_reference_oracle_sql(corpus_sql: str, ref_sql: str,
+                                   key_col: str,
+                                   id_col: str = "doc_id") -> str:
+    """DuckDB semi-join mirror of :func:`semi_join_reference`."""
+    return f"""
+SELECT c.{id_col}, c.{key_col}
+FROM ({corpus_sql}) c
+WHERE EXISTS (SELECT 1 FROM ({ref_sql}) r
+              WHERE r.{key_col} = c.{key_col})
+"""
+
+
 def levenshtein(a: str, b: str) -> int:
     """Unweighted edit distance over UTF-8 BYTES (insert/delete/
     substitute cost 1) — exactly DuckDB's ``levenshtein()``, which is

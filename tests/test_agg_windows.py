@@ -1064,3 +1064,38 @@ def test_grouped_percent_rank_sql_parity(ray_session):
             == want["pct_rank"].to_numpy()).all()
     # singleton group pins to 0.0
     assert got.loc[got["g"] == "solo", "pct_rank"].iloc[0] == 0.0
+
+
+def test_impute_by_group_median_sql_parity(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.agg import (
+        impute_by_group_median,
+        impute_by_group_median_oracle_sql,
+    )
+
+    df = pd.DataFrame({
+        "g": ["a"] * 6 + ["b"] * 3 + ["allnull"] * 2,
+        "v": [1.0, None, 3.0, 9.0, None, 5.0,
+              10.0, None, 20.0, None, None],
+        "i": np.arange(11, dtype="int64"),
+    })
+    got = (impute_by_group_median(
+        rd.from_pandas(df).repartition(4), ["g"], "v")
+        .to_pandas().sort_values("i").reset_index(drop=True))
+    # group a: non-null sorted [1,3,5,9] -> quantile_disc(0.5) = ceil(2)=2nd = 3
+    assert got.loc[1, "v"] == 3.0 and got.loc[1, "was_imputed"]
+    assert got.loc[4, "v"] == 3.0
+    # group b: [10,20] -> lower median 10
+    assert got.loc[7, "v"] == 10.0
+    # all-null group: stays NULL, not imputed
+    assert pd.isna(got.loc[9, "v"]) and not got.loc[9, "was_imputed"]
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(impute_by_group_median_oracle_sql(
+        "SELECT * FROM t", ["g"], "v")).df()
+        .sort_values("i").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["g", "i", "v", "was_imputed"]],
+        want[["g", "i", "v", "was_imputed"]], check_dtype=False)

@@ -1078,3 +1078,37 @@ def test_refine_pairs_word_overlap_containment(ray_session):
         "SELECT a, b FROM p", "SELECT doc_id, text FROM d")).df()
         .sort_values(["a", "b"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_semi_join_reference_parity(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.dedup import (
+        dedup_against_reference,
+        semi_join_reference,
+        semi_join_reference_oracle_sql,
+    )
+
+    rng = np.random.default_rng(3)
+    corpus = pd.DataFrame({"doc_id": np.arange(200, dtype="int64"),
+                           "key": rng.integers(0, 40, 200).astype("int64")})
+    ref = pd.DataFrame({"doc_id": np.arange(50, dtype="int64"),
+                        "key": rng.integers(20, 60, 50).astype("int64")})
+    semi = (semi_join_reference(
+        rd.from_pandas(corpus).repartition(4),
+        rd.from_pandas(ref).repartition(2), "key")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("c", corpus)
+    con.register("r", ref)
+    want = (con.sql(semi_join_reference_oracle_sql(
+        "SELECT * FROM c", "SELECT * FROM r", "key")).df()
+        .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(semi, want, check_dtype=False)
+    # semi + anti partition the corpus exactly
+    anti = dedup_against_reference(
+        rd.from_pandas(corpus).repartition(4),
+        rd.from_pandas(ref).repartition(2), "key").to_pandas()
+    assert len(semi) + len(anti) == len(corpus)
+    assert not set(semi["doc_id"]) & set(anti["doc_id"])
