@@ -204,7 +204,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "markdown_docs", "token_coverage_docs",
                      "grouped_distinct_users", "embedding_centroids",
                      "length_hist_by_lang", "mad_outlier_events",
-                     "neighbor_jw_docs"):
+                     "neighbor_jw_docs", "word_overlap_pairs",
+                     "distinct_users_exact", "interarrival_stats_events",
+                     "rising_event_types", "burstiness_events",
+                     "vocab_filter_docs", "pct_rank_docs_by_lang",
+                     "semi_join_docs", "impute_median_events"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise
