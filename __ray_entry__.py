@@ -1517,6 +1517,26 @@ def q_ngram_jaccard_dup(sf_dir: str):
                                max_df=100)
 
 
+def q_click_depth_docs(sf_dir: str):
+    # multi-source BFS depth (graph.bfs_depth): click-depth from seed
+    # pages over a directed link graph — per round ONE frontier x edges
+    # cogroup + ONE anti-cogroup against the visited set (no broadcast,
+    # both sets stay distributed); rounds bounded by max_depth, the
+    # driver sees only the frontier-count scalar.  Oracle = DuckDB
+    # recursive CTE (UNION-deduped) + min(depth).
+    from pdf_extract_ray.stages.graph import bfs_depth
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy()
+        d = d[d < 200]
+        return pd.DataFrame({"src": d % 40, "dst": (d * 3 + 1) % 40})
+
+    return bfs_depth(ds.map_batches(derive, batch_format="pandas"),
+                     [0], max_depth=4, visited_mode="broadcast")
+
+
 def q_semi_join_docs(sf_dir: str):
     # big-big SEMI join (dedup.semi_join_reference): keep documents
     # whose lang appears in a reference slice — ids+keys-only cogroup,
@@ -4089,6 +4109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dup": q_image_near_dup,
         "winnow_near_dup": q_winnow_near_dup,
         "ngram_jaccard_dup": q_ngram_jaccard_dup,
+        "click_depth_docs": q_click_depth_docs,
         "semi_join_docs": q_semi_join_docs,
         "impute_median_events": q_impute_median_events,
         "pct_rank_docs_by_lang": q_pct_rank_docs_by_lang,
@@ -4585,6 +4606,14 @@ def _validate_orders_oracle() -> str:
         patterns={"o_orderpriority": "[1-5]-[A-Z]+"},
         allowed={"o_orderstatus": ["O", "F", "P"]},
         unique=["o_orderkey"])
+
+
+def _click_depth_oracle() -> str:
+    from pdf_extract_ray.stages.graph import bfs_depth_oracle_sql
+
+    edges = ("SELECT doc_id % 40 AS src, (doc_id * 3 + 1) % 40 AS dst "
+             "FROM documents WHERE doc_id < 200")
+    return bfs_depth_oracle_sql(edges, [0], max_depth=4)
 
 
 def _semi_join_oracle() -> str:
@@ -5188,6 +5217,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e ASOF LEFT JOIN r "
             "  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate"
         ),
+        "click_depth_docs": _click_depth_oracle(),
         "semi_join_docs": _semi_join_oracle(),
         "impute_median_events": _impute_median_oracle(),
         "pct_rank_docs_by_lang": (

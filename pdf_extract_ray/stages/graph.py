@@ -346,3 +346,157 @@ def dedup_by_components(
         drop, join_type="left_anti", num_partitions=num_partitions,
         on=(id_col,), right_on=("node",),
     )
+
+
+def bfs_depth(
+    edges: Dataset,
+    seeds,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_depth: int,
+    num_buckets: int | None = None,
+    visited_mode: str = "cogroup",
+) -> Dataset:
+    """Multi-source BFS depth over a directed edge table — the
+    click-depth metric (how many links from a seed set reach each
+    page; crawl frontiers prioritize shallow pages, quality priors
+    downweight deep ones).  Returns ``(node, depth)`` for every node
+    reachable within ``max_depth`` hops, ``depth`` = the MINIMUM hop
+    count (seeds are depth 0).
+
+    Scale shape: the frontier and visited sets are narrow int Datasets;
+    each round is (a) one bucketed cogroup of frontier x edges on the
+    source (emitting next-hop candidates, per-bucket deduped) and
+    (b) the visited subtraction — ``visited_mode="cogroup"`` (default)
+    is an anti-cogroup (the ``dedup_against_reference`` shape — no
+    broadcast, the visited set can be web-scale);
+    ``visited_mode="broadcast"`` keeps the visited ids in a
+    ``ray.put`` set instead, saving one all-to-all per round — correct
+    whenever the REACHABLE set (not the graph) fits driver memory,
+    which covers most seed-rooted crawls.  Results are identical.
+    Rounds are bounded by ``max_depth``; the loop early-stops on an
+    empty frontier, the one driver-side scalar per round.
+
+    ``seeds`` is a small list of node ids (the BFS roots)."""
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    seeds = sorted(set(int(s) for s in seeds))
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    if max_depth < 0:
+        raise ValueError("max_depth must be >= 0")
+    if visited_mode not in ("cogroup", "broadcast"):
+        raise ValueError("visited_mode must be 'cogroup' or 'broadcast'")
+    import ray as _ray
+    import ray.data as rd
+
+    # materialize the narrow edge projection ONCE: the loop re-consumes
+    # it every round, and a lazy dataset would re-run the upstream read
+    # + derive per round (per-round re-scan of the full edge table — a
+    # scale killer; the pinned copy is two int64 columns)
+    narrow = edges.map_batches(
+        lambda b: pd.DataFrame({
+            "src": b[src_col].to_numpy(np.int64),
+            "dst": b[dst_col].to_numpy(np.int64)}),
+        batch_format="pandas").materialize()
+
+    seed_df = pd.DataFrame({"node": np.array(seeds, np.int64),
+                            "depth": np.int64(0)})
+    out = rd.from_pandas(seed_df)
+    frontier = rd.from_pandas(seed_df[["node"]])
+    visited = rd.from_pandas(seed_df[["node"]])
+    seen_arr = np.array(seeds, np.int64)  # broadcast mode only
+
+    for d in range(1, max_depth + 1):
+        # (a) frontier -> next-hop candidates: union-tag + one cogroup
+        # on the source node; candidates deduped per bucket
+        f_rows = frontier.map_batches(
+            lambda b: pd.DataFrame({"k": b["node"].to_numpy(np.int64),
+                                    "dst": np.int64(-1),
+                                    "side": np.int8(0)}),
+            batch_format="pandas")
+        e_rows = narrow.map_batches(
+            lambda b: pd.DataFrame({"k": b["src"].to_numpy(np.int64),
+                                    "dst": b["dst"].to_numpy(np.int64),
+                                    "side": np.int8(1)}),
+            batch_format="pandas")
+
+        def expand(g: pd.DataFrame) -> pd.DataFrame:
+            live = g.loc[g["side"] == 0, "k"].unique()
+            hit = g.loc[(g["side"] == 1)
+                        & g["k"].isin(live).to_numpy(), "dst"]
+            return pd.DataFrame({"node": hit.unique().astype(np.int64)})
+
+        cands = bucketed_group_apply(f_rows.union(e_rows), ["k"],
+                                     expand, num_buckets=num_buckets)
+
+        # (b) subtract visited
+        if visited_mode == "broadcast":
+            # the mode's contract: the REACHABLE set fits driver
+            # memory, so the per-round frontier (a subset) may be
+            # pulled — no anti-shuffle, no per-round materialize
+            cand_nodes = np.unique(
+                cands.to_pandas()["node"].to_numpy(np.int64))
+            new_nodes = cand_nodes[~np.isin(cand_nodes, seen_arr)]
+            if not len(new_nodes):
+                break
+            seen_arr = np.union1d(seen_arr, new_nodes)
+            nxt = rd.from_pandas(pd.DataFrame({"node": new_nodes}))
+        else:
+            c_rows = cands.map_batches(
+                lambda b: pd.DataFrame({
+                    "node": b["node"].to_numpy(np.int64),
+                    "side": np.int8(0)}),
+                batch_format="pandas")
+            v_rows = visited.map_batches(
+                lambda b: pd.DataFrame({
+                    "node": b["node"].to_numpy(np.int64),
+                    "side": np.int8(1)}),
+                batch_format="pandas")
+
+            def fresh(g: pd.DataFrame) -> pd.DataFrame:
+                seen = g.loc[g["side"] == 1, "node"].unique()
+                new = g.loc[(g["side"] == 0)
+                            & ~g["node"].isin(seen).to_numpy(), "node"]
+                return pd.DataFrame(
+                    {"node": new.unique().astype(np.int64)})
+
+            nxt = bucketed_group_apply(c_rows.union(v_rows), ["node"],
+                                       fresh, num_buckets=num_buckets
+                                       ).materialize()
+            if nxt.count() == 0:
+                break
+            visited = visited.union(nxt).materialize()
+
+        def tag_depth(b: pd.DataFrame, _d: int = d) -> pd.DataFrame:
+            return b.assign(depth=np.int64(_d))
+
+        # depths accumulate as a union of per-round frontiers; in
+        # cogroup mode everything stays distributed and the driver only
+        # ever sees the scalar frontier count
+        out = out.union(nxt.map_batches(tag_depth, batch_format="pandas"))
+        frontier = nxt
+
+    return out
+
+
+def bfs_depth_oracle_sql(edges_sql: str, seeds, *, max_depth: int,
+                         src_col: str = "src",
+                         dst_col: str = "dst") -> str:
+    """DuckDB recursive-CTE mirror of :func:`bfs_depth` (UNION, not
+    UNION ALL — (node, depth) pairs dedup each round, bounding the
+    recursion at V x max_depth rows on cyclic graphs)."""
+    seed_rows = ", ".join(f"({int(s)})" for s in sorted(set(seeds)))
+    return f"""
+WITH RECURSIVE __bfs(node, depth) AS (
+  SELECT * FROM (VALUES {seed_rows}) s(node), (SELECT 0) d(depth)
+  UNION
+  SELECT e.{dst_col}, b.depth + 1
+  FROM __bfs b JOIN ({edges_sql}) e ON e.{src_col} = b.node
+  WHERE b.depth < {int(max_depth)}
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(min(depth) AS BIGINT) AS depth
+FROM __bfs GROUP BY node
+"""

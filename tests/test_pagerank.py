@@ -132,3 +132,58 @@ def test_hits_empty():
     out = hits_reference(pd.DataFrame({"src_host": [], "dst_host": []}))
     assert len(out) == 0 and list(out.columns) == ["node", "hub",
                                                    "authority"]
+
+
+def _bfs_reference(edges, seeds, max_depth):
+    from collections import deque
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    depth = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        n = q.popleft()
+        if depth[n] >= max_depth:
+            continue
+        for m in adj.get(n, []):
+            if m not in depth:
+                depth[m] = depth[n] + 1
+                q.append(m)
+    return depth
+
+
+def test_bfs_depth_matches_reference_and_sql(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.graph import bfs_depth, bfs_depth_oracle_sql
+
+    rng = np.random.default_rng(37)
+    e = pd.DataFrame({
+        "src": rng.integers(0, 60, 300).astype("int64"),
+        "dst": rng.integers(0, 60, 300).astype("int64"),
+    })
+    seeds = [0, 7]
+    for md in (0, 1, 3):
+        got = (bfs_depth(rd.from_pandas(e).repartition(4), seeds,
+                         max_depth=md)
+               .to_pandas().sort_values("node").reset_index(drop=True))
+        # broadcast visited mode: identical result, one less shuffle
+        got_b = (bfs_depth(rd.from_pandas(e).repartition(4), seeds,
+                           max_depth=md, visited_mode="broadcast")
+                 .to_pandas().sort_values("node").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, got_b)
+        ref = _bfs_reference(list(zip(e["src"], e["dst"])), seeds, md)
+        want = (pd.DataFrame(sorted(ref.items()),
+                             columns=["node", "depth"])
+                .astype("int64"))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        con = duckdb.connect()
+        con.register("e", e)
+        sql = bfs_depth_oracle_sql("SELECT * FROM e", seeds, max_depth=md)
+        want_sql = (con.sql(sql).df()
+                    .sort_values("node").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want_sql, check_dtype=False)
+    with pytest.raises(ValueError):
+        bfs_depth(rd.from_pandas(e), [], max_depth=2)
