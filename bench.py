@@ -208,7 +208,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "distinct_users_exact", "interarrival_stats_events",
                      "rising_event_types", "burstiness_events",
                      "vocab_filter_docs", "pct_rank_docs_by_lang",
-                     "semi_join_docs", "impute_median_events"):
+                     "semi_join_docs", "impute_median_events",
+                     "click_depth_docs"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise
