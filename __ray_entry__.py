@@ -4031,6 +4031,40 @@ def q_host_rollup(sf_dir: str):
         batch_format="pandas")
 
 
+def q_decayed_event_scores(sf_dir: str):
+    # freshness-weighted counts (experiment.decayed_group_scores): per
+    # event_type exponentially-decayed score vs the corpus max ts —
+    # INTEGER dyadic weights (1e6 >> half_lives) make the shuffled
+    # partial sums exact and order-independent; one scalar max pass +
+    # one grouped integer sum.  The crawl-recency prior.
+    from pdf_extract_ray.stages.experiment import decayed_group_scores
+
+    ds = _t(sf_dir, "events", columns=["event_type", "ts"])
+    return decayed_group_scores(ds, ["event_type"], "ts",
+                                half_life_days=1, cap_shifts=20)
+
+
+def q_welch_ab_events(sf_dir: str):
+    # grouped A/B readout (experiment.welch_ab_test): Welch's t between
+    # deterministic arms (user_id parity) per event_type — floored
+    # integer values give exact int64 moments (n, sum, sum^2) that
+    # shuffle as map-side partials; the t/df float math is ONE frozen
+    # final expression mirrored verbatim in the SQL oracle.
+    from pdf_extract_ray.stages.experiment import welch_ab_test
+
+    ds = _t(sf_dir, "events", columns=["event_type", "user_id", "value"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(),
+            "arm": (b["user_id"] % 2).to_numpy(np.int64),
+            "v": np.floor(b["value"].to_numpy(np.float64)),
+        })
+
+    return welch_ab_test(ds.map_batches(derive, batch_format="pandas"),
+                         ["event_type"], "arm", "v")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_counts": q_corpus_counts,
@@ -4112,6 +4146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_depth_docs": q_click_depth_docs,
         "semi_join_docs": q_semi_join_docs,
         "impute_median_events": q_impute_median_events,
+        "decayed_event_scores": q_decayed_event_scores,
+        "welch_ab_events": q_welch_ab_events,
         "pct_rank_docs_by_lang": q_pct_rank_docs_by_lang,
         "vocab_filter_docs": q_vocab_filter_docs,
         "rising_event_types": q_rising_event_types,
@@ -4634,6 +4670,24 @@ def _impute_median_oracle() -> str:
         "ELSE floor(value) END AS v FROM events"
     )
     return impute_by_group_median_oracle_sql(derive, ["event_type"], "v")
+
+
+def _decayed_scores_oracle() -> str:
+    from pdf_extract_ray.stages.experiment import (
+        decayed_group_scores_oracle_sql,
+    )
+
+    return decayed_group_scores_oracle_sql(
+        "SELECT event_type, ts FROM events", ["event_type"], "ts",
+        half_life_days=1, cap_shifts=20)
+
+
+def _welch_ab_oracle() -> str:
+    from pdf_extract_ray.stages.experiment import welch_ab_test_oracle_sql
+
+    return welch_ab_test_oracle_sql(
+        "SELECT event_type, user_id, value FROM events",
+        ["event_type"], "user_id % 2", "CAST(floor(value) AS BIGINT)")
 
 
 def _vocab_filter_oracle() -> str:
@@ -5220,6 +5274,8 @@ def oracle_sql() -> dict[str, str]:
         "click_depth_docs": _click_depth_oracle(),
         "semi_join_docs": _semi_join_oracle(),
         "impute_median_events": _impute_median_oracle(),
+        "decayed_event_scores": _decayed_scores_oracle(),
+        "welch_ab_events": _welch_ab_oracle(),
         "pct_rank_docs_by_lang": (
             "SELECT doc_id, lang, n_chars, "
             "percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) "

@@ -1,0 +1,234 @@
+"""Time-decay scoring and grouped A/B testing (Welch's t) — the
+freshness-weighting and experiment-readout aggregates of a crawl/event
+pipeline.
+
+Both operators follow the repo's exact-parity discipline: every shuffled
+partial is an INTEGER (bit-shift dyadic decay weights; floored integer
+values for the t-test moments), so map-side partial sums are
+order-independent and merge exactly, and the only floating-point math is
+a final frozen expression evaluated once per output row — mirrored
+verbatim in the SQL oracle builders.
+
+Scale shape (both): narrow derive map -> :func:`grouped_aggregate`
+(map-side partials shrink the shuffle to O(groups x blocks) rows) ->
+arithmetic finish on the bounded per-group table.  Raw rows never move;
+bodies never shuffle.
+
+Reference analogue: pdf_extract's report stage computes corpus-level
+score rollups per batch (see reference main.py's summary pass); these
+are the time-aware and experiment-aware generalizations.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from ray.data import Dataset
+
+from pdf_extract_ray.stages.agg import grouped_aggregate
+
+_US_PER_DAY = 86_400_000_000  # exact int64 microseconds
+
+
+def _ts_us(s: pd.Series) -> np.ndarray:
+    """Timestamp column -> int64 microseconds (explicit unit: pandas may
+    hold ns or us depending on the parquet reader)."""
+    return s.to_numpy(dtype="datetime64[us]").astype(np.int64)
+
+
+def decayed_group_scores(
+    ds: Dataset,
+    keys: Sequence[str],
+    ts_col: str,
+    *,
+    half_life_days: int = 1,
+    cap_shifts: int = 20,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Per-key exponentially-decayed event count (freshness score).
+
+    Each row contributes ``weight_ppm = 1_000_000 >> shifts`` where
+    ``shifts = min(age // half_life, cap_shifts)`` and ``age`` is whole
+    half-lives between the row's timestamp and the corpus max timestamp.
+    The weight is a pure INTEGER (dyadic 2^-k truncated to ppm), so the
+    decayed sum is exact and order/parallelism-independent — no float
+    summation anywhere.  ``cap_shifts=20`` already truncates to 0
+    (1e6 >> 20 == 0), so the cap loses nothing and bounds the shift.
+
+    Two passes: a scalar max-timestamp reduce (narrow ts column only),
+    then derive + grouped integer sum.  Output per key: ``n_events``,
+    ``decayed_ppm`` (int64), ``decayed_score`` (the single division
+    ``decayed_ppm / 1e6``).
+    """
+    keys = list(keys)
+    hl_us = int(half_life_days) * _US_PER_DAY
+
+    def to_us(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"__us": _ts_us(b[ts_col])})
+
+    ref_us = int(ds.map_batches(to_us, batch_format="pandas").max("__us"))
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        age = ref_us - _ts_us(b[ts_col])
+        shifts = np.minimum(age // hl_us, cap_shifts).astype(np.int64)
+        out = b[keys].copy()
+        out["__w"] = np.int64(1_000_000) >> shifts
+        return out
+
+    agg = grouped_aggregate(
+        ds.map_batches(derive, batch_format="pandas"),
+        keys,
+        {"n_events": ("__w", "count"), "decayed_ppm": ("__w", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["decayed_score"] = b["decayed_ppm"].to_numpy(np.float64) / 1e6
+        return b
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def decayed_group_scores_oracle_sql(
+    table_sql: str,
+    keys: Sequence[str],
+    ts_col: str,
+    *,
+    half_life_days: int = 1,
+    cap_shifts: int = 20,
+) -> str:
+    """DuckDB mirror of :func:`decayed_group_scores` (integer-exact)."""
+    part = ", ".join(keys)
+    hl_us = int(half_life_days) * _US_PER_DAY
+    return f"""
+WITH __dk_t AS ({table_sql}),
+__dk_ref AS (SELECT max(epoch_us({ts_col})) AS r FROM __dk_t),
+__dk_w AS (SELECT {part},
+                  1000000 >> LEAST((r - epoch_us({ts_col})) // {hl_us},
+                                   {cap_shifts}) AS w
+           FROM __dk_t, __dk_ref)
+SELECT {part}, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(w) AS BIGINT) AS decayed_ppm,
+       CAST(sum(w) AS BIGINT) / 1e6 AS decayed_score
+FROM __dk_w GROUP BY {part}
+"""
+
+
+def welch_ab_test(
+    ds: Dataset,
+    keys: Sequence[str],
+    arm_col: str,
+    value_col: str,
+    *,
+    num_buckets: int | None = None,
+) -> "pd.DataFrame":
+    """Per-key Welch two-sample t statistic between arms 0 and 1.
+
+    ``value_col`` must hold INTEGER-VALUED numbers (floor upstream):
+    the shuffled moments (n, sum v, sum v^2) are then exact int64
+    partial sums, and the mean/variance/t/df math is one frozen float
+    expression per key, evaluated identically here and in
+    :func:`welch_ab_test_oracle_sql` (same operation order)::
+
+        mean  = s / n
+        var   = (ss - s * s / n) / (n - 1)     (sample variance)
+        se2   = var_a / n_a + var_b / n_b
+        t     = (mean_a - mean_b) / sqrt(se2)
+        df    = se2^2 / ((var_a/n_a)^2/(n_a-1) + (var_b/n_b)^2/(n_b-1))
+
+    Keys where either arm has < 2 rows (or zero se) get NULL t/df.
+    Returns a pandas frame: the per-(key, arm) moment table is bounded
+    by O(#groups x 2) BY CONSTRUCTION, so the pivot+finish runs on the
+    driver — raw event rows never leave their blocks.
+    """
+    keys = list(keys)
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[value_col].to_numpy(np.float64).astype(np.int64)
+        out = b[keys].copy()
+        out["__arm"] = b[arm_col].to_numpy(np.int64)
+        out["__v"] = v
+        out["__v2"] = v * v
+        return out
+
+    mom = grouped_aggregate(
+        ds.map_batches(derive, batch_format="pandas"),
+        keys + ["__arm"],
+        {"n": ("__v", "count"), "s": ("__v", "sum"),
+         "ss": ("__v2", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+
+    wide = mom.pivot_table(index=keys, columns="__arm",
+                           values=["n", "s", "ss"], aggfunc="first",
+                           fill_value=0)
+    out = pd.DataFrame(index=wide.index).reset_index()
+    na = wide.get(("n", 0), pd.Series(0, index=wide.index)).to_numpy(np.float64)
+    nb = wide.get(("n", 1), pd.Series(0, index=wide.index)).to_numpy(np.float64)
+    sa = wide.get(("s", 0), pd.Series(0, index=wide.index)).to_numpy(np.float64)
+    sb = wide.get(("s", 1), pd.Series(0, index=wide.index)).to_numpy(np.float64)
+    ssa = wide.get(("ss", 0), pd.Series(0, index=wide.index)).to_numpy(np.float64)
+    ssb = wide.get(("ss", 1), pd.Series(0, index=wide.index)).to_numpy(np.float64)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean_a = sa / na
+        mean_b = sb / nb
+        var_a = (ssa - sa * sa / na) / (na - 1.0)
+        var_b = (ssb - sb * sb / nb) / (nb - 1.0)
+        se2 = var_a / na + var_b / nb
+        t = (mean_a - mean_b) / np.sqrt(se2)
+        df = (se2 * se2) / ((var_a / na) ** 2 / (na - 1.0)
+                            + (var_b / nb) ** 2 / (nb - 1.0))
+    ok = (na > 1) & (nb > 1) & (se2 > 0)
+    out["n_a"] = na.astype(np.int64)
+    out["n_b"] = nb.astype(np.int64)
+    out["mean_a"] = np.where(na > 0, mean_a, np.nan)
+    out["mean_b"] = np.where(nb > 0, mean_b, np.nan)
+    out["t_stat"] = np.where(ok, t, np.nan)
+    out["welch_df"] = np.where(ok, df, np.nan)
+    return out
+
+
+def welch_ab_test_oracle_sql(
+    table_sql: str,
+    keys: Sequence[str],
+    arm_expr: str,
+    value_expr: str,
+) -> str:
+    """DuckDB mirror of :func:`welch_ab_test`; ``value_expr`` must be an
+    integer SQL expression (same floor rule as the engine derive)."""
+    part = ", ".join(keys)
+    return f"""
+WITH __ab_t AS ({table_sql}),
+__ab_m AS (SELECT {part}, {arm_expr} AS arm,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(v) AS BIGINT) AS s,
+                  CAST(sum(v * v) AS BIGINT) AS ss
+           FROM (SELECT *, {value_expr} AS v FROM __ab_t)
+           GROUP BY {part}, {arm_expr}),
+__ab_p AS (SELECT {part},
+       CAST(coalesce(max(CASE WHEN arm = 0 THEN n END), 0) AS DOUBLE) AS na,
+       CAST(coalesce(max(CASE WHEN arm = 1 THEN n END), 0) AS DOUBLE) AS nb,
+       CAST(coalesce(max(CASE WHEN arm = 0 THEN s END), 0) AS DOUBLE) AS sa,
+       CAST(coalesce(max(CASE WHEN arm = 1 THEN s END), 0) AS DOUBLE) AS sb,
+       CAST(coalesce(max(CASE WHEN arm = 0 THEN ss END), 0) AS DOUBLE) AS ssa,
+       CAST(coalesce(max(CASE WHEN arm = 1 THEN ss END), 0) AS DOUBLE) AS ssb
+       FROM __ab_m GROUP BY {part}),
+__ab_v AS (SELECT *,
+       (ssa - sa * sa / na) / (na - 1) / na AS van,
+       (ssb - sb * sb / nb) / (nb - 1) / nb AS vbn
+       FROM __ab_p),
+__ab_e AS (SELECT *, van + vbn AS se2 FROM __ab_v)
+SELECT {part},
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CASE WHEN na > 0 THEN sa / na END AS mean_a,
+       CASE WHEN nb > 0 THEN sb / nb END AS mean_b,
+       CASE WHEN na > 1 AND nb > 1 AND se2 > 0
+       THEN (sa / na - sb / nb) / sqrt(se2) END AS t_stat,
+       CASE WHEN na > 1 AND nb > 1 AND se2 > 0
+       THEN (se2 * se2) / ((van * van) / (na - 1)
+                           + (vbn * vbn) / (nb - 1)) END AS welch_df
+FROM __ab_e
+"""

@@ -1,0 +1,119 @@
+"""Time-decay scoring and Welch A/B test (stages/experiment.py) vs
+plain-python references, plus parallelism-independence checks."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdf_extract_ray.stages.experiment import decayed_group_scores, welch_ab_test
+
+
+def _events(n=400, seed=7) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    return pd.DataFrame({
+        "key": rng.choice(["a", "b", "c"], size=n),
+        "ts": base + rng.integers(0, 30 * 86_400_000_000, size=n).astype(
+            "timedelta64[us]"),
+        "arm": rng.integers(0, 2, size=n),
+        "v": rng.integers(-5, 50, size=n).astype(np.float64),
+    })
+
+
+def _decay_reference(df: pd.DataFrame, hl_days: int, cap: int) -> dict:
+    ref = df["ts"].max()
+    out: dict = {}
+    for _, r in df.iterrows():
+        age_us = int((ref - r["ts"]) / np.timedelta64(1, "us"))
+        k = min(age_us // (hl_days * 86_400_000_000), cap)
+        n, w = out.get(r["key"], (0, 0))
+        out[r["key"]] = (n + 1, w + (1_000_000 >> k))
+    return out
+
+
+@pytest.mark.parametrize("blocks", [1, 7])
+def test_decayed_scores_match_reference(ray_session, blocks):
+    import ray.data as rd
+
+    df = _events()
+    got = (decayed_group_scores(
+        rd.from_pandas(df).repartition(blocks), ["key"], "ts",
+        half_life_days=2, cap_shifts=20)
+        .to_pandas().sort_values("key").reset_index(drop=True))
+    want = _decay_reference(df, 2, 20)
+    assert list(got["key"]) == sorted(want)
+    for _, r in got.iterrows():
+        n, w = want[r["key"]]
+        assert r["n_events"] == n
+        assert r["decayed_ppm"] == w
+        assert r["decayed_score"] == w / 1e6
+
+
+def test_decayed_scores_cap_and_fresh_row(ray_session):
+    import ray.data as rd
+
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    df = pd.DataFrame({
+        "key": ["x", "x", "x"],
+        "ts": [base, base - np.timedelta64(1, "D"),
+               base - np.timedelta64(400, "D")],
+    })
+    got = decayed_group_scores(rd.from_pandas(df), ["key"], "ts",
+                               half_life_days=1, cap_shifts=20).to_pandas()
+    # fresh row weight 1e6, 1-day-old 5e5, 400-day-old capped to 1e6>>20 == 0
+    assert int(got["decayed_ppm"].iloc[0]) == 1_000_000 + 500_000 + 0
+
+
+def _welch_reference(df: pd.DataFrame) -> dict:
+    out = {}
+    for key, g in df.groupby("key"):
+        a = g.loc[g["arm"] == 0, "v"].astype(np.int64)
+        b = g.loc[g["arm"] == 1, "v"].astype(np.int64)
+        if len(a) < 2 or len(b) < 2:
+            out[key] = (len(a), len(b), None, None)
+            continue
+        va, vb = a.var(ddof=1), b.var(ddof=1)
+        se2 = va / len(a) + vb / len(b)
+        t = (a.mean() - b.mean()) / math.sqrt(se2)
+        df_w = se2 ** 2 / ((va / len(a)) ** 2 / (len(a) - 1)
+                           + (vb / len(b)) ** 2 / (len(b) - 1))
+        out[key] = (len(a), len(b), t, df_w)
+    return out
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_welch_matches_reference(ray_session, blocks):
+    import ray.data as rd
+
+    df = _events(seed=11)
+    got = welch_ab_test(rd.from_pandas(df).repartition(blocks),
+                        ["key"], "arm", "v")
+    want = _welch_reference(df)
+    assert set(got["key"]) == set(want)
+    for _, r in got.iterrows():
+        na, nb, t, dfw = want[r["key"]]
+        assert (r["n_a"], r["n_b"]) == (na, nb)
+        assert r["t_stat"] == pytest.approx(t, rel=1e-12)
+        assert r["welch_df"] == pytest.approx(dfw, rel=1e-12)
+
+
+def test_welch_degenerate_arm_gives_null(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"key": ["k"] * 4, "arm": [0, 0, 0, 1],
+                       "v": [1.0, 2.0, 3.0, 4.0]})
+    got = welch_ab_test(rd.from_pandas(df), ["key"], "arm", "v")
+    assert np.isnan(got["t_stat"].iloc[0])
+    assert np.isnan(got["welch_df"].iloc[0])
+    assert got["mean_b"].iloc[0] == 4.0
+
+
+def test_welch_zero_variance_gives_null(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"key": ["k"] * 6, "arm": [0, 0, 0, 1, 1, 1],
+                       "v": [2.0] * 6})
+    got = welch_ab_test(rd.from_pandas(df), ["key"], "arm", "v")
+    assert np.isnan(got["t_stat"].iloc[0])
