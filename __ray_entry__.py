@@ -2283,6 +2283,21 @@ _URL_SYNTH_SQL = (
 )
 
 
+# deterministic URL column exercising the registered-domain (eTLD+1)
+# rule: multi-label public suffixes, www + 2-label, single-label host,
+# non-url passthrough — mirror of __ray_entry__._with_psl_url
+_PSL_URL_SYNTH_SQL = (
+    "CASE doc_id % 5 "
+    "WHEN 0 THEN 'https://shop' || (doc_id % 4) || '.example' "
+    "|| (doc_id % 3) || '.co.uk/p/' || doc_id "
+    "WHEN 1 THEN 'http://www.blog' || (doc_id % 6) || '.com/x' || doc_id "
+    "WHEN 2 THEN 'https://cdn' || (doc_id % 2) || '.media' "
+    "|| (doc_id % 3) || '.ne.jp:443/img' "
+    "WHEN 3 THEN 'http://localhost/admin' "
+    "ELSE 'not a url ' || doc_id END AS url"
+)
+
+
 def _with_url(b: pd.DataFrame) -> pd.DataFrame:
     did = b["doc_id"]
     m = (did % 4).to_numpy()
@@ -4065,6 +4080,49 @@ def q_welch_ab_events(sf_dir: str):
                          ["event_type"], "arm", "v")
 
 
+def _with_psl_url(b: pd.DataFrame) -> pd.DataFrame:
+    # hosts spanning multi-label public suffixes (co.uk, ne.jp),
+    # plain 2-label domains behind www, a single-label host, and a
+    # non-url row — the registered-domain rule's full branch set
+    did = b["doc_id"]
+    m = (did % 5).to_numpy()
+    ds_ = did.astype(str)
+    url = np.select(
+        [m == 0, m == 1, m == 2, m == 3],
+        ["https://shop" + (did % 4).astype(str) + ".example"
+         + (did % 3).astype(str) + ".co.uk/p/" + ds_,
+         "http://www.blog" + (did % 6).astype(str) + ".com/x" + ds_,
+         "https://cdn" + (did % 2).astype(str) + ".media"
+         + (did % 3).astype(str) + ".ne.jp:443/img",
+         "http://localhost/admin"],
+        default="not a url " + ds_)
+    return b.assign(url=url)
+
+
+def q_registered_domain_docs(sf_dir: str):
+    # eTLD+1 rollup (links.registered_domain_rollup): pages + distinct
+    # hosts per REGISTRABLE domain under the frozen public-suffix
+    # subset — subdomain farms collapse to their owner; *.co.uk sites
+    # do NOT collapse to 'co.uk'.  Counts shuffle pre-aggregated.
+    from pdf_extract_ray.stages.links import registered_domain_rollup
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+    return registered_domain_rollup(
+        ds.map_batches(_with_psl_url, batch_format="pandas"))
+
+
+def q_query_param_stats(sf_dir: str):
+    # query-parameter census (links.query_param_rollup): occurrences +
+    # distinct docs per param KEY — the crawler-trap / strip-list
+    # report.  Reuses the canonicalization fixture urls (utm_*, fbclid,
+    # real params, no-query and non-url rows all exercised).
+    from pdf_extract_ray.stages.links import query_param_rollup
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+    return query_param_rollup(
+        ds.map_batches(_with_url, batch_format="pandas"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_counts": q_corpus_counts,
@@ -4148,6 +4206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "impute_median_events": q_impute_median_events,
         "decayed_event_scores": q_decayed_event_scores,
         "welch_ab_events": q_welch_ab_events,
+        "registered_domain_docs": q_registered_domain_docs,
+        "query_param_stats": q_query_param_stats,
         "pct_rank_docs_by_lang": q_pct_rank_docs_by_lang,
         "vocab_filter_docs": q_vocab_filter_docs,
         "rising_event_types": q_rising_event_types,
@@ -4688,6 +4748,22 @@ def _welch_ab_oracle() -> str:
     return welch_ab_test_oracle_sql(
         "SELECT event_type, user_id, value FROM events",
         ["event_type"], "user_id % 2", "CAST(floor(value) AS BIGINT)")
+
+
+def _registered_domain_oracle() -> str:
+    from pdf_extract_ray.stages.links import (
+        registered_domain_rollup_oracle_sql,
+    )
+
+    return registered_domain_rollup_oracle_sql(
+        f"SELECT doc_id, {_PSL_URL_SYNTH_SQL} FROM documents")
+
+
+def _query_param_oracle() -> str:
+    from pdf_extract_ray.stages.links import query_param_rollup_oracle_sql
+
+    return query_param_rollup_oracle_sql(
+        f"SELECT doc_id, {_URL_SYNTH_SQL} FROM documents")
 
 
 def _vocab_filter_oracle() -> str:
@@ -5276,6 +5352,8 @@ def oracle_sql() -> dict[str, str]:
         "impute_median_events": _impute_median_oracle(),
         "decayed_event_scores": _decayed_scores_oracle(),
         "welch_ab_events": _welch_ab_oracle(),
+        "registered_domain_docs": _registered_domain_oracle(),
+        "query_param_stats": _query_param_oracle(),
         "pct_rank_docs_by_lang": (
             "SELECT doc_id, lang, n_chars, "
             "percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) "

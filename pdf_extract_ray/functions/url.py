@@ -159,3 +159,48 @@ def url_features(urls: pd.Series) -> pd.DataFrame:
         "path_len": np.where(is_url & has_path,
                              path.str.len(), 0).astype("int64"),
     }, index=urls.index)
+
+
+# Frozen public-suffix SUBSET for eTLD+1 extraction: the 20 most common
+# second-level public suffixes.  This is deliberately NOT the full
+# Mozilla PSL (thousands of entries, updated monthly) — the operator
+# documents the subset so the rule is reproducible and SQL-mirrorable;
+# swap in the full list at deploy time by extending this tuple.
+MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx",
+    "co.in", "co.kr", "com.tw", "com.sg", "co.za", "com.ar", "com.tr",
+)
+
+
+def registered_domains(hosts: pd.Series) -> pd.Series:
+    """eTLD+1 (registrable domain) of each lowercased host under the
+    frozen :data:`MULTI_SUFFIXES` rule: last 3 labels when the last 2
+    form a listed public suffix (and a 3rd exists), else last 2 labels,
+    else the host itself (single-label / empty pass through).
+
+    Vectorized: two anchored regex extracts + one ``np.select``; the
+    DuckDB mirror is :func:`registered_domain_sql_expr` (same regexes,
+    same CASE order).
+    """
+    h = hosts.fillna("").astype(str)
+    last2 = h.str.extract(r"([^.]+\.[^.]+)$")[0].fillna("")
+    last3 = h.str.extract(r"([^.]+\.[^.]+\.[^.]+)$")[0].fillna("")
+    return pd.Series(
+        np.select(
+            [last2.isin(MULTI_SUFFIXES) & (last3 != ""), last2 != ""],
+            [last3, last2],
+            default=h,
+        ),
+        index=hosts.index,
+    )
+
+
+def registered_domain_sql_expr(host_expr: str) -> str:
+    """DuckDB expression mirroring :func:`registered_domains` over a
+    lowercased-host SQL expression."""
+    suf = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
+    last2 = f"regexp_extract({host_expr}, '([^.]+\\.[^.]+)$', 1)"
+    last3 = f"regexp_extract({host_expr}, '([^.]+\\.[^.]+\\.[^.]+)$', 1)"
+    return (f"CASE WHEN {last2} IN ({suf}) AND {last3} <> '' THEN {last3} "
+            f"WHEN {last2} <> '' THEN {last2} ELSE {host_expr} END")

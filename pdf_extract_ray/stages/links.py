@@ -511,3 +511,121 @@ SELECT url_host, depth, prefix, count(*) AS n_docs
 FROM pref WHERE prefix <> ''
 GROUP BY url_host, depth, prefix
 """
+
+
+def registered_domain_rollup(ds: Dataset, url_col: str = "url") -> Dataset:
+    """Pages and distinct hosts per REGISTRABLE domain (eTLD+1): the
+    site-level rollup crawl curation actually wants — ``a.shop.co.uk``
+    and ``b.shop.co.uk`` are one owner, while a plain last-2-labels cut
+    would lump every ``*.co.uk`` site together.  Uses the frozen
+    public-suffix subset in :data:`functions.url.MULTI_SUFFIXES`.
+
+    Scale shape: per-batch (domain, host) value_counts partials ->
+    grouped merge keyed by the DISTINCT (domain, host) pair (bounded by
+    #hosts, not #pages) -> one tiny per-domain merge.  Bodies never
+    move; page rows shuffle as pre-aggregated counts only."""
+    from pdf_extract_ray.functions.url import (
+        canonicalize_urls, registered_domains)
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        host = canonicalize_urls(b[url_col])["url_host"]
+        keep = host != ""
+        host = host[keep.to_numpy()]
+        out = pd.DataFrame({
+            "registered_domain": registered_domains(host).to_numpy(),
+            "url_host": host.to_numpy(),
+        })
+        out = (out.groupby(["registered_domain", "url_host"],
+                           as_index=False).size()
+               .rename(columns={"size": "n_docs"}))
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out
+
+    per_host = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["registered_domain", "url_host"], {"n_docs": ("n_docs", "sum")})
+    return grouped_aggregate(
+        per_host, ["registered_domain"],
+        {"n_docs": ("n_docs", "sum"), "n_hosts": ("n_docs", "count")})
+
+
+def registered_domain_rollup_oracle_sql(source_sql: str, *,
+                                        url_expr: str = "url") -> str:
+    """DuckDB mirror of :func:`registered_domain_rollup`."""
+    from pdf_extract_ray.functions.url import registered_domain_sql_expr
+
+    host = ("regexp_replace(lower(regexp_extract(url, "
+            "'^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), "
+            "':[0-9]+$', '')")
+    return f"""
+WITH u AS (SELECT trim({url_expr}) AS url FROM ({source_sql})),
+h AS (SELECT {host} AS url_host FROM u WHERE {host} <> ''),
+r AS (SELECT url_host,
+             {registered_domain_sql_expr('url_host')} AS registered_domain
+      FROM h)
+SELECT registered_domain, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT url_host) AS BIGINT) AS n_hosts
+FROM r GROUP BY registered_domain
+"""
+
+
+def query_param_rollup(ds: Dataset, url_col: str = "url",
+                       id_col: str = "doc_id") -> Dataset:
+    """Occurrences and distinct documents per URL query-parameter KEY —
+    the tracking-parameter / faceted-navigation census that feeds a
+    crawler's canonicalization strip-list (a key on 40% of a site's
+    urls with thousands of distinct values is a crawler trap).
+
+    Frozen rule: query = text between the first ``?`` and ``#`` of the
+    trimmed url (urls only), split on ``&``, empty parts dropped, key =
+    text before the first ``=`` (case-sensitive, raw).
+
+    Scale shape: per-batch (key, id) counts -> grouped merge keyed by
+    DISTINCT (key, id) -> per-key merge; output O(distinct keys)."""
+    from pdf_extract_ray.functions.url import URL_PARTS_RE
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[url_col].fillna("").astype(str).str.strip()
+        query = s.str.extract(URL_PARTS_RE)[3].fillna("")
+        ids = b[id_col]
+        ex = query.str.split("&").explode()
+        flat = pd.DataFrame({
+            "__id": ids.loc[ex.index].to_numpy(),
+            "part": ex.to_numpy(),
+        })
+        flat = flat[flat["part"].fillna("") != ""]
+        flat["param_key"] = flat["part"].str.split("=", n=1).str[0]
+        out = (flat.groupby(["param_key", "__id"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype("int64")
+        return out[["param_key", "__id", "n"]]
+
+    per_doc = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["param_key", "__id"], {"n": ("n", "sum")})
+    out = grouped_aggregate(
+        per_doc, ["param_key"],
+        {"n_total": ("n", "sum"), "n_docs": ("n", "count")})
+    return out
+
+
+def query_param_rollup_oracle_sql(source_sql: str, *,
+                                  url_expr: str = "url",
+                                  id_expr: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`query_param_rollup`."""
+    return f"""
+WITH u AS (SELECT {id_expr} AS id, trim({url_expr}) AS url
+           FROM ({source_sql})),
+q AS (SELECT id, regexp_extract(url,
+        '^[A-Za-z][A-Za-z0-9+.\\-]*://[^?#]*\\?([^#]*)', 1) AS query
+      FROM u),
+p AS (SELECT id, unnest(string_split(query, '&')) AS part
+      FROM q WHERE query <> ''),
+k AS (SELECT id, split_part(part, '=', 1) AS param_key
+      FROM p WHERE part <> '')
+SELECT param_key, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+FROM k GROUP BY param_key
+"""

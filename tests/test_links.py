@@ -205,3 +205,52 @@ def test_url_path_rollup_sql_parity_and_edges(ray_session):
     assert not (got["url_host"] == "b.example").any()
     with pytest.raises(ValueError):
         url_path_rollup(rd.from_pandas(df), max_depth=0)
+
+
+def test_registered_domain_rollup(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.links import registered_domain_rollup
+
+    df = pd.DataFrame({"url": [
+        "https://a.shop.co.uk/x", "https://b.shop.co.uk/y",
+        "https://shop.co.uk/", "http://www.blog.com/p",
+        "http://blog.com/q", "http://localhost/",
+        "https://one.example.com.au/", "nope",
+    ]})
+    got = (registered_domain_rollup(rd.from_pandas(df).repartition(3))
+           .to_pandas().set_index("registered_domain"))
+    # a.shop/b.shop/shop .co.uk all collapse to the OWNER shop.co.uk
+    assert got.loc["shop.co.uk", "n_docs"] == 3
+    assert got.loc["shop.co.uk", "n_hosts"] == 3
+    # www. is part of the host but not the registrable domain
+    assert got.loc["blog.com", "n_docs"] == 2
+    assert got.loc["blog.com", "n_hosts"] == 2
+    assert got.loc["localhost", "n_docs"] == 1
+    assert got.loc["example.com.au", "n_hosts"] == 1
+    assert "nope" not in got.index and len(got) == 4
+
+
+def test_query_param_rollup_counts_and_distinct_docs(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.links import query_param_rollup
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "url": [
+            "https://s.example/?a=1&a=2&b=3",   # duplicate key in one url
+            "https://s.example/p?a=9&flag",     # valueless param
+            "https://s.example/p#a=frag",       # fragment is NOT a query
+            "not a url",
+        ],
+    })
+    got = (query_param_rollup(rd.from_pandas(df).repartition(2))
+           .to_pandas().set_index("param_key"))
+    assert got.loc["a", "n_total"] == 3   # two in doc 1 + one in doc 2
+    assert got.loc["a", "n_docs"] == 2
+    assert got.loc["b", "n_total"] == 1
+    assert got.loc["flag", "n_docs"] == 1
+    assert len(got) == 3
