@@ -4123,6 +4123,18 @@ def q_query_param_stats(sf_dir: str):
         ds.map_batches(_with_url, batch_format="pandas"))
 
 
+def q_doc_keywords(sf_dir: str):
+    # per-doc top-k TF-IDF keywords over the FULL vocabulary
+    # (relevance.doc_keywords): phase A = vocabulary-bounded (word, df)
+    # partials -> one grouped merge -> ray.put broadcast; phase B =
+    # in-batch re-tokenize + rank (no second shuffle).  min_df=3 is the
+    # vocab cap lever at crawl scale.
+    from pdf_extract_ray.stages.relevance import doc_keywords
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return doc_keywords(ds, k=3, min_df=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_counts": q_corpus_counts,
@@ -4208,6 +4220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "welch_ab_events": q_welch_ab_events,
         "registered_domain_docs": q_registered_domain_docs,
         "query_param_stats": q_query_param_stats,
+        "doc_keywords_docs": q_doc_keywords,
         "pct_rank_docs_by_lang": q_pct_rank_docs_by_lang,
         "vocab_filter_docs": q_vocab_filter_docs,
         "rising_event_types": q_rising_event_types,
@@ -4764,6 +4777,12 @@ def _query_param_oracle() -> str:
 
     return query_param_rollup_oracle_sql(
         f"SELECT doc_id, {_URL_SYNTH_SQL} FROM documents")
+
+
+def _doc_keywords_oracle() -> str:
+    from pdf_extract_ray.stages.relevance import doc_keywords_oracle_sql
+
+    return doc_keywords_oracle_sql("documents", k=3, min_df=3)
 
 
 def _vocab_filter_oracle() -> str:
@@ -5354,6 +5373,7 @@ def oracle_sql() -> dict[str, str]:
         "welch_ab_events": _welch_ab_oracle(),
         "registered_domain_docs": _registered_domain_oracle(),
         "query_param_stats": _query_param_oracle(),
+        "doc_keywords_docs": _doc_keywords_oracle(),
         "pct_rank_docs_by_lang": (
             "SELECT doc_id, lang, n_chars, "
             "percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) "

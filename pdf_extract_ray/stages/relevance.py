@@ -346,3 +346,110 @@ SELECT * EXCLUDE (__rn) FROM (
              ORDER BY pmi DESC, word) AS __rn FROM p)
 WHERE __rn <= {top_k}
 """
+
+
+def doc_keywords(ds: Dataset, *, id_col: str = "doc_id",
+                 text_col: str = "text", k: int = 3, min_df: int = 1,
+                 ndigits: int = 4) -> Dataset:
+    """Per-document top-``k`` TF-IDF keywords over the FULL corpus
+    vocabulary (not a fixed query set like :func:`tfidf_scores`) — the
+    keyword-extraction / topic-labeling pass of a curation pipeline.
+
+    Frozen rules: tokens = ``[a-z0-9]+`` over lowercased text; idf =
+    ``ln(n_docs / (df + 1))`` (same smoothing as :func:`tfidf_scores`);
+    rank = row_number ordered by (score DESC, word ASC); words with
+    ``df < min_df`` are excluded BEFORE ranking.
+
+    Scale shape: phase A builds the (word, df) table with per-batch
+    distinct-word value_counts partials -> ONE grouped merge; the table
+    is vocabulary-bounded (raise ``min_df`` at crawl scale to cap it)
+    and broadcast ONCE via ``ray.put``.  Phase B re-tokenizes each
+    batch and ranks in-batch (each document's rows live in its own
+    row), so no second shuffle — bodies never move.
+    """
+    import ray as _ray
+
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    n_docs = ds.count()
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        low = b[text_col].fillna("").astype(str).str.lower()
+        ex = low.str.findall(_WORD).explode().dropna()
+        pairs = pd.DataFrame({"__i": ex.index, "word": ex.to_numpy()})
+        vc = (pairs.drop_duplicates().groupby("word", as_index=False)
+              .size().rename(columns={"size": "df"}))
+        vc["df"] = vc["df"].astype("int64")
+        return vc
+
+    df_tab = grouped_aggregate(
+        ds.map_batches(df_partial, batch_format="pandas"),
+        ["word"], {"df": ("df", "sum")}).to_pandas()
+    df_ref = _ray.put(pd.Series(df_tab["df"].to_numpy(np.int64),
+                                index=df_tab["word"]))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        dfs = _ray.get(df_ref)
+        b = b.reset_index(drop=True)
+        low = b[text_col].fillna("").astype(str).str.lower()
+        ex = low.str.findall(_WORD).explode().dropna()
+        flat = pd.DataFrame({"__i": ex.index, "word": ex.to_numpy()})
+        tf = (flat.groupby(["__i", "word"], as_index=False)
+              .size().rename(columns={"size": "tf"}))
+        wdf = dfs.reindex(tf["word"]).to_numpy(np.float64)
+        tf = tf[wdf >= min_df]
+        wdf = wdf[wdf >= min_df]
+        sc = tf["tf"].to_numpy(np.float64) * np.log(
+            float(n_docs) / (wdf + 1.0))
+        tf = tf.assign(score=sc, df=wdf.astype(np.int64))
+        tf = tf.sort_values(["__i", "score", "word"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        tf["kw_rank"] = tf.groupby("__i").cumcount() + 1
+        tf = tf[tf["kw_rank"] <= k]
+        out = pd.DataFrame({
+            id_col: b[id_col].to_numpy()[tf["__i"].to_numpy()],
+            "kw_rank": tf["kw_rank"].to_numpy(np.int64),
+            "word": tf["word"].to_numpy(),
+            "tf": tf["tf"].to_numpy(np.int64),
+            "df": tf["df"].to_numpy(np.int64),
+            "score": round_half_away(tf["score"].to_numpy(), ndigits),
+        })
+        return out
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def doc_keywords_oracle_sql(table: str, *, id_col: str = "doc_id",
+                            text_col: str = "text", k: int = 3,
+                            min_df: int = 1, ndigits: int = 4) -> str:
+    """DuckDB mirror of :func:`doc_keywords` (same tokenization,
+    smoothing, tie rule and rounding)."""
+    return f"""
+WITH __kw_t AS (
+  SELECT {id_col}, lower(coalesce({text_col}, '')) AS low FROM {table}
+), __kw_w AS (
+  SELECT {id_col}, unnest(regexp_extract_all(low, '[a-z0-9]+')) AS word
+  FROM __kw_t
+), __kw_tf AS (
+  SELECT {id_col}, word, CAST(count(*) AS BIGINT) AS tf
+  FROM __kw_w GROUP BY {id_col}, word
+), __kw_df AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT {id_col}, word FROM __kw_w) GROUP BY word
+), __kw_n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM {table}),
+__kw_s AS (
+  SELECT t.{id_col}, t.word, t.tf, d.df,
+         CAST(t.tf AS DOUBLE) * ln(n / (CAST(d.df AS DOUBLE) + 1.0))
+           AS score
+  FROM __kw_tf t JOIN __kw_df d USING (word), __kw_n
+  WHERE d.df >= {min_df}
+), __kw_r AS (
+  SELECT *, row_number() OVER (PARTITION BY {id_col}
+                               ORDER BY score DESC, word) AS kw_rank
+  FROM __kw_s
+)
+SELECT {id_col}, CAST(kw_rank AS BIGINT) AS kw_rank, word, tf, df,
+       round(score, {ndigits}) AS score
+FROM __kw_r WHERE kw_rank <= {k}
+"""

@@ -273,3 +273,38 @@ def test_pmi_terms_min_count_filters(ray_session):
            .to_pandas())
     assert "rare" not in set(out["word"])
     assert {"common", "word"} <= set(out["word"])
+
+
+def test_doc_keywords_top_k_and_tie_rule(ray_session):
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.relevance import doc_keywords
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "apple apple banana zebra",   # apple tf=2; banana/zebra tie on tf
+            "banana banana banana apple",
+            "zebra apple",
+        ],
+    })
+    got = doc_keywords(rd.from_pandas(df).repartition(3), k=2,
+                       min_df=1, ndigits=6).to_pandas()
+    n = 3.0
+    idf = {w: math.log(n / (d + 1.0))
+           for w, d in {"apple": 3, "banana": 2, "zebra": 2}.items()}
+    # doc 1: banana and zebra have equal score (tf=1, df=2) -> word asc
+    d1 = got[got["doc_id"] == 1].sort_values("kw_rank")
+    assert list(d1["word"]) == ["banana", "zebra"]
+    assert d1["score"].iloc[0] == round(1 * idf["banana"], 6)
+    # apple's idf ln(3/4) is NEGATIVE -> ranks below banana/zebra
+    assert "apple" not in set(d1["word"])
+    # doc 2: banana tf=3 dominates
+    d2 = got[got["doc_id"] == 2].sort_values("kw_rank")
+    assert list(d2["word"]) == ["banana", "apple"]
+    # min_df excludes rare words BEFORE ranking
+    got2 = doc_keywords(rd.from_pandas(df), k=2, min_df=3).to_pandas()
+    assert set(got2["word"]) == {"apple"}
