@@ -4135,6 +4135,33 @@ def q_doc_keywords(sf_dir: str):
     return doc_keywords(ds, k=3, min_df=3)
 
 
+def q_pareto_docs(sf_dir: str):
+    # distributed skyline (skyline.pareto_frontier): documents on the
+    # (n_chars, n_words) Pareto frontier — per-block local frontier
+    # (algebraic: skyline of skylines), only survivors move, one tiny
+    # final pass.  The multi-objective curation cut.
+    from pdf_extract_ray.stages.skyline import pareto_frontier
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        low = b["text"].fillna("").astype(str).str.lower()
+        nc = b["n_chars"].to_numpy(np.int64)
+        ne = (low.str.len() - low.str.replace("e", "").str.len()
+              ).to_numpy(np.int64)
+        # integer per-mille 'e' density: length-independent, so the two
+        # axes genuinely trade off and the frontier is non-trivial
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "n_chars": nc,
+            "e_permille": np.where(nc > 0, 1000 * ne // np.maximum(nc, 1),
+                                   0).astype(np.int64),
+        })
+
+    return pareto_frontier(ds.map_batches(derive, batch_format="pandas"),
+                           ["n_chars", "e_permille"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_counts": q_corpus_counts,
@@ -4221,6 +4248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "registered_domain_docs": q_registered_domain_docs,
         "query_param_stats": q_query_param_stats,
         "doc_keywords_docs": q_doc_keywords,
+        "pareto_docs": q_pareto_docs,
         "pct_rank_docs_by_lang": q_pct_rank_docs_by_lang,
         "vocab_filter_docs": q_vocab_filter_docs,
         "rising_event_types": q_rising_event_types,
@@ -4777,6 +4805,17 @@ def _query_param_oracle() -> str:
 
     return query_param_rollup_oracle_sql(
         f"SELECT doc_id, {_URL_SYNTH_SQL} FROM documents")
+
+
+def _pareto_docs_oracle() -> str:
+    from pdf_extract_ray.stages.skyline import pareto_frontier_oracle_sql
+
+    derive = (
+        "SELECT doc_id, n_chars, CASE WHEN n_chars > 0 THEN "
+        "1000 * (length(lower(coalesce(text, ''))) "
+        "- length(replace(lower(coalesce(text, '')), 'e', ''))) "
+        "// greatest(n_chars, 1) ELSE 0 END AS e_permille FROM documents")
+    return pareto_frontier_oracle_sql(derive, ["n_chars", "e_permille"])
 
 
 def _doc_keywords_oracle() -> str:
@@ -5374,6 +5413,7 @@ def oracle_sql() -> dict[str, str]:
         "registered_domain_docs": _registered_domain_oracle(),
         "query_param_stats": _query_param_oracle(),
         "doc_keywords_docs": _doc_keywords_oracle(),
+        "pareto_docs": _pareto_docs_oracle(),
         "pct_rank_docs_by_lang": (
             "SELECT doc_id, lang, n_chars, "
             "percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) "
