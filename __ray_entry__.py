@@ -4162,6 +4162,45 @@ def q_pareto_docs(sf_dir: str):
                            ["n_chars", "e_permille"])
 
 
+def _tri_edges(b: pd.DataFrame) -> pd.DataFrame:
+    # ring + chord + pseudo-random edges over 30 nodes: triangles
+    # (i, i+1, i+2) by construction plus irregular ones from the chord
+    d = b["doc_id"].to_numpy()
+    a = d % 30
+    return pd.DataFrame({
+        "src": np.concatenate([a, a, a]),
+        "dst": np.concatenate([(a + 1) % 30, (a + 2) % 30,
+                               (d * 7 + 3) % 30]),
+    })
+
+
+def q_triangle_counts(sf_dir: str):
+    # per-node triangle counts (graph.count_triangles): degree-oriented
+    # wedge join — orientation bounds wedge work by m^1.5 regardless of
+    # hub skew; one dedup, one degree count, two degree joins, one
+    # bucketed self-merge, one pair join.  The clustering/link-farm cue.
+    from pdf_extract_ray.stages.graph import count_triangles
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+    return count_triangles(
+        ds.map_batches(_tri_edges, batch_format="pandas"))
+
+
+def q_reciprocal_links(sf_dir: str):
+    # mutual-link pairs (graph.reciprocal_pairs): both directions of a
+    # directed edge exist — link-exchange detection; ids-only grouped
+    # dedup + direction count, no joins of page bodies.
+    from pdf_extract_ray.stages.graph import reciprocal_pairs
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy()
+        return pd.DataFrame({"src": d % 20, "dst": (d * 3 + 1) % 20})
+
+    return reciprocal_pairs(ds.map_batches(derive, batch_format="pandas"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_counts": q_corpus_counts,
@@ -4249,6 +4288,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_param_stats": q_query_param_stats,
         "doc_keywords_docs": q_doc_keywords,
         "pareto_docs": q_pareto_docs,
+        "triangle_counts_graph": q_triangle_counts,
+        "reciprocal_links": q_reciprocal_links,
         "pct_rank_docs_by_lang": q_pct_rank_docs_by_lang,
         "vocab_filter_docs": q_vocab_filter_docs,
         "rising_event_types": q_rising_event_types,
@@ -4805,6 +4846,25 @@ def _query_param_oracle() -> str:
 
     return query_param_rollup_oracle_sql(
         f"SELECT doc_id, {_URL_SYNTH_SQL} FROM documents")
+
+
+def _triangle_counts_oracle() -> str:
+    from pdf_extract_ray.stages.graph import count_triangles_oracle_sql
+
+    edges = ("SELECT doc_id % 30 AS src, (doc_id % 30 + 1) % 30 AS dst "
+             "FROM documents UNION ALL "
+             "SELECT doc_id % 30, (doc_id % 30 + 2) % 30 FROM documents "
+             "UNION ALL "
+             "SELECT doc_id % 30, (doc_id * 7 + 3) % 30 FROM documents")
+    return count_triangles_oracle_sql(edges)
+
+
+def _reciprocal_links_oracle() -> str:
+    from pdf_extract_ray.stages.graph import reciprocal_pairs_oracle_sql
+
+    return reciprocal_pairs_oracle_sql(
+        "SELECT doc_id % 20 AS src, (doc_id * 3 + 1) % 20 AS dst "
+        "FROM documents")
 
 
 def _pareto_docs_oracle() -> str:
@@ -5414,6 +5474,8 @@ def oracle_sql() -> dict[str, str]:
         "query_param_stats": _query_param_oracle(),
         "doc_keywords_docs": _doc_keywords_oracle(),
         "pareto_docs": _pareto_docs_oracle(),
+        "triangle_counts_graph": _triangle_counts_oracle(),
+        "reciprocal_links": _reciprocal_links_oracle(),
         "pct_rank_docs_by_lang": (
             "SELECT doc_id, lang, n_chars, "
             "percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) "

@@ -500,3 +500,198 @@ SELECT CAST(node AS BIGINT) AS node,
        CAST(min(depth) AS BIGINT) AS depth
 FROM __bfs GROUP BY node
 """
+
+
+def count_triangles(
+    edges: Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    num_buckets: int | None = None,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Per-node triangle counts over the UNDIRECTED simple graph induced
+    by ``edges`` (direction ignored, self-loops and duplicate edges
+    dropped) — the clustering / link-farm-density signal: organic link
+    neighborhoods are triangle-rich, spam rings of pages that all link
+    one hub are triangle-poor.
+
+    Algorithm (the standard degree-oriented wedge count):
+
+    1. canonicalize to distinct ``lo < hi`` edges (one grouped dedup);
+    2. per-node degrees (one grouped count over the exploded endpoints);
+    3. orient every edge from its LOWER ``(degree, id)`` endpoint to the
+       higher — each node's oriented out-degree is then O(sqrt(m)), so
+       step 4's per-node pair explosion is bounded by m^1.5 total work
+       REGARDLESS of raw-degree skew (a 10^7-degree hub generates no
+       wedges; its edges are all inbound after orientation);
+    4. wedges: per oriented source, all ordered out-neighbor pairs
+       (one bucketed self-merge);
+    5. one inner join of wedge pairs against oriented edges — every
+       match is a triangle, found exactly once.
+
+    CONTRACT: node ids are int64 in ``[0, 2^31)`` (pairs pack into one
+    int64 join key, the repo's composite-key shuffle idiom).  Output:
+    ``(node, n_triangles)`` for every node in at least one triangle.
+    """
+    from pdf_extract_ray.stages.agg import (
+        bucketed_group_apply, grouped_aggregate)
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src].to_numpy(np.int64)
+        c = b[dst].to_numpy(np.int64)
+        if len(a) and (min(a.min(), c.min()) < 0
+                       or max(a.max(), c.max()) >= 2 ** 31):
+            raise ValueError("count_triangles requires node ids in "
+                             "[0, 2^31) — remap/factorize ids first")
+        keep = a != c
+        a, c = a[keep], c[keep]
+        return pd.DataFrame({"lo": np.minimum(a, c), "hi": np.maximum(a, c)})
+
+    e = grouped_aggregate(
+        edges.map_batches(canon, batch_format="pandas"),
+        ["lo", "hi"], {"__n": ("lo", "count")},
+        num_buckets=num_buckets).drop_columns(["__n"])
+
+    def endpoints(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": np.concatenate(
+            [b["lo"].to_numpy(np.int64), b["hi"].to_numpy(np.int64)])})
+
+    deg = grouped_aggregate(
+        e.map_batches(endpoints, batch_format="pandas"),
+        ["node"], {"deg": ("node", "count")}, num_buckets=num_buckets)
+
+    deg_lo = deg.map_batches(
+        lambda b: b.rename(columns={"node": "__nlo", "deg": "__dlo"}),
+        batch_format="pandas").repartition(num_partitions)
+    deg_hi = deg.map_batches(
+        lambda b: b.rename(columns={"node": "__nhi", "deg": "__dhi"}),
+        batch_format="pandas").repartition(num_partitions)
+    j = e.join(deg_lo, join_type="inner", num_partitions=num_partitions,
+               on=("lo",), right_on=("__nlo",))
+    j = j.join(deg_hi, join_type="inner", num_partitions=num_partitions,
+               on=("hi",), right_on=("__nhi",))
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        lo = b["lo"].to_numpy(np.int64)
+        hi = b["hi"].to_numpy(np.int64)
+        dlo = b["__dlo"].to_numpy(np.int64)
+        dhi = b["__dhi"].to_numpy(np.int64)
+        lo_first = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
+        return pd.DataFrame({
+            "__src": np.where(lo_first, lo, hi),
+            "__dst": np.where(lo_first, hi, lo),
+            "__ddst": np.where(lo_first, dhi, dlo),
+        })
+
+    oriented = j.map_batches(orient, batch_format="pandas").materialize()
+
+    def wedge_body(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[["__src", "__dst", "__ddst"]].merge(
+            g[["__src", "__dst", "__ddst"]], on="__src")
+        first = ((m["__ddst_x"] < m["__ddst_y"])
+                 | ((m["__ddst_x"] == m["__ddst_y"])
+                    & (m["__dst_x"] < m["__dst_y"])))
+        m = m[first.to_numpy()]
+        return pd.DataFrame({
+            "__pair": (m["__dst_x"].to_numpy(np.int64) << 32)
+            | m["__dst_y"].to_numpy(np.int64),
+            "__u": m["__src"].to_numpy(np.int64),
+        })
+
+    # repartition before the join: bucketed_group_apply emits empty
+    # schema-less blocks for wedge-free buckets (star/hub sources) and
+    # acero rejects a join side whose schema it can't resolve (the
+    # repo's known Dataset.join trap)
+    wedges = bucketed_group_apply(oriented, ["__src"], wedge_body,
+                                  num_buckets=num_buckets
+                                  ).repartition(num_partitions)
+
+    okeys = oriented.map_batches(
+        lambda b: pd.DataFrame({
+            "__epair": (b["__src"].to_numpy(np.int64) << 32)
+            | b["__dst"].to_numpy(np.int64)}),
+        batch_format="pandas").repartition(num_partitions)
+
+    tri = wedges.join(okeys, join_type="inner",
+                      num_partitions=num_partitions,
+                      on=("__pair",), right_on=("__epair",))
+
+    def explode_nodes(b: pd.DataFrame) -> pd.DataFrame:
+        p = b["__pair"].to_numpy(np.int64)
+        return pd.DataFrame({"node": np.concatenate(
+            [b["__u"].to_numpy(np.int64), p >> 32, p & 0xFFFFFFFF])})
+
+    return grouped_aggregate(
+        tri.map_batches(explode_nodes, batch_format="pandas"),
+        ["node"], {"n_triangles": ("node", "count")},
+        num_buckets=num_buckets)
+
+
+def count_triangles_oracle_sql(edges_sql: str, *, src: str = "src",
+                               dst: str = "dst") -> str:
+    """DuckDB mirror of :func:`count_triangles`: canonical distinct
+    undirected edges, each triangle enumerated once as x < y < z."""
+    return f"""
+WITH __tr_e0 AS ({edges_sql}),
+__tr_e AS (SELECT DISTINCT least({src}, {dst}) AS lo,
+                  greatest({src}, {dst}) AS hi
+           FROM __tr_e0 WHERE {src} <> {dst}),
+__tr_t AS (SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+           FROM __tr_e e1
+           JOIN __tr_e e2 ON e2.lo = e1.hi
+           JOIN __tr_e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+__tr_n AS (SELECT x AS node FROM __tr_t
+           UNION ALL SELECT y FROM __tr_t
+           UNION ALL SELECT z FROM __tr_t)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(count(*) AS BIGINT) AS n_triangles
+FROM __tr_n GROUP BY node
+"""
+
+
+def reciprocal_pairs(
+    edges: Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Mutual-link pairs: unordered ``(lo, hi)`` where BOTH directed
+    edges ``lo->hi`` and ``hi->lo`` exist (self-loops excluded) — the
+    link-exchange / reciprocal-linking spam cue.  One grouped dedup of
+    directed edges keyed by the canonical pair, counting distinct
+    directions; pairs with both survive.  Ids-only shuffle."""
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src].to_numpy(np.int64)
+        c = b[dst].to_numpy(np.int64)
+        keep = a != c
+        a, c = a[keep], c[keep]
+        out = pd.DataFrame({
+            "lo": np.minimum(a, c), "hi": np.maximum(a, c),
+            "__dir": (a < c).astype(np.int64),
+        }).drop_duplicates()
+        return out
+
+    per_dir = grouped_aggregate(
+        edges.map_batches(canon, batch_format="pandas"),
+        ["lo", "hi", "__dir"], {"__n": ("lo", "count")},
+        num_buckets=num_buckets)
+    both = grouped_aggregate(
+        per_dir, ["lo", "hi"], {"n_dirs": ("__n", "count")},
+        num_buckets=num_buckets)
+    return both.filter(lambda r: r["n_dirs"] == 2).drop_columns(["n_dirs"])
+
+
+def reciprocal_pairs_oracle_sql(edges_sql: str, *, src: str = "src",
+                                dst: str = "dst") -> str:
+    """DuckDB mirror of :func:`reciprocal_pairs`."""
+    return f"""
+WITH __rp_e AS (SELECT DISTINCT {src} AS a, {dst} AS b
+                FROM ({edges_sql}) WHERE {src} <> {dst})
+SELECT CAST(e1.a AS BIGINT) AS lo, CAST(e1.b AS BIGINT) AS hi
+FROM __rp_e e1 JOIN __rp_e e2 ON e1.a = e2.b AND e1.b = e2.a
+WHERE e1.a < e1.b
+"""
