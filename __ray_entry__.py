@@ -4201,6 +4201,31 @@ def q_reciprocal_links(sf_dir: str):
     return reciprocal_pairs(ds.map_batches(derive, batch_format="pandas"))
 
 
+def q_lexical_diversity_docs(sf_dir: str):
+    # lexical diversity (textquality.lexical_diversity_batch): TTR,
+    # hapax count and Simpson repeat-collision probability per doc —
+    # integer-exact moments, two mirrored final divisions, zero
+    # shuffles.  The keyword-stuffing / template-prose cue.
+    from pdf_extract_ray.stages.textquality import lexical_diversity_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(lexical_diversity_batch, batch_format="pandas")
+
+
+def q_hard_negatives_embeddings(sf_dir: str):
+    # contrastive hard-negative mining (similarity.hard_negative_topk):
+    # per query vector, the exact cosine top-k among OTHER-label
+    # vectors — broadcast query matrix + labels, per-batch matmul
+    # partials, one tiny per-query reduce.
+    from pdf_extract_ray.stages.similarity import hard_negative_topk
+
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    rows = ds.filter(expr="vec_id < 5").take_all()
+    q = np.stack([r["embedding"] for r in rows])
+    qlab = np.asarray([r["label"] for r in rows])
+    return hard_negative_topk(ds, q, qlab, k=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_counts": q_corpus_counts,
@@ -4290,6 +4315,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_docs": q_pareto_docs,
         "triangle_counts_graph": q_triangle_counts,
         "reciprocal_links": q_reciprocal_links,
+        "lexical_diversity_docs": q_lexical_diversity_docs,
+        "hard_negatives_embeddings": q_hard_negatives_embeddings,
         "pct_rank_docs_by_lang": q_pct_rank_docs_by_lang,
         "vocab_filter_docs": q_vocab_filter_docs,
         "rising_event_types": q_rising_event_types,
@@ -4846,6 +4873,14 @@ def _query_param_oracle() -> str:
 
     return query_param_rollup_oracle_sql(
         f"SELECT doc_id, {_URL_SYNTH_SQL} FROM documents")
+
+
+def _lexical_diversity_oracle() -> str:
+    from pdf_extract_ray.stages.textquality import (
+        lexical_diversity_oracle_sql,
+    )
+
+    return lexical_diversity_oracle_sql("documents")
 
 
 def _triangle_counts_oracle() -> str:
@@ -5476,6 +5511,18 @@ def oracle_sql() -> dict[str, str]:
         "pareto_docs": _pareto_docs_oracle(),
         "triangle_counts_graph": _triangle_counts_oracle(),
         "reciprocal_links": _reciprocal_links_oracle(),
+        "lexical_diversity_docs": _lexical_diversity_oracle(),
+        "hard_negatives_embeddings": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe, "
+            "label AS qlab FROM embeddings WHERE vec_id < 5), "
+            "s AS (SELECT q.query_id, e.vec_id, "
+            "list_cosine_similarity(e.embedding::DOUBLE[], "
+            "q.qe::DOUBLE[]) AS c "
+            "FROM embeddings e CROSS JOIN q WHERE e.label <> q.qlab) "
+            "SELECT query_id, vec_id, round(c, 6) AS cosine FROM s "
+            "QUALIFY row_number() OVER (PARTITION BY query_id "
+            "ORDER BY c DESC, vec_id) <= 5"
+        ),
         "pct_rank_docs_by_lang": (
             "SELECT doc_id, lang, n_chars, "
             "percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) "

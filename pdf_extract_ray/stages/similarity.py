@@ -25,6 +25,25 @@ from ray.data import Dataset
 from pdf_extract_ray.util import default_concurrency, round_half_away
 
 
+def _topk_indices(ids: np.ndarray, col: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-``k`` rows by (col DESC, id ASC).
+
+    Tie-break on id at the PARTIAL stage too: argpartition on the score
+    alone keeps/drops candidates tied at the k-th value arbitrarily, and
+    the global (score desc, id asc) reduce can then disagree with the
+    SQL oracle's QUALIFY ordering.  O(n) argpartition narrows to the
+    top-k VALUES, then every row tied at the k-th value joins the
+    candidate set and only that set is lexsorted (a full lexsort per
+    query would be O(n log n) on the hot scoring path)."""
+    if len(col) > k:
+        rough = np.argpartition(-col, k - 1)[:k]
+        kth = col[rough].min()
+        cand = np.flatnonzero(col >= kth)
+    else:
+        cand = np.arange(len(col))
+    return cand[np.lexsort((ids[cand], -col[cand]))][:k]
+
+
 class _ScoreTopK:
     """Per-batch partial top-k against broadcast queries (object-store ref
     resolved once per actor in __init__)."""
@@ -52,21 +71,7 @@ class _ScoreTopK:
             # nor poison the k-th boundary value below: map them to -inf
             # (the old full-lexsort path sorted them last)
             col = np.where(np.isnan(sim[:, qi]), -np.inf, sim[:, qi])
-            # tie-break on id at the PARTIAL stage too: argpartition on
-            # cosine alone keeps/drops candidates tied at the k-th cosine
-            # arbitrarily, and the global (cosine desc, id asc) reduce can
-            # then disagree with the SQL oracle's QUALIFY ordering.
-            # O(n) argpartition narrows to the top-k cosine VALUES, then
-            # every row tied at the k-th value joins the candidate set and
-            # only that set is lexsorted (a full-batch lexsort per query
-            # would be O(n log n) on the hot scoring path).
-            if len(col) > self.k:
-                rough = np.argpartition(-col, self.k - 1)[: self.k]
-                kth = col[rough].min()
-                cand = np.flatnonzero(col >= kth)
-            else:
-                cand = np.arange(len(col))
-            part = cand[np.lexsort((ids[cand], -col[cand]))][: self.k]
+            part = _topk_indices(ids, col, self.k)
             for i in part:
                 out["query_id"].append(qi)
                 out[self.id_col].append(ids[i])
@@ -110,6 +115,68 @@ def brute_force_topk(
         return g
 
     return partial.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+
+
+def hard_negative_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    query_labels: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+) -> Dataset:
+    """Hard-NEGATIVE mining for contrastive training: per query, the
+    exact cosine top-k among vectors whose ``label_col`` DIFFERS from
+    the query's label — the closest wrong-class examples, the pairs a
+    contrastive loss learns the most from.
+
+    Same scale shape as :func:`brute_force_topk` (one ``ray.put``
+    broadcast of the query matrix + labels, per-batch matmul partials
+    of k rows each, one tiny per-query reduce); same-label rows are
+    EXCLUDED before the partial top-k, not merely ranked last, so a
+    query whose negatives are scarce returns fewer than k rows —
+    exactly like the SQL mirror's ``WHERE label <> q.label``."""
+    query_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    qlab_ref = ray.put(np.asarray(query_labels))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        cache = getattr(score, "_c", None)
+        if cache is None:
+            cache = score._c = _ScoreTopK(query_ref, id_col, vec_col, k)
+            cache._qlabels = ray.get(qlab_ref)
+        ids = batch[id_col].to_numpy()
+        labels = batch[label_col].to_numpy()
+        v = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(v, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sim = (v / norms) @ cache.qn.T
+        out = {"query_id": [], id_col: [], "cosine": []}
+        for qi in range(sim.shape[1]):
+            neg = np.flatnonzero(labels != cache._qlabels[qi])
+            col = np.where(np.isnan(sim[neg, qi]), -np.inf, sim[neg, qi])
+            for j in _topk_indices(ids[neg], col, k):
+                out["query_id"].append(qi)
+                out[id_col].append(ids[neg][j])
+                out["cosine"].append(float(col[j]))
+        return pd.DataFrame({
+            "query_id": pd.Series(out["query_id"], dtype="int64"),
+            id_col: pd.Series(out[id_col], dtype="int64"),
+            "cosine": pd.Series(out["cosine"], dtype="float64"),
+        })
+
+    partial = ds.map_batches(score, batch_format="pandas")
+
+    def reduce_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["cosine", id_col], ascending=[False, True], kind="mergesort"
+        ).head(k).reset_index(drop=True)
+        g["cosine"] = round_half_away(g["cosine"], 6)
+        return g
+
+    return partial.groupby("query_id").map_groups(
+        reduce_topk, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -1325,3 +1325,87 @@ SELECT {id_col},
          w -> NOT list_contains(vl, w))) AS BIGINT) AS n_unk
 FROM __vf_d, __vf_v
 """
+
+
+def lexical_diversity_batch(batch: pd.DataFrame, *,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> pd.DataFrame:
+    """Per-doc lexical-diversity signals with INTEGER-EXACT moments:
+    ``n_words``, ``n_distinct``, ``n_hapax`` (type/token/once-only
+    counts) plus two single-division floats — ``ttr`` (type-token
+    ratio) and ``simpson`` (repeat-token collision probability
+    ``sum c*(c-1) / (n*(n-1))``, the concentration twin of entropy:
+    high = a few tokens dominate, the keyword-stuffing cue).
+
+    Frozen rules: tokens ``[a-z0-9]+`` over lowercased text; docs with
+    zero tokens emit NO row (the SQL unnest drops them identically);
+    ``ttr`` NULL when n = 0 (unreachable), ``simpson`` NULL when n < 2.
+    Narrow per-batch kernel, zero shuffles; every shuffle-free moment
+    is an int64, so the only floats are the two mirrored divisions.
+    """
+    low = batch[text_col].fillna("").astype(str).str.lower()
+    ex = low.str.findall(r"[a-z0-9]+").explode().dropna()
+    if not len(ex):
+        return pd.DataFrame({
+            id_col: pd.Series([], dtype="int64"),
+            "n_words": pd.Series([], dtype="int64"),
+            "n_distinct": pd.Series([], dtype="int64"),
+            "n_hapax": pd.Series([], dtype="int64"),
+            "ttr": pd.Series([], dtype="float64"),
+            "simpson": pd.Series([], dtype="float64"),
+        })
+    tf = (pd.DataFrame({"__i": ex.index, "word": ex.to_numpy()})
+          .groupby(["__i", "word"], as_index=False).size())
+    c = tf["size"].to_numpy(np.int64)
+    per = pd.DataFrame({
+        "__i": tf["__i"].to_numpy(),
+        "c": c, "one": (c == 1).astype(np.int64), "rep": c * (c - 1),
+    }).groupby("__i", as_index=False).agg(
+        n_words=("c", "sum"), n_distinct=("c", "count"),
+        n_hapax=("one", "sum"), rep=("rep", "sum"))
+    n = per["n_words"].to_numpy(np.float64)
+    d = per["n_distinct"].to_numpy(np.float64)
+    rep = per["rep"].to_numpy(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ttr = np.where(n > 0, d / n, np.nan)
+        simpson = np.where(n > 1, rep / (n * (n - 1.0)), np.nan)
+    return pd.DataFrame({
+        id_col: batch[id_col].to_numpy()[per["__i"].to_numpy()],
+        "n_words": per["n_words"].to_numpy(np.int64),
+        "n_distinct": per["n_distinct"].to_numpy(np.int64),
+        "n_hapax": per["n_hapax"].to_numpy(np.int64),
+        "ttr": ttr,
+        "simpson": simpson,
+    })
+
+
+def lexical_diversity_oracle_sql(table: str = "documents", *,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text") -> str:
+    """DuckDB mirror of :func:`lexical_diversity_batch`."""
+    return f"""
+WITH __ld_w AS (
+  SELECT {id_col}, unnest(regexp_extract_all(
+           lower(coalesce({text_col}, '')), '[a-z0-9]+')) AS word
+  FROM {table}
+), __ld_tf AS (
+  SELECT {id_col}, word, CAST(count(*) AS BIGINT) AS c
+  FROM __ld_w GROUP BY {id_col}, word
+), __ld_a AS (
+  SELECT {id_col},
+         CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax,
+         CAST(sum(c * (c - 1)) AS BIGINT) AS rep
+  FROM __ld_tf GROUP BY {id_col}
+)
+SELECT {id_col}, n_words, n_distinct, n_hapax,
+       CASE WHEN n_words > 0
+            THEN CAST(n_distinct AS DOUBLE) / n_words END AS ttr,
+       CASE WHEN n_words > 1
+            THEN CAST(rep AS DOUBLE)
+                 / (CAST(n_words AS DOUBLE) * (n_words - 1)) END
+         AS simpson
+FROM __ld_a
+"""

@@ -1112,3 +1112,53 @@ def test_semi_join_reference_parity(ray_session):
         rd.from_pandas(ref).repartition(2), "key").to_pandas()
     assert len(semi) + len(anti) == len(corpus)
     assert not set(semi["doc_id"]) & set(anti["doc_id"])
+
+
+def test_hard_negative_topk_excludes_same_label(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.similarity import hard_negative_topk
+
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(size=(60, 8))
+    df = pd.DataFrame({
+        "vec_id": np.arange(60),
+        "embedding": list(vecs),
+        "label": (np.arange(60) % 3).astype(np.int32),
+    })
+    q = vecs[:2]
+    qlab = np.array([0, 1], dtype=np.int32)
+    got = hard_negative_topk(rd.from_pandas(df).repartition(4), q, qlab,
+                             k=4).to_pandas()
+    labels = dict(zip(df["vec_id"], df["label"]))
+    assert len(got) == 8
+    for _, r in got.iterrows():
+        assert labels[r["vec_id"]] != qlab[int(r["query_id"])]
+    # brute-force reference for query 0
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = vn @ (q[0] / np.linalg.norm(q[0]))
+    cand = [(-s, i) for i, s in enumerate(sims) if i % 3 != 0]
+    want = [i for _, i in sorted(cand)[:4]]
+    g0 = got[got["query_id"] == 0].sort_values(
+        ["cosine", "vec_id"], ascending=[False, True])
+    assert list(g0["vec_id"]) == want
+
+
+def test_hard_negative_topk_scarce_negatives(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.similarity import hard_negative_topk
+
+    df = pd.DataFrame({
+        "vec_id": [0, 1, 2],
+        "embedding": [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+        "label": [0, 0, 1],
+    })
+    got = hard_negative_topk(rd.from_pandas(df), np.array([[1.0, 0.0]]),
+                             np.array([0]), k=5).to_pandas()
+    # only ONE other-label vector exists -> fewer than k rows
+    assert list(got["vec_id"]) == [2]

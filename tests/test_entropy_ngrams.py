@@ -249,3 +249,29 @@ def test_vocab_filter_sql_parity_and_unk_rule(ray_session):
     want = (con.sql(vocab_filter_oracle_sql(top_k=3)).df()
             .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_lexical_diversity_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.textquality import lexical_diversity_batch
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the the the cat", "a b c d", ""],
+    })
+    got = (rd.from_pandas(df).repartition(2)
+           .map_batches(lexical_diversity_batch, batch_format="pandas")
+           .to_pandas().set_index("doc_id"))
+    # doc 1: n=4 tokens, 2 types, 1 hapax (cat), rep = 3*2 = 6
+    assert got.loc[1, "n_words"] == 4
+    assert got.loc[1, "n_distinct"] == 2
+    assert got.loc[1, "n_hapax"] == 1
+    assert got.loc[1, "ttr"] == 0.5
+    assert got.loc[1, "simpson"] == 6 / 12
+    # doc 2: all hapax, simpson 0
+    assert got.loc[2, "n_hapax"] == 4 and got.loc[2, "simpson"] == 0.0
+    # doc 3 (empty) emits NO row
+    assert 3 not in got.index
