@@ -4226,6 +4226,67 @@ def q_hard_negatives_embeddings(sf_dir: str):
     return hard_negative_topk(ds, q, qlab, k=5)
 
 
+def q_corr_lineitem(sf_dir: str):
+    # per-group Pearson correlation (agg.grouped_corr): quantity vs
+    # floored extended price per return flag — integer-valued inputs
+    # make the (n, Σx, Σy, Σxy, Σx², Σy²) moment partials exact; the
+    # finish is one frozen IEEE chain mirrored verbatim in SQL.
+    from pdf_extract_ray.stages.agg import grouped_corr
+
+    ds = _t(sf_dir, "lineitem",
+            columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": b["l_returnflag"].to_numpy(),
+            "x": np.floor(b["l_quantity"].to_numpy(np.float64)),
+            "y": np.floor(b["l_extendedprice"].to_numpy(np.float64)),
+        })
+
+    return grouped_corr(ds.map_batches(derive, batch_format="pandas"),
+                        ["l_returnflag"], "x", "y")
+
+
+def q_auc_events(sf_dir: str):
+    # grouped ROC AUC (experiment.rank_auc): does floor(value) separate
+    # the two deterministic user-parity classes per event_type — the
+    # tie-aware Mann-Whitney rank statistic with INTEGER doubled ranks
+    # (one exact int64 numerator, ONE division); the shuffle sees one
+    # row per distinct (event_type, score).
+    from pdf_extract_ray.stages.experiment import rank_auc
+
+    ds = _t(sf_dir, "events", columns=["event_type", "user_id", "value"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(),
+            "v": np.floor(b["value"].to_numpy(np.float64)).astype(np.int64),
+            "pos": (b["user_id"] % 2).to_numpy(np.int64),
+        })
+
+    return rank_auc(ds.map_batches(derive, batch_format="pandas"),
+                    ["event_type"], "v", "pos")
+
+
+def q_psi_drift_events(sf_dir: str):
+    # distribution-drift readout (experiment.psi_drift): per-event_type
+    # Population Stability Index terms between the two event_id-parity
+    # snapshots — ONE bounded grouped count, driver finish on the
+    # O(categories) table, round-6 ln terms mirrored in SQL.
+    from pdf_extract_ray.stages.experiment import psi_drift
+
+    ds = _t(sf_dir, "events", columns=["event_type", "event_id"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(),
+            "snap": (b["event_id"] % 2).to_numpy(np.int64),
+        })
+
+    return psi_drift(ds.map_batches(derive, batch_format="pandas"),
+                     "event_type", "snap")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_counts": q_corpus_counts,
@@ -4317,6 +4378,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reciprocal_links": q_reciprocal_links,
         "lexical_diversity_docs": q_lexical_diversity_docs,
         "hard_negatives_embeddings": q_hard_negatives_embeddings,
+        "corr_lineitem": q_corr_lineitem,
+        "auc_events": q_auc_events,
+        "psi_drift_events": q_psi_drift_events,
         "pct_rank_docs_by_lang": q_pct_rank_docs_by_lang,
         "vocab_filter_docs": q_vocab_filter_docs,
         "rising_event_types": q_rising_event_types,
@@ -4857,6 +4921,32 @@ def _welch_ab_oracle() -> str:
     return welch_ab_test_oracle_sql(
         "SELECT event_type, user_id, value FROM events",
         ["event_type"], "user_id % 2", "CAST(floor(value) AS BIGINT)")
+
+
+def _corr_lineitem_oracle() -> str:
+    from pdf_extract_ray.stages.agg import grouped_corr_oracle_sql
+
+    return grouped_corr_oracle_sql(
+        "(SELECT l_returnflag, "
+        "CAST(floor(l_quantity) AS BIGINT) AS x, "
+        "CAST(floor(l_extendedprice) AS BIGINT) AS y FROM lineitem)",
+        ["l_returnflag"], "x", "y")
+
+
+def _auc_events_oracle() -> str:
+    from pdf_extract_ray.stages.experiment import rank_auc_oracle_sql
+
+    return rank_auc_oracle_sql(
+        "SELECT event_type, user_id, value FROM events",
+        ["event_type"], "CAST(floor(value) AS BIGINT)", "user_id % 2")
+
+
+def _psi_drift_oracle() -> str:
+    from pdf_extract_ray.stages.experiment import psi_drift_oracle_sql
+
+    return psi_drift_oracle_sql(
+        "SELECT event_type, event_id FROM events",
+        "event_type", "event_id % 2")
 
 
 def _registered_domain_oracle() -> str:
@@ -5505,6 +5595,9 @@ def oracle_sql() -> dict[str, str]:
         "impute_median_events": _impute_median_oracle(),
         "decayed_event_scores": _decayed_scores_oracle(),
         "welch_ab_events": _welch_ab_oracle(),
+        "corr_lineitem": _corr_lineitem_oracle(),
+        "auc_events": _auc_events_oracle(),
+        "psi_drift_events": _psi_drift_oracle(),
         "registered_domain_docs": _registered_domain_oracle(),
         "query_param_stats": _query_param_oracle(),
         "doc_keywords_docs": _doc_keywords_oracle(),

@@ -209,7 +209,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "rising_event_types", "burstiness_events",
                      "vocab_filter_docs", "pct_rank_docs_by_lang",
                      "semi_join_docs", "impute_median_events",
-                     "click_depth_docs"):
+                     "click_depth_docs",
+                     # post-closing ops: experiment/graph/report battery
+                     "decayed_event_scores", "welch_ab_events",
+                     "registered_domain_docs", "query_param_stats",
+                     "doc_keywords_docs", "pareto_docs",
+                     "triangle_counts_graph", "reciprocal_links",
+                     "lexical_diversity_docs", "hard_negatives_embeddings",
+                     "corr_lineitem", "auc_events", "psi_drift_events"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

@@ -808,6 +808,84 @@ def grouped_linreg_oracle_sql(
         f"AS intercept FROM __m")
 
 
+def grouped_corr(
+    ds: Dataset,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    *,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Per-group Pearson correlation — ``r = (n·Σxy − Σx·Σy) /
+    sqrt((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²))`` — the feature-association
+    sibling of :func:`grouped_linreg` (is quality correlated with
+    length within each host/language?).
+
+    Same scale shape as linreg: one narrow pass of per-batch moment
+    partials ``(keys, n, Σx, Σy, Σxy, Σx², Σy²)`` (tiny rows), ONE
+    bucketed merge, final formula vectorized over the merged table.  On
+    integer-valued inputs every sum is exact in float64 (any summation
+    order) and the finish is one frozen chain of correctly-rounded IEEE
+    ops mirrored verbatim by :func:`grouped_corr_oracle_sql` —
+    bit-identical parity (NOT ``corr()``, whose streaming recurrence is
+    near- but not bit-equal).  Groups where either variance term is
+    ≤ 0 get NULL.  Output: ``keys + (n, corr)``.
+    """
+    keys = list(keys)
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[x_col].to_numpy(dtype=np.float64)
+        y = b[y_col].to_numpy(dtype=np.float64)
+        f = pd.DataFrame({c: b[c] for c in keys})
+        f["__n"], f["__sx"], f["__sy"] = 1.0, x, y
+        f["__sxy"], f["__sxx"], f["__syy"] = x * y, x * x, y * y
+        return f.groupby(keys, as_index=False).sum()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(keys, as_index=False).sum()
+        n = m["__n"].to_numpy()
+        sx, sy = m["__sx"].to_numpy(), m["__sy"].to_numpy()
+        sxy = m["__sxy"].to_numpy()
+        sxx, syy = m["__sxx"].to_numpy(), m["__syy"].to_numpy()
+        denx = n * sxx - sx * sx
+        deny = n * syy - sy * sy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = (n * sxy - sx * sy) / np.sqrt(denx * deny)
+        out = m[keys].copy()
+        out["n"] = n.astype(np.int64)
+        out["corr"] = np.where((denx > 0.0) & (deny > 0.0), r, np.nan)
+        return out
+
+    partials = ds.map_batches(moments, batch_format="pandas")
+    return bucketed_group_apply(partials, keys, final,
+                                num_buckets=num_buckets)
+
+
+def grouped_corr_oracle_sql(
+    table_sql: str,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> str:
+    """DuckDB mirror of :func:`grouped_corr` — the SAME moment formula
+    with the SAME operation tree (sqrt of the product of the two
+    variance terms, one final division)."""
+    part = ", ".join(keys)
+    x = f"CAST({x_col} AS DOUBLE)"
+    y = f"CAST({y_col} AS DOUBLE)"
+    denx = "(__n * __sxx - __sx * __sx)"
+    deny = "(__n * __syy - __sy * __sy)"
+    return (
+        f"WITH __m AS (SELECT {part}, CAST(count(*) AS DOUBLE) AS __n, "
+        f"sum({x}) AS __sx, sum({y}) AS __sy, sum({x} * {y}) AS __sxy, "
+        f"sum({x} * {x}) AS __sxx, sum({y} * {y}) AS __syy "
+        f"FROM {table_sql} GROUP BY {part}) "
+        f"SELECT {part}, CAST(__n AS BIGINT) AS n, "
+        f"CASE WHEN {denx} > 0 AND {deny} > 0 THEN "
+        f"(__n * __sxy - __sx * __sy) / sqrt({denx} * {deny}) END "
+        f"AS corr FROM __m")
+
+
 def serpentine_assign(
     ds: Dataset,
     weight_col: str,

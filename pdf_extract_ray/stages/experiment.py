@@ -232,3 +232,184 @@ SELECT {part},
                            + (vbn * vbn) / (nb - 1)) END AS welch_df
 FROM __ab_e
 """
+
+
+def rank_auc(
+    ds: Dataset,
+    keys: Sequence[str],
+    score_col: str,
+    label_col: str,
+    *,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Per-key ROC AUC of a score against a binary label — the
+    tie-aware Mann-Whitney rank statistic, the standard readout for "is
+    this quality/classifier score actually separating good from bad
+    documents" at corpus scale.
+
+    Rule (exactly the rank formulation): with ``avgrank(v)`` the
+    average 1-based rank of score value ``v`` under ascending order,
+    ``AUC = (Σ_pos avgrank − n_pos·(n_pos+1)/2) / (n_pos·n_neg)``.
+    Doubling the ranks keeps every shuffled quantity an INTEGER:
+    ``2·avgrank(v) = 2·(#strictly-below) + count(v) + 1``, so
+    ``AUC = (Σ_v n_pos(v)·r2(v) − n_pos·(n_pos+1)) / (2·n_pos·n_neg)``
+    is one exact int64 numerator and ONE final division — bit-identical
+    to the SQL window mirror (:func:`rank_auc_oracle_sql`).
+
+    Scale shape: ``score_col`` must be quantized (ints / coarse
+    rounds); the shuffle then sees one row per DISTINCT ``(keys,
+    score)`` with integer ``(n, n_pos)`` partial counts — raw rows
+    never move.  ``label_col`` must be 0/1 integers.  Keys where either
+    class is empty get NULL auc.  Output: ``keys + (n_pos, n_neg,
+    auc)``.
+    """
+    from pdf_extract_ray.stages.agg import bucketed_group_apply, grouped_aggregate
+
+    keys = list(keys)
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[keys].copy()
+        out["__v"] = b[score_col].to_numpy(np.int64)
+        out["__pos"] = b[label_col].to_numpy(np.int64)
+        return out
+
+    cnt = grouped_aggregate(
+        ds.map_batches(derive, batch_format="pandas"),
+        keys + ["__v"],
+        {"__n": ("__pos", "count"), "__np": ("__pos", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys + ["__v"], kind="mergesort")
+        n = g["__n"].to_numpy(np.int64)
+        below = g.groupby(keys, sort=False)["__n"].cumsum().to_numpy(
+            np.int64) - n
+        r2 = 2 * below + n + 1
+        g = g.assign(__r2pos=g["__np"].to_numpy(np.int64) * r2)
+        m = g.groupby(keys, as_index=False).agg(
+            __r2pos=("__r2pos", "sum"), __np=("__np", "sum"),
+            __n=("__n", "sum"))
+        npos = m["__np"].to_numpy(np.int64)
+        nneg = (m["__n"] - m["__np"]).to_numpy(np.int64)
+        num = (m["__r2pos"].to_numpy(np.int64)
+               - npos * (npos + 1)).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            auc = num / (2 * npos * nneg)
+        out = m[keys].copy()
+        out["n_pos"] = npos
+        out["n_neg"] = nneg
+        out["auc"] = np.where((npos > 0) & (nneg > 0), auc, np.nan)
+        return out
+
+    return bucketed_group_apply(cnt, keys, body, num_buckets=num_buckets)
+
+
+def rank_auc_oracle_sql(
+    table_sql: str,
+    keys: Sequence[str],
+    score_expr: str,
+    label_expr: str,
+) -> str:
+    """DuckDB mirror of :func:`rank_auc` via window ranks:
+    ``2·avgrank = 2·rank() + count(v over ties) − 1`` (``rank()`` is
+    1 + #strictly-below), then the same single-division finish."""
+    part = ", ".join(keys)
+    return f"""
+WITH __auc_t AS (SELECT {part}, {score_expr} AS v, {label_expr} AS pos
+                 FROM ({table_sql})),
+__auc_r AS (SELECT {part}, pos,
+       2 * (rank() OVER (PARTITION BY {part} ORDER BY v))
+         + (count(*) OVER (PARTITION BY {part}, v)) - 1 AS r2
+       FROM __auc_t),
+__auc_a AS (SELECT {part},
+       CAST(sum(pos * r2) AS BIGINT) AS r2pos,
+       CAST(sum(pos) AS BIGINT) AS np,
+       CAST(count(*) - sum(pos) AS BIGINT) AS nn
+       FROM __auc_r GROUP BY {part})
+SELECT {part}, np AS n_pos, nn AS n_neg,
+       CASE WHEN np > 0 AND nn > 0 THEN
+         CAST(r2pos - np * (np + 1) AS DOUBLE) / (2 * np * nn) END AS auc
+FROM __auc_a
+"""
+
+
+def psi_drift(
+    ds: Dataset,
+    cat_col: str,
+    snap_col: str,
+    *,
+    num_buckets: int | None = None,
+) -> "pd.DataFrame":
+    """Per-category Population Stability Index terms between two
+    snapshots — the standard ML-monitoring drift readout ("did the
+    language/source/score-bucket mix shift between crawl A and crawl
+    B").  ``snap_col`` must be 0/1 integers (A = 0, B = 1).
+
+    Per category: ``psi_term = (p_a − p_b) · ln(p_a / p_b)`` with
+    ``p = n / N_snapshot``, rounded to 6 decimals (the repo's libm-ulp
+    convention, same as PMI); categories absent from either snapshot
+    get NULL (their PSI term is infinite).  Total PSI = sum of terms,
+    left to the reader (a float sum over categories is
+    order-sensitive).
+
+    Scale shape: ONE grouped integer count on ``(cat, snap)`` with
+    map-side partials; the result table is bounded by
+    O(#categories × 2) BY CONSTRUCTION, so the pivot + finish runs on
+    the driver — raw rows never move.
+    """
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+    from pdf_extract_ray.util import round_half_away
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "__cat": b[cat_col].to_numpy(),
+            "__snap": b[snap_col].to_numpy(np.int64),
+        })
+
+    cnt = grouped_aggregate(
+        ds.map_batches(derive, batch_format="pandas"),
+        ["__cat", "__snap"], {"n": ("__snap", "count")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+
+    wide = cnt.pivot_table(index="__cat", columns="__snap", values="n",
+                           aggfunc="first", fill_value=0)
+    na = wide.get(0, pd.Series(0, index=wide.index)).to_numpy(np.int64)
+    nb = wide.get(1, pd.Series(0, index=wide.index)).to_numpy(np.int64)
+    na_tot, nb_tot = int(na.sum()), int(nb.sum())
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pa_ = na / np.float64(na_tot)
+        pb_ = nb / np.float64(nb_tot)
+        term = round_half_away((pa_ - pb_) * np.log(pa_ / pb_), 6)
+    out = pd.DataFrame({cat_col: wide.index.to_numpy()})
+    out["n_a"] = na
+    out["n_b"] = nb
+    out["psi_term"] = np.where((na > 0) & (nb > 0), term, np.nan)
+    return out
+
+
+def psi_drift_oracle_sql(
+    table_sql: str,
+    cat_col: str,
+    snap_expr: str,
+) -> str:
+    """DuckDB mirror of :func:`psi_drift` (same expression tree; the
+    round-to-6 absorbs libm ``ln`` last-ulp differences)."""
+    return f"""
+WITH __psi_t AS (SELECT {cat_col} AS cat, {snap_expr} AS snap
+                 FROM ({table_sql})),
+__psi_c AS (SELECT cat, snap, count(*) AS n FROM __psi_t GROUP BY 1, 2),
+__psi_p AS (SELECT cat,
+       coalesce(max(CASE WHEN snap = 0 THEN n END), 0) AS n_a,
+       coalesce(max(CASE WHEN snap = 1 THEN n END), 0) AS n_b
+       FROM __psi_c GROUP BY cat),
+__psi_tot AS (SELECT sum(n_a) AS na_tot, sum(n_b) AS nb_tot FROM __psi_p)
+SELECT cat AS {cat_col},
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         round((CAST(n_a AS DOUBLE) / na_tot - CAST(n_b AS DOUBLE) / nb_tot)
+               * ln((CAST(n_a AS DOUBLE) / na_tot)
+                    / (CAST(n_b AS DOUBLE) / nb_tot)), 6) END AS psi_term
+FROM __psi_p, __psi_tot
+"""

@@ -1099,3 +1099,47 @@ def test_impute_by_group_median_sql_parity(ray_session):
     pd.testing.assert_frame_equal(
         got[["g", "i", "v", "was_imputed"]],
         want[["g", "i", "v", "was_imputed"]], check_dtype=False)
+
+
+def test_grouped_corr_exact_and_sql_parity(ray_session):
+    import duckdb
+
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.agg import (
+        grouped_corr,
+        grouped_corr_oracle_sql,
+    )
+
+    rng = np.random.default_rng(202)
+    xa = np.arange(40, dtype=np.int64)
+    df = pd.concat([
+        # perfect positive / perfect negative / noisy / zero-variance
+        pd.DataFrame({"g": "a", "x": xa, "y": 2 * xa + 1}),
+        pd.DataFrame({"g": "b", "x": xa, "y": -5 * xa + 3}),
+        pd.DataFrame({"g": "c", "x": rng.integers(0, 100, 80),
+                      "y": rng.integers(-50, 50, 80)}),
+        pd.DataFrame({"g": "d", "x": np.full(6, 4), "y": np.arange(6)}),
+    ], ignore_index=True).astype({"x": "float64", "y": "float64"})
+    got = (grouped_corr(rd.from_pandas(df).repartition(5), ["g"], "x", "y")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    assert got.loc[0, "corr"] == 1.0
+    assert got.loc[1, "corr"] == -1.0
+    assert pd.isna(got.loc[3, "corr"])
+    sub = df[df["g"] == "c"]
+    ref = np.corrcoef(sub["x"], sub["y"])[0, 1]
+    assert abs(got.loc[2, "corr"] - ref) < 1e-12
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(grouped_corr_oracle_sql("(SELECT g, x, y FROM t)",
+                                            ["g"], "x", "y"))
+            .df().sort_values("g").reset_index(drop=True))
+    gv, wv = got["corr"].to_numpy(), want["corr"].to_numpy()
+    assert (np.isnan(gv) == np.isnan(wv)).all()
+    # integer-valued inputs: bit-identical to the SQL moment mirror
+    assert (gv[~np.isnan(gv)] == wv[~np.isnan(wv)]).all()
+    assert got["n"].tolist() == want["n"].tolist()
+    again = (grouped_corr(rd.from_pandas(df).repartition(13), ["g"],
+                          "x", "y", num_buckets=32)
+             .to_pandas().sort_values("g").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, again)

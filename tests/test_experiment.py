@@ -117,3 +117,93 @@ def test_welch_zero_variance_gives_null(ray_session):
                        "v": [2.0] * 6})
     got = welch_ab_test(rd.from_pandas(df), ["key"], "arm", "v")
     assert np.isnan(got["t_stat"].iloc[0])
+
+
+def _auc_pairwise(v: np.ndarray, pos: np.ndarray) -> float:
+    """Naive O(n^2) pair-counting AUC reference (ties count half)."""
+    vp, vn = v[pos == 1], v[pos == 0]
+    wins = (vp[:, None] > vn[None, :]).sum()
+    ties = (vp[:, None] == vn[None, :]).sum()
+    return (wins + 0.5 * ties) / (len(vp) * len(vn))
+
+
+@pytest.mark.parametrize("blocks", [1, 9])
+def test_rank_auc_matches_pairwise_and_sql(ray_session, blocks):
+    import duckdb
+
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.experiment import rank_auc, rank_auc_oracle_sql
+
+    rng = np.random.default_rng(11)
+    n = 500
+    df = pd.DataFrame({
+        "key": rng.choice(["a", "b"], size=n),
+        # heavy ties on purpose: scores in a small integer codomain
+        "v": rng.integers(0, 12, size=n),
+        "pos": rng.integers(0, 2, size=n),
+    })
+    # one single-class group (NULL auc)
+    df = pd.concat([df, pd.DataFrame(
+        {"key": ["z"] * 4, "v": [1, 2, 3, 4], "pos": [1, 1, 1, 1]})],
+        ignore_index=True)
+    got = (rank_auc(rd.from_pandas(df).repartition(blocks), ["key"],
+                    "v", "pos")
+           .to_pandas().sort_values("key").reset_index(drop=True))
+    for _, r in got[got["key"] != "z"].iterrows():
+        sub = df[df["key"] == r["key"]]
+        ref = _auc_pairwise(sub["v"].to_numpy(), sub["pos"].to_numpy())
+        assert abs(r["auc"] - ref) < 1e-12
+        assert r["n_pos"] == int(sub["pos"].sum())
+        assert r["n_neg"] == len(sub) - int(sub["pos"].sum())
+    assert pd.isna(got[got["key"] == "z"]["auc"]).all()
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(rank_auc_oracle_sql("SELECT * FROM t", ["key"],
+                                        "v", "pos"))
+            .df().sort_values("key").reset_index(drop=True))
+    gv, wv = got["auc"].to_numpy(), want["auc"].to_numpy()
+    assert (np.isnan(gv) == np.isnan(wv)).all()
+    # single-division finish on an exact int numerator: bit parity
+    assert (gv[~np.isnan(gv)] == wv[~np.isnan(wv)]).all()
+
+
+def test_psi_drift_reference_and_nulls(ray_session):
+    import duckdb
+
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.experiment import psi_drift, psi_drift_oracle_sql
+
+    df = pd.DataFrame({
+        "cat": ["x"] * 6 + ["y"] * 3 + ["w"] * 2 + ["only_a"] * 2
+               + ["only_b"] * 3,
+        "snap": [0, 0, 0, 1, 1, 1,   # x balanced
+                 0, 1, 1,            # y shifted
+                 0, 1,               # w
+                 0, 0,               # only in snapshot a
+                 1, 1, 1],           # only in snapshot b
+    })
+    got = (psi_drift(rd.from_pandas(df).repartition(4), "cat", "snap")
+           .sort_values("cat").reset_index(drop=True))
+    # plain reference
+    na_tot = (df["snap"] == 0).sum()
+    nb_tot = (df["snap"] == 1).sum()
+    for _, r in got.iterrows():
+        sub = df[df["cat"] == r["cat"]]
+        na = int((sub["snap"] == 0).sum())
+        nb = int((sub["snap"] == 1).sum())
+        assert r["n_a"] == na and r["n_b"] == nb
+        if na and nb:
+            pa, pb = na / na_tot, nb / nb_tot
+            want = (pa - pb) * math.log(pa / pb)
+            assert abs(r["psi_term"] - want) < 1e-6
+        else:
+            assert pd.isna(r["psi_term"])
+    con = duckdb.connect()
+    con.register("t", df)
+    sql = (con.sql(psi_drift_oracle_sql("SELECT * FROM t", "cat", "snap"))
+           .df().sort_values("cat").reset_index(drop=True))
+    gv, wv = got["psi_term"].to_numpy(), sql["psi_term"].to_numpy()
+    assert (np.isnan(gv) == np.isnan(wv)).all()
+    assert (gv[~np.isnan(gv)] == wv[~np.isnan(wv)]).all()
