@@ -3970,6 +3970,28 @@ def q_host_pagerank(sf_dir: str):
 
 PAGERANK_ITERS = 8
 
+# frozen TrustRank seed set: the three "vetted" hosts of the synthetic
+# graph (tools/gen_goldens.gen_trustrank uses the same literals)
+TRUSTRANK_SEEDS = {f"host{k}.example": 1.0 for k in range(3)}
+
+
+def q_host_trustrank(sf_dir: str):
+    # TrustRank (Gyöngyi et al. 2004): PageRank with the random jump
+    # seeded on vetted hosts — trust flows out along links, demoting
+    # hosts no seed reaches (spam demotion / crawl prioritization).
+    # Same broadcast-vertex / streamed-edge regime as host_pagerank;
+    # oracle: committed golden from the independent dense-numpy
+    # reference (tools/gen_goldens.gen_trustrank).
+    from pdf_extract_ray.stages.links import host_link_edges
+    from pdf_extract_ray.stages.pagerank import pagerank
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "source"])
+    pages = ds.map_batches(_link_pages, batch_format="pandas")
+    r = pagerank(host_link_edges(pages), weight_col="n_links",
+                 n_iter=PAGERANK_ITERS, tol=None,
+                 teleport=TRUSTRANK_SEEDS)
+    return r.rename(columns={"rank": "trust"})
+
 
 def q_host_hits(sf_dir: str):
     # HITS hubs/authorities over the DISTINCT host edges (the rolled-up
@@ -4287,6 +4309,139 @@ def q_psi_drift_events(sf_dir: str):
                      "event_type", "snap")
 
 
+def q_js_drift_words(sf_dir: str):
+    # vocabulary-level Jensen-Shannon drift (relevance.unigram_js_drift)
+    # between the two doc_id-parity crawl slices: which words moved.
+    # (snap, word, n) partials shuffle once keyed by word; slice totals
+    # are a 2-row broadcast; one-sided words stay finite (0 ln 0 = 0),
+    # unlike the categorical PSI readout.  Round-6 ln terms in SQL.
+    from pdf_extract_ray.stages.relevance import unigram_js_drift
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "snap": (b["doc_id"] % 2).to_numpy(np.int64),
+            "text": b["text"].to_numpy(),
+        })
+
+    return unigram_js_drift(
+        ds.map_batches(derive, batch_format="pandas"), "snap")
+
+
+def _js_drift_words_oracle() -> str:
+    from pdf_extract_ray.stages.relevance import unigram_js_drift_oracle_sql
+
+    return unigram_js_drift_oracle_sql(
+        "SELECT doc_id % 2 AS snap, text FROM documents", "snap")
+
+
+def _scd2_snapshots(sf_dir: str):
+    # three deterministic crawl snapshots per url (k = 0, 1, 2 days):
+    # doc_id%3==0 changes at k=1 (' v2'), doc_id%4==0 changes again at
+    # k=2 (' v3') — urls end with 1, 2 or 3 distinct versions.
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def snaps(b: pd.DataFrame) -> pd.DataFrame:
+        base = b["text"].fillna("")
+        url = ("http://host" + (b["doc_id"] % 13).astype(str)
+               + ".example/p/" + b["doc_id"].astype(str))
+        v2 = np.where(b["doc_id"] % 3 == 0, " v2", "")
+        v3 = np.where(b["doc_id"] % 4 == 0, " v3", "")
+        frames = []
+        for k in (0, 1, 2):
+            content = base.copy()
+            if k >= 1:
+                content = content + v2
+            if k >= 2:
+                content = content + v3
+            frames.append(pd.DataFrame({
+                "url": url.to_numpy(),
+                "ts": (pd.Timestamp("2024-01-01") + pd.to_timedelta(
+                    b["doc_id"] * 17 + k * 86400, unit="s")).to_numpy(),
+                "text": content.to_numpy(),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    return ds.map_batches(snaps, batch_format="pandas")
+
+
+_SCD2_SNAPS_SQL = (
+    "SELECT 'http://host' || (doc_id % 13) || '.example/p/' || doc_id"
+    "       AS url, "
+    "TIMESTAMP '2024-01-01' + INTERVAL (doc_id * 17 + k * 86400) SECOND"
+    "       AS ts, "
+    "coalesce(text, '')"
+    " || CASE WHEN doc_id % 3 = 0 AND k >= 1 THEN ' v2' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 AND k >= 2 THEN ' v3' ELSE '' END"
+    "       AS content "
+    "FROM documents, (SELECT unnest([0, 1, 2]) AS k)"
+)
+
+
+def q_scd2_url_versions(sf_dir: str):
+    # SCD-2 url version history (stages/history.py): collapse the full
+    # crawl archive into one row per distinct consecutive content
+    # version with half-open validity intervals — point-in-time corpus
+    # reconstruction + change-frequency priors.  Bodies hash in a
+    # narrow map; only (url, ts, hash) rows cross the ONE bucketed
+    # url shuffle; the in-bucket collapse is fully vectorized.
+    from pdf_extract_ray.stages.history import url_version_history
+
+    return url_version_history(_scd2_snapshots(sf_dir))
+
+
+def _scd2_oracle() -> str:
+    return (
+        f"WITH snaps AS ({_SCD2_SNAPS_SQL}), "
+        "hashed AS (SELECT url, ts, md5(content) AS content_hash"
+        "           FROM snaps), "
+        "flagged AS ("
+        "  SELECT url, ts, content_hash, lag(content_hash) OVER "
+        "    (PARTITION BY url ORDER BY ts, content_hash) AS prev_h "
+        "  FROM hashed), "
+        "vers AS (SELECT url, ts, content_hash FROM flagged "
+        "         WHERE prev_h IS NULL OR prev_h <> content_hash), "
+        "numbered AS ("
+        "  SELECT url, content_hash, "
+        "    CAST(row_number() OVER (PARTITION BY url"
+        "         ORDER BY ts, content_hash) AS BIGINT) AS version_no, "
+        "    ts AS valid_from, "
+        "    lead(ts) OVER (PARTITION BY url"
+        "         ORDER BY ts, content_hash) AS valid_to "
+        "  FROM vers) "
+        "SELECT url, version_no, content_hash, valid_from, valid_to, "
+        "valid_to IS NULL AS is_current FROM numbered"
+    )
+
+
+def q_url_change_freq(sf_dir: str):
+    # recrawl-scheduling prior: per-url change-frequency rollup over the
+    # SCD-2 history (history.version_change_stats) — PURE COMPOSITION,
+    # one extra tiny grouped merge over the already-narrow version rows.
+    from pdf_extract_ray.stages.history import (
+        url_version_history, version_change_stats)
+
+    return version_change_stats(url_version_history(_scd2_snapshots(sf_dir)))
+
+
+def _url_change_freq_oracle() -> str:
+    return (
+        f"WITH snaps AS ({_SCD2_SNAPS_SQL}), "
+        "hashed AS (SELECT url, ts, md5(content) AS content_hash"
+        "           FROM snaps), "
+        "flagged AS ("
+        "  SELECT url, ts, content_hash, lag(content_hash) OVER "
+        "    (PARTITION BY url ORDER BY ts, content_hash) AS prev_h "
+        "  FROM hashed), "
+        "vers AS (SELECT url, ts FROM flagged "
+        "         WHERE prev_h IS NULL OR prev_h <> content_hash) "
+        "SELECT url, CAST(count(*) AS BIGINT) AS n_versions, "
+        "min(ts) AS first_seen, max(ts) AS last_change "
+        "FROM vers GROUP BY url"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_counts": q_corpus_counts,
@@ -4493,6 +4648,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_prior_join": q_host_prior_join,
         "host_hits": q_host_hits,
         "host_pagerank": q_host_pagerank,
+        "scd2_url_versions": q_scd2_url_versions,
+        "url_change_freq": q_url_change_freq,
+        "js_drift_words": q_js_drift_words,
+        "host_trustrank": q_host_trustrank,
     }
 
 
@@ -5957,6 +6116,7 @@ def oracle_sql() -> dict[str, str]:
                         "embedding_near_dup_lsh", "pdf_extract_docs",
                         "near_dup_clusters", "near_dup_dedup_docs",
                         "substr_dedup_docs", "host_pagerank",
+                        "host_trustrank",
                         "bpe_merges", "bpe_token_stats", "host_hits",
                         "cms_word_probe", "nb_quality_docs",
                         "nb_topic_docs", "bloom_url_probe",
@@ -6025,4 +6185,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_index": _crawl_index_oracle(),
         "hreflang_pairs": _hreflang_pairs_oracle(),
         "host_prior_join": _host_prior_join_oracle(),
+        "scd2_url_versions": _scd2_oracle(),
+        "url_change_freq": _url_change_freq_oracle(),
+        "js_drift_words": _js_drift_words_oracle(),
     }

@@ -216,7 +216,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "doc_keywords_docs", "pareto_docs",
                      "triangle_counts_graph", "reciprocal_links",
                      "lexical_diversity_docs", "hard_negatives_embeddings",
-                     "corr_lineitem", "auc_events", "psi_drift_events"):
+                     "corr_lineitem", "auc_events", "psi_drift_events",
+                     # this-session ops: archive history / drift / trust
+                     "scd2_url_versions", "url_change_freq",
+                     "js_drift_words", "host_trustrank"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

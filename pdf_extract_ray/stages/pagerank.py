@@ -47,9 +47,21 @@ def pagerank(
     n_iter: int = 20,
     tol: float = 1e-9,
     round_digits: int | None = 6,
+    teleport: "dict | pd.Series | None" = None,
 ) -> pd.DataFrame:
     """``(node, rank)`` DataFrame (bounded by the vertex-state
-    assumption), ranks summing to 1; deterministic given the edge set."""
+    assumption), ranks summing to 1; deterministic given the edge set.
+
+    ``teleport``: optional node→weight map.  When given, the random
+    jump lands on nodes proportional to these weights instead of
+    uniformly — TrustRank (Gyöngyi et al. 2004, public paper): seed the
+    vector with vetted hosts and trust flows out along links, demoting
+    hosts no seed can reach.  Frozen conventions: weights are
+    normalized over the graph's node set (entries for absent nodes are
+    ignored; all-zero/absent raises); dangling mass is redistributed
+    proportional to the SAME vector; iteration starts from the teleport
+    distribution.  ``teleport=None`` keeps the uniform expressions
+    bit-identical to the classic PageRank path (committed goldens)."""
     edges = edges.materialize()  # iterated n_iter times — execute once
 
     wexpr = {"w": (weight_col, "sum")} if weight_col else {
@@ -68,7 +80,17 @@ def pagerank(
     out_w.loc[deg[src_col].to_numpy()] = deg["w"].to_numpy(np.float64)
     dangling = out_w == 0.0
     safe_w = out_w.where(out_w > 0, np.inf)
-    rank = pd.Series(1.0 / n, index=nodes)
+    if teleport is None:
+        t = None
+        rank = pd.Series(1.0 / n, index=nodes)
+    else:
+        t = pd.Series(teleport, dtype="float64").reindex(nodes).fillna(0.0)
+        t_tot = float(t.sum())
+        if t_tot <= 0.0:
+            raise ValueError(
+                "teleport must give positive weight to >=1 graph node")
+        t = t / t_tot
+        rank = t.copy()
 
     for _ in range(n_iter):
         frac = rank / safe_w  # per-unit-weight contribution of each src
@@ -90,7 +112,10 @@ def pagerank(
         s = pd.Series(0.0, index=nodes)
         s.loc[sums[dst_col].to_numpy()] = sums["s"].to_numpy(np.float64)
         d_mass = float(rank[dangling].sum())
-        new = (1.0 - damping) / n + damping * (s + d_mass / n)
+        if t is None:
+            new = (1.0 - damping) / n + damping * (s + d_mass / n)
+        else:
+            new = (1.0 - damping) * t + damping * (s + d_mass * t)
         delta = float((new - rank).abs().sum())
         rank = new
         if tol and delta < tol:
@@ -302,10 +327,12 @@ def pagerank_reference(
     n_iter: int = 20,
     tol: float = 1e-9,
     round_digits: int | None = 6,
+    teleport: "dict | pd.Series | None" = None,
 ) -> pd.DataFrame:
     """Single-process dense-numpy mirror of :func:`pagerank` (same frozen
-    semantics, independent implementation) — the golden generator and
-    the tests' comparison point."""
+    semantics, independent implementation, including the TrustRank
+    ``teleport`` conventions) — the golden generator and the tests'
+    comparison point."""
     w = (edges[weight_col].to_numpy(np.float64) if weight_col
          else np.ones(len(edges)))
     nodes = pd.Index(
@@ -320,12 +347,25 @@ def pagerank_reference(
     out_w = np.bincount(si, weights=w, minlength=n)
     dangling = out_w == 0.0
     safe_w = np.where(out_w > 0, out_w, np.inf)
-    r = np.full(n, 1.0 / n)
+    if teleport is None:
+        t = None
+        r = np.full(n, 1.0 / n)
+    else:
+        ts = pd.Series(teleport, dtype="float64").reindex(nodes).fillna(0.0)
+        t_tot = float(ts.sum())
+        if t_tot <= 0.0:
+            raise ValueError(
+                "teleport must give positive weight to >=1 graph node")
+        t = (ts / t_tot).to_numpy(np.float64)
+        r = t.copy()
     for _ in range(n_iter):
         c = r[si] / safe_w[si] * w
         s = np.bincount(di, weights=c, minlength=n)
         d_mass = r[dangling].sum()
-        new = (1.0 - damping) / n + damping * (s + d_mass / n)
+        if t is None:
+            new = (1.0 - damping) / n + damping * (s + d_mass / n)
+        else:
+            new = (1.0 - damping) * t + damping * (s + d_mass * t)
         delta = np.abs(new - r).sum()
         r = new
         if tol and delta < tol:

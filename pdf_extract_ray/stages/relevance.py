@@ -453,3 +453,126 @@ SELECT {id_col}, CAST(kw_rank AS BIGINT) AS kw_rank, word, tf, df,
        round(score, {ndigits}) AS score
 FROM __kw_r WHERE kw_rank <= {k}
 """
+
+
+def unigram_js_drift(
+    ds: Dataset,
+    snap_col: str,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Per-word Jensen-Shannon drift terms between two corpus slices —
+    the vocabulary-level companion to the categorical PSI readout
+    (:func:`~pdf_extract_ray.stages.experiment.psi_drift`): "which words
+    moved between crawl A and crawl B / source A and source B".
+    ``snap_col`` must be 0/1 integers (A = 0, B = 1).
+
+    Per word, with exact int64 counts ``n_a``/``n_b`` and slice token
+    totals ``N_a``/``N_b``::
+
+        p = n_a / N_a            q = n_b / N_b          m = (p + q) / 2
+        js_term = 0.5 * p * ln(p / m) + 0.5 * q * ln(q / m)
+
+    (a zero-count side contributes 0 to its half — the JS convention
+    ``0 ln 0 = 0`` — so one-sided words are finite, unlike KL/PSI).
+    The per-word term is rounded to 6 digits on BOTH sides, the repo's
+    libm-ulp convention; total JS divergence = sum of terms, left to
+    the reader (a float sum over the vocabulary is order-sensitive).
+
+    Scale shape: per-batch ``(snap, word, n)`` partials — raw text
+    never shuffles — then ONE bucketed merge keyed by word (each
+    word's two slice counts co-locate, so the pivot is in-bucket);
+    the two slice totals are a 2-row grouped aggregate broadcast in
+    the closure.  Output: ``(word, n_a, n_b, js_term)`` for words with
+    ``n_a + n_b >= min_count``.
+    """
+    from pdf_extract_ray.stages.agg import (
+        bucketed_group_apply, grouped_aggregate)
+
+    word_re = re.compile(_WORD)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        snaps, words = [], []
+        for s, t in zip(b[snap_col].tolist(),
+                        b[text_col].fillna("").str.lower().tolist()):
+            ws = word_re.findall(t)
+            snaps.extend([int(s)] * len(ws))
+            words.extend(ws)
+        f = pd.DataFrame({"snap": pd.Series(snaps, dtype=np.int64),
+                          "word": pd.Series(words, dtype=object)})
+        return (f.groupby(["snap", "word"], as_index=False).size()
+                .rename(columns={"size": "n"}))
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    tot = grouped_aggregate(partials, ["snap"], {"n": ("n", "sum")},
+                            num_buckets=num_buckets).to_pandas()
+    totals = dict(zip(tot["snap"].astype(int), tot["n"].astype(np.int64)))
+    na_tot = float(totals.get(0, 0))
+    nb_tot = float(totals.get(1, 0))
+
+    def per_word_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["word", "snap"], as_index=False)["n"].sum()
+        wide = g.pivot_table(index="word", columns="snap", values="n",
+                             aggfunc="first", fill_value=0)
+        na = (wide[0] if 0 in wide.columns
+              else pd.Series(0, index=wide.index)).to_numpy(np.int64)
+        nb = (wide[1] if 1 in wide.columns
+              else pd.Series(0, index=wide.index)).to_numpy(np.int64)
+        keep = (na + nb) >= min_count
+        na, nb = na[keep], nb[keep]
+        words = wide.index.to_numpy()[keep]
+        p = na / na_tot
+        q = nb / nb_tot
+        m = (p + q) / 2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ta = np.where(na > 0, p * np.log(
+                np.where(na > 0, p, 1.0) / np.where(m > 0, m, 1.0)), 0.0)
+            tb = np.where(nb > 0, q * np.log(
+                np.where(nb > 0, q, 1.0) / np.where(m > 0, m, 1.0)), 0.0)
+        js = round_half_away(0.5 * ta + 0.5 * tb, 6)
+        return pd.DataFrame({
+            "word": words,
+            "n_a": na, "n_b": nb,
+            "js_term": js.astype(np.float64),
+        })
+
+    return bucketed_group_apply(partials, ["word"], per_word_bucket,
+                                num_buckets=num_buckets,
+                                pre_batch_size=16384)
+
+
+def unigram_js_drift_oracle_sql(
+    table_sql: str,
+    snap_expr: str,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> str:
+    """DuckDB mirror of :func:`unigram_js_drift` (identical float
+    expression tree; round-6 absorbs libm ``ln`` last-ulp noise)."""
+    return f"""
+WITH __js_w AS (SELECT {snap_expr} AS snap, unnest(regexp_extract_all(
+                  lower(coalesce({text_col}, '')), '{_WORD}')) AS word
+                FROM ({table_sql})),
+__js_c AS (SELECT word, snap, count(*) AS n FROM __js_w GROUP BY 1, 2),
+__js_p AS (SELECT word,
+       coalesce(max(CASE WHEN snap = 0 THEN n END), 0) AS n_a,
+       coalesce(max(CASE WHEN snap = 1 THEN n END), 0) AS n_b
+       FROM __js_c GROUP BY word),
+__js_tot AS (SELECT CAST(sum(n_a) AS DOUBLE) AS na_tot,
+                    CAST(sum(n_b) AS DOUBLE) AS nb_tot FROM __js_p)
+SELECT word, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  round(
+    0.5 * (CASE WHEN n_a > 0 THEN (n_a / na_tot)
+           * ln((n_a / na_tot)
+                / ((n_a / na_tot + n_b / nb_tot) / 2)) ELSE 0 END)
+  + 0.5 * (CASE WHEN n_b > 0 THEN (n_b / nb_tot)
+           * ln((n_b / nb_tot)
+                / ((n_a / na_tot + n_b / nb_tot) / 2)) ELSE 0 END),
+  6) AS js_term
+FROM __js_p, __js_tot
+WHERE n_a + n_b >= {min_count}
+"""

@@ -23,7 +23,8 @@ GOLDEN_QUERIES = (
     "compression_ratio_docs", "bpe_merges", "bpe_token_stats",
     "similarity_topk_ivf", "embedding_near_dup_lsh",
     "pdf_extract_docs", "near_dup_clusters", "near_dup_dedup_docs",
-    "substr_dedup_docs", "host_pagerank", "host_hits", "cms_word_probe",
+    "substr_dedup_docs", "host_pagerank", "host_trustrank", "host_hits",
+    "cms_word_probe",
     "nb_quality_docs", "bloom_url_probe", "nb_topic_docs",
     "image_near_dup", "semdedup_embeddings", "dsir_weights_docs",
     "markdown_docs", "grouped_distinct_users",

@@ -187,3 +187,76 @@ def test_bfs_depth_matches_reference_and_sql(ray_session):
         pd.testing.assert_frame_equal(got, want_sql, check_dtype=False)
     with pytest.raises(ValueError):
         bfs_depth(rd.from_pandas(e), [], max_depth=2)
+
+
+# --- TrustRank (seeded teleport) -------------------------------------------
+
+def _chain_edges():
+    # seeds -> good -> better; spam island links only to itself
+    return pd.DataFrame({
+        "src_host": ["seed", "seed", "good", "spam1", "spam2"],
+        "dst_host": ["good", "better", "better", "spam2", "spam1"],
+    })
+
+
+def test_trustrank_spam_island_gets_zero():
+    r = pagerank_reference(_chain_edges(), teleport={"seed": 1.0},
+                           n_iter=30, tol=None)
+    t = dict(zip(r["node"], r["rank"]))
+    # no seed reaches the spam island: exactly zero trust
+    assert t["spam1"] == 0.0 and t["spam2"] == 0.0
+    assert t["seed"] > 0 and t["good"] > 0 and t["better"] > 0
+    assert abs(sum(t.values()) - 1.0) < 1e-6
+
+
+def test_trustrank_uniform_teleport_equals_classic():
+    e = _chain_edges()
+    nodes = sorted(set(e.src_host) | set(e.dst_host))
+    seeded = pagerank_reference(e, teleport={v: 1.0 for v in nodes},
+                                n_iter=20, tol=None)
+    classic = pagerank_reference(e, n_iter=20, tol=None)
+    np.testing.assert_allclose(seeded["rank"], classic["rank"], atol=1e-9)
+
+
+def test_trustrank_seed_weights_normalized():
+    e = _chain_edges()
+    a = pagerank_reference(e, teleport={"seed": 1.0}, n_iter=10, tol=None)
+    b = pagerank_reference(e, teleport={"seed": 7.5}, n_iter=10, tol=None)
+    pd.testing.assert_frame_equal(a, b)  # scale-invariant
+
+
+def test_trustrank_absent_or_zero_seeds_raise():
+    e = _chain_edges()
+    with pytest.raises(ValueError):
+        pagerank_reference(e, teleport={"nosuch.example": 1.0})
+    with pytest.raises(ValueError):
+        pagerank_reference(e, teleport={"seed": 0.0})
+
+
+def test_trustrank_dangling_mass_returns_to_seeds():
+    # 'sink' is dangling: its mass must flow back to the seed, not
+    # uniformly — so the seed outranks the sink despite equal in-degree
+    e = pd.DataFrame({"src_host": ["seed"], "dst_host": ["sink"]})
+    r = pagerank_reference(e, teleport={"seed": 1.0}, n_iter=50, tol=None)
+    t = dict(zip(r["node"], r["rank"]))
+    assert t["seed"] > t["sink"] > 0
+
+
+def test_trustrank_distributed_matches_reference(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(7)
+    e = pd.DataFrame({
+        "src_host": [f"h{i}" for i in rng.randint(0, 20, 200)],
+        "dst_host": [f"h{i}" for i in rng.randint(0, 20, 200)],
+        "n_links": rng.randint(1, 5, 200),
+    })
+    w = e.groupby(["src_host", "dst_host"], as_index=False)["n_links"].sum()
+    seeds = {"h0": 2.0, "h1": 1.0}
+    exp = pagerank_reference(w, weight_col="n_links", n_iter=8, tol=None,
+                             teleport=seeds)
+    got = pagerank(rd.from_pandas(w).repartition(4), weight_col="n_links",
+                   n_iter=8, tol=None, teleport=seeds)
+    pd.testing.assert_frame_equal(
+        got.sort_values("node").reset_index(drop=True),
+        exp.sort_values("node").reset_index(drop=True))

@@ -646,6 +646,34 @@ def gen_pagerank(sf_dir: str) -> dict[str, pa.Table]:
     return {"host_pagerank": pa.Table.from_pandas(r, preserve_index=False)}
 
 
+def gen_trustrank(sf_dir: str) -> dict[str, pa.Table]:
+    """Golden for `host_trustrank`: the SAME arithmetic weighted edges
+    as gen_pagerank, with the random jump seeded on the three vetted
+    hosts host{0,1,2}.example (frozen seed set), ranked by the
+    independent dense-numpy reference under the frozen TrustRank
+    conventions (seed-normalized teleport, dangling mass to seeds,
+    start from the seed distribution)."""
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"]).to_pandas()
+    src = "host" + (docs["doc_id"] % 13).astype(str) + ".example"
+    edges = pd.concat([
+        pd.DataFrame({"src_host": src,
+                      "dst_host": docs["source"].astype(str) + ".example"}),
+        pd.DataFrame({"src_host": src, "dst_host": src}),
+        pd.DataFrame({"src_host": src, "dst_host": "ads.example"}),
+    ])
+    weighted = (edges.groupby(["src_host", "dst_host"], as_index=False)
+                .size().rename(columns={"size": "n_links"}))
+
+    from pdf_extract_ray.stages.pagerank import pagerank_reference
+
+    r = pagerank_reference(
+        weighted, weight_col="n_links", n_iter=8, tol=None,
+        teleport={f"host{k}.example": 1.0 for k in range(3)},
+    ).rename(columns={"rank": "trust"})
+    return {"host_trustrank": pa.Table.from_pandas(r, preserve_index=False)}
+
+
 def gen_hits(sf_dir: str) -> dict[str, pa.Table]:
     """Golden for `host_hits`: same arithmetic edge derivation as
     gen_pagerank, collapsed to DISTINCT (src, dst) pairs (the rolled-up
@@ -896,7 +924,8 @@ GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_approx_distinct, gen_approx_quantiles,
               gen_compression_ratio, gen_bpe,
               gen_similarity_ivf, gen_embedding_lsh, gen_pdf_extract,
-              gen_substr_dedup, gen_pagerank, gen_hits, gen_cms,
+              gen_substr_dedup, gen_pagerank, gen_trustrank, gen_hits,
+              gen_cms,
               gen_nb_quality, gen_bloom, gen_nb_topic, gen_image_dup,
               gen_semdedup, gen_dsir, gen_markdown,
               gen_grouped_distinct)
