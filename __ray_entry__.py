@@ -4415,6 +4415,75 @@ def _scd2_oracle() -> str:
     )
 
 
+def q_scd2_incremental(sf_dir: str):
+    # incremental SCD-2 maintenance (history.update_version_history):
+    # history built from the first two crawls, then the third crawl
+    # folds in WITHOUT reprocessing the archive.  The oracle is the
+    # FULL three-snapshot rebuild in SQL — so the driver gate itself
+    # proves incremental == full.
+    from pdf_extract_ray.stages.history import (
+        update_version_history, url_version_history)
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def crawl(k: int):
+        def snaps(b: pd.DataFrame) -> pd.DataFrame:
+            content = b["text"].fillna("")
+            if k >= 1:
+                content = content + np.where(b["doc_id"] % 3 == 0, " v2", "")
+            if k >= 2:
+                content = content + np.where(b["doc_id"] % 4 == 0, " v3", "")
+            return pd.DataFrame({
+                "url": ("http://host" + (b["doc_id"] % 13).astype(str)
+                        + ".example/p/" + b["doc_id"].astype(str)).to_numpy(),
+                "ts": (pd.Timestamp("2024-01-01") + pd.to_timedelta(
+                    b["doc_id"] * 17 + k * 86400, unit="s")).to_numpy(),
+                "text": content.to_numpy(),
+            })
+        return ds.map_batches(snaps, batch_format="pandas")
+
+    hist = url_version_history(crawl(0).union(crawl(1)))
+    return update_version_history(hist, crawl(2))
+
+
+def q_snapshot_asof_docs(sf_dir: str):
+    # point-in-time corpus reconstruction (history.snapshot_asof): the
+    # version of every url live at 2024-01-02 12:00 — after every k=1
+    # crawl row, before every k=2 row, so the as-of picks the k=1
+    # state.  Narrow filter over the version table, zero extra shuffle.
+    from pdf_extract_ray.stages.history import (
+        snapshot_asof, url_version_history)
+
+    return snapshot_asof(url_version_history(_scd2_snapshots(sf_dir)),
+                         "2024-01-02 12:00:00")
+
+
+def _snapshot_asof_oracle() -> str:
+    return (
+        f"WITH snaps AS ({_SCD2_SNAPS_SQL}), "
+        "hashed AS (SELECT url, ts, md5(content) AS content_hash"
+        "           FROM snaps), "
+        "flagged AS ("
+        "  SELECT url, ts, content_hash, lag(content_hash) OVER "
+        "    (PARTITION BY url ORDER BY ts, content_hash) AS prev_h "
+        "  FROM hashed), "
+        "vers AS (SELECT url, ts, content_hash FROM flagged "
+        "         WHERE prev_h IS NULL OR prev_h <> content_hash), "
+        "numbered AS ("
+        "  SELECT url, content_hash, "
+        "    CAST(row_number() OVER (PARTITION BY url"
+        "         ORDER BY ts, content_hash) AS BIGINT) AS version_no, "
+        "    ts AS valid_from, "
+        "    lead(ts) OVER (PARTITION BY url"
+        "         ORDER BY ts, content_hash) AS valid_to "
+        "  FROM vers) "
+        "SELECT url, version_no, content_hash FROM numbered "
+        "WHERE valid_from <= TIMESTAMP '2024-01-02 12:00:00' "
+        "AND (valid_to IS NULL OR valid_to > TIMESTAMP "
+        "'2024-01-02 12:00:00')"
+    )
+
+
 def q_url_change_freq(sf_dir: str):
     # recrawl-scheduling prior: per-url change-frequency rollup over the
     # SCD-2 history (history.version_change_stats) — PURE COMPOSITION,
@@ -4652,6 +4721,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_change_freq": q_url_change_freq,
         "js_drift_words": q_js_drift_words,
         "host_trustrank": q_host_trustrank,
+        "scd2_incremental": q_scd2_incremental,
+        "snapshot_asof_docs": q_snapshot_asof_docs,
     }
 
 
@@ -6188,4 +6259,6 @@ def oracle_sql() -> dict[str, str]:
         "scd2_url_versions": _scd2_oracle(),
         "url_change_freq": _url_change_freq_oracle(),
         "js_drift_words": _js_drift_words_oracle(),
+        "scd2_incremental": _scd2_oracle(),
+        "snapshot_asof_docs": _snapshot_asof_oracle(),
     }

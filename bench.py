@@ -219,7 +219,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "corr_lineitem", "auc_events", "psi_drift_events",
                      # this-session ops: archive history / drift / trust
                      "scd2_url_versions", "url_change_freq",
-                     "js_drift_words", "host_trustrank"):
+                     "js_drift_words", "host_trustrank",
+                     "scd2_incremental", "snapshot_asof_docs"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

@@ -109,3 +109,155 @@ def version_change_stats(
          "first_seen": ("valid_from", "min"),
          "last_change": ("valid_from", "max")},
     )
+
+
+def update_version_history(
+    history: Dataset,
+    snapshot: Dataset,
+    *,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    content_col: str = "text",
+    method: str = "md5",
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Incremental SCD-2 maintenance: fold ONE new crawl into an
+    existing version history without reprocessing the archive —
+    byte-identical to rebuilding :func:`url_version_history` over all
+    snapshots (pytest-proven), but the work is proportional to the NEW
+    crawl, not to history depth.
+
+    Per url: if the new content hash equals the current (open)
+    version's hash, the history row passes through unchanged; otherwise
+    the open interval closes at the new snapshot's ts and a fresh
+    version (``max(version_no) + 1``) opens.  Urls never seen before
+    start at version 1.
+
+    Frozen precondition (documented, asserted nowhere — the caller owns
+    crawl ordering): every new snapshot's ts is strictly greater than
+    every existing ``valid_from`` of its url, and the new crawl has at
+    most one row per (url, ts) after the same ``(ts, hash)`` tiebreak
+    as the full build.  Multiple rows per url in the new crawl are
+    handled by the same collapse rule (sorted by ts then hash).
+
+    Scale shape: new bodies hash in a narrow map; ONE bucketed cogroup
+    by url moves only history rows + ``(url, ts, hash)`` news — at
+    10^12 urls the history side is the big one, but it is already the
+    narrow version table, never page bodies.
+    """
+    if method not in ("md5", "fast"):
+        raise ValueError(f"method must be 'md5' or 'fast', got {method!r}")
+    hash_fn = _md5_hex if method == "md5" else _fast_hex
+
+    def to_hashes(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "url": b[url_col].to_numpy(),
+            "ts": b[ts_col].to_numpy(),
+            "content_hash": hash_fn(b[content_col]).to_numpy(),
+        })
+
+    new_hashes = snapshot.map_batches(to_hashes, batch_format="pandas")
+
+    def tag_hist(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__side"] = np.int8(0)
+        b["ts"] = pd.NaT
+        return b
+
+    def tag_new(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "url": b["url"].to_numpy(),
+            "version_no": np.int64(0),
+            "content_hash": b["content_hash"].to_numpy(),
+            "valid_from": pd.NaT,
+            "valid_to": pd.NaT,
+            "is_current": False,
+            "__side": np.int8(1),
+            "ts": b["ts"].to_numpy(),
+        })
+
+    u = (history.map_batches(tag_hist, batch_format="pandas")
+         .union(new_hashes.map_batches(tag_new, batch_format="pandas")))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        hist = g[g["__side"] == 0]
+        news = g[g["__side"] == 1]
+        out_cols = ["url", "version_no", "content_hash",
+                    "valid_from", "valid_to", "is_current"]
+        if not len(news):
+            return hist[out_cols]
+        # current open version per url (absent for never-seen urls),
+        # prepended as a VIRTUAL row so the standard consecutive-
+        # duplicate collapse applies relative to the open version's hash
+        cur = hist.loc[hist["is_current"],
+                       ["url", "version_no", "content_hash"]]
+        virt = pd.DataFrame({
+            "url": cur["url"].to_numpy(),
+            "ts": pd.NaT, "content_hash": cur["content_hash"].to_numpy(),
+            "__ord": np.int8(0),
+        })
+        nn = pd.DataFrame({
+            "url": news["url"].to_numpy(), "ts": news["ts"].to_numpy(),
+            "content_hash": news["content_hash"].to_numpy(),
+            "__ord": np.int8(1),
+        })
+        allr = pd.concat([virt, nn], ignore_index=True).sort_values(
+            ["url", "__ord", "ts", "content_hash"], kind="mergesort")
+        prev = allr.groupby("url")["content_hash"].shift(1)
+        starts = allr.loc[(prev.isna() | (prev != allr["content_hash"]))
+                          & (allr["__ord"] == 1)]
+
+        hist_out = hist[out_cols]
+        if not len(starts):
+            return hist_out
+        grp = starts.groupby("url")
+        base = cur.set_index("url")["version_no"]
+        ver = (grp.cumcount().to_numpy(np.int64) + 1
+               + base.reindex(starts["url"]).fillna(0)
+               .to_numpy(np.int64))
+        valid_to = grp["ts"].shift(-1)
+        fresh = pd.DataFrame({
+            "url": starts["url"].to_numpy(),
+            "version_no": ver,
+            "content_hash": starts["content_hash"].to_numpy(),
+            "valid_from": starts["ts"].to_numpy(),
+            "valid_to": valid_to.to_numpy(),
+            "is_current": valid_to.isna().to_numpy(),
+        })
+        # close the open interval of every url that gained a version
+        first_ts = grp["ts"].min()
+        closing = hist_out["url"].map(first_ts)
+        hit = closing.notna() & hist_out["is_current"]
+        if hit.any():
+            hist_out = hist_out.copy()
+            hist_out.loc[hit, "valid_to"] = closing[hit]
+            hist_out.loc[hit, "is_current"] = False
+        return pd.concat([hist_out, fresh], ignore_index=True)
+
+    return bucketed_group_apply(u, ["url"], merge,
+                                num_buckets=num_buckets)
+
+
+def snapshot_asof(
+    history: Dataset,
+    asof,
+    *,
+    url_col: str = "url",
+) -> Dataset:
+    """Point-in-time corpus reconstruction: the version of every url
+    that was live at ``asof`` (half-open intervals: ``valid_from <=
+    asof < valid_to``).  Pure narrow filter over the version table —
+    zero shuffles, streams at any scale."""
+    asof = pd.Timestamp(asof)
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        live = (b["valid_from"] <= asof) & (
+            b["valid_to"].isna() | (b["valid_to"] > asof))
+        b = b.loc[live]
+        return pd.DataFrame({
+            url_col: b[url_col].to_numpy(),
+            "version_no": b["version_no"].to_numpy(np.int64),
+            "content_hash": b["content_hash"].to_numpy(),
+        })
+
+    return history.map_batches(pick, batch_format="pandas")

@@ -125,3 +125,87 @@ def test_plain_reference_equivalence(ray_session):
         got[["url", "version_no", "content_hash", "valid_from"]],
         exp.sort_values(["url", "version_no"]).reset_index(drop=True),
         check_dtype=False)
+
+
+# --- incremental maintenance + as-of reconstruction -------------------------
+
+def _snaps_k(n_docs, ks):
+    rows = []
+    for d in range(n_docs):
+        for k in ks:
+            txt = f"doc{d}" + (" v2" if d % 3 == 0 and k >= 1 else "") \
+                + (" v3" if d % 4 == 0 and k >= 2 else "")
+            rows.append({"url": f"u/{d}", "ts": _ts(d + k * 1000),
+                         "text": txt})
+    return pd.DataFrame(rows)
+
+
+def test_incremental_equals_full_rebuild(ray_session):
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.history import update_version_history
+
+    full = url_version_history(
+        rd.from_pandas(_snaps_k(30, [0, 1, 2])).repartition(3),
+        num_buckets=2).to_pandas()
+    hist01 = url_version_history(
+        rd.from_pandas(_snaps_k(30, [0, 1])).repartition(3), num_buckets=2)
+    third = _snaps_k(30, [2])[["url", "ts", "text"]]
+    inc = update_version_history(
+        hist01, rd.from_pandas(third).repartition(2),
+        num_buckets=2).to_pandas()
+    key = ["url", "version_no"]
+    pd.testing.assert_frame_equal(
+        inc.sort_values(key).reset_index(drop=True),
+        full.sort_values(key).reset_index(drop=True))
+
+
+def test_incremental_new_url_and_multi_version_crawl(ray_session):
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.history import update_version_history
+
+    hist = url_version_history(
+        rd.from_pandas(pd.DataFrame({
+            "url": ["u/old"], "ts": [_ts(0)], "text": ["v1"]})),
+        num_buckets=2)
+    # new crawl: unseen url with TWO distinct contents (collapse rule
+    # applies within the new crawl) + an unchanged old url row
+    new = pd.DataFrame({
+        "url": ["u/new", "u/new", "u/old"],
+        "ts": [_ts(10), _ts(11), _ts(12)],
+        "text": ["a", "b", "v1"],
+    })
+    got = (update_version_history(hist, rd.from_pandas(new), num_buckets=2)
+           .to_pandas().sort_values(["url", "version_no"])
+           .reset_index(drop=True))
+    old = got[got.url == "u/old"]
+    assert len(old) == 1 and bool(old.is_current.iloc[0])  # untouched
+    newv = got[got.url == "u/new"]
+    assert list(newv.version_no) == [1, 2]
+    assert list(newv.content_hash) == [_md5("a"), _md5("b")]
+    assert list(newv.valid_from) == [_ts(10), _ts(11)]
+    assert newv.valid_to.iloc[0] == _ts(11)
+    assert bool(newv.is_current.iloc[1])
+
+
+def test_snapshot_asof_picks_live_version(ray_session):
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.history import snapshot_asof
+
+    hist = url_version_history(
+        rd.from_pandas(_snaps_k(12, [0, 1, 2])).repartition(3),
+        num_buckets=2)
+    # asof between crawl 1 (ts base +1000h) and crawl 2 (+2000h)
+    got = (snapshot_asof(hist, _ts(1500)).to_pandas()
+           .sort_values("url").set_index("url"))
+    assert len(got) == 12  # every url has a live version
+    # doc 0: changed at k=1 (v2) -> version 2 is live at asof
+    assert got.loc["u/0", "version_no"] == 2
+    assert got.loc["u/0", "content_hash"] == _md5("doc0 v2")
+    # doc 1: never changed by k=1 -> version 1
+    assert got.loc["u/1", "version_no"] == 1
+    # before everything: empty
+    early = snapshot_asof(hist, _ts(-1)).to_pandas()
+    assert len(early) == 0
