@@ -4415,6 +4415,23 @@ def _scd2_oracle() -> str:
     )
 
 
+def q_collocations_docs(sf_dir: str):
+    # collocation mining (relevance.collocations, Church & Hanks 1990):
+    # top adjacent bigrams by PMI — MWE / tokenizer-merge-seed report.
+    # The vocabulary never materializes on the driver: c1/c2 attach via
+    # two tag-union-bucket cogroups keyed by w1 then w2; only count
+    # rows shuffle; grand totals are two driver scalars.
+    from pdf_extract_ray.stages.relevance import collocations
+
+    return collocations(_t(sf_dir, "documents", columns=["text"]))
+
+
+def _collocations_oracle() -> str:
+    from pdf_extract_ray.stages.relevance import collocations_oracle_sql
+
+    return collocations_oracle_sql("SELECT text FROM documents")
+
+
 def q_scd2_incremental(sf_dir: str):
     # incremental SCD-2 maintenance (history.update_version_history):
     # history built from the first two crawls, then the third crawl
@@ -4723,6 +4740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_trustrank": q_host_trustrank,
         "scd2_incremental": q_scd2_incremental,
         "snapshot_asof_docs": q_snapshot_asof_docs,
+        "collocations_docs": q_collocations_docs,
     }
 
 
@@ -6261,4 +6279,5 @@ def oracle_sql() -> dict[str, str]:
         "js_drift_words": _js_drift_words_oracle(),
         "scd2_incremental": _scd2_oracle(),
         "snapshot_asof_docs": _snapshot_asof_oracle(),
+        "collocations_docs": _collocations_oracle(),
     }

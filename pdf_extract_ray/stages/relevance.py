@@ -576,3 +576,164 @@ SELECT word, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
 FROM __js_p, __js_tot
 WHERE n_a + n_b >= {min_count}
 """
+
+
+def collocations(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Collocation mining: top-``k`` adjacent word bigrams ranked by
+    pointwise mutual information — the classic "new york" / multi-word-
+    expression detector (Church & Hanks 1990, public paper), used to
+    build tokenizer merge seeds and boilerplate phrase lists.
+
+    Frozen semantics: tokens = ``[a-z0-9]+`` over lowercased text;
+    bigrams are adjacent pairs WITHIN a document; with exact int64
+    counts ``c12`` (bigram), ``c1``/``c2`` (unigram), ``N`` (total
+    unigrams) and ``B`` (total bigrams)::
+
+        pmi = ln( c12 · N · N / (B · c1 · c2) )   -- == ln(P12 / P1·P2)
+
+    computed in double with the SAME association order in SQL, rounded
+    to 6 (the libm-ulp convention); output rows ordered by
+    ``(pmi DESC, w1, w2)``, ``row_number``-style cut at ``top_k``.
+
+    Scale shape — the vocabulary NEVER materializes on the driver
+    (unlike the per-group totals of :func:`pmi_terms`, a web-scale
+    vocab is 10^7+ rows): per-batch unigram and bigram count partials
+    stream out of one text scan; attaching ``c1`` is a tag-union-bucket
+    cogroup keyed by ``w1`` (each word's unigram rows co-locate with
+    the bigrams that start with it, so the unigram total is an
+    in-bucket sum); attaching ``c2`` repeats the same shape keyed by
+    ``w2``.  Two narrow bucketed exchanges over count rows; the two
+    grand totals are single-scalar driver aggregates; the final top-k
+    is a sort+limit over the min_count-trimmed table.
+    """
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    word_re = re.compile(_WORD)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        uni: dict[str, int] = {}
+        big: dict[tuple, int] = {}
+        for t in b[text_col].fillna("").str.lower().tolist():
+            ws = word_re.findall(t)
+            for w in ws:
+                uni[w] = uni.get(w, 0) + 1
+            for a, c in zip(ws, ws[1:]):
+                big[(a, c)] = big.get((a, c), 0) + 1
+        # w2 == "" marks a unigram-count row (tokens are [a-z0-9]+, so
+        # the empty string cannot collide with a real word; an all-None
+        # object column would become Arrow null type and break union)
+        u = pd.DataFrame({"w1": list(uni), "w2": "",
+                          "n": pd.Series(list(uni.values()),
+                                         dtype=np.int64)})
+        bg = pd.DataFrame({"w1": [k[0] for k in big],
+                           "w2": [k[1] for k in big],
+                           "n": pd.Series(list(big.values()),
+                                          dtype=np.int64)})
+        return pd.concat([u, bg], ignore_index=True)
+
+    counts = ds.map_batches(partial, batch_format="pandas").materialize()
+
+    # grand totals: two scalars, map-side partials only
+    def tot(b: pd.DataFrame) -> pd.DataFrame:
+        is_uni = b["w2"] == ""
+        return pd.DataFrame({
+            "n_uni": [int(b.loc[is_uni, "n"].sum())],
+            "n_big": [int(b.loc[~is_uni, "n"].sum())],
+        })
+
+    tots = counts.map_batches(tot, batch_format="pandas").to_pandas()
+    n_tot = float(tots["n_uni"].sum())
+    b_tot = float(tots["n_big"].sum())
+
+    def attach_c1(g: pd.DataFrame) -> pd.DataFrame:
+        # the bucket holds MANY words' groups: per-word unigram totals,
+        # mapped onto the bigrams that start with each word
+        is_uni = g["w2"] == ""
+        uni = g.loc[is_uni].groupby("w1")["n"].sum()
+        bg = (g.loc[~is_uni].groupby(["w1", "w2"], as_index=False)["n"]
+              .sum())
+        bg["c1"] = uni.reindex(bg["w1"]).to_numpy(np.int64)
+        return bg
+
+    with_c1 = bucketed_group_apply(counts, ["w1"], attach_c1,
+                                   num_buckets=num_buckets,
+                                   pre_batch_size=16384)
+
+    def tag_c2(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__k"] = b["w2"].where(b["w2"] != "", b["w1"])
+        return b
+
+    u2 = (counts.map_batches(
+        lambda b: tag_c2(b.loc[b["w2"] == ""].assign(c1=np.int64(-1))),
+        batch_format="pandas")
+        .union(with_c1.map_batches(tag_c2, batch_format="pandas")))
+
+    def attach_c2(g: pd.DataFrame) -> pd.DataFrame:
+        is_uni = g["w2"] == ""
+        uni = g.loc[is_uni].groupby("__k")["n"].sum()
+        bg = g.loc[~is_uni, ["w1", "w2", "n", "c1", "__k"]].copy()
+        bg = bg[bg["n"] >= min_count]
+        if not len(bg):
+            return pd.DataFrame({
+                "w1": pd.Series([], dtype=object),
+                "w2": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64),
+                "pmi": pd.Series([], dtype=np.float64)})
+        c2 = uni.reindex(bg["__k"]).to_numpy(np.int64)
+        pmi = np.log(bg["n"].to_numpy(np.float64) * n_tot * n_tot
+                     / (b_tot * bg["c1"].to_numpy(np.float64)
+                        * c2.astype(np.float64)))
+        return pd.DataFrame({
+            "w1": bg["w1"].to_numpy(), "w2": bg["w2"].to_numpy(),
+            "n": bg["n"].to_numpy(np.int64),
+            "pmi": round_half_away(pmi, 6),
+        })
+
+    scored = bucketed_group_apply(u2, ["__k"], attach_c2,
+                                  num_buckets=num_buckets,
+                                  pre_batch_size=16384)
+    return (scored.sort(["pmi", "w1", "w2"],
+                        descending=[True, False, False]).limit(top_k))
+
+
+def collocations_oracle_sql(
+    table_sql: str,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> str:
+    """DuckDB mirror of :func:`collocations` (identical float
+    expression tree; round-6 absorbs libm ``ln`` last-ulp noise)."""
+    return f"""
+WITH __co_d AS (SELECT regexp_extract_all(lower(coalesce({text_col},
+                  '')), '{_WORD}') AS ws FROM ({table_sql})),
+__co_u AS (SELECT unnest(ws) AS w FROM __co_d),
+__co_b AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+           FROM __co_d, (SELECT unnest(generate_series(1,
+                len(ws) - 1)) AS i) WHERE len(ws) >= 2),
+__co_uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM __co_u
+            GROUP BY w),
+__co_bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM __co_b
+            GROUP BY w1, w2),
+__co_t AS (SELECT CAST((SELECT sum(c) FROM __co_uc) AS DOUBLE) AS n_tot,
+                  CAST((SELECT sum(n) FROM __co_bc) AS DOUBLE) AS b_tot),
+__co_s AS (SELECT w1, w2, n,
+       round(ln(CAST(n AS DOUBLE) * n_tot * n_tot
+                / (b_tot * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))),
+             6) AS pmi
+       FROM __co_bc JOIN __co_uc u1 ON u1.w = w1
+                    JOIN __co_uc u2 ON u2.w = w2, __co_t
+       WHERE n >= {min_count})
+SELECT w1, w2, n, pmi FROM (
+  SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS __rn
+  FROM __co_s) WHERE __rn <= {top_k}
+"""

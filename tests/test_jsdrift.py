@@ -83,3 +83,64 @@ def test_symmetry(ray_session, corpus):
 def test_min_count_trims(ray_session, corpus):
     got = _run(corpus, min_count=4)
     assert set(got.word) == {"alpha", "beta", "epsilon", "gamma"}
+
+
+# --- collocations (adjacent-bigram PMI) -------------------------------------
+
+def _colloc_ref(texts, min_count=1, top_k=50):
+    """Plain-loop reference: adjacent bigram PMI over [a-z0-9]+."""
+    uni, big = {}, {}
+    for t in texts:
+        ws = re.findall(r"[a-z0-9]+", (t or "").lower())
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    n_tot, b_tot = float(sum(uni.values())), float(sum(big.values()))
+    rows = []
+    for (a, b), n in big.items():
+        if n < min_count:
+            continue
+        pmi = round(math.log(n * n_tot * n_tot
+                             / (b_tot * uni[a] * uni[b])), 6)
+        rows.append((a, b, n, pmi))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return pd.DataFrame(rows[:top_k], columns=["w1", "w2", "n", "pmi"])
+
+
+def _colloc_run(texts, **kw):
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.relevance import collocations
+
+    ds = rd.from_pandas(pd.DataFrame({"text": texts})).repartition(3)
+    return collocations(ds, num_buckets=2, **kw).to_pandas()
+
+
+def test_collocations_match_plain_reference(ray_session):
+    texts = ["new york city hosts new york games",
+             "the city of new york", "games in the city",
+             None, "york new york new"]
+    got = _colloc_run(texts, min_count=1, top_k=50)
+    exp = _colloc_ref(texts, min_count=1, top_k=50)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_collocations_mwe_ranks_first(ray_session):
+    # a bigram that ALWAYS co-occurs outranks frequent-but-independent
+    # pairs; bigrams never crossing doc boundaries
+    texts = ["hong kong alpha beta", "beta hong kong alpha",
+             "alpha beta hong kong", "beta alpha", "alpha beta"]
+    got = _colloc_run(texts, min_count=1, top_k=5)
+    assert (got.w1.iloc[0], got.w2.iloc[0]) == ("hong", "kong")
+    # 'kong' ends doc 3; 'beta' starts doc 2: no cross-doc bigram
+    assert not ((got.w1 == "kong") & (got.w2 == "beta")).any()
+
+
+def test_collocations_min_count_and_topk(ray_session):
+    texts = ["a b a b a b", "c d", "a b"]
+    got = _colloc_run(texts, min_count=4, top_k=10)
+    assert list(zip(got.w1, got.w2)) == [("a", "b")]
+    assert got.n.iloc[0] == 4
+    got1 = _colloc_run(texts, min_count=1, top_k=2)
+    assert len(got1) == 2
