@@ -4432,6 +4432,37 @@ def _collocations_oracle() -> str:
     return collocations_oracle_sql("SELECT text FROM documents")
 
 
+def q_host_template_prefix(sf_dir: str):
+    # per-host template-banner detection (boilerplate.host_common_
+    # prefix): lcp(S) == lcp(min S, max S), so the whole reduction is
+    # a string min/max grouped aggregate with map-side partials — two
+    # strings per (host, batch) shuffle, the LCP scan runs once on the
+    # O(#hosts) table.  Pages synthesized with a shared host banner.
+    from pdf_extract_ray.stages.boilerplate import host_common_prefix
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pages(b: pd.DataFrame) -> pd.DataFrame:
+        host = "host" + (b["doc_id"] % 13).astype(str)
+        return pd.DataFrame({
+            "host": host.to_numpy(),
+            "text": ("HostBanner " + host + " :: "
+                     + b["text"].fillna("")).to_numpy(),
+        })
+
+    return host_common_prefix(ds.map_batches(pages, batch_format="pandas"))
+
+
+def _host_template_prefix_oracle() -> str:
+    from pdf_extract_ray.stages.boilerplate import (
+        host_common_prefix_oracle_sql)
+
+    return host_common_prefix_oracle_sql(
+        "SELECT 'host' || (doc_id % 13) AS host, "
+        "'HostBanner host' || (doc_id % 13) || ' :: ' || "
+        "coalesce(text, '') AS text FROM documents")
+
+
 def q_scd2_incremental(sf_dir: str):
     # incremental SCD-2 maintenance (history.update_version_history):
     # history built from the first two crawls, then the third crawl
@@ -4741,6 +4772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_incremental": q_scd2_incremental,
         "snapshot_asof_docs": q_snapshot_asof_docs,
         "collocations_docs": q_collocations_docs,
+        "host_template_prefix": q_host_template_prefix,
     }
 
 
@@ -6280,4 +6312,5 @@ def oracle_sql() -> dict[str, str]:
         "scd2_incremental": _scd2_oracle(),
         "snapshot_asof_docs": _snapshot_asof_oracle(),
         "collocations_docs": _collocations_oracle(),
+        "host_template_prefix": _host_template_prefix_oracle(),
     }

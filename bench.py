@@ -221,7 +221,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "scd2_url_versions", "url_change_freq",
                      "js_drift_words", "host_trustrank",
                      "scd2_incremental", "snapshot_asof_docs",
-                     "collocations_docs"):
+                     "collocations_docs", "host_template_prefix"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

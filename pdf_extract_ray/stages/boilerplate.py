@@ -270,3 +270,130 @@ SELECT tot.{id_col},
        tot.n_lines - coalesce(agg.n_kept, 0) AS n_removed_lines
 FROM tot LEFT JOIN agg USING ({id_col})
 """
+
+
+def host_common_prefix(
+    ds: Dataset,
+    *,
+    group_col: str = "host",
+    text_col: str = "text",
+    max_len: int | None = None,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Per-host longest-common-prefix report — the site-template
+    banner detector: a host whose every page starts with the same
+    chrome ("HostBanner | nav | ...") gets that prefix surfaced so a
+    cleaning pass (:func:`strip_common_prefix`) can remove it.
+
+    Algebra (the part that scales): ``lcp(S) == lcp(min(S), max(S))``
+    under lexicographic order, and min/max are associative +
+    commutative — so the WHOLE reduction is a standard min/max grouped
+    aggregate with map-side partials; only two strings per (host,
+    batch) ever shuffle, and the per-host LCP scan runs once on the
+    final O(#hosts) table.  ``max_len`` truncates texts before the
+    aggregate (truncation is monotone w.r.t. lexicographic order, so
+    the result is exactly ``min(lcp, max_len)``) — set it at corpus
+    scale to bound shuffle row width.
+
+    Frozen rules: NULL text counts as ``""`` (forcing that host's LCP
+    empty); comparison and lengths are code-point-wise (Python ==
+    DuckDB semantics for UTF-8, whose byte order preserves code-point
+    order).  Output: ``(group_col, n_docs, lcp_len, prefix)``.
+    """
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col].fillna("")
+        if max_len is not None:
+            t = t.str.slice(0, max_len)
+        return pd.DataFrame({group_col: b[group_col].to_numpy(),
+                             "__t": t.to_numpy()})
+
+    merged = grouped_aggregate(
+        ds.map_batches(prep, batch_format="pandas"), [group_col],
+        {"mn": ("__t", "min"), "mx": ("__t", "max"),
+         "n_docs": ("__t", "count")},
+        num_buckets=num_buckets)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        lens, prefs = [], []
+        for mn, mx in zip(b["mn"].tolist(), b["mx"].tolist()):
+            lim = min(len(mn), len(mx))
+            i = 0
+            while i < lim and mn[i] == mx[i]:
+                i += 1
+            lens.append(i)
+            prefs.append(mn[:i])
+        return pd.DataFrame({
+            group_col: b[group_col].to_numpy(),
+            "n_docs": b["n_docs"].to_numpy(np.int64),
+            "lcp_len": pd.Series(lens, dtype=np.int64),
+            "prefix": pd.Series(prefs, dtype=object),
+        })
+
+    return merged.map_batches(finish, batch_format="pandas")
+
+
+def host_common_prefix_oracle_sql(
+    table_sql: str,
+    *,
+    group_col: str = "host",
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror of :func:`host_common_prefix` (same min/max
+    algebra; the LCP scan is a correlated position probe)."""
+    g = group_col
+    return f"""
+WITH __cp_g AS (
+  SELECT {g}, min(coalesce({text_col}, '')) AS mn,
+         max(coalesce({text_col}, '')) AS mx,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM ({table_sql}) GROUP BY {g}),
+__cp_l AS (
+  SELECT {g}, n_docs, mn,
+    CAST(coalesce((SELECT max(i) FROM (SELECT unnest(generate_series(
+           1, least(length(mn), length(mx)))) AS i)
+         WHERE substr(mn, 1, i) = substr(mx, 1, i)), 0) AS BIGINT)
+      AS lcp_len
+  FROM __cp_g)
+SELECT {g}, n_docs, lcp_len, substr(mn, 1, CAST(lcp_len AS INTEGER))
+       AS prefix
+FROM __cp_l
+"""
+
+
+def strip_common_prefix(
+    ds: Dataset,
+    prefixes,
+    *,
+    group_col: str = "host",
+    text_col: str = "text",
+) -> Dataset:
+    """Remove each host's detected template prefix from its pages.
+    ``prefixes``: the :func:`host_common_prefix` result as a pandas
+    DataFrame (or any frame with ``group_col``/``prefix``) — one row
+    per host, the "vertex state fits, pages don't" regime: shipped
+    ONCE via ``ray.put`` and read per task, never per batch.  Rows
+    whose text does not actually start with the prefix (or whose host
+    has none) pass through unchanged."""
+    import ray
+
+    pref = dict(zip(prefixes[group_col], prefixes["prefix"]))
+    handle = ray.put(pref)
+
+    def strip(b: pd.DataFrame, h=handle) -> pd.DataFrame:
+        p = ray.get(h)
+        t = b[text_col].fillna("")
+        px = b[group_col].map(p).fillna("")
+        starts = np.fromiter(
+            (bool(x) and s.startswith(x)
+             for s, x in zip(t.tolist(), px.tolist())),
+            dtype=bool, count=len(b))
+        out = b.copy()
+        out[text_col] = np.where(
+            starts,
+            [s[len(x):] for s, x in zip(t.tolist(), px.tolist())],
+            t.to_numpy())
+        return out
+
+    return ds.map_batches(strip, batch_format="pandas")

@@ -63,3 +63,73 @@ def test_min_count_threshold(ray_session):
 def test_bad_key(ray_session):
     with pytest.raises(Exception):
         dedup_lines(rd.from_pandas(DOCS), key="bogus").take_all()
+
+
+# --- host template prefix (LCP) + strip -------------------------------------
+
+def _lcp_run(df, **kw):
+    from pdf_extract_ray.stages.boilerplate import host_common_prefix
+
+    got = host_common_prefix(rd.from_pandas(df).repartition(3),
+                             num_buckets=2, **kw)
+    return got.to_pandas().sort_values("host").set_index("host")
+
+
+def test_lcp_basic_and_null(ray_session):
+    df = pd.DataFrame({
+        "host": ["a", "a", "a", "b", "b", "c", "d"],
+        "text": ["Banner | one", "Banner | two", "Banner | three",
+                 "x only", None,  # null forces b's lcp empty
+                 "solo full text",  # single doc: lcp == whole text
+                 ""],
+    })
+    got = _lcp_run(df)
+    assert got.loc["a", "prefix"] == "Banner | "
+    assert got.loc["a", "lcp_len"] == 9 and got.loc["a", "n_docs"] == 3
+    assert got.loc["b", "lcp_len"] == 0 and got.loc["b", "prefix"] == ""
+    assert got.loc["c", "prefix"] == "solo full text"
+    assert got.loc["d", "lcp_len"] == 0
+
+
+def test_lcp_matches_commonprefix_reference(ray_session):
+    import os.path
+
+    rows = []
+    for d in range(60):
+        h = f"h{d % 5}"
+        rows.append({"host": h,
+                     "text": f"tmpl-{h} nav | doc {d} body {d * 7 % 11}"})
+    df = pd.DataFrame(rows)
+    got = _lcp_run(df)
+    for h, g in df.groupby("host"):
+        exp = os.path.commonprefix(list(g.text))
+        assert got.loc[h, "prefix"] == exp
+        assert got.loc[h, "lcp_len"] == len(exp)
+
+
+def test_lcp_max_len_caps(ray_session):
+    df = pd.DataFrame({"host": ["a", "a"],
+                       "text": ["longprefix-x", "longprefix-y"]})
+    got = _lcp_run(df, max_len=4)
+    assert got.loc["a", "prefix"] == "long" and got.loc["a", "lcp_len"] == 4
+
+
+def test_strip_common_prefix_roundtrip(ray_session):
+    from pdf_extract_ray.stages.boilerplate import (
+        host_common_prefix, strip_common_prefix)
+
+    df = pd.DataFrame({
+        "host": ["a", "a", "b", "b"],
+        "text": ["Banner: doc one", "Banner: doc two",
+                 "nav» x", None],
+    })
+    ds = rd.from_pandas(df).repartition(2)
+    pref = host_common_prefix(ds, num_buckets=2).to_pandas()
+    out = (strip_common_prefix(ds, pref).to_pandas()
+           .sort_values("text", na_position="first")
+           .reset_index(drop=True))
+    texts = set(out.text.fillna(""))
+    # lcp of the two banner docs is "Banner: doc " (shared up to o/t)
+    assert "one" in texts and "two" in texts
+    # host b: lcp is empty (null row) -> rows pass through unchanged
+    assert "nav» x" in texts
