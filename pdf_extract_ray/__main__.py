@@ -126,6 +126,23 @@ def cmd_shards(args) -> int:
         ray.shutdown()
 
 
+def cmd_history(args) -> int:
+    from pdf_extract_ray.pipelines.history import history_run
+
+    ray = _ray_session(args.num_cpus)
+    try:
+        stats = history_run(
+            args.input, args.out, url_col=args.url_col,
+            ts_col=args.ts_col, content_col=args.content_col,
+            method=args.method, n_buckets=args.n_buckets,
+            files_per_partition=args.files_per_partition,
+        )
+        print(json.dumps({"run": stats}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def cmd_status(args) -> int:
     from pdf_extract_ray.state.manifest import Manifest
 
@@ -227,13 +244,23 @@ def main(argv=None) -> int:
     sh.add_argument("--method", default="fast", choices=["md5", "fast"],
                     help="hash family for the permutation key (md5 = "
                          "SQL-parity oracle mode; fast = vectorized)")
+    hi = sub.add_parser(
+        "history", help="run/resume the SCD-2 url version-history build")
+    add_common(hi)
+    hi.add_argument("--url-col", default="url")
+    hi.add_argument("--ts-col", default="warc_ts")
+    hi.add_argument("--content-col", default="text")
+    hi.add_argument("--n-buckets", type=int, default=64)
+    hi.add_argument("--method", default="fast", choices=["md5", "fast"],
+                    help="content-hash family (md5 = SQL-parity mode; "
+                         "fast = vectorized)")
     add_common(sub.add_parser("status", help="manifest rollup"), with_input=False)
     add_common(sub.add_parser("retry-failed", help="re-run failed partitions"))
 
     args = p.parse_args(argv)
     return {"extract": cmd_extract, "quality": cmd_quality,
             "webtext": cmd_webtext, "linkgraph": cmd_linkgraph,
-            "shards": cmd_shards,
+            "shards": cmd_shards, "history": cmd_history,
             "status": cmd_status, "retry-failed": cmd_retry_failed}[args.cmd](args)
 
 

@@ -69,27 +69,32 @@ def url_version_history(
             "content_hash": hash_fn(b[content_col]).to_numpy(),
         })
 
-    def collapse(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["url", "ts", "content_hash"], kind="mergesort")
-        prev = g.groupby("url")["content_hash"].shift(1)
-        starts = g.loc[prev.isna() | (prev != g["content_hash"])]
-        grp = starts.groupby("url")
-        version_no = (grp.cumcount() + 1).to_numpy(np.int64)
-        valid_to = grp["ts"].shift(-1)
-        return pd.DataFrame({
-            "url": starts["url"].to_numpy(),
-            "version_no": version_no,
-            "content_hash": starts["content_hash"].to_numpy(),
-            "valid_from": starts["ts"].to_numpy(),
-            "valid_to": valid_to.to_numpy(),
-            "is_current": valid_to.isna().to_numpy(),
-        })
-
     hashed = snapshots.map_batches(to_hashes, batch_format="pandas")
     return bucketed_group_apply(
-        hashed, ["url"], collapse,
+        hashed, ["url"], collapse_versions,
         num_buckets=num_buckets, pre_batch_size=16384,
     )
+
+
+def collapse_versions(g: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized version collapse over COMPLETE url groups of
+    ``(url, ts, content_hash)`` rows (the frozen rules above) — the
+    shared body of :func:`url_version_history` and the resumable
+    per-bucket builder (``pipelines.history.history_run``)."""
+    g = g.sort_values(["url", "ts", "content_hash"], kind="mergesort")
+    prev = g.groupby("url")["content_hash"].shift(1)
+    starts = g.loc[prev.isna() | (prev != g["content_hash"])]
+    grp = starts.groupby("url")
+    version_no = (grp.cumcount() + 1).to_numpy(np.int64)
+    valid_to = grp["ts"].shift(-1)
+    return pd.DataFrame({
+        "url": starts["url"].to_numpy(),
+        "version_no": version_no,
+        "content_hash": starts["content_hash"].to_numpy(),
+        "valid_from": starts["ts"].to_numpy(),
+        "valid_to": valid_to.to_numpy(),
+        "is_current": valid_to.isna().to_numpy(),
+    })
 
 
 def version_change_stats(
