@@ -641,6 +641,76 @@ def q_event_time_profile(sf_dir: str):
         ["dow", "hour"], {"n": ("dow", "count")})
 
 
+def q_event_entropy_by_user(sf_dir: str):
+    # per-cohort event-type Shannon-entropy terms
+    # (experiment.grouped_entropy_terms): the distribution-diversity /
+    # bot cue — one grouped count + one regroup of the bounded count
+    # rows; each term a single round-6 frozen ln expression (the PSI
+    # "sum left to the reader" convention).
+    from pdf_extract_ray.stages.experiment import grouped_entropy_terms
+
+    ds = _t(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cohort": (b["user_id"] % 20).to_numpy(np.int64),
+            "event_type": b["event_type"].to_numpy()})
+
+    return grouped_entropy_terms(
+        ds.map_batches(derive, batch_format="pandas"),
+        ["cohort"], "event_type")
+
+
+def q_calibration_bins_events(sf_dir: str):
+    # reliability diagram (experiment.calibration_bins): does
+    # floor(value) predict the user-parity label — integer binning and
+    # integer sums shuffle (exact, order-independent); the two
+    # divisions are the only float ops on either side.
+    from pdf_extract_ray.stages.experiment import calibration_bins
+
+    ds = _t(sf_dir, "events", columns=["user_id", "value"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "s": np.floor(b["value"].to_numpy(np.float64)).astype(np.int64),
+            "y": (b["user_id"] % 2).to_numpy(np.int64)})
+
+    return calibration_bins(
+        ds.map_batches(derive, batch_format="pandas"),
+        "s", "y", lo=0, hi=500, n_bins=10)
+
+
+def q_k_anonymity_events(sf_dir: str):
+    # k-anonymity audit (pii.k_anonymity_audit): quasi-identifier
+    # combinations (event_type, user_id, day-of-week) shared by fewer
+    # than k rows — the suppress/generalize worklist before releasing a
+    # user-derived corpus.  One grouped count + narrow filter.
+    from pdf_extract_ray.stages.pii import k_anonymity_audit
+
+    ds = _t(sf_dir, "events", columns=["event_type", "user_id", "ts"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        days = b["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        return pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(),
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "dow": (days + 4) % 7})
+
+    return k_anonymity_audit(
+        ds.map_batches(derive, batch_format="pandas"),
+        ["event_type", "user_id", "dow"], k=3)
+
+
+def q_user_gini_events(sf_dir: str):
+    # corpus-concentration Gini (profile.count_gini) over events per
+    # user — exact integer rank formula on the bounded per-user count
+    # table, ONE division.
+    from pdf_extract_ray.stages.profile import count_gini
+
+    return count_gini(_t(sf_dir, "events", columns=["user_id"]),
+                      ["user_id"])
+
+
 def q_weighted_sample_docs(sf_dir: str):
     # weighted sampling without replacement (agg.weighted_sample, A-ES
     # keys u^(1/w) from a seedless md5 uniform): longer docs
@@ -1535,6 +1605,34 @@ def q_click_depth_docs(sf_dir: str):
 
     return bfs_depth(ds.map_batches(derive, batch_format="pandas"),
                      [0], max_depth=4, visited_mode="broadcast")
+
+
+def q_resolved_redirects(sf_dir: str):
+    # redirect-chain resolution (graph.resolve_chains): pointer-doubling
+    # chase of a functional redirect graph — log2(max_hops) cogroup
+    # rounds, not max_hops one-hop walks; exact hop counts, cycles and
+    # over-long chains flagged with -1 sentinels.  Synth edges: 7-long
+    # chains 8k+7 -> ... -> 8k (terminal) so max_hops=4 exercises the
+    # cap, plus a 6-cycle with 4 feeder nodes (never resolves).  Oracle
+    # = DuckDB recursive CTE walking the same graph hop by hop.
+    from pdf_extract_ray.stages.graph import resolve_chains
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy(np.int64)
+        chain = d[d % 8 != 0]
+        cyc = d[d < 6]
+        feed = d[(d >= 6) & (d < 10)]
+        return pd.DataFrame({
+            "src": np.concatenate([chain, 5_000_000 + cyc,
+                                   5_000_000 + feed]),
+            "dst": np.concatenate([chain - 1,
+                                   5_000_000 + (cyc + 1) % 6,
+                                   5_000_000 + feed % 6])})
+
+    return resolve_chains(ds.map_batches(derive, batch_format="pandas"),
+                          max_hops=4)
 
 
 def q_semi_join_docs(sf_dir: str):
@@ -4638,6 +4736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_near_dup": q_winnow_near_dup,
         "ngram_jaccard_dup": q_ngram_jaccard_dup,
         "click_depth_docs": q_click_depth_docs,
+        "resolved_redirects": q_resolved_redirects,
         "semi_join_docs": q_semi_join_docs,
         "impute_median_events": q_impute_median_events,
         "decayed_event_scores": q_decayed_event_scores,
@@ -4652,6 +4751,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives_embeddings": q_hard_negatives_embeddings,
         "corr_lineitem": q_corr_lineitem,
         "auc_events": q_auc_events,
+        "event_entropy_by_user": q_event_entropy_by_user,
+        "calibration_bins_events": q_calibration_bins_events,
+        "k_anonymity_events": q_k_anonymity_events,
+        "user_gini_events": q_user_gini_events,
         "psi_drift_events": q_psi_drift_events,
         "pct_rank_docs_by_lang": q_pct_rank_docs_by_lang,
         "vocab_filter_docs": q_vocab_filter_docs,
@@ -5165,6 +5268,19 @@ def _click_depth_oracle() -> str:
     return bfs_depth_oracle_sql(edges, [0], max_depth=4)
 
 
+def _resolved_redirects_oracle() -> str:
+    from pdf_extract_ray.stages.graph import resolve_chains_oracle_sql
+
+    edges = (
+        "SELECT doc_id AS src, doc_id - 1 AS dst FROM documents "
+        "WHERE doc_id % 8 <> 0 "
+        "UNION ALL SELECT 5000000 + doc_id, 5000000 + (doc_id + 1) % 6 "
+        "FROM documents WHERE doc_id < 6 "
+        "UNION ALL SELECT 5000000 + doc_id, 5000000 + doc_id % 6 "
+        "FROM documents WHERE doc_id >= 6 AND doc_id < 10")
+    return resolve_chains_oracle_sql(edges, max_hops=4)
+
+
 def _semi_join_oracle() -> str:
     from pdf_extract_ray.stages.dedup import semi_join_reference_oracle_sql
 
@@ -5601,6 +5717,41 @@ _EVENT_TIME_PROFILE_SQL = (
     "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2")
 
 
+def _event_entropy_oracle() -> str:
+    from pdf_extract_ray.stages.experiment import (
+        grouped_entropy_terms_oracle_sql,
+    )
+
+    return grouped_entropy_terms_oracle_sql(
+        "SELECT user_id % 20 AS cohort, event_type FROM events",
+        ["cohort"], "event_type")
+
+
+def _calibration_bins_oracle() -> str:
+    from pdf_extract_ray.stages.experiment import calibration_bins_oracle_sql
+
+    return calibration_bins_oracle_sql(
+        "SELECT user_id, value FROM events",
+        "CAST(floor(value) AS BIGINT)", "user_id % 2",
+        lo=0, hi=500, n_bins=10)
+
+
+def _k_anonymity_oracle() -> str:
+    from pdf_extract_ray.stages.pii import k_anonymity_audit_oracle_sql
+
+    return k_anonymity_audit_oracle_sql(
+        "SELECT event_type, user_id, "
+        "CAST(dayofweek(ts) AS BIGINT) AS dow FROM events",
+        ["event_type", "user_id", "dow"], k=3)
+
+
+def _user_gini_oracle() -> str:
+    from pdf_extract_ray.stages.profile import count_gini_oracle_sql
+
+    return count_gini_oracle_sql("SELECT user_id FROM events",
+                                 ["user_id"])
+
+
 def _weighted_sample_oracle() -> str:
     from pdf_extract_ray.stages.agg import weighted_sample_oracle_sql
 
@@ -5871,12 +6022,17 @@ def oracle_sql() -> dict[str, str]:
             "  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate"
         ),
         "click_depth_docs": _click_depth_oracle(),
+        "resolved_redirects": _resolved_redirects_oracle(),
         "semi_join_docs": _semi_join_oracle(),
         "impute_median_events": _impute_median_oracle(),
         "decayed_event_scores": _decayed_scores_oracle(),
         "welch_ab_events": _welch_ab_oracle(),
         "corr_lineitem": _corr_lineitem_oracle(),
         "auc_events": _auc_events_oracle(),
+        "event_entropy_by_user": _event_entropy_oracle(),
+        "calibration_bins_events": _calibration_bins_oracle(),
+        "k_anonymity_events": _k_anonymity_oracle(),
+        "user_gini_events": _user_gini_oracle(),
         "psi_drift_events": _psi_drift_oracle(),
         "registered_domain_docs": _registered_domain_oracle(),
         "query_param_stats": _query_param_oracle(),

@@ -221,7 +221,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "scd2_url_versions", "url_change_freq",
                      "js_drift_words", "host_trustrank",
                      "scd2_incremental", "snapshot_asof_docs",
-                     "collocations_docs", "host_template_prefix"):
+                     "collocations_docs", "host_template_prefix",
+                     # round-5 closing ops: chains / audit / calibration
+                     "resolved_redirects", "event_entropy_by_user",
+                     "calibration_bins_events", "k_anonymity_events",
+                     "user_gini_events"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

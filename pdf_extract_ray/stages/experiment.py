@@ -413,3 +413,157 @@ SELECT cat AS {cat_col},
                     / (CAST(n_b AS DOUBLE) / nb_tot)), 6) END AS psi_term
 FROM __psi_p, __psi_tot
 """
+
+
+def grouped_entropy_terms(
+    ds: Dataset,
+    keys: Sequence[str],
+    cat_col: str,
+    *,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Per-(group, category) Shannon-entropy terms — the
+    distribution-diversity readout ("is this user/host a one-note bot or
+    a diverse browser"; low event-type entropy per user is a classic
+    automation cue).
+
+    Emits one row per ``(keys..., cat)``: the integer count ``n``, the
+    group total ``n_group``, and ``entropy_term =
+    round(-(n/N)·ln(n/N), 6)``; the group's entropy is the SUM of its
+    terms — left to the reader, exactly like :func:`psi_drift`'s total,
+    because a float sum over categories is order-sensitive and every
+    emitted value here must be a SINGLE frozen IEEE expression over
+    exact integers (the repo's round-6 libm-ulp convention).
+
+    Scale shape: ONE grouped integer count on ``(keys, cat)`` with
+    map-side partials, then one bucketed regroup of the already
+    -aggregated count rows (narrow ints + the key strings) to attach
+    each group's total — raw rows never move twice."""
+    from pdf_extract_ray.stages.agg import bucketed_group_apply, grouped_aggregate
+    from pdf_extract_ray.util import round_half_away
+
+    keys = list(keys)
+
+    cnt = grouped_aggregate(
+        ds, keys + [cat_col], {"n": (cat_col, "count")},
+        num_buckets=num_buckets)
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy()
+        tot = g.groupby(keys)["n"].transform("sum").to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        p = n / tot.astype(np.float64)
+        out["n_group"] = tot
+        out["entropy_term"] = round_half_away(-p * np.log(p), 6)
+        return out
+
+    return bucketed_group_apply(cnt, keys, attach, num_buckets=num_buckets)
+
+
+def grouped_entropy_terms_oracle_sql(
+    table_sql: str,
+    keys: Sequence[str],
+    cat_col: str,
+) -> str:
+    """DuckDB mirror of :func:`grouped_entropy_terms` (identical
+    expression tree; round-6 absorbs libm ln ulps)."""
+    keys = list(keys)
+    ksel = ", ".join(keys)
+    return f"""
+WITH __ent_c AS (
+  SELECT {ksel}, {cat_col}, count(*) AS n
+  FROM ({table_sql}) GROUP BY {ksel}, {cat_col}
+),
+__ent_g AS (
+  SELECT {ksel}, sum(n) AS n_group FROM __ent_c GROUP BY {ksel}
+)
+SELECT c.{', c.'.join(keys)}, c.{cat_col},
+       CAST(c.n AS BIGINT) AS n,
+       CAST(g.n_group AS BIGINT) AS n_group,
+       round(-(CAST(c.n AS DOUBLE) / CAST(g.n_group AS DOUBLE))
+             * ln(CAST(c.n AS DOUBLE) / CAST(g.n_group AS DOUBLE)), 6)
+         AS entropy_term
+FROM __ent_c c JOIN __ent_g g USING ({ksel})
+"""
+
+
+def calibration_bins(
+    ds: Dataset,
+    score_col: str,
+    label_col: str,
+    *,
+    lo: int,
+    hi: int,
+    n_bins: int,
+    num_buckets: int | None = None,
+) -> "pd.DataFrame":
+    """Reliability-diagram bins for a classifier score — "when the model
+    says 0.8, is it right 80% of the time" — the standard calibration
+    readout for quality/toxicity classifiers gating a training corpus.
+
+    ``score_col`` and ``label_col`` must be integers (label 0/1).  Rows
+    with ``score < lo`` or ``score >= hi`` are DROPPED (frozen
+    out-of-range rule); ``bin = (score − lo) · n_bins // (hi − lo)`` is
+    pure integer arithmetic, so binning is exact and
+    parallelism-independent.  Per bin: ``n``, ``mean_score = Σs / n``
+    and ``frac_pos = Σlabel / n`` — integer sums shuffled, ONE division
+    each at the end (single frozen IEEE expressions).
+
+    Scale shape: narrow derive map -> ONE grouped integer aggregate with
+    map-side partials; the driver finish sees O(n_bins) rows."""
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    if hi <= lo or n_bins < 1:
+        raise ValueError("need hi > lo and n_bins >= 1")
+    span = int(hi) - int(lo)
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[score_col].to_numpy(np.int64)
+        y = b[label_col].to_numpy(np.int64)
+        keep = (s >= lo) & (s < hi)
+        s, y = s[keep], y[keep]
+        return pd.DataFrame({
+            "bin": (s - lo) * n_bins // span,
+            "__s": s, "__y": y})
+
+    agg = grouped_aggregate(
+        ds.map_batches(derive, batch_format="pandas"),
+        ["bin"], {"n": ("__s", "count"), "sum_score": ("__s", "sum"),
+                  "n_pos": ("__y", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas().sort_values("bin").reset_index(drop=True)
+
+    n = agg["n"].to_numpy(np.int64)
+    agg["mean_score"] = agg["sum_score"].to_numpy(np.int64) / n.astype(np.float64)
+    agg["frac_pos"] = agg["n_pos"].to_numpy(np.int64) / n.astype(np.float64)
+    return agg
+
+
+def calibration_bins_oracle_sql(
+    table_sql: str,
+    score_expr: str,
+    label_expr: str,
+    *,
+    lo: int,
+    hi: int,
+    n_bins: int,
+) -> str:
+    """DuckDB mirror of :func:`calibration_bins` (integer binning and
+    sums; the two divisions are the only float ops on both sides)."""
+    span = int(hi) - int(lo)
+    return f"""
+WITH __cal_t AS (
+  SELECT {score_expr} AS s, {label_expr} AS y FROM ({table_sql})
+),
+__cal_b AS (
+  SELECT (s - {int(lo)}) * {int(n_bins)} // {span} AS bin, s, y
+  FROM __cal_t WHERE s >= {int(lo)} AND s < {int(hi)}
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(s) AS BIGINT) AS sum_score,
+       CAST(sum(y) AS BIGINT) AS n_pos,
+       CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_score,
+       CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac_pos
+FROM __cal_b GROUP BY bin
+"""

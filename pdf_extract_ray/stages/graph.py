@@ -695,3 +695,172 @@ SELECT CAST(e1.a AS BIGINT) AS lo, CAST(e1.b AS BIGINT) AS hi
 FROM __rp_e e1 JOIN __rp_e e2 ON e1.a = e2.b AND e1.b = e2.a
 WHERE e1.a < e1.b
 """
+
+
+def resolve_chains(
+    edges: Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 32,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Resolve redirect chains over a FUNCTIONAL edge table (each node
+    has at most one outgoing redirect; duplicates collapse to the min
+    target — deterministic) — the 301/canonical-url chase every crawl
+    pipeline runs before dedup: a url's identity is the FINAL landing
+    page, not the hop that happened to be fetched.
+
+    Frozen semantics, mirrored by :func:`resolve_chains_oracle_sql`:
+    for every source node, follow redirects until a terminal node (one
+    with no outgoing edge) or until ``max_hops`` hops.  Output one row
+    per source: ``(src, final_node, hops, resolved)`` with exact hop
+    counts for resolved rows and the sentinel ``final_node = hops = -1``
+    for unresolved ones (chains longer than ``max_hops``, or chains
+    entering a redirect CYCLE — sentinels, not NULLs, because the
+    driver's canon step chokes on nullable ints).
+
+    Algorithm: pointer doubling (path halving), NOT one-hop walking —
+    ``log2(max_hops)`` bucketed cogroup rounds instead of ``max_hops``
+    all-to-alls, because real redirect data hides long chains (url
+    shorteners chaining shorteners) that a diameter-bound loop would
+    walk one expensive shuffle per hop.  Each round joins the state
+    table against itself: a row ``x -> (cur, h)`` whose ``cur`` is
+    itself a redirecting node ``cur -> (cur2, h2)`` advances to
+    ``x -> (cur2, h + h2)``; terminal pointers absorb.  After round
+    ``r`` every pointer has advanced exactly ``min(2**r, d)`` true
+    hops (``d`` = distance to terminal), so after ``log2(max_hops)``
+    rounds a source is resolved IFF its chain terminates within
+    ``max_hops`` hops, with the exact hop count — and cycle members
+    simply never absorb.  ``max_hops`` must be a power of two so the
+    cap is exactly the doubled horizon.
+
+    Scale shape: the state table is three int64 columns (node, cur,
+    hops) — bodies never move; each round is ONE bucketed cogroup of
+    2n narrow rows plus a scalar matched-count reduce for early stop.
+    The state is re-materialized per round (it is consumed twice —
+    probe side and reference side — and feeds the next round)."""
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    if max_hops < 1 or (max_hops & (max_hops - 1)) != 0:
+        raise ValueError("max_hops must be a positive power of two")
+    rounds = max_hops.bit_length() - 1  # log2
+
+    import ray.data as rd  # noqa: F401 (parity with sibling operators)
+
+    def narrow(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": b[src_col].to_numpy(np.int64),
+            "cur": b[dst_col].to_numpy(np.int64)})
+
+    def dedup_src(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)["cur"].min()
+        out["hops"] = np.int64(1)
+        return out
+
+    # functional-graph normalization: min target per source (all rows
+    # for a node land in one bucket, so the in-bucket min is global)
+    state = bucketed_group_apply(
+        edges.map_batches(narrow, batch_format="pandas"), ["node"],
+        dedup_src, num_buckets=num_buckets).materialize()
+
+    def probe_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": b["cur"].to_numpy(np.int64),
+            "node": b["node"].to_numpy(np.int64),
+            "cur": b["cur"].to_numpy(np.int64),
+            "hops": b["hops"].to_numpy(np.int64),
+            "side": np.int8(0)})
+
+    def ref_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": b["node"].to_numpy(np.int64),
+            "node": b["node"].to_numpy(np.int64),
+            "cur": b["cur"].to_numpy(np.int64),
+            "hops": b["hops"].to_numpy(np.int64),
+            "side": np.int8(1)})
+
+    def advance(g: pd.DataFrame) -> pd.DataFrame:
+        refs = g[g["side"] == 1]
+        # functional graph: one ref row per key by construction
+        ref_cur = pd.Series(refs["cur"].to_numpy(np.int64),
+                            index=refs["k"].to_numpy(np.int64))
+        ref_hops = pd.Series(refs["hops"].to_numpy(np.int64),
+                             index=refs["k"].to_numpy(np.int64))
+        p = g[g["side"] == 0]
+        k = p["k"].to_numpy(np.int64)
+        idx_cur = ref_cur.reindex(k)
+        hit = idx_cur.notna().to_numpy()
+        cur = p["cur"].to_numpy(np.int64).copy()
+        hops = p["hops"].to_numpy(np.int64).copy()
+        cur[hit] = idx_cur.to_numpy(np.float64)[hit].astype(np.int64)
+        hops[hit] += ref_hops.reindex(k).to_numpy(np.float64)[hit].astype(np.int64)
+        return pd.DataFrame({
+            "node": p["node"].to_numpy(np.int64), "cur": cur,
+            "hops": hops, "matched": hit.astype(np.int64)})
+
+    for _ in range(rounds):
+        nxt = bucketed_group_apply(
+            state.map_batches(probe_rows, batch_format="pandas").union(
+                state.map_batches(ref_rows, batch_format="pandas")),
+            ["k"], advance, num_buckets=num_buckets).materialize()
+        moved = nxt.sum("matched", ignore_nulls=True) or 0
+        state = nxt.drop_columns(["matched"]).materialize()
+        if moved == 0:
+            break
+
+    # classify: a pointer that still targets a redirecting node is
+    # unresolved (cycle or > max_hops); same cogroup, flag-only body
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        live = g.loc[g["side"] == 1, "k"].unique()
+        p = g[g["side"] == 0]
+        k = p["k"].to_numpy(np.int64)
+        unresolved = np.isin(k, live)
+        final = p["cur"].to_numpy(np.int64).copy()
+        hops = p["hops"].to_numpy(np.int64).copy()
+        final[unresolved] = -1
+        hops[unresolved] = -1
+        return pd.DataFrame({
+            "src": p["node"].to_numpy(np.int64),
+            "final_node": final, "hops": hops,
+            "resolved": ~unresolved})
+
+    return bucketed_group_apply(
+        state.map_batches(probe_rows, batch_format="pandas").union(
+            state.map_batches(ref_rows, batch_format="pandas")),
+        ["k"], classify, num_buckets=num_buckets)
+
+
+def resolve_chains_oracle_sql(edges_sql: str, *, max_hops: int,
+                              src_col: str = "src",
+                              dst_col: str = "dst") -> str:
+    """DuckDB recursive-CTE mirror of :func:`resolve_chains`: walk the
+    (min-target-deduped) functional graph hop by hop up to ``max_hops``,
+    keep each source's furthest row, and declare it resolved iff that
+    row's landing node has no outgoing redirect."""
+    return f"""
+WITH RECURSIVE __rc_f AS (
+  SELECT {src_col} AS src, min({dst_col}) AS dst
+  FROM ({edges_sql}) GROUP BY {src_col}
+),
+__rc_walk(start, cur, hops) AS (
+  SELECT src, dst, 1 FROM __rc_f
+  UNION ALL
+  SELECT w.start, f.dst, w.hops + 1
+  FROM __rc_walk w JOIN __rc_f f ON f.src = w.cur
+  WHERE w.hops < {int(max_hops)}
+),
+__rc_last AS (
+  SELECT start, cur, hops,
+         row_number() OVER (PARTITION BY start ORDER BY hops DESC) AS rn
+  FROM __rc_walk
+)
+SELECT CAST(l.start AS BIGINT) AS src,
+       CAST(CASE WHEN f.src IS NULL THEN l.cur ELSE -1 END AS BIGINT)
+         AS final_node,
+       CAST(CASE WHEN f.src IS NULL THEN l.hops ELSE -1 END AS BIGINT)
+         AS hops,
+       (f.src IS NULL) AS resolved
+FROM __rc_last l LEFT JOIN __rc_f f ON f.src = l.cur
+WHERE l.rn = 1
+"""

@@ -207,3 +207,144 @@ def test_psi_drift_reference_and_nulls(ray_session):
     gv, wv = got["psi_term"].to_numpy(), sql["psi_term"].to_numpy()
     assert (np.isnan(gv) == np.isnan(wv)).all()
     assert (gv[~np.isnan(gv)] == wv[~np.isnan(wv)]).all()
+
+
+# --- grouped entropy terms ---------------------------------------------------
+
+def _entropy_reference(df, key, cat):
+    rows = []
+    for k, g in df.groupby(key):
+        tot = len(g)
+        for c, n in sorted(g[cat].value_counts().items()):
+            p = n / tot
+            t = -p * math.log(p)
+            t = math.copysign(math.floor(abs(t) * 1e6 + 0.5) / 1e6, t)
+            rows.append((k, c, n, tot, t))
+    return pd.DataFrame(rows, columns=[key, cat, "n", "n_group",
+                                       "entropy_term"])
+
+
+@pytest.mark.parametrize("blocks", [1, 6])
+def test_grouped_entropy_terms_matches_reference_and_sql(ray_session, blocks):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.experiment import (
+        grouped_entropy_terms, grouped_entropy_terms_oracle_sql)
+
+    df = _events(300, seed=9).rename(columns={"key": "grp", "arm": "cat"})
+    df["cat"] = df["cat"].astype(str)
+    got = (grouped_entropy_terms(
+        rd.from_pandas(df).repartition(blocks), ["grp"], "cat")
+        .to_pandas().sort_values(["grp", "cat"]).reset_index(drop=True))
+    want = (_entropy_reference(df, "grp", "cat")
+            .sort_values(["grp", "cat"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    con = duckdb.connect()
+    con.register("t", df[["grp", "cat"]])
+    sql = grouped_entropy_terms_oracle_sql("SELECT * FROM t", ["grp"], "cat")
+    want_sql = (con.sql(sql).df()
+                .sort_values(["grp", "cat"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want_sql, check_dtype=False)
+    # single-category group: one term of exactly 0.0
+    one = pd.DataFrame({"grp": ["z"] * 5, "cat": ["only"] * 5})
+    g1 = (grouped_entropy_terms(rd.from_pandas(one), ["grp"], "cat")
+          .to_pandas())
+    assert g1["entropy_term"].tolist() == [0.0]
+
+
+# --- calibration bins --------------------------------------------------------
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_calibration_bins_matches_reference_and_sql(ray_session, blocks):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.experiment import (
+        calibration_bins, calibration_bins_oracle_sql)
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "s": rng.integers(-10, 120, 500).astype(np.int64),  # some out-of-range
+        "y": rng.integers(0, 2, 500).astype(np.int64)})
+    got = (calibration_bins(rd.from_pandas(df).repartition(blocks),
+                            "s", "y", lo=0, hi=100, n_bins=5)
+           .sort_values("bin").reset_index(drop=True))
+    keep = df[(df["s"] >= 0) & (df["s"] < 100)].copy()
+    keep["bin"] = keep["s"] * 5 // 100
+    want = (keep.groupby("bin")
+            .agg(n=("s", "size"), sum_score=("s", "sum"), n_pos=("y", "sum"))
+            .reset_index())
+    want["mean_score"] = want["sum_score"] / want["n"]
+    want["frac_pos"] = want["n_pos"] / want["n"]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    con = duckdb.connect()
+    con.register("t", df)
+    sql = calibration_bins_oracle_sql("SELECT * FROM t", "s", "y",
+                                      lo=0, hi=100, n_bins=5)
+    want_sql = con.sql(sql).df().sort_values("bin").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want_sql, check_dtype=False)
+    with pytest.raises(ValueError):
+        calibration_bins(rd.from_pandas(df), "s", "y", lo=5, hi=5, n_bins=3)
+
+
+# --- count gini --------------------------------------------------------------
+
+def test_count_gini_matches_reference_and_sql(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.profile import (
+        count_gini, count_gini_oracle_sql)
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"k": rng.zipf(1.6, 400).astype(np.int64) % 37})
+    got = count_gini(rd.from_pandas(df).repartition(4), ["k"])
+    x = np.sort(df.groupby("k").size().to_numpy(np.int64))
+    i = np.arange(1, len(x) + 1)
+    want = (2 * (i * x).sum() - (len(x) + 1) * x.sum()) / (len(x) * x.sum())
+    assert got["gini"].iloc[0] == want
+    assert got["n_groups"].iloc[0] == len(x)
+    assert got["n_rows"].iloc[0] == x.sum()
+    con = duckdb.connect()
+    con.register("t", df)
+    sql = count_gini_oracle_sql("SELECT * FROM t", ["k"])
+    want_sql = con.sql(sql).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want_sql, check_dtype=False)
+    # uniform counts -> gini exactly 0
+    uni = pd.DataFrame({"k": np.repeat(np.arange(10), 7)})
+    assert count_gini(rd.from_pandas(uni), ["k"])["gini"].iloc[0] == 0.0
+
+
+# --- k-anonymity audit -------------------------------------------------------
+
+@pytest.mark.parametrize("blocks", [1, 6])
+def test_k_anonymity_audit(ray_session, blocks):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.pii import (
+        k_anonymity_audit, k_anonymity_audit_oracle_sql)
+
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame({
+        "zip": rng.integers(0, 25, 300).astype(np.int64),
+        "age": rng.integers(0, 4, 300).astype(np.int64)})
+    got = (k_anonymity_audit(rd.from_pandas(df).repartition(blocks),
+                             ["zip", "age"], k=4)
+           .to_pandas().sort_values(["zip", "age"]).reset_index(drop=True))
+    sizes = df.groupby(["zip", "age"]).size()
+    want = (sizes[sizes < 4].rename("n").reset_index()
+            .sort_values(["zip", "age"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every reported group really is < k, and none >= k leaked
+    assert (got["n"] < 4).all()
+    con = duckdb.connect()
+    con.register("t", df)
+    sql = k_anonymity_audit_oracle_sql("SELECT * FROM t", ["zip", "age"], k=4)
+    want_sql = (con.sql(sql).df()
+                .sort_values(["zip", "age"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want_sql, check_dtype=False)
+    with pytest.raises(ValueError):
+        k_anonymity_audit(rd.from_pandas(df), ["zip"], k=1)

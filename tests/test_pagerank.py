@@ -260,3 +260,93 @@ def test_trustrank_distributed_matches_reference(ray_session):
     pd.testing.assert_frame_equal(
         got.sort_values("node").reset_index(drop=True),
         exp.sort_values("node").reset_index(drop=True))
+
+
+# --- redirect-chain resolution (pointer doubling) ---------------------------
+
+def _resolve_reference(edges, max_hops):
+    # plain-Python follower over the min-deduped functional graph
+    f = {}
+    for s, d in edges:
+        f[s] = min(f.get(s, d), d)
+    out = {}
+    for s in f:
+        cur, hops = f[s], 1
+        while cur in f and hops < max_hops:
+            cur = f[cur]
+            hops += 1
+        if cur in f:  # still redirecting after the cap: cycle / too long
+            out[s] = (-1, -1, False)
+        else:
+            out[s] = (cur, hops, True)
+    return out
+
+
+def test_resolve_chains_matches_reference_and_sql(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.graph import (
+        resolve_chains, resolve_chains_oracle_sql)
+
+    rng = np.random.default_rng(11)
+    # functional graph with chains AND cycles: random successor over a
+    # small node space guarantees some cycles; unique srcs by build
+    srcs = np.arange(80, dtype=np.int64)
+    dsts = rng.integers(0, 120, 80).astype("int64")  # 80..119 terminal
+    e = pd.DataFrame({"src": srcs, "dst": dsts})
+    for mh in (1, 4, 16):
+        got = (resolve_chains(rd.from_pandas(e).repartition(4),
+                              max_hops=mh)
+               .to_pandas().sort_values("src").reset_index(drop=True))
+        ref = _resolve_reference(list(zip(e["src"], e["dst"])), mh)
+        want = pd.DataFrame(
+            [(s, *v) for s, v in sorted(ref.items())],
+            columns=["src", "final_node", "hops", "resolved"])
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        con = duckdb.connect()
+        con.register("e", e)
+        sql = resolve_chains_oracle_sql("SELECT * FROM e", max_hops=mh)
+        want_sql = (con.sql(sql).df()
+                    .sort_values("src").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want_sql, check_dtype=False)
+
+
+def test_resolve_chains_exact_hops_and_cycle_flags(ray_session):
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.graph import resolve_chains
+
+    # chain 5->4->3->2->1->0 (0 terminal), 3-cycle {10,11,12}, feeder 13
+    e = pd.DataFrame({
+        "src": [5, 4, 3, 2, 1, 10, 11, 12, 13],
+        "dst": [4, 3, 2, 1, 0, 11, 12, 10, 10]})
+    got = (resolve_chains(rd.from_pandas(e).repartition(3), max_hops=8)
+           .to_pandas().set_index("src"))
+    assert got.loc[5, "final_node"] == 0 and got.loc[5, "hops"] == 5
+    assert got.loc[1, "hops"] == 1
+    for n in (10, 11, 12, 13):
+        assert not got.loc[n, "resolved"]
+        assert got.loc[n, "final_node"] == -1 and got.loc[n, "hops"] == -1
+    # cap shorter than the chain: 5 needs 5 hops, max_hops=4 rejects it
+    capped = (resolve_chains(rd.from_pandas(e), max_hops=4)
+              .to_pandas().set_index("src"))
+    assert not capped.loc[5, "resolved"]
+    assert capped.loc[4, "resolved"] and capped.loc[4, "hops"] == 4
+
+
+def test_resolve_chains_duplicate_src_min_rule_and_validation(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.graph import resolve_chains
+
+    # duplicate src rows collapse to the MIN target deterministically
+    e = pd.DataFrame({"src": [1, 1, 2], "dst": [9, 2, 7]})
+    got = (resolve_chains(rd.from_pandas(e).repartition(2), max_hops=4)
+           .to_pandas().set_index("src"))
+    assert got.loc[1, "final_node"] == 7 and got.loc[1, "hops"] == 2
+    with _pytest.raises(ValueError):
+        resolve_chains(rd.from_pandas(e), max_hops=5)
+    with _pytest.raises(ValueError):
+        resolve_chains(rd.from_pandas(e), max_hops=0)
