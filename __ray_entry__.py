@@ -1249,6 +1249,20 @@ def q_dsir_weights(sf_dir: str):
     return dsir_weights(ds, log_t, log_r)
 
 
+def q_kmeans_embeddings(sf_dir: str):
+    # distributed Lloyd k-means (stages/kmeans.py): the SemDeDup/IVF
+    # clustering refinement — floor-quantized int vectors make every
+    # centroid-update sum exact (order/parallelism-independent), the
+    # BLAS-free assignment is bitwise batch-size-independent, so the
+    # distributed run equals the committed dense-numpy golden
+    # BIT-FOR-BIT.  Per iteration: one narrow assign map + one
+    # (sum-vector, n) partial merge; the driver sees only k rows.
+    from pdf_extract_ray.stages.kmeans import kmeans
+
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kmeans(ds, k=8, n_iters=4, scale=1000)
+
+
 def q_semdedup_embeddings(sf_dir: str):
     # SemDeDup (stages/semdedup.py; Abbas et al. 2023): coarse k-means
     # cells (the IVF centroid machinery) + a greedy
@@ -4726,6 +4740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "semdedup_embeddings": q_semdedup_embeddings,
+        "kmeans_embeddings": q_kmeans_embeddings,
         "dsir_weights_docs": q_dsir_weights,
         "c4_clean_docs": q_c4_clean_docs,
         "minhash_near_dup": q_minhash_near_dup,
@@ -6398,6 +6413,7 @@ def oracle_sql() -> dict[str, str]:
                         "cms_word_probe", "nb_quality_docs",
                         "nb_topic_docs", "bloom_url_probe",
                         "image_near_dup", "semdedup_embeddings",
+                        "kmeans_embeddings",
                         "dsir_weights_docs", "markdown_docs",
                         "grouped_distinct_users")},
         "pii_redacted_docs": _pii_oracle(),

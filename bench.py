@@ -225,7 +225,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      # round-5 closing ops: chains / audit / calibration
                      "resolved_redirects", "event_entropy_by_user",
                      "calibration_bins_events", "k_anonymity_events",
-                     "user_gini_events"):
+                     "user_gini_events", "kmeans_embeddings"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

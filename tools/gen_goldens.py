@@ -919,6 +919,52 @@ def gen_grouped_distinct(sf_dir: str) -> dict[str, pa.Table]:
     })}
 
 
+def gen_kmeans(sf_dir: str) -> dict[str, pa.Table]:
+    """Single-process dense-numpy mirror of stages/kmeans.kmeans
+    (k=8, n_iters=4, scale=1000): same frozen rules — floor-quantized
+    int vectors, k-smallest-id init, BLAS-free per-cluster distance,
+    first-hit argmin, exact integer-sum centroid means, empty clusters
+    keep their centroid — re-derived here as one flat loop over the
+    full matrix, independent of the engine's batching and shuffles.
+    Integer sums are exact under any order, so bit-equality is a
+    THEOREM for the update step; the distance reduction is a fixed
+    per-row 64-term numpy sum on both sides."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas()
+    order = np.argsort(emb["vec_id"].to_numpy(np.int64), kind="stable")
+    ids = emb["vec_id"].to_numpy(np.int64)[order]
+    v = np.stack(emb["embedding"].to_numpy())[order].astype(np.float64)
+    xq = np.floor(v * 1000.0)
+    k, n_iters = 8, 4
+    cents = xq[:k].copy()
+
+    def assign(c):
+        best = np.full(len(xq), np.inf)
+        cl = np.zeros(len(xq), dtype=np.int64)
+        for j in range(k):
+            d = xq - c[j]
+            dist = (d * d).sum(axis=1)
+            hit = dist < best
+            best[hit] = dist[hit]
+            cl[hit] = j
+        return cl, best
+
+    for _ in range(n_iters):
+        cl, _ = assign(cents)
+        nxt = cents.copy()
+        for j in range(k):
+            m = cl == j
+            if m.any():
+                nxt[j] = xq[m].sum(axis=0) / np.float64(m.sum())
+        cents = nxt
+    cl, dist = assign(cents)
+    return {"kmeans_embeddings": pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "cluster": pa.array(cl, pa.int64()),
+        "dist": pa.array(dist, pa.float64()),
+    })}
+
+
 GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_pair_analyzers, gen_layout, gen_media, gen_media_pixels,
               gen_approx_distinct, gen_approx_quantiles,
@@ -928,7 +974,7 @@ GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_cms,
               gen_nb_quality, gen_bloom, gen_nb_topic, gen_image_dup,
               gen_semdedup, gen_dsir, gen_markdown,
-              gen_grouped_distinct)
+              gen_grouped_distinct, gen_kmeans)
 
 
 def generate_all(sf_dir: str) -> dict[str, pa.Table]:
