@@ -1649,6 +1649,31 @@ def q_resolved_redirects(sf_dir: str):
                           max_hops=4)
 
 
+def q_k_core_docs(sf_dir: str):
+    # k-core decomposition (graph.k_core): the link-graph density
+    # filter — iterative peel, per round one grouped degree count +
+    # edge removal; broadcast removal pinned at toy scale (the doomed
+    # fringe always fits the driver).  Oracle = committed golden from
+    # an independent queue-based single-process peeler (the k-core is
+    # the UNIQUE maximal subgraph with all degrees >= k, so any peel
+    # order agrees).
+    from pdf_extract_ray.stages.graph import k_core
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy(np.int64)
+        co, ch = d[d < 120], d[d < 30]
+        bridge = d[d == 0]
+        return pd.DataFrame({
+            "src": np.concatenate([co % 30, 100 + ch, bridge]),
+            "dst": np.concatenate([(13 * co + 7) % 31 % 30, 101 + ch,
+                                   bridge + 100])})
+
+    return k_core(ds.map_batches(derive, batch_format="pandas"), k=6,
+                  removal_mode="broadcast")
+
+
 def q_semi_join_docs(sf_dir: str):
     # big-big SEMI join (dedup.semi_join_reference): keep documents
     # whose lang appears in a reference slice — ids+keys-only cogroup,
@@ -4752,6 +4777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dup": q_ngram_jaccard_dup,
         "click_depth_docs": q_click_depth_docs,
         "resolved_redirects": q_resolved_redirects,
+        "k_core_docs": q_k_core_docs,
         "semi_join_docs": q_semi_join_docs,
         "impute_median_events": q_impute_median_events,
         "decayed_event_scores": q_decayed_event_scores,
@@ -6413,7 +6439,7 @@ def oracle_sql() -> dict[str, str]:
                         "cms_word_probe", "nb_quality_docs",
                         "nb_topic_docs", "bloom_url_probe",
                         "image_near_dup", "semdedup_embeddings",
-                        "kmeans_embeddings",
+                        "kmeans_embeddings", "k_core_docs",
                         "dsir_weights_docs", "markdown_docs",
                         "grouped_distinct_users")},
         "pii_redacted_docs": _pii_oracle(),

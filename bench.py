@@ -225,7 +225,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      # round-5 closing ops: chains / audit / calibration
                      "resolved_redirects", "event_entropy_by_user",
                      "calibration_bins_events", "k_anonymity_events",
-                     "user_gini_events", "kmeans_embeddings"):
+                     "user_gini_events", "kmeans_embeddings",
+                     "k_core_docs"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

@@ -864,3 +864,129 @@ SELECT CAST(l.start AS BIGINT) AS src,
 FROM __rc_last l LEFT JOIN __rc_f f ON f.src = l.cur
 WHERE l.rn = 1
 """
+
+
+def k_core(
+    edges: Dataset,
+    *,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 100,
+    removal_mode: str = "cogroup",
+    num_buckets: int | None = None,
+) -> Dataset:
+    """k-core decomposition of the UNDIRECTED simple graph induced by
+    the edge table (symmetrized, self-loops and duplicates dropped) —
+    the link-graph density filter: the k-core is the maximal subgraph
+    where every node keeps degree >= k, the standard cut between a
+    genuinely interlinked cluster (dense cores survive) and pendant
+    spam chains / isolated tendrils (peeled away).  Returns
+    ``(node, degree)`` for k-core members, ``degree`` = the node's
+    degree WITHIN the core (frozen output rule).
+
+    Algorithm: iterative peeling — each round computes degrees (one
+    grouped integer count over exploded endpoints, map-side partials),
+    finds nodes with ``degree < k`` and removes their incident edges,
+    until a fixpoint.  Rounds are bounded by ``max_iters`` with a
+    logged warning on non-convergence (the ``connected_components``
+    convention); a path graph peels one layer per round, so audits of
+    chain-heavy graphs should set ``max_iters`` generously.
+
+    ``removal_mode="cogroup"`` (default, web-scale): dropped-node ids
+    stay distributed; removal is two bucketed anti-cogroups (by src,
+    then by dst) of (int64, int64) edge rows.  ``"broadcast"``: the
+    round's doomed ids are pulled to the driver and ride the closure —
+    correct whenever each round's REMOVED set fits driver memory (it
+    is usually a small fringe), one less all-to-all per round.
+    Results are identical.
+
+    Scale shape: only edge pairs and (node, degree) ints ever move;
+    the per-round driver scalar is the doomed-node count.  The live
+    edge set is re-materialized per round (it is consumed by both the
+    degree count and the next round's filter)."""
+    from pdf_extract_ray.stages.agg import bucketed_group_apply, grouped_aggregate
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if removal_mode not in ("cogroup", "broadcast"):
+        raise ValueError("removal_mode must be 'cogroup' or 'broadcast'")
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src_col].to_numpy(np.int64)
+        c = b[dst_col].to_numpy(np.int64)
+        keep = a != c
+        a, c = a[keep], c[keep]
+        return pd.DataFrame({"lo": np.minimum(a, c),
+                             "hi": np.maximum(a, c)}).drop_duplicates()
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates()
+
+    live = bucketed_group_apply(
+        edges.map_batches(canon, batch_format="pandas"), ["lo", "hi"],
+        dedup, num_buckets=num_buckets).materialize()
+
+    def endpoints(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": np.concatenate([
+            b["lo"].to_numpy(np.int64), b["hi"].to_numpy(np.int64)])})
+
+    for it in range(max_iters):
+        deg = grouped_aggregate(
+            live.map_batches(endpoints, batch_format="pandas"),
+            ["node"], {"degree": ("node", "count")},
+            num_buckets=num_buckets).materialize()
+        doomed = deg.filter(lambda r, _k=k: r["degree"] < _k)
+
+        if removal_mode == "broadcast":
+            bad = doomed.to_pandas()
+            if not len(bad):
+                break
+            bad_ids = bad["node"].to_numpy(np.int64)
+
+            def drop(b: pd.DataFrame, _bad=bad_ids) -> pd.DataFrame:
+                m = (~np.isin(b["lo"].to_numpy(np.int64), _bad)
+                     & ~np.isin(b["hi"].to_numpy(np.int64), _bad))
+                return b[m]
+
+            live = live.map_batches(drop, batch_format="pandas").materialize()
+        else:
+            doomed = doomed.materialize()
+            if doomed.count() == 0:
+                break
+
+            def by_end(end: str):
+                def tag_e(b: pd.DataFrame, _e=end) -> pd.DataFrame:
+                    return pd.DataFrame({
+                        "key": b[_e].to_numpy(np.int64),
+                        "lo": b["lo"].to_numpy(np.int64),
+                        "hi": b["hi"].to_numpy(np.int64),
+                        "side": np.int8(0)})
+                return tag_e
+
+            def tag_bad(b: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({
+                    "key": b["node"].to_numpy(np.int64),
+                    "lo": np.int64(-1), "hi": np.int64(-1),
+                    "side": np.int8(1)})
+
+            def anti(g: pd.DataFrame) -> pd.DataFrame:
+                # buckets are coarse (many keys per bucket): drop per KEY
+                bad = g.loc[g["side"] == 1, "key"].unique()
+                keep = g[(g["side"] == 0)
+                         & ~g["key"].isin(bad).to_numpy()]
+                return keep[["lo", "hi"]]
+
+            for end in ("lo", "hi"):
+                live = bucketed_group_apply(
+                    live.map_batches(by_end(end), batch_format="pandas")
+                        .union(doomed.map_batches(tag_bad,
+                                                  batch_format="pandas")),
+                    ["key"], anti, num_buckets=num_buckets).materialize()
+    else:
+        logger.warning("k_core: max_iters=%d reached before fixpoint",
+                       max_iters)
+
+    return grouped_aggregate(
+        live.map_batches(endpoints, batch_format="pandas"),
+        ["node"], {"degree": ("node", "count")}, num_buckets=num_buckets)

@@ -350,3 +350,71 @@ def test_resolve_chains_duplicate_src_min_rule_and_validation(ray_session):
         resolve_chains(rd.from_pandas(e), max_hops=5)
     with _pytest.raises(ValueError):
         resolve_chains(rd.from_pandas(e), max_hops=0)
+
+
+# --- k-core decomposition ----------------------------------------------------
+
+def _kcore_reference(edges, k):
+    from collections import deque
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    q = deque(n for n, nb in adj.items() if len(nb) < k)
+    dead = set()
+    while q:
+        n = q.popleft()
+        if n in dead:
+            continue
+        dead.add(n)
+        for m in adj[n]:
+            if m not in dead:
+                adj[m].discard(n)
+                if len(adj[m]) < k:
+                    q.append(m)
+    return {n: len(nb) for n, nb in adj.items() if n not in dead}
+
+
+@pytest.mark.parametrize("mode", ["cogroup", "broadcast"])
+def test_k_core_matches_reference(ray_session, mode):
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.graph import k_core
+
+    rng = np.random.default_rng(23)
+    e = pd.DataFrame({
+        "src": rng.integers(0, 50, 400).astype("int64"),
+        "dst": rng.integers(0, 50, 400).astype("int64")})
+    for k in (2, 5, 9):
+        got = (k_core(rd.from_pandas(e).repartition(4), k=k,
+                      removal_mode=mode)
+               .to_pandas().sort_values("node").reset_index(drop=True))
+        ref = _kcore_reference(list(zip(e["src"], e["dst"])), k)
+        want = pd.DataFrame(sorted(ref.items()),
+                            columns=["node", "degree"]).astype("int64")
+        if len(want) == 0:
+            assert len(got) == 0
+        else:
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert (got["degree"] >= k).all()
+
+
+def test_k_core_peels_pendant_chain(ray_session):
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.graph import k_core
+
+    # triangle core {0,1,2} + pendant chain 2-3-4-5: k=2 keeps only the
+    # triangle (the chain peels layer by layer — exercises multi-round)
+    e = pd.DataFrame({"src": [0, 1, 2, 2, 3, 4],
+                      "dst": [1, 2, 0, 3, 4, 5]})
+    got = (k_core(rd.from_pandas(e), k=2).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    assert got["node"].tolist() == [0, 1, 2]
+    assert got["degree"].tolist() == [2, 2, 2]
+    with pytest.raises(ValueError):
+        k_core(rd.from_pandas(e), k=0)
+    with pytest.raises(ValueError):
+        k_core(rd.from_pandas(e), k=2, removal_mode="bogus")

@@ -965,6 +965,46 @@ def gen_kmeans(sf_dir: str) -> dict[str, pa.Table]:
     })}
 
 
+def gen_kcore(sf_dir: str) -> dict[str, pa.Table]:
+    """Single-process queue-based peeler for `k_core_docs` (k=6 over an
+    arithmetic dense-core + pendant-chain doc_id graph) — independent
+    of the engine's round-based
+    distributed peel: the k-core is the unique maximal subgraph with all
+    degrees >= k, so ANY peel order converges to the same node set and
+    the same in-core degrees."""
+    from collections import deque
+
+    d = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id"]).to_pandas()["doc_id"].to_numpy()
+    co, ch = d[d < 120], d[d < 30]
+    a = np.concatenate([co % 30, 100 + ch, [0]])
+    b = np.concatenate([(13 * co + 7) % 31 % 30, 101 + ch, [100]])
+    edges = {(min(x, y), max(x, y)) for x, y in zip(a, b) if x != y}
+    adj: dict[int, set] = {}
+    for lo, hi in edges:
+        adj.setdefault(lo, set()).add(hi)
+        adj.setdefault(hi, set()).add(lo)
+    k = 6
+    q = deque(n for n, nb in adj.items() if len(nb) < k)
+    dead = set()
+    while q:
+        n = q.popleft()
+        if n in dead:
+            continue
+        dead.add(n)
+        for m in adj[n]:
+            if m not in dead:
+                adj[m].discard(n)
+                if len(adj[m]) < k:
+                    q.append(m)
+    rows = sorted((n, len(nb)) for n, nb in adj.items()
+                  if n not in dead and len(nb) > 0)
+    return {"k_core_docs": pa.table({
+        "node": pa.array([r[0] for r in rows], pa.int64()),
+        "degree": pa.array([r[1] for r in rows], pa.int64()),
+    })}
+
+
 GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_pair_analyzers, gen_layout, gen_media, gen_media_pixels,
               gen_approx_distinct, gen_approx_quantiles,
@@ -974,7 +1014,7 @@ GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_cms,
               gen_nb_quality, gen_bloom, gen_nb_topic, gen_image_dup,
               gen_semdedup, gen_dsir, gen_markdown,
-              gen_grouped_distinct, gen_kmeans)
+              gen_grouped_distinct, gen_kmeans, gen_kcore)
 
 
 def generate_all(sf_dir: str) -> dict[str, pa.Table]:
