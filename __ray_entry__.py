@@ -2943,6 +2943,23 @@ def q_perplexity_buckets(sf_dir: str):
     return perplexity_buckets(ds, model)
 
 
+def q_stupid_backoff_docs(sf_dir: str):
+    # Stupid Backoff trigram scoring (stages/lm.py; Brants et al. 2007
+    # — the web-scale no-normalization LM rule): capped tri/bi/unigram
+    # counts from the deterministic doc_id%10==0 slice, fixed 0.4
+    # back-off per level, frozen OOV floor; per-doc mean log10 score
+    # round-4.  Model broadcast once, factorized per worker into
+    # composite-int64 hash indexes; scoring is one narrow map.
+    from pdf_extract_ray.stages.lm import (
+        stupid_backoff_scores, train_trigram_lm)
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    train = ds.map_batches(lambda b: b[b["doc_id"] % 10 == 0],
+                           batch_format="pandas")
+    model = train_trigram_lm(train)
+    return stupid_backoff_scores(ds, model)
+
+
 # per-language perplexity thresholds (lang -> (head_max, tail_min)):
 # deliberately non-uniform so the oracle proves the per-language
 # threshold plumbing, not just the per-language models
@@ -4864,6 +4881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_docs": q_token_budget_docs,
         "host_rollup": q_host_rollup,
         "perplexity_buckets": q_perplexity_buckets,
+        "stupid_backoff_docs": q_stupid_backoff_docs,
         "perplexity_buckets_lang": q_perplexity_lang,
         "line_dedup_docs": q_line_dedup_docs,
         "para_dedup_docs": q_para_dedup_docs,
@@ -5219,6 +5237,12 @@ def _perplexity_oracle() -> str:
     from pdf_extract_ray.stages.lm import perplexity_oracle_sql
 
     return perplexity_oracle_sql("documents")
+
+
+def _stupid_backoff_oracle() -> str:
+    from pdf_extract_ray.stages.lm import stupid_backoff_oracle_sql
+
+    return stupid_backoff_oracle_sql("documents")
 
 
 def _perplexity_lang_oracle() -> str:
@@ -6464,6 +6488,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_docs": _token_budget_oracle(),
         "host_rollup": _host_rollup_oracle(),
         "perplexity_buckets": _perplexity_oracle(),
+        "stupid_backoff_docs": _stupid_backoff_oracle(),
         "perplexity_buckets_lang": _perplexity_lang_oracle(),
         "line_dedup_docs": _line_dedup_oracle(),
         "para_dedup_docs": _para_dedup_oracle(),

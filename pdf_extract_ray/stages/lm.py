@@ -518,3 +518,274 @@ def perplexity_by_lang_oracle_sql(
             head_max=hm, tail_min=tm)
         parts.append(f"SELECT '{lg}' AS {lang_col}, * FROM ({block})")
     return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Stupid Backoff (Brants et al. 2007, "Large Language Models in Machine
+# Translation" — public paper): the web-scale scoring rule that made
+# trillion-token LMs practical — no discounting, no normalization, just
+# relative frequencies with a fixed 0.4 back-off multiplier per level.
+# The canonical companion to the CCNet bucketing above when a cheap
+# trigram signal beats the bigram perplexity (e.g. MT-ish fluency cues).
+# ---------------------------------------------------------------------------
+
+SB_LAMBDA = 0.4  # the paper's fixed back-off multiplier
+
+
+def _trigram_rows(batch: pd.DataFrame, text_col: str) -> pd.DataFrame:
+    """(w1, w2, w3, c) partial counts for one batch; '' pads the order
+    ('' never matches [a-z0-9]+): unigrams are (w, '', ''), bigrams
+    (w1, w2, '')."""
+    w = _words(batch[text_col])
+    ex = w.explode().dropna()
+    cols = {"w1": str, "w2": str, "w3": str, "c": np.int64}
+    if not len(ex):
+        return pd.DataFrame({k: [] for k in cols}).astype(cols)
+    df = pd.DataFrame({"i": ex.index.to_numpy(), "w1": ex.to_numpy()})
+    n1 = df.groupby("i", sort=False)["w1"].shift(-1)
+    n2 = df.groupby("i", sort=False)["w1"].shift(-2)
+    uni = (df.groupby("w1", sort=False).size().reset_index(name="c")
+           .assign(w2="", w3=""))
+    bi = df.assign(w2=n1).dropna(subset=["w2"])
+    big = (bi.groupby(["w1", "w2"], sort=False).size().reset_index(name="c")
+           .assign(w3="") if len(bi) else None)
+    tr = df.assign(w2=n1, w3=n2).dropna(subset=["w2", "w3"])
+    trig = (tr.groupby(["w1", "w2", "w3"], sort=False).size()
+            .reset_index(name="c") if len(tr) else None)
+    parts = [uni[["w1", "w2", "w3", "c"]]]
+    for p in (big, trig):
+        if p is not None:
+            parts.append(p[["w1", "w2", "w3", "c"]])
+    return pd.concat(parts).astype(cols)
+
+
+def train_trigram_lm(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    max_vocab: int = 50_000,
+    max_bigrams: int = 200_000,
+    max_trigrams: int = 200_000,
+) -> dict:
+    """Capped trigram count model over the TRAINING SLICE.  Returns
+    ``{"uni", "bi", "tri": Series, "N": int}`` — ``N`` = total training
+    tokens (UNCAPPED; the unigram-level denominator).  Caps follow the
+    bigram trainer's frozen rule: count desc, lexicographic tie-break —
+    the model is a bounded constant, not corpus-proportional."""
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    counts = grouped_aggregate(
+        ds.map_batches(lambda b: _trigram_rows(b, text_col),
+                       batch_format="pandas"),
+        ["w1", "w2", "w3"], {"c": ("c", "sum")},
+    ).materialize()
+    n_tokens = int(counts.filter(expr="w2 == ''").sum("c") or 0)
+    uni_top = (counts.filter(expr="w2 == ''")
+               .sort(["c", "w1"], descending=[True, False])
+               .limit(max_vocab).to_pandas())
+    bi_top = (counts.filter(expr="w2 != '' and w3 == ''")
+              .sort(["c", "w1", "w2"], descending=[True, False, False])
+              .limit(max_bigrams).to_pandas())
+    tri_top = (counts.filter(expr="w3 != ''")
+               .sort(["c", "w1", "w2", "w3"],
+                     descending=[True, False, False, False])
+               .limit(max_trigrams).to_pandas())
+    uni = pd.Series(uni_top["c"].to_numpy(np.int64),
+                    index=uni_top["w1"].to_numpy())
+    bi = pd.Series(bi_top["c"].to_numpy(np.int64),
+                   index=(bi_top["w1"] + " " + bi_top["w2"]).to_numpy())
+    tri = pd.Series(
+        tri_top["c"].to_numpy(np.int64),
+        index=(tri_top["w1"] + " " + tri_top["w2"] + " "
+               + tri_top["w3"]).to_numpy())
+    return {"uni": uni, "bi": bi, "tri": tri, "N": n_tokens}
+
+
+def _factorize_sb(m: dict) -> tuple:
+    """Int-keyed lookups for Stupid Backoff, built once per worker:
+    shared lexicon over every word the model knows, composite-int64
+    bigram and trigram hash indexes (base n+1, exact below 2^63 for
+    vocabularies into the millions)."""
+    uni, bi, tri = m["uni"], m["bi"], m["tri"]
+
+    def split_keys(s: pd.Series, parts: int):
+        ks = s.index.to_numpy()
+        if not len(ks):
+            return [np.array([], dtype=object)] * parts
+        sp = pd.Series(ks).str.split(" ")
+        return [sp.str[i].to_numpy() for i in range(parts)]
+
+    b1, b2 = split_keys(bi, 2)
+    t1, t2, t3 = split_keys(tri, 3)
+    lex = pd.Index(np.unique(np.concatenate(
+        [uni.index.to_numpy(), b1, b2, t1, t2, t3])))
+    n = len(lex)
+    c1 = np.zeros(n + 1, dtype=np.float64)  # slot n = OOV
+    if len(uni):
+        c1[lex.get_indexer(uni.index.to_numpy())] = uni.to_numpy(np.float64)
+    base = np.int64(n + 1)
+    bcomp = lex.get_indexer(b1).astype(np.int64) * base + lex.get_indexer(b2)
+    tcomp = ((lex.get_indexer(t1).astype(np.int64) * base
+              + lex.get_indexer(t2)) * base + lex.get_indexer(t3))
+    return (lex, n, c1, pd.Index(bcomp), bi.to_numpy(np.float64),
+            pd.Index(tcomp), tri.to_numpy(np.float64), float(m["N"]))
+
+
+_SB_CACHE: dict = {}
+
+
+def stupid_backoff_scores(
+    ds: Dataset,
+    model: dict,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Per-document mean log10 Stupid Backoff trigram score:
+    ``(id_col, n_trigrams, sb_score)``.
+
+    Frozen per-position rule (position t scores w_t given w_{t-2},
+    w_{t-1}; all counts from the CAPPED tables):
+
+    * trigram level: ``S = c3/c2(ctx)`` iff both counts > 0;
+    * else bigram level: ``S = 0.4 · c2(w_{t-1} w_t)/c1(w_{t-1})`` iff
+      both > 0;
+    * else unigram level: ``S = 0.16 · c1(w_t)/N`` iff c1 > 0;
+    * else (OOV floor): ``S = 0.16 · 0.5/N``.
+
+    ``sb_score = round(mean(log10 S), 4)`` over the doc's trigram
+    positions (round-4 = the perplexity pipeline's float convention);
+    docs with < 3 tokens get NULL and ``n_trigrams`` counts real
+    positions.  One narrow map; the model rides the object store and is
+    factorized once per worker."""
+    import ray
+
+    model_ref = ray.put(model)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        key = model_ref.hex()
+        if key not in _SB_CACHE:
+            _SB_CACHE.clear()
+            _SB_CACHE[key] = _factorize_sb(ray.get(model_ref))
+        lex, n, c1, bidx, bvals, tidx, tvals, N = _SB_CACHE[key]
+        w = _words(batch[text_col])
+        ex = w.explode().dropna()
+        n_docs = len(batch)
+        n_tri = np.zeros(n_docs, dtype=np.int64)
+        sums = np.zeros(n_docs, dtype=np.float64)
+        if len(ex) > 2:
+            tid = lex.get_indexer(ex.to_numpy())
+            tid = np.where(tid < 0, n, tid)
+            doc = ex.index.to_numpy()
+            same = (doc[2:] == doc[:-2])
+            i1, i2, i3 = tid[:-2][same], tid[1:-1][same], tid[2:][same]
+            doc_idx = doc[:-2][same]
+            if len(i1):
+                base = np.int64(n + 1)
+
+                def look(index, vals, keys):
+                    pos = index.get_indexer(keys)
+                    return np.where(
+                        pos >= 0,
+                        vals[np.maximum(pos, 0)] if len(vals) else 0.0,
+                        0.0)
+
+                c3 = look(tidx, tvals, (i1 * base + i2) * base + i3)
+                c2_ctx = look(bidx, bvals, i1 * base + i2)
+                c2_tail = look(bidx, bvals, i2 * base + i3)
+                c1_mid = c1[i2]
+                c1_w = c1[i3]
+                s = np.where(
+                    (c3 > 0) & (c2_ctx > 0), c3 / c2_ctx,
+                    np.where(
+                        (c2_tail > 0) & (c1_mid > 0),
+                        SB_LAMBDA * (c2_tail / c1_mid),
+                        np.where(c1_w > 0,
+                                 SB_LAMBDA * SB_LAMBDA * (c1_w / N),
+                                 SB_LAMBDA * SB_LAMBDA * (0.5 / N))))
+                logs = np.log10(s)
+                n_tri = np.bincount(doc_idx, minlength=n_docs
+                                    ).astype(np.int64)
+                sums = np.bincount(doc_idx, weights=logs,
+                                   minlength=n_docs)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sb = round_half_away(sums / np.maximum(n_tri, 1), 4)
+        sb = np.where(n_tri > 0, sb, np.nan)
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "n_trigrams": n_tri,
+            "sb_score": sb,
+        })
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def stupid_backoff_oracle_sql(
+    table: str = "documents",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_pred: str = "doc_id % 10 = 0",
+    max_vocab: int = 50_000,
+    max_bigrams: int = 200_000,
+    max_trigrams: int = 200_000,
+) -> str:
+    """DuckDB SQL equal to ``train_trigram_lm`` (on ``train_pred``) +
+    ``stupid_backoff_scores`` over the full table (identical CASE
+    expression tree; round-4 absorbs libm log10 ulps)."""
+    lam, lam2 = SB_LAMBDA, SB_LAMBDA * SB_LAMBDA
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         regexp_extract_all(lower(coalesce({text_col}, '')), '{_TOKEN_RE}')
+           AS w
+  FROM {table}
+), uni_all AS (
+  SELECT {id_col}, unnest(w) AS w1 FROM toks
+), tri_all AS (
+  SELECT {id_col}, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+), big_all AS (
+  SELECT {id_col}, w[i] AS w1, w[i + 1] AS w2
+  FROM toks, unnest(range(1, len(w))) AS t(i)
+), uni AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM uni_all
+  WHERE {train_pred} GROUP BY w1
+  ORDER BY c1 DESC, w1 LIMIT {max_vocab}
+), big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM big_all
+  WHERE {train_pred} GROUP BY w1, w2
+  ORDER BY c2 DESC, w1, w2 LIMIT {max_bigrams}
+), tri AS (
+  SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3 FROM tri_all
+  WHERE {train_pred} GROUP BY w1, w2, w3
+  ORDER BY c3 DESC, w1, w2, w3 LIMIT {max_trigrams}
+), ntok AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM uni_all WHERE {train_pred}
+), scored AS (
+  SELECT p.{id_col},
+    log10(CASE
+      WHEN tri.c3 IS NOT NULL AND bctx.c2 IS NOT NULL
+        THEN CAST(tri.c3 AS DOUBLE) / CAST(bctx.c2 AS DOUBLE)
+      WHEN btail.c2 IS NOT NULL AND umid.c1 IS NOT NULL
+        THEN {lam} * (CAST(btail.c2 AS DOUBLE) / CAST(umid.c1 AS DOUBLE))
+      WHEN uw.c1 IS NOT NULL
+        THEN {lam2} * (CAST(uw.c1 AS DOUBLE) / ntok.n)
+      ELSE {lam2} * (0.5 / ntok.n) END) AS logs
+  FROM tri_all p
+  LEFT JOIN tri ON p.w1 = tri.w1 AND p.w2 = tri.w2 AND p.w3 = tri.w3
+  LEFT JOIN big bctx ON p.w1 = bctx.w1 AND p.w2 = bctx.w2
+  LEFT JOIN big btail ON p.w2 = btail.w1 AND p.w3 = btail.w2
+  LEFT JOIN uni umid ON p.w2 = umid.w1
+  LEFT JOIN uni uw ON p.w3 = uw.w1
+  CROSS JOIN ntok
+), per_doc AS (
+  SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_trigrams,
+         round(sum(logs) / count(*), 4) AS sb_score
+  FROM scored GROUP BY {id_col}
+)
+SELECT t.{id_col},
+       coalesce(p.n_trigrams, 0) AS n_trigrams,
+       p.sb_score
+FROM toks t LEFT JOIN per_doc p USING ({id_col})
+"""

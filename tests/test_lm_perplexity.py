@@ -240,3 +240,87 @@ def test_one_pass_cap_applies_per_language(ray_session):
     # fr keeps its own (small) model even though en saturates its caps
     assert set(models["fr"]["uni"].index) == {"le", "chat", "dort"}
     assert models["fr"]["V"] == 4
+
+
+# --- Stupid Backoff (trigram) ------------------------------------------------
+
+def _sb_reference(train_texts, score_df, caps=(50_000, 200_000, 200_000)):
+    """Plain-loop Stupid Backoff with dict counts (independent of the
+    engine's shuffles and factorized int lookups)."""
+    import math
+    import re
+
+    def toks(t):
+        return re.findall(r"[a-z0-9]+", (t or "").lower())
+
+    uni, bi, tri = {}, {}, {}
+    n_tok = 0
+    for t in train_texts:
+        w = toks(t)
+        n_tok += len(w)
+        for x in w:
+            uni[x] = uni.get(x, 0) + 1
+        for a, b in zip(w, w[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+        for a, b, c in zip(w, w[1:], w[2:]):
+            tri[(a, b, c)] = tri.get((a, b, c), 0) + 1
+    # caps are above the toy vocab; ignore them here
+    rows = []
+    for _, r in score_df.iterrows():
+        w = toks(r["text"])
+        logs = []
+        for a, b, c in zip(w, w[1:], w[2:]):
+            c3, c2ctx = tri.get((a, b, c), 0), bi.get((a, b), 0)
+            c2t, c1m, c1w = bi.get((b, c), 0), uni.get(b, 0), uni.get(c, 0)
+            if c3 > 0 and c2ctx > 0:
+                s = c3 / c2ctx
+            elif c2t > 0 and c1m > 0:
+                s = 0.4 * (c2t / c1m)
+            elif c1w > 0:
+                s = 0.4 * 0.4 * (c1w / n_tok)
+            else:
+                s = 0.4 * 0.4 * (0.5 / n_tok)
+            logs.append(math.log10(s))
+        if logs:
+            m = sum(logs) / len(logs)
+            m = math.copysign(math.floor(abs(m) * 1e4 + 0.5) / 1e4, m)
+            rows.append((r["doc_id"], len(logs), m))
+        else:
+            rows.append((r["doc_id"], 0, np.nan))
+    return pd.DataFrame(rows, columns=["doc_id", "n_trigrams", "sb_score"])
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_stupid_backoff_matches_reference(ray_session, blocks):
+    from pdf_extract_ray.stages.lm import (
+        stupid_backoff_scores, train_trigram_lm)
+
+    score = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [
+            "the cat sat on the mat",         # seen trigrams
+            "the dog ran to the cat",
+            "zebra quark flux",               # all OOV
+            "the cat jumped over everything",  # mixed levels
+            "cat",                            # too short -> NULL
+            "",                               # empty -> NULL
+        ]})
+    model = train_trigram_lm(rd.from_pandas(TRAIN))
+    got = (stupid_backoff_scores(
+        rd.from_pandas(score).repartition(blocks), model)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = _sb_reference(TRAIN["text"], score)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # backoff ordering property: a fully in-model sentence outscores OOV
+    assert got.loc[0, "sb_score"] > got.loc[2, "sb_score"]
+    assert got.loc[4, "n_trigrams"] == 0 and np.isnan(got.loc[4, "sb_score"])
+
+
+def test_stupid_backoff_caps_bound_model(ray_session):
+    from pdf_extract_ray.stages.lm import train_trigram_lm
+
+    m = train_trigram_lm(rd.from_pandas(TRAIN), max_vocab=3,
+                         max_bigrams=4, max_trigrams=5)
+    assert len(m["uni"]) == 3 and len(m["bi"]) == 4 and len(m["tri"]) == 5
+    # N counts ALL training tokens, not just the capped vocab
+    assert m["N"] == sum(len(t.split()) for t in TRAIN["text"])
