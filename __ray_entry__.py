@@ -1649,6 +1649,20 @@ def q_resolved_redirects(sf_dir: str):
                           max_hops=4)
 
 
+def q_qgram_edit_join_docs(sf_dir: str):
+    # q-gram edit-distance similarity join (dedup.qgram_edit_join,
+    # Gravano 2001 / Ed-Join family): ALL url pairs within edit
+    # distance 2 — df-ordered q-gram prefix filter generates candidates
+    # (ids + lengths only move), exact byte-DP verifies.  Oracle =
+    # brute-force all-pairs levenshtein, so a green compare proves the
+    # prefix filter dropped NOTHING.
+    from pdf_extract_ray.stages.dedup import qgram_edit_join
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        _with_url, batch_format="pandas")
+    return qgram_edit_join(ds, "doc_id", "url", q=3, max_dist=2)
+
+
 def q_k_core_docs(sf_dir: str):
     # k-core decomposition (graph.k_core): the link-graph density
     # filter — iterative peel, per round one grouped degree count +
@@ -4795,6 +4809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_depth_docs": q_click_depth_docs,
         "resolved_redirects": q_resolved_redirects,
         "k_core_docs": q_k_core_docs,
+        "qgram_edit_join_docs": q_qgram_edit_join_docs,
         "semi_join_docs": q_semi_join_docs,
         "impute_median_events": q_impute_median_events,
         "decayed_event_scores": q_decayed_event_scores,
@@ -5331,6 +5346,14 @@ def _click_depth_oracle() -> str:
     edges = ("SELECT doc_id % 40 AS src, (doc_id * 3 + 1) % 40 AS dst "
              "FROM documents WHERE doc_id < 200")
     return bfs_depth_oracle_sql(edges, [0], max_depth=4)
+
+
+def _qgram_edit_join_oracle() -> str:
+    from pdf_extract_ray.stages.dedup import qgram_edit_join_oracle_sql
+
+    return qgram_edit_join_oracle_sql(
+        f"SELECT doc_id, {_URL_SYNTH_SQL} FROM documents",
+        text_col="url", max_dist=2)
 
 
 def _resolved_redirects_oracle() -> str:
@@ -6088,6 +6111,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "click_depth_docs": _click_depth_oracle(),
         "resolved_redirects": _resolved_redirects_oracle(),
+        "qgram_edit_join_docs": _qgram_edit_join_oracle(),
         "semi_join_docs": _semi_join_oracle(),
         "impute_median_events": _impute_median_oracle(),
         "decayed_event_scores": _decayed_scores_oracle(),

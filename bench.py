@@ -226,7 +226,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "resolved_redirects", "event_entropy_by_user",
                      "calibration_bins_events", "k_anonymity_events",
                      "user_gini_events", "kmeans_embeddings",
-                     "k_core_docs", "stupid_backoff_docs"):
+                     "k_core_docs", "stupid_backoff_docs",
+                     "qgram_edit_join_docs"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

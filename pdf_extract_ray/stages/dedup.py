@@ -1900,3 +1900,169 @@ def ngram_jaccard_pairs(
         gram_rows, id_col, threshold=threshold, max_freq=max_df,
         out_col="jaccard", round_digits=6, spill_dir=spill_dir,
     )
+
+
+# ---------------------------------------------------------------------------
+# q-gram edit-distance similarity join (Gravano et al. 2001 "Approximate
+# String Joins in a Database (Almost) for Free" / Ed-Join family — public
+# papers): find ALL pairs within edit distance d without comparing all
+# pairs — candidate generation by the q-gram prefix filter, exact DP
+# verification by refine_pairs_levenshtein.
+# ---------------------------------------------------------------------------
+
+def _qgram_rows(b: pd.DataFrame, id_col: str, text_col: str,
+                q: int) -> pd.DataFrame:
+    """Distinct byte q-grams per row as flat ``(id, gram, nbytes)``
+    rows — fully vectorized: one concatenated byte buffer, a sliding
+    window view, boundary masking by repeat-count arithmetic, and an
+    ``S{q}`` reinterpret for the gram keys (latin-1 round-trips every
+    byte 1:1 into a string column)."""
+    enc = b[text_col].fillna("").str.encode("utf-8")
+    lens = enc.str.len().to_numpy(np.int64)
+    ids = b[id_col].to_numpy(np.int64)
+    counts = np.maximum(lens - q + 1, 0)
+    total = int(counts.sum())
+    cols = {id_col: np.int64, "gram": str, "nbytes": np.int64}
+    if total == 0:
+        return pd.DataFrame({k: [] for k in cols}).astype(cols)
+    buf = np.frombuffer(b"".join(enc.tolist()), dtype=np.uint8)
+    win = np.lib.stride_tricks.sliding_window_view(buf, q)
+    offs = np.cumsum(lens) - lens
+    row_of = np.repeat(np.arange(len(b), dtype=np.int64), counts)
+    # per-window local position within its row
+    first = np.repeat(np.cumsum(counts) - counts, counts)
+    local = np.arange(total, dtype=np.int64) - first
+    starts = offs[row_of] + local
+    grams = np.frombuffer(win[starts].tobytes(), dtype=f"S{q}")
+    out = pd.DataFrame({
+        id_col: ids[row_of],
+        "gram": pd.Series(grams).str.decode("latin-1"),
+        "nbytes": lens[row_of]})
+    return out.drop_duplicates([id_col, "gram"], ignore_index=True)
+
+
+def qgram_edit_join(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    q: int = 3,
+    max_dist: int,
+    pair_cap_per_gram: int = 20_000,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """All pairs with UTF-8-byte edit distance <= ``max_dist`` —
+    ``(a, b, edit_distance, edit_sim)``, a < b by id.
+
+    COMPLETENESS (the q-gram prefix lemma): one edit destroys at most
+    ``q`` distinct q-grams, so strings within distance ``d`` share at
+    least ``|Q(s)| - q·d`` of s's distinct grams; under ANY fixed total
+    gram order, the ``q·d + 1`` smallest grams of each side must then
+    intersect.  The frozen order here is (global document frequency
+    asc, gram bytes) — rarest grams probe first, shrinking candidate
+    buckets; correctness does not depend on the frequencies, only on
+    the order being fixed.  The guarantee requires both strings to own
+    more than ``q·d`` distinct grams (strings shorter than that emit
+    ALL their grams — best effort, stated contract), and per-gram
+    candidate buckets above ``pair_cap_per_gram`` pairs are dropped
+    WITH A LOGGED WARNING (the minhash bucket-cap convention — never a
+    silent truncation).
+
+    Scale shape: one narrow gram-explode + one grouped df count
+    (bounded by distinct q-grams; 256^q worst case, tiny for q=3 on
+    real text) broadcast once; one bucketed gram cogroup emits
+    candidate id pairs (ids + byte lengths only — texts never move
+    here) with the |len_a - len_b| <= d filter applied in-bucket; one
+    grouped pair dedup; then the exact DP verification ships each
+    surviving pair its two texts (refine_pairs_levenshtein's two
+    cogroups).  Intended for KEY-LIKE columns (urls, titles, names):
+    the DP is O(len^2) per candidate pair."""
+    import logging as _logging
+
+    import ray
+
+    from pdf_extract_ray.stages.agg import (
+        bucketed_group_apply, grouped_aggregate)
+
+    if max_dist < 0 or q < 1:
+        raise ValueError("need max_dist >= 0 and q >= 1")
+    prefix_n = q * max_dist + 1
+    log = _logging.getLogger("pdf_extract_ray.dedup")
+
+    grams = ds.map_batches(
+        lambda b: _qgram_rows(b, id_col, text_col, q),
+        batch_format="pandas").materialize()
+
+    df_tbl = grouped_aggregate(
+        grams.select_columns(["gram"]), ["gram"],
+        {"df": ("gram", "count")}, num_buckets=num_buckets).to_pandas()
+    df_ref = ray.put(pd.Series(df_tbl["df"].to_numpy(np.int64),
+                               index=df_tbl["gram"].to_numpy()))
+
+    def prefix(b: pd.DataFrame) -> pd.DataFrame:
+        dfs = ray.get(df_ref)
+        out = b.assign(__df=dfs.reindex(b["gram"].to_numpy())
+                       .to_numpy(np.int64))
+        out = out.sort_values([id_col, "__df", "gram"], kind="mergesort")
+        return (out.groupby(id_col, sort=False).head(prefix_n)
+                [[id_col, "gram", "nbytes"]])
+
+    probe = grams.map_batches(prefix, batch_format="pandas")
+
+    def pairs_body(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby("gram", sort=False):
+            grp = grp.sort_values(id_col)
+            ids = grp[id_col].to_numpy(np.int64)
+            nb = grp["nbytes"].to_numpy(np.int64)
+            m = len(ids)
+            if m < 2:
+                continue
+            n_pairs = m * (m - 1) // 2
+            if n_pairs > pair_cap_per_gram:
+                log.warning(
+                    "qgram_edit_join: gram bucket of %d ids (%d pairs) "
+                    "exceeds pair_cap_per_gram=%d — DROPPED", m, n_pairs,
+                    pair_cap_per_gram)
+                continue
+            ai, bi = np.triu_indices(m, k=1)
+            keep = np.abs(nb[ai] - nb[bi]) <= max_dist
+            outs.append(pd.DataFrame({"a": ids[ai][keep],
+                                      "b": ids[bi][keep]}))
+        if not outs:
+            return pd.DataFrame({"a": [], "b": []}).astype(
+                {"a": np.int64, "b": np.int64})
+        return pd.concat(outs).drop_duplicates(ignore_index=True)
+
+    cand = bucketed_group_apply(probe, ["gram"], pairs_body,
+                                num_buckets=num_buckets)
+    cand = grouped_aggregate(cand, ["a", "b"], {"__n": ("a", "count")},
+                             num_buckets=num_buckets
+                             ).drop_columns(["__n"])
+    return refine_pairs_levenshtein(cand, ds, id_col=id_col,
+                                    text_col=text_col,
+                                    max_dist=max_dist)
+
+
+def qgram_edit_join_oracle_sql(
+    docs_sql: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int,
+) -> str:
+    """Brute-force all-pairs DuckDB mirror of :func:`qgram_edit_join` —
+    independent of the candidate generation, so a green compare proves
+    the prefix filter dropped NOTHING."""
+    return f"""
+WITH __qe_d AS (SELECT {id_col} AS id, coalesce({text_col}, '') AS t
+                FROM ({docs_sql}))
+SELECT a.id AS a, b.id AS b,
+       CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_distance,
+       round(1.0 - levenshtein(a.t, b.t)
+             / CAST(greatest(strlen(a.t), strlen(b.t), 1) AS DOUBLE),
+             4) AS edit_sim
+FROM __qe_d a JOIN __qe_d b ON a.id < b.id
+WHERE abs(strlen(a.t) - strlen(b.t)) <= {int(max_dist)}
+  AND levenshtein(a.t, b.t) <= {int(max_dist)}
+"""

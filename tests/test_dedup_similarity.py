@@ -1162,3 +1162,80 @@ def test_hard_negative_topk_scarce_negatives(ray_session):
                              np.array([0]), k=5).to_pandas()
     # only ONE other-label vector exists -> fewer than k rows
     assert list(got["vec_id"]) == [2]
+
+
+# --- q-gram edit-distance join ----------------------------------------------
+
+def _lev_ref(a, b):
+    ab, bb = a.encode(), b.encode()
+    prev = list(range(len(bb) + 1))
+    for i, ca in enumerate(ab, 1):
+        cur = [i]
+        for j, cb in enumerate(bb, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_qgram_edit_join_complete_vs_bruteforce(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.dedup import (
+        qgram_edit_join, qgram_edit_join_oracle_sql)
+
+    rng = np.random.default_rng(6)
+    base = ["banana split sundae", "grape fruit punch bowl",
+            "lemon curd tartine", "apple cider donut shop"]
+    rows = []
+    for i in range(60):
+        s = list(base[i % 4])
+        for _ in range(rng.integers(0, 3)):  # 0-2 random edits
+            p = rng.integers(0, len(s))
+            s[p] = chr(ord("a") + rng.integers(0, 26))
+        rows.append((i, "".join(s)))
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    got = (qgram_edit_join(rd.from_pandas(df).repartition(5),
+                           max_dist=3)
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    # brute force: every pair within distance 3 must be present
+    want = []
+    for i in range(60):
+        for j in range(i + 1, 60):
+            d = _lev_ref(df["text"][i], df["text"][j])
+            if d <= 3:
+                sim = 1.0 - d / max(len(df["text"][i].encode()),
+                                    len(df["text"][j].encode()), 1)
+                want.append((i, j, d, round(sim + 1e-12, 4)))
+    assert len(got) == len(want)
+    assert got["edit_distance"].tolist() == [w[2] for w in want]
+    assert got["a"].tolist() == [w[0] for w in want]
+    # and against the SQL brute-force oracle too
+    con = duckdb.connect()
+    con.register("t", df)
+    sql = qgram_edit_join_oracle_sql("SELECT * FROM t", max_dist=3)
+    want_sql = (con.sql(sql).df()
+                .sort_values(["a", "b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want_sql, check_dtype=False)
+
+
+def test_qgram_edit_join_cap_drops_oversized_buckets(ray_session):
+    # the warning itself fires inside Ray workers (not capturable by
+    # driver-side caplog); assert the CAP BEHAVIOR instead: capped run
+    # drops the oversized buckets, uncapped run keeps all 435 pairs
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.dedup import qgram_edit_join
+
+    df = pd.DataFrame({"doc_id": range(30),
+                       "text": ["identical string value"] * 30})
+    capped = (qgram_edit_join(rd.from_pandas(df), max_dist=1,
+                              pair_cap_per_gram=10).to_pandas())
+    assert len(capped) == 0  # every gram bucket exceeded the cap
+    full = (qgram_edit_join(rd.from_pandas(df), max_dist=1)
+            .to_pandas())
+    assert len(full) == 30 * 29 // 2
+    assert (full["edit_distance"] == 0).all()
+    with pytest.raises(ValueError):
+        qgram_edit_join(rd.from_pandas(df), max_dist=-1)
