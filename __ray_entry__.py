@@ -1649,6 +1649,37 @@ def q_resolved_redirects(sf_dir: str):
                           max_hops=4)
 
 
+def q_rrf_fusion_docs(sf_dir: str):
+    # Reciprocal Rank Fusion (relevance.rrf_fusion, Cormack 2009): fuse
+    # a length ranking with an arithmetic popularity ranking — one
+    # global_rank per ranking (3 narrow passes each), one id-keyed
+    # cogroup stitch, single round-6 fused expression.
+    from pdf_extract_ray.stages.relevance import rrf_fusion
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": d,
+            "n_chars": b["n_chars"].to_numpy(np.int64),
+            "pop": (d * 37) % 101})
+
+    return rrf_fusion(ds.map_batches(derive, batch_format="pandas"),
+                      "doc_id", ["n_chars", "pop"])
+
+
+def q_crawl_budget_hosts(sf_dir: str):
+    # largest-remainder crawl-budget apportionment (budget.crawl_budget,
+    # Hamilton rule): integer per-(lang, source) quotas summing EXACTLY
+    # to the budget — one grouped count, bounded-table finish, pure
+    # int64 arithmetic on both sides.
+    from pdf_extract_ray.stages.budget import crawl_budget
+
+    ds = _t(sf_dir, "documents", columns=["lang", "source"])
+    return crawl_budget(ds, ["lang", "source"], budget=1000)
+
+
 def q_qgram_edit_join_docs(sf_dir: str):
     # q-gram edit-distance similarity join (dedup.qgram_edit_join,
     # Gravano 2001 / Ed-Join family): ALL url pairs within edit
@@ -4810,6 +4841,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resolved_redirects": q_resolved_redirects,
         "k_core_docs": q_k_core_docs,
         "qgram_edit_join_docs": q_qgram_edit_join_docs,
+        "rrf_fusion_docs": q_rrf_fusion_docs,
+        "crawl_budget_hosts": q_crawl_budget_hosts,
         "semi_join_docs": q_semi_join_docs,
         "impute_median_events": q_impute_median_events,
         "decayed_event_scores": q_decayed_event_scores,
@@ -5346,6 +5379,22 @@ def _click_depth_oracle() -> str:
     edges = ("SELECT doc_id % 40 AS src, (doc_id * 3 + 1) % 40 AS dst "
              "FROM documents WHERE doc_id < 200")
     return bfs_depth_oracle_sql(edges, [0], max_depth=4)
+
+
+def _rrf_fusion_oracle() -> str:
+    from pdf_extract_ray.stages.relevance import rrf_fusion_oracle_sql
+
+    return rrf_fusion_oracle_sql(
+        "SELECT doc_id, n_chars, (doc_id * 37) % 101 AS pop "
+        "FROM documents", "doc_id", ["n_chars", "pop"])
+
+
+def _crawl_budget_oracle() -> str:
+    from pdf_extract_ray.stages.budget import crawl_budget_oracle_sql
+
+    return crawl_budget_oracle_sql(
+        "SELECT lang, source FROM documents", ["lang", "source"],
+        budget=1000)
 
 
 def _qgram_edit_join_oracle() -> str:
@@ -6112,6 +6161,8 @@ def oracle_sql() -> dict[str, str]:
         "click_depth_docs": _click_depth_oracle(),
         "resolved_redirects": _resolved_redirects_oracle(),
         "qgram_edit_join_docs": _qgram_edit_join_oracle(),
+        "rrf_fusion_docs": _rrf_fusion_oracle(),
+        "crawl_budget_hosts": _crawl_budget_oracle(),
         "semi_join_docs": _semi_join_oracle(),
         "impute_median_events": _impute_median_oracle(),
         "decayed_event_scores": _decayed_scores_oracle(),

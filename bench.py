@@ -227,7 +227,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "calibration_bins_events", "k_anonymity_events",
                      "user_gini_events", "kmeans_embeddings",
                      "k_core_docs", "stupid_backoff_docs",
-                     "qgram_edit_join_docs"):
+                     "qgram_edit_join_docs", "rrf_fusion_docs",
+                     "crawl_budget_hosts"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

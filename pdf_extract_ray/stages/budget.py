@@ -149,3 +149,84 @@ def take_token_budget_oracle_sql(
         f"ORDER BY {score_col} DESC, {id_col} "
         f"ROWS UNBOUNDED PRECEDING) AS __cum FROM ({table_sql})) "
         f"WHERE __cum <= {budget}")
+
+
+def crawl_budget(
+    ds,
+    key_cols,
+    *,
+    budget: int,
+    num_buckets: int | None = None,
+):
+    """Proportional crawl-budget apportionment by the LARGEST-REMAINDER
+    method (Hamilton apportionment — the classic integer-fair-share
+    rule): split a global request budget across hosts proportionally to
+    their row counts, in whole integers that sum EXACTLY to the budget
+    — the politeness scheduler's per-host quota table.
+
+    Frozen rules (pure int64 arithmetic, mirrored by
+    :func:`crawl_budget_oracle_sql`): per key ``base = budget·n // N``
+    and ``rem = budget·n % N``; the ``budget − Σ base`` leftover units
+    go to the keys with the largest remainders (ties: key order
+    ascending).  ``budget·n`` must fit int64 — budgets ≤ 2^31 against
+    corpora ≤ 2^31 rows are safe; shard the budget first beyond that.
+
+    Output: ``(keys..., n, quota)`` with ``Σ quota == budget`` exactly.
+
+    Scale shape: ONE grouped integer count with map-side partials; the
+    apportionment runs on the bounded per-key table (hosts — the
+    operator's intended granularity)."""
+    import numpy as np
+    import pandas as pd
+
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    key_cols = list(key_cols)
+    cnt = grouped_aggregate(
+        ds.select_columns(key_cols), key_cols,
+        {"n": (key_cols[0], "count")}, num_buckets=num_buckets,
+    ).to_pandas().sort_values(key_cols).reset_index(drop=True)
+
+    n = cnt["n"].to_numpy(np.int64)
+    total = np.int64(n.sum())
+    b = np.int64(budget)
+    base = b * n // total
+    rem = b * n % total
+    leftover = int(b - base.sum())
+    # largest remainder first, ties by key order (cnt is key-sorted, so
+    # a stable argsort on -rem realizes the tie rule)
+    order = np.argsort(-rem, kind="mergesort")
+    quota = base.copy()
+    quota[order[:leftover]] += 1
+    out = cnt.copy()
+    out["quota"] = quota
+    return out
+
+
+def crawl_budget_oracle_sql(table_sql: str, key_cols, *, budget: int) -> str:
+    """DuckDB mirror of :func:`crawl_budget` (same integer expressions;
+    the rank window realizes the largest-remainder tie rule)."""
+    ks = ", ".join(key_cols)
+    b = int(budget)
+    return f"""
+WITH __cb_c AS (
+  SELECT {ks}, CAST(count(*) AS BIGINT) AS n
+  FROM ({table_sql}) GROUP BY {ks}
+),
+__cb_t AS (SELECT sum(n) AS total FROM __cb_c),
+__cb_q AS (
+  SELECT {ks}, n, ({b} * n) // total AS base, ({b} * n) % total AS rem
+  FROM __cb_c, __cb_t
+),
+__cb_l AS (SELECT {b} - sum(base) AS leftover FROM __cb_q),
+__cb_r AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, {ks}) AS rk
+  FROM __cb_q
+)
+SELECT {ks}, n,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS quota
+FROM __cb_r, __cb_l
+"""

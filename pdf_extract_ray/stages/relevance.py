@@ -737,3 +737,104 @@ SELECT w1, w2, n, pmi FROM (
   SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS __rn
   FROM __co_s) WHERE __rn <= {top_k}
 """
+
+
+def rrf_fusion(
+    ds: Dataset,
+    id_col: str,
+    score_cols,
+    *,
+    k: int = 60,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Reciprocal Rank Fusion (Cormack et al. 2009 — public paper): merge
+    several relevance rankings of the SAME row set into one score,
+    ``rrf = sum_i 1 / (k + rank_i)`` — the standard way to combine a
+    lexical ranking (BM25) with a link-quality ranking (PageRank) or an
+    embedding ranking without score calibration.
+
+    Frozen rules: ``rank_i`` = row_number ordered by (score_i DESC,
+    id ASC) — a total order, so ranks are exact; the fused score is ONE
+    frozen IEEE expression (terms added in ``score_cols`` order),
+    rounded to 6.  Output: ``(id, rank_<col>..., rrf_score)``.
+
+    Scale shape: one :func:`agg.global_rank` per ranking (its 3-pass
+    narrow shape; only (id, score) projections move), then ONE bucketed
+    cogroup keyed on the id stitches the rank columns together."""
+    from pdf_extract_ray.stages.agg import bucketed_group_apply, global_rank
+    from pdf_extract_ray.util import round_half_away
+
+    score_cols = list(score_cols)
+    if not score_cols:
+        raise ValueError("need at least one score column")
+
+    tagged = []
+    for si, col in enumerate(score_cols):
+        def neg(b: pd.DataFrame, _c=col) -> pd.DataFrame:
+            return pd.DataFrame({
+                id_col: b[id_col].to_numpy(np.int64),
+                "__neg": -b[_c].to_numpy(np.float64)})
+
+        ranked = global_rank(
+            ds.map_batches(neg, batch_format="pandas"),
+            ["__neg", id_col], num_buckets=num_buckets)
+
+        def tag(b: pd.DataFrame, _si=si) -> pd.DataFrame:
+            return pd.DataFrame({
+                id_col: b[id_col].to_numpy(np.int64),
+                "__src": np.int64(_si),
+                "__rank": b["rank"].to_numpy(np.int64)})
+
+        tagged.append(ranked.map_batches(tag, batch_format="pandas"))
+
+    unioned = tagged[0]
+    for t in tagged[1:]:
+        unioned = unioned.union(t)
+
+    rank_names = [f"rank_{c}" for c in score_cols]
+    kk = float(k)
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        wide = g.pivot_table(index=id_col, columns="__src",
+                             values="__rank", aggfunc="first")
+        out = pd.DataFrame({id_col: wide.index.to_numpy(np.int64)})
+        score = np.zeros(len(wide), dtype=np.float64)
+        for si, nm in enumerate(rank_names):
+            r = wide[si].to_numpy(np.int64)
+            out[nm] = r
+            score = score + 1.0 / (kk + r)
+        out["rrf_score"] = round_half_away(score, 6)
+        return out
+
+    return bucketed_group_apply(unioned, [id_col], stitch,
+                                num_buckets=num_buckets)
+
+
+def rrf_fusion_oracle_sql(
+    table_sql: str,
+    id_col: str,
+    score_cols,
+    *,
+    k: int = 60,
+) -> str:
+    """DuckDB mirror of :func:`rrf_fusion` (identical term order in the
+    fused expression; round-6)."""
+    score_cols = list(score_cols)
+    ranks = []
+    for c in score_cols:
+        ranks.append(
+            f"__rrf_{c} AS (SELECT {id_col}, row_number() OVER "
+            f"(ORDER BY CAST({c} AS DOUBLE) DESC, {id_col}) AS rank_{c} "
+            f"FROM __rrf_t)")
+    joins = " ".join(
+        f"JOIN __rrf_{c} USING ({id_col})" for c in score_cols[1:])
+    terms = " + ".join(f"1.0 / ({float(k)} + rank_{c})"
+                       for c in score_cols)
+    rank_sel = ", ".join(f"rank_{c}" for c in score_cols)
+    first = score_cols[0]
+    return f"""
+WITH __rrf_t AS ({table_sql}),
+{", ".join(ranks)}
+SELECT {id_col}, {rank_sel}, round({terms}, 6) AS rrf_score
+FROM __rrf_{first} {joins}
+"""

@@ -2,6 +2,7 @@
 
 import duckdb
 import numpy as np
+import pytest
 import pandas as pd
 import ray.data as rd
 
@@ -76,3 +77,35 @@ def test_budget_randomized_vs_reference_and_sql(ray_session):
             .df().sort_values("doc_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(
             got.astype("int64"), sql.astype("int64"))
+
+
+# --- crawl budget apportionment ---------------------------------------------
+
+@pytest.mark.parametrize("blocks", [1, 6])
+def test_crawl_budget_sums_exactly_and_matches_sql(ray_session, blocks):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.budget import (
+        crawl_budget, crawl_budget_oracle_sql)
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({"host": rng.choice(
+        [f"h{i}" for i in range(13)], size=311)})
+    for budget in (0, 7, 100, 311, 5000):
+        got = (crawl_budget(rd.from_pandas(df).repartition(blocks),
+                            ["host"], budget=budget)
+               .sort_values("host").reset_index(drop=True))
+        assert int(got["quota"].sum()) == budget  # EXACT apportionment
+        # proportionality: quota within 1 of the real share
+        share = budget * got["n"].to_numpy() / len(df)
+        assert (np.abs(got["quota"].to_numpy() - share) < 1.0 + 1e-9).all()
+        con = duckdb.connect()
+        con.register("t", df)
+        sql = crawl_budget_oracle_sql("SELECT * FROM t", ["host"],
+                                      budget=budget)
+        want = (con.sql(sql).df()
+                .sort_values("host").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    with pytest.raises(ValueError):
+        crawl_budget(rd.from_pandas(df), ["host"], budget=-1)

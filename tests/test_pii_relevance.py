@@ -308,3 +308,48 @@ def test_doc_keywords_top_k_and_tie_rule(ray_session):
     # min_df excludes rare words BEFORE ranking
     got2 = doc_keywords(rd.from_pandas(df), k=2, min_df=3).to_pandas()
     assert set(got2["word"]) == {"apple"}
+
+
+# --- reciprocal rank fusion --------------------------------------------------
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_rrf_fusion_matches_reference_and_sql(ray_session, blocks):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.relevance import (
+        rrf_fusion, rrf_fusion_oracle_sql)
+
+    rng = np.random.default_rng(12)
+    df = pd.DataFrame({
+        "doc_id": np.arange(90, dtype=np.int64),
+        "bm25": rng.integers(0, 40, 90).astype(np.int64),  # ties!
+        "pr": rng.integers(0, 15, 90).astype(np.int64)})
+    got = (rrf_fusion(rd.from_pandas(df).repartition(blocks), "doc_id",
+                      ["bm25", "pr"])
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # plain reference: rank = 1 + #rows strictly better + #ties with
+    # smaller id (the (score DESC, id ASC) row_number)
+    def ranks(col):
+        order = df.sort_values([col, "doc_id"],
+                               ascending=[False, True])["doc_id"]
+        r = pd.Series(np.arange(1, len(df) + 1, dtype=np.int64),
+                      index=order.to_numpy())
+        return r.reindex(df["doc_id"]).to_numpy()
+
+    ra, rb = ranks("bm25"), ranks("pr")
+    want_score = np.floor((1.0 / (60.0 + ra) + 1.0 / (60.0 + rb))
+                          * 1e6 + 0.5) / 1e6
+    assert got["rank_bm25"].tolist() == ra.tolist()
+    assert got["rank_pr"].tolist() == rb.tolist()
+    np.testing.assert_allclose(got["rrf_score"], want_score, rtol=0,
+                               atol=1e-12)
+    con = duckdb.connect()
+    con.register("t", df)
+    sql = rrf_fusion_oracle_sql("SELECT * FROM t", "doc_id",
+                                ["bm25", "pr"])
+    want = (con.sql(sql).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    with pytest.raises(ValueError):
+        rrf_fusion(rd.from_pandas(df), "doc_id", [])
