@@ -641,6 +641,36 @@ def q_event_time_profile(sf_dir: str):
         ["dow", "hour"], {"n": ("dow", "count")})
 
 
+def q_merged_intervals_events(sf_dir: str):
+    # span coalescing (windows.merge_intervals): each event claims a
+    # 10-minute interval; overlapping/touching spans per user merge —
+    # one bucketed key cogroup, vectorized in-bucket merge (sorted
+    # shifted segmented cummax), exact int64 microseconds throughout.
+    from pdf_extract_ray.stages.windows import merge_intervals
+
+    ds = _t(sf_dir, "events", columns=["user_id", "ts"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "s": us, "e": us + 600_000_000})
+
+    return merge_intervals(ds.map_batches(derive, batch_format="pandas"),
+                           ["user_id"], "s", "e")
+
+
+def q_cumulative_users_events(sf_dir: str):
+    # audience growth (events.cumulative_users): first-event day per
+    # user (grouped min) -> new users per day -> exact running total on
+    # the bounded day table.
+    from pdf_extract_ray.stages.events import cumulative_users
+
+    return cumulative_users(_t(sf_dir, "events",
+                               columns=["user_id", "ts"]),
+                            "user_id", "ts")
+
+
 def q_event_entropy_by_user(sf_dir: str):
     # per-cohort event-type Shannon-entropy terms
     # (experiment.grouped_entropy_terms): the distribution-diversity /
@@ -4858,6 +4888,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_lineitem": q_corr_lineitem,
         "auc_events": q_auc_events,
         "event_entropy_by_user": q_event_entropy_by_user,
+        "merged_intervals_events": q_merged_intervals_events,
+        "cumulative_users_events": q_cumulative_users_events,
         "calibration_bins_events": q_calibration_bins_events,
         "k_anonymity_events": q_k_anonymity_events,
         "user_gini_events": q_user_gini_events,
@@ -5854,6 +5886,22 @@ _EVENT_TIME_PROFILE_SQL = (
     "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2")
 
 
+def _merged_intervals_oracle() -> str:
+    from pdf_extract_ray.stages.windows import merge_intervals_oracle_sql
+
+    return merge_intervals_oracle_sql(
+        "SELECT user_id, epoch_us(ts) AS s, "
+        "epoch_us(ts) + 600000000 AS e FROM events",
+        ["user_id"], "s", "e")
+
+
+def _cumulative_users_oracle() -> str:
+    from pdf_extract_ray.stages.events import cumulative_users_oracle_sql
+
+    return cumulative_users_oracle_sql(
+        "SELECT user_id, ts FROM events", "user_id", "ts")
+
+
 def _event_entropy_oracle() -> str:
     from pdf_extract_ray.stages.experiment import (
         grouped_entropy_terms_oracle_sql,
@@ -6170,6 +6218,8 @@ def oracle_sql() -> dict[str, str]:
         "corr_lineitem": _corr_lineitem_oracle(),
         "auc_events": _auc_events_oracle(),
         "event_entropy_by_user": _event_entropy_oracle(),
+        "merged_intervals_events": _merged_intervals_oracle(),
+        "cumulative_users_events": _cumulative_users_oracle(),
         "calibration_bins_events": _calibration_bins_oracle(),
         "k_anonymity_events": _k_anonymity_oracle(),
         "user_gini_events": _user_gini_oracle(),

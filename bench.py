@@ -228,7 +228,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "user_gini_events", "kmeans_embeddings",
                      "k_core_docs", "stupid_backoff_docs",
                      "qgram_edit_join_docs", "rrf_fusion_docs",
-                     "crawl_budget_hosts"):
+                     "crawl_budget_hosts", "merged_intervals_events",
+                     "cumulative_users_events"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

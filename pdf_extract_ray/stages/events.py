@@ -182,3 +182,64 @@ def cohort_retention_oracle_sql(
         f"SELECT cohort, p - cohort AS period_offset, "
         f"CAST(count(*) AS BIGINT) AS n_users "
         f"FROM up JOIN c USING ({k}) GROUP BY 1, 2")
+
+
+def cumulative_users(
+    ds: Dataset,
+    user_col: str,
+    ts_col: str,
+    *,
+    num_buckets: int | None = None,
+) -> "pd.DataFrame":
+    """Daily new-vs-cumulative distinct users — the audience-growth
+    readout (and, for a crawl, the hosts-discovered-over-time curve):
+    each user counts once, on the day of their FIRST event.
+
+    Output per day (int days since epoch, so both engines agree on the
+    dtype): ``(day, n_new, cum_users)`` with ``cum_users`` the exact
+    running total — integer arithmetic end to end.
+
+    Scale shape: ONE grouped min (first day per user, map-side
+    partials), ONE grouped count over the bounded (user -> day) table,
+    then a driver cumsum over the O(#days) day table."""
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        days = b[ts_col].to_numpy().astype("datetime64[D]").astype(np.int64)
+        return pd.DataFrame({"__u": b[user_col].to_numpy(np.int64),
+                             "__d": days})
+
+    first = grouped_aggregate(
+        ds.map_batches(derive, batch_format="pandas"),
+        ["__u"], {"d0": ("__d", "min")}, num_buckets=num_buckets)
+    per_day = grouped_aggregate(
+        first, ["d0"], {"n_new": ("d0", "count")},
+        num_buckets=num_buckets,
+    ).to_pandas().sort_values("d0").reset_index(drop=True)
+    out = pd.DataFrame({
+        "day": per_day["d0"].to_numpy(np.int64),
+        "n_new": per_day["n_new"].to_numpy(np.int64)})
+    out["cum_users"] = np.cumsum(out["n_new"].to_numpy(np.int64))
+    return out
+
+
+def cumulative_users_oracle_sql(
+    table_sql: str,
+    user_col: str,
+    ts_col: str,
+) -> str:
+    """DuckDB mirror of :func:`cumulative_users`."""
+    return f"""
+WITH __cu_f AS (
+  SELECT {user_col} AS u,
+         min(datediff('day', DATE '1970-01-01', CAST({ts_col} AS DATE)))
+           AS d0
+  FROM ({table_sql}) GROUP BY {user_col}
+),
+__cu_n AS (SELECT d0 AS day, count(*) AS n_new FROM __cu_f GROUP BY d0)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(n_new AS BIGINT) AS n_new,
+       CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_users
+FROM __cu_n
+"""

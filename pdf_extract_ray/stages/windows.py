@@ -484,3 +484,93 @@ def fill_window_gaps_oracle_sql(
         f"{step_sql})) AS {win_col} FROM b) "
         f"SELECT g.*, {cols} FROM g LEFT JOIN c "
         f"USING ({part}, {win_col})")
+
+
+def merge_intervals(
+    ds: Dataset,
+    keys,
+    start_col: str,
+    end_col: str,
+    *,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Coalesce overlapping/touching intervals per key — the span-merge
+    primitive behind visit stitching (events carry DURATIONS, unlike
+    :func:`sessionize`'s gap rule over points), crawl-window planning
+    and rate-limit audit windows.
+
+    Frozen rule (mirrored by :func:`merge_intervals_oracle_sql`):
+    intervals sort by ``(start, end)`` within a key; an interval starts
+    a NEW merged group iff its start exceeds the running max end of all
+    earlier intervals (``start > prev_max`` — touching intervals with
+    ``start == prev_end`` MERGE).  Output per merged group:
+    ``(keys..., interval_start, interval_end, n_rows)`` with the min
+    start, max end and member count.  Columns must be int64
+    (microseconds); exact comparisons, no float anywhere.
+
+    Scale shape: ONE bucketed cogroup on the key; in-bucket merge is
+    vectorized (sort + shifted cummax + cumsum group ids + one
+    groupby)."""
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    keys = list(keys)
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys + [start_col, end_col],
+                          kind="mergesort").reset_index(drop=True)
+        s = g[start_col].to_numpy(np.int64)
+        e = g[end_col].to_numpy(np.int64)
+        seg = g.groupby(keys, sort=False).ngroup().to_numpy(np.int64)
+        new_key = np.concatenate([[True], seg[1:] != seg[:-1]])
+        # per-key running max end shifted one row back (vectorized
+        # segmented cummax: pandas cython groupby kernels)
+        lo = np.iinfo(np.int64).min
+        pm = (pd.Series(e).groupby(seg).cummax()
+              .groupby(seg).shift(1, fill_value=lo).to_numpy(np.int64))
+        new_grp = (s > pm) | new_key
+        gid = np.cumsum(new_grp)
+        out = g[keys].copy()
+        out["__gid"] = gid
+        out["__s"] = s
+        out["__e"] = e
+        agg = (out.groupby(keys + ["__gid"], sort=False)
+               .agg(interval_start=("__s", "min"),
+                    interval_end=("__e", "max"),
+                    n_rows=("__s", "size"))
+               .reset_index().drop(columns="__gid"))
+        agg["n_rows"] = agg["n_rows"].astype(np.int64)
+        return agg
+
+    return bucketed_group_apply(ds, keys, body, num_buckets=num_buckets)
+
+
+def merge_intervals_oracle_sql(
+    table_sql: str,
+    keys,
+    start_col: str,
+    end_col: str,
+) -> str:
+    """DuckDB mirror of :func:`merge_intervals`."""
+    ks = ", ".join(keys)
+    return f"""
+WITH __mi_t AS (SELECT {ks}, {start_col} AS s, {end_col} AS e
+                FROM ({table_sql})),
+__mi_o AS (
+  SELECT *, max(e) OVER (PARTITION BY {ks} ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS prev_max
+  FROM __mi_t
+),
+__mi_g AS (
+  SELECT *, sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                     THEN 1 ELSE 0 END)
+              OVER (PARTITION BY {ks} ORDER BY s, e
+                    ROWS UNBOUNDED PRECEDING) AS gid
+  FROM __mi_o
+)
+SELECT {ks},
+       CAST(min(s) AS BIGINT) AS interval_start,
+       CAST(max(e) AS BIGINT) AS interval_end,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM __mi_g GROUP BY {ks}, gid
+"""

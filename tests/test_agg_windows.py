@@ -1143,3 +1143,72 @@ def test_grouped_corr_exact_and_sql_parity(ray_session):
                           "x", "y", num_buckets=32)
              .to_pandas().sort_values("g").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, again)
+
+
+# --- interval merge ----------------------------------------------------------
+
+def _merge_ref(rows):
+    """Plain per-key interval merge (touching merges)."""
+    out = []
+    by_key = {}
+    for k, s, e in rows:
+        by_key.setdefault(k, []).append((s, e))
+    for k, iv in by_key.items():
+        iv.sort()
+        cur_s, cur_e, n = iv[0][0], iv[0][1], 1
+        for s, e in iv[1:]:
+            if s <= cur_e:
+                cur_e = max(cur_e, e)
+                n += 1
+            else:
+                out.append((k, cur_s, cur_e, n))
+                cur_s, cur_e, n = s, e, 1
+        out.append((k, cur_s, cur_e, n))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("blocks", [1, 6])
+def test_merge_intervals_matches_reference_and_sql(ray_session, blocks):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.windows import (
+        merge_intervals, merge_intervals_oracle_sql)
+
+    rng = np.random.default_rng(14)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 8, 250).astype(np.int64),
+        "s": rng.integers(0, 1000, 250).astype(np.int64)})
+    df["e"] = df["s"] + rng.integers(1, 60, 250)
+    got = (merge_intervals(rd.from_pandas(df).repartition(blocks),
+                           ["k"], "s", "e")
+           .to_pandas()
+           .sort_values(["k", "interval_start", "interval_end"])
+           .reset_index(drop=True))
+    want = pd.DataFrame(
+        _merge_ref(list(zip(df["k"], df["s"], df["e"]))),
+        columns=["k", "interval_start", "interval_end", "n_rows"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    con = duckdb.connect()
+    con.register("t", df)
+    sql = merge_intervals_oracle_sql("SELECT * FROM t", ["k"], "s", "e")
+    want_sql = (con.sql(sql).df()
+                .sort_values(["k", "interval_start", "interval_end"])
+                .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want_sql, check_dtype=False)
+
+
+def test_merge_intervals_touching_merge_rule(ray_session):
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.windows import merge_intervals
+
+    # [0,10] and [10,20] touch -> ONE interval; [21,30] stays separate
+    df = pd.DataFrame({"k": [1, 1, 1], "s": [0, 10, 21],
+                       "e": [10, 20, 30]})
+    got = (merge_intervals(rd.from_pandas(df), ["k"], "s", "e")
+           .to_pandas().sort_values("interval_start")
+           .reset_index(drop=True))
+    assert got["interval_start"].tolist() == [0, 21]
+    assert got["interval_end"].tolist() == [20, 30]
+    assert got["n_rows"].tolist() == [2, 1]

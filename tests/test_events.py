@@ -142,3 +142,38 @@ def test_cohort_retention_topology_independent(ray_session):
     ref = (pd.DataFrame({"u": df["user_id"], "p": days // 10})
            .groupby("u")["p"].min().value_counts().sort_index())
     assert first.sort_index().tolist() == ref.tolist()
+
+
+# --- cumulative distinct users -----------------------------------------------
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_cumulative_users_matches_reference_and_sql(ray_session, blocks):
+    import duckdb
+
+    from pdf_extract_ray.stages.events import (
+        cumulative_users, cumulative_users_oracle_sql)
+
+    rng = np.random.default_rng(19)
+    base = np.datetime64("2024-03-01T12:00:00", "us")
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, 300).astype(np.int64),
+        "ts": base + rng.integers(0, 10 * 86_400_000_000, 300).astype(
+            "timedelta64[us]")})
+    got = cumulative_users(rd.from_pandas(df).repartition(blocks),
+                           "user_id", "ts")
+    first = df.assign(
+        day=df["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+    ).groupby("user_id")["day"].min()
+    per = first.value_counts().sort_index()
+    want = pd.DataFrame({"day": per.index.to_numpy(np.int64),
+                         "n_new": per.to_numpy(np.int64)})
+    want["cum_users"] = want["n_new"].cumsum()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                  check_dtype=False)
+    assert got["cum_users"].iloc[-1] == df["user_id"].nunique()
+    con = duckdb.connect()
+    con.register("t", df)
+    sql = cumulative_users_oracle_sql("SELECT * FROM t", "user_id", "ts")
+    want_sql = con.sql(sql).df().sort_values("day").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want_sql,
+                                  check_dtype=False)
