@@ -1679,6 +1679,49 @@ def q_resolved_redirects(sf_dir: str):
                           max_hops=4)
 
 
+def q_host_mirror_docs(sf_dir: str):
+    # mirror-site detection (dedup.host_mirror_pairs): per-host UNION
+    # minhash via exact elementwise-min algebra over per-doc signatures
+    # (map-side partials + one bucketed merge — one vector per (host,
+    # batch) moves), shared banding/verify tail.  Synth hosts: docs < 50
+    # duplicated onto two mirror hosts (jaccard 1.0 by construction),
+    # the rest spread over 25 ordinary hosts.  Oracle = committed golden
+    # from a dict-based single-process composition of the same frozen
+    # kernels.
+    from pdf_extract_ray.stages.dedup import host_mirror_pairs
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy(np.int64)
+        mir = d < 50
+        t = b["text"].to_numpy()
+        return pd.concat([
+            pd.DataFrame({"host": "h" + pd.Series(d[~mir] % 25)
+                          .astype(str), "text": t[~mir]}),
+            pd.DataFrame({"host": "mirror-a", "text": t[mir]}),
+            pd.DataFrame({"host": "mirror-b", "text": t[mir]}),
+        ], ignore_index=True)
+
+    return host_mirror_pairs(
+        ds.map_batches(derive, batch_format="pandas"), "host", "text",
+        jaccard_threshold=0.8)
+
+
+def q_analyze_orders(sf_dir: str):
+    # ANALYZE column profile (contract.analyze_columns): exact per-
+    # column rows/nulls/distinct — one narrow pass with per-batch
+    # pre-dedup, shuffle bounded by distinct values per column.
+    from pdf_extract_ray.stages.contract import analyze_columns
+
+    ds = _t(sf_dir, "orders",
+            columns=["o_orderstatus", "o_orderpriority", "o_custkey",
+                     "o_totalprice"])
+    return analyze_columns(
+        ds, ["o_custkey", "o_orderpriority", "o_orderstatus",
+             "o_totalprice"])
+
+
 def q_rrf_fusion_docs(sf_dir: str):
     # Reciprocal Rank Fusion (relevance.rrf_fusion, Cormack 2009): fuse
     # a length ranking with an arithmetic popularity ranking — one
@@ -4425,6 +4468,18 @@ def _tri_edges(b: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+def q_clustering_coeff_graph(sf_dir: str):
+    # local clustering coefficient (graph.clustering_coefficient):
+    # triangles / possible wedges per node — the triangle pipeline plus
+    # one grouped degree count and one node-keyed cogroup stitch; the
+    # coefficient is a single int-ratio division on both sides.
+    from pdf_extract_ray.stages.graph import clustering_coefficient
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+    return clustering_coefficient(
+        ds.map_batches(_tri_edges, batch_format="pandas"))
+
+
 def q_triangle_counts(sf_dir: str):
     # per-node triangle counts (graph.count_triangles): degree-oriented
     # wedge join — orientation bounds wedge work by m^1.5 regardless of
@@ -4872,6 +4927,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_core_docs": q_k_core_docs,
         "qgram_edit_join_docs": q_qgram_edit_join_docs,
         "rrf_fusion_docs": q_rrf_fusion_docs,
+        "host_mirror_docs": q_host_mirror_docs,
+        "analyze_orders": q_analyze_orders,
         "crawl_budget_hosts": q_crawl_budget_hosts,
         "semi_join_docs": q_semi_join_docs,
         "impute_median_events": q_impute_median_events,
@@ -4882,6 +4939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords_docs": q_doc_keywords,
         "pareto_docs": q_pareto_docs,
         "triangle_counts_graph": q_triangle_counts,
+        "clustering_coeff_graph": q_clustering_coeff_graph,
         "reciprocal_links": q_reciprocal_links,
         "lexical_diversity_docs": q_lexical_diversity_docs,
         "hard_negatives_embeddings": q_hard_negatives_embeddings,
@@ -5413,6 +5471,15 @@ def _click_depth_oracle() -> str:
     return bfs_depth_oracle_sql(edges, [0], max_depth=4)
 
 
+def _analyze_orders_oracle() -> str:
+    from pdf_extract_ray.stages.contract import analyze_columns_oracle_sql
+
+    return analyze_columns_oracle_sql(
+        "SELECT * FROM orders",
+        ["o_custkey", "o_orderpriority", "o_orderstatus",
+         "o_totalprice"])
+
+
 def _rrf_fusion_oracle() -> str:
     from pdf_extract_ray.stages.relevance import rrf_fusion_oracle_sql
 
@@ -5547,6 +5614,17 @@ def _triangle_counts_oracle() -> str:
              "UNION ALL "
              "SELECT doc_id % 30, (doc_id * 7 + 3) % 30 FROM documents")
     return count_triangles_oracle_sql(edges)
+
+
+def _clustering_coeff_oracle() -> str:
+    from pdf_extract_ray.stages.graph import clustering_coefficient_oracle_sql
+
+    edges = ("SELECT doc_id % 30 AS src, (doc_id % 30 + 1) % 30 AS dst "
+             "FROM documents UNION ALL "
+             "SELECT doc_id % 30, (doc_id % 30 + 2) % 30 FROM documents "
+             "UNION ALL "
+             "SELECT doc_id % 30, (doc_id * 7 + 3) % 30 FROM documents")
+    return clustering_coefficient_oracle_sql(edges)
 
 
 def _reciprocal_links_oracle() -> str:
@@ -6210,6 +6288,7 @@ def oracle_sql() -> dict[str, str]:
         "resolved_redirects": _resolved_redirects_oracle(),
         "qgram_edit_join_docs": _qgram_edit_join_oracle(),
         "rrf_fusion_docs": _rrf_fusion_oracle(),
+        "analyze_orders": _analyze_orders_oracle(),
         "crawl_budget_hosts": _crawl_budget_oracle(),
         "semi_join_docs": _semi_join_oracle(),
         "impute_median_events": _impute_median_oracle(),
@@ -6229,6 +6308,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords_docs": _doc_keywords_oracle(),
         "pareto_docs": _pareto_docs_oracle(),
         "triangle_counts_graph": _triangle_counts_oracle(),
+        "clustering_coeff_graph": _clustering_coeff_oracle(),
         "reciprocal_links": _reciprocal_links_oracle(),
         "lexical_diversity_docs": _lexical_diversity_oracle(),
         "hard_negatives_embeddings": (
@@ -6589,6 +6669,7 @@ def oracle_sql() -> dict[str, str]:
                         "nb_topic_docs", "bloom_url_probe",
                         "image_near_dup", "semdedup_embeddings",
                         "kmeans_embeddings", "k_core_docs",
+                        "host_mirror_docs",
                         "dsir_weights_docs", "markdown_docs",
                         "grouped_distinct_users")},
         "pii_redacted_docs": _pii_oracle(),

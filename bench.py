@@ -229,7 +229,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "k_core_docs", "stupid_backoff_docs",
                      "qgram_edit_join_docs", "rrf_fusion_docs",
                      "crawl_budget_hosts", "merged_intervals_events",
-                     "cumulative_users_events"):
+                     "cumulative_users_events", "host_mirror_docs",
+                     "clustering_coeff_graph", "analyze_orders"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

@@ -137,3 +137,71 @@ def validate_table_oracle_sql(
                    f"FROM t")
     body = "\nUNION ALL\n".join(sel)
     return f"WITH t AS ({table_sql})\n{body}"
+
+
+def analyze_columns(
+    ds,
+    cols,
+    *,
+    num_buckets: int | None = None,
+):
+    """ANALYZE-style column profile — ``(col, n_rows, n_nulls,
+    n_distinct)`` per requested column, the stats pass a planner (or a
+    data-quality dashboard) runs before anything else.  Distinct counts
+    are EXACT (each engine counts distinct over its own native values,
+    so no cross-engine value casting is involved in the compare).
+
+    Scale shape: ONE narrow pass emits per-batch pre-deduplicated
+    ``(col, repr(value))`` rows plus per-batch null/row partials; one
+    grouped dedup + count per column bounds the shuffle by the number
+    of DISTINCT values per column (the quantity being measured), never
+    the corpus.  ``repr`` keys the distinct shuffle only — Python repr
+    is round-trip faithful, hence injective on the value set."""
+    import numpy as np
+    import pandas as pd
+
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    cols = list(cols)
+
+    def vals(b: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for c in cols:
+            s = b[c].dropna()
+            parts.append(pd.DataFrame({
+                "col": c, "v": s.map(repr).drop_duplicates()}))
+        return pd.concat(parts, ignore_index=True)
+
+    distinct = grouped_aggregate(
+        ds.map_batches(vals, batch_format="pandas"), ["col", "v"],
+        {"__n": ("v", "count")}, num_buckets=num_buckets)
+    ndv = grouped_aggregate(
+        distinct, ["col"], {"n_distinct": ("__n", "count")},
+        num_buckets=num_buckets).to_pandas()
+
+    def null_partials(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "col": cols,
+            "n_rows": np.int64(len(b)),
+            "n_nulls": [np.int64(b[c].isna().sum()) for c in cols]})
+
+    nulls = grouped_aggregate(
+        ds.map_batches(null_partials, batch_format="pandas"), ["col"],
+        {"n_rows": ("n_rows", "sum"), "n_nulls": ("n_nulls", "sum")},
+        num_buckets=num_buckets).to_pandas()
+
+    out = nulls.merge(ndv, on="col", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype(np.int64)
+    return out.sort_values("col").reset_index(drop=True)
+
+
+def analyze_columns_oracle_sql(table_sql: str, cols) -> str:
+    """DuckDB mirror of :func:`analyze_columns`."""
+    parts = [
+        f"SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(count(*) - count({c}) AS BIGINT) AS n_nulls, "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct "
+        f"FROM ({table_sql})"
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)

@@ -2066,3 +2066,81 @@ FROM __qe_d a JOIN __qe_d b ON a.id < b.id
 WHERE abs(strlen(a.t) - strlen(b.t)) <= {int(max_dist)}
   AND levenshtein(a.t, b.t) <= {int(max_dist)}
 """
+
+
+def host_mirror_pairs(
+    ds: Dataset,
+    host_col: str,
+    text_col: str,
+    *,
+    num_perm: int = 128,
+    bands: int = 32,
+    k: int = 3,
+    jaccard_threshold: float = 0.8,
+    max_band_freq: int = 1000,
+    sig_batch_size: int = 4096,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Mirror-site detection: host pairs whose UNION of document
+    shingle sets is near-identical — the standard webtext move against
+    wholesale mirrors (docs.foo.com == foo.github.io), which per-page
+    dedup finds one page at a time but never names the host pair.
+
+    The host signature is EXACT MinHash algebra, not a heuristic:
+    minhash(union of sets) = elementwise min of the members'
+    signatures, so a grouped elementwise-min over per-document
+    signatures IS the signature of the host's whole content — same
+    frozen permutation params, band fold and estimator as
+    :func:`minhash_lsh_pairs` (the committed-golden determinism freeze
+    covers the composition end to end).
+
+    Scale shape: per-doc signatures (one narrow map) reduce to
+    per-host signatures via map-side elementwise-min partials + ONE
+    bucketed merge (the shuffle sees one num_perm-vector per (host,
+    batch), never documents); the banding/verify tail is the shared
+    :func:`lsh_pairs_from_signatures` over #hosts rows."""
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    stage_params = _hash_perm_params(num_perm)
+
+    def doc_sigs(b: pd.DataFrame) -> pd.DataFrame:
+        a, bb = stage_params
+        sig = minhash_signatures(b[text_col].tolist(), a, bb, k)
+        return pd.DataFrame({host_col: b[host_col].to_numpy(),
+                             "minhash": list(sig)})
+
+    def min_partial(b: pd.DataFrame) -> pd.DataFrame:
+        hosts, sigs_out = [], []
+        for h, g in b.groupby(host_col, sort=False):
+            m = np.stack([np.asarray(v, dtype=np.uint64)
+                          for v in g["minhash"]])
+            hosts.append(h)
+            sigs_out.append(m.min(axis=0))
+        return pd.DataFrame({host_col: hosts, "minhash": sigs_out})
+
+    per_doc = ds.map_batches(doc_sigs, batch_format="pandas",
+                             batch_size=sig_batch_size)
+    partials = per_doc.map_batches(min_partial, batch_format="pandas")
+    host_min = bucketed_group_apply(
+        partials, [host_col], min_partial, num_buckets=num_buckets)
+
+    def listify(batch: pa.Table) -> pa.Table:
+        # pandas object columns of equal-length numpy arrays arrive as
+        # Ray's fixed-shape tensor extension; the shared banding tail
+        # (lsh_pairs_from_signatures) expects plain list<uint64> — one
+        # cheap rebuild over the #hosts-row table
+        sig = np.stack([np.asarray(v, dtype=np.uint64)
+                        for v in batch.column("minhash").to_pylist()])
+        n = len(sig)
+        offsets = pa.array(np.arange(0, (n + 1) * num_perm, num_perm,
+                                     dtype=np.int32))
+        col = pa.ListArray.from_arrays(offsets, pa.array(sig.ravel()))
+        return pa.table({host_col: batch.column(host_col).combine_chunks(),
+                         "minhash": col})
+
+    host_sigs = host_min.map_batches(
+        listify, batch_format="pyarrow").materialize()
+    return lsh_pairs_from_signatures(
+        host_sigs, id_col=host_col, num_perm=num_perm, bands=bands,
+        jaccard_threshold=jaccard_threshold,
+        max_band_freq=max_band_freq, sig_batch_size=sig_batch_size)

@@ -990,3 +990,102 @@ def k_core(
     return grouped_aggregate(
         live.map_batches(endpoints, batch_format="pandas"),
         ["node"], {"degree": ("node", "count")}, num_buckets=num_buckets)
+
+
+def clustering_coefficient(
+    edges: Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Per-node local clustering coefficient ``2·T / (d·(d−1))`` over
+    the undirected simple graph — the neighborhood-density score that
+    separates organic link communities (high) from hub-and-spoke spam
+    rings (near zero): :func:`count_triangles` gives the numerator,
+    this operator attaches the degree denominator and the frozen
+    single-division expression.
+
+    Output: ``(node, degree, n_triangles, clustering)`` for every node
+    with degree >= 2 (the coefficient is undefined below); nodes in no
+    triangle report 0 triangles and coefficient 0.0.
+
+    Scale shape: the triangle pipeline (m^1.5-bounded), one grouped
+    degree count over the same canonical edge set, and ONE bucketed
+    cogroup stitch keyed on the node — ints only."""
+    from pdf_extract_ray.stages.agg import (
+        bucketed_group_apply, grouped_aggregate)
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src].to_numpy(np.int64)
+        c = b[dst].to_numpy(np.int64)
+        keep = a != c
+        a, c = a[keep], c[keep]
+        return pd.DataFrame({"lo": np.minimum(a, c),
+                             "hi": np.maximum(a, c)}).drop_duplicates()
+
+    dedup_edges = bucketed_group_apply(
+        edges.map_batches(canon, batch_format="pandas"), ["lo", "hi"],
+        lambda g: g.drop_duplicates(), num_buckets=num_buckets)
+
+    def endpoints(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": np.concatenate(
+            [b["lo"].to_numpy(np.int64), b["hi"].to_numpy(np.int64)])})
+
+    deg = grouped_aggregate(
+        dedup_edges.map_batches(endpoints, batch_format="pandas"),
+        ["node"], {"degree": ("node", "count")},
+        num_buckets=num_buckets)
+    tri = count_triangles(edges, src, dst, num_buckets=num_buckets)
+
+    def deg_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": b["node"].to_numpy(np.int64),
+                             "v": b["degree"].to_numpy(np.int64),
+                             "side": np.int8(0)})
+
+    def tri_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": b["node"].to_numpy(np.int64),
+                             "v": b["n_triangles"].to_numpy(np.int64),
+                             "side": np.int8(1)})
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["side"] == 0]
+        t = g[g["side"] == 1]
+        tmap = pd.Series(t["v"].to_numpy(np.int64),
+                         index=t["node"].to_numpy(np.int64))
+        node = d["node"].to_numpy(np.int64)
+        degree = d["v"].to_numpy(np.int64)
+        ntri = tmap.reindex(node).fillna(0).to_numpy(np.int64)
+        keep = degree >= 2
+        node, degree, ntri = node[keep], degree[keep], ntri[keep]
+        coef = (2.0 * ntri) / (degree * (degree - 1)).astype(np.float64)
+        return pd.DataFrame({"node": node, "degree": degree,
+                             "n_triangles": ntri, "clustering": coef})
+
+    return bucketed_group_apply(
+        deg.map_batches(deg_rows, batch_format="pandas").union(
+            tri.map_batches(tri_rows, batch_format="pandas")),
+        ["node"], stitch, num_buckets=num_buckets)
+
+
+def clustering_coefficient_oracle_sql(edges_sql: str, *, src: str = "src",
+                                      dst: str = "dst") -> str:
+    """DuckDB mirror of :func:`clustering_coefficient`."""
+    tri = count_triangles_oracle_sql(edges_sql, src=src, dst=dst)
+    return f"""
+WITH __cc_e0 AS ({edges_sql}),
+__cc_e AS (SELECT DISTINCT least({src}, {dst}) AS lo,
+                  greatest({src}, {dst}) AS hi
+           FROM __cc_e0 WHERE {src} <> {dst}),
+__cc_n AS (SELECT lo AS node FROM __cc_e
+           UNION ALL SELECT hi FROM __cc_e),
+__cc_d AS (SELECT node, count(*) AS degree FROM __cc_n GROUP BY node),
+__cc_t AS ({tri})
+SELECT CAST(d.node AS BIGINT) AS node,
+       CAST(d.degree AS BIGINT) AS degree,
+       CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       (2.0 * coalesce(t.n_triangles, 0))
+         / CAST(d.degree * (d.degree - 1) AS DOUBLE) AS clustering
+FROM __cc_d d LEFT JOIN __cc_t t ON t.node = d.node
+WHERE d.degree >= 2
+"""

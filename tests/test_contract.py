@@ -3,6 +3,7 @@
 import duckdb
 import numpy as np
 import pandas as pd
+import pytest
 import ray.data as rd
 
 
@@ -57,3 +58,33 @@ def test_validate_table_clean_data_reports_zeroes(ray_session):
                           not_null=["id"], ranges={"v": (0.0, 1.0)},
                           unique=["id"]).to_pandas())
     assert len(got) == 3 and (got["n_violations"] == 0).all()
+
+
+# --- ANALYZE column profile --------------------------------------------------
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_analyze_columns_matches_reference_and_sql(ray_session, blocks):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.contract import (
+        analyze_columns, analyze_columns_oracle_sql)
+
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame({
+        "a": rng.integers(0, 9, 200).astype("int64"),
+        "b": rng.choice(["x", "y", "z", None], 200),
+        "c": rng.normal(0, 1, 200).round(2)})
+    df.loc[rng.choice(200, 30, replace=False), "c"] = np.nan
+    got = analyze_columns(rd.from_pandas(df).repartition(blocks),
+                          ["a", "b", "c"])
+    for col in ("a", "b", "c"):
+        row = got[got["col"] == col].iloc[0]
+        assert row["n_rows"] == 200
+        assert row["n_nulls"] == int(df[col].isna().sum())
+        assert row["n_distinct"] == df[col].dropna().nunique()
+    con = duckdb.connect()
+    con.register("t", df)
+    sql = analyze_columns_oracle_sql("SELECT * FROM t", ["a", "b", "c"])
+    want = con.sql(sql).df().sort_values("col").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -1239,3 +1239,52 @@ def test_qgram_edit_join_cap_drops_oversized_buckets(ray_session):
     assert (full["edit_distance"] == 0).all()
     with pytest.raises(ValueError):
         qgram_edit_join(rd.from_pandas(df), max_dist=-1)
+
+
+# --- host mirror detection ---------------------------------------------------
+
+@pytest.mark.parametrize("blocks", [1, 6])
+def test_host_mirror_pairs_finds_planted_mirror(ray_session, blocks):
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.dedup import host_mirror_pairs
+
+    rng = np.random.default_rng(17)
+    words = [f"tok{i}" for i in range(300)]
+    texts = [" ".join(rng.choice(words, 30)) for _ in range(30)]
+    rows = []
+    for i, t in enumerate(texts[:10]):       # identical unions: a == b
+        rows.append(("mirror-a", t))
+        rows.append(("mirror-b", t))
+    for t in texts[10:20]:
+        rows.append(("host-c", t))
+    for t in texts[20:]:
+        rows.append(("host-d", t))
+    df = pd.DataFrame(rows, columns=["host", "text"])
+    got = (host_mirror_pairs(rd.from_pandas(df).repartition(blocks),
+                             "host", "text", jaccard_threshold=0.9)
+           .to_pandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+    assert len(got) == 1
+    assert got.loc[0, "id_a"] == "mirror-a"
+    assert got.loc[0, "id_b"] == "mirror-b"
+    assert got.loc[0, "jaccard"] == 1.0
+
+
+def test_host_mirror_union_algebra_order_independent(ray_session):
+    # minhash(union) == elementwise min of member signatures, so two
+    # hosts holding the SAME documents in scrambled order (and split
+    # across blocks differently) must pair at exactly jaccard 1.0
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.dedup import host_mirror_pairs
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    t2 = "iota kappa lambda mu nu xi omicron pi rho sigma"
+    df = pd.DataFrame({
+        "host": ["x", "x", "y", "y"],
+        "text": [t1, t2, t2, t1]})  # order scrambled on purpose
+    got = (host_mirror_pairs(rd.from_pandas(df).repartition(3),
+                             "host", "text", jaccard_threshold=0.99)
+           .to_pandas())
+    assert len(got) == 1 and got.loc[0, "jaccard"] == 1.0

@@ -418,3 +418,48 @@ def test_k_core_peels_pendant_chain(ray_session):
         k_core(rd.from_pandas(e), k=0)
     with pytest.raises(ValueError):
         k_core(rd.from_pandas(e), k=2, removal_mode="bogus")
+
+
+# --- clustering coefficient --------------------------------------------------
+
+def test_clustering_coefficient_matches_reference_and_sql(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.graph import (
+        clustering_coefficient, clustering_coefficient_oracle_sql)
+
+    rng = np.random.default_rng(31)
+    e = pd.DataFrame({
+        "src": rng.integers(0, 25, 150).astype("int64"),
+        "dst": rng.integers(0, 25, 150).astype("int64")})
+    got = (clustering_coefficient(rd.from_pandas(e).repartition(4))
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    # reference: adjacency sets
+    adj = {}
+    for a, b in zip(e["src"], e["dst"]):
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = []
+    for n in sorted(adj):
+        d = len(adj[n])
+        if d < 2:
+            continue
+        t = sum(1 for x in adj[n] for y in adj[n]
+                if x < y and y in adj[x]) if d else 0
+        want.append((n, d, t, 2.0 * t / (d * (d - 1))))
+    wdf = pd.DataFrame(want, columns=["node", "degree", "n_triangles",
+                                      "clustering"])
+    pd.testing.assert_frame_equal(got, wdf, check_dtype=False)
+    con = duckdb.connect()
+    con.register("e", e)
+    sql = clustering_coefficient_oracle_sql("SELECT * FROM e")
+    want_sql = (con.sql(sql).df()
+                .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want_sql, check_dtype=False)
+    # triangle corner: a clean triangle has coefficient exactly 1.0
+    tri = pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 0]})
+    g2 = clustering_coefficient(rd.from_pandas(tri)).to_pandas()
+    assert (g2["clustering"] == 1.0).all()

@@ -1005,6 +1005,60 @@ def gen_kcore(sf_dir: str) -> dict[str, pa.Table]:
     })}
 
 
+def gen_host_mirror(sf_dir: str) -> dict[str, pa.Table]:
+    """Single-process mirror of `host_mirror_docs`: same frozen minhash
+    kernels (the determinism-freeze convention of gen_minhash), but the
+    per-host union signature, banding and candidate generation are
+    dict-based plain loops — independent of the engine's grouped
+    elementwise-min shuffle."""
+    from pdf_extract_ray.stages.dedup import (
+        _hash_perm_params, minhash_band_keys, minhash_signatures)
+    from pdf_extract_ray.util import round_half_away
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    d = docs["doc_id"].to_numpy()
+    mir = d < 50
+    rows = pd.concat([
+        pd.DataFrame({"host": "h" + pd.Series(d[~mir] % 25).astype(str),
+                      "text": docs["text"].to_numpy()[~mir]}),
+        pd.DataFrame({"host": "mirror-a",
+                      "text": docs["text"].to_numpy()[mir]}),
+        pd.DataFrame({"host": "mirror-b",
+                      "text": docs["text"].to_numpy()[mir]}),
+    ], ignore_index=True)
+    a, b = _hash_perm_params(128)
+    sig = minhash_signatures(rows["text"].tolist(), a, b, k=3)
+    hosts = sorted(rows["host"].unique())
+    hsig = np.stack([
+        sig[(rows["host"] == h).to_numpy()].min(axis=0) for h in hosts])
+    keys = minhash_band_keys(hsig, 32)
+    buckets: dict = defaultdict(list)
+    for pos in range(len(hosts)):
+        for band in range(32):
+            buckets[keys[pos, band]].append(pos)
+    cand = set()
+    for members in buckets.values():
+        if len(members) < 2 or len(members) > 1000:
+            continue
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                lo, hi = sorted((hosts[members[x]], hosts[members[y]]))
+                cand.add((lo, hi))
+    out = {"id_a": [], "id_b": [], "jaccard": []}
+    pos_of = {h: i for i, h in enumerate(hosts)}
+    for ha, hb in sorted(cand):
+        jac = float(round_half_away(
+            (hsig[pos_of[ha]] == hsig[pos_of[hb]]).mean(), 4))
+        if jac >= 0.8:
+            out["id_a"].append(ha)
+            out["id_b"].append(hb)
+            out["jaccard"].append(jac)
+    df = pd.DataFrame(out)
+    return {"host_mirror_docs": pa.Table.from_pandas(
+        df, preserve_index=False)}
+
+
 GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_pair_analyzers, gen_layout, gen_media, gen_media_pixels,
               gen_approx_distinct, gen_approx_quantiles,
@@ -1014,7 +1068,8 @@ GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_cms,
               gen_nb_quality, gen_bloom, gen_nb_topic, gen_image_dup,
               gen_semdedup, gen_dsir, gen_markdown,
-              gen_grouped_distinct, gen_kmeans, gen_kcore)
+              gen_grouped_distinct, gen_kmeans, gen_kcore,
+              gen_host_mirror)
 
 
 def generate_all(sf_dir: str) -> dict[str, pa.Table]:
