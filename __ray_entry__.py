@@ -4480,6 +4480,41 @@ def q_clustering_coeff_graph(sf_dir: str):
         ds.map_batches(_tri_edges, batch_format="pandas"))
 
 
+def q_degree_assortativity(sf_dir: str):
+    # Newman degree assortativity (graph.degree_assortativity): hub-
+    # links-hub vs hub-and-spoke, one number for the whole crawl graph
+    # — degree attach via two schema-matched cogroups, grouped_corr's
+    # exact integer-moment finish (bit-identical SQL mirror).
+    from pdf_extract_ray.stages.graph import degree_assortativity
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+    return degree_assortativity(
+        ds.map_batches(_tri_edges, batch_format="pandas"))
+
+
+def q_cusum_events(sf_dir: str):
+    # CUSUM control chart (windows.grouped_cusum, Page 1954): upward
+    # value-drift detection per event_type — exact int64 closed form
+    # (prefix sum minus running min), one key cogroup, two stacked
+    # window functions in the SQL mirror.
+    from pdf_extract_ray.stages.windows import grouped_cusum
+
+    ds = _t(sf_dir, "events",
+            columns=["event_type", "ts", "event_id", "value"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(),
+            "ts": b["ts"].to_numpy(),
+            "event_id": b["event_id"].to_numpy(np.int64),
+            "v": np.floor(b["value"].to_numpy(np.float64))
+            .astype(np.int64)})
+
+    return grouped_cusum(ds.map_batches(derive, batch_format="pandas"),
+                         ["event_type"], ["ts", "event_id"], "v",
+                         target=250, slack=10, threshold=2000)
+
+
 def q_triangle_counts(sf_dir: str):
     # per-node triangle counts (graph.count_triangles): degree-oriented
     # wedge join — orientation bounds wedge work by m^1.5 regardless of
@@ -4940,6 +4975,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_docs": q_pareto_docs,
         "triangle_counts_graph": q_triangle_counts,
         "clustering_coeff_graph": q_clustering_coeff_graph,
+        "degree_assortativity_graph": q_degree_assortativity,
+        "cusum_events": q_cusum_events,
         "reciprocal_links": q_reciprocal_links,
         "lexical_diversity_docs": q_lexical_diversity_docs,
         "hard_negatives_embeddings": q_hard_negatives_embeddings,
@@ -5627,6 +5664,27 @@ def _clustering_coeff_oracle() -> str:
     return clustering_coefficient_oracle_sql(edges)
 
 
+def _degree_assortativity_oracle() -> str:
+    from pdf_extract_ray.stages.graph import degree_assortativity_oracle_sql
+
+    edges = ("SELECT doc_id % 30 AS src, (doc_id % 30 + 1) % 30 AS dst "
+             "FROM documents UNION ALL "
+             "SELECT doc_id % 30, (doc_id % 30 + 2) % 30 FROM documents "
+             "UNION ALL "
+             "SELECT doc_id % 30, (doc_id * 7 + 3) % 30 FROM documents")
+    return degree_assortativity_oracle_sql(edges)
+
+
+def _cusum_events_oracle() -> str:
+    from pdf_extract_ray.stages.windows import grouped_cusum_oracle_sql
+
+    return grouped_cusum_oracle_sql(
+        "SELECT event_type, ts, event_id, "
+        "CAST(floor(value) AS BIGINT) AS v FROM events",
+        ["event_type"], ["ts", "event_id"], "v",
+        target=250, slack=10, threshold=2000)
+
+
 def _reciprocal_links_oracle() -> str:
     from pdf_extract_ray.stages.graph import reciprocal_pairs_oracle_sql
 
@@ -6309,6 +6367,8 @@ def oracle_sql() -> dict[str, str]:
         "pareto_docs": _pareto_docs_oracle(),
         "triangle_counts_graph": _triangle_counts_oracle(),
         "clustering_coeff_graph": _clustering_coeff_oracle(),
+        "degree_assortativity_graph": _degree_assortativity_oracle(),
+        "cusum_events": _cusum_events_oracle(),
         "reciprocal_links": _reciprocal_links_oracle(),
         "lexical_diversity_docs": _lexical_diversity_oracle(),
         "hard_negatives_embeddings": (

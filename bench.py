@@ -230,7 +230,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "qgram_edit_join_docs", "rrf_fusion_docs",
                      "crawl_budget_hosts", "merged_intervals_events",
                      "cumulative_users_events", "host_mirror_docs",
-                     "clustering_coeff_graph", "analyze_orders"):
+                     "clustering_coeff_graph", "analyze_orders",
+                     "degree_assortativity_graph", "cusum_events"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

@@ -1089,3 +1089,123 @@ SELECT CAST(d.node AS BIGINT) AS node,
 FROM __cc_d d LEFT JOIN __cc_t t ON t.node = d.node
 WHERE d.degree >= 2
 """
+
+
+def degree_assortativity(
+    edges: Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Degree assortativity coefficient (Newman 2002) of the undirected
+    simple graph — Pearson correlation of end-point degrees over every
+    edge counted in BOTH orientations: positive = hubs link hubs
+    (organic social/citation shape), strongly negative = hub-and-spoke
+    (the link-farm / SEO-network shape).  One number that profiles the
+    whole crawl graph.
+
+    Output: one row ``(g=0, n, corr)`` — ``n`` = 2 × #edges, ``corr``
+    via :func:`agg.grouped_corr`'s exact integer-moment formula (so the
+    SQL mirror is bit-identical).
+
+    Scale shape: canonical edge dedup + one grouped degree count, two
+    bucketed cogroups attach each endpoint's degree to the edge rows
+    (ints only), then grouped_corr's partial-moment merge."""
+    from pdf_extract_ray.stages.agg import (
+        bucketed_group_apply, grouped_aggregate, grouped_corr)
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src].to_numpy(np.int64)
+        c = b[dst].to_numpy(np.int64)
+        keep = a != c
+        a, c = a[keep], c[keep]
+        return pd.DataFrame({"lo": np.minimum(a, c),
+                             "hi": np.maximum(a, c)}).drop_duplicates()
+
+    ded = bucketed_group_apply(
+        edges.map_batches(canon, batch_format="pandas"), ["lo", "hi"],
+        lambda g: g.drop_duplicates(), num_buckets=num_buckets
+    ).materialize()
+
+    def endpoints(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": np.concatenate(
+            [b["lo"].to_numpy(np.int64), b["hi"].to_numpy(np.int64)])})
+
+    deg = grouped_aggregate(
+        ded.map_batches(endpoints, batch_format="pandas"),
+        ["node"], {"degree": ("node", "count")}, num_buckets=num_buckets)
+
+    def attach(edge_ds: Dataset, payload: list, end: str,
+               out: str) -> Dataset:
+        # identical int64 schemas on BOTH union sides (the repo's union
+        # trap: mismatched/None columns break the Arrow shuffle)
+        def e_rows(b: pd.DataFrame, _e=end) -> pd.DataFrame:
+            f = pd.DataFrame({c: b[c].to_numpy(np.int64)
+                              for c in payload})
+            f["key"] = b[_e].to_numpy(np.int64)
+            f["degree"] = np.int64(-1)
+            f["side"] = np.int8(0)
+            return f
+
+        def d_rows(b: pd.DataFrame) -> pd.DataFrame:
+            f = pd.DataFrame({c: np.full(len(b), -1, dtype=np.int64)
+                              for c in payload})
+            f["key"] = b["node"].to_numpy(np.int64)
+            f["degree"] = b["degree"].to_numpy(np.int64)
+            f["side"] = np.int8(1)
+            return f
+
+        def join(g: pd.DataFrame, _o=out) -> pd.DataFrame:
+            d = g[g["side"] == 1]
+            dmap = pd.Series(d["degree"].to_numpy(np.int64),
+                             index=d["key"].to_numpy(np.int64))
+            e = g[g["side"] == 0]
+            f = pd.DataFrame({c: e[c].to_numpy(np.int64)
+                              for c in payload})
+            f[_o] = dmap.reindex(e["key"].to_numpy(np.int64)
+                                 ).to_numpy(np.int64)
+            return f
+
+        return bucketed_group_apply(
+            edge_ds.map_batches(e_rows, batch_format="pandas").union(
+                deg.map_batches(d_rows, batch_format="pandas")),
+            ["key"], join, num_buckets=num_buckets)
+
+    with_dlo = attach(ded, ["lo", "hi"], "lo", "dlo")
+    with_both = attach(with_dlo, ["lo", "hi", "dlo"], "hi", "dhi")
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["dlo"].to_numpy(np.int64)
+        y = b["dhi"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "g": np.int64(0),
+            "x": np.concatenate([x, y]),
+            "y": np.concatenate([y, x])})
+
+    return grouped_corr(
+        with_both.map_batches(orient, batch_format="pandas"),
+        ["g"], "x", "y", num_buckets=num_buckets)
+
+
+def degree_assortativity_oracle_sql(edges_sql: str, *, src: str = "src",
+                                    dst: str = "dst") -> str:
+    """DuckDB mirror of :func:`degree_assortativity` (grouped_corr's
+    exact moment expression over both edge orientations)."""
+    from pdf_extract_ray.stages.agg import grouped_corr_oracle_sql
+
+    both = f"""
+(WITH __da_e AS (SELECT DISTINCT least({src}, {dst}) AS lo,
+                        greatest({src}, {dst}) AS hi
+                 FROM ({edges_sql}) WHERE {src} <> {dst}),
+__da_n AS (SELECT lo AS node FROM __da_e
+           UNION ALL SELECT hi FROM __da_e),
+__da_d AS (SELECT node, count(*) AS degree FROM __da_n GROUP BY node),
+__da_j AS (SELECT d1.degree AS x, d2.degree AS y
+           FROM __da_e e
+           JOIN __da_d d1 ON d1.node = e.lo
+           JOIN __da_d d2 ON d2.node = e.hi)
+SELECT 0 AS g, x, y FROM __da_j
+UNION ALL SELECT 0, y, x FROM __da_j)
+"""
+    return grouped_corr_oracle_sql(both, ["g"], "x", "y")

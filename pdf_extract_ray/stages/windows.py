@@ -574,3 +574,90 @@ SELECT {ks},
        CAST(count(*) AS BIGINT) AS n_rows
 FROM __mi_g GROUP BY {ks}, gid
 """
+
+
+def grouped_cusum(
+    ds: Dataset,
+    keys,
+    order_cols,
+    value_col: str,
+    *,
+    target: int,
+    slack: int = 0,
+    threshold: int,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """One-sided CUSUM control chart per key (Page 1954 — the classic
+    sequential drift detector): ``C_t = max(0, C_{t-1} + (x_t − target −
+    slack))``, alarm when ``C_t >= threshold`` — the
+    pipeline-monitoring primitive ("did this host's response size /
+    event value drift upward mid-crawl").
+
+    Exactness: with integer ``x``/``target``/``slack`` the recurrence
+    is computed CLOSED-FORM as ``C_t = Q_t − min(0, min_{j<=t} Q_j)``
+    where ``Q`` is the prefix sum of ``(x − target − slack)`` — a
+    cumsum plus a running min, both exact int64 and fully vectorized;
+    no sequential Python loop, and the SQL mirror is two stacked
+    window functions.
+
+    Output: one row per input row — ``(keys..., order_cols..., value,
+    cusum, alarm)``.
+
+    Scale shape: ONE bucketed cogroup on the key; in-bucket sort +
+    two accumulates."""
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    keys = list(keys)
+    order_cols = list(order_cols)
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys + order_cols,
+                          kind="mergesort").reset_index(drop=True)
+        x = g[value_col].to_numpy(np.int64)
+        seg = g.groupby(keys, sort=False).ngroup().to_numpy(np.int64)
+        q = x - np.int64(target) - np.int64(slack)
+        # segmented cumsum / running-min via pandas cython kernels
+        p = pd.Series(q).groupby(seg).cumsum().to_numpy(np.int64)
+        mn = pd.Series(p).groupby(seg).cummin().to_numpy(np.int64)
+        cusum = p - np.minimum(mn, 0)
+        out = g[keys + order_cols].copy()
+        out[value_col] = x
+        out["cusum"] = cusum
+        out["alarm"] = cusum >= np.int64(threshold)
+        return out
+
+    return bucketed_group_apply(ds, keys, body, num_buckets=num_buckets)
+
+
+def grouped_cusum_oracle_sql(
+    table_sql: str,
+    keys,
+    order_cols,
+    value_col: str,
+    *,
+    target: int,
+    slack: int = 0,
+    threshold: int,
+) -> str:
+    """DuckDB mirror of :func:`grouped_cusum` (same closed form)."""
+    ks = ", ".join(keys)
+    os_ = ", ".join(order_cols)
+    w = (f"PARTITION BY {ks} ORDER BY {os_} "
+         f"ROWS UNBOUNDED PRECEDING")
+    return f"""
+WITH __cs_d AS (
+  SELECT {ks}, {os_}, {value_col},
+         {value_col} - {int(target)} - {int(slack)} AS q
+  FROM ({table_sql})
+),
+__cs_p AS (
+  SELECT *, sum(q) OVER ({w}) AS p FROM __cs_d
+),
+__cs_m AS (
+  SELECT *, least(min(p) OVER ({w}), 0) AS mn FROM __cs_p
+)
+SELECT {ks}, {os_}, CAST({value_col} AS BIGINT) AS {value_col},
+       CAST(p - mn AS BIGINT) AS cusum,
+       (p - mn) >= {int(threshold)} AS alarm
+FROM __cs_m
+"""

@@ -1212,3 +1212,46 @@ def test_merge_intervals_touching_merge_rule(ray_session):
     assert got["interval_start"].tolist() == [0, 21]
     assert got["interval_end"].tolist() == [20, 30]
     assert got["n_rows"].tolist() == [2, 1]
+
+
+# --- CUSUM control chart -----------------------------------------------------
+
+@pytest.mark.parametrize("blocks", [1, 6])
+def test_grouped_cusum_matches_recurrence_and_sql(ray_session, blocks):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.windows import (
+        grouped_cusum, grouped_cusum_oracle_sql)
+
+    rng = np.random.default_rng(20)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], 200),
+        "i": np.arange(200, dtype=np.int64),
+        "v": rng.integers(0, 20, 200).astype(np.int64)})
+    # plant a drift: key 'a' rows past i=120 run hot
+    df.loc[(df["k"] == "a") & (df["i"] > 120), "v"] += 15
+    got = (grouped_cusum(rd.from_pandas(df).repartition(blocks),
+                         ["k"], ["i"], "v", target=10, slack=2,
+                         threshold=40)
+           .to_pandas().sort_values(["k", "i"]).reset_index(drop=True))
+    # reference: the literal sequential recurrence
+    want_rows = []
+    for k, g in df.sort_values(["k", "i"]).groupby("k"):
+        c = 0
+        for _, r in g.iterrows():
+            c = max(0, c + int(r["v"]) - 10 - 2)
+            want_rows.append((k, r["i"], r["v"], c, c >= 40))
+    want = pd.DataFrame(want_rows,
+                        columns=["k", "i", "v", "cusum", "alarm"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["alarm"].any()  # the planted drift fires
+    # and pre-drift rows stay quiet for key b
+    assert not got[(got["k"] == "b")]["alarm"].any()
+    con = duckdb.connect()
+    con.register("t", df)
+    sql = grouped_cusum_oracle_sql("SELECT * FROM t", ["k"], ["i"], "v",
+                                   target=10, slack=2, threshold=40)
+    want_sql = (con.sql(sql).df()
+                .sort_values(["k", "i"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want_sql, check_dtype=False)
