@@ -1757,14 +1757,20 @@ def q_qgram_edit_join_docs(sf_dir: str):
     # q-gram edit-distance similarity join (dedup.qgram_edit_join,
     # Gravano 2001 / Ed-Join family): ALL url pairs within edit
     # distance 2 — df-ordered q-gram prefix filter generates candidates
-    # (ids + lengths only move), exact byte-DP verifies.  Oracle =
-    # brute-force all-pairs levenshtein, so a green compare proves the
-    # prefix filter dropped NOTHING.
+    # (ids + lengths only move), exact byte-DP verifies.  Composed the
+    # way a real pipeline runs it: EXACT dedup first (identical strings
+    # would otherwise form O(n^2) distance-0 cliques), fuzzy join over
+    # the distinct strings (id = min doc_id per url).  Oracle =
+    # brute-force all-pairs levenshtein over the same distinct set, so
+    # a green compare proves the prefix filter dropped NOTHING.
+    from pdf_extract_ray.stages.agg import grouped_aggregate
     from pdf_extract_ray.stages.dedup import qgram_edit_join
 
     ds = _t(sf_dir, "documents", columns=["doc_id"]).map_batches(
         _with_url, batch_format="pandas")
-    return qgram_edit_join(ds, "doc_id", "url", q=3, max_dist=2)
+    distinct = grouped_aggregate(ds, ["url"],
+                                 {"doc_id": ("doc_id", "min")})
+    return qgram_edit_join(distinct, "doc_id", "url", q=3, max_dist=2)
 
 
 def q_k_core_docs(sf_dir: str):
@@ -5537,7 +5543,9 @@ def _qgram_edit_join_oracle() -> str:
     from pdf_extract_ray.stages.dedup import qgram_edit_join_oracle_sql
 
     return qgram_edit_join_oracle_sql(
-        f"SELECT doc_id, {_URL_SYNTH_SQL} FROM documents",
+        f"SELECT min(doc_id) AS doc_id, url FROM "
+        f"(SELECT doc_id, {_URL_SYNTH_SQL} FROM documents) "
+        f"GROUP BY url",
         text_col="url", max_dist=2)
 
 
