@@ -1766,11 +1766,20 @@ def q_qgram_edit_join_docs(sf_dir: str):
     from pdf_extract_ray.stages.agg import grouped_aggregate
     from pdf_extract_ray.stages.dedup import qgram_edit_join
 
+    # doc_id % 5 < 2 subset: the synthetic 'Path'+number population is
+    # so ED-close that the FULL distinct set yields ~138k true pairs at
+    # sf0.1 (a quadratic-result stress test, not a realistic join); the
+    # subset keeps every code path + oracle-proven completeness at a
+    # bench-friendly result size
     ds = _t(sf_dir, "documents", columns=["doc_id"]).map_batches(
-        _with_url, batch_format="pandas")
+        lambda b: _with_url(b[b["doc_id"] % 5 < 2]),
+        batch_format="pandas")
     distinct = grouped_aggregate(ds, ["url"],
                                  {"doc_id": ("doc_id", "min")})
-    return qgram_edit_join(distinct, "doc_id", "url", q=3, max_dist=2)
+    # uncapped gram buckets: completeness vs the brute-force oracle
+    # needs every candidate enumerated at every sf
+    return qgram_edit_join(distinct, "doc_id", "url", q=3, max_dist=2,
+                           pair_cap_per_gram=10_000_000)
 
 
 def q_k_core_docs(sf_dir: str):
@@ -5544,8 +5553,8 @@ def _qgram_edit_join_oracle() -> str:
 
     return qgram_edit_join_oracle_sql(
         f"SELECT min(doc_id) AS doc_id, url FROM "
-        f"(SELECT doc_id, {_URL_SYNTH_SQL} FROM documents) "
-        f"GROUP BY url",
+        f"(SELECT doc_id, {_URL_SYNTH_SQL} FROM documents "
+        f"WHERE doc_id % 5 < 2) GROUP BY url",
         text_col="url", max_dist=2)
 
 
