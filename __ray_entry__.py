@@ -641,6 +641,52 @@ def q_event_time_profile(sf_dir: str):
         ["dow", "hour"], {"n": ("dow", "count")})
 
 
+def q_band_join_events_orders(sf_dir: str):
+    # BIG-BIG band (range) join (joins.band_join): all pairs with
+    # |event value − order key residue| <= 2 — band-bucket replication
+    # (right side 3x into neighbor bands), pairs form in the left row's
+    # band exactly once, ONE cogroup.  Both sides pre-deduped to
+    # distinct band values so the result stays linear.
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+    from pdf_extract_ray.stages.joins import band_join
+
+    ev = _t(sf_dir, "events", columns=["event_id", "value"])
+
+    def lderive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "v": np.floor(b["value"].to_numpy(np.float64))
+            .astype(np.int64),
+            "event_id": b["event_id"].to_numpy(np.int64)})
+
+    left = grouped_aggregate(
+        ev.map_batches(lderive, batch_format="pandas"), ["v"],
+        {"event_id": ("event_id", "min")})
+
+    od = _t(sf_dir, "orders", columns=["o_orderkey"])
+
+    def rderive(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame({"w": k % 3000, "o_orderkey": k})
+
+    right = grouped_aggregate(
+        od.map_batches(rderive, batch_format="pandas"), ["w"],
+        {"o_orderkey": ("o_orderkey", "min")})
+
+    return band_join(left, right, "v", "w", eps=2,
+                     left_cols=["event_id"], right_cols=["o_orderkey"])
+
+
+def q_window_distinct_users(sf_dir: str):
+    # exact distinct-per-tumbling-window (windows.window_distinct):
+    # unique users per hour — two-level plan (distinct pairs, then
+    # count), since distinct is not an additive rollup.
+    from pdf_extract_ray.stages.windows import window_distinct
+
+    return window_distinct(
+        _t(sf_dir, "events", columns=["ts", "user_id"]),
+        "ts", "user_id", size_us=3_600_000_000)
+
+
 def q_merged_intervals_events(sf_dir: str):
     # span coalescing (windows.merge_intervals): each event claims a
     # 10-minute interval; overlapping/touching spans per user merge —
@@ -4999,6 +5045,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "auc_events": q_auc_events,
         "event_entropy_by_user": q_event_entropy_by_user,
         "merged_intervals_events": q_merged_intervals_events,
+        "band_join_events_orders": q_band_join_events_orders,
+        "window_distinct_users": q_window_distinct_users,
         "cumulative_users_events": q_cumulative_users_events,
         "calibration_bins_events": q_calibration_bins_events,
         "k_anonymity_events": q_k_anonymity_events,
@@ -6039,6 +6087,26 @@ _EVENT_TIME_PROFILE_SQL = (
     "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2")
 
 
+def _band_join_oracle() -> str:
+    from pdf_extract_ray.stages.joins import band_join_oracle_sql
+
+    return band_join_oracle_sql(
+        "SELECT CAST(floor(value) AS BIGINT) AS v, "
+        "min(event_id) AS event_id FROM events GROUP BY 1",
+        "SELECT o_orderkey % 3000 AS w, min(o_orderkey) AS o_orderkey "
+        "FROM orders GROUP BY 1",
+        "v", "w", eps=2, left_cols=["event_id"],
+        right_cols=["o_orderkey"])
+
+
+def _window_distinct_oracle() -> str:
+    from pdf_extract_ray.stages.windows import window_distinct_oracle_sql
+
+    return window_distinct_oracle_sql(
+        "SELECT ts, user_id FROM events", "ts", "user_id",
+        size_us=3_600_000_000)
+
+
 def _merged_intervals_oracle() -> str:
     from pdf_extract_ray.stages.windows import merge_intervals_oracle_sql
 
@@ -6373,6 +6441,8 @@ def oracle_sql() -> dict[str, str]:
         "auc_events": _auc_events_oracle(),
         "event_entropy_by_user": _event_entropy_oracle(),
         "merged_intervals_events": _merged_intervals_oracle(),
+        "band_join_events_orders": _band_join_oracle(),
+        "window_distinct_users": _window_distinct_oracle(),
         "cumulative_users_events": _cumulative_users_oracle(),
         "calibration_bins_events": _calibration_bins_oracle(),
         "k_anonymity_events": _k_anonymity_oracle(),

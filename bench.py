@@ -231,7 +231,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "crawl_budget_hosts", "merged_intervals_events",
                      "cumulative_users_events", "host_mirror_docs",
                      "clustering_coeff_graph", "analyze_orders",
-                     "degree_assortativity_graph", "cusum_events"):
+                     "degree_assortativity_graph", "cusum_events",
+                     "band_join_events_orders", "window_distinct_users"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

@@ -532,3 +532,124 @@ def skew_salted_join(
         raise ValueError(
             f"non-key columns must not collide across sides: {sorted(clash)}")
     return joined.select_columns(lcols + rcols)
+
+
+def band_join(
+    left: Dataset,
+    right: Dataset,
+    left_val: str,
+    right_val: str,
+    *,
+    eps: int,
+    left_cols: list | None = None,
+    right_cols: list | None = None,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """BIG-BIG band (range) join: all ``(l, r)`` pairs with
+    ``|left_val − right_val| <= eps`` — the distributed sibling of
+    :func:`broadcast_range_join` for when NEITHER side fits a
+    broadcast (events x orders price matching, near-timestamp joins
+    across two full logs).
+
+    Frozen integer semantics: both value columns and ``eps`` are int64;
+    every qualifying pair is emitted EXACTLY ONCE.
+
+    Scale shape (the classic band-bucket replication): left rows land
+    in bucket ``v // eps`` once; right rows are replicated into their
+    bucket and both neighbors (3x — the band can only reach one bucket
+    away); pairs form inside the LEFT row's bucket only, so no
+    cross-bucket dedup pass is needed.  ONE bucketed cogroup of narrow
+    projections; band width ``eps`` is also the bucket width, so skew
+    follows the value distribution — pick ``eps`` (or pre-scale the
+    values) so no single band holds a hot key's worth of rows.
+
+    ``left_cols`` / ``right_cols`` payload columns must be int64 (the
+    union's cross-side sentinel is -1; string payloads would make the
+    two branches' Arrow schemas disagree — project ids, join wide
+    attributes back afterwards)."""
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    if eps < 1:
+        raise ValueError("eps must be >= 1")
+    left_cols = list(left_cols or [])
+    right_cols = list(right_cols or [])
+
+    def l_rows(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[left_val].to_numpy(np.int64)
+        f = pd.DataFrame({"band": v // np.int64(eps), "__v": v,
+                          "side": np.int8(0)})
+        for c in left_cols:
+            f["l_" + c] = b[c].to_numpy(np.int64)
+        for c in right_cols:
+            f["r_" + c] = np.int64(-1)
+        return f
+
+    def r_rows(b: pd.DataFrame) -> pd.DataFrame:
+        w = b[right_val].to_numpy(np.int64)
+        base = w // np.int64(eps)
+        parts = []
+        for off in (-1, 0, 1):
+            f = pd.DataFrame({"band": base + off, "__v": w,
+                              "side": np.int8(1)})
+            for c in left_cols:
+                f["l_" + c] = np.int64(-1)
+            for c in right_cols:
+                f["r_" + c] = b[c].to_numpy(np.int64)
+            parts.append(f)
+        return pd.concat(parts, ignore_index=True)
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for band, grp in g.groupby("band", sort=False):
+            lft = grp[grp["side"] == 0]
+            rgt = grp[grp["side"] == 1]
+            if not len(lft) or not len(rgt):
+                continue
+            lv = lft["__v"].to_numpy(np.int64)
+            rv = rgt["__v"].to_numpy(np.int64)
+            li, ri = np.nonzero(
+                np.abs(lv[:, None] - rv[None, :]) <= eps)
+            if not len(li):
+                continue
+            out = pd.DataFrame({
+                "l_" + left_val: lv[li], "r_" + right_val: rv[ri]})
+            for c in left_cols:
+                out["l_" + c] = lft["l_" + c].to_numpy()[li]
+            for c in right_cols:
+                out["r_" + c] = rgt["r_" + c].to_numpy()[ri]
+            outs.append(out)
+        if not outs:
+            cols = (["l_" + left_val, "r_" + right_val]
+                    + ["l_" + c for c in left_cols]
+                    + ["r_" + c for c in right_cols])
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        return pd.concat(outs, ignore_index=True)
+
+    unioned = left.map_batches(l_rows, batch_format="pandas").union(
+        right.map_batches(r_rows, batch_format="pandas"))
+    return bucketed_group_apply(unioned, ["band"], body,
+                                num_buckets=num_buckets)
+
+
+def band_join_oracle_sql(
+    left_sql: str,
+    right_sql: str,
+    left_val: str,
+    right_val: str,
+    *,
+    eps: int,
+    left_cols: list | None = None,
+    right_cols: list | None = None,
+) -> str:
+    """DuckDB mirror of :func:`band_join`."""
+    lsel = [f"l.{left_val} AS l_{left_val}"] + [
+        f"l.{c} AS l_{c}" for c in (left_cols or [])]
+    rsel = [f"r.{right_val} AS r_{right_val}"] + [
+        f"r.{c} AS r_{c}" for c in (right_cols or [])]
+    cols = ", ".join(lsel[:1] + rsel[:1] + lsel[1:] + rsel[1:])
+    return f"""
+SELECT {cols}
+FROM ({left_sql}) l JOIN ({right_sql}) r
+ON abs(l.{left_val} - r.{right_val}) <= {int(eps)}
+"""

@@ -661,3 +661,56 @@ SELECT {ks}, {os_}, CAST({value_col} AS BIGINT) AS {value_col},
        (p - mn) >= {int(threshold)} AS alarm
 FROM __cs_m
 """
+
+
+def window_distinct(
+    ds: Dataset,
+    ts_col: str,
+    member_col: str,
+    *,
+    size_us: int,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """EXACT distinct members per tumbling window — "unique users per
+    hour" / "unique hosts per crawl slot", the streaming-distinct
+    readout the windowed COUNT rollups can't answer (distinct is not
+    additive, so it needs its own two-level plan).
+
+    Output: ``(window_start, n_distinct)`` with ``window_start`` =
+    int64 epoch microseconds floored to the window.
+
+    Scale shape: per-batch pre-dedup of ``(window, member)`` pairs,
+    ONE grouped dedup (shuffle bounded by distinct pairs — the
+    quantity measured), then a tiny grouped count per window."""
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        us = b[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "window_start": us // np.int64(size_us) * np.int64(size_us),
+            "__m": b[member_col].to_numpy(),
+        }).drop_duplicates()
+
+    pairs = grouped_aggregate(
+        ds.map_batches(derive, batch_format="pandas"),
+        ["window_start", "__m"], {"__n": ("__m", "count")},
+        num_buckets=num_buckets)
+    return grouped_aggregate(
+        pairs, ["window_start"], {"n_distinct": ("__n", "count")},
+        num_buckets=num_buckets)
+
+
+def window_distinct_oracle_sql(
+    table_sql: str,
+    ts_col: str,
+    member_col: str,
+    *,
+    size_us: int,
+) -> str:
+    """DuckDB mirror of :func:`window_distinct`."""
+    return f"""
+SELECT (epoch_us({ts_col}) // {int(size_us)}) * {int(size_us)}
+         AS window_start,
+       CAST(count(DISTINCT {member_col}) AS BIGINT) AS n_distinct
+FROM ({table_sql}) GROUP BY 1
+"""

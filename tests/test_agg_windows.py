@@ -1255,3 +1255,38 @@ def test_grouped_cusum_matches_recurrence_and_sql(ray_session, blocks):
     want_sql = (con.sql(sql).df()
                 .sort_values(["k", "i"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want_sql, check_dtype=False)
+
+
+# --- tumbling-window distinct ------------------------------------------------
+
+@pytest.mark.parametrize("blocks", [1, 6])
+def test_window_distinct_matches_reference_and_sql(ray_session, blocks):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.windows import (
+        window_distinct, window_distinct_oracle_sql)
+
+    rng = np.random.default_rng(22)
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    df = pd.DataFrame({
+        "ts": base + rng.integers(0, 6 * 3_600_000_000, 500).astype(
+            "timedelta64[us]"),
+        "uid": rng.integers(0, 30, 500).astype(np.int64)})
+    got = (window_distinct(rd.from_pandas(df).repartition(blocks),
+                           "ts", "uid", size_us=3_600_000_000)
+           .to_pandas().sort_values("window_start")
+           .reset_index(drop=True))
+    us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+    w = us // 3_600_000_000 * 3_600_000_000
+    want = (pd.DataFrame({"window_start": w, "uid": df["uid"]})
+            .groupby("window_start")["uid"].nunique()
+            .rename("n_distinct").reset_index())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    con = duckdb.connect()
+    con.register("t", df)
+    sql = window_distinct_oracle_sql("SELECT * FROM t", "ts", "uid",
+                                     size_us=3_600_000_000)
+    want_sql = (con.sql(sql).df().sort_values("window_start")
+                .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want_sql, check_dtype=False)

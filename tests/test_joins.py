@@ -350,3 +350,50 @@ def test_skew_salted_join_equals_plain_join(ray_session):
     with pytest.raises(ValueError):
         skew_salted_join(rd.from_pandas(left), rd.from_pandas(right),
                          on="k", right_on="rk", salt_col="lid", salts=1)
+
+
+# --- distributed band join ---------------------------------------------------
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_band_join_matches_bruteforce_and_sql(ray_session, blocks):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.joins import band_join, band_join_oracle_sql
+
+    rng = np.random.default_rng(33)
+    lf = pd.DataFrame({
+        "v": rng.integers(-50, 50, 80).astype(np.int64),
+        "lid": np.arange(80, dtype=np.int64)})
+    rt = pd.DataFrame({
+        "w": rng.integers(-60, 60, 90).astype(np.int64),
+        "rid": np.arange(90, dtype=np.int64)})
+    for eps in (1, 7):
+        got = (band_join(rd.from_pandas(lf).repartition(blocks),
+                         rd.from_pandas(rt).repartition(blocks),
+                         "v", "w", eps=eps, left_cols=["lid"],
+                         right_cols=["rid"])
+               .to_pandas().sort_values(["l_lid", "r_rid"])
+               .reset_index(drop=True))
+        # brute force: EVERY qualifying pair exactly once
+        want = []
+        for _, l in lf.iterrows():
+            for _, r in rt.iterrows():
+                if abs(l["v"] - r["w"]) <= eps:
+                    want.append((l["v"], r["w"], l["lid"], r["rid"]))
+        wdf = (pd.DataFrame(want, columns=["l_v", "r_w", "l_lid",
+                                           "r_rid"])
+               .sort_values(["l_lid", "r_rid"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, wdf, check_dtype=False)
+        con = duckdb.connect()
+        con.register("lf", lf)
+        con.register("rt", rt)
+        sql = band_join_oracle_sql("SELECT * FROM lf", "SELECT * FROM rt",
+                                   "v", "w", eps=eps, left_cols=["lid"],
+                                   right_cols=["rid"])
+        want_sql = (con.sql(sql).df().sort_values(["l_lid", "r_rid"])
+                    .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want_sql, check_dtype=False)
+    with pytest.raises(ValueError):
+        band_join(rd.from_pandas(lf), rd.from_pandas(rt), "v", "w",
+                  eps=0)
