@@ -641,6 +641,25 @@ def q_event_time_profile(sf_dir: str):
         ["dow", "hour"], {"n": ("dow", "count")})
 
 
+def q_rendezvous_hosts(sf_dir: str):
+    # rendezvous / HRW placement (agg.rendezvous_assign, Thaler 1998):
+    # sticky host -> crawler-worker assignment where resizing moves only
+    # 1/W of keys — one key dedup + a narrow W-score argmax map; md5
+    # pinned for SQL parity (the fast hash is the corpus-scale default).
+    from pdf_extract_ray.stages.agg import rendezvous_assign
+
+    ds = _t(sf_dir, "documents", columns=["lang", "source"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hostkey": (b["lang"].astype(str) + "|"
+                        + b["source"].astype(str))})
+
+    return rendezvous_assign(
+        ds.map_batches(derive, batch_format="pandas"), "hostkey", 8,
+        method="md5")
+
+
 def q_band_join_events_orders(sf_dir: str):
     # BIG-BIG band (range) join (joins.band_join): all pairs with
     # |event value − order key residue| <= 2 — band-bucket replication
@@ -5046,6 +5065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_entropy_by_user": q_event_entropy_by_user,
         "merged_intervals_events": q_merged_intervals_events,
         "band_join_events_orders": q_band_join_events_orders,
+        "rendezvous_hosts": q_rendezvous_hosts,
         "window_distinct_users": q_window_distinct_users,
         "cumulative_users_events": q_cumulative_users_events,
         "calibration_bins_events": q_calibration_bins_events,
@@ -6087,6 +6107,14 @@ _EVENT_TIME_PROFILE_SQL = (
     "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2")
 
 
+def _rendezvous_oracle() -> str:
+    from pdf_extract_ray.stages.agg import rendezvous_assign_oracle_sql
+
+    return rendezvous_assign_oracle_sql(
+        "SELECT lang || '|' || source AS hostkey FROM documents",
+        "hostkey", 8)
+
+
 def _band_join_oracle() -> str:
     from pdf_extract_ray.stages.joins import band_join_oracle_sql
 
@@ -6442,6 +6470,7 @@ def oracle_sql() -> dict[str, str]:
         "event_entropy_by_user": _event_entropy_oracle(),
         "merged_intervals_events": _merged_intervals_oracle(),
         "band_join_events_orders": _band_join_oracle(),
+        "rendezvous_hosts": _rendezvous_oracle(),
         "window_distinct_users": _window_distinct_oracle(),
         "cumulative_users_events": _cumulative_users_oracle(),
         "calibration_bins_events": _calibration_bins_oracle(),

@@ -1297,3 +1297,95 @@ SELECT __im_t.*{excl},
        ({col} IS NULL AND med IS NOT NULL) AS was_imputed
 FROM __im_t LEFT JOIN __im_m USING ({part})
 """
+
+
+def rendezvous_assign(
+    ds: Dataset,
+    key_col: str,
+    n_workers: int,
+    *,
+    method: str = "fast",
+    out_col: str = "worker",
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Rendezvous / highest-random-weight assignment (Thaler &
+    Ravishankar 1998 — the consistent-placement rule behind sticky
+    crawler politeness queues and cache sharding): each DISTINCT key
+    goes to ``argmax_w score(key, w)`` — adding or removing a worker
+    moves only the keys whose argmax changes (1/W of them in
+    expectation), unlike modulo placement which reshuffles everything.
+
+    Output: one row per distinct key — ``(key_col, out_col)``.
+
+    ``method="fast"`` (default, full-corpus-safe): vectorized numpy
+    hash of (key-hash, worker) pairs.  ``"md5"`` is the SQL-parity
+    mode: ``score = int(md5(key || '|' || w)[:8], 16)``, ties to the
+    lowest worker — mirrored exactly by
+    :func:`rendezvous_assign_oracle_sql`.  Same md5-only-for-oracles
+    convention as ``stratified_sample``/``weighted_sample``.
+
+    Scale shape: ONE grouped key dedup (map-side pre-dedup), then a
+    narrow map computing the W scores per key (W is small); no
+    replication, no extra shuffle."""
+    import hashlib
+
+    if method not in ("md5", "fast"):
+        raise ValueError(f"method must be 'md5' or 'fast', got {method!r}")
+    if n_workers < 1:
+        raise ValueError("n_workers must be >= 1")
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        return b[[key_col]].drop_duplicates()
+
+    distinct = bucketed_group_apply(
+        ds.map_batches(pre, batch_format="pandas"), [key_col],
+        lambda g: g.drop_duplicates(), num_buckets=num_buckets)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        keys = b[key_col].astype(str).to_numpy()
+        n = len(keys)
+        if method == "md5":
+            scores = np.empty((n_workers, n), dtype=np.uint64)
+            for w in range(n_workers):
+                scores[w] = [int(hashlib.md5(
+                    f"{k}|{w}".encode()).hexdigest()[:8], 16)
+                    for k in keys]
+        else:
+            hk = _hash_numpy_col(keys)
+            scores = np.empty((n_workers, n), dtype=np.uint64)
+            for w in range(n_workers):
+                hw = _hash_numpy_col(np.full(n, w, dtype=np.int64))
+                scores[w] = _combine_hashes([hk, hw])
+        # argmax over workers; np.argmax takes the FIRST max -> the
+        # lowest worker wins ties (the frozen rule)
+        worker = scores.argmax(axis=0).astype(np.int64)
+        return pd.DataFrame({key_col: b[key_col].to_numpy(),
+                             out_col: worker})
+
+    return distinct.map_batches(assign, batch_format="pandas")
+
+
+def rendezvous_assign_oracle_sql(
+    table_sql: str,
+    key_col: str,
+    n_workers: int,
+    *,
+    out_col: str = "worker",
+) -> str:
+    """DuckDB mirror of ``rendezvous_assign(method="md5")``."""
+    h = (f"CAST('0x' || substr(md5(key || '|' || CAST(w AS VARCHAR)), "
+         f"1, 8) AS UBIGINT)")
+    return f"""
+WITH __rv_k AS (SELECT DISTINCT {key_col} AS key FROM ({table_sql})),
+__rv_s AS (
+  SELECT key, w, {h} AS h
+  FROM __rv_k, unnest(range({int(n_workers)})) AS t(w)
+),
+__rv_r AS (
+  SELECT key, w,
+         row_number() OVER (PARTITION BY key ORDER BY h DESC, w) AS rn
+  FROM __rv_s
+)
+SELECT key AS {key_col}, CAST(w AS BIGINT) AS {out_col}
+FROM __rv_r WHERE rn = 1
+"""

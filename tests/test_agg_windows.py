@@ -1290,3 +1290,56 @@ def test_window_distinct_matches_reference_and_sql(ray_session, blocks):
     want_sql = (con.sql(sql).df().sort_values("window_start")
                 .reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want_sql, check_dtype=False)
+
+
+# --- rendezvous (HRW) assignment ----------------------------------------------
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_rendezvous_assign_md5_matches_reference_and_sql(ray_session,
+                                                         blocks):
+    import hashlib
+
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.agg import (
+        rendezvous_assign, rendezvous_assign_oracle_sql)
+
+    df = pd.DataFrame({"host": [f"h{i % 37}.example" for i in range(200)]})
+    got = (rendezvous_assign(rd.from_pandas(df).repartition(blocks),
+                             "host", 8, method="md5")
+           .to_pandas().sort_values("host").reset_index(drop=True))
+    assert len(got) == 37  # one row per DISTINCT key
+    want = {}
+    for h in sorted(df["host"].unique()):
+        scores = [int(hashlib.md5(f"{h}|{w}".encode()).hexdigest()[:8],
+                      16) for w in range(8)]
+        want[h] = int(np.argmax(scores))
+    assert dict(zip(got["host"], got["worker"])) == want
+    con = duckdb.connect()
+    con.register("t", df)
+    sql = rendezvous_assign_oracle_sql("SELECT host FROM t", "host", 8)
+    want_sql = (con.sql(sql).df().sort_values("host")
+                .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want_sql, check_dtype=False)
+
+
+def test_rendezvous_minimal_disruption_on_resize(ray_session):
+    # the point of HRW: going 8 -> 9 workers moves ~1/9 of keys, and
+    # every key that moves lands on the NEW worker
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.agg import rendezvous_assign
+
+    df = pd.DataFrame({"host": [f"site{i}.org" for i in range(400)]})
+    a8 = (rendezvous_assign(rd.from_pandas(df), "host", 8)
+          .to_pandas().set_index("host")["worker"])
+    a9 = (rendezvous_assign(rd.from_pandas(df), "host", 9)
+          .to_pandas().set_index("host")["worker"])
+    moved = a8[a8 != a9.reindex(a8.index)]
+    assert 0 < len(moved) < len(a8) * 0.3  # ~1/9 expected
+    assert (a9.reindex(moved.index) == 8).all()  # movers go to worker 8
+    with pytest.raises(ValueError):
+        rendezvous_assign(rd.from_pandas(df), "host", 0)
+    with pytest.raises(ValueError):
+        rendezvous_assign(rd.from_pandas(df), "host", 4, method="nope")
