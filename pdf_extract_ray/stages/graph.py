@@ -762,7 +762,8 @@ def resolve_chains(
     # for a node land in one bucket, so the in-bucket min is global)
     state = bucketed_group_apply(
         edges.map_batches(narrow, batch_format="pandas"), ["node"],
-        dedup_src, num_buckets=num_buckets).materialize()
+        dedup_src, num_buckets=num_buckets,
+        pre_batch_size=65536).materialize()
 
     def probe_rows(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -800,12 +801,16 @@ def resolve_chains(
             "hops": hops, "matched": hit.astype(np.int64)})
 
     for _ in range(rounds):
+        # ONE materialization per round: the matched-count scalar reads
+        # the pinned blocks, and the next round's two consumers re-run
+        # only the cheap narrow drop over them
         nxt = bucketed_group_apply(
             state.map_batches(probe_rows, batch_format="pandas").union(
                 state.map_batches(ref_rows, batch_format="pandas")),
-            ["k"], advance, num_buckets=num_buckets).materialize()
+            ["k"], advance, num_buckets=num_buckets,
+            pre_batch_size=65536).materialize()
         moved = nxt.sum("matched", ignore_nulls=True) or 0
-        state = nxt.drop_columns(["matched"]).materialize()
+        state = nxt.drop_columns(["matched"])
         if moved == 0:
             break
 
@@ -828,7 +833,8 @@ def resolve_chains(
     return bucketed_group_apply(
         state.map_batches(probe_rows, batch_format="pandas").union(
             state.map_batches(ref_rows, batch_format="pandas")),
-        ["k"], classify, num_buckets=num_buckets)
+        ["k"], classify, num_buckets=num_buckets,
+        pre_batch_size=65536)
 
 
 def resolve_chains_oracle_sql(edges_sql: str, *, max_hops: int,
