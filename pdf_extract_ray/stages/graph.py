@@ -604,7 +604,8 @@ def count_triangles(
     # acero rejects a join side whose schema it can't resolve (the
     # repo's known Dataset.join trap)
     wedges = bucketed_group_apply(oriented, ["__src"], wedge_body,
-                                  num_buckets=num_buckets
+                                  num_buckets=num_buckets,
+                                  pre_batch_size=65536
                                   ).repartition(num_partitions)
 
     okeys = oriented.map_batches(
@@ -931,7 +932,8 @@ def k_core(
 
     live = bucketed_group_apply(
         edges.map_batches(canon, batch_format="pandas"), ["lo", "hi"],
-        dedup, num_buckets=num_buckets).materialize()
+        dedup, num_buckets=num_buckets,
+        pre_batch_size=65536).materialize()
 
     def endpoints(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": np.concatenate([
@@ -988,7 +990,8 @@ def k_core(
                     live.map_batches(by_end(end), batch_format="pandas")
                         .union(doomed.map_batches(tag_bad,
                                                   batch_format="pandas")),
-                    ["key"], anti, num_buckets=num_buckets).materialize()
+                    ["key"], anti, num_buckets=num_buckets,
+                    pre_batch_size=65536).materialize()
     else:
         logger.warning("k_core: max_iters=%d reached before fixpoint",
                        max_iters)
@@ -1032,7 +1035,8 @@ def clustering_coefficient(
 
     dedup_edges = bucketed_group_apply(
         edges.map_batches(canon, batch_format="pandas"), ["lo", "hi"],
-        lambda g: g.drop_duplicates(), num_buckets=num_buckets)
+        lambda g: g.drop_duplicates(), num_buckets=num_buckets,
+        pre_batch_size=65536)
 
     def endpoints(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": np.concatenate(
@@ -1071,7 +1075,8 @@ def clustering_coefficient(
     return bucketed_group_apply(
         deg.map_batches(deg_rows, batch_format="pandas").union(
             tri.map_batches(tri_rows, batch_format="pandas")),
-        ["node"], stitch, num_buckets=num_buckets)
+        ["node"], stitch, num_buckets=num_buckets,
+        pre_batch_size=65536)
 
 
 def clustering_coefficient_oracle_sql(edges_sql: str, *, src: str = "src",
@@ -1131,8 +1136,8 @@ def degree_assortativity(
 
     ded = bucketed_group_apply(
         edges.map_batches(canon, batch_format="pandas"), ["lo", "hi"],
-        lambda g: g.drop_duplicates(), num_buckets=num_buckets
-    ).materialize()
+        lambda g: g.drop_duplicates(), num_buckets=num_buckets,
+        pre_batch_size=65536).materialize()
 
     def endpoints(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": np.concatenate(
@@ -1176,7 +1181,8 @@ def degree_assortativity(
         return bucketed_group_apply(
             edge_ds.map_batches(e_rows, batch_format="pandas").union(
                 deg.map_batches(d_rows, batch_format="pandas")),
-            ["key"], join, num_buckets=num_buckets)
+            ["key"], join, num_buckets=num_buckets,
+            pre_batch_size=65536)
 
     with_dlo = attach(ded, ["lo", "hi"], "lo", "dlo")
     with_both = attach(with_dlo, ["lo", "hi", "dlo"], "hi", "dhi")
