@@ -641,6 +641,38 @@ def q_event_time_profile(sf_dir: str):
         ["dow", "hour"], {"n": ("dow", "count")})
 
 
+def q_content_type_docs(sf_dir: str):
+    # magic-byte content-type router (multimodal.sniff_content_type):
+    # the ingest dispatch before any decoder — frozen prefix table +
+    # RIFF format-tag split, one narrow map, payloads never move.
+    # Both engines synthesize identical blobs from doc_id.
+    from pdf_extract_ray.stages.multimodal import sniff_content_type
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy(np.int64)
+        blobs = []
+        for i in d:
+            tail = str(i).encode()
+            blobs.append([
+                b"%PDF-1.7 " + tail,
+                b"\x89PNG\r\n\x1a\n" + tail,
+                b"\xff\xd8\xff\xe0" + tail,
+                b"RIFF1234WAVEfmt " + tail,
+                b"RIFF1234AVI LIST" + tail,
+                b"BM6" + tail,
+                b"<!DOCTYPE html><p>" + tail,
+                b"plain text " + tail,
+            ][i % 8])
+        return pd.DataFrame({"doc_id": d, "payload": blobs})
+
+    out = sniff_content_type(
+        ds.map_batches(derive, batch_format="pandas"))
+    return out.map_batches(
+        lambda b: b[["doc_id", "content_type"]], batch_format="pandas")
+
+
 def q_rendezvous_hosts(sf_dir: str):
     # rendezvous / HRW placement (agg.rendezvous_assign, Thaler 1998):
     # sticky host -> crawler-worker assignment where resizing moves only
@@ -5066,6 +5098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merged_intervals_events": q_merged_intervals_events,
         "band_join_events_orders": q_band_join_events_orders,
         "rendezvous_hosts": q_rendezvous_hosts,
+        "content_type_docs": q_content_type_docs,
         "window_distinct_users": q_window_distinct_users,
         "cumulative_users_events": q_cumulative_users_events,
         "calibration_bins_events": q_calibration_bins_events,
@@ -6107,6 +6140,32 @@ _EVENT_TIME_PROFILE_SQL = (
     "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2")
 
 
+def _content_type_oracle() -> str:
+    from pdf_extract_ray.stages.multimodal import (
+        sniff_content_type_oracle_sql,
+    )
+
+    blob = (
+        "CASE doc_id % 8 "
+        "WHEN 0 THEN '%PDF-1.7 '::BLOB || encode(CAST(doc_id AS VARCHAR)) "
+        "WHEN 1 THEN '\\x89PNG\\x0D\\x0A\\x1A\\x0A'::BLOB "
+        "|| encode(CAST(doc_id AS VARCHAR)) "
+        "WHEN 2 THEN '\\xFF\\xD8\\xFF\\xE0'::BLOB "
+        "|| encode(CAST(doc_id AS VARCHAR)) "
+        "WHEN 3 THEN 'RIFF1234WAVEfmt '::BLOB "
+        "|| encode(CAST(doc_id AS VARCHAR)) "
+        "WHEN 4 THEN 'RIFF1234AVI LIST'::BLOB "
+        "|| encode(CAST(doc_id AS VARCHAR)) "
+        "WHEN 5 THEN 'BM6'::BLOB || encode(CAST(doc_id AS VARCHAR)) "
+        "WHEN 6 THEN '<!DOCTYPE html><p>'::BLOB "
+        "|| encode(CAST(doc_id AS VARCHAR)) "
+        "ELSE 'plain text '::BLOB || encode(CAST(doc_id AS VARCHAR)) "
+        "END AS payload")
+    inner = sniff_content_type_oracle_sql(
+        f"SELECT doc_id, {blob} FROM documents", "payload")
+    return f"SELECT doc_id, content_type FROM ({inner})"
+
+
 def _rendezvous_oracle() -> str:
     from pdf_extract_ray.stages.agg import rendezvous_assign_oracle_sql
 
@@ -6471,6 +6530,7 @@ def oracle_sql() -> dict[str, str]:
         "merged_intervals_events": _merged_intervals_oracle(),
         "band_join_events_orders": _band_join_oracle(),
         "rendezvous_hosts": _rendezvous_oracle(),
+        "content_type_docs": _content_type_oracle(),
         "window_distinct_users": _window_distinct_oracle(),
         "cumulative_users_events": _cumulative_users_oracle(),
         "calibration_bins_events": _calibration_bins_oracle(),

@@ -425,3 +425,80 @@ def synth_image_dup_table(n: int, seed: int = 9) -> pa.Table:
         rows["content_type"].append("image/bmp")
         rows["n_bytes"].append(len(payload))
     return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# content-type sniffing (magic bytes) — the ingest router every mixed
+# crawl needs BEFORE choosing a decoder: Content-Type headers lie, file
+# extensions lie, the first bytes don't.
+# ---------------------------------------------------------------------------
+
+# frozen magic table, FIRST match wins (order matters: RIFF needs the
+# WAVE tag check before the generic rules would ever see it)
+_MAGIC_PREFIXES = (
+    (b"%PDF", "pdf"),
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"GIF87a", "gif"),
+    (b"GIF89a", "gif"),
+    (b"BM", "bmp"),
+    (b"\x1f\x8b", "gzip"),
+    (b"PK\x03\x04", "zip"),
+    (b"<?xm", "xml"),
+    (b"<htm", "html"),
+    (b"<!DO", "html"),
+)
+
+
+def sniff_content_type_batch(b: pd.DataFrame, blob_col: str,
+                             out_col: str = "content_type") -> pd.DataFrame:
+    """Vectorized magic-byte sniffing over a binary column.  Frozen
+    rules (mirrored by :func:`sniff_content_type_oracle_sql`): RIFF
+    containers split by the format tag at bytes 8-12 (``WAVE`` ->
+    "wav", anything else -> "riff"); otherwise the first matching
+    prefix of ``_MAGIC_PREFIXES``; else "unknown".  Pure per-row
+    prefix compares — zero shuffles, payload bytes never copied."""
+    s = b[blob_col]
+    head = s.str[:12]  # longest rule is 8 bytes + RIFF tag at 8..12
+    out = np.full(len(b), "unknown", dtype=object)
+    is_riff = head.str[:4] == b"RIFF"
+    wave = is_riff & (s.str[8:12] == b"WAVE")
+    out[is_riff.to_numpy(dtype=bool)] = "riff"
+    out[wave.to_numpy(dtype=bool)] = "wav"
+    undecided = ~is_riff.to_numpy(dtype=bool) & (out == "unknown")
+    for prefix, label in _MAGIC_PREFIXES:
+        hit = (head.str[:len(prefix)] == prefix).to_numpy(dtype=bool)
+        sel = hit & undecided
+        out[sel] = label
+        undecided &= ~hit
+    res = b.copy()
+    res[out_col] = out
+    return res
+
+
+def sniff_content_type(ds, blob_col: str = "payload",
+                       out_col: str = "content_type"):
+    """Dataset-level sniff: one narrow map."""
+    return ds.map_batches(
+        lambda b: sniff_content_type_batch(b, blob_col, out_col),
+        batch_format="pandas")
+
+
+def sniff_content_type_oracle_sql(table_sql: str, blob_col: str,
+                                  out_col: str = "content_type") -> str:
+    """DuckDB mirror of :func:`sniff_content_type_batch` over the hex
+    encoding of the blob (same rule order)."""
+    h = f"upper(substr(hex({blob_col}), 1, 24))"
+
+    def hexpfx(bs: bytes) -> str:
+        return bs.hex().upper()
+
+    cases = [f"WHEN substr({h}, 1, 8) = '{hexpfx(b'RIFF')}' THEN "
+             f"CASE WHEN substr({h}, 17, 8) = '{hexpfx(b'WAVE')}' "
+             f"THEN 'wav' ELSE 'riff' END"]
+    for prefix, label in _MAGIC_PREFIXES:
+        hp = hexpfx(prefix)
+        cases.append(
+            f"WHEN substr({h}, 1, {len(hp)}) = '{hp}' THEN '{label}'")
+    case = "CASE " + " ".join(cases) + " ELSE 'unknown' END"
+    return (f"SELECT *, {case} AS {out_col} FROM ({table_sql})")

@@ -1,6 +1,7 @@
 """PDF-style span-table layout tagging (M1-M5 faithful path) and
 multimodal stub plumbing tests."""
 
+import pandas as pd
 import pytest
 
 from pdf_extract_ray.config import ExtractConfig
@@ -126,3 +127,44 @@ def test_frame_sample_explodes_video_rows(ray_session):
         == sorted(zip(sp.column("media_id").to_pylist(),
                       sp.column("frame_no").to_pylist(),
                       sp.column("frame_bytes").to_pylist()))
+
+
+# --- content-type sniffing ---------------------------------------------------
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_sniff_content_type_rules(ray_session, blocks):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.multimodal import (
+        sniff_content_type, sniff_content_type_oracle_sql)
+
+    rows = [
+        (0, b"%PDF-1.4 etc", "pdf"),
+        (1, b"\x89PNG\r\n\x1a\nrest", "png"),
+        (2, b"\xff\xd8\xff\xe1exif", "jpeg"),
+        (3, b"GIF89a;;;", "gif"),
+        (4, b"GIF87a;;;", "gif"),
+        (5, b"RIFF1234WAVEfmt ", "wav"),
+        (6, b"RIFF1234AVI LIST", "riff"),
+        (7, b"BM66", "bmp"),
+        (8, b"\x1f\x8b\x08gz", "gzip"),
+        (9, b"PK\x03\x04zipzip", "zip"),
+        (10, b"<?xml version", "xml"),
+        (11, b"<html><body>", "html"),
+        (12, b"<!DOCTYPE html>", "html"),
+        (13, b"just text", "unknown"),
+        (14, b"", "unknown"),
+        (15, b"R", "unknown"),  # shorter than any prefix
+    ]
+    df = pd.DataFrame({"doc_id": [r[0] for r in rows],
+                       "payload": [r[1] for r in rows]})
+    got = (sniff_content_type(rd.from_pandas(df).repartition(blocks))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["content_type"].tolist() == [r[2] for r in rows]
+    con = duckdb.connect()
+    con.register("t", df)
+    sql = sniff_content_type_oracle_sql("SELECT * FROM t", "payload")
+    want = (con.sql(sql).df().sort_values("doc_id")
+            .reset_index(drop=True))
+    assert want["content_type"].tolist() == [r[2] for r in rows]
