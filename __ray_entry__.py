@@ -641,6 +641,28 @@ def q_event_time_profile(sf_dir: str):
         ["dow", "hour"], {"n": ("dow", "count")})
 
 
+def q_weighted_median_events(sf_dir: str):
+    # exact grouped WEIGHTED lower median (agg.grouped_weighted_median):
+    # per event_type, floor(value) weighted by an arithmetic hit count —
+    # per-batch (key, value) weight partials bound the shuffle by the
+    # distinct-value codomain; integer cumulative-weight rule on both
+    # sides.
+    from pdf_extract_ray.stages.agg import grouped_weighted_median
+
+    ds = _t(sf_dir, "events", columns=["event_type", "user_id", "value"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(),
+            "v": np.floor(b["value"].to_numpy(np.float64))
+            .astype(np.int64),
+            "w": (b["user_id"] % 5 + 1).to_numpy(np.int64)})
+
+    return grouped_weighted_median(
+        ds.map_batches(derive, batch_format="pandas"),
+        ["event_type"], "v", "w")
+
+
 def q_content_type_docs(sf_dir: str):
     # magic-byte content-type router (multimodal.sniff_content_type):
     # the ingest dispatch before any decoder — frozen prefix table +
@@ -5099,6 +5121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "band_join_events_orders": q_band_join_events_orders,
         "rendezvous_hosts": q_rendezvous_hosts,
         "content_type_docs": q_content_type_docs,
+        "weighted_median_events": q_weighted_median_events,
         "window_distinct_users": q_window_distinct_users,
         "cumulative_users_events": q_cumulative_users_events,
         "calibration_bins_events": q_calibration_bins_events,
@@ -6140,6 +6163,17 @@ _EVENT_TIME_PROFILE_SQL = (
     "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2")
 
 
+def _weighted_median_oracle() -> str:
+    from pdf_extract_ray.stages.agg import (
+        grouped_weighted_median_oracle_sql,
+    )
+
+    return grouped_weighted_median_oracle_sql(
+        "SELECT event_type, CAST(floor(value) AS BIGINT) AS v, "
+        "user_id % 5 + 1 AS w FROM events",
+        ["event_type"], "v", "w")
+
+
 def _content_type_oracle() -> str:
     from pdf_extract_ray.stages.multimodal import (
         sniff_content_type_oracle_sql,
@@ -6531,6 +6565,7 @@ def oracle_sql() -> dict[str, str]:
         "band_join_events_orders": _band_join_oracle(),
         "rendezvous_hosts": _rendezvous_oracle(),
         "content_type_docs": _content_type_oracle(),
+        "weighted_median_events": _weighted_median_oracle(),
         "window_distinct_users": _window_distinct_oracle(),
         "cumulative_users_events": _cumulative_users_oracle(),
         "calibration_bins_events": _calibration_bins_oracle(),

@@ -233,7 +233,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "clustering_coeff_graph", "analyze_orders",
                      "degree_assortativity_graph", "cusum_events",
                      "band_join_events_orders", "window_distinct_users",
-                     "rendezvous_hosts", "content_type_docs"):
+                     "rendezvous_hosts", "content_type_docs",
+                     "weighted_median_events"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

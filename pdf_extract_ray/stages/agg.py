@@ -1389,3 +1389,89 @@ __rv_r AS (
 SELECT key AS {key_col}, CAST(w AS BIGINT) AS {out_col}
 FROM __rv_r WHERE rn = 1
 """
+
+
+def grouped_weighted_median(
+    ds: Dataset,
+    keys: Sequence[str],
+    val_col: str,
+    weight_col: str,
+    *,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Exact WEIGHTED lower median per group — the token-weighted /
+    traffic-weighted center every unweighted median misreads (a host's
+    median response weighted by hits, a language's median doc length
+    weighted by tokens).
+
+    Frozen rule (mirrored by :func:`grouped_weighted_median_oracle_sql`):
+    with integer weights summed per distinct value and values ascending,
+    the weighted median is the SMALLEST value whose cumulative weight
+    reaches half the total (``2·cumw >= W``) — the lower weighted
+    median, exact integer arithmetic throughout.  Rows with
+    ``weight <= 0`` are dropped.  Output: ``(keys..., weighted_median,
+    total_w)``.
+
+    Scale shape: per-batch (keys, value) weight partials shrink the
+    shuffle to the distinct-value codomain per group; ONE bucketed
+    merge sorts each group's bounded value table and scans the
+    cumulative sum."""
+    keys = list(keys)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        w = b[weight_col].to_numpy(np.int64)
+        f = pd.DataFrame({c: b[c] for c in keys})
+        f["__v"] = b[val_col].to_numpy(np.int64)
+        f["__w"] = w
+        f = f[w > 0]
+        return f.groupby(keys + ["__v"], as_index=False)["__w"].sum()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(keys + ["__v"], as_index=False)["__w"].sum()
+        g = g.sort_values(keys + ["__v"], kind="mergesort")
+        seg = g.groupby(keys, sort=False).ngroup().to_numpy(np.int64)
+        w = g["__w"].to_numpy(np.int64)
+        cw = pd.Series(w).groupby(seg).cumsum().to_numpy(np.int64)
+        tw = pd.Series(w).groupby(seg).transform("sum").to_numpy(np.int64)
+        hit = 2 * cw >= tw
+        # first hit per segment: segment-local cummax shifted WITHIN
+        # the segment (a global shift would leak the previous group's
+        # True across the boundary)
+        cm = pd.Series(hit).groupby(seg).cummax()
+        prev = cm.groupby(seg).shift(1, fill_value=False)
+        first = hit & ~prev.to_numpy(dtype=bool)
+        out = g.loc[first, keys].copy()
+        out["weighted_median"] = g.loc[first, "__v"].to_numpy(np.int64)
+        out["total_w"] = tw[first]
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return bucketed_group_apply(partials, keys, final,
+                                num_buckets=num_buckets)
+
+
+def grouped_weighted_median_oracle_sql(
+    table_sql: str,
+    keys: Sequence[str],
+    val_col: str,
+    weight_col: str,
+) -> str:
+    """DuckDB mirror of :func:`grouped_weighted_median`."""
+    ks = ", ".join(keys)
+    return f"""
+WITH __wm_c AS (
+  SELECT {ks}, {val_col} AS v, sum({weight_col}) AS w
+  FROM ({table_sql}) WHERE {weight_col} > 0 GROUP BY {ks}, {val_col}
+),
+__wm_s AS (
+  SELECT *, sum(w) OVER (PARTITION BY {ks} ORDER BY v
+                         ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(w) OVER (PARTITION BY {ks}) AS tw
+  FROM __wm_c
+)
+SELECT {ks},
+       CAST(min(v) FILTER (WHERE 2 * cw >= tw) AS BIGINT)
+         AS weighted_median,
+       CAST(max(tw) AS BIGINT) AS total_w
+FROM __wm_s GROUP BY {ks}
+"""

@@ -1343,3 +1343,47 @@ def test_rendezvous_minimal_disruption_on_resize(ray_session):
         rendezvous_assign(rd.from_pandas(df), "host", 0)
     with pytest.raises(ValueError):
         rendezvous_assign(rd.from_pandas(df), "host", 4, method="nope")
+
+
+# --- grouped weighted median -------------------------------------------------
+
+@pytest.mark.parametrize("blocks", [1, 6])
+def test_grouped_weighted_median_matches_reference_and_sql(ray_session,
+                                                           blocks):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.agg import (
+        grouped_weighted_median, grouped_weighted_median_oracle_sql)
+
+    rng = np.random.default_rng(27)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 300),
+        "v": rng.integers(-20, 20, 300).astype(np.int64),
+        "w": rng.integers(-1, 6, 300).astype(np.int64)})  # some w<=0
+    got = (grouped_weighted_median(
+        rd.from_pandas(df).repartition(blocks), ["k"], "v", "w")
+        .to_pandas().sort_values("k").reset_index(drop=True))
+    # reference: literal expansion — median of v repeated w times
+    want_rows = []
+    for k, g in df[df["w"] > 0].groupby("k"):
+        exp = np.sort(np.repeat(g["v"].to_numpy(), g["w"].to_numpy()))
+        lower = exp[int(np.ceil(len(exp) / 2)) - 1]
+        want_rows.append((k, lower, int(g["w"].sum())))
+    want = pd.DataFrame(want_rows,
+                        columns=["k", "weighted_median", "total_w"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    con = duckdb.connect()
+    con.register("t", df)
+    sql = grouped_weighted_median_oracle_sql("SELECT * FROM t", ["k"],
+                                             "v", "w")
+    want_sql = con.sql(sql).df().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want_sql, check_dtype=False)
+    # unit weights == the plain lower median
+    uni = df.assign(w=1)
+    g1 = (grouped_weighted_median(rd.from_pandas(uni), ["k"], "v", "w")
+          .to_pandas().set_index("k"))
+    for k, g in uni.groupby("k"):
+        exp = np.sort(g["v"].to_numpy())
+        assert g1.loc[k, "weighted_median"] == exp[
+            int(np.ceil(len(exp) / 2)) - 1]
