@@ -5012,9 +5012,118 @@ def _url_change_freq_oracle() -> str:
     )
 
 
+def q_chisq_events(sf_dir: str):
+    # chi-squared independence terms (experiment.chisq_terms): per
+    # event_type, does the arm (user_id parity) change the outcome
+    # category (value tercile)?  One grouped integer count on
+    # (key, arm, cat) with map-side partials; the marginals attach in
+    # one bucketed regroup of already-aggregated rows; chisq_term is a
+    # single frozen IEEE expression over exact integers (round-6).
+    from pdf_extract_ray.stages.experiment import chisq_terms
+
+    ds = _t(sf_dir, "events", columns=["event_type", "user_id", "value"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["value"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(),
+            "arm": (b["user_id"] % 2).to_numpy(np.int64),
+            "cat": (np.floor(v).astype(np.int64) // 34).clip(0, 2),
+        })
+
+    return chisq_terms(ds.map_batches(derive, batch_format="pandas"),
+                       ["event_type"], "arm", "cat")
+
+
+def _chisq_events_oracle() -> str:
+    from pdf_extract_ray.stages.experiment import chisq_terms_oracle_sql
+
+    return chisq_terms_oracle_sql(
+        "SELECT event_type, user_id, value FROM events",
+        ["event_type"], "user_id % 2",
+        "LEAST(GREATEST(CAST(floor(value) AS BIGINT) // 34, 0), 2)")
+
+
+def q_ks_test_events(sf_dir: str):
+    # two-sample KS distribution test (experiment.ks_test): per
+    # event_type, max CDF gap of floored value between user_id-parity
+    # arms — the gap maximization is all-integer (cum_a·n_b − cum_b·n_a)
+    # so the statistic is bit-identical to the SQL window mirror; the
+    # shuffle sees one row per distinct (key, value), never raw rows.
+    from pdf_extract_ray.stages.experiment import ks_test
+
+    ds = _t(sf_dir, "events", columns=["event_type", "user_id", "value"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(),
+            "arm": (b["user_id"] % 2).to_numpy(np.int64),
+            "v": np.floor(b["value"].to_numpy(np.float64)),
+        })
+
+    return ks_test(ds.map_batches(derive, batch_format="pandas"),
+                   ["event_type"], "arm", "v")
+
+
+def _ks_test_events_oracle() -> str:
+    from pdf_extract_ray.stages.experiment import ks_test_oracle_sql
+
+    return ks_test_oracle_sql(
+        "SELECT event_type, user_id, value FROM events",
+        ["event_type"], "user_id % 2", "CAST(floor(value) AS BIGINT)")
+
+
+def q_wilson_event_rates(sf_dir: str):
+    # Wilson score interval (experiment.wilson_bounds): per event_type,
+    # the small-sample-safe rate bound for P(value >= 50) — the
+    # rank-hosts-by-rate primitive; exact integer (n, k) partials, one
+    # frozen float expression shared with the SQL oracle.
+    from pdf_extract_ray.stages.experiment import wilson_bounds
+
+    ds = _t(sf_dir, "events", columns=["event_type", "value"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(),
+            "y": (b["value"].to_numpy(np.float64) >= 50.0).astype(np.int64),
+        })
+
+    return wilson_bounds(ds.map_batches(derive, batch_format="pandas"),
+                         ["event_type"], "y")
+
+
+def _wilson_event_rates_oracle() -> str:
+    from pdf_extract_ray.stages.experiment import wilson_bounds_oracle_sql
+
+    return wilson_bounds_oracle_sql(
+        "SELECT event_type, value FROM events",
+        ["event_type"], "CAST(value >= 50.0 AS BIGINT)")
+
+
+def q_random_projection_embeddings(sf_dir: str):
+    # Johnson–Lindenstrauss ±1 sign projection (similarity.
+    # random_project, Achlioptas 2003): floor-quantized int vectors ×
+    # md5-parity sign matrix = EXACT integer dot products, bit-identical
+    # to the SQL unnest/join mirror; one narrow map, zero shuffles.
+    from pdf_extract_ray.stages.similarity import random_project
+
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return random_project(ds, out_dim=8, scale=1000)
+
+
+def _random_projection_oracle() -> str:
+    from pdf_extract_ray.stages.similarity import random_project_oracle_sql
+
+    return random_project_oracle_sql(out_dim=8, scale=1000)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_counts": q_corpus_counts,
+        "chisq_events": q_chisq_events,
+        "ks_test_events": q_ks_test_events,
+        "wilson_event_rates": q_wilson_event_rates,
+        "random_projection_embeddings": q_random_projection_embeddings,
         "event_type_stats": q_event_type_stats,
         "recent_events_topk": q_recent_events_topk,
         "order_priority_rollup": q_order_priority_rollup,
@@ -6462,6 +6571,10 @@ def _source_mixed_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "corpus_counts": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        "chisq_events": _chisq_events_oracle(),
+        "ks_test_events": _ks_test_events_oracle(),
+        "wilson_event_rates": _wilson_event_rates_oracle(),
+        "random_projection_embeddings": _random_projection_oracle(),
         "event_type_stats": (
             "SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value "
             "FROM events GROUP BY event_type"

@@ -567,3 +567,279 @@ SELECT CAST(bin AS BIGINT) AS bin,
        CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac_pos
 FROM __cal_b GROUP BY bin
 """
+
+
+def chisq_terms(
+    ds: Dataset,
+    keys: Sequence[str],
+    arm_col: str,
+    cat_col: str,
+    *,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Per-(group, arm, category) chi-squared contingency terms — the
+    independence readout behind "did the variant change the outcome
+    mix" (categorical A/B) and "is this feature independent of the
+    label" (feature screening over a candidate quality signal).
+
+    Emits one row per observed ``(keys..., arm, cat)`` cell: the exact
+    integer observed count ``n``, the arm/category/grand totals
+    (``n_arm``, ``n_cat``, ``n_key``), and ``chisq_term =
+    round((n − e)²/e, 6)`` with ``e = n_arm·n_cat/n_key`` the expected
+    count under independence.  The group's chi-squared statistic is the
+    SUM of its terms PLUS the expected counts of unobserved cells —
+    left to the reader, exactly like :func:`psi_drift`'s total, because
+    a float sum over cells is order-sensitive and every emitted value
+    must be a single frozen IEEE expression over exact integers (the
+    repo's round-6 convention).
+
+    Scale shape: ONE grouped integer count on ``(keys, arm, cat)``
+    with map-side partials, then one bucketed regroup of the already
+    -aggregated rows to attach the three marginal totals (pandas
+    ``transform`` sums inside the bucket) — raw rows never move twice.
+    """
+    keys = list(keys)
+
+    cnt = grouped_aggregate(
+        ds, keys + [arm_col, cat_col], {"n": (arm_col, "count")},
+        num_buckets=num_buckets)
+
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+    from pdf_extract_ray.util import round_half_away
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy()
+        out["n_arm"] = g.groupby(keys + [arm_col])["n"].transform(
+            "sum").to_numpy(np.int64)
+        out["n_cat"] = g.groupby(keys + [cat_col])["n"].transform(
+            "sum").to_numpy(np.int64)
+        out["n_key"] = g.groupby(keys)["n"].transform("sum").to_numpy(
+            np.int64)
+        o = out["n"].to_numpy(np.int64)
+        e = (out["n_arm"].to_numpy(np.int64).astype(np.float64)
+             * out["n_cat"].to_numpy(np.int64)
+             / out["n_key"].to_numpy(np.int64))
+        d = o - e
+        out["chisq_term"] = round_half_away(d * d / e, 6)
+        return out
+
+    return bucketed_group_apply(cnt, keys, attach, num_buckets=num_buckets)
+
+
+def chisq_terms_oracle_sql(
+    table_sql: str,
+    keys: Sequence[str],
+    arm_expr: str,
+    cat_expr: str,
+) -> str:
+    """DuckDB mirror of :func:`chisq_terms` (identical expression tree
+    over the same exact integer marginals; round-6 convention)."""
+    keys = list(keys)
+    ksel = ", ".join(keys)
+    return f"""
+WITH __cs_t AS (SELECT {ksel}, {arm_expr} AS arm, {cat_expr} AS cat
+                FROM ({table_sql})),
+__cs_c AS (SELECT {ksel}, arm, cat, count(*) AS n
+           FROM __cs_t GROUP BY {ksel}, arm, cat)
+SELECT {ksel}, arm, cat, CAST(n AS BIGINT) AS n,
+       CAST(sum(n) OVER (PARTITION BY {ksel}, arm) AS BIGINT) AS n_arm,
+       CAST(sum(n) OVER (PARTITION BY {ksel}, cat) AS BIGINT) AS n_cat,
+       CAST(sum(n) OVER (PARTITION BY {ksel}) AS BIGINT) AS n_key,
+       round((n - CAST(sum(n) OVER (PARTITION BY {ksel}, arm) AS DOUBLE)
+                  * sum(n) OVER (PARTITION BY {ksel}, cat)
+                  / sum(n) OVER (PARTITION BY {ksel}))
+             * (n - CAST(sum(n) OVER (PARTITION BY {ksel}, arm) AS DOUBLE)
+                    * sum(n) OVER (PARTITION BY {ksel}, cat)
+                    / sum(n) OVER (PARTITION BY {ksel}))
+             / (CAST(sum(n) OVER (PARTITION BY {ksel}, arm) AS DOUBLE)
+                * sum(n) OVER (PARTITION BY {ksel}, cat)
+                / sum(n) OVER (PARTITION BY {ksel})), 6) AS chisq_term
+FROM __cs_c
+"""
+
+
+def ks_test(
+    ds: Dataset,
+    keys: Sequence[str],
+    arm_col: str,
+    value_col: str,
+    *,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Per-key two-sample Kolmogorov–Smirnov statistic between arms 0
+    and 1 — "did the variant shift the whole DISTRIBUTION" (not just the
+    mean, Welch's blind spot): the max absolute gap between the two
+    empirical CDFs.
+
+    ``value_col`` must hold INTEGER-VALUED numbers (quantize/floor
+    upstream): the per-(key, value) arm counts are then exact int64
+    partials, the cumulative gap maximization runs entirely in integers
+    — ``d_num = max_v |cum_a(v)·n_b − cum_b(v)·n_a|`` — and
+    ``ks_d = d_num / (n_a·n_b)`` is ONE final IEEE division, so the
+    result is bit-identical to the SQL window mirror
+    (:func:`ks_test_oracle_sql`).  Rows whose arm is neither 0 nor 1
+    are ignored.  Keys where either arm is empty get NULL ``ks_d``.
+
+    Scale shape: narrow derive + ONE grouped integer count on
+    ``(keys, value)`` with map-side partials (the shuffle sees one row
+    per DISTINCT quantized value per key, never raw rows), then a
+    bucketed per-key sort+cumsum over the bounded count table.
+    """
+    keys = list(keys)
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        arm = b[arm_col].to_numpy(np.int64)
+        keep = (arm == 0) | (arm == 1)
+        out = b.loc[keep, keys].copy()
+        out["__v"] = b.loc[keep, value_col].to_numpy(
+            np.float64).astype(np.int64)
+        out["__a"] = (arm[keep] == 0).astype(np.int64)
+        out["__b"] = (arm[keep] == 1).astype(np.int64)
+        return out
+
+    cnt = grouped_aggregate(
+        ds.map_batches(derive, batch_format="pandas"),
+        keys + ["__v"],
+        {"__na": ("__a", "sum"), "__nb": ("__b", "sum")},
+        num_buckets=num_buckets)
+
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys + ["__v"], kind="mergesort")
+        grp = g.groupby(keys, sort=False)
+        ca = grp["__na"].cumsum().to_numpy(np.int64)
+        cb = grp["__nb"].cumsum().to_numpy(np.int64)
+        na = grp["__na"].transform("sum").to_numpy(np.int64)
+        nb = grp["__nb"].transform("sum").to_numpy(np.int64)
+        gap = np.abs(ca * nb - cb * na)
+        m = (g.assign(__gap=gap, __na_t=na, __nb_t=nb)
+             .groupby(keys, as_index=False)
+             .agg(n_a=("__na_t", "first"), n_b=("__nb_t", "first"),
+                  d_num=("__gap", "max")))
+        n_a = m["n_a"].to_numpy(np.int64)
+        n_b = m["n_b"].to_numpy(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            d = m["d_num"].to_numpy(np.int64).astype(np.float64) / (
+                n_a * n_b).astype(np.float64)
+        m["ks_d"] = np.where((n_a > 0) & (n_b > 0), d, np.nan)
+        return m
+
+    return bucketed_group_apply(cnt, keys, body, num_buckets=num_buckets)
+
+
+def ks_test_oracle_sql(
+    table_sql: str,
+    keys: Sequence[str],
+    arm_expr: str,
+    value_expr: str,
+) -> str:
+    """DuckDB mirror of :func:`ks_test` via window cumsums — the gap
+    maximization is all-integer, the single division is the only float
+    op on both sides (bit parity)."""
+    keys = list(keys)
+    ksel = ", ".join(keys)
+    return f"""
+WITH __ks_t AS (SELECT {ksel}, {arm_expr} AS arm, {value_expr} AS v
+                FROM ({table_sql})),
+__ks_c AS (SELECT {ksel}, v,
+                  sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS na,
+                  sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nb
+           FROM __ks_t WHERE arm IN (0, 1) GROUP BY {ksel}, v),
+__ks_w AS (SELECT {ksel},
+                  sum(na) OVER (PARTITION BY {ksel} ORDER BY v) AS ca,
+                  sum(nb) OVER (PARTITION BY {ksel} ORDER BY v) AS cb,
+                  sum(na) OVER (PARTITION BY {ksel}) AS nat,
+                  sum(nb) OVER (PARTITION BY {ksel}) AS nbt
+           FROM __ks_c)
+SELECT {ksel},
+       CAST(max(nat) AS BIGINT) AS n_a,
+       CAST(max(nbt) AS BIGINT) AS n_b,
+       CAST(max(abs(ca * nbt - cb * nat)) AS BIGINT) AS d_num,
+       CASE WHEN max(nat) > 0 AND max(nbt) > 0 THEN
+         CAST(max(abs(ca * nbt - cb * nat)) AS DOUBLE)
+         / CAST(max(nat) * max(nbt) AS DOUBLE) END AS ks_d
+FROM __ks_w GROUP BY {ksel}
+"""
+
+
+def wilson_bounds(
+    ds: Dataset,
+    keys: Sequence[str],
+    label_col: str,
+    *,
+    z: float = 1.96,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Per-key positive-rate Wilson score interval — the standard
+    small-sample-safe way to RANK groups by a binary rate (host quality
+    pass-rate, classifier agreement rate): the lower bound penalizes
+    tiny samples, so a 2/2 host doesn't outrank a 980/1000 one.
+
+    ``label_col`` must be 0/1 integers.  The shuffled partials are the
+    exact integer ``(n, k)``; the interval is ONE frozen float
+    expression evaluated identically here and in
+    :func:`wilson_bounds_oracle_sql` (same operation order, round-6
+    convention; IEEE sqrt is correctly rounded so the mirror agrees)::
+
+        p      = k / n
+        lb, ub = ((p + z²/(2n)) ∓ z·sqrt((p(1−p) + z²/(4n))/n)) / (1 + z²/n)
+
+    Output per key: ``n``, ``k``, ``p_hat``, ``wilson_lb``,
+    ``wilson_ub``.
+    """
+    keys = list(keys)
+
+    agg = grouped_aggregate(
+        ds, keys, {"n": (label_col, "count"), "k": (label_col, "sum")},
+        num_buckets=num_buckets)
+
+    from pdf_extract_ray.util import round_half_away
+
+    z = float(z)
+    z2 = z * z
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(np.int64)
+        k = b["k"].to_numpy(np.int64)
+        p = k / n.astype(np.float64)
+        center = p + z2 / (2 * n)
+        rad = z * np.sqrt((p * (1 - p) + z2 / (4 * n)) / n)
+        denom = 1 + z2 / n
+        b["p_hat"] = p
+        b["wilson_lb"] = round_half_away((center - rad) / denom, 6)
+        b["wilson_ub"] = round_half_away((center + rad) / denom, 6)
+        return b
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def wilson_bounds_oracle_sql(
+    table_sql: str,
+    keys: Sequence[str],
+    label_expr: str,
+    *,
+    z: float = 1.96,
+) -> str:
+    """DuckDB mirror of :func:`wilson_bounds` — the z and z² literals
+    are the repr of the exact Python doubles, and the expression tree
+    matches the engine's operation order."""
+    keys = list(keys)
+    ksel = ", ".join(keys)
+    z = float(z)
+    zs, z2s = repr(z), repr(z * z)
+    return f"""
+WITH __wb_c AS (SELECT {ksel},
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum({label_expr}) AS BIGINT) AS k
+                FROM ({table_sql}) GROUP BY {ksel}),
+__wb_p AS (SELECT *, CAST(k AS DOUBLE) / n AS p FROM __wb_c)
+SELECT {ksel}, n, k, p AS p_hat,
+       round(((p + {z2s} / (2 * n))
+              - {zs} * sqrt((p * (1 - p) + {z2s} / (4 * n)) / n))
+             / (1 + {z2s} / n), 6) AS wilson_lb,
+       round(((p + {z2s} / (2 * n))
+              + {zs} * sqrt((p * (1 - p) + {z2s} / (4 * n)) / n))
+             / (1 + {z2s} / n), 6) AS wilson_ub
+FROM __wb_p
+"""

@@ -527,8 +527,12 @@ def count_triangles(
        wedges; its edges are all inbound after orientation);
     4. wedges: per oriented source, all ordered out-neighbor pairs
        (one bucketed self-merge);
-    5. one inner join of wedge pairs against oriented edges — every
-       match is a triangle, found exactly once.
+    5. one bucketed semi cogroup of wedge pairs against the (distinct)
+       oriented-edge keys — every match is a triangle, found exactly
+       once.  All stitches here are tag-union-bucket cogroups, never
+       ``Dataset.join`` (acero rejects a join side containing an empty
+       schema-less block — the repo's known trap, which this operator
+       drew flakily under full-suite contention).
 
     CONTRACT: node ids are int64 in ``[0, 2^31)`` (pairs pack into one
     int64 join key, the repo's composite-key shuffle idiom).  Output:
@@ -561,16 +565,49 @@ def count_triangles(
         e.map_batches(endpoints, batch_format="pandas"),
         ["node"], {"deg": ("node", "count")}, num_buckets=num_buckets)
 
-    deg_lo = deg.map_batches(
-        lambda b: b.rename(columns={"node": "__nlo", "deg": "__dlo"}),
-        batch_format="pandas").repartition(num_partitions)
-    deg_hi = deg.map_batches(
-        lambda b: b.rename(columns={"node": "__nhi", "deg": "__dhi"}),
-        batch_format="pandas").repartition(num_partitions)
-    j = e.join(deg_lo, join_type="inner", num_partitions=num_partitions,
-               on=("lo",), right_on=("__nlo",))
-    j = j.join(deg_hi, join_type="inner", num_partitions=num_partitions,
-               on=("hi",), right_on=("__nhi",))
+    # attach each endpoint's degree via the repo's tag-union-bucket
+    # cogroup (degree_assortativity's attach idiom) — NOT Dataset.join:
+    # acero rejects a join side containing an empty schema-less block
+    # (the repo's known Dataset.join trap; this exact operator drew that
+    # failure flakily under full-suite contention), and the cogroup
+    # machinery is immune.
+    def attach(edge_ds: Dataset, payload: list, end: str,
+               out: str) -> Dataset:
+        def e_rows(b: pd.DataFrame, _e=end) -> pd.DataFrame:
+            f = pd.DataFrame({c: b[c].to_numpy(np.int64)
+                              for c in payload})
+            f["key"] = b[_e].to_numpy(np.int64)
+            f["deg"] = np.int64(-1)
+            f["side"] = np.int8(0)
+            return f
+
+        def d_rows(b: pd.DataFrame) -> pd.DataFrame:
+            f = pd.DataFrame({c: np.full(len(b), -1, dtype=np.int64)
+                              for c in payload})
+            f["key"] = b["node"].to_numpy(np.int64)
+            f["deg"] = b["deg"].to_numpy(np.int64)
+            f["side"] = np.int8(1)
+            return f
+
+        def join(g: pd.DataFrame, _o=out) -> pd.DataFrame:
+            d = g[g["side"] == 1]
+            dmap = pd.Series(d["deg"].to_numpy(np.int64),
+                             index=d["key"].to_numpy(np.int64))
+            ed = g[g["side"] == 0]
+            f = pd.DataFrame({c: ed[c].to_numpy(np.int64)
+                              for c in payload})
+            f[_o] = dmap.reindex(ed["key"].to_numpy(np.int64)
+                                 ).to_numpy(np.int64)
+            return f
+
+        return bucketed_group_apply(
+            edge_ds.map_batches(e_rows, batch_format="pandas").union(
+                deg.map_batches(d_rows, batch_format="pandas")),
+            ["key"], join, num_buckets=num_buckets,
+            pre_batch_size=65536)
+
+    j = attach(attach(e, ["lo", "hi"], "lo", "__dlo"),
+               ["lo", "hi", "__dlo"], "hi", "__dhi")
 
     def orient(b: pd.DataFrame) -> pd.DataFrame:
         lo = b["lo"].to_numpy(np.int64)
@@ -599,24 +636,37 @@ def count_triangles(
             "__u": m["__src"].to_numpy(np.int64),
         })
 
-    # repartition before the join: bucketed_group_apply emits empty
-    # schema-less blocks for wedge-free buckets (star/hub sources) and
-    # acero rejects a join side whose schema it can't resolve (the
-    # repo's known Dataset.join trap)
     wedges = bucketed_group_apply(oriented, ["__src"], wedge_body,
                                   num_buckets=num_buckets,
-                                  pre_batch_size=65536
-                                  ).repartition(num_partitions)
+                                  pre_batch_size=65536)
 
-    okeys = oriented.map_batches(
-        lambda b: pd.DataFrame({
-            "__epair": (b["__src"].to_numpy(np.int64) << 32)
-            | b["__dst"].to_numpy(np.int64)}),
-        batch_format="pandas").repartition(num_partitions)
+    # wedge -> edge probe as a bucketed SEMI cogroup (oriented edges are
+    # DISTINCT, so semi == inner), not Dataset.join (the acero
+    # empty-schema-less-block trap; see the degree attach above)
+    def w_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "__pair": b["__pair"].to_numpy(np.int64),
+            "__u": b["__u"].to_numpy(np.int64),
+            "side": np.full(len(b), 0, dtype=np.int8)})
 
-    tri = wedges.join(okeys, join_type="inner",
-                      num_partitions=num_partitions,
-                      on=("__pair",), right_on=("__epair",))
+    def k_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "__pair": (b["__src"].to_numpy(np.int64) << 32)
+            | b["__dst"].to_numpy(np.int64),
+            "__u": np.full(len(b), -1, dtype=np.int64),
+            "side": np.full(len(b), 1, dtype=np.int8)})
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        closed = g.loc[g["side"] == 1, "__pair"].to_numpy(np.int64)
+        w = g[g["side"] == 0]
+        keep = np.isin(w["__pair"].to_numpy(np.int64), closed)
+        return w.loc[keep, ["__pair", "__u"]]
+
+    tri = bucketed_group_apply(
+        wedges.map_batches(w_rows, batch_format="pandas").union(
+            oriented.map_batches(k_rows, batch_format="pandas")),
+        ["__pair"], probe, num_buckets=num_buckets,
+        pre_batch_size=65536)
 
     def explode_nodes(b: pd.DataFrame) -> pd.DataFrame:
         p = b["__pair"].to_numpy(np.int64)

@@ -444,3 +444,110 @@ SELECT {part},
        CAST(min(c) AS BIGINT) AS n_vecs
 FROM __gc_d GROUP BY {part}
 """
+
+
+# --- Johnson–Lindenstrauss random sign projection ----------------------------
+
+_SIGN_CACHE: dict = {}
+
+
+def _jl_sign_matrix(d: int, k: int) -> np.ndarray:
+    """Deterministic ±1 sign matrix (d x k), entry (j, kk) 1-based from
+    the parity of the first hex digit of md5(f"{j}_{kk}") — the same
+    rule the SQL oracle evaluates with strpos('0123456789abcdef', ...).
+    Cached per worker process (built once per (d, k), ~d·k tiny md5s)."""
+    key = (int(d), int(k))
+    got = _SIGN_CACHE.get(key)
+    if got is None:
+        import hashlib
+
+        S = np.empty((d, k), dtype=np.int64)
+        for j in range(1, d + 1):
+            for kk in range(1, k + 1):
+                digit = hashlib.md5(f"{j}_{kk}".encode()).hexdigest()[0]
+                S[j - 1, kk - 1] = 1 if int(digit, 16) % 2 == 0 else -1
+        _SIGN_CACHE[key] = got = S
+    return got
+
+
+def random_project(
+    ds: Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    out_dim: int = 8,
+    scale: int = 1000,
+) -> Dataset:
+    """Johnson–Lindenstrauss random sign projection (Achlioptas 2003's
+    database-friendly ±1 variant): project each embedding onto
+    ``out_dim`` deterministic ±1 directions — the cheap
+    dimensionality-reduction front of LSH bucketing, sketched ANN and
+    drift fingerprints.
+
+    Exactness: vectors are floor-quantized to int64 (``floor(x·scale)``
+    after a float64 widen, the kmeans/centroid convention), the sign
+    matrix is ±1 int64 derived from md5 parity (frozen, shared with the
+    SQL mirror), so every projection is an EXACT integer dot product —
+    the output is bit-identical to :func:`random_project_oracle_sql`
+    with no rounding convention needed.
+
+    Scale shape: one narrow map, zero shuffles; the (d × out_dim) sign
+    matrix is rebuilt once per worker from the hash rule (cheaper than
+    broadcasting — it is pure code).  Output: tidy ``(id, k, proj)``
+    rows, k 1-based, BIGINT proj.
+    """
+    out_dim = int(out_dim)
+    scale = int(scale)
+    if out_dim < 1:
+        raise ValueError("out_dim must be >= 1")
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({id_col: [], "k": [], "proj": []})
+        X = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        Xq = np.floor(X * scale).astype(np.int64)
+        S = _jl_sign_matrix(X.shape[1], out_dim)
+        P = Xq @ S
+        n = len(b)
+        return pd.DataFrame({
+            id_col: np.repeat(b[id_col].to_numpy(np.int64), out_dim),
+            "k": np.tile(np.arange(1, out_dim + 1, dtype=np.int64), n),
+            "proj": P.ravel(),
+        })
+
+    return ds.map_batches(project, batch_format="pandas")
+
+
+def random_project_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    out_dim: int = 8,
+    scale: int = 1000,
+) -> str:
+    """DuckDB mirror of :func:`random_project`: unnest to (id, j, x),
+    floor-quantize after an explicit DOUBLE widen, join the same
+    md5-parity sign table, integer dot product — exact BIGINT parity."""
+    return f"""
+WITH __rp_w AS (
+  SELECT {id_col} AS id,
+         unnest(range(1, len({vec_col}) + 1)) AS j,
+         CAST(floor(CAST(unnest({vec_col}) AS DOUBLE) * {int(scale)})
+              AS BIGINT) AS xq
+  FROM {table}
+),
+__rp_s AS (
+  SELECT d.j, k.k,
+         CASE WHEN (strpos('0123456789abcdef',
+                           substr(md5(d.j || '_' || k.k), 1, 1)) - 1)
+                   % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM (SELECT DISTINCT j FROM __rp_w) d,
+       (SELECT unnest(range(1, {int(out_dim)} + 1)) AS k) k
+)
+SELECT w.id AS {id_col}, CAST(s.k AS BIGINT) AS k,
+       CAST(sum(w.xq * s.sgn) AS BIGINT) AS proj
+FROM __rp_w w JOIN __rp_s s ON s.j = w.j
+GROUP BY w.id, s.k
+"""

@@ -348,3 +348,146 @@ def test_k_anonymity_audit(ray_session, blocks):
     pd.testing.assert_frame_equal(got, want_sql, check_dtype=False)
     with pytest.raises(ValueError):
         k_anonymity_audit(rd.from_pandas(df), ["zip"], k=1)
+
+
+# --- chi-squared contingency terms -------------------------------------------
+
+@pytest.mark.parametrize("blocks", [1, 6])
+def test_chisq_terms_matches_reference_and_sql(ray_session, blocks):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.experiment import chisq_terms, chisq_terms_oracle_sql
+
+    rng = np.random.default_rng(13)
+    n = 500
+    df = pd.DataFrame({
+        "key": rng.choice(["a", "b"], n),
+        "arm": rng.integers(0, 2, n).astype(np.int64),
+        # arm-dependent category mix in group a (real dependence)
+        "cat": rng.integers(0, 3, n).astype(np.int64),
+    })
+    df.loc[(df["key"] == "a") & (df["arm"] == 1), "cat"] = rng.integers(
+        0, 2, int(((df["key"] == "a") & (df["arm"] == 1)).sum()))
+    got = (chisq_terms(rd.from_pandas(df).repartition(blocks),
+                       ["key"], "arm", "cat")
+           .to_pandas().sort_values(["key", "arm", "cat"])
+           .reset_index(drop=True))
+    # plain contingency reference per cell
+    for _, r in got.iterrows():
+        sub = df[df["key"] == r["key"]]
+        o = int(((sub["arm"] == r["arm"]) & (sub["cat"] == r["cat"])).sum())
+        na = int((sub["arm"] == r["arm"]).sum())
+        nc = int((sub["cat"] == r["cat"]).sum())
+        nk = len(sub)
+        e = na * nc / nk
+        assert r["n"] == o and r["n_arm"] == na
+        assert r["n_cat"] == nc and r["n_key"] == nk
+        assert abs(r["chisq_term"] - (o - e) ** 2 / e) < 1e-6
+    # the sum of terms over a 2x2 recovers scipy-style chi2 (no correction)
+    sub = df[df["key"] == "b"]
+    terms = got[got["key"] == "b"]
+    obs = sub.groupby(["arm", "cat"]).size()
+    full = sum(((int(obs.get((a, c), 0))
+                 - (sub["arm"] == a).sum() * (sub["cat"] == c).sum() / len(sub)) ** 2)
+               / ((sub["arm"] == a).sum() * (sub["cat"] == c).sum() / len(sub))
+               for a in sub["arm"].unique() for c in sub["cat"].unique())
+    assert abs(terms["chisq_term"].sum() - full) < 1e-4  # observed cells only
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(chisq_terms_oracle_sql("SELECT * FROM t", ["key"],
+                                           "arm", "cat"))
+            .df().sort_values(["key", "arm", "cat"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False)
+
+
+# --- two-sample KS -----------------------------------------------------------
+
+@pytest.mark.parametrize("blocks", [1, 7])
+def test_ks_test_matches_reference_and_sql(ray_session, blocks):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.experiment import ks_test, ks_test_oracle_sql
+
+    rng = np.random.default_rng(17)
+    n = 600
+    df = pd.DataFrame({
+        "key": rng.choice(["a", "b"], n),
+        "arm": rng.integers(0, 2, n).astype(np.int64),
+        "v": rng.integers(0, 30, n).astype(np.float64),
+    })
+    # shift arm 1 of group a so it has a real KS gap
+    df.loc[(df["key"] == "a") & (df["arm"] == 1), "v"] += 8
+    # one single-arm group -> NULL ks_d
+    df = pd.concat([df, pd.DataFrame(
+        {"key": ["z"] * 3, "arm": [0, 0, 0], "v": [1.0, 2.0, 3.0]})],
+        ignore_index=True)
+    got = (ks_test(rd.from_pandas(df).repartition(blocks), ["key"],
+                   "arm", "v")
+           .to_pandas().sort_values("key").reset_index(drop=True))
+    # plain two-pointer reference over the empirical CDFs
+    for _, r in got[got["key"] != "z"].iterrows():
+        sub = df[df["key"] == r["key"]]
+        a = np.sort(sub.loc[sub["arm"] == 0, "v"].to_numpy())
+        b = np.sort(sub.loc[sub["arm"] == 1, "v"].to_numpy())
+        grid = np.unique(np.concatenate([a, b]))
+        ca = np.searchsorted(a, grid, side="right") / len(a)
+        cb = np.searchsorted(b, grid, side="right") / len(b)
+        assert abs(r["ks_d"] - np.abs(ca - cb).max()) < 1e-12
+        assert r["n_a"] == len(a) and r["n_b"] == len(b)
+    assert pd.isna(got.loc[got["key"] == "z", "ks_d"]).all()
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(ks_test_oracle_sql(
+        "SELECT * FROM t", ["key"], "arm", "CAST(floor(v) AS BIGINT)"))
+        .df().sort_values("key").reset_index(drop=True))
+    gv, wv = got["ks_d"].to_numpy(), want["ks_d"].to_numpy()
+    assert (np.isnan(gv) == np.isnan(wv)).all()
+    # all-integer gap numerator + one division: bit parity
+    assert (gv[~np.isnan(gv)] == wv[~np.isnan(wv)]).all()
+    assert (got["d_num"].to_numpy() == want["d_num"].to_numpy()).all()
+
+
+# --- Wilson bounds -----------------------------------------------------------
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_wilson_bounds_reference_and_sql(ray_session, blocks):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.experiment import (
+        wilson_bounds, wilson_bounds_oracle_sql)
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({
+        "key": rng.choice(["big", "small"], 300, p=[0.97, 0.03]),
+        "y": rng.integers(0, 2, 300).astype(np.int64),
+    })
+    # tiny all-positive group: p_hat 1.0 but the lower bound must back off
+    df = pd.concat([df, pd.DataFrame({"key": ["tiny"] * 2, "y": [1, 1]})],
+                   ignore_index=True)
+    got = (wilson_bounds(rd.from_pandas(df).repartition(blocks), ["key"], "y")
+           .to_pandas().sort_values("key").reset_index(drop=True))
+    z = 1.96
+    for _, r in got.iterrows():
+        sub = df[df["key"] == r["key"]]
+        n, k = len(sub), int(sub["y"].sum())
+        p = k / n
+        lb = ((p + z * z / (2 * n))
+              - z * math.sqrt((p * (1 - p) + z * z / (4 * n)) / n)) / (
+            1 + z * z / n)
+        assert r["n"] == n and r["k"] == k
+        assert abs(r["wilson_lb"] - lb) < 1e-6
+        assert r["wilson_lb"] <= r["p_hat"] <= r["wilson_ub"]
+    tiny = got[got["key"] == "tiny"].iloc[0]
+    assert tiny["p_hat"] == 1.0 and tiny["wilson_lb"] < 0.4  # n=2 backs off hard
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(wilson_bounds_oracle_sql("SELECT * FROM t", ["key"], "y"))
+            .df().sort_values("key").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False)
