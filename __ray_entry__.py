@@ -5117,9 +5117,109 @@ def _random_projection_oracle() -> str:
     return random_project_oracle_sql(out_dim=8, scale=1000)
 
 
+def q_benford_price_digits(sf_dir: str):
+    # Benford leading-digit audit (contract.benford_digit_stats): the
+    # fabricated-numbers screen over lineitem prices per return flag —
+    # one narrow derive + grouped count (<= 9 digit rows per group) +
+    # bucketed total attach; round-6 absorbs log10 ulps.
+    from pdf_extract_ray.stages.contract import benford_digit_stats
+
+    ds = _t(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    return benford_digit_stats(ds, ["l_returnflag"], "l_extendedprice")
+
+
+def _benford_price_digits_oracle() -> str:
+    from pdf_extract_ray.stages.contract import benford_digit_stats_oracle_sql
+
+    return benford_digit_stats_oracle_sql(
+        "SELECT l_returnflag, l_extendedprice FROM lineitem",
+        ["l_returnflag"], "l_extendedprice")
+
+
+def q_soundex_word_blocks(sf_dir: str):
+    # phonetic blocking keys (functions/text.soundex_batch): Soundex of
+    # every distinct corpus word — the name/entity-dedup candidate key.
+    # Narrow [a-z]+ explode -> grouped count (vocabulary-bounded) ->
+    # zero-shuffle soundex map (compiled C-regex chains); the frozen
+    # simplified-American rule is mirrored by a lag-window SQL collapse
+    # (RE2 has no backreferences).
+    import re as _re
+
+    from pdf_extract_ray.functions.text import soundex_batch
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    word_re = _re.compile(r"[a-z]+")
+    ds = _t(sf_dir, "documents", columns=["text"])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        words: list = []
+        for t in b["text"].fillna(""):
+            words.extend(word_re.findall(t.lower()))
+        return pd.DataFrame({"word": pd.array(words, dtype="string")})
+
+    cnt = grouped_aggregate(
+        ds.map_batches(explode, batch_format="pandas"),
+        ["word"], {"n": ("word", "count")})
+
+    def code(b: pd.DataFrame) -> pd.DataFrame:
+        b["soundex"] = soundex_batch(b["word"]).astype(object)
+        return b
+
+    return cnt.map_batches(code, batch_format="pandas")
+
+
+def _soundex_word_blocks_oracle() -> str:
+    from pdf_extract_ray.functions.text import soundex_oracle_sql
+
+    return soundex_oracle_sql(
+        "SELECT word, count(*) AS n FROM ("
+        "SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), "
+        "'[a-z]+')) AS word FROM documents) GROUP BY word",
+        "word", ("n",))
+
+
+def q_porter_stems(sf_dir: str):
+    # Porter stemming over the DISTINCT vocabulary
+    # (functions/stemmer.porter_stem, the published 1980 rule set):
+    # the vocabulary-folding pass that shrinks TF-IDF/BM25 term tables
+    # 20-40%.  Scale shape: the per-word kernel never sees the raw
+    # token stream — the grouped count bounds the stem map by word-form
+    # diversity, not corpus size.  Oracle = committed single-process
+    # golden (plain Counter + per-word loop over the same frozen
+    # kernel, tools/gen_goldens.gen_porter), the markdown_docs
+    # convention: Porter is not expressible in SQL.
+    import re as _re
+
+    from pdf_extract_ray.functions.stemmer import stem_words_batch
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    word_re = _re.compile(r"[a-z]+")
+    ds = _t(sf_dir, "documents", columns=["text"])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        words: list = []
+        for t in b["text"].fillna(""):
+            words.extend(word_re.findall(t.lower()))
+        return pd.DataFrame({"word": pd.array(words, dtype="string")})
+
+    cnt = grouped_aggregate(
+        ds.map_batches(explode, batch_format="pandas"),
+        ["word"], {"n": ("word", "count")})
+
+    def stem(b: pd.DataFrame) -> pd.DataFrame:
+        b["stem"] = pd.array(stem_words_batch(b["word"].tolist()),
+                             dtype="string")
+        return b
+
+    return cnt.map_batches(stem, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_counts": q_corpus_counts,
+        "benford_price_digits": q_benford_price_digits,
+        "soundex_word_blocks": q_soundex_word_blocks,
+        "porter_stems": q_porter_stems,
         "chisq_events": q_chisq_events,
         "ks_test_events": q_ks_test_events,
         "wilson_event_rates": q_wilson_event_rates,
@@ -6571,6 +6671,8 @@ def _source_mixed_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "corpus_counts": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        "benford_price_digits": _benford_price_digits_oracle(),
+        "soundex_word_blocks": _soundex_word_blocks_oracle(),
         "chisq_events": _chisq_events_oracle(),
         "ks_test_events": _ks_test_events_oracle(),
         "wilson_event_rates": _wilson_event_rates_oracle(),
@@ -7055,7 +7157,7 @@ def oracle_sql() -> dict[str, str]:
                         "kmeans_embeddings", "k_core_docs",
                         "host_mirror_docs",
                         "dsir_weights_docs", "markdown_docs",
-                        "grouped_distinct_users")},
+                        "grouped_distinct_users", "porter_stems")},
         "pii_redacted_docs": _pii_oracle(),
         "c4_clean_docs": _c4_oracle(),
         "bm25_docs": _bm25_oracle(),

@@ -234,7 +234,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "degree_assortativity_graph", "cusum_events",
                      "band_join_events_orders", "window_distinct_users",
                      "rendezvous_hosts", "content_type_docs",
-                     "weighted_median_events"):
+                     "weighted_median_events",
+                     # fourth-continuation ops: distribution tests / JL
+                     "chisq_events", "ks_test_events",
+                     "wilson_event_rates",
+                     "random_projection_embeddings"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

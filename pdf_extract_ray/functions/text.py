@@ -128,3 +128,87 @@ def remove_numbering(text: str, patterns: tuple[str, ...] = ()) -> str:
 
 
 _NUMBERING_CACHE: dict = {}
+
+
+# --- Soundex (frozen simplified American variant) -----------------------------
+
+_SOUNDEX_CLASSES = (
+    ("[bfpv]", "1"), ("[cgjkqsxz]", "2"), ("[dt]", "3"), ("l", "4"),
+    ("[mn]", "5"), ("r", "6"), ("[aeiouyhw]", "0"),
+)
+
+
+def soundex_batch(words: "pd.Series") -> "pd.Series":
+    """Vectorized Soundex codes for a Series of LOWERCASE ``[a-z]+``
+    words — the phonetic-blocking key for entity/name dedup (records
+    whose names sound alike land in one candidate block).
+
+    Frozen simplified American Soundex (this repo's rule, mirrored in
+    the SQL oracle builder): every letter maps to its digit class
+    (vowels + h/w/y to 0), ADJACENT equal digits collapse (h/w are NOT
+    transparent — the classic transparency subtlety is deliberately
+    out of the frozen subset), the first letter survives as itself
+    (uppercased), zeros drop from the tail, pad/truncate to 4 chars.
+    Empty strings map to NULL (pd.NA); callers feed ``[a-z]+`` tokens
+    so no cleaning pass is needed.
+
+    All ops are C-level pandas str kernels (compiled regex chains) —
+    no Python loop."""
+    import pandas as pd
+
+    w = words.astype("string")
+    nonempty = w.str.len() > 0
+    code = w
+    for pat, rep in _SOUNDEX_CLASSES:
+        code = code.str.replace(pat, rep, regex=True)
+    code = code.str.replace(r"(.)\1+", r"\1", regex=True)
+    tail = code.str[1:].str.replace("0", "", regex=False)
+    out = (w.str[0].str.upper() + (tail + "000").str[:3])
+    return out.where(nonempty, pd.NA)
+
+
+def soundex_oracle_expr(word_expr: str) -> str:
+    """DuckDB expression mirroring :func:`soundex_batch` for a
+    lowercase ``[a-z]+`` word column — the digit-class chain as nested
+    regexp_replace; run-collapse via the caller's lag-window idiom is
+    NOT needed because this builder returns the PRE-collapse code
+    string; see :func:`soundex_oracle_sql` for the full mirror."""
+    e = word_expr
+    for pat, rep in _SOUNDEX_CLASSES:
+        e = f"regexp_replace({e}, '{pat}', '{rep}', 'g')"
+    return e
+
+
+def soundex_oracle_sql(table_sql: str, word_col: str = "word",
+                       payload_cols: tuple = ()) -> str:
+    """Full DuckDB mirror of :func:`soundex_batch` over a table of
+    lowercase words: digit-class regexp chain, adjacent-run collapse
+    via a lag window over the exploded characters (RE2 has no
+    backreferences), zero-drop + pad to 4.  ``payload_cols`` ride
+    along (max-aggregated per word; callers pass per-word metrics).
+    Empty/NULL words yield NULL soundex."""
+    pay_sel = "".join(f", {c}" for c in payload_cols)
+    pay_max = "".join(f", max({c}) AS {c}" for c in payload_cols)
+    code = soundex_oracle_expr(word_col)
+    return f"""
+WITH __sx_t AS (SELECT {word_col}{pay_sel} FROM ({table_sql})),
+__sx_c AS (SELECT {word_col}{pay_sel}, {code} AS code FROM __sx_t),
+__sx_e AS (SELECT {word_col}{pay_sel},
+                  unnest(string_split(code, '')) AS ch,
+                  generate_subscripts(string_split(code, ''), 1) AS i
+           FROM __sx_c),
+__sx_l AS (SELECT *, lag(ch) OVER (PARTITION BY {word_col} ORDER BY i)
+                     AS prev
+           FROM __sx_e),
+__sx_g AS (SELECT {word_col}{pay_max},
+                  string_agg(ch, '' ORDER BY i)
+                    FILTER (WHERE prev IS NULL OR ch <> prev)
+                    AS collapsed
+           FROM __sx_l GROUP BY {word_col})
+SELECT {word_col}{pay_sel},
+       CASE WHEN {word_col} IS NULL OR length({word_col}) = 0 THEN NULL
+            ELSE upper(substr({word_col}, 1, 1))
+                 || substr(replace(substr(collapsed, 2), '0', '')
+                           || '000', 1, 3) END AS soundex
+FROM __sx_g
+"""

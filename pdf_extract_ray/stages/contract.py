@@ -205,3 +205,91 @@ def analyze_columns_oracle_sql(table_sql: str, cols) -> str:
         for c in cols
     ]
     return " UNION ALL ".join(parts)
+
+
+def benford_digit_stats(
+    ds: Dataset,
+    keys,
+    value_col: str,
+    *,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Per-group Benford's-law leading-digit audit — the classic
+    fabricated-numbers / scraping-corruption screen for a numeric
+    column: naturally-occurring magnitudes follow
+    ``P(d) = log10(1 + 1/d)``, while templated or synthesized values
+    don't.
+
+    Frozen rule: ``v = floor(value)`` as int64; rows with ``v < 1`` are
+    DROPPED (no leading digit); the digit is the first character of the
+    decimal representation.  Per ``(keys..., digit)``: the exact
+    integer count ``n``, the group total ``n_group``, the observed
+    frequency ``p_obs = n/n_group`` (one division), the Benford
+    expectation ``benford_p = round(log10(1+1/d), 6)`` and
+    ``dev_term = round(n/n_group − log10(1+1/d), 6)`` (round-6 absorbs
+    libm log ulps, the repo's convention).
+
+    Scale shape: narrow derive map -> ONE grouped integer count with
+    map-side partials (≤ 9 digit rows per group) -> one bucketed
+    regroup to attach the group totals."""
+    from pdf_extract_ray.stages.agg import (
+        bucketed_group_apply, grouped_aggregate)
+    from pdf_extract_ray.util import round_half_away
+
+    keys = list(keys)
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.floor(b[value_col].to_numpy(np.float64)).astype(np.int64)
+        keep = v >= 1
+        out = b.loc[keep, keys].copy()
+        out["digit"] = (pd.Series(v[keep]).astype(str).str[0]
+                        .astype(np.int64).to_numpy())
+        return out
+
+    cnt = grouped_aggregate(
+        ds.map_batches(derive, batch_format="pandas"),
+        keys + ["digit"], {"n": ("digit", "count")},
+        num_buckets=num_buckets)
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy()
+        tot = g.groupby(keys)["n"].transform("sum").to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        d = g["digit"].to_numpy(np.int64)
+        p = n / tot.astype(np.float64)
+        bp = np.log10(1.0 + 1.0 / d)
+        out["n_group"] = tot
+        out["p_obs"] = p
+        out["benford_p"] = round_half_away(bp, 6)
+        out["dev_term"] = round_half_away(p - bp, 6)
+        return out
+
+    return bucketed_group_apply(cnt, keys, attach, num_buckets=num_buckets)
+
+
+def benford_digit_stats_oracle_sql(
+    table_sql: str,
+    keys,
+    value_expr: str,
+) -> str:
+    """DuckDB mirror of :func:`benford_digit_stats` (same frozen
+    floor/first-char rule; round-6 absorbs log10 ulps)."""
+    keys = list(keys)
+    ksel = ", ".join(keys)
+    return f"""
+WITH __bf_t AS (SELECT {ksel},
+                       CAST(floor({value_expr}) AS BIGINT) AS v
+                FROM ({table_sql})),
+__bf_d AS (SELECT {ksel},
+                  CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           FROM __bf_t WHERE v >= 1),
+__bf_c AS (SELECT {ksel}, digit, count(*) AS n
+           FROM __bf_d GROUP BY {ksel}, digit)
+SELECT {ksel}, digit, CAST(n AS BIGINT) AS n,
+       CAST(sum(n) OVER (PARTITION BY {ksel}) AS BIGINT) AS n_group,
+       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY {ksel}) AS p_obs,
+       round(log10(1 + 1.0 / digit), 6) AS benford_p,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY {ksel})
+             - log10(1 + 1.0 / digit), 6) AS dev_term
+FROM __bf_c
+"""

@@ -28,7 +28,7 @@ GOLDEN_QUERIES = (
     "nb_quality_docs", "bloom_url_probe", "nb_topic_docs",
     "image_near_dup", "semdedup_embeddings", "dsir_weights_docs",
     "kmeans_embeddings", "k_core_docs", "host_mirror_docs",
-    "markdown_docs", "grouped_distinct_users",
+    "markdown_docs", "grouped_distinct_users", "porter_stems",
 )
 
 

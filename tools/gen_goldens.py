@@ -900,6 +900,28 @@ def gen_markdown(sf_dir: str) -> dict[str, pa.Table]:
     })}
 
 
+def gen_porter(sf_dir: str) -> dict[str, pa.Table]:
+    # plain single-process vocabulary stem: Counter over a regex
+    # findall loop + per-word porter_stem — the independent reference
+    # for the distributed grouped-count + stem-map plan
+    import re
+    from collections import Counter
+
+    from pdf_extract_ray.functions.stemmer import porter_stem
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    c: Counter = Counter()
+    for t in docs["text"].fillna(""):
+        c.update(re.findall(r"[a-z]+", t.lower()))
+    words = sorted(c)
+    return {"porter_stems": pa.table({
+        "word": pa.array(words, pa.string()),
+        "n": pa.array([c[w] for w in words], pa.int64()),
+        "stem": pa.array([porter_stem(w) for w in words], pa.string()),
+    })}
+
+
 def gen_grouped_distinct(sf_dir: str) -> dict[str, pa.Table]:
     # single-process per-group HLL over the full column; register
     # max-merge is associative + deterministic, so the distributed
@@ -1067,7 +1089,7 @@ GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_substr_dedup, gen_pagerank, gen_trustrank, gen_hits,
               gen_cms,
               gen_nb_quality, gen_bloom, gen_nb_topic, gen_image_dup,
-              gen_semdedup, gen_dsir, gen_markdown,
+              gen_semdedup, gen_dsir, gen_markdown, gen_porter,
               gen_grouped_distinct, gen_kmeans, gen_kcore,
               gen_host_mirror)
 
