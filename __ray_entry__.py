@@ -3072,6 +3072,36 @@ def q_doc_line_dedup_docs(sf_dir: str):
         text_col="page_text")
 
 
+def q_host_boilerplate_docs(sf_dir: str):
+    # HOST-scoped boilerplate line removal (boilerplate.dedup_lines
+    # with group_col — the CCNet-family site-chrome rule): a nav line
+    # repeated across ONE site's pages is chrome and is stripped; the
+    # same words appearing on an unrelated host are content and stay.
+    # Frequency key = (canonical url_host, stripped line); same
+    # ids+positions-only bucketed plan as corpus-wide dedup_lines —
+    # bodies never shuffle.
+    from pdf_extract_ray.functions.url import canonicalize_urls
+    from pdf_extract_ray.stages.boilerplate import dedup_lines
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pages(b: pd.DataFrame) -> pd.DataFrame:
+        b = _with_url(b)
+        host = canonicalize_urls(b["url"])["url_host"].fillna("")
+        body = (b["text"].fillna("").astype(str)
+                .str.replace(" a ", "\n", regex=False))
+        txt = ("NAV " + host.to_numpy() + "\n" + body.to_numpy()
+               + "\npromo " + (b["doc_id"] % 211).astype(str).to_numpy())
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                             "url_host": host.to_numpy(),
+                             "page_text": txt})
+
+    return dedup_lines(
+        ds.map_batches(pages, batch_format="pandas"),
+        text_col="page_text", key="text", min_count=3,
+        group_col="url_host")
+
+
 def q_host_template_stats(sf_dir: str):
     # per-host template/spam cue (links.host_template_stats): distinct
     # content fingerprints per host over (host, fp) pairs only — 32-byte
@@ -5408,6 +5438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_buckets_lang": q_perplexity_lang,
         "line_dedup_docs": q_line_dedup_docs,
         "para_dedup_docs": q_para_dedup_docs,
+        "host_boilerplate_docs": q_host_boilerplate_docs,
         "doc_line_dedup_docs": q_doc_line_dedup_docs,
         "keep_best_copy_docs": q_keep_best_copy_docs,
         "host_template_stats": q_host_template_stats,
@@ -5746,6 +5777,24 @@ def _line_dedup_oracle() -> str:
     return dedup_lines_oracle_sql(
         f"(SELECT doc_id, {_LINES_SYNTH_SQL} FROM documents)",
         text_col="page_text")
+
+
+def _host_boilerplate_oracle() -> str:
+    from pdf_extract_ray.functions.url import canonicalize_oracle_sql
+    from pdf_extract_ray.stages.boilerplate import dedup_lines_oracle_sql
+
+    src = f"SELECT doc_id, {_URL_SYNTH_SQL} FROM documents"
+    can = canonicalize_oracle_sql(src)
+    pages = (
+        f"SELECT d.doc_id, coalesce(c.url_host, '') AS url_host, "
+        f"'NAV ' || coalesce(c.url_host, '') || chr(10) "
+        f"|| replace(coalesce(d.text, ''), ' a ', chr(10)) "
+        f"|| chr(10) || 'promo ' || CAST(d.doc_id % 211 AS VARCHAR) "
+        f"AS page_text "
+        f"FROM documents d JOIN ({can}) c USING (doc_id)")
+    return dedup_lines_oracle_sql(
+        f"({pages})", text_col="page_text", min_count=3,
+        group_col="url_host")
 
 
 def _para_dedup_oracle() -> str:
@@ -7184,6 +7233,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_buckets_lang": _perplexity_lang_oracle(),
         "line_dedup_docs": _line_dedup_oracle(),
         "para_dedup_docs": _para_dedup_oracle(),
+        "host_boilerplate_docs": _host_boilerplate_oracle(),
         "doc_line_dedup_docs": _doc_line_dedup_oracle(),
         "keep_best_copy_docs": _keep_best_copy_oracle(),
         "host_template_stats": _host_template_oracle(),

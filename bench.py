@@ -238,7 +238,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      # fourth-continuation ops: distribution tests / JL
                      "chisq_events", "ks_test_events",
                      "wilson_event_rates",
-                     "random_projection_embeddings"):
+                     "random_projection_embeddings",
+                     # fifth-continuation ops
+                     "host_boilerplate_docs"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

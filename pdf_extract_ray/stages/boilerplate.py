@@ -66,22 +66,36 @@ def dup_line_positions(
     min_count: int = 2,
     num_buckets: int | None = None,
     sep: str = "\n",
+    group_col: str | None = None,
 ) -> Dataset:
     """(id, pos) of every segment (line by default, paragraph with
     sep="\n\n") whose stripped form occurs at least ``min_count``
-    times corpus-wide."""
+    times corpus-wide — or, with ``group_col`` (e.g. the canonical
+    url host), at least ``min_count`` times WITHIN that group: the
+    host-scoped boilerplate rule of CCNet-family cleaners, where a
+    nav line repeated across one site is chrome but the same words
+    on an unrelated site are content."""
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         rows = _line_rows(batch[text_col].tolist(), key, sep)
-        rows[id_col] = batch[id_col].to_numpy()[rows["__doc"].to_numpy()]
-        return rows[["g", id_col, "pos"]]
+        idx = rows["__doc"].to_numpy()
+        rows[id_col] = batch[id_col].to_numpy()[idx]
+        cols = ["g", id_col, "pos"]
+        if group_col is not None:
+            rows[group_col] = batch[group_col].to_numpy()[idx]
+            cols.append(group_col)
+        return rows[cols]
 
     rows = ds.map_batches(explode, batch_format="pandas")
+    freq_keys = ["g"] if group_col is None else [group_col, "g"]
 
     def dups(bucket: pd.DataFrame) -> pd.DataFrame:
-        sizes = bucket.groupby("g", sort=False)["g"].transform("size")
+        sizes = bucket.groupby(freq_keys, sort=False)["g"].transform("size")
         return bucket.loc[sizes >= min_count, [id_col, "pos"]]
 
+    # Bucketing by the segment key alone already co-locates every
+    # (group, key) pair for that key, so the group-scoped count is
+    # complete inside one bucket.
     return bucketed_group_apply(rows, ["g"], dups, num_buckets=num_buckets,
                                 pre_batch_size=65536)
 
@@ -95,13 +109,17 @@ def dedup_lines(
     min_count: int = 2,
     num_buckets: int | None = None,
     sep: str = "\n",
+    group_col: str | None = None,
 ) -> Dataset:
     """Remove corpus-wide duplicated segments (lines by default,
     paragraphs with sep="\n\n") from every document:
-    ``(id, cleaned_text, n_lines, n_removed_lines)``."""
+    ``(id, cleaned_text, n_lines, n_removed_lines)``.  With
+    ``group_col``, duplication is counted within the group (the
+    host-scoped boilerplate rule)."""
     pos = dup_line_positions(
         ds, id_col=id_col, text_col=text_col, key=key,
-        min_count=min_count, num_buckets=num_buckets, sep=sep)
+        min_count=min_count, num_buckets=num_buckets, sep=sep,
+        group_col=group_col)
 
     def tag_docs(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -142,27 +160,32 @@ def dedup_lines_oracle_sql(
     text_col: str = "text",
     min_count: int = 2,
     sep_sql: str = "chr(10)",
+    group_col: str | None = None,
 ) -> str:
     """DuckDB SQL equal to :func:`dedup_lines` with ``key="text"``
-    (``sep_sql="chr(10) || chr(10)"`` mirrors the paragraph mode)."""
+    (``sep_sql="chr(10) || chr(10)"`` mirrors the paragraph mode;
+    ``group_col`` mirrors the group-scoped frequency rule — the
+    source ``table`` must expose that column)."""
     ws = PY_WS.replace("'", "''")
+    gsel = f", {group_col}" if group_col else ""
+    gkeys = f"{group_col}, key" if group_col else "key"
     return f"""
 WITH s AS (
-  SELECT {id_col},
+  SELECT {id_col}{gsel},
          string_split(coalesce({text_col}, ''), {sep_sql}) AS ls
   FROM {table}
 ), p AS (
-  SELECT {id_col}, unnest(ls) AS line,
+  SELECT {id_col}{gsel}, unnest(ls) AS line,
          unnest(range(1, len(ls) + 1)) AS pos
   FROM s
 ), t AS (
-  SELECT {id_col}, pos, line, trim(line, '{ws}') AS key FROM p
+  SELECT {id_col}{gsel}, pos, line, trim(line, '{ws}') AS key FROM p
 ), d AS (
-  SELECT key FROM t WHERE key <> ''
-  GROUP BY key HAVING count(*) >= {min_count}
+  SELECT {gkeys} FROM t WHERE key <> ''
+  GROUP BY {gkeys} HAVING count(*) >= {min_count}
 ), kept AS (
   SELECT t.{id_col}, t.pos, t.line
-  FROM t LEFT JOIN d USING (key) WHERE d.key IS NULL
+  FROM t LEFT JOIN d USING ({gkeys}) WHERE d.key IS NULL
 ), agg AS (
   SELECT {id_col},
          string_agg(line, {sep_sql} ORDER BY pos) AS cleaned_text,

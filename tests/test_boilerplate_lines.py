@@ -133,3 +133,52 @@ def test_strip_common_prefix_roundtrip(ray_session):
     assert "one" in texts and "two" in texts
     # host b: lcp is empty (null row) -> rows pass through unchanged
     assert "nav» x" in texts
+
+
+HOST_DOCS = pd.DataFrame({
+    "doc_id": [0, 1, 2, 3, 4, 5],
+    "url_host": ["a.com", "a.com", "a.com", "b.org", "b.org", "b.org"],
+    "text": [
+        "SITE NAV\nalpha body",
+        "SITE NAV\nbeta body",
+        "SITE NAV\ngamma body",
+        "SITE NAV\ndelta body",    # same words on b.org: only 1 hit there
+        "other menu\nepsilon body",
+        "other menu\nzeta body",
+    ],
+})
+
+
+@pytest.mark.parametrize("key", ["text", "hash"])
+def test_host_scoped_dedup_lines(ray_session, key):
+    # host-scoped rule: "SITE NAV" is chrome on a.com (3 hits >= 3) but
+    # content on b.org (1 hit); corpus-wide it would vanish everywhere.
+    got = (dedup_lines(rd.from_pandas(HOST_DOCS).repartition(3), key=key,
+                       min_count=3, group_col="url_host")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["cleaned_text"].tolist() == [
+        "alpha body", "beta body", "gamma body",
+        "SITE NAV\ndelta body",
+        "other menu\nepsilon body", "other menu\nzeta body",
+    ]
+    assert got["n_removed_lines"].tolist() == [1, 1, 1, 0, 0, 0]
+    # corpus-wide at the same threshold strips a.com AND b.org's copy
+    corpus = (dedup_lines(rd.from_pandas(HOST_DOCS), key=key, min_count=3)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert corpus.loc[3, "cleaned_text"] == "delta body"
+
+
+def test_host_scoped_oracle_parity(ray_session, tmp_path):
+    import duckdb
+
+    from pdf_extract_ray.stages.boilerplate import dedup_lines_oracle_sql
+
+    got = (dedup_lines(rd.from_pandas(HOST_DOCS), key="text", min_count=3,
+                       group_col="url_host")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("pages", HOST_DOCS)
+    want = con.execute(dedup_lines_oracle_sql(
+        "pages", min_count=3, group_col="url_host")).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
