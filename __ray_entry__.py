@@ -3102,6 +3102,31 @@ def q_host_boilerplate_docs(sf_dir: str):
         group_col="url_host")
 
 
+def q_crawl_line_diff(sf_dir: str):
+    # line-level recrawl diff (crawldiff.line_diff): per-url counts of
+    # lines added / removed / unchanged between two crawl snapshots,
+    # multiset semantics.  Map-side (url, line, n) count partials from
+    # each side, ONE bucketed url shuffle — bodies never move.  The
+    # two snapshots derive from the same documents with different
+    # frozen line splits, so most urls show real add+remove churn.
+    from pdf_extract_ray.stages.crawldiff import line_diff
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def snap(sep_word: str):
+        def pages(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "url": "u" + b["doc_id"].astype(str),
+                "text": (b["text"].fillna("").astype(str)
+                         .str.replace(sep_word, "\n", regex=False)),
+            })
+        return pages
+
+    old = ds.map_batches(snap(" a "), batch_format="pandas")
+    new = ds.map_batches(snap(" e "), batch_format="pandas")
+    return line_diff(old, new, key="text")
+
+
 def q_host_template_stats(sf_dir: str):
     # per-host template/spam cue (links.host_template_stats): distinct
     # content fingerprints per host over (host, fp) pairs only — 32-byte
@@ -5439,6 +5464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_docs": q_line_dedup_docs,
         "para_dedup_docs": q_para_dedup_docs,
         "host_boilerplate_docs": q_host_boilerplate_docs,
+        "crawl_line_diff": q_crawl_line_diff,
         "doc_line_dedup_docs": q_doc_line_dedup_docs,
         "keep_best_copy_docs": q_keep_best_copy_docs,
         "host_template_stats": q_host_template_stats,
@@ -5795,6 +5821,17 @@ def _host_boilerplate_oracle() -> str:
     return dedup_lines_oracle_sql(
         f"({pages})", text_col="page_text", min_count=3,
         group_col="url_host")
+
+
+def _crawl_line_diff_oracle() -> str:
+    from pdf_extract_ray.stages.crawldiff import line_diff_oracle_sql
+
+    def snap(word: str) -> str:
+        return (f"SELECT 'u' || CAST(doc_id AS VARCHAR) AS url, "
+                f"replace(coalesce(text, ''), '{word}', chr(10)) AS text "
+                f"FROM documents")
+
+    return line_diff_oracle_sql(snap(" a "), snap(" e "))
 
 
 def _para_dedup_oracle() -> str:
@@ -7234,6 +7271,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup_docs": _line_dedup_oracle(),
         "para_dedup_docs": _para_dedup_oracle(),
         "host_boilerplate_docs": _host_boilerplate_oracle(),
+        "crawl_line_diff": _crawl_line_diff_oracle(),
         "doc_line_dedup_docs": _doc_line_dedup_oracle(),
         "keep_best_copy_docs": _keep_best_copy_oracle(),
         "host_template_stats": _host_template_oracle(),

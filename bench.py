@@ -240,7 +240,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "wilson_event_rates",
                      "random_projection_embeddings",
                      # fifth-continuation ops
-                     "host_boilerplate_docs"):
+                     "host_boilerplate_docs",
+                     "crawl_line_diff"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

@@ -249,3 +249,118 @@ def filter_to_changed(
     return new.join(verd, join_type="inner",
                     num_partitions=num_partitions,
                     on=(url_col,), right_on=("__changed_url",))
+
+
+# ---------------------------------------------------------------------------
+# line-level diff — WHAT changed inside a revisited page, not just that
+# it changed: per-url counts of lines added / removed / unchanged
+# between two crawls, with multiset semantics (a line occurring twice
+# in the old crawl and once in the new counts one removal).  The
+# recrawl-analytics companion of :func:`crawl_diff`'s url-level verdicts.
+# ---------------------------------------------------------------------------
+
+def line_diff(
+    old_ds: Dataset,
+    new_ds: Dataset,
+    *,
+    id_col: str = "url",
+    text_col: str = "text",
+    key: str = "hash",
+    sep: str = "\n",
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Per-id line-level multiset diff between two snapshots:
+    ``(id, n_added, n_removed, n_common)`` where for every
+    (id, stripped line) pair ``added = max(new - old, 0)``,
+    ``removed = max(old - new, 0)``, ``common = min(old, new)``,
+    summed per id.
+
+    Frozen rules (shared with :func:`boilerplate.dedup_lines`):
+    lines split on ``sep``, matched by their Python-whitespace-stripped
+    form; empty stripped lines are ignored; ids whose both snapshots
+    hold no non-empty line emit no row.
+
+    Scale shape: each side's explode pre-combines map-side into
+    ``(id, line-key, n)`` count partials (``key="hash"`` ships uint64
+    hashes — scale mode; ``key="text"`` ships stripped lines —
+    collision-free SQL-parity mode); ONE bucketed shuffle keyed by id
+    merges both sides; page bodies never move."""
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+    from pdf_extract_ray.stages.boilerplate import _line_rows
+
+    def make_explode(side: int):
+        def explode(batch: pd.DataFrame) -> pd.DataFrame:
+            rows = _line_rows(batch[text_col].tolist(), key, sep)
+            rows[id_col] = batch[id_col].to_numpy()[rows["__doc"].to_numpy()]
+            cnt = (rows.groupby([id_col, "g"], sort=False).size()
+                   .reset_index(name="n"))
+            cnt["n"] = cnt["n"].astype(np.int64)
+            cnt["side"] = np.int8(side)
+            return cnt[[id_col, "g", "n", "side"]]
+        return explode
+
+    u = (old_ds.map_batches(make_explode(0), batch_format="pandas")
+         .union(new_ds.map_batches(make_explode(1), batch_format="pandas")))
+
+    def body(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = (bucket.groupby([id_col, "g", "side"], sort=False)["n"].sum()
+             .reset_index())
+        o = g[g["side"] == 0]
+        n = g[g["side"] == 1]
+        m = o.merge(n, on=[id_col, "g"], how="outer", suffixes=("_o", "_n"))
+        oc = m["n_o"].fillna(0).to_numpy(dtype=np.int64)
+        nc = m["n_n"].fillna(0).to_numpy(dtype=np.int64)
+        per = pd.DataFrame({
+            id_col: m[id_col],
+            "n_added": np.maximum(nc - oc, 0),
+            "n_removed": np.maximum(oc - nc, 0),
+            "n_common": np.minimum(oc, nc),
+        })
+        out = (per.groupby(id_col, sort=False, as_index=False)
+               [["n_added", "n_removed", "n_common"]].sum())
+        for c in ("n_added", "n_removed", "n_common"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return bucketed_group_apply(u, [id_col], body, num_buckets=num_buckets,
+                                pre_batch_size=65536)
+
+
+def line_diff_oracle_sql(
+    old_sql: str,
+    new_sql: str,
+    *,
+    id_col: str = "url",
+    text_col: str = "text",
+    sep_sql: str = "chr(10)",
+) -> str:
+    """DuckDB SQL equal to :func:`line_diff` with ``key="text"`` —
+    ``old_sql`` / ``new_sql`` are subqueries exposing (id, text)."""
+    from pdf_extract_ray.util import PY_WS
+
+    ws = PY_WS.replace("'", "''")
+
+    def counts(src: str) -> str:
+        return f"""
+  SELECT {id_col}, key, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT {id_col},
+           trim(unnest(string_split(coalesce({text_col}, ''), {sep_sql})),
+                '{ws}') AS key
+    FROM ({src})
+  ) WHERE key <> '' GROUP BY {id_col}, key"""
+
+    return f"""
+WITH o AS ({counts(old_sql)}
+), nn AS ({counts(new_sql)}
+), j AS (
+  SELECT coalesce(o.{id_col}, nn.{id_col}) AS {id_col},
+         coalesce(o.n, 0) AS oc, coalesce(nn.n, 0) AS nc
+  FROM o FULL OUTER JOIN nn
+    ON o.{id_col} = nn.{id_col} AND o.key = nn.key
+)
+SELECT {id_col},
+       CAST(sum(greatest(nc - oc, 0)) AS BIGINT) AS n_added,
+       CAST(sum(greatest(oc - nc, 0)) AS BIGINT) AS n_removed,
+       CAST(sum(least(oc, nc)) AS BIGINT) AS n_common
+FROM j GROUP BY {id_col}
+"""

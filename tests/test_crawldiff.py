@@ -283,3 +283,61 @@ def test_incremental_host_graph_equals_full_run(ray_session, tmp_path):
     # added d.example's
     hosts = set(got_graph["src_host"]) if "src_host" in got_graph else set()
     assert "b.example" not in hosts and "d.example" in hosts
+
+
+class TestLineDiff:
+    OLD = pd.DataFrame({
+        "url": ["u1", "u2", "u3"],
+        "text": [
+            "nav\nold headline\nbody one\nbody one\nfooter",
+            "same here",
+            "gone entirely",
+        ],
+    })
+    NEW = pd.DataFrame({
+        "url": ["u1", "u2", "u4"],
+        "text": [
+            "nav\nnew headline\nbody one\nfooter",
+            "same here",
+            "brand new page",
+        ],
+    })
+
+    @pytest.mark.parametrize("key", ["text", "hash"])
+    def test_multiset_counts(self, ray_session, key):
+        import ray.data as rd
+
+        from pdf_extract_ray.stages.crawldiff import line_diff
+
+        got = (line_diff(rd.from_pandas(self.OLD).repartition(2),
+                         rd.from_pandas(self.NEW).repartition(2), key=key)
+               .to_pandas().sort_values("url").reset_index(drop=True))
+        want = pd.DataFrame({
+            "url": ["u1", "u2", "u3", "u4"],
+            # u1: "old headline" removed, one "body one" copy removed
+            #     (multiset: 2 -> 1), "new headline" added
+            "n_added": [1, 0, 0, 1],
+            "n_removed": [2, 0, 1, 0],
+            "n_common": [3, 1, 0, 0],
+        })
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_sql_parity(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from pdf_extract_ray.stages.crawldiff import (
+            line_diff,
+            line_diff_oracle_sql,
+        )
+
+        got = (line_diff(rd.from_pandas(self.OLD),
+                         rd.from_pandas(self.NEW), key="text")
+               .to_pandas().sort_values("url").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("old_snap", self.OLD)
+        con.register("new_snap", self.NEW)
+        want = (con.execute(line_diff_oracle_sql(
+                    "SELECT * FROM old_snap", "SELECT * FROM new_snap"))
+                .df().sort_values("url").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
