@@ -575,6 +575,19 @@ def q_global_rank_docs(sf_dir: str):
     return global_rank(ds, ["n_chars", "doc_id"])
 
 
+def q_ntile_events(sf_dir: str):
+    # distributed NTILE(4) OVER (ORDER BY value, event_id)
+    # (agg.ntile): equi-depth quartile binning — global_rank's three
+    # bounded passes + a closed-form tile map, no extra shuffle.  The
+    # standard score-calibration / equal-sized-split primitive.
+    from pdf_extract_ray.stages.agg import ntile
+
+    ds = _t(sf_dir, "events", columns=["event_id", "value"])
+    ds = ds.map_batches(lambda b: b[b["value"].notna()],
+                        batch_format="pandas")
+    return ntile(ds, ["value", "event_id"], 4, out_col="tile")
+
+
 def q_pmi_terms_lang(sf_dir: str):
     # distinctive terms per language by PMI (relevance.pmi_terms): the
     # corpus-mix debugging report.  (lang, word, n) partials shuffle
@@ -5323,6 +5336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention_events": q_cohort_retention_events,
         "mode_event_type_user": q_mode_event_type_user,
         "global_rank_docs": q_global_rank_docs,
+        "ntile_events": q_ntile_events,
         "pmi_terms_lang": q_pmi_terms_lang,
         "melt_lineitem_metrics": q_melt_lineitem_metrics,
         "funnel_latency_events": q_funnel_latency_events,
@@ -7040,6 +7054,11 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention_events": _cohort_retention_oracle(),
         "mode_event_type_user": _mode_event_type_oracle(),
         "global_rank_docs": _global_rank_docs_oracle(),
+        "ntile_events": (
+            "SELECT event_id, value, CAST(ntile(4) OVER "
+            "(ORDER BY value, event_id) AS BIGINT) AS tile "
+            "FROM events WHERE value IS NOT NULL"
+        ),
         "pmi_terms_lang": _pmi_terms_oracle(),
         "melt_lineitem_metrics": _melt_lineitem_oracle(),
         "funnel_latency_events": _funnel_latency_oracle(),

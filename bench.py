@@ -241,7 +241,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "random_projection_embeddings",
                      # fifth-continuation ops
                      "host_boilerplate_docs",
-                     "crawl_line_diff"):
+                     "crawl_line_diff", "ntile_events"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

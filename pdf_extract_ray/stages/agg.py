@@ -643,6 +643,61 @@ def global_rank(
         num_buckets=num_buckets)
 
 
+def ntile(
+    ds: Dataset,
+    cols: Sequence[str],
+    n: int,
+    *,
+    out_col: str = "ntile",
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Distributed ``NTILE(n) OVER (ORDER BY cols)`` — equi-depth
+    binning into ``n`` tiles whose sizes differ by at most one (the
+    first ``N mod n`` tiles get the extra row), bit-identical to the
+    SQL window function under the same unique ordering.
+
+    CONTRACT (inherited from :func:`global_rank`): ``cols`` must order
+    rows uniquely and ``cols[0]`` must be numeric and non-null.
+
+    Scale shape: :func:`global_rank`'s three bounded passes + one
+    metadata ``count()`` of the input (free on a parquet read; one
+    plan execution on a derived stream) + a narrow closed-form map —
+    no extra shuffle beyond the rank's single bucketed exchange."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    total = int(ds.count())
+    ranked = global_rank(ds, cols, out_col="__rank",
+                         num_buckets=num_buckets)
+    q, rem = divmod(total, n)
+    cut = rem * (q + 1)  # ranks <= cut live in the (q+1)-sized tiles
+
+    def tile(b: pd.DataFrame) -> pd.DataFrame:
+        r = b["__rank"].to_numpy(dtype=np.int64)
+        if q == 0:
+            t = r  # N < n: every row is its own tile
+        else:
+            t = np.where(r <= cut, (r - 1) // (q + 1) + 1,
+                         rem + (r - cut - 1) // q + 1)
+        b = b.drop(columns="__rank")
+        b[out_col] = t.astype(np.int64)
+        return b
+
+    return ranked.map_batches(tile, batch_format="pandas")
+
+
+def ntile_oracle_sql(
+    table_sql: str,
+    cols: Sequence[str],
+    n: int,
+    *,
+    out_col: str = "ntile",
+) -> str:
+    """DuckDB mirror of :func:`ntile`."""
+    return (f"SELECT *, CAST(ntile({n}) OVER (ORDER BY "
+            f"{', '.join(cols)}) AS BIGINT) AS {out_col} "
+            f"FROM {table_sql}")
+
+
 def global_rank_oracle_sql(
     table_sql: str,
     cols: Sequence[str],

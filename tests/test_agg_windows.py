@@ -1387,3 +1387,43 @@ def test_grouped_weighted_median_matches_reference_and_sql(ray_session,
         exp = np.sort(g["v"].to_numpy())
         assert g1.loc[k, "weighted_median"] == exp[
             int(np.ceil(len(exp) / 2)) - 1]
+
+
+class TestNtile:
+    def test_sql_parity_with_heavy_ties(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from pdf_extract_ray.stages.agg import ntile, ntile_oracle_sql
+
+        rng = np.random.RandomState(7)
+        df = pd.DataFrame({"id": np.arange(1000),
+                           "v": rng.randint(0, 20, 1000)})
+        for n in (1, 3, 4, 7):
+            got = (ntile(rd.from_pandas(df).repartition(5), ["v", "id"], n)
+                   .to_pandas().sort_values("id").reset_index(drop=True))
+            con = duckdb.connect()
+            con.register("t", df)
+            want = (con.execute(ntile_oracle_sql("t", ["v", "id"], n))
+                    .df().sort_values("id").reset_index(drop=True))
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_tile_sizes_differ_by_at_most_one(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extract_ray.stages.agg import ntile
+
+        df = pd.DataFrame({"id": np.arange(103), "v": np.arange(103) % 11})
+        sizes = (ntile(rd.from_pandas(df), ["v", "id"], 5)
+                 .to_pandas()["ntile"].value_counts())
+        assert sorted(sizes.tolist()) == [20, 20, 21, 21, 21]
+
+    def test_fewer_rows_than_tiles(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extract_ray.stages.agg import ntile
+
+        df = pd.DataFrame({"id": [3, 1, 2], "v": [30.0, 10.0, 20.0]})
+        got = (ntile(rd.from_pandas(df), ["v", "id"], 10)
+               .to_pandas().sort_values("id"))
+        assert got["ntile"].tolist() == [1, 2, 3]
