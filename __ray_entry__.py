@@ -588,6 +588,18 @@ def q_ntile_events(sf_dir: str):
     return ntile(ds, ["value", "event_id"], 4, out_col="tile")
 
 
+def q_rate_limited_events(sf_dir: str):
+    # per-(user, hour) rate limiting (windows.rate_limit): keep only
+    # the FIRST 3 events per user per hour in event-time order — the
+    # crawler-politeness / throttle primitive.  Narrow window-floor map
+    # + grouped_top_k ascending with map-side pre-trim: a (user, hour)
+    # with a thousand events ships 3 x #blocks rows, not a thousand.
+    from pdf_extract_ray.stages.windows import rate_limit
+
+    ds = _t(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return rate_limit(ds, "user_id", "ts", 3, tie_col="event_id")
+
+
 def q_pmi_terms_lang(sf_dir: str):
     # distinctive terms per language by PMI (relevance.pmi_terms): the
     # corpus-mix debugging report.  (lang, word, n) partials shuffle
@@ -5337,6 +5349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_event_type_user": q_mode_event_type_user,
         "global_rank_docs": q_global_rank_docs,
         "ntile_events": q_ntile_events,
+        "rate_limited_events": q_rate_limited_events,
         "pmi_terms_lang": q_pmi_terms_lang,
         "melt_lineitem_metrics": q_melt_lineitem_metrics,
         "funnel_latency_events": q_funnel_latency_events,
@@ -6426,6 +6439,14 @@ def _mode_event_type_oracle() -> str:
         ["user_id"], "event_type")
 
 
+def _rate_limited_oracle() -> str:
+    from pdf_extract_ray.stages.windows import rate_limit_oracle_sql
+
+    return rate_limit_oracle_sql(
+        "(SELECT event_id, user_id, ts FROM events)", "user_id", "ts", 3,
+        tie_col="event_id", cols="event_id, user_id, ts")
+
+
 def _global_rank_docs_oracle() -> str:
     from pdf_extract_ray.stages.agg import global_rank_oracle_sql
 
@@ -7059,6 +7080,7 @@ def oracle_sql() -> dict[str, str]:
             "(ORDER BY value, event_id) AS BIGINT) AS tile "
             "FROM events WHERE value IS NOT NULL"
         ),
+        "rate_limited_events": _rate_limited_oracle(),
         "pmi_terms_lang": _pmi_terms_oracle(),
         "melt_lineitem_metrics": _melt_lineitem_oracle(),
         "funnel_latency_events": _funnel_latency_oracle(),

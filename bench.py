@@ -241,7 +241,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "random_projection_embeddings",
                      # fifth-continuation ops
                      "host_boilerplate_docs",
-                     "crawl_line_diff", "ntile_events"):
+                     "crawl_line_diff", "ntile_events",
+                     "rate_limited_events"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

@@ -714,3 +714,61 @@ SELECT (epoch_us({ts_col}) // {int(size_us)}) * {int(size_us)}
        CAST(count(DISTINCT {member_col}) AS BIGINT) AS n_distinct
 FROM ({table_sql}) GROUP BY 1
 """
+
+
+def rate_limit(
+    ds: Dataset,
+    key_col: str,
+    ts_col: str,
+    k: int,
+    *,
+    window: str = "h",
+    tie_col: str | None = None,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Keep only the FIRST ``k`` rows per (key, tumbling window) in
+    event-time order — the throttling / crawler-politeness primitive
+    (at most k fetches per host per hour, k alerts per user per day).
+
+    Adds ``window_start`` (= ``ts`` floored to ``window``).  Selection
+    decomposes, so this is :func:`agg.grouped_top_k` ascending under a
+    narrow window-floor map: every batch pre-trims to <= k rows per
+    (key, window) BEFORE the single bucketed shuffle.
+
+    DETERMINISM CONTRACT: pass ``tie_col`` (a unique row id) unless
+    ``(key, window, ts)`` is already unique."""
+    from pdf_extract_ray.stages.agg import grouped_top_k
+
+    def add_w(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["window_start"] = b[ts_col].dt.floor(window)
+        return b
+
+    return grouped_top_k(
+        ds.map_batches(add_w, batch_format="pandas"),
+        [key_col, "window_start"], ts_col, k,
+        descending=False, tie_col=tie_col, num_buckets=num_buckets)
+
+
+def rate_limit_oracle_sql(
+    table_sql: str,
+    key_col: str,
+    ts_col: str,
+    k: int,
+    *,
+    window_sql: str = "hour",
+    tie_col: str | None = None,
+    cols: str = "*",
+) -> str:
+    """DuckDB mirror of :func:`rate_limit` (``window_sql`` is a
+    date_trunc part name)."""
+    tie = f", {tie_col}" if tie_col else ""
+    return f"""
+SELECT {cols}, window_start FROM (
+  SELECT *, date_trunc('{window_sql}', {ts_col}) AS window_start,
+         row_number() OVER (
+           PARTITION BY {key_col}, date_trunc('{window_sql}', {ts_col})
+           ORDER BY {ts_col}{tie}) AS __rn
+  FROM {table_sql}
+) WHERE __rn <= {k}
+"""

@@ -1427,3 +1427,53 @@ class TestNtile:
         got = (ntile(rd.from_pandas(df), ["v", "id"], 10)
                .to_pandas().sort_values("id"))
         assert got["ntile"].tolist() == [1, 2, 3]
+
+
+class TestRateLimit:
+    def test_burst_trimmed_keep_first(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extract_ray.stages.windows import rate_limit
+
+        ts = pd.to_datetime([
+            "2026-01-01 10:00:05", "2026-01-01 10:00:01",
+            "2026-01-01 10:30:00", "2026-01-01 10:59:59",
+            "2026-01-01 11:00:00",  # next window resets the budget
+            "2026-01-01 10:00:30",  # other user unaffected
+        ])
+        df = pd.DataFrame({"event_id": [1, 2, 3, 4, 5, 6],
+                           "user_id": [7, 7, 7, 7, 7, 8], "ts": ts})
+        got = (rate_limit(rd.from_pandas(df).repartition(3),
+                          "user_id", "ts", 2, tie_col="event_id")
+               .to_pandas().sort_values("event_id"))
+        # user 7 hour-10 burst: earliest two (ids 2 then 1) survive
+        assert got["event_id"].tolist() == [1, 2, 5, 6]
+
+    def test_sql_parity(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from pdf_extract_ray.stages.windows import (
+            rate_limit,
+            rate_limit_oracle_sql,
+        )
+
+        rng = np.random.RandomState(3)
+        df = pd.DataFrame({
+            "event_id": np.arange(500),
+            "user_id": rng.randint(0, 5, 500),
+            "ts": pd.Timestamp("2026-01-01")
+            + pd.to_timedelta(rng.randint(0, 4 * 3600, 500), unit="s"),
+        })
+        got = (rate_limit(rd.from_pandas(df).repartition(4),
+                          "user_id", "ts", 3, tie_col="event_id")
+               .to_pandas().sort_values("event_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("t", df)
+        want = (con.execute(rate_limit_oracle_sql(
+                    "t", "user_id", "ts", 3, tie_col="event_id",
+                    cols="event_id, user_id, ts"))
+                .df().sort_values("event_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], want[sorted(want.columns)],
+            check_dtype=False)
