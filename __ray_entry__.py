@@ -3819,6 +3819,40 @@ def _sitemap_entries_oracle() -> str:
     )
 
 
+def q_stale_pages(sf_dir: str):
+    # recrawl staleness (sitemaps.stale_pages): sitemap lastmod claims
+    # vs stored crawl timestamps — the signal a recrawl scheduler acts
+    # on.  Claims reduce map-side to one (url, max lastmod) row; ONE
+    # bucketed url cogroup joins them to (url, warc_ts) page rows;
+    # bodies never enter the plan.  Entries come through the real
+    # sitemap XML parser (the q_sitemap_entries derive).
+    from pdf_extract_ray.stages.sitemaps import stale_pages
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def pages(b: pd.DataFrame) -> pd.DataFrame:
+        base = "http://h" + (b["doc_id"] % 13).astype(str) + ".example"
+        return pd.DataFrame({
+            "url": base + "/p/" + b["doc_id"].astype(str) + "?a=1&b=2",
+            "warc_ts": (pd.Timestamp("2024-01-01")
+                        + pd.to_timedelta(b["doc_id"] % 300, unit="D")),
+        })
+
+    return stale_pages(ds.map_batches(pages, batch_format="pandas"),
+                       q_sitemap_entries(sf_dir))
+
+
+def _stale_pages_oracle() -> str:
+    from pdf_extract_ray.stages.sitemaps import stale_pages_oracle_sql
+
+    pages = (
+        "SELECT 'http://h' || (doc_id % 13) || '.example/p/' || doc_id "
+        "|| '?a=1&b=2' AS url, "
+        "TIMESTAMP '2024-01-01' + (doc_id % 300) * INTERVAL 1 DAY "
+        "AS warc_ts FROM documents")
+    return stale_pages_oracle_sql(pages, _sitemap_entries_oracle())
+
+
 def q_text_density(sf_dir: str):
     # boilerpipe-family structural density signals (stages/pagemeta
     # .text_density_batch): narrow map, zero shuffles; html synthesized
@@ -5350,6 +5384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_rank_docs": q_global_rank_docs,
         "ntile_events": q_ntile_events,
         "rate_limited_events": q_rate_limited_events,
+        "stale_pages_docs": q_stale_pages,
         "pmi_terms_lang": q_pmi_terms_lang,
         "melt_lineitem_metrics": q_melt_lineitem_metrics,
         "funnel_latency_events": q_funnel_latency_events,
@@ -7081,6 +7116,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events WHERE value IS NOT NULL"
         ),
         "rate_limited_events": _rate_limited_oracle(),
+        "stale_pages_docs": _stale_pages_oracle(),
         "pmi_terms_lang": _pmi_terms_oracle(),
         "melt_lineitem_metrics": _melt_lineitem_oracle(),
         "funnel_latency_events": _funnel_latency_oracle(),

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pandas as pd
 from ray.data import Dataset
 
@@ -97,3 +98,118 @@ def extract_sitemap_entries(
         })
 
     return ds.map_batches(explode, batch_format="pandas")
+
+
+LASTMOD_RE = r"^\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}:\d{2})?$"
+
+
+def stale_pages(
+    pages: Dataset,
+    entries: Dataset,
+    *,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    loc_col: str = "loc",
+    lastmod_col: str = "lastmod",
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Recrawl-scheduling staleness check: join crawled pages against
+    sitemap ``lastmod`` claims and flag every page whose freshest claim
+    postdates the stored crawl timestamp —
+    ``(url, warc_ts, lastmod_ts, is_stale)``, inner join on url.
+
+    Frozen rules (SQL-mirrorable):
+    * ``lastmod`` parses only as ``YYYY-MM-DD`` optionally followed by
+      ``[T ]HH:MM:SS`` (:data:`LASTMOD_RE`); anything else is NULL
+      (timezone-suffixed forms are out of the frozen subset);
+    * multiple claims per url resolve to the MAX parsed timestamp
+      (NULLs ignored — associative, so map-side pre-combining is safe);
+    * ``is_stale = lastmod_ts > warc_ts``, NULL-claim rows -> False.
+
+    Scale shape: claims reduce to one (url, max lastmod) row per url
+    via map-side partials + one grouped merge; then ONE tag-union-
+    bucket cogroup by url joins them to the (url, ts) page rows — page
+    bodies never enter the plan."""
+    from pdf_extract_ray.stages.agg import (
+        bucketed_group_apply,
+        grouped_aggregate,
+    )
+
+    def claims_prep(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[loc_col].astype("object").fillna("").astype(str)
+        lm = b[lastmod_col].astype("object").fillna("").astype(str)
+        ok = lm.str.match(LASTMOD_RE, na=False)
+        # format="mixed": date-only and datetime forms coexist in real
+        # sitemaps; single-format inference would coerce the minority
+        # form to NaT
+        ts = pd.to_datetime(lm.where(ok), errors="coerce", format="mixed")
+        return pd.DataFrame({url_col: s,
+                             "lastmod_ts": ts.astype("datetime64[us]")})
+
+    claims = grouped_aggregate(
+        entries.map_batches(claims_prep, batch_format="pandas"),
+        [url_col], {"lastmod_ts": ("lastmod_ts", "max")},
+        num_buckets=num_buckets)
+
+    def tag_pages(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            url_col: b[url_col],
+            "__ts": b[ts_col].astype("datetime64[us]"),
+            "__lm": pd.Series(pd.NaT, index=b.index,
+                              dtype="datetime64[us]"),
+            "__side": np.int8(0),
+        })
+
+    def tag_claims(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            url_col: b[url_col],
+            "__ts": pd.Series(pd.NaT, index=b.index,
+                              dtype="datetime64[us]"),
+            "__lm": b["lastmod_ts"].astype("datetime64[us]"),
+            "__side": np.int8(1),
+        })
+
+    u = (pages.map_batches(tag_pages, batch_format="pandas")
+         .union(claims.map_batches(tag_claims, batch_format="pandas")))
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        cl = g[g["__side"] == 1][[url_col, "__lm"]]
+        pg = g[g["__side"] == 0][[url_col, "__ts"]]
+        m = pg.merge(cl, on=url_col, how="inner")
+        lm = m["__lm"]
+        return pd.DataFrame({
+            url_col: m[url_col],
+            "warc_ts": m["__ts"],
+            "lastmod_ts": lm,
+            "is_stale": (lm > m["__ts"]).fillna(False).astype(bool),
+        })
+
+    return bucketed_group_apply(u, [url_col], body,
+                                num_buckets=num_buckets,
+                                pre_batch_size=65536)
+
+
+def stale_pages_oracle_sql(
+    pages_sql: str,
+    entries_sql: str,
+    *,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    loc_col: str = "loc",
+    lastmod_col: str = "lastmod",
+) -> str:
+    """DuckDB mirror of :func:`stale_pages` (same regex gate, same
+    max-claim and NULL->False rules)."""
+    return f"""
+WITH claims AS (
+  SELECT {loc_col} AS {url_col},
+         max(CASE WHEN regexp_matches(coalesce({lastmod_col}, ''),
+                       '{LASTMOD_RE}')
+                  THEN try_cast({lastmod_col} AS TIMESTAMP) END)
+           AS lastmod_ts
+  FROM ({entries_sql}) GROUP BY {loc_col}
+)
+SELECT p.{url_col}, p.{ts_col} AS warc_ts, c.lastmod_ts,
+       coalesce(c.lastmod_ts > p.{ts_col}, FALSE) AS is_stale
+FROM ({pages_sql}) p JOIN claims c USING ({url_col})
+"""

@@ -1,6 +1,7 @@
 """Sitemap parsing (stages/sitemaps.py) and text-density signals
 (stages/pagemeta.py) — crawl discovery + structural quality cues."""
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -129,3 +130,65 @@ def test_density_matches_duckdb_oracle(ray_session):
               "text_density", "link_density"):
         assert np.allclose(got[c].to_numpy(np.float64),
                            exp[c].to_numpy(np.float64)), c
+
+
+class TestStalePages:
+    def test_staleness_rules(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extract_ray.stages.sitemaps import stale_pages
+
+        pages = pd.DataFrame({
+            "url": ["a", "b", "c", "d"],
+            "warc_ts": pd.to_datetime([
+                "2024-01-10", "2024-06-01", "2024-03-01", "2024-01-01"]),
+        })
+        entries = pd.DataFrame({
+            "loc": ["a", "a", "b", "c", "nope"],
+            # a: two claims, max 2024-02-01 -> stale; b: older claim ->
+            # fresh; c: unparseable claim -> NULL -> False; nope: no page
+            "lastmod": ["2024-02-01", "2024-01-05", "2024-05-31",
+                        "last week", "2024-01-01"],
+        })
+        got = (stale_pages(rd.from_pandas(pages).repartition(2),
+                           rd.from_pandas(entries).repartition(2))
+               .to_pandas().sort_values("url").reset_index(drop=True))
+        assert got["url"].tolist() == ["a", "b", "c"]
+        assert got["is_stale"].tolist() == [True, False, False]
+        assert pd.isna(got.loc[2, "lastmod_ts"])
+        assert got.loc[0, "lastmod_ts"] == pd.Timestamp("2024-02-01")
+
+    def test_sql_parity_with_datetime_forms(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from pdf_extract_ray.stages.sitemaps import (
+            stale_pages,
+            stale_pages_oracle_sql,
+        )
+
+        rng = np.random.RandomState(11)
+        n = 300
+        pages = pd.DataFrame({
+            "url": "u" + pd.Series(np.arange(n) % 120).astype(str),
+            "warc_ts": pd.Timestamp("2024-03-01")
+            + pd.to_timedelta(rng.randint(0, 120, n), unit="D"),
+        })
+        forms = np.array(["2024-03-15", "2024-03-15T06:30:00",
+                          "2024-03-15 06:30:00", "soon", ""])
+        entries = pd.DataFrame({
+            "loc": "u" + pd.Series(rng.randint(0, 150, n)).astype(str),
+            "lastmod": forms[rng.randint(0, len(forms), n)],
+        })
+        got = (stale_pages(rd.from_pandas(pages).repartition(3),
+                           rd.from_pandas(entries).repartition(3))
+               .to_pandas().sort_values(["url", "warc_ts"])
+               .reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("pg", pages)
+        con.register("en", entries)
+        want = (con.execute(stale_pages_oracle_sql(
+                    "SELECT * FROM pg", "SELECT * FROM en"))
+                .df().sort_values(["url", "warc_ts"])
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
