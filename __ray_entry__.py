@@ -3853,6 +3853,64 @@ def _stale_pages_oracle() -> str:
     return stale_pages_oracle_sql(pages, _sitemap_entries_oracle())
 
 
+def q_feed_entries(sf_dir: str):
+    # RSS/Atom feed parsing (stages/feeds.py): the freshness-crawl
+    # discovery channel next to sitemaps — narrow explode, zero
+    # shuffles.  Three arithmetic feed shapes (an RSS channel with an
+    # entity-escaped item + a bare item, an Atom feed with an
+    # href-link entry, and garbage) so the oracle reconstructs every
+    # emitted row from doc_id arithmetic.
+    import numpy as np
+
+    from pdf_extract_ray.stages.feeds import extract_feed_entries
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def rows(b: pd.DataFrame) -> pd.DataFrame:
+        did = b["doc_id"].astype(str)
+        host = "h" + (b["doc_id"] % 13).astype(str) + ".example"
+        rss = ("<rss version=\"2.0\"><channel><item>"
+               "<title>Post &amp; notes " + did + "</title>"
+               "<link>http://" + host + "/post/" + did
+               + "?x=1&amp;y=2</link>"
+               "<pubDate>Mon, 01 Apr 2024 0" + (b["doc_id"] % 9).astype(str)
+               + ":00:00 GMT</pubDate></item>"
+               "<item><link>http://" + host + "/bare/" + did
+               + "</link></item></channel></rss>")
+        atom = ("<feed xmlns=\"http://www.w3.org/2005/Atom\"><entry>"
+                "<title>Entry " + did + "</title>"
+                "<link rel=\"alternate\" href=\"http://" + host + "/a/"
+                + did + "\"/><updated>2024-05-0"
+                + (b["doc_id"] % 9 + 1).astype(str)
+                + "T12:00:00Z</updated></entry></feed>")
+        xml = pd.Series(np.select(
+            [b["doc_id"] % 3 == 0, b["doc_id"] % 3 == 1],
+            [rss, atom], default="not a feed " + did), index=b.index)
+        return pd.DataFrame({"feed_url": "http://" + host + "/feed.xml",
+                             "feed_xml": xml})
+
+    return extract_feed_entries(ds.map_batches(rows,
+                                               batch_format="pandas"))
+
+
+def _feed_entries_oracle() -> str:
+    return (
+        "WITH u AS (SELECT doc_id, "
+        "'http://h' || (doc_id % 13) || '.example' AS base FROM documents) "
+        "SELECT base || '/feed.xml' AS source, 'rss' AS kind, "
+        "base || '/post/' || doc_id || '?x=1&y=2' AS link, "
+        "'Post & notes ' || doc_id AS title, "
+        "'Mon, 01 Apr 2024 0' || (doc_id % 9) || ':00:00 GMT' AS published "
+        "FROM u WHERE doc_id % 3 = 0 "
+        "UNION ALL SELECT base || '/feed.xml', 'rss', "
+        "base || '/bare/' || doc_id, NULL, NULL FROM u WHERE doc_id % 3 = 0 "
+        "UNION ALL SELECT base || '/feed.xml', 'atom', "
+        "base || '/a/' || doc_id, 'Entry ' || doc_id, "
+        "'2024-05-0' || (doc_id % 9 + 1) || 'T12:00:00Z' "
+        "FROM u WHERE doc_id % 3 = 1"
+    )
+
+
 def q_text_density(sf_dir: str):
     # boilerpipe-family structural density signals (stages/pagemeta
     # .text_density_batch): narrow map, zero shuffles; html synthesized
@@ -5385,6 +5443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_events": q_ntile_events,
         "rate_limited_events": q_rate_limited_events,
         "stale_pages_docs": q_stale_pages,
+        "feed_entries": q_feed_entries,
         "pmi_terms_lang": q_pmi_terms_lang,
         "melt_lineitem_metrics": q_melt_lineitem_metrics,
         "funnel_latency_events": q_funnel_latency_events,
@@ -7117,6 +7176,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rate_limited_events": _rate_limited_oracle(),
         "stale_pages_docs": _stale_pages_oracle(),
+        "feed_entries": _feed_entries_oracle(),
         "pmi_terms_lang": _pmi_terms_oracle(),
         "melt_lineitem_metrics": _melt_lineitem_oracle(),
         "funnel_latency_events": _funnel_latency_oracle(),
