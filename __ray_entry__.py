@@ -3911,6 +3911,51 @@ def _feed_entries_oracle() -> str:
     )
 
 
+def q_lang_outlier_docs(sf_dir: str):
+    # wrong-language-page detection by site majority
+    # (langid.host_lang_outliers): each page vs its canonical host's
+    # modal language (deterministic mode, ties -> smallest code).  ONE
+    # bucketed shuffle of (id, host, lang) rows, bodies never move.
+    from pdf_extract_ray.stages.langid import host_lang_outliers
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "lang"])
+    return host_lang_outliers(
+        ds.map_batches(_with_url, batch_format="pandas"))
+
+
+def _lang_outlier_oracle() -> str:
+    from pdf_extract_ray.functions.url import canonicalize_oracle_sql
+    from pdf_extract_ray.stages.langid import host_lang_outliers_oracle_sql
+
+    src = f"SELECT doc_id, {_URL_SYNTH_SQL} FROM documents"
+    can = canonicalize_oracle_sql(src)
+    source = (f"SELECT d.doc_id, c.url_host, d.lang "
+              f"FROM documents d JOIN ({can}) c USING (doc_id)")
+    return host_lang_outliers_oracle_sql(source)
+
+
+def q_tld_lang_crosstab(sf_dir: str):
+    # corpus-composition crosstab (links.tld_lang_crosstab): docs per
+    # (TLD, language) — pre-aggregated counts shuffle once; output is
+    # O(#tlds x #langs).
+    from pdf_extract_ray.stages.links import tld_lang_crosstab
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "lang"])
+    return tld_lang_crosstab(
+        ds.map_batches(_with_url, batch_format="pandas"))
+
+
+def _tld_lang_oracle() -> str:
+    from pdf_extract_ray.functions.url import canonicalize_oracle_sql
+    from pdf_extract_ray.stages.links import tld_lang_crosstab_oracle_sql
+
+    src = f"SELECT doc_id, {_URL_SYNTH_SQL} FROM documents"
+    can = canonicalize_oracle_sql(src)
+    source = (f"SELECT c.url_host, d.lang "
+              f"FROM documents d JOIN ({can}) c USING (doc_id)")
+    return tld_lang_crosstab_oracle_sql(source)
+
+
 def q_text_density(sf_dir: str):
     # boilerpipe-family structural density signals (stages/pagemeta
     # .text_density_batch): narrow map, zero shuffles; html synthesized
@@ -5444,6 +5489,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rate_limited_events": q_rate_limited_events,
         "stale_pages_docs": q_stale_pages,
         "feed_entries": q_feed_entries,
+        "lang_outlier_docs": q_lang_outlier_docs,
+        "tld_lang_crosstab": q_tld_lang_crosstab,
         "pmi_terms_lang": q_pmi_terms_lang,
         "melt_lineitem_metrics": q_melt_lineitem_metrics,
         "funnel_latency_events": q_funnel_latency_events,
@@ -7177,6 +7224,8 @@ def oracle_sql() -> dict[str, str]:
         "rate_limited_events": _rate_limited_oracle(),
         "stale_pages_docs": _stale_pages_oracle(),
         "feed_entries": _feed_entries_oracle(),
+        "lang_outlier_docs": _lang_outlier_oracle(),
+        "tld_lang_crosstab": _tld_lang_oracle(),
         "pmi_terms_lang": _pmi_terms_oracle(),
         "melt_lineitem_metrics": _melt_lineitem_oracle(),
         "funnel_latency_events": _funnel_latency_oracle(),

@@ -293,3 +293,92 @@ SELECT {id_col}, CAST(tot AS BIGINT) AS n_script_chars,
          AS dominant_script_frac
 FROM m
 """
+
+
+def host_lang_outliers(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    lang_col: str = "lang",
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Wrong-language-page detection by site majority: every page gets
+    its canonical host's modal language (deterministic mode — max
+    count, ties to the SMALLEST language code) plus the host's page
+    count, and ``is_outlier = lang != host_lang`` — a German page on an
+    otherwise-French site is a navigation/boilerplate/spam cue that
+    page-level langid alone cannot see.
+
+    Output: ``(id, url_host, lang, host_lang, host_n_docs,
+    is_outlier)``.
+
+    Scale shape (the :func:`links.host_quality_prior` shape): ONE
+    bucketed shuffle of narrow ``(id, host, lang)`` rows — bodies never
+    move; in-bucket state per host is its language histogram."""
+    from pdf_extract_ray.functions.url import canonicalize_urls
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    def narrow(b: pd.DataFrame) -> pd.DataFrame:
+        host = canonicalize_urls(b[url_col])["url_host"].to_numpy()
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            "url_host": host,
+            lang_col: b[lang_col].fillna("").astype(str).to_numpy(),
+        })
+
+    def rollup(bucket: pd.DataFrame) -> pd.DataFrame:
+        # per-(host, lang) counts, then the deterministic mode: sort by
+        # (count DESC, lang ASC) and take the first row per host
+        cnt = (bucket.groupby(["url_host", lang_col], sort=False)
+               .size().reset_index(name="__n"))
+        cnt = cnt.sort_values(["url_host", "__n", lang_col],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        mode = cnt.drop_duplicates("url_host")[["url_host", lang_col]]
+        mode = mode.rename(columns={lang_col: "host_lang"})
+        sizes = bucket.groupby("url_host", sort=False)[id_col] \
+            .transform("size").to_numpy(np.int64)
+        out = pd.DataFrame({
+            id_col: bucket[id_col].to_numpy(),
+            "url_host": bucket["url_host"].to_numpy(),
+            lang_col: bucket[lang_col].to_numpy(),
+            "host_n_docs": sizes,
+        })
+        out = out.merge(mode, on="url_host", how="left")
+        out["is_outlier"] = (out[lang_col] != out["host_lang"])
+        return out[[id_col, "url_host", lang_col, "host_lang",
+                    "host_n_docs", "is_outlier"]]
+
+    return bucketed_group_apply(
+        ds.map_batches(narrow, batch_format="pandas"), ["url_host"],
+        rollup, num_buckets=num_buckets, pre_batch_size=65536)
+
+
+def host_lang_outliers_oracle_sql(
+    source_sql: str,
+    *,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> str:
+    """DuckDB mirror of :func:`host_lang_outliers` — ``source_sql``
+    must expose ``(id, url_host, lang)`` with the canonical host."""
+    return f"""
+WITH t AS (SELECT {id_col}, url_host,
+                  coalesce({lang_col}, '') AS {lang_col}
+           FROM ({source_sql})
+), m AS (
+  SELECT url_host, {lang_col} AS host_lang FROM (
+    SELECT url_host, {lang_col},
+           row_number() OVER (PARTITION BY url_host
+                              ORDER BY count(*) DESC, {lang_col}) AS rn
+    FROM t GROUP BY url_host, {lang_col}
+  ) WHERE rn = 1
+), c AS (
+  SELECT url_host, CAST(count(*) AS BIGINT) AS host_n_docs
+  FROM t GROUP BY url_host
+)
+SELECT t.{id_col}, t.url_host, t.{lang_col}, m.host_lang,
+       c.host_n_docs, t.{lang_col} <> m.host_lang AS is_outlier
+FROM t JOIN m USING (url_host) JOIN c USING (url_host)
+"""

@@ -629,3 +629,58 @@ SELECT param_key, CAST(count(*) AS BIGINT) AS n_total,
        CAST(count(DISTINCT id) AS BIGINT) AS n_docs
 FROM k GROUP BY param_key
 """
+
+
+def tld_lang_crosstab(
+    ds: Dataset,
+    *,
+    url_col: str = "url",
+    lang_col: str = "lang",
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Corpus-composition report: document counts per (top-level
+    domain, language) — the curation crosstab behind "how much .de
+    content is actually German" / country-vs-language skew checks.
+
+    Frozen rule: ``tld`` = the last dot-separated label of the
+    canonical host (``''`` for non-urls); language NULLs count as
+    ``''``.
+
+    Scale shape: per-batch (tld, lang) value_counts partials -> ONE
+    grouped merge of pre-aggregated counts; output is O(#tlds x
+    #langs)."""
+    from pdf_extract_ray.functions.url import canonicalize_urls
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        host = canonicalize_urls(b[url_col])["url_host"]
+        tld = host.str.extract(r"([^.]+)$")[0].fillna("")
+        out = (pd.DataFrame({
+                   "tld": tld.to_numpy(),
+                   lang_col: b[lang_col].fillna("").astype(str)
+                   .to_numpy()})
+               .groupby(["tld", lang_col], as_index=False)
+               .size().rename(columns={"size": "n_docs"}))
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["tld", lang_col], {"n_docs": ("n_docs", "sum")},
+        num_buckets=num_buckets)
+
+
+def tld_lang_crosstab_oracle_sql(
+    source_sql: str,
+    *,
+    lang_col: str = "lang",
+) -> str:
+    """DuckDB mirror of :func:`tld_lang_crosstab` — ``source_sql``
+    must expose the canonical ``url_host`` and the language column."""
+    return f"""
+SELECT regexp_extract(url_host, '([^.]+)$', 1) AS tld,
+       coalesce({lang_col}, '') AS {lang_col},
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM ({source_sql})
+GROUP BY tld, coalesce({lang_col}, '')
+"""

@@ -188,3 +188,55 @@ def test_script_mix_sql_parity_randomized():
     want = (con.sql(script_mix_oracle_sql()).df()
             .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestHostLangOutliers:
+    def test_majority_and_tie_rule(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extract_ray.stages.langid import host_lang_outliers
+
+        df = pd.DataFrame({
+            "doc_id": range(7),
+            "url": ["http://a.com/1", "http://a.com/2", "http://a.com/3",
+                    "http://b.org/1", "http://b.org/2",
+                    "http://c.net/1", "http://c.net/2"],
+            # a.com: fr majority with one de outlier; b.org: 1-1 tie ->
+            # smallest code ("de") wins; c.net: all en, no outliers
+            "lang": ["fr", "fr", "de", "fr", "de", "en", "en"],
+        })
+        got = (host_lang_outliers(rd.from_pandas(df).repartition(3))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert got["host_lang"].tolist() == [
+            "fr", "fr", "fr", "de", "de", "en", "en"]
+        assert got["is_outlier"].tolist() == [
+            False, False, True, True, False, False, False]
+        assert got["host_n_docs"].tolist() == [3, 3, 3, 2, 2, 2, 2]
+
+    def test_sql_parity(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from pdf_extract_ray.functions.url import canonicalize_urls
+        from pdf_extract_ray.stages.langid import (
+            host_lang_outliers,
+            host_lang_outliers_oracle_sql,
+        )
+
+        rng = np.random.RandomState(5)
+        df = pd.DataFrame({
+            "doc_id": range(400),
+            "url": ["http://h%d.example/p%d" % (i % 9, i)
+                    for i in range(400)],
+            "lang": np.array(["en", "fr", "de", "es"])[
+                rng.randint(0, 4, 400)],
+        })
+        got = (host_lang_outliers(rd.from_pandas(df).repartition(4))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        src = df.assign(url_host=canonicalize_urls(df["url"])["url_host"])
+        con = duckdb.connect()
+        con.register("src", src[["doc_id", "url_host", "lang"]])
+        want = (con.execute(host_lang_outliers_oracle_sql(
+                    "SELECT * FROM src"))
+                .df().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)

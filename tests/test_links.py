@@ -254,3 +254,32 @@ def test_query_param_rollup_counts_and_distinct_docs(ray_session):
     assert got.loc["b", "n_total"] == 1
     assert got.loc["flag", "n_docs"] == 1
     assert len(got) == 3
+
+
+def test_tld_lang_crosstab(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.functions.url import canonicalize_urls
+    from pdf_extract_ray.stages.links import (
+        tld_lang_crosstab,
+        tld_lang_crosstab_oracle_sql,
+    )
+
+    df = pd.DataFrame({
+        "url": ["http://a.example.de/x", "http://b.de/y", "https://c.fr/z",
+                "http://d.de/w", "not a url", "http://e.fr/q"],
+        "lang": ["de", "de", "fr", "en", None, "de"],
+    })
+    got = (tld_lang_crosstab(rd.from_pandas(df).repartition(3))
+           .to_pandas().sort_values(["tld", "lang"])
+           .reset_index(drop=True))
+    # .de hosts: 2 de + 1 en; .fr hosts: 1 fr + 1 de; non-url -> ('','')
+    assert got[got["tld"] == "de"]["n_docs"].tolist() == [2, 1]
+    assert len(got[got["tld"] == ""]) == 1
+    src = df.assign(url_host=canonicalize_urls(df["url"])["url_host"])
+    con = duckdb.connect()
+    con.register("src", src[["url_host", "lang"]])
+    want = (con.execute(tld_lang_crosstab_oracle_sql("SELECT * FROM src"))
+            .df().sort_values(["tld", "lang"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
