@@ -4026,6 +4026,39 @@ def q_robots_txt(sf_dir: str):
         ds.map_batches(pages, batch_format="pandas"), robots)
 
 
+def q_crawl_delays(sf_dir: str):
+    # per-host Crawl-delay politeness extraction (stages/robots
+    # .crawl_delays): one narrow map over the robots table, zero
+    # shuffles.  Three arithmetic robots shapes — last-valid-value-wins
+    # (2.5 then 7), a delay only in a non-matching exact-agent group
+    # (NULL for '*'), and an invalid value (NULL) — so the oracle is
+    # doc-arithmetic CASE constants.
+    import ray.data as rdata
+
+    from pdf_extract_ray.stages.robots import crawl_delays
+
+    _t(sf_dir, "documents", columns=["doc_id"])  # anchor the sf tables
+    robots = rdata.from_items([
+        {"host": f"h{h}.example",
+         "robots_txt": (
+             "User-agent: *\nCrawl-delay: 2.5\nDisallow: /private/\n"
+             "Crawl-delay: 7\n" if h % 3 == 0 else
+             "User-agent: crawler\nDisallow: /admin/\n"
+             "Crawl-delay: 1\n\n"
+             "User-agent: *\nDisallow: /\n" if h % 3 == 1 else
+             "User-agent: *\nCrawl-delay: soon\nDisallow: /tmp/\n")}
+        for h in range(13)])
+    return crawl_delays(robots)
+
+
+def _crawl_delays_oracle() -> str:
+    return (
+        "SELECT 'h' || h || '.example' AS host, "
+        "CASE WHEN h % 3 = 0 THEN 7.0 END AS crawl_delay "
+        "FROM (SELECT unnest(range(13)) AS h)"
+    )
+
+
 def _robots_txt_oracle() -> str:
     return (
         "WITH u AS (SELECT doc_id, doc_id % 13 AS h, doc_id % 4 AS p, "
@@ -5491,6 +5524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feed_entries": q_feed_entries,
         "lang_outlier_docs": q_lang_outlier_docs,
         "tld_lang_crosstab": q_tld_lang_crosstab,
+        "crawl_delay_hosts": q_crawl_delays,
         "pmi_terms_lang": q_pmi_terms_lang,
         "melt_lineitem_metrics": q_melt_lineitem_metrics,
         "funnel_latency_events": q_funnel_latency_events,
@@ -7226,6 +7260,7 @@ def oracle_sql() -> dict[str, str]:
         "feed_entries": _feed_entries_oracle(),
         "lang_outlier_docs": _lang_outlier_oracle(),
         "tld_lang_crosstab": _tld_lang_oracle(),
+        "crawl_delay_hosts": _crawl_delays_oracle(),
         "pmi_terms_lang": _pmi_terms_oracle(),
         "melt_lineitem_metrics": _melt_lineitem_oracle(),
         "funnel_latency_events": _funnel_latency_oracle(),

@@ -135,3 +135,59 @@ def sitemap_urls(text: str | None) -> list[str]:
             if v:
                 out.append(v)
     return out
+
+
+_DELAY_VALUE_RE = re.compile(r"^\d+(\.\d+)?$")
+
+
+def crawl_delay_value(text: str | None, agent: str = "*"):
+    """Effective ``Crawl-delay`` for ``agent`` — the politeness input
+    major crawlers honor by convention (not part of RFC 9309; frozen
+    here so the SQL oracle can mirror it).
+
+    Rules: group selection is IDENTICAL to :func:`parse_robots_txt`
+    (exact agent beats ``*``; user-agent lines stack; crawl-delay
+    lines — like every non-user-agent, non-rule line — do NOT end a
+    stacking run, they attach to the open group).  Within the chosen
+    group the LAST syntactically valid value (``\\d+(\\.\\d+)?``) wins;
+    no group / no valid value -> ``None``.  Total on garbage."""
+    if not text:
+        return None
+    agent = agent.lower()
+    groups: list[tuple[list[str], list[float]]] = []
+    cur_agents: list[str] = []
+    cur_delays: list[float] = []
+    in_agent_run = False
+    for raw in str(text).splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, value = line.split(":", 1)
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_agent_run:
+                if cur_agents:
+                    groups.append((cur_agents, cur_delays))
+                cur_agents, cur_delays = [], []
+                in_agent_run = True
+            cur_agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            in_agent_run = False
+        elif field == "crawl-delay":
+            if cur_agents and _DELAY_VALUE_RE.match(value):
+                cur_delays.append(float(value))
+    if cur_agents:
+        groups.append((cur_agents, cur_delays))
+
+    chosen = None
+    for agents, delays in groups:   # exact agent match beats '*'
+        if agent in agents:
+            chosen = delays
+            break
+    if chosen is None:
+        for agents, delays in groups:
+            if "*" in agents:
+                chosen = delays
+                break
+    return chosen[-1] if chosen else None

@@ -230,3 +230,31 @@ def filter_by_robots_txt(
     return pages.join(allowed, join_type="inner",
                       num_partitions=num_partitions,
                       on=(url_col,), right_on=("__allowed_url",))
+
+
+def crawl_delays(
+    robots_ds: Dataset,
+    *,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+) -> Dataset:
+    """Per-host effective ``Crawl-delay`` for ``agent`` —
+    ``(host, crawl_delay)`` with NULL (NaN) when the chosen group has
+    no valid value (functions/robotstxt.crawl_delay_value's frozen
+    rules).  One narrow map over the robots table (one row per host),
+    zero shuffles; feed the result to the fetch scheduler next to
+    :func:`budget.crawl_budget`'s quotas."""
+    from pdf_extract_ray.functions.robotstxt import crawl_delay_value
+
+    def batch(b: pd.DataFrame) -> pd.DataFrame:
+        vals = [crawl_delay_value(t, agent) for t in b[text_col]]
+        nan = float("nan")
+        return pd.DataFrame({
+            host_col: b[host_col].to_numpy(),
+            "crawl_delay": pd.array(
+                [nan if v is None else v for v in vals],
+                dtype="float64"),
+        })
+
+    return robots_ds.map_batches(batch, batch_format="pandas")

@@ -189,3 +189,51 @@ def test_filter_by_robots_txt_duplicate_urls_not_multiplied(ray_session):
     # ...and one row per DISTINCT url in unique_urls mode
     vu = robots_txt_verdicts(pages, robots, unique_urls=True).to_pandas()
     assert len(vu) == 3 and vu["url"].is_unique
+
+
+class TestCrawlDelay:
+    def test_last_valid_value_wins(self):
+        from pdf_extract_ray.functions.robotstxt import crawl_delay_value
+
+        txt = ("User-agent: *\nCrawl-delay: 2.5\nDisallow: /p/\n"
+               "Crawl-delay: 7\nCrawl-delay: soon\n")
+        assert crawl_delay_value(txt) == 7.0
+
+    def test_group_selection_and_stacking(self):
+        from pdf_extract_ray.functions.robotstxt import crawl_delay_value
+
+        # exact agent beats '*'
+        txt = ("User-agent: bot\nDisallow: /x\nCrawl-delay: 3\n\n"
+               "User-agent: *\nDisallow: /\nCrawl-delay: 9\n")
+        assert crawl_delay_value(txt, "bot") == 3.0
+        assert crawl_delay_value(txt, "other") == 9.0
+        # UA lines separated only by a crawl-delay merge into ONE group
+        # (the same stacking rule parse_robots_txt froze): both agents
+        # share the delay
+        merged = "User-agent: a\nCrawl-delay: 1\nUser-agent: b\nDisallow: /x\n"
+        assert crawl_delay_value(merged, "a") == 1.0
+        assert crawl_delay_value(merged, "b") == 1.0
+
+    def test_absent_invalid_and_garbage(self):
+        from pdf_extract_ray.functions.robotstxt import crawl_delay_value
+
+        assert crawl_delay_value(None) is None
+        assert crawl_delay_value("") is None
+        assert crawl_delay_value("User-agent: *\nDisallow: /\n") is None
+        assert crawl_delay_value("User-agent: *\nCrawl-delay: -1\n") is None
+        assert crawl_delay_value("Crawl-delay: 4\n") is None  # no group
+        assert crawl_delay_value("%% garbage ::: lines\n") is None
+
+    def test_stage(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extract_ray.stages.robots import crawl_delays
+
+        robots = rd.from_items([
+            {"host": "a", "robots_txt": "User-agent: *\nCrawl-delay: 4\n"},
+            {"host": "b", "robots_txt": "User-agent: *\nDisallow: /\n"},
+        ])
+        got = (crawl_delays(robots).to_pandas()
+               .sort_values("host").reset_index(drop=True))
+        assert got.loc[0, "crawl_delay"] == 4.0
+        assert pd.isna(got.loc[1, "crawl_delay"])
