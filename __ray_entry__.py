@@ -3956,6 +3956,47 @@ def _tld_lang_oracle() -> str:
     return tld_lang_crosstab_oracle_sql(source)
 
 
+def q_url_traps(sf_dir: str):
+    # crawler-trap URL gate (urlfilter.url_trap_batch): repeated path
+    # segments / depth / parameter-count cues, one narrow vectorized
+    # map, zero shuffles.  Five arithmetic url shapes: a self-linking
+    # loop (/a/b/a/), an 8-deep calendar path, a 6-param explosion, a
+    # clean page, and a non-url.
+    import numpy as np
+
+    from pdf_extract_ray.stages.urlfilter import url_trap_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def pages(b: pd.DataFrame) -> pd.DataFrame:
+        did = b["doc_id"].astype(str)
+        url = np.select(
+            [b["doc_id"] % 5 == 0, b["doc_id"] % 5 == 1,
+             b["doc_id"] % 5 == 2, b["doc_id"] % 5 == 3],
+            ["http://t.example/a/b/a/" + did,
+             "http://t.example/" + "d/" * 7 + did,
+             "http://t.example/p?a=1&b=2&c=3&d=4&e=5&f=" + did,
+             "http://t.example/x/" + did + "?a=1"],
+            default="not a url " + did)
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                             "url": url})
+
+    return url_trap_batch(ds.map_batches(pages, batch_format="pandas"))
+
+
+def _url_traps_oracle() -> str:
+    from pdf_extract_ray.stages.urlfilter import url_trap_oracle_sql
+
+    src = (
+        "SELECT doc_id, CASE doc_id % 5 "
+        "WHEN 0 THEN 'http://t.example/a/b/a/' || doc_id "
+        "WHEN 1 THEN 'http://t.example/' || repeat('d/', 7) || doc_id "
+        "WHEN 2 THEN 'http://t.example/p?a=1&b=2&c=3&d=4&e=5&f=' || doc_id "
+        "WHEN 3 THEN 'http://t.example/x/' || doc_id || '?a=1' "
+        "ELSE 'not a url ' || doc_id END AS url FROM documents")
+    return url_trap_oracle_sql(src)
+
+
 def q_text_density(sf_dir: str):
     # boilerpipe-family structural density signals (stages/pagemeta
     # .text_density_batch): narrow map, zero shuffles; html synthesized
@@ -5525,6 +5566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_outlier_docs": q_lang_outlier_docs,
         "tld_lang_crosstab": q_tld_lang_crosstab,
         "crawl_delay_hosts": q_crawl_delays,
+        "url_trap_docs": q_url_traps,
         "pmi_terms_lang": q_pmi_terms_lang,
         "melt_lineitem_metrics": q_melt_lineitem_metrics,
         "funnel_latency_events": q_funnel_latency_events,
@@ -7261,6 +7303,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_outlier_docs": _lang_outlier_oracle(),
         "tld_lang_crosstab": _tld_lang_oracle(),
         "crawl_delay_hosts": _crawl_delays_oracle(),
+        "url_trap_docs": _url_traps_oracle(),
         "pmi_terms_lang": _pmi_terms_oracle(),
         "melt_lineitem_metrics": _melt_lineitem_oracle(),
         "funnel_latency_events": _funnel_latency_oracle(),

@@ -117,3 +117,122 @@ def url_blocklist_oracle_sql(
     hit = "(" + " OR ".join(conds) + ")" if conds else "FALSE"
     keep = hit if invert else f"NOT {hit}"
     return f"SELECT * FROM ({source_sql}) WHERE {keep}"
+
+
+def url_trap_signals(
+    urls: pd.Series,
+    *,
+    max_depth: int = 6,
+    max_params: int = 5,
+) -> pd.DataFrame:
+    """Crawler-trap cues per url — the stage-1 frontier gate that keeps
+    calendar pages, session-id loops and parameter explosions out of
+    the fetch queue (RefinedWeb §3.1-style URL filtering, public
+    heuristics):
+
+    * ``path_depth`` — non-empty ``/``-segments of the path;
+    * ``n_params`` — ``&``-separated query parts (0 when no query);
+    * ``repeated_segment`` — ANY path segment occurring twice
+      (``/a/b/a/`` — the classic self-linking loop shape);
+    * ``is_trap`` — ``repeated_segment OR path_depth > max_depth OR
+      n_params > max_params``.
+
+    Frozen parse = :data:`functions.url.URL_PARTS_RE` (the
+    canonicalize family's regexes, SQL-mirrored by
+    :func:`url_trap_oracle_sql`); non-urls get all-zero / False.
+    Vectorized, zero shuffles."""
+    from pdf_extract_ray.functions.url import URL_PARTS_RE
+
+    s = urls.fillna("").astype(str).str.strip().reset_index(drop=True)
+    parts = s.str.extract(URL_PARTS_RE)
+    scheme = parts[0].fillna("")
+    path = parts[2].fillna("")
+    query = parts[3].fillna("")
+    is_url = (scheme != "").to_numpy()
+
+    ex = path.str.split("/").explode()
+    ex = ex[ex != ""]
+    grp = ex.groupby(level=0)
+    idx = pd.RangeIndex(len(s))
+    depth = (grp.size().reindex(idx).fillna(0).to_numpy()
+             .astype(np.int64))
+    uniq = (grp.nunique().reindex(idx).fillna(0).to_numpy()
+            .astype(np.int64))
+    depth = np.where(is_url, depth, 0)
+    uniq = np.where(is_url, uniq, 0)
+    n_params = np.where(
+        is_url & (query != "").to_numpy(),
+        query.str.split("&").str.len().fillna(0).to_numpy(), 0
+    ).astype(np.int64)
+    repeated = depth > uniq
+    is_trap = repeated | (depth > max_depth) | (n_params > max_params)
+    return pd.DataFrame({
+        "path_depth": depth,
+        "n_params": n_params,
+        "repeated_segment": repeated,
+        "is_trap": is_trap,
+    }, index=urls.index)
+
+
+def url_trap_batch(
+    ds,
+    *,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    max_depth: int = 6,
+    max_params: int = 5,
+):
+    """Dataset wrapper for :func:`url_trap_signals` — one narrow map."""
+
+    def batch(b: pd.DataFrame) -> pd.DataFrame:
+        sig = url_trap_signals(b[url_col], max_depth=max_depth,
+                               max_params=max_params)
+        sig.index = b.index
+        out = b[[id_col, url_col]].copy()
+        return pd.concat([out, sig], axis=1)
+
+    return ds.map_batches(batch, batch_format="pandas")
+
+
+def url_trap_oracle_sql(
+    source_sql: str,
+    *,
+    url_expr: str = "url",
+    id_col: str = "doc_id",
+    max_depth: int = 6,
+    max_params: int = 5,
+) -> str:
+    """DuckDB mirror of :func:`url_trap_batch` (same regexes as
+    :func:`functions.url.canonicalize_oracle_sql`)."""
+    return f"""
+WITH u AS (
+  SELECT {id_col}, trim({url_expr}) AS url FROM ({source_sql})
+), p AS (
+  SELECT {id_col}, url,
+    lower(regexp_extract(url,
+      '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+    regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.\\-]*://[^?#]*\\?([^#]*)', 1) AS query
+  FROM u
+), s AS (
+  SELECT {id_col}, url, scheme <> '' AS is_url,
+    list_filter(string_split(path, '/'), x -> x <> '') AS segs, query
+  FROM p
+), f AS (
+  SELECT {id_col}, url,
+    CASE WHEN is_url THEN len(segs) ELSE 0 END AS path_depth,
+    CASE WHEN is_url THEN len(list_distinct(segs)) ELSE 0 END AS n_uniq,
+    CASE WHEN is_url AND query <> ''
+         THEN len(string_split(query, '&')) ELSE 0 END AS n_params
+  FROM s
+)
+SELECT {id_col}, url,
+       CAST(path_depth AS BIGINT) AS path_depth,
+       CAST(n_params AS BIGINT) AS n_params,
+       path_depth > n_uniq AS repeated_segment,
+       (path_depth > n_uniq OR path_depth > {max_depth}
+        OR n_params > {max_params}) AS is_trap
+FROM f
+"""

@@ -433,3 +433,45 @@ def test_normalize_typography_known_values_and_sql(ray_session):
     got = (normalize_typography_batch(rnd)
            .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestUrlTraps:
+    def test_trap_rules(self):
+        from pdf_extract_ray.stages.urlfilter import url_trap_signals
+
+        sig = url_trap_signals(pd.Series([
+            "http://x.com/a/b/a/1",          # repeated segment
+            "http://x.com/" + "d/" * 7 + "9",  # depth 8 > 6
+            "http://x.com/p?a=1&b=2&c=3&d=4&e=5&f=6",  # 6 params > 5
+            "http://x.com/x/1?a=1",           # clean
+            "not a url",
+        ]))
+        assert sig["is_trap"].tolist() == [True, True, True, False, False]
+        assert sig["repeated_segment"].tolist() == [
+            True, True, False, False, False]
+        assert sig["path_depth"].tolist() == [4, 8, 1, 2, 0]
+        assert sig["n_params"].tolist() == [0, 0, 6, 1, 0]
+
+    def test_sql_parity_randomized(self, ray_session):
+        from pdf_extract_ray.stages.urlfilter import (
+            url_trap_batch,
+            url_trap_oracle_sql,
+        )
+
+        rng = np.random.RandomState(13)
+        segs = np.array(["a", "b", "cal", "2024", "a"])
+        urls = []
+        for i in range(300):
+            d = rng.randint(0, 9)
+            path = "/".join(segs[rng.randint(0, len(segs), d)])
+            q = "&".join(f"k{j}={j}" for j in range(rng.randint(0, 8)))
+            urls.append(f"http://h{i % 5}.example/{path}"
+                        + (f"?{q}" if q else ""))
+        df = pd.DataFrame({"doc_id": range(300), "url": urls})
+        got = (url_trap_batch(rd.from_pandas(df).repartition(3))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("src", df)
+        want = (con.execute(url_trap_oracle_sql("SELECT * FROM src"))
+                .df().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
