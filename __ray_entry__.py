@@ -3997,6 +3997,82 @@ def _url_traps_oracle() -> str:
     return url_trap_oracle_sql(src)
 
 
+def q_crawl_frontier(sf_dir: str):
+    # the crawl loop's frontier update, composed from FOUR of the
+    # engine's discovery/gate stages in one streaming plan: sitemap
+    # entries + feed entries + link-derived candidates union into a
+    # discovered stream, crawler-trap urls are gated out narrowly
+    # (urlfilter.url_trap_signals), then ONE url cogroup against the
+    # known corpus emits only genuinely-new urls with their discovery
+    # evidence (crawldiff.crawl_frontier).
+    from pdf_extract_ray.stages.crawldiff import crawl_frontier
+    from pdf_extract_ray.stages.urlfilter import url_trap_signals
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    sm = q_sitemap_entries(sf_dir).map_batches(
+        lambda b: pd.DataFrame(
+            {"url": b.loc[b["kind"] == "url", "loc"].astype(str),
+             "source": "sitemap"}),
+        batch_format="pandas")
+    fe = q_feed_entries(sf_dir).map_batches(
+        lambda b: pd.DataFrame({"url": b["link"].astype(str),
+                                "source": "feed"}),
+        batch_format="pandas")
+
+    def links(b: pd.DataFrame) -> pd.DataFrame:
+        nxt = b["doc_id"] + 1
+        good = ("http://h" + (nxt % 13).astype(str) + ".example/p/"
+                + nxt.astype(str))
+        trap = "http://h0.example/a/b/a/" + b["doc_id"].astype(str)
+        return pd.DataFrame({
+            "url": pd.concat([good, trap], ignore_index=True),
+            "source": "link"})
+
+    lk = ds.map_batches(links, batch_format="pandas")
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        sig = url_trap_signals(b["url"])
+        return b[~sig["is_trap"].to_numpy()]
+
+    discovered = sm.union(fe).union(lk).map_batches(
+        gate, batch_format="pandas")
+
+    known = ds.map_batches(
+        lambda b: pd.DataFrame(
+            {"url": "http://h" + (b["doc_id"] % 13).astype(str)
+             + ".example/p/" + b["doc_id"].astype(str)}),
+        batch_format="pandas")
+    return crawl_frontier(discovered, known)
+
+
+def _crawl_frontier_oracle() -> str:
+    return (
+        "WITH sm AS (" + _sitemap_entries_oracle() + "), "
+        "fe AS (" + _feed_entries_oracle() + "), "
+        "d0 AS ("
+        "  SELECT loc AS url, 'sitemap' AS source FROM sm WHERE kind = 'url'"
+        "  UNION ALL SELECT link, 'feed' FROM fe"
+        "  UNION ALL SELECT 'http://h' || ((doc_id + 1) % 13) "
+        "    || '.example/p/' || (doc_id + 1), 'link' FROM documents"
+        "  UNION ALL SELECT 'http://h0.example/a/b/a/' || doc_id, 'link' "
+        "    FROM documents"
+        "), gated AS ("
+        "  SELECT d0.url, d0.source FROM d0 JOIN ("
+        + __import__('pdf_extract_ray.stages.urlfilter',
+                     fromlist=['url_trap_oracle_sql'])
+        .url_trap_oracle_sql("SELECT url AS u_id, url FROM d0",
+                             id_col="u_id")
+        + ") t ON d0.url = t.url WHERE NOT t.is_trap"
+        "), known AS ("
+        "  SELECT 'http://h' || (doc_id % 13) || '.example/p/' || doc_id "
+        "  AS url FROM documents"
+        ") SELECT url, CAST(count(DISTINCT source) AS BIGINT) AS n_sources, "
+        "min(source) AS first_source FROM gated "
+        "WHERE url NOT IN (SELECT url FROM known) GROUP BY url"
+    )
+
+
 def q_text_density(sf_dir: str):
     # boilerpipe-family structural density signals (stages/pagemeta
     # .text_density_batch): narrow map, zero shuffles; html synthesized
@@ -5567,6 +5643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tld_lang_crosstab": q_tld_lang_crosstab,
         "crawl_delay_hosts": q_crawl_delays,
         "url_trap_docs": q_url_traps,
+        "crawl_frontier": q_crawl_frontier,
         "pmi_terms_lang": q_pmi_terms_lang,
         "melt_lineitem_metrics": q_melt_lineitem_metrics,
         "funnel_latency_events": q_funnel_latency_events,
@@ -7304,6 +7381,7 @@ def oracle_sql() -> dict[str, str]:
         "tld_lang_crosstab": _tld_lang_oracle(),
         "crawl_delay_hosts": _crawl_delays_oracle(),
         "url_trap_docs": _url_traps_oracle(),
+        "crawl_frontier": _crawl_frontier_oracle(),
         "pmi_terms_lang": _pmi_terms_oracle(),
         "melt_lineitem_metrics": _melt_lineitem_oracle(),
         "funnel_latency_events": _funnel_latency_oracle(),

@@ -245,7 +245,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "rate_limited_events", "stale_pages_docs",
                      "feed_entries", "lang_outlier_docs",
                      "tld_lang_crosstab", "crawl_delay_hosts",
-                     "url_trap_docs"):
+                     "url_trap_docs", "crawl_frontier"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

@@ -364,3 +364,62 @@ SELECT {id_col},
        CAST(sum(least(oc, nc)) AS BIGINT) AS n_common
 FROM j GROUP BY {id_col}
 """
+
+
+def crawl_frontier(
+    discovered: Dataset,
+    known: Dataset,
+    *,
+    url_col: str = "url",
+    source_col: str = "source",
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Frontier update — the crawl loop's set arithmetic: urls surfaced
+    by any discovery channel (link extraction, sitemaps, feeds) that
+    are NOT already in the known corpus, with per-url discovery
+    evidence: ``(url, n_sources, first_source)`` where ``n_sources`` =
+    distinct channels that saw it and ``first_source`` = the
+    lexicographically smallest channel name (deterministic).
+
+    Scale shape: ONE tag-union-bucket cogroup by url over narrow
+    ``(url, source)`` rows — the known side ships urls only, and a url
+    seen by a million pages still emits one frontier row.  Gate the
+    discovered stream with :func:`urlfilter.url_trap_batch` first to
+    keep trap urls out of the shuffle."""
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    def tag_d(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            url_col: b[url_col].fillna("").astype(str),
+            "__src": b[source_col].fillna("").astype(str),
+            "__known": np.int8(0),
+        })
+
+    def tag_k(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            url_col: b[url_col].fillna("").astype(str),
+            "__src": "",
+            "__known": np.int8(1),
+        })
+
+    u = (discovered.map_batches(tag_d, batch_format="pandas")
+         .union(known.map_batches(tag_k, batch_format="pandas")))
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        known_urls = g.loc[g["__known"] == 1, url_col].unique()
+        fresh = g[(g["__known"] == 0)
+                  & ~g[url_col].isin(known_urls)]
+        if not len(fresh):
+            return pd.DataFrame({
+                url_col: pd.Series([], dtype=object),
+                "n_sources": pd.Series([], dtype="int64"),
+                "first_source": pd.Series([], dtype=object)})
+        agg = (fresh.groupby(url_col)["__src"]
+               .agg([("n_sources", "nunique"), ("first_source", "min")])
+               .reset_index())
+        agg["n_sources"] = agg["n_sources"].astype("int64")
+        return agg
+
+    return bucketed_group_apply(u, [url_col], body,
+                                num_buckets=num_buckets,
+                                pre_batch_size=65536)

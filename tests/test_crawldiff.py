@@ -341,3 +341,25 @@ class TestLineDiff:
                     "SELECT * FROM old_snap", "SELECT * FROM new_snap"))
                 .df().sort_values("url").reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestCrawlFrontier:
+    def test_set_arithmetic_and_evidence(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extract_ray.stages.crawldiff import crawl_frontier
+
+        discovered = pd.DataFrame({
+            "url": ["u/new1", "u/new1", "u/new1", "u/new2", "u/old",
+                    "u/new2"],
+            "source": ["sitemap", "feed", "feed", "link", "sitemap",
+                       "link"],
+        })
+        known = pd.DataFrame({"url": ["u/old", "u/other"]})
+        got = (crawl_frontier(rd.from_pandas(discovered).repartition(3),
+                              rd.from_pandas(known))
+               .to_pandas().sort_values("url").reset_index(drop=True))
+        # u/old is known -> dropped; new1 seen by 2 distinct channels
+        assert got["url"].tolist() == ["u/new1", "u/new2"]
+        assert got["n_sources"].tolist() == [2, 1]
+        assert got["first_source"].tolist() == ["feed", "link"]
