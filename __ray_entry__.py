@@ -1951,6 +1951,34 @@ def q_k_core_docs(sf_dir: str):
                   removal_mode="broadcast")
 
 
+def _lpa_edges(b: pd.DataFrame) -> pd.DataFrame:
+    # five 40-node communities (ring + chord) with one bridge per
+    # adjacent pair — frozen derive shared with the golden generator
+    d = b["doc_id"].to_numpy(np.int64)
+    d = d[d < 200]
+    com = d // 40
+    ring = com * 40 + (d % 40 + 1) % 40
+    chord = com * 40 + (d % 40 + 3) % 40
+    br = d[d % 40 == 0]
+    return pd.DataFrame({
+        "src": np.concatenate([d, d, br]),
+        "dst": np.concatenate([ring, chord, (br + 40) % 200])})
+
+
+def q_label_prop_docs(sf_dir: str):
+    # community detection by deterministic synchronous label
+    # propagation (graph.label_propagation): per round ONE cogroup
+    # attaching source labels to edges + ONE bucketed majority vote —
+    # labels never broadcast.  Oracle = committed golden from the
+    # independent dict-based reference (same frozen sync/tie rule, so
+    # parity is bit-exact).
+    from pdf_extract_ray.stages.graph import label_propagation
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+    return label_propagation(
+        ds.map_batches(_lpa_edges, batch_format="pandas"), max_iters=10)
+
+
 def q_semi_join_docs(sf_dir: str):
     # big-big SEMI join (dedup.semi_join_reference): keep documents
     # whose lang appears in a reference slice — ids+keys-only cogroup,
@@ -5685,6 +5713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "analyze_orders": q_analyze_orders,
         "crawl_budget_hosts": q_crawl_budget_hosts,
         "semi_join_docs": q_semi_join_docs,
+        "label_prop_docs": q_label_prop_docs,
         "impute_median_events": q_impute_median_events,
         "decayed_event_scores": q_decayed_event_scores,
         "welch_ab_events": q_welch_ab_events,
@@ -7585,7 +7614,8 @@ def oracle_sql() -> dict[str, str]:
                         "kmeans_embeddings", "k_core_docs",
                         "host_mirror_docs",
                         "dsir_weights_docs", "markdown_docs",
-                        "grouped_distinct_users", "porter_stems")},
+                        "grouped_distinct_users", "porter_stems",
+                        "label_prop_docs")},
         "pii_redacted_docs": _pii_oracle(),
         "c4_clean_docs": _c4_oracle(),
         "bm25_docs": _bm25_oracle(),

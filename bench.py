@@ -245,7 +245,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "rate_limited_events", "stale_pages_docs",
                      "feed_entries", "lang_outlier_docs",
                      "tld_lang_crosstab", "crawl_delay_hosts",
-                     "url_trap_docs", "crawl_frontier"):
+                     "url_trap_docs", "crawl_frontier",
+                     "label_prop_docs"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

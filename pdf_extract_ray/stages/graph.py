@@ -1271,3 +1271,157 @@ SELECT 0 AS g, x, y FROM __da_j
 UNION ALL SELECT 0, y, x FROM __da_j)
 """
     return grouped_corr_oracle_sql(both, ["g"], "x", "y")
+
+
+def label_propagation(
+    edges: Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 10,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007, public paper) with a fully deterministic frozen rule,
+    so the distributed result equals a single-process reference
+    bit-for-bit regardless of block topology:
+
+    * the graph is undirected (edges symmetrized), self-loops dropped,
+      parallel edges counted once;
+    * labels initialize to the node id;
+    * each round EVERY node simultaneously adopts the most frequent
+      label among its neighbors' current labels plus ONE self-vote;
+      ties go to the smallest label (sync + frozen tie-break = no
+      arrival-order dependence, unlike the paper's async sweep);
+    * the loop stops when no label changed or after ``max_iters``
+      rounds (sync LPA can 2-cycle on bipartite structures; the cap
+      bounds that deterministically).
+
+    Returns ``(node, label)``.
+
+    Scale shape: the symmetrized edge list (2 int64 columns) is
+    deduped and materialized ONCE; each round is (a) one bucketed
+    cogroup attaching source labels to edges and (b) one bucketed
+    majority vote by destination — labels are never broadcast, and
+    the per-round driver scalar is the changed-label count."""
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    if max_iters < 0:
+        raise ValueError("max_iters must be >= 0")
+
+    def sym(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[src_col].to_numpy(np.int64)
+        d = b[dst_col].to_numpy(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pd.DataFrame({"src": np.concatenate([s, d]),
+                             "dst": np.concatenate([d, s])})
+
+    # dedup parallel edges in one bucketed pass (a duplicate pair
+    # shares its src, so bucketing by src sees both copies), then pin:
+    # the loop re-consumes the edge list every round
+    sym_edges = bucketed_group_apply(
+        edges.map_batches(sym, batch_format="pandas"), ["src"],
+        lambda g: g.drop_duplicates(["src", "dst"]),
+        num_buckets=num_buckets, pre_batch_size=65536).materialize()
+
+    labels = bucketed_group_apply(
+        sym_edges.map_batches(
+            lambda b: pd.DataFrame({"node": b["src"].to_numpy()}),
+            batch_format="pandas"),
+        ["node"],
+        lambda g: pd.DataFrame({"node": (u := g["node"].unique()),
+                                "label": u}),
+        num_buckets=num_buckets, pre_batch_size=65536).materialize()
+
+    for _ in range(max_iters):
+        e_rows = sym_edges.map_batches(
+            lambda b: pd.DataFrame({
+                "k": b["src"].to_numpy(np.int64),
+                "dst": b["dst"].to_numpy(np.int64),
+                "lab": np.int64(-1), "side": np.int8(1)}),
+            batch_format="pandas")
+        l_rows = labels.map_batches(
+            lambda b: pd.DataFrame({
+                "k": b["node"].to_numpy(np.int64),
+                "dst": np.int64(-1),
+                "lab": b["label"].to_numpy(np.int64),
+                "side": np.int8(0)}),
+            batch_format="pandas")
+
+        def attach(g: pd.DataFrame) -> pd.DataFrame:
+            lab = g[g["side"] == 0].set_index("k")["lab"]
+            e = g[g["side"] == 1]
+            return pd.DataFrame({
+                "node": e["dst"].to_numpy(np.int64),
+                "lab": lab.reindex(e["k"]).to_numpy(np.int64),
+                "is_self": np.int8(0)})
+
+        msgs = bucketed_group_apply(
+            e_rows.union(l_rows), ["k"], attach,
+            num_buckets=num_buckets, pre_batch_size=65536)
+
+        self_rows = labels.map_batches(
+            lambda b: pd.DataFrame({
+                "node": b["node"].to_numpy(np.int64),
+                "lab": b["label"].to_numpy(np.int64),
+                "is_self": np.int8(1)}),
+            batch_format="pandas")
+
+        def vote(g: pd.DataFrame) -> pd.DataFrame:
+            cnt = (g.groupby(["node", "lab"], sort=False).size()
+                   .reset_index(name="n"))
+            cnt = cnt.sort_values(["node", "n", "lab"],
+                                  ascending=[True, False, True],
+                                  kind="mergesort")
+            win = cnt.drop_duplicates("node")[["node", "lab"]]
+            old = g[g["is_self"] == 1][["node", "lab"]].rename(
+                columns={"lab": "old"})
+            m = win.merge(old, on="node", how="left")
+            return pd.DataFrame({
+                "node": m["node"].to_numpy(np.int64),
+                "label": m["lab"].to_numpy(np.int64),
+                "changed": (m["lab"] != m["old"]).to_numpy()})
+
+        new_labels = bucketed_group_apply(
+            msgs.union(self_rows), ["node"], vote,
+            num_buckets=num_buckets, pre_batch_size=65536).materialize()
+        n_changed = int(new_labels.sum("changed") or 0)
+        labels = new_labels.drop_columns(["changed"]).materialize()
+        if n_changed == 0:
+            break
+
+    return labels
+
+
+def label_propagation_reference(
+    edge_pairs,
+    *,
+    max_iters: int = 10,
+) -> dict:
+    """Independent single-process reference for
+    :func:`label_propagation` — same frozen rule via plain dicts; used
+    by the golden generator and the parity tests."""
+    from collections import Counter, defaultdict
+
+    nbrs = defaultdict(set)
+    for s, d in edge_pairs:
+        s, d = int(s), int(d)
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    labels = {v: v for v in nbrs}
+    for _ in range(max_iters):
+        new = {}
+        for v in nbrs:
+            votes = Counter(labels[u] for u in nbrs[v])
+            votes[labels[v]] += 1
+            best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            new[v] = best
+        if new == labels:
+            labels = new
+            break
+        labels = new
+    return labels

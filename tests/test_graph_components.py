@@ -189,3 +189,42 @@ def test_star_rejects_negative_and_bad_algorithm(ray_session):
                              algorithm="star").take_all()
     with pytest.raises(ValueError):
         connected_components(rd.from_pandas(df), algorithm="bogus")
+
+
+class TestLabelPropagation:
+    def test_parity_with_reference_and_topology(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extract_ray.stages.graph import (
+            label_propagation,
+            label_propagation_reference,
+        )
+
+        e = []
+        for base in (0, 100):
+            for i in range(30):
+                e.append((base + i, base + (i + 1) % 30))
+                e.append((base + i, base + (i + 7) % 30))
+        e.append((0, 100))          # bridge
+        e.append((5, 5))            # self loop: dropped
+        e.append((0, 1))            # parallel edge: counted once
+        df = pd.DataFrame(e, columns=["src", "dst"])
+        ref = label_propagation_reference(e)
+        want = (pd.DataFrame(sorted(ref.items()),
+                             columns=["node", "label"])
+                .astype({"node": "int64", "label": "int64"}))
+        for parts in (1, 4):
+            got = (label_propagation(rd.from_pandas(df).repartition(parts))
+                   .to_pandas().sort_values("node").reset_index(drop=True))
+            pd.testing.assert_frame_equal(got, want)
+
+    def test_clique_converges_to_min_label(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extract_ray.stages.graph import label_propagation
+
+        e = [(i, j) for i in range(8) for j in range(i + 1, 8)]
+        got = (label_propagation(
+                   rd.from_pandas(pd.DataFrame(e, columns=["src", "dst"])))
+               .to_pandas())
+        assert (got["label"] == 0).all()

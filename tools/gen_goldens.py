@@ -1081,6 +1081,31 @@ def gen_host_mirror(sf_dir: str) -> dict[str, pa.Table]:
         df, preserve_index=False)}
 
 
+def gen_label_prop(sf_dir: str) -> dict[str, pa.Table]:
+    """Dict-based synchronous LPA reference for `label_prop_docs` —
+    identical frozen rule (sync rounds, self-vote, smallest-label tie,
+    early stop on no change, max_iters=10) as
+    graph.label_propagation; parity is bit-exact."""
+    sys.path.insert(0, _REPO)
+    from pdf_extract_ray.stages.graph import label_propagation_reference
+
+    d = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id"]).to_pandas()["doc_id"].to_numpy()
+    d = d[d < 200].astype(np.int64)
+    com = d // 40
+    ring = com * 40 + (d % 40 + 1) % 40
+    chord = com * 40 + (d % 40 + 3) % 40
+    br = d[d % 40 == 0]
+    pairs = (list(zip(d, ring)) + list(zip(d, chord))
+             + list(zip(br, (br + 40) % 200)))
+    labels = label_propagation_reference(pairs, max_iters=10)
+    rows = sorted(labels.items())
+    return {"label_prop_docs": pa.table({
+        "node": pa.array([r[0] for r in rows], pa.int64()),
+        "label": pa.array([r[1] for r in rows], pa.int64()),
+    })}
+
+
 GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_pair_analyzers, gen_layout, gen_media, gen_media_pixels,
               gen_approx_distinct, gen_approx_quantiles,
@@ -1091,7 +1116,7 @@ GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_nb_quality, gen_bloom, gen_nb_topic, gen_image_dup,
               gen_semdedup, gen_dsir, gen_markdown, gen_porter,
               gen_grouped_distinct, gen_kmeans, gen_kcore,
-              gen_host_mirror)
+              gen_host_mirror, gen_label_prop)
 
 
 def generate_all(sf_dir: str) -> dict[str, pa.Table]:
