@@ -1979,6 +1979,39 @@ def q_label_prop_docs(sf_dir: str):
         ds.map_batches(_lpa_edges, batch_format="pandas"), max_iters=10)
 
 
+def q_pdf_cleanup_docs(sf_dir: str):
+    # PDF text-flow repair (mojibake.pdf_text_cleanup_batch): fold
+    # presentation-form ligatures (U+FB00.. family) and join
+    # end-of-line hyphenations — the post-extraction cleanup every
+    # PDF-sourced corpus needs.  One narrow vectorized map, zero
+    # shuffles.  Derive plants ligatures (' a ' -> U+FB01) and
+    # hyphenation breaks (' e ' -> '-\n') in the document texts.
+    from pdf_extract_ray.stages.mojibake import pdf_text_cleanup_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        t = (b["text"].fillna("").astype(str)
+             .str.replace(" a ", "ﬁ", regex=False)
+             .str.replace(" e ", "-\n", regex=False))
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                             "page_text": t.to_numpy()})
+
+    return ds.map_batches(derive, batch_format="pandas").map_batches(
+        lambda b: pdf_text_cleanup_batch(b, text_col="page_text"),
+        batch_format="pandas")
+
+
+def _pdf_cleanup_oracle() -> str:
+    from pdf_extract_ray.stages.mojibake import pdf_text_cleanup_oracle_sql
+
+    derive = (
+        "SELECT doc_id, replace(replace(coalesce(text, ''), ' a ', "
+        "chr(64257)), ' e ', '-' || chr(10)) AS page_text FROM documents")
+    return pdf_text_cleanup_oracle_sql(f"({derive})",
+                                       text_expr="page_text")
+
+
 def q_semi_join_docs(sf_dir: str):
     # big-big SEMI join (dedup.semi_join_reference): keep documents
     # whose lang appears in a reference slice — ids+keys-only cogroup,
@@ -5714,6 +5747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_budget_hosts": q_crawl_budget_hosts,
         "semi_join_docs": q_semi_join_docs,
         "label_prop_docs": q_label_prop_docs,
+        "pdf_cleanup_docs": q_pdf_cleanup_docs,
         "impute_median_events": q_impute_median_events,
         "decayed_event_scores": q_decayed_event_scores,
         "welch_ab_events": q_welch_ab_events,
@@ -7410,6 +7444,7 @@ def oracle_sql() -> dict[str, str]:
         "tld_lang_crosstab": _tld_lang_oracle(),
         "crawl_delay_hosts": _crawl_delays_oracle(),
         "url_trap_docs": _url_traps_oracle(),
+        "pdf_cleanup_docs": _pdf_cleanup_oracle(),
         "crawl_frontier": _crawl_frontier_oracle(),
         "pmi_terms_lang": _pmi_terms_oracle(),
         "melt_lineitem_metrics": _melt_lineitem_oracle(),

@@ -226,3 +226,71 @@ def normalize_typography_oracle_sql(table: str = "documents",
         f"FROM {table}) "
         f"SELECT {id_col}, {norm} AS text_typo, "
         f"CAST({counts} AS BIGINT) AS n_typo FROM b")
+
+
+# presentation-form ligatures PDF extractors leak into text when the
+# font encodes "fi" as one glyph (U+FB00..FB06 alphabetic presentation
+# forms + the Latin digraph/ OE family) — frozen fold table, SQL-
+# mirrorable as chained replace(chr(cp))
+_LIGATURES = (
+    (0xFB00, "ff"), (0xFB01, "fi"), (0xFB02, "fl"), (0xFB03, "ffi"),
+    (0xFB04, "ffl"), (0xFB05, "st"), (0xFB06, "st"),
+    (0x0132, "IJ"), (0x0133, "ij"), (0x0152, "OE"), (0x0153, "oe"),
+)
+
+_DEHYPH_RE = r"([A-Za-z])-\n([a-z])"
+
+
+def pdf_text_cleanup_batch(batch: pd.DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> pd.DataFrame:
+    """``(id_col, text_clean, n_ligatures, n_dehyphenated)`` — PDF
+    text-flow repair, the post-extraction cleanup step every
+    PDF-sourced corpus needs:
+
+    * fold presentation-form ligatures to their letter sequences
+      (frozen ``_LIGATURES`` table, applied FIRST);
+    * join end-of-line hyphenations — a letter, ``-``, newline, then a
+      LOWERCASE letter collapse to the two letters (the lowercase gate
+      keeps true compounds like "self-\\nAssembly" intact; frozen rule
+      ``_DEHYPH_RE``).
+
+    One ``str.translate`` + one compiled-regex pass, zero shuffles;
+    the SQL mirror applies the identical tables/regex, so parity is
+    exact (each de-hyphenation removes exactly ``-\\n``, making the
+    SQL count a length delta / 2 — integer-exact)."""
+    t = batch[text_col].fillna("").astype(str)
+    lig_class = "[" + "".join(chr(cp) for cp, _ in _LIGATURES) + "]"
+    n_lig = t.str.count(lig_class).to_numpy("int64")
+    folded = t.str.translate({cp: rep for cp, rep in _LIGATURES})
+    n_deh = folded.str.count(_DEHYPH_RE).to_numpy("int64")
+    clean = folded.str.replace(_DEHYPH_RE, r"\1\2", regex=True)
+    return pd.DataFrame({
+        id_col: batch[id_col].to_numpy(),
+        "text_clean": clean.to_numpy(),
+        "n_ligatures": n_lig,
+        "n_dehyphenated": n_deh,
+    })
+
+
+def pdf_text_cleanup_oracle_sql(table: str = "documents",
+                                text_expr: str = "text",
+                                id_col: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`pdf_text_cleanup_batch`."""
+    folded = "t"
+    for cp, rep in _LIGATURES:
+        folded = f"replace({folded}, chr({cp}), {_sql_lit(rep)})"
+    lig_count = " + ".join(
+        f"(length(t) - length(replace(t, chr({cp}), '')))"
+        for cp, _ in _LIGATURES)
+    rx = "([A-Za-z])-" + "' || chr(10) || '" + "([a-z])"
+    return f"""
+WITH b AS (SELECT {id_col}, coalesce({text_expr}, '') AS t FROM {table}),
+f AS (SELECT {id_col}, t, {folded} AS ft FROM b),
+r AS (SELECT {id_col}, t, ft,
+             regexp_replace(ft, '{rx}', '\\1\\2', 'g') AS ct
+      FROM f)
+SELECT {id_col}, ct AS text_clean,
+       CAST({lig_count} AS BIGINT) AS n_ligatures,
+       CAST((length(ft) - length(ct)) // 2 AS BIGINT) AS n_dehyphenated
+FROM r
+"""

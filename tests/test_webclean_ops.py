@@ -475,3 +475,54 @@ class TestUrlTraps:
         want = (con.execute(url_trap_oracle_sql("SELECT * FROM src"))
                 .df().sort_values("doc_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestPdfTextCleanup:
+    def test_known_values(self):
+        from pdf_extract_ray.stages.mojibake import pdf_text_cleanup_batch
+
+        b = pd.DataFrame({"doc_id": [0, 1, 2, 3], "text": [
+            "eﬃcient ﬁrst",           # ffi + fi ligatures
+            "exam-\nple of hyphen-\nation",      # two joins
+            "self-\nAssembly stays",             # uppercase: kept
+            None,
+        ]})
+        got = pdf_text_cleanup_batch(b)
+        assert got["text_clean"].tolist() == [
+            "efficient first",
+            "example of hyphenation",
+            "self-\nAssembly stays",
+            "",
+        ]
+        assert got["n_ligatures"].tolist() == [2, 0, 0, 0]
+        assert got["n_dehyphenated"].tolist() == [0, 2, 0, 0]
+
+    def test_ligature_then_dehyphenation_order(self):
+        from pdf_extract_ray.stages.mojibake import pdf_text_cleanup_batch
+
+        # the folded ligature's trailing letter enables the join:
+        # "e<fi>-\nx" -> "efi-\nx" -> "efix"
+        b = pd.DataFrame({"doc_id": [0], "text": ["eﬁ-\nx"]})
+        got = pdf_text_cleanup_batch(b)
+        assert got["text_clean"].tolist() == ["efix"]
+        assert got["n_dehyphenated"].tolist() == [1]
+
+    def test_sql_parity(self, ray_session):
+        from pdf_extract_ray.stages.mojibake import (
+            pdf_text_cleanup_batch,
+            pdf_text_cleanup_oracle_sql,
+        )
+
+        rng = np.random.RandomState(19)
+        pieces = np.array(["word", "ﬁn", "line-\nbreak", "A-\nB",
+                           "ﬄow", "stﬆone", "x-\ny"])
+        texts = [" ".join(pieces[rng.randint(0, len(pieces), 6)])
+                 for _ in range(200)]
+        df = pd.DataFrame({"doc_id": range(200), "text": texts})
+        got = (pdf_text_cleanup_batch(df)
+               .sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("t", df)
+        want = (con.execute(pdf_text_cleanup_oracle_sql("t"))
+                .df().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
