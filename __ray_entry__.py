@@ -2012,6 +2012,40 @@ def _pdf_cleanup_oracle() -> str:
                                        text_expr="page_text")
 
 
+def q_wet_roundtrip_docs(sf_dir: str):
+    # WET export + re-ingest round-trip (sources/warc.write_wet ->
+    # read_wet): documents serialize to real gzipped WET conversion
+    # records on disk and parse back — the oracle is the identity
+    # derive, so a PASS proves byte fidelity THROUGH the actual
+    # Common-Crawl text format, distributed on both sides.
+    import shutil
+    import tempfile
+
+    from pdf_extract_ray.sources.warc import read_wet, write_wet
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "url": "http://w.example/p/" + b["doc_id"].astype(str),
+            "warc_ts": (pd.Timestamp("2024-01-01")
+                        + pd.to_timedelta(b["doc_id"] % 86400, unit="s")),
+            "text": b["text"].fillna("").astype(str),
+        })
+
+    out_dir = tempfile.mkdtemp(prefix="wet_roundtrip_",
+                               dir="/tmp")
+    try:
+        manifest = write_wet(
+            ds.map_batches(derive, batch_format="pandas"), out_dir)
+        back = read_wet(sorted(manifest.column("path").to_pylist()))
+        return back.map_batches(
+            lambda b: b[["url", "warc_ts", "text"]],
+            batch_format="pandas").to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def q_semi_join_docs(sf_dir: str):
     # big-big SEMI join (dedup.semi_join_reference): keep documents
     # whose lang appears in a reference slice — ids+keys-only cogroup,
@@ -5748,6 +5782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_docs": q_semi_join_docs,
         "label_prop_docs": q_label_prop_docs,
         "pdf_cleanup_docs": q_pdf_cleanup_docs,
+        "wet_roundtrip_docs": q_wet_roundtrip_docs,
         "impute_median_events": q_impute_median_events,
         "decayed_event_scores": q_decayed_event_scores,
         "welch_ab_events": q_welch_ab_events,
@@ -7445,6 +7480,11 @@ def oracle_sql() -> dict[str, str]:
         "crawl_delay_hosts": _crawl_delays_oracle(),
         "url_trap_docs": _url_traps_oracle(),
         "pdf_cleanup_docs": _pdf_cleanup_oracle(),
+        "wet_roundtrip_docs": (
+            "SELECT 'http://w.example/p/' || doc_id AS url, "
+            "TIMESTAMP '2024-01-01' + (doc_id % 86400) * INTERVAL 1 SECOND "
+            "AS warc_ts, coalesce(text, '') AS text FROM documents"
+        ),
         "crawl_frontier": _crawl_frontier_oracle(),
         "pmi_terms_lang": _pmi_terms_oracle(),
         "melt_lineitem_metrics": _melt_lineitem_oracle(),

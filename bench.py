@@ -246,7 +246,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "feed_entries", "lang_outlier_docs",
                      "tld_lang_crosstab", "crawl_delay_hosts",
                      "url_trap_docs", "crawl_frontier",
-                     "label_prop_docs", "pdf_cleanup_docs"):
+                     "label_prop_docs", "pdf_cleanup_docs",
+                     "wet_roundtrip_docs"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

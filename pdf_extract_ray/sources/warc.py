@@ -438,3 +438,58 @@ def build_wet(docs: list[dict], *, compress: bool = False) -> bytes:
         else:
             out.write(rec)
     return out.getvalue()
+
+
+def write_wet(
+    ds,
+    out_dir: str,
+    *,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    compress: bool = True,
+) -> "pa.Table":
+    """Distributed WET export sink — the inverse of :func:`read_wet`:
+    each block becomes one ``.wet[.gz]`` file of spec-shaped
+    conversion records (:func:`build_wet` bytes), written atomically
+    (tmp + rename) and named by the md5 of its content, so a re-run
+    over identical data rewrites identical files instead of
+    duplicating them.  Returns the small manifest table
+    ``(path, n_records)`` (one row per written file).
+
+    Scale shape: pure map — each task serializes only its own block,
+    no shuffle, no driver materialization of bodies; parallelism =
+    block count, mirroring read_wet's one-file-per-task layout."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"path": pd.Series([], dtype=object),
+                                 "n_records": pd.Series([], dtype="int64")})
+        docs = [{"url": u, "warc_ts": None if pd.isna(t) else t,
+                 "text": None if x is None else str(x)}
+                for u, t, x in zip(b[url_col],
+                                   pd.to_datetime(b[ts_col]),
+                                   b[text_col])]
+        data = build_wet(docs, compress=compress)
+        suffix = ".wet.gz" if compress else ".wet"
+        path = os.path.join(
+            out_dir, "part-" + hashlib.md5(data).hexdigest()[:16] + suffix)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+        return pd.DataFrame({"path": [path],
+                             "n_records": np.array([len(docs)], np.int64)})
+
+    import pyarrow as _pa
+
+    manifest = ds.map_batches(dump, batch_format="pandas").to_pandas()
+    return _pa.Table.from_pandas(manifest.sort_values("path")
+                                 .reset_index(drop=True))

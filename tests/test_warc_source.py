@@ -392,3 +392,32 @@ def test_webtext_run_rejects_wet_parquet_mix(tmp_path):
     (tmp_path / "b.parquet").write_bytes(b"x")
     with pytest.raises(ValueError, match="mixed input formats"):
         webtext_run(str(tmp_path / "*"), str(tmp_path / "out"))
+
+
+class TestWriteWet:
+    def test_roundtrip_and_determinism(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from pdf_extract_ray.sources.warc import read_wet, write_wet
+
+        df = pd.DataFrame({
+            "url": ["http://a/1", "http://b/2", "http://c/3"],
+            "warc_ts": pd.to_datetime(["2024-01-01 00:00:05",
+                                       "2024-02-02 10:30:00",
+                                       "2024-03-03 23:59:59"]),
+            "text": ["hello\nworld", "", "unicode: café — ok"],
+        })
+        out = str(tmp_path / "wet")
+        m1 = write_wet(rd.from_pandas(df).repartition(2), out)
+        assert int(pd.Series(m1.column("n_records").to_pylist()).sum()) == 3
+        back = (read_wet(sorted(m1.column("path").to_pylist()))
+                .to_pandas()[["url", "warc_ts", "text"]]
+                .sort_values("url").reset_index(drop=True))
+        pd.testing.assert_frame_equal(back, df.sort_values("url")
+                                      .reset_index(drop=True),
+                                      check_dtype=False)
+        # re-run writes the same content-named files (no duplication)
+        m2 = write_wet(rd.from_pandas(df).repartition(2), out)
+        assert sorted(m1.column("path").to_pylist()) == \
+            sorted(m2.column("path").to_pylist())
