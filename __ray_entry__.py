@@ -1480,6 +1480,52 @@ def q_minhash_near_dup(sf_dir: str):
     return minhash_lsh_pairs(ds, "doc_id", "text", jaccard_threshold=0.5)
 
 
+def q_syndicated_pairs(sf_dir: str):
+    # cross-host syndication (dedup.syndicated_pairs): minhash near-dup
+    # pairs restricted to members on DIFFERENT canonical hosts — the
+    # wire-copy signal.  Hosts attach by a REAL ids+hosts cogroup (no
+    # arithmetic shortcut), then one pair cogroup pivots the roles.
+    # Oracle = the committed minhash golden joined to the url derive.
+    from pdf_extract_ray.functions.url import canonicalize_urls
+    from pdf_extract_ray.stages.dedup import (
+        minhash_lsh_pairs,
+        syndicated_pairs,
+    )
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, "doc_id", "text", jaccard_threshold=0.5)
+
+    def hosts(b: pd.DataFrame) -> pd.DataFrame:
+        b = _with_url(b)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "url_host": canonicalize_urls(b["url"])["url_host"]
+            .fillna("").to_numpy()})
+
+    return syndicated_pairs(
+        pairs.map_batches(lambda b: b[["id_a", "id_b"]],
+                          batch_format="pandas"),
+        ds.map_batches(hosts, batch_format="pandas"))
+
+
+def _syndicated_pairs_oracle() -> str:
+    from pdf_extract_ray.functions.url import canonicalize_oracle_sql
+
+    src = f"SELECT doc_id, {_URL_SYNTH_SQL} FROM documents"
+    can = canonicalize_oracle_sql(src)
+    return (
+        f"WITH p AS (SELECT id_a, id_b FROM read_parquet("
+        f"'{_GOLD_SF001_DIR}/minhash_near_dup.parquet')), "
+        f"h AS (SELECT doc_id, coalesce(url_host, '') AS url_host "
+        f"FROM ({can})) "
+        f"SELECT p.id_a, p.id_b, ha.url_host AS host_a, "
+        f"hb.url_host AS host_b "
+        f"FROM p JOIN h ha ON ha.doc_id = p.id_a "
+        f"JOIN h hb ON hb.doc_id = p.id_b "
+        f"WHERE ha.url_host <> hb.url_host"
+    )
+
+
 def q_near_dup_clusters(sf_dir: str):
     # pairs -> transitive clusters: iterative min-label propagation over
     # the minhash pair graph (stages/graph.connected_components); oracle =
@@ -4271,6 +4317,42 @@ def _crawl_delays_oracle() -> str:
     )
 
 
+def q_robots_sitemaps(sf_dir: str):
+    # robots.txt -> sitemap discovery (stages/robots.robots_sitemaps):
+    # one narrow explode of Sitemap: lines (valid anywhere in the
+    # file, comment-stripped, empties skipped).  Shapes: two sitemaps
+    # split around a group / one commented-out + one valid / none.
+    import ray.data as rdata
+
+    from pdf_extract_ray.stages.robots import robots_sitemaps
+
+    _t(sf_dir, "documents", columns=["doc_id"])  # anchor the sf tables
+    robots = rdata.from_items([
+        {"host": f"h{h}.example",
+         "robots_txt": (
+             f"Sitemap: http://h{h}.example/a.xml\n"
+             f"User-agent: *\nDisallow: /x\n"
+             f"Sitemap: http://h{h}.example/b.xml\n" if h % 3 == 0 else
+             f"# Sitemap: http://h{h}.example/no.xml\n"
+             f"Sitemap: http://h{h}.example/only.xml\n" if h % 3 == 1
+             else "User-agent: *\nDisallow: /\n")}
+        for h in range(13)])
+    return robots_sitemaps(robots)
+
+
+def _robots_sitemaps_oracle() -> str:
+    return (
+        "WITH h AS (SELECT unnest(range(13)) AS h) "
+        "SELECT 'h' || h || '.example' AS host, "
+        "'http://h' || h || '.example/a.xml' AS sitemap_url "
+        "FROM h WHERE h % 3 = 0 "
+        "UNION ALL SELECT 'h' || h || '.example', "
+        "'http://h' || h || '.example/b.xml' FROM h WHERE h % 3 = 0 "
+        "UNION ALL SELECT 'h' || h || '.example', "
+        "'http://h' || h || '.example/only.xml' FROM h WHERE h % 3 = 1"
+    )
+
+
 def _robots_txt_oracle() -> str:
     return (
         "WITH u AS (SELECT doc_id, doc_id % 13 AS h, doc_id % 4 AS p, "
@@ -5783,6 +5865,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_prop_docs": q_label_prop_docs,
         "pdf_cleanup_docs": q_pdf_cleanup_docs,
         "wet_roundtrip_docs": q_wet_roundtrip_docs,
+        "robots_sitemaps": q_robots_sitemaps,
+        "syndicated_pairs": q_syndicated_pairs,
         "impute_median_events": q_impute_median_events,
         "decayed_event_scores": q_decayed_event_scores,
         "welch_ab_events": q_welch_ab_events,
@@ -7478,6 +7562,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_outlier_docs": _lang_outlier_oracle(),
         "tld_lang_crosstab": _tld_lang_oracle(),
         "crawl_delay_hosts": _crawl_delays_oracle(),
+        "robots_sitemaps": _robots_sitemaps_oracle(),
+        "syndicated_pairs": _syndicated_pairs_oracle(),
         "url_trap_docs": _url_traps_oracle(),
         "pdf_cleanup_docs": _pdf_cleanup_oracle(),
         "wet_roundtrip_docs": (

@@ -247,7 +247,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "tld_lang_crosstab", "crawl_delay_hosts",
                      "url_trap_docs", "crawl_frontier",
                      "label_prop_docs", "pdf_cleanup_docs",
-                     "wet_roundtrip_docs"):
+                     "wet_roundtrip_docs", "robots_sitemaps",
+                     "syndicated_pairs"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

@@ -2144,3 +2144,42 @@ def host_mirror_pairs(
         host_sigs, id_col=host_col, num_perm=num_perm, bands=bands,
         jaccard_threshold=jaccard_threshold,
         max_band_freq=max_band_freq, sig_batch_size=sig_batch_size)
+
+
+def syndicated_pairs(
+    pairs: Dataset,
+    docs: Dataset,
+    *,
+    id_col: str = "doc_id",
+    host_col: str = "url_host",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Cross-host syndication detection: restrict a near-dup pair set
+    to pairs whose members live on DIFFERENT hosts —
+    ``(a, b, host_a, host_b)``.  Same-host near-dups are template
+    noise the host-scoped cleaners already handle; a cross-host match
+    is the wire-copy / scraped-content signal curation teams act on
+    (pick one canonical host, downweight the mirrors).
+
+    Scale shape: reuses :func:`_pairs_with_texts` with the host column
+    as the payload — shuffle 1 attaches each member's host (ids +
+    hosts only), shuffle 2 cogroups on the pair to pivot the two roles
+    side-by-side; bodies never move."""
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    rows = _pairs_with_texts(pairs, docs, id_col=id_col,
+                             text_col=host_col, a_col=a_col, b_col=b_col)
+
+    def pivot(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["__role"] == 0][[a_col, b_col, "__t"]].rename(
+            columns={"__t": "host_a"})
+        b = g[g["__role"] == 1][[a_col, b_col, "__t"]].rename(
+            columns={"__t": "host_b"})
+        m = a.merge(b, on=[a_col, b_col])
+        return m[m["host_a"] != m["host_b"]].reset_index(drop=True)
+
+    return bucketed_group_apply(rows, [a_col, b_col], pivot,
+                                num_buckets=num_buckets,
+                                pre_batch_size=65536)

@@ -1288,3 +1288,24 @@ def test_host_mirror_union_algebra_order_independent(ray_session):
                              "host", "text", jaccard_threshold=0.99)
            .to_pandas())
     assert len(got) == 1 and got.loc[0, "jaccard"] == 1.0
+
+
+class TestSyndicatedPairs:
+    def test_cross_host_filter(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extract_ray.stages.dedup import syndicated_pairs
+
+        pairs = pd.DataFrame({"id_a": [1, 2, 3], "id_b": [10, 20, 30]})
+        docs = pd.DataFrame({
+            "doc_id": [1, 10, 2, 20, 3, 30],
+            "url_host": ["a.com", "b.org", "c.net", "c.net",
+                         "d.io", "e.io"],
+        })
+        got = (syndicated_pairs(rd.from_pandas(pairs).repartition(2),
+                                rd.from_pandas(docs).repartition(3))
+               .to_pandas().sort_values("id_a").reset_index(drop=True))
+        # (2, 20) share c.net -> dropped; the other two cross hosts
+        assert got["id_a"].tolist() == [1, 3]
+        assert got["host_a"].tolist() == ["a.com", "d.io"]
+        assert got["host_b"].tolist() == ["b.org", "e.io"]
