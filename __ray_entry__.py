@@ -1588,6 +1588,72 @@ def q_extract_flagship(sf_dir: str):
     return extract_pages_fused(_pages_ds(sf_dir))
 
 
+def q_extraction_yield_hosts(sf_dir: str):
+    # site-level extraction-quality monitoring: the REAL fused
+    # extraction pipeline -> narrow per-page yield row -> host rollup
+    # (status mix, extracted chars, sentences, mean chars/page).
+    # Pre-aggregated sums shuffle once; the oracle recomputes the same
+    # rollup in SQL over the committed byte-identical extraction
+    # golden, so a PASS pins the whole pipeline AND the rollup.
+    from pdf_extract_ray.functions.url import canonicalize_urls
+    from pdf_extract_ray.pipelines.extract import extract_pages_fused
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+    from pdf_extract_ray.util import round_half_away
+
+    ex = extract_pages_fused(_pages_ds(sf_dir))
+
+    def narrow(b: pd.DataFrame) -> pd.DataFrame:
+        host = canonicalize_urls(b["url"])["url_host"].fillna("")
+        return pd.DataFrame({
+            "url_host": host.to_numpy(),
+            "n_pages": np.ones(len(b), dtype=np.int64),
+            "n_html": (b["status"] == "html").to_numpy(np.int64),
+            "n_fallback": (b["status"] == "fallback").to_numpy(np.int64),
+            "n_rejected": (b["status"] == "rejected").to_numpy(np.int64),
+            "sum_chars": b["extracted_text"].fillna("").str.len()
+            .to_numpy(np.int64),
+            "sum_sentences": b["n_sentences"].to_numpy(np.int64),
+        })
+
+    agg = grouped_aggregate(
+        ex.map_batches(narrow, batch_format="pandas"), ["url_host"],
+        {c: (c, "sum") for c in (
+            "n_pages", "n_html", "n_fallback", "n_rejected",
+            "sum_chars", "sum_sentences")})
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["avg_chars"] = round_half_away(
+            b["sum_chars"].to_numpy(np.float64)
+            / b["n_pages"].to_numpy(np.float64), 4)
+        return b
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def _extraction_yield_oracle() -> str:
+    host = ("regexp_replace(lower(regexp_extract(url, "
+            "'^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), "
+            "':[0-9]+$', '')")
+    return (
+        f"SELECT {host} AS url_host, "
+        "CAST(count(*) AS BIGINT) AS n_pages, "
+        "CAST(sum(CASE WHEN status = 'html' THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_html, "
+        "CAST(sum(CASE WHEN status = 'fallback' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_fallback, "
+        "CAST(sum(CASE WHEN status = 'rejected' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_rejected, "
+        "CAST(sum(length(coalesce(extracted_text, ''))) AS BIGINT) "
+        "AS sum_chars, "
+        "CAST(sum(n_sentences) AS BIGINT) AS sum_sentences, "
+        "round(sum(length(coalesce(extracted_text, ''))) "
+        "/ CAST(count(*) AS DOUBLE), 4) AS avg_chars "
+        f"FROM read_parquet('{_GOLD_SF001_DIR}/extract_flagship.parquet') "
+        "GROUP BY url_host"
+    )
+
+
 def q_extract_staged(sf_dir: str):
     from pdf_extract_ray.pipelines.extract import extract_pages_staged
 
@@ -5867,6 +5933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wet_roundtrip_docs": q_wet_roundtrip_docs,
         "robots_sitemaps": q_robots_sitemaps,
         "syndicated_pairs": q_syndicated_pairs,
+        "extraction_yield_hosts": q_extraction_yield_hosts,
         "impute_median_events": q_impute_median_events,
         "decayed_event_scores": q_decayed_event_scores,
         "welch_ab_events": q_welch_ab_events,
@@ -7564,6 +7631,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_delay_hosts": _crawl_delays_oracle(),
         "robots_sitemaps": _robots_sitemaps_oracle(),
         "syndicated_pairs": _syndicated_pairs_oracle(),
+        "extraction_yield_hosts": _extraction_yield_oracle(),
         "url_trap_docs": _url_traps_oracle(),
         "pdf_cleanup_docs": _pdf_cleanup_oracle(),
         "wet_roundtrip_docs": (
