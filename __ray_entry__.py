@@ -1526,6 +1526,18 @@ def _syndicated_pairs_oracle() -> str:
     )
 
 
+def q_knn_join_embeddings(sf_dir: str):
+    # kNN self-join within IVF cells (similarity.knn_join): each
+    # vector's top-3 cosine neighbors in its own coarse cell — ONE
+    # bucketed shuffle keyed by cell, quadratic only in the cell.
+    # Oracle = committed golden from the per-cell double-loop
+    # reference (same frozen centroid/assignment kernels).
+    from pdf_extract_ray.stages.similarity import knn_join
+
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_join(ds, k=3, n_cells=8)
+
+
 def q_near_dup_clusters(sf_dir: str):
     # pairs -> transitive clusters: iterative min-label propagation over
     # the minhash pair graph (stages/graph.connected_components); oracle =
@@ -3130,6 +3142,68 @@ def q_fuzzy_contamination(sf_dir: str):
         .take_all())
     return fuzzy_contamination_stats(
         ds, [r["text"] for r in bench], n=5, key="text", threshold=0.5)
+
+
+def q_contamination_evidence(sf_dir: str):
+    # decontamination REPORT: same fuzzy probe plus the argmax evidence
+    # column — WHICH eval doc each document matched best (ties to the
+    # smallest bench id, -1 when no shared gram).  bench ids travel
+    # with the broadcast table; still zero shuffles.
+    from pdf_extract_ray.stages.decontam import fuzzy_contamination_stats
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = sorted(
+        (r["doc_id"], r["text"]) for r in ds.map_batches(
+            lambda b: b[b["doc_id"] % 20 == 0],
+            batch_format="pandas").take_all())
+    return fuzzy_contamination_stats(
+        ds, [t for _, t in bench], n=5, key="text", threshold=0.5,
+        bench_ids=[i for i, _ in bench])
+
+
+def _contamination_evidence_oracle() -> str:
+    from pdf_extract_ray.stages.decontam import (
+        fuzzy_contamination_oracle_sql,
+    )
+
+    return fuzzy_contamination_oracle_sql(evidence=True)
+
+
+def q_out_of_order_events(sf_dir: str):
+    # event-stream health audit: per-user fraction of events whose
+    # timestamp goes BACKWARD in arrival order (arrival proxy =
+    # event_id) — grouped LAG + pre-aggregated sums, one bucketed
+    # shuffle of narrow rows.
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+    from pdf_extract_ray.stages.windows import grouped_lag
+    from pdf_extract_ray.util import round_half_away
+
+    ds = _t(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    lag = grouped_lag(ds, ["user_id"], ["event_id"], "ts",
+                      out_col="prev_ts")
+
+    def narrow(b: pd.DataFrame) -> pd.DataFrame:
+        prev = pd.to_datetime(b["prev_ts"])
+        ooo = (prev > pd.to_datetime(b["ts"])).fillna(False)
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(),
+            "n_events": np.ones(len(b), dtype=np.int64),
+            "n_out_of_order": ooo.to_numpy().astype(np.int64),
+        })
+
+    agg = grouped_aggregate(
+        lag.map_batches(narrow, batch_format="pandas"), ["user_id"],
+        {"n_events": ("n_events", "sum"),
+         "n_out_of_order": ("n_out_of_order", "sum")})
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["ooo_frac"] = round_half_away(
+            b["n_out_of_order"].to_numpy(np.float64)
+            / b["n_events"].to_numpy(np.float64), 4)
+        return b
+
+    return agg.map_batches(finish, batch_format="pandas")
 
 
 def q_split_by_host(sf_dir: str):
@@ -5934,6 +6008,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_sitemaps": q_robots_sitemaps,
         "syndicated_pairs": q_syndicated_pairs,
         "extraction_yield_hosts": q_extraction_yield_hosts,
+        "contamination_evidence": q_contamination_evidence,
+        "out_of_order_events": q_out_of_order_events,
+        "knn_join_embeddings": q_knn_join_embeddings,
         "impute_median_events": q_impute_median_events,
         "decayed_event_scores": q_decayed_event_scores,
         "welch_ab_events": q_welch_ab_events,
@@ -7632,6 +7709,18 @@ def oracle_sql() -> dict[str, str]:
         "robots_sitemaps": _robots_sitemaps_oracle(),
         "syndicated_pairs": _syndicated_pairs_oracle(),
         "extraction_yield_hosts": _extraction_yield_oracle(),
+        "contamination_evidence": _contamination_evidence_oracle(),
+        "out_of_order_events": (
+            "WITH l AS (SELECT user_id, ts, lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY event_id) AS prev_ts "
+            "FROM events) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CASE WHEN prev_ts > ts THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_out_of_order, "
+            "round(sum(CASE WHEN prev_ts > ts THEN 1 ELSE 0 END) "
+            "/ CAST(count(*) AS DOUBLE), 4) AS ooo_frac "
+            "FROM l GROUP BY user_id"
+        ),
         "url_trap_docs": _url_traps_oracle(),
         "pdf_cleanup_docs": _pdf_cleanup_oracle(),
         "wet_roundtrip_docs": (
@@ -7844,7 +7933,7 @@ def oracle_sql() -> dict[str, str]:
                         "host_mirror_docs",
                         "dsir_weights_docs", "markdown_docs",
                         "grouped_distinct_users", "porter_stems",
-                        "label_prop_docs")},
+                        "label_prop_docs", "knn_join_embeddings")},
         "pii_redacted_docs": _pii_oracle(),
         "c4_clean_docs": _c4_oracle(),
         "bm25_docs": _bm25_oracle(),

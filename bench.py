@@ -248,7 +248,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "url_trap_docs", "crawl_frontier",
                      "label_prop_docs", "pdf_cleanup_docs",
                      "wet_roundtrip_docs", "robots_sitemaps",
-                     "syndicated_pairs", "extraction_yield_hosts"):
+                     "syndicated_pairs", "extraction_yield_hosts",
+                     "contamination_evidence", "out_of_order_events",
+                     "knn_join_embeddings"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

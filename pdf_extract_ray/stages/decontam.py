@@ -156,6 +156,7 @@ def fuzzy_contamination_stats(
     text_col: str = "text",
     key: str = "hash",
     threshold: float = 0.5,
+    bench_ids=None,
 ) -> Dataset:
     """Fuzzy benchmark decontamination: per-document MAX n-gram-set
     Jaccard similarity against any eval-set document (the near-duplicate
@@ -180,21 +181,32 @@ def fuzzy_contamination_stats(
     Returns ``(id_col, n_distinct_grams, max_jaccard,
     fuzzy_contaminated)`` where ``max_jaccard`` is rounded half-away to
     4 places and ``fuzzy_contaminated = max_jaccard >= threshold``.
+
+    With ``bench_ids`` (the eval docs' real ids, index-aligned with
+    ``bench_texts``) the output adds ``best_bench_id`` — WHICH eval
+    document matched best (argmax of the rounded Jaccard, ties to the
+    smallest bench id; ``-1`` when the doc shares no gram with any
+    bench doc) — the evidence column a decontamination report needs.
     """
     import ray
 
     from pdf_extract_ray.util import round_half_away
 
     bench_tbl, bench_sizes = benchmark_gram_table(bench_texts, n, key)
-    ref = ray.put((bench_tbl, bench_sizes))
+    bid_map = (None if bench_ids is None
+               else np.asarray(list(bench_ids), dtype=np.int64))
+    if bid_map is not None and len(bid_map) != len(bench_sizes):
+        raise ValueError("bench_ids must align with bench_texts")
+    ref = ray.put((bench_tbl, bench_sizes, bid_map))
 
     def probe(batch: pd.DataFrame) -> pd.DataFrame:
-        btbl, bsizes = ray.get(ref)
+        btbl, bsizes, bids = ray.get(ref)
         texts = batch[text_col].tolist()
         rows = shingle_rows(texts, n, key).drop_duplicates(["__doc", "g"])
         na = np.bincount(rows["__doc"], minlength=len(texts)).astype(
             np.int64)
         mx = np.zeros(len(texts), dtype=np.float64)
+        best = np.full(len(texts), -1, dtype=np.int64)
         m = rows.merge(btbl, on="g")
         if len(m):
             pairs = (m.groupby(["__doc", "__bid"], sort=False)
@@ -204,12 +216,22 @@ def fuzzy_contamination_stats(
                      + bsizes[pairs["__bid"].to_numpy()] - inter)
             j = round_half_away(inter / np.maximum(union, 1), 4)
             np.maximum.at(mx, pairs["__doc"].to_numpy(), j)
-        return pd.DataFrame({
+            if bids is not None:
+                ev = pairs.assign(__j=j, __real=bids[pairs["__bid"]])
+                ev = ev.sort_values(["__doc", "__j", "__real"],
+                                    ascending=[True, False, True],
+                                    kind="mergesort")
+                ev = ev.drop_duplicates("__doc")
+                best[ev["__doc"].to_numpy()] = ev["__real"].to_numpy()
+        out = pd.DataFrame({
             id_col: batch[id_col].to_numpy(),
             "n_distinct_grams": na,
             "max_jaccard": mx,
             "fuzzy_contaminated": mx >= threshold,
         })
+        if bids is not None:
+            out["best_bench_id"] = best
+        return out
 
     return ds.map_batches(probe, batch_format="pandas")
 
@@ -222,12 +244,17 @@ def fuzzy_contamination_oracle_sql(
     n: int = 5,
     threshold: float = 0.5,
     bench_pred: str = "doc_id % 20 = 0",
+    evidence: bool = False,
 ) -> str:
     """DuckDB SQL equal to :func:`fuzzy_contamination_stats` with
     ``key="text"`` and the benchmark drawn from the same table by
     ``bench_pred`` (the driver-query convention: synthesize the eval
     set from the corpus itself, no external data).  Rounding before the
-    max is safe: round is monotone, so max(round(j)) = round(max(j))."""
+    max is safe: round is monotone, so max(round(j)) = round(max(j)).
+    ``evidence=True`` adds the ``best_bench_id`` argmax column."""
+    ev_col = (",\n       coalesce(ev.best_bench_id, -1) AS best_bench_id"
+              if evidence else "")
+    ev_join = f"LEFT JOIN ev USING ({id_col})" if evidence else ""
     return f"""
 WITH s AS (
   SELECT {id_col},
@@ -258,12 +285,24 @@ WITH s AS (
   JOIN sz USING ({id_col})
   JOIN bsz USING (bid)
   GROUP BY i.{id_col}
+), ev AS (
+  SELECT {id_col}, bid AS best_bench_id FROM (
+    SELECT i.{id_col}, i.bid,
+           row_number() OVER (
+             PARTITION BY i.{id_col}
+             ORDER BY round(i.i * 1.0 / (sz.na + bsz.nb - i.i), 4) DESC,
+                      i.bid) AS rn
+    FROM inter i
+    JOIN sz USING ({id_col})
+    JOIN bsz USING (bid)
+  ) WHERE rn = 1
 )
 SELECT t.{id_col},
        coalesce(sz.na, 0) AS n_distinct_grams,
        coalesce(mx.max_jaccard, 0.0) AS max_jaccard,
-       coalesce(mx.max_jaccard, 0.0) >= {threshold} AS fuzzy_contaminated
+       coalesce(mx.max_jaccard, 0.0) >= {threshold} AS fuzzy_contaminated{ev_col}
 FROM (SELECT {id_col} FROM {table}) t
 LEFT JOIN sz USING ({id_col})
 LEFT JOIN mx USING ({id_col})
+{ev_join}
 """

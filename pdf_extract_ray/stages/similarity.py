@@ -551,3 +551,96 @@ SELECT w.id AS {id_col}, CAST(s.k AS BIGINT) AS k,
 FROM __rp_w w JOIN __rp_s s ON s.j = w.j
 GROUP BY w.id, s.k
 """
+
+
+def knn_join(
+    ds: Dataset,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = 8,
+    sample_n: int = 2048,
+    max_cell: int = 200_000,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """k-nearest-neighbor SELF-join over an embedding column: each
+    vector's top-``k`` cosine neighbors among vectors of the SAME
+    coarse cell — the all-pairs primitive behind embedding-based
+    curation (SemDeDup-style cluster pruning, hard-negative mining,
+    neighborhood-consistency audits).
+
+    PARTITIONING ASSUMPTION (documented, the IVF trade): neighbors are
+    exact WITHIN a cell; a true neighbor on the far side of a cell
+    boundary is missed.  Cells come from the deterministic hash-spread
+    sample + kmeans++-lite centroids (:func:`ivf_topk`'s machinery), so
+    the result is parallelism-independent and golden-stable.
+
+    Deterministic output rule: cosine rounded half-away to 6, top-k by
+    (cosine DESC, neighbor id ASC), self excluded; rows emit as
+    ``(id, neighbor_id, rank, cosine)``.
+
+    Scale shape: ONE bucketed shuffle keyed by cell id; per-cell work
+    is quadratic IN THE CELL (Σ|cell|², not n²) — cells above
+    ``max_cell`` are dropped with a logged warning (the capped-bucket
+    convention); raise ``n_cells`` to shrink cells at scale."""
+    import logging
+
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+    from pdf_extract_ray.util import round_half_away
+
+    cents = _kmeanspp_lite(
+        _centroid_sample(ds, id_col, vec_col, sample_n, n_cells), n_cells)
+    cents_ref = ray.put(cents)
+    cents_sq_ref = ray.put((cents ** 2).sum(axis=1))
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cents_ref)
+        csq = ray.get(cents_sq_ref)
+        v = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        cell = (csq[None, :] - 2.0 * (v @ c.T)).argmin(axis=1)
+        return pd.DataFrame({
+            "__cell": cell.astype(np.int64),
+            id_col: b[id_col].to_numpy(),
+            vec_col: b[vec_col],
+        })
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for cell, sub in g.groupby("__cell", sort=True):
+            n = len(sub)
+            if n < 2:
+                continue
+            if n > max_cell:
+                logging.getLogger(__name__).warning(
+                    "knn_join: cell %d has %d > max_cell=%d vectors; "
+                    "dropped (raise n_cells)", int(cell), n, max_cell)
+                continue
+            sub = sub.sort_values(id_col, kind="mergesort")
+            ids = sub[id_col].to_numpy()
+            v = np.stack(sub[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(v, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            vn = v / norms
+            sim = round_half_away(vn @ vn.T, 6)
+            np.fill_diagonal(sim, -np.inf)
+            kk = min(k, n - 1)
+            for i in range(n):
+                top = _topk_indices(ids, sim[i], kk)
+                frames.append(pd.DataFrame({
+                    id_col: ids[i],
+                    "neighbor_id": ids[top],
+                    "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+                    "cosine": sim[i][top],
+                }))
+        if not frames:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "rank": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64")})
+        return pd.concat(frames, ignore_index=True)
+
+    return bucketed_group_apply(
+        ds.map_batches(assign, batch_format="pandas"), ["__cell"], body,
+        num_buckets=num_buckets)

@@ -1477,3 +1477,25 @@ class TestRateLimit:
         pd.testing.assert_frame_equal(
             got[sorted(got.columns)], want[sorted(want.columns)],
             check_dtype=False)
+
+
+def test_out_of_order_query_sql_parity(ray_session):
+    # composition audit: per-user backward-timestamp fraction — checked
+    # end-to-end by the driver oracle; here a known-value fixture
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+    from pdf_extract_ray.stages.windows import grouped_lag
+
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id": [7, 7, 7, 8, 8],
+        "ts": pd.to_datetime(["2026-01-01 10:00", "2026-01-01 09:00",
+                              "2026-01-01 11:00", "2026-01-01 08:00",
+                              "2026-01-01 08:30"]),
+    })
+    lag = grouped_lag(rd.from_pandas(df).repartition(2), ["user_id"],
+                      ["event_id"], "ts", out_col="prev_ts")
+    out = lag.to_pandas().sort_values("event_id")
+    back = (pd.to_datetime(out["prev_ts"]) > out["ts"]).fillna(False)
+    assert back.tolist() == [False, True, False, False, False]

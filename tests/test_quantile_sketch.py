@@ -219,3 +219,31 @@ def test_token_coverage_sql_parity_and_total(ray_session):
     assert full["cum_share"].iloc[-1] == 1.0
     # monotone non-decreasing counts ordering
     assert (np.diff(full["n"].to_numpy()) <= 0).all()
+
+
+def test_knn_join_within_cell_exact(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.similarity import knn_join
+
+    # two well-separated blobs -> two cells; within-blob neighbors exact
+    rng = np.random.RandomState(2)
+    a = rng.normal(0, 0.05, (20, 8)) + np.r_[[1.0] + [0.0] * 7]
+    b = rng.normal(0, 0.05, (20, 8)) + np.r_[[0.0] * 7 + [1.0]]
+    df = pd.DataFrame({
+        "vec_id": np.arange(40),
+        "embedding": [v.astype("float32") for v in np.vstack([a, b])],
+    })
+    got = (knn_join(rd.from_pandas(df).repartition(4), k=2, n_cells=2,
+                    sample_n=40)
+           .to_pandas())
+    # every vector got exactly 2 neighbors, neighbors stay in-blob
+    assert (got.groupby("vec_id").size() == 2).all()
+    same_blob = (got["vec_id"] < 20) == (got["neighbor_id"] < 20)
+    assert same_blob.all()
+    assert (got["neighbor_id"] != got["vec_id"]).all()
+    # brute-force check for one vector: ranks ordered by cosine desc
+    g0 = got[got["vec_id"] == 0].sort_values("rank")
+    assert g0["cosine"].is_monotonic_decreasing or len(g0) < 2

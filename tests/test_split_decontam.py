@@ -182,3 +182,49 @@ def test_split_by_host_is_host_exclusive(ray_session):
     per_host = out.groupby("url_host")["split"].nunique()
     assert (per_host == 1).all()
     assert out["split"].nunique() > 1  # 23 hosts spread across splits
+
+
+class TestContaminationEvidence:
+    def test_best_bench_argmax_and_sentinel(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extract_ray.stages.decontam import (
+            fuzzy_contamination_stats,
+        )
+
+        bench_texts = [
+            "the quick brown fox jumps over the lazy dog tonight",
+            "pack my box with five dozen liquor jugs right now",
+        ]
+        docs = pd.DataFrame({
+            "doc_id": [0, 1, 2],
+            "text": [
+                # heavy overlap with bench 0
+                "the quick brown fox jumps over the lazy dog today",
+                # heavy overlap with bench 1
+                "please pack my box with five dozen liquor jugs",
+                # no 5-gram overlap with either
+                "completely different words in every single position here",
+            ],
+        })
+        got = (fuzzy_contamination_stats(
+                   rd.from_pandas(docs).repartition(2), bench_texts,
+                   n=5, key="text", threshold=0.3,
+                   bench_ids=[100, 200])
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert got["best_bench_id"].tolist() == [100, 200, -1]
+        assert got["fuzzy_contaminated"].tolist() == [True, True, False]
+
+    def test_bench_ids_misaligned_raises(self, ray_session):
+        import pytest as _pytest
+        import ray.data as rd
+
+        from pdf_extract_ray.stages.decontam import (
+            fuzzy_contamination_stats,
+        )
+
+        with _pytest.raises(ValueError):
+            fuzzy_contamination_stats(
+                rd.from_pandas(pd.DataFrame({"doc_id": [0],
+                                             "text": ["x"]})),
+                ["a b c d e f"], bench_ids=[1, 2])

@@ -1106,6 +1106,61 @@ def gen_label_prop(sf_dir: str) -> dict[str, pa.Table]:
     })}
 
 
+def gen_knn_join(sf_dir: str) -> dict[str, pa.Table]:
+    """Single-process reference for `knn_join_embeddings`: the same
+    frozen centroid sample / assignment expressions (shared kernels,
+    the golden convention) with a plain per-cell double loop for the
+    neighbor search — independent of the distributed bucketed plan."""
+    sys.path.insert(0, _REPO)
+    from pdf_extract_ray.stages.similarity import (
+        _kmeanspp_lite,
+        _topk_indices,
+    )
+    from pdf_extract_ray.util import round_half_away
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas()
+    n_cells, sample_n, k = 8, 2048, 3
+    stride = max(1, len(emb) // sample_n)
+    h = pd.util.hash_pandas_object(emb["vec_id"], index=False).to_numpy()
+    cand = emb[(h % np.uint64(stride)) == 0].copy()
+    cand["__h"] = h[(h % np.uint64(stride)) == 0]
+    if len(cand) < n_cells:
+        sample = np.stack(emb["embedding"].head(sample_n).to_numpy())
+    else:
+        cand = cand.sort_values(["__h", "vec_id"]).head(sample_n)
+        sample = np.stack(cand["embedding"].to_numpy())
+    cents = _kmeanspp_lite(sample.astype(np.float64), n_cells)
+    csq = (cents ** 2).sum(axis=1)
+    v_all = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    cell = (csq[None, :] - 2.0 * (v_all @ cents.T)).argmin(axis=1)
+    out = {"vec_id": [], "neighbor_id": [], "rank": [], "cosine": []}
+    for c in sorted(set(cell.tolist())):
+        sub = emb[cell == c].sort_values("vec_id")
+        if len(sub) < 2:
+            continue
+        ids = sub["vec_id"].to_numpy()
+        v = np.stack(sub["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(v, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        vn = v / norms
+        sim = round_half_away(vn @ vn.T, 6)
+        np.fill_diagonal(sim, -np.inf)
+        kk = min(k, len(sub) - 1)
+        for i in range(len(sub)):
+            top = _topk_indices(ids, sim[i], kk)
+            out["vec_id"].extend([ids[i]] * len(top))
+            out["neighbor_id"].extend(ids[top].tolist())
+            out["rank"].extend(range(1, len(top) + 1))
+            out["cosine"].extend(sim[i][top].tolist())
+    return {"knn_join_embeddings": pa.table({
+        "vec_id": pa.array(out["vec_id"], pa.int64()),
+        "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+        "rank": pa.array(out["rank"], pa.int64()),
+        "cosine": pa.array(out["cosine"], pa.float64()),
+    })}
+
+
 GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_pair_analyzers, gen_layout, gen_media, gen_media_pixels,
               gen_approx_distinct, gen_approx_quantiles,
@@ -1116,7 +1171,7 @@ GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_nb_quality, gen_bloom, gen_nb_topic, gen_image_dup,
               gen_semdedup, gen_dsir, gen_markdown, gen_porter,
               gen_grouped_distinct, gen_kmeans, gen_kcore,
-              gen_host_mirror, gen_label_prop)
+              gen_host_mirror, gen_label_prop, gen_knn_join)
 
 
 def generate_all(sf_dir: str) -> dict[str, pa.Table]:
