@@ -3206,6 +3206,79 @@ def q_out_of_order_events(sf_dir: str):
     return agg.map_batches(finish, batch_format="pandas")
 
 
+def q_quoted_spans(sf_dir: str):
+    # quotation mining (textquality.quoted_spans_batch): one row per
+    # >=3-word double-quoted span with its in-doc position — the
+    # attribution / reuse-tracing primitive.  One vectorized
+    # extractall, zero shuffles.  Derive plants quotes around two
+    # frozen word windows.
+    from pdf_extract_ray.stages.textquality import quoted_spans_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        t = (b["text"].fillna("").astype(str)
+             .str.replace(" a ", ' "', regex=False)
+             .str.replace(" e ", '" ', regex=False))
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                             "page_text": t.to_numpy()})
+
+    return ds.map_batches(derive, batch_format="pandas").map_batches(
+        lambda b: quoted_spans_batch(b, text_col="page_text"),
+        batch_format="pandas")
+
+
+def _quoted_spans_oracle() -> str:
+    from pdf_extract_ray.stages.textquality import quoted_spans_oracle_sql
+
+    derive = (
+        "SELECT doc_id, replace(replace(coalesce(text, ''), ' a ', "
+        "' \"'), ' e ', '\" ') AS page_text FROM documents")
+    return quoted_spans_oracle_sql(f"({derive})", text_expr="page_text")
+
+
+def q_split_leakage_pairs(sf_dir: str):
+    # evaluation-hygiene audit: near-dup pairs that STRADDLE the
+    # train/val/test boundary (a val doc whose near-duplicate sits in
+    # train = leaked signal).  Pairs from the minhash machinery; the
+    # split is a pure md5-hash of the id, so it attaches in a narrow
+    # map — no join needed, zero extra shuffles.
+    from pdf_extract_ray.stages.dedup import minhash_lsh_pairs
+    from pdf_extract_ray.stages.split import assign_split_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, "doc_id", "text",
+                              jaccard_threshold=0.5)
+
+    def audit(b: pd.DataFrame) -> pd.DataFrame:
+        sa = assign_split_batch(
+            pd.DataFrame({"doc_id": b["id_a"].to_numpy()}), "doc_id",
+            method="md5")["split"].to_numpy()
+        sb = assign_split_batch(
+            pd.DataFrame({"doc_id": b["id_b"].to_numpy()}), "doc_id",
+            method="md5")["split"].to_numpy()
+        return pd.DataFrame({
+            "id_a": b["id_a"].to_numpy(),
+            "id_b": b["id_b"].to_numpy(),
+            "split_a": sa, "split_b": sb,
+            "leaks": sa != sb})
+
+    return pairs.map_batches(
+        lambda b: audit(b[["id_a", "id_b"]]), batch_format="pandas")
+
+
+def _split_leakage_oracle() -> str:
+    from pdf_extract_ray.stages.split import split_oracle_sql
+
+    a = split_oracle_sql(
+        f"SELECT id_a, id_b, id_a AS doc_id FROM read_parquet("
+        f"'{_GOLD_SF001_DIR}/minhash_near_dup.parquet')")
+    b = split_oracle_sql(
+        f"SELECT id_a, id_b, split AS split_a, id_b AS doc_id FROM ({a})")
+    return (f"SELECT id_a, id_b, split_a, split AS split_b, "
+            f"split_a <> split AS leaks FROM ({b})")
+
+
 def q_split_by_host(sf_dir: str):
     # leakage-safe group-exclusive split: hash the HOST, not the doc, so
     # every page of a site lands in the same train/val/test slice (near-
@@ -6011,6 +6084,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_evidence": q_contamination_evidence,
         "out_of_order_events": q_out_of_order_events,
         "knn_join_embeddings": q_knn_join_embeddings,
+        "quoted_spans_docs": q_quoted_spans,
+        "split_leakage_pairs": q_split_leakage_pairs,
         "impute_median_events": q_impute_median_events,
         "decayed_event_scores": q_decayed_event_scores,
         "welch_ab_events": q_welch_ab_events,
@@ -7710,6 +7785,8 @@ def oracle_sql() -> dict[str, str]:
         "syndicated_pairs": _syndicated_pairs_oracle(),
         "extraction_yield_hosts": _extraction_yield_oracle(),
         "contamination_evidence": _contamination_evidence_oracle(),
+        "quoted_spans_docs": _quoted_spans_oracle(),
+        "split_leakage_pairs": _split_leakage_oracle(),
         "out_of_order_events": (
             "WITH l AS (SELECT user_id, ts, lag(ts) OVER "
             "(PARTITION BY user_id ORDER BY event_id) AS prev_ts "

@@ -250,7 +250,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "wet_roundtrip_docs", "robots_sitemaps",
                      "syndicated_pairs", "extraction_yield_hosts",
                      "contamination_evidence", "out_of_order_events",
-                     "knn_join_embeddings"):
+                     "knn_join_embeddings", "quoted_spans_docs",
+                     "split_leakage_pairs"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

@@ -1409,3 +1409,72 @@ SELECT {id_col}, n_words, n_distinct, n_hapax,
          AS simpson
 FROM __ld_a
 """
+
+
+QUOTE_RE = r'"([^"\n]{1,400})"'
+
+
+def quoted_spans_batch(batch: pd.DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       min_words: int = 3) -> pd.DataFrame:
+    """Quotation mining — one row per double-quoted span of at least
+    ``min_words`` whitespace words: ``(id, pos, quote, n_words)`` with
+    ``pos`` the 1-based index among the doc's KEPT quotes.  The
+    attribution / reuse-tracing primitive (who is quoted where; which
+    exact strings recur across the corpus — compose with the line-dedup
+    or word-overlap machinery downstream).
+
+    Frozen rules (SQL-mirrorable): spans are non-overlapping matches of
+    ``"..."`` with no inner quote or newline, 1..400 chars
+    (:data:`QUOTE_RE`); word count = ``\\S+`` runs inside the span.
+    One vectorized ``str.extractall`` + one count, zero shuffles."""
+    t = batch[text_col].fillna("").astype(str)
+    m = t.str.extractall(QUOTE_RE)
+    if not len(m):
+        return pd.DataFrame({
+            id_col: pd.Series([], dtype=batch[id_col].dtype),
+            "pos": pd.Series([], dtype="int64"),
+            "quote": pd.Series([], dtype=object),
+            "n_words": pd.Series([], dtype="int64")})
+    q = m[0]
+    nw = q.str.count(r"\S+").to_numpy("int64")
+    keep = nw >= min_words
+    doc_idx = m.index.get_level_values(0).to_numpy()[keep]
+    out = pd.DataFrame({
+        id_col: batch[id_col].to_numpy()[doc_idx],
+        "quote": q.to_numpy()[keep],
+        "n_words": nw[keep],
+    })
+    out["pos"] = out.groupby(id_col, sort=False).cumcount() + 1
+    return out[[id_col, "pos", "quote", "n_words"]]
+
+
+def quoted_spans_oracle_sql(table: str = "documents",
+                            text_expr: str = "text",
+                            id_col: str = "doc_id",
+                            min_words: int = 3) -> str:
+    """DuckDB mirror of :func:`quoted_spans_batch` (RE2 shares the
+    non-overlapping left-to-right match rule with Python re)."""
+    return f"""
+WITH s AS (
+  SELECT {id_col},
+         regexp_extract_all(coalesce({text_expr}, ''),
+                            '{QUOTE_RE.replace("'", "''")}', 1) AS qs
+  FROM {table}
+), q AS (
+  SELECT {id_col}, unnest(qs) AS quote,
+         unnest(range(1, len(qs) + 1)) AS idx
+  FROM s
+), n AS (
+  SELECT {id_col}, quote, idx,
+         CAST(len(regexp_extract_all(quote, '\\S+')) AS BIGINT)
+           AS n_words
+  FROM q
+), f AS (
+  SELECT {id_col}, quote, n_words,
+         CAST(row_number() OVER (PARTITION BY {id_col} ORDER BY idx)
+              AS BIGINT) AS pos
+  FROM n WHERE n_words >= {min_words}
+)
+SELECT {id_col}, pos, quote, n_words FROM f
+"""

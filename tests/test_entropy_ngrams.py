@@ -275,3 +275,44 @@ def test_lexical_diversity_reference(ray_session):
     assert got.loc[2, "n_hapax"] == 4 and got.loc[2, "simpson"] == 0.0
     # doc 3 (empty) emits NO row
     assert 3 not in got.index
+
+
+class TestQuotedSpans:
+    def test_rules_and_positions(self):
+        from pdf_extract_ray.stages.textquality import quoted_spans_batch
+
+        b = pd.DataFrame({"doc_id": [0, 1, 2], "text": [
+            'He said "the quick brown fox" and then "too short" again '
+            'plus "five more words right here" done',
+            'no quotes at all',
+            '"unterminated so ignored and also\nnewline "a b c" ok',
+        ]})
+        got = quoted_spans_batch(b)
+        assert got["quote"].tolist() == [
+            "the quick brown fox", "five more words right here",
+            "a b c"]
+        assert got["pos"].tolist() == [1, 2, 1]
+        assert got["n_words"].tolist() == [4, 5, 3]
+
+    def test_sql_parity(self, ray_session):
+        import duckdb
+
+        from pdf_extract_ray.stages.textquality import (
+            quoted_spans_batch,
+            quoted_spans_oracle_sql,
+        )
+
+        rng = np.random.RandomState(23)
+        words = np.array(['alpha', 'beta', '"', 'gamma delta epsilon',
+                          'zeta"', '"eta theta iota kappa"'])
+        texts = [" ".join(words[rng.randint(0, len(words), 12)])
+                 for _ in range(150)]
+        df = pd.DataFrame({"doc_id": range(150), "text": texts})
+        got = (quoted_spans_batch(df)
+               .sort_values(["doc_id", "pos"]).reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("t", df)
+        want = (con.execute(quoted_spans_oracle_sql("t"))
+                .df().sort_values(["doc_id", "pos"])
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
