@@ -1538,6 +1538,36 @@ def q_knn_join_embeddings(sf_dir: str):
     return knn_join(ds, k=3, n_cells=8)
 
 
+def q_embedding_norms(sf_dir: str):
+    # embedding health audit (similarity.embedding_norm_stats): L2 norm
+    # + zero-vector flag per embedding — one narrow map, zero shuffles.
+    from pdf_extract_ray.stages.similarity import embedding_norm_stats
+
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_norm_stats(ds)
+
+
+def q_central_embeddings(sf_dir: str):
+    # LexRank-style corpus centrality: the kNN similarity graph
+    # (similarity.knn_join) fed into PageRank — central documents are
+    # the representative cores of their semantic neighborhoods (the
+    # ranking behind "pick exemplars per topic" curation).  Edges are
+    # the knn pairs; the rank uses the frozen PageRank expressions, so
+    # the golden (knn reference -> dense-numpy reference) is bit-exact.
+    from pdf_extract_ray.stages.pagerank import pagerank
+    from pdf_extract_ray.stages.similarity import knn_join
+
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = knn_join(ds, k=3, n_cells=8)
+    edges = pairs.map_batches(
+        lambda b: pd.DataFrame({
+            "src_host": b["vec_id"].to_numpy(),
+            "dst_host": b["neighbor_id"].to_numpy(),
+            "n_links": np.ones(len(b), dtype=np.int64)}),
+        batch_format="pandas")
+    return pagerank(edges, weight_col="n_links", n_iter=8, tol=None)
+
+
 def q_near_dup_clusters(sf_dir: str):
     # pairs -> transitive clusters: iterative min-label propagation over
     # the minhash pair graph (stages/graph.connected_components); oracle =
@@ -6086,6 +6116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join_embeddings": q_knn_join_embeddings,
         "quoted_spans_docs": q_quoted_spans,
         "split_leakage_pairs": q_split_leakage_pairs,
+        "central_embeddings": q_central_embeddings,
+        "embedding_norms": q_embedding_norms,
         "impute_median_events": q_impute_median_events,
         "decayed_event_scores": q_decayed_event_scores,
         "welch_ab_events": q_welch_ab_events,
@@ -7787,6 +7819,13 @@ def oracle_sql() -> dict[str, str]:
         "contamination_evidence": _contamination_evidence_oracle(),
         "quoted_spans_docs": _quoted_spans_oracle(),
         "split_leakage_pairs": _split_leakage_oracle(),
+        "embedding_norms": (
+            "SELECT vec_id, round(sqrt(list_sum(list_transform("
+            "embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)"
+            " AS l2_norm, list_sum(list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0 AS is_zero "
+            "FROM embeddings"
+        ),
         "out_of_order_events": (
             "WITH l AS (SELECT user_id, ts, lag(ts) OVER "
             "(PARTITION BY user_id ORDER BY event_id) AS prev_ts "
@@ -8010,7 +8049,8 @@ def oracle_sql() -> dict[str, str]:
                         "host_mirror_docs",
                         "dsir_weights_docs", "markdown_docs",
                         "grouped_distinct_users", "porter_stems",
-                        "label_prop_docs", "knn_join_embeddings")},
+                        "label_prop_docs", "knn_join_embeddings",
+                        "central_embeddings")},
         "pii_redacted_docs": _pii_oracle(),
         "c4_clean_docs": _c4_oracle(),
         "bm25_docs": _bm25_oracle(),

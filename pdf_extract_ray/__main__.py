@@ -84,6 +84,7 @@ def cmd_webtext(args) -> int:
                            if args.blocked_hosts else None),
             blocked_patterns=[p for p in args.blocked_patterns.split(",")
                               if p],
+            drop_trap_urls=args.drop_trap_urls,
             fix_mojibake=args.fix_mojibake,
             dedup_doc_lines=args.dedup_doc_lines,
             files_per_partition=args.files_per_partition,
@@ -224,6 +225,10 @@ def main(argv=None) -> int:
                          "(stages/urlfilter.py; subdomains match)")
     wp.add_argument("--blocked-patterns", default="",
                     help="comma-separated url substring blocklist")
+    wp.add_argument("--drop-trap-urls", action="store_true",
+                    help="gate out crawler-trap urls (repeated path "
+                         "segments / depth / param explosions; "
+                         "stages/urlfilter.url_trap_signals)")
     wp.add_argument("--fix-mojibake", action="store_true",
                     help="repair UTF-8-as-cp1252 mojibake in the text "
                          "column (stages/mojibake.py)")

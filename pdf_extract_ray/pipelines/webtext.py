@@ -111,6 +111,7 @@ def webtext_run(
     c4_rules: bool = False,
     blocked_hosts: list[str] | None = None,
     blocked_patterns: list[str] = (),
+    drop_trap_urls: bool = False,
     fix_mojibake: bool = False,
     dedup_doc_lines: bool = False,
     files_per_partition: int = 8,
@@ -164,7 +165,10 @@ def webtext_run(
     ``blocked_hosts``/``blocked_patterns`` apply the URL blocklist gate
     (stages/urlfilter.py, the RefinedWeb/UT1 stage-1 screen) FIRST —
     before robots, extraction or any content work; the input must carry
-    a ``url`` column (raw pages and WET records do).  ``fix_mojibake``
+    a ``url`` column (raw pages and WET records do).
+    ``drop_trap_urls=True`` adds the crawler-trap gate
+    (stages/urlfilter.url_trap_signals: repeated path segments, depth,
+    parameter explosions) in the same pre-content position.  ``fix_mojibake``
     repairs UTF-8-as-cp1252 corruption (stages/mojibake.py) and
     ``dedup_doc_lines`` removes within-document repeated lines
     (stages/boilerplate.dedup_lines_in_doc rule), both rewriting the
@@ -205,6 +209,13 @@ def webtext_run(
 
             ds = filter_by_url_blocklist(
                 ds, blocked_hosts, blocked_patterns)
+        if drop_trap_urls:
+            from pdf_extract_ray.stages.urlfilter import url_trap_signals
+
+            ds = ds.map_batches(
+                lambda b: b[~url_trap_signals(b["url"])["is_trap"]
+                            .to_numpy()],
+                batch_format="pandas")
         col = text_col
         if do_extract:
             from pdf_extract_ray.pipelines.extract import extract_pages_fused
@@ -291,6 +302,7 @@ def webtext_run(
                         "url_blocklist": repr(
                             (sorted(blocked_hosts), sorted(blocked_patterns))
                             if blocked_hosts is not None else None),
+                        "drop_trap_urls": str(drop_trap_urls),
                         "fix_mojibake": str(fix_mojibake),
                         "dedup_doc_lines": str(dedup_doc_lines),
                         "rules": repr(sorted(rules.items()))},

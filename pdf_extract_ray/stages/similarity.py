@@ -644,3 +644,46 @@ def knn_join(
     return bucketed_group_apply(
         ds.map_batches(assign, batch_format="pandas"), ["__cell"], body,
         num_buckets=num_buckets)
+
+
+def embedding_norm_stats(
+    ds: Dataset,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Embedding health audit — ``(id, l2_norm, is_zero)`` per vector:
+    zero/degenerate vectors poison cosine similarity (the engine's
+    kernels guard them, but a corpus where 10% of embeddings are zero
+    is an upstream-model bug worth a report).  ``l2_norm`` is rounded
+    half-away to 6.
+
+    One narrow vectorized map, zero shuffles.  SQL-parity note: the
+    per-row sum runs over the embedding dim (<128), where numpy's
+    pairwise reduction is sequential — bit-identical to the SQL list
+    fold."""
+    from pdf_extract_ray.util import round_half_away
+
+    def batch(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        sq = (v * v).sum(axis=1)
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            "l2_norm": round_half_away(np.sqrt(sq), 6),
+            "is_zero": sq == 0.0,
+        })
+
+    return ds.map_batches(batch, batch_format="pandas")
+
+
+def embedding_norm_oracle_sql(
+    table: str = "embeddings",
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB mirror of :func:`embedding_norm_stats`."""
+    sq = (f"list_sum(list_transform({vec_col}, "
+          f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+    return (f"SELECT {id_col}, round(sqrt({sq}), 6) AS l2_norm, "
+            f"{sq} = 0 AS is_zero FROM {table}")

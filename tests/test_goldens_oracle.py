@@ -29,7 +29,7 @@ GOLDEN_QUERIES = (
     "image_near_dup", "semdedup_embeddings", "dsir_weights_docs",
     "kmeans_embeddings", "k_core_docs", "host_mirror_docs",
     "markdown_docs", "grouped_distinct_users", "porter_stems",
-    "label_prop_docs", "knn_join_embeddings",
+    "label_prop_docs", "knn_join_embeddings", "central_embeddings",
 )
 
 

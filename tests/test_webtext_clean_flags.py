@@ -88,3 +88,32 @@ def test_webtext_run_blocklist_needs_url_column(ray_session, tmp_path):
         webtext_run(f"{src}/*.parquet", str(tmp_path / "out"),
                     blocked_hosts=["example.com"],
                     files_per_partition=1, min_rows_per_file=1)
+
+
+def test_webtext_run_drop_trap_urls(ray_session, tmp_path):
+    from pdf_extract_ray.pipelines.webtext import webtext_run
+
+    body = ("the cat sat on the mat and it was a very long day for "
+            "all of the animals in the house by the sea")
+    src = str(tmp_path / "src_traps")
+    os.makedirs(src)
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "url": ["http://good.org/a",
+                "http://loop.net/x/y/x/1",          # repeated segment
+                "http://deep.net/" + "d/" * 7 + "p",  # depth 8
+                "http://fine.net/c?a=1"],
+        "text": [body, body, body, body],
+    })
+    docs.to_parquet(f"{src}/a.parquet")
+    out = str(tmp_path / "out_traps")
+    webtext_run(f"{src}/*.parquet", out, drop_trap_urls=True,
+                keep_rejects=True,
+                files_per_partition=1, min_rows_per_file=1)
+    got = _read_out(out)
+    assert list(got["doc_id"]) == [0, 3]
+    # toggling the flag is a different run identity: resume redoes work
+    out2 = str(tmp_path / "out_notraps")
+    webtext_run(f"{src}/*.parquet", out2, keep_rejects=True,
+                files_per_partition=1, min_rows_per_file=1)
+    assert list(_read_out(out2)["doc_id"]) == [0, 1, 2, 3]

@@ -1161,6 +1161,25 @@ def gen_knn_join(sf_dir: str) -> dict[str, pa.Table]:
     })}
 
 
+def gen_central(sf_dir: str) -> dict[str, pa.Table]:
+    """Golden for `central_embeddings`: the knn-join reference's pairs
+    (gen_knn_join) ranked by the dense-numpy PageRank reference —
+    independent of both distributed plans."""
+    sys.path.insert(0, _REPO)
+    from pdf_extract_ray.stages.pagerank import pagerank_reference
+
+    pairs = gen_knn_join(sf_dir)["knn_join_embeddings"].to_pandas()
+    edges = pd.DataFrame({
+        "src_host": pairs["vec_id"].to_numpy(),
+        "dst_host": pairs["neighbor_id"].to_numpy(),
+        "n_links": np.ones(len(pairs), dtype=np.int64),
+    })
+    r = pagerank_reference(edges, weight_col="n_links", n_iter=8,
+                           tol=None)
+    return {"central_embeddings": pa.Table.from_pandas(
+        r, preserve_index=False)}
+
+
 GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_pair_analyzers, gen_layout, gen_media, gen_media_pixels,
               gen_approx_distinct, gen_approx_quantiles,
@@ -1171,7 +1190,7 @@ GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_nb_quality, gen_bloom, gen_nb_topic, gen_image_dup,
               gen_semdedup, gen_dsir, gen_markdown, gen_porter,
               gen_grouped_distinct, gen_kmeans, gen_kcore,
-              gen_host_mirror, gen_label_prop, gen_knn_join)
+              gen_host_mirror, gen_label_prop, gen_knn_join, gen_central)
 
 
 def generate_all(sf_dir: str) -> dict[str, pa.Table]:
