@@ -5075,6 +5075,118 @@ def q_crawl_diff(sf_dir: str):
                       ds.map_batches(new_snap, batch_format="pandas"))
 
 
+def q_charset_stats(sf_dir: str):
+    # ingest telemetry: the charset sniffer's verdict per page
+    # (functions/encoding.decode_html_bytes — BOM > strict utf-8 >
+    # meta prescan > replace fallback) over five arithmetic byte
+    # shapes: plain utf-8, BOM'd utf-8, declared EUC-KR, declared
+    # windows-1252, and undeclared broken bytes.  One narrow map,
+    # zero shuffles; oracle = per-shape CASE constants.
+    from pdf_extract_ray.functions.encoding import (
+        decode_html_bytes,
+        sniff_meta_charset,
+    )
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def rows(b: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_id": [], "encoding_used": [], "declared": []}
+        for did in b["doc_id"]:
+            m = int(did) % 5
+            if m == 0:
+                data = b"<html><body>plain ascii</body></html>"
+            elif m == 1:
+                data = b"\xef\xbb\xbf<html>bom utf8</html>"
+            elif m == 2:
+                data = (b'<meta charset="euc-kr"><html>\xb0\xa1'
+                        b"</html>")
+            elif m == 3:
+                data = (b'<meta charset="windows-1252">caf\xe9')
+            else:
+                data = b"<html>\x81\x82 broken</html>"
+            _, enc = decode_html_bytes(data)
+            out["doc_id"].append(int(did))
+            out["encoding_used"].append(enc)
+            out["declared"].append(sniff_meta_charset(data))
+        return pd.DataFrame({
+            "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+            "encoding_used": pd.Series(out["encoding_used"],
+                                       dtype="object"),
+            "declared": pd.Series(out["declared"], dtype="object"),
+        })
+
+    return ds.map_batches(rows, batch_format="pandas")
+
+
+def _charset_stats_oracle() -> str:
+    return (
+        "SELECT doc_id, CASE doc_id % 5 "
+        "WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-sig' "
+        "WHEN 2 THEN 'euc_kr' WHEN 3 THEN 'cp1252' "
+        "ELSE 'utf-8-replace' END AS encoding_used, "
+        "CASE doc_id % 5 WHEN 2 THEN 'euc-kr' "
+        "WHEN 3 THEN 'windows-1252' END AS declared "
+        "FROM documents"
+    )
+
+
+def q_host_churn(sf_dir: str):
+    # recrawl churn by SITE: the url-level crawl_diff verdicts rolled
+    # up per host (added/removed/changed/unchanged counts + churn
+    # fraction) — the signal per-host recrawl scheduling acts on.
+    # Pre-aggregated counts shuffle once; composition over the real
+    # diff cogroup.
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+    from pdf_extract_ray.util import round_half_away
+
+    diff = q_crawl_diff(sf_dir)
+
+    def narrow(b: pd.DataFrame) -> pd.DataFrame:
+        host = (b["url"].astype(str)
+                .str.extract(r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)")[0]
+                .fillna(""))
+        out = pd.DataFrame({"url_host": host.to_numpy()})
+        for st in ("added", "removed", "changed", "unchanged"):
+            out["n_" + st] = (b["status"] == st).to_numpy(np.int64)
+        return out
+
+    agg = grouped_aggregate(
+        diff.map_batches(narrow, batch_format="pandas"), ["url_host"],
+        {c: (c, "sum") for c in (
+            "n_added", "n_removed", "n_changed", "n_unchanged")})
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        moved = (b["n_added"] + b["n_removed"] + b["n_changed"]) \
+            .to_numpy(np.float64)
+        total = moved + b["n_unchanged"].to_numpy(np.float64)
+        b["churn_frac"] = round_half_away(moved / total, 4)
+        return b
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def _host_churn_oracle() -> str:
+    return (
+        "WITH d AS (" + _crawl_diff_oracle() + "), h AS ("
+        "SELECT regexp_extract(url, "
+        "'^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1) AS url_host, "
+        "status FROM d) "
+        "SELECT url_host, "
+        "CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_added, "
+        "CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_removed, "
+        "CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_changed, "
+        "CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_unchanged, "
+        "round(sum(CASE WHEN status <> 'unchanged' THEN 1 ELSE 0 END) "
+        "/ CAST(count(*) AS DOUBLE), 4) AS churn_frac "
+        "FROM h GROUP BY url_host"
+    )
+
+
 def _crawl_diff_oracle() -> str:
     # the full pipeline in SQL: same arithmetic snapshot derivation,
     # FULL OUTER JOIN verdicts, md5 content hashes (DuckDB md5() ==
@@ -6118,6 +6230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage_pairs": q_split_leakage_pairs,
         "central_embeddings": q_central_embeddings,
         "embedding_norms": q_embedding_norms,
+        "charset_stats_docs": q_charset_stats,
+        "host_churn": q_host_churn,
         "impute_median_events": q_impute_median_events,
         "decayed_event_scores": q_decayed_event_scores,
         "welch_ab_events": q_welch_ab_events,
@@ -8096,6 +8210,8 @@ def oracle_sql() -> dict[str, str]:
         "anchor_texts": _anchor_texts_oracle(),
         "robots_indexable": _robots_indexable_oracle(),
         "crawl_diff_docs": _crawl_diff_oracle(),
+        "charset_stats_docs": _charset_stats_oracle(),
+        "host_churn": _host_churn_oracle(),
         "html_tables": _html_tables_oracle(),
         "page_metadata": _page_metadata_oracle(),
         "pack_assignments": _pack_assignments_oracle(),

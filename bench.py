@@ -252,7 +252,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "contamination_evidence", "out_of_order_events",
                      "knn_join_embeddings", "quoted_spans_docs",
                      "split_leakage_pairs", "central_embeddings",
-                     "embedding_norms"):
+                     "embedding_norms", "charset_stats_docs",
+                     "host_churn"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

@@ -99,3 +99,27 @@ def test_utf8_extraction_unchanged():
     via_bytes = extract_document("u", page.encode(), None, "ko")
     via_str = extract_document("u", page, None, "ko")
     assert via_bytes["extracted_text"] == via_str["extracted_text"]
+
+
+def test_decode_shapes_for_charset_stats():
+    # the five arithmetic shapes the charset_stats_docs oracle pins
+    from pdf_extract_ray.functions.encoding import (
+        decode_html_bytes,
+        sniff_meta_charset,
+    )
+
+    cases = [
+        (b"<html><body>plain ascii</body></html>", "utf-8", None),
+        (b"\xef\xbb\xbf<html>bom utf8</html>", "utf-8-sig", None),
+        (b'<meta charset="euc-kr"><html>\xb0\xa1</html>', "euc_kr",
+         "euc-kr"),
+        (b'<meta charset="windows-1252">caf\xe9', "cp1252",
+         "windows-1252"),
+        (b"<html>\x81\x82 broken</html>", "utf-8-replace", None),
+    ]
+    for data, enc, declared in cases:
+        text, used = decode_html_bytes(data)
+        assert used == enc, (data, used)
+        assert sniff_meta_charset(data) == declared
+    # the EUC-KR body decodes to the real hangul syllable
+    assert "가" in decode_html_bytes(cases[2][0])[0]
