@@ -5130,6 +5130,28 @@ def _charset_stats_oracle() -> str:
     )
 
 
+def q_cdc_dedup_docs(sf_dir: str):
+    # content-defined chunking dedup (stages/substr.cdc_dedup_stats —
+    # LBFS/FastCDC granularity): boundaries follow a rolling-hash mask,
+    # so shared passages dedup regardless of position.  Derive appends
+    # a shared cookie-banner footer to every doc, which must surface as
+    # duplicated chunks corpus-wide.  Oracle = committed golden from
+    # the dict-based single-process reference over the frozen kernel.
+    from pdf_extract_ray.stages.substr import cdc_dedup_stats
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    footer = ("accept our cookies and subscribe to the newsletter "
+              "for the latest updates from this site. ") * 3
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "text": (b["text"].fillna("").astype(str) + footer)
+            .to_numpy()})
+
+    return cdc_dedup_stats(ds.map_batches(derive, batch_format="pandas"))
+
+
 def q_host_churn(sf_dir: str):
     # recrawl churn by SITE: the url-level crawl_diff verdicts rolled
     # up per host (added/removed/changed/unchanged counts + churn
@@ -6232,6 +6254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": q_embedding_norms,
         "charset_stats_docs": q_charset_stats,
         "host_churn": q_host_churn,
+        "cdc_dedup_docs": q_cdc_dedup_docs,
         "impute_median_events": q_impute_median_events,
         "decayed_event_scores": q_decayed_event_scores,
         "welch_ab_events": q_welch_ab_events,
@@ -8164,7 +8187,7 @@ def oracle_sql() -> dict[str, str]:
                         "dsir_weights_docs", "markdown_docs",
                         "grouped_distinct_users", "porter_stems",
                         "label_prop_docs", "knn_join_embeddings",
-                        "central_embeddings")},
+                        "central_embeddings", "cdc_dedup_docs")},
         "pii_redacted_docs": _pii_oracle(),
         "c4_clean_docs": _c4_oracle(),
         "bm25_docs": _bm25_oracle(),

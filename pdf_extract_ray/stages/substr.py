@@ -216,3 +216,132 @@ WITH s AS (
 )
 SELECT sh.{id_col}, sh.pos FROM sh JOIN d USING (g)
 """
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (CDC) dedup — the backup-system granularity
+# (Muthitacharoen et al. 2001 LBFS; FastCDC, Xia et al. 2016 — public
+# papers): chunk boundaries follow CONTENT (a rolling hash hitting a
+# mask), so an insertion early in a page shifts only one chunk instead
+# of re-aligning every fixed-width window — recrawl storage and
+# transfer dedup as well as shared-passage detection.
+# ---------------------------------------------------------------------------
+
+_CDC_WINDOW = 8
+_CDC_PRIME = np.uint64(1_000_003)
+
+
+def cdc_boundaries(data: bytes, *, mask: int = 63,
+                   min_len: int = 16, max_len: int = 4096) -> list[int]:
+    """Frozen chunking rule: end a chunk after byte i when the
+    polynomial rolling hash of the last ``_CDC_WINDOW`` bytes satisfies
+    ``h % (mask+1) == 0`` and the chunk has >= ``min_len`` bytes, or at
+    ``max_len``.  Returns end offsets (exclusive), last = len(data).
+    Vectorized: ONE sliding-window matmul over the byte array (uint64
+    wraparound arithmetic = the modulus), then a linear boundary sweep
+    over candidate positions only."""
+    n = len(data)
+    if n == 0:
+        return []
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    if n < _CDC_WINDOW:
+        return [n]
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    pows = _CDC_PRIME ** np.arange(_CDC_WINDOW - 1, -1, -1,
+                                   dtype=np.uint64)
+    h = (sliding_window_view(arr, _CDC_WINDOW) * pows).sum(axis=1)
+    # candidate boundary AFTER byte (i + _CDC_WINDOW - 1)
+    cand = np.flatnonzero(h % np.uint64(mask + 1) == 0) \
+        + (_CDC_WINDOW - 1) + 1
+    out, start = [], 0
+    for c in cand.tolist():
+        if c - start >= min_len:
+            # honor max_len splits that precede this candidate
+            while c - start > max_len:
+                start += max_len
+                out.append(start)
+            out.append(c)
+            start = c
+    while n - start > max_len:
+        start += max_len
+        out.append(start)
+    if start < n:
+        out.append(n)
+    return out
+
+
+def cdc_chunk_rows(texts, *, mask: int = 63, min_len: int = 16,
+                   max_len: int = 4096) -> pd.DataFrame:
+    """(doc index, pos, chunk md5 hex, chunk byte length) rows for a
+    list of texts (utf-8 bytes), via :func:`cdc_boundaries`."""
+    import hashlib
+
+    rows = {"__doc": [], "pos": [], "h": [], "clen": []}
+    for i, t in enumerate(texts):
+        data = ("" if t is None else str(t)).encode("utf-8")
+        start = 0
+        for p, end in enumerate(cdc_boundaries(
+                data, mask=mask, min_len=min_len, max_len=max_len), 1):
+            rows["__doc"].append(i)
+            rows["pos"].append(p)
+            rows["h"].append(hashlib.md5(data[start:end]).hexdigest())
+            rows["clen"].append(end - start)
+            start = end
+    return pd.DataFrame({
+        "__doc": pd.Series(rows["__doc"], dtype="int64"),
+        "pos": pd.Series(rows["pos"], dtype="int64"),
+        "h": pd.Series(rows["h"], dtype="object"),
+        "clen": pd.Series(rows["clen"], dtype="int64"),
+    })
+
+
+def cdc_dedup_stats(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask: int = 63,
+    min_len: int = 16,
+    max_len: int = 4096,
+    num_buckets: int | None = None,
+):
+    """Per-document CDC dedup report: ``(id, n_chunks, n_bytes,
+    n_dup_chunks, dup_bytes)`` where a chunk is duplicated when its
+    md5 occurs >= 2 times corpus-wide (multiset: every occurrence of a
+    shared chunk counts, including the first — the storage-dedup view).
+
+    Scale shape (the exact-substring plan): narrow chunk explode
+    per batch; ONE bucketed shuffle of (hash, id, len) rows for the
+    corpus-wide frequency; per-doc sums reduce map-side in a second
+    narrow grouped merge — bodies never move after the explode."""
+    from pdf_extract_ray.stages.agg import bucketed_group_apply, grouped_aggregate
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        rows = cdc_chunk_rows(b[text_col].tolist(), mask=mask,
+                              min_len=min_len, max_len=max_len)
+        rows[id_col] = b[id_col].to_numpy()[rows["__doc"].to_numpy()]
+        return rows[[id_col, "h", "clen"]]
+
+    rows = ds.map_batches(explode, batch_format="pandas")
+
+    def flag(bucket: pd.DataFrame) -> pd.DataFrame:
+        sizes = bucket.groupby("h", sort=False)["h"].transform("size")
+        out = pd.DataFrame({
+            id_col: bucket[id_col].to_numpy(),
+            "n_chunks": np.int64(1),
+            "n_bytes": bucket["clen"].to_numpy(np.int64),
+            "n_dup_chunks": (sizes >= 2).to_numpy(np.int64),
+            "dup_bytes": np.where(sizes >= 2,
+                                  bucket["clen"].to_numpy(np.int64), 0),
+        })
+        return out
+
+    flagged = bucketed_group_apply(rows, ["h"], flag,
+                                   num_buckets=num_buckets,
+                                   pre_batch_size=65536)
+    return grouped_aggregate(
+        flagged, [id_col],
+        {c: (c, "sum") for c in ("n_chunks", "n_bytes",
+                                 "n_dup_chunks", "dup_bytes")},
+        num_buckets=num_buckets)

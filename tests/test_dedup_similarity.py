@@ -1309,3 +1309,44 @@ class TestSyndicatedPairs:
         assert got["id_a"].tolist() == [1, 3]
         assert got["host_a"].tolist() == ["a.com", "d.io"]
         assert got["host_b"].tolist() == ["b.org", "e.io"]
+
+
+class TestCdcChunking:
+    def test_boundaries_are_content_defined(self):
+        from pdf_extract_ray.stages.substr import cdc_boundaries
+
+        base = (b"hello world, this is a test of chunking content "
+                b"defined boundaries over some bytes " * 10)
+        b1 = cdc_boundaries(base)
+        # an insertion near the start shifts boundaries by a constant
+        # offset but the chunk PATTERN re-synchronizes (content-defined)
+        b2 = cdc_boundaries(b"XYZprefix " + base)
+        tail1 = {base[max(0, e - 20):e] for e in b1}
+        tail2 = {(b"XYZprefix " + base)[max(0, e - 20):e] for e in b2}
+        assert len(tail1 & tail2) >= len(tail1) - 2
+        # limits honored
+        assert all(e2 - e1 <= 4096 for e1, e2 in zip([0] + b1, b1))
+        assert b1[-1] == len(base)
+        assert cdc_boundaries(b"") == []
+        assert cdc_boundaries(b"abc") == [3]
+
+    def test_dedup_stats_shared_footer(self, ray_session):
+        import ray.data as rd
+
+        from pdf_extract_ray.stages.substr import cdc_dedup_stats
+
+        foot = ("shared cookie banner text that repeats on every "
+                "single page of the corpus " * 3)
+        docs = pd.DataFrame({
+            "doc_id": [0, 1, 2],
+            "text": [f"unique body number {i} with its own words "
+                     * 8 + foot for i in range(3)],
+        })
+        got = (cdc_dedup_stats(rd.from_pandas(docs).repartition(2))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        # every doc carries duplicated (footer) chunks but also unique
+        # body chunks
+        assert (got["n_dup_chunks"] >= 1).all()
+        assert (got["n_dup_chunks"] < got["n_chunks"]).all()
+        assert (got["dup_bytes"] < got["n_bytes"]).all()
+        assert (got["n_bytes"] == docs["text"].str.len().to_numpy()).all()

@@ -1180,6 +1180,44 @@ def gen_central(sf_dir: str) -> dict[str, pa.Table]:
         r, preserve_index=False)}
 
 
+def gen_cdc(sf_dir: str) -> dict[str, pa.Table]:
+    """Dict-based single-process reference for `cdc_dedup_docs`: the
+    frozen CDC chunk kernel (cdc_chunk_rows) + Counter frequencies —
+    independent of the distributed bucketed plan."""
+    sys.path.insert(0, _REPO)
+    from collections import Counter
+
+    from pdf_extract_ray.stages.substr import cdc_chunk_rows
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    footer = ("accept our cookies and subscribe to the newsletter "
+              "for the latest updates from this site. ") * 3
+    texts = (docs["text"].fillna("").astype(str) + footer).tolist()
+    rows = cdc_chunk_rows(texts)
+    freq = Counter(rows["h"])
+    dup = rows["h"].map(freq).to_numpy() >= 2
+    rows["doc_id"] = docs["doc_id"].to_numpy()[rows["__doc"].to_numpy()]
+    agg = (pd.DataFrame({
+        "doc_id": rows["doc_id"],
+        "n_chunks": 1,
+        "n_bytes": rows["clen"],
+        "n_dup_chunks": dup.astype("int64"),
+        "dup_bytes": np.where(dup, rows["clen"], 0),
+    }).groupby("doc_id", as_index=False).sum()
+      .sort_values("doc_id"))
+    return {"cdc_dedup_docs": pa.table({
+        "doc_id": pa.array(agg["doc_id"].to_numpy(), pa.int64()),
+        "n_chunks": pa.array(agg["n_chunks"].astype("int64"),
+                             pa.int64()),
+        "n_bytes": pa.array(agg["n_bytes"].astype("int64"), pa.int64()),
+        "n_dup_chunks": pa.array(agg["n_dup_chunks"].astype("int64"),
+                                 pa.int64()),
+        "dup_bytes": pa.array(agg["dup_bytes"].astype("int64"),
+                              pa.int64()),
+    })}
+
+
 GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_pair_analyzers, gen_layout, gen_media, gen_media_pixels,
               gen_approx_distinct, gen_approx_quantiles,
@@ -1190,7 +1228,8 @@ GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_nb_quality, gen_bloom, gen_nb_topic, gen_image_dup,
               gen_semdedup, gen_dsir, gen_markdown, gen_porter,
               gen_grouped_distinct, gen_kmeans, gen_kcore,
-              gen_host_mirror, gen_label_prop, gen_knn_join, gen_central)
+              gen_host_mirror, gen_label_prop, gen_knn_join, gen_central,
+              gen_cdc)
 
 
 def generate_all(sf_dir: str) -> dict[str, pa.Table]:
