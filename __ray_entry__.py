@@ -5130,6 +5130,49 @@ def _charset_stats_oracle() -> str:
     )
 
 
+def q_jsonl_roundtrip_docs(sf_dir: str):
+    # JSONL.gz export + re-ingest round-trip (sources/jsonl.write_jsonl
+    # -> Ray native read_json): the dominant LLM-corpus interchange
+    # format, proven byte-faithful by the identity oracle — distributed
+    # writer, frozen serialization, gz-transparent reader.
+    import shutil
+    import tempfile
+
+    from pdf_extract_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    ds = _t(sf_dir, "documents",
+            columns=["doc_id", "text", "lang", "n_chars"])
+    out_dir = tempfile.mkdtemp(prefix="jsonl_roundtrip_", dir="/tmp")
+    try:
+        manifest = write_jsonl(ds, out_dir)
+        back = read_jsonl(sorted(manifest.column("path").to_pylist()))
+        return back.map_batches(
+            lambda b: b[["doc_id", "text", "lang", "n_chars"]],
+            batch_format="pandas").to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def q_cluster_size_hist(sf_dir: str):
+    # dedup-audit report: the near-dup cluster SIZE distribution (how
+    # many 2-doc pairs vs 50-doc template farms) — minhash pairs ->
+    # connected components -> per-component count -> size histogram,
+    # all pre-aggregated.  Oracle = the same two GROUP BYs in SQL over
+    # the committed union-find clusters golden.
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+    from pdf_extract_ray.stages.dedup import minhash_lsh_pairs
+    from pdf_extract_ray.stages.graph import connected_components
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, "doc_id", "text",
+                              jaccard_threshold=0.5)
+    comp = connected_components(pairs)
+    per = grouped_aggregate(comp, ["component"],
+                            {"size": ("node", "count")})
+    return grouped_aggregate(per, ["size"],
+                             {"n_clusters": ("component", "count")})
+
+
 def q_cdc_dedup_docs(sf_dir: str):
     # content-defined chunking dedup (stages/substr.cdc_dedup_stats —
     # LBFS/FastCDC granularity): boundaries follow a rolling-hash mask,
@@ -6255,6 +6298,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "charset_stats_docs": q_charset_stats,
         "host_churn": q_host_churn,
         "cdc_dedup_docs": q_cdc_dedup_docs,
+        "jsonl_roundtrip_docs": q_jsonl_roundtrip_docs,
+        "cluster_size_hist": q_cluster_size_hist,
         "impute_median_events": q_impute_median_events,
         "decayed_event_scores": q_decayed_event_scores,
         "welch_ab_events": q_welch_ab_events,
@@ -8234,7 +8279,17 @@ def oracle_sql() -> dict[str, str]:
         "robots_indexable": _robots_indexable_oracle(),
         "crawl_diff_docs": _crawl_diff_oracle(),
         "charset_stats_docs": _charset_stats_oracle(),
+        "cluster_size_hist": (
+            "WITH per AS (SELECT component, CAST(count(*) AS BIGINT) "
+            "AS size FROM read_parquet('{G}/near_dup_clusters.parquet') "
+            "GROUP BY component) "
+            "SELECT size, CAST(count(*) AS BIGINT) AS n_clusters "
+            "FROM per GROUP BY size"
+        ).format(G=_GOLD_SF001_DIR),
         "host_churn": _host_churn_oracle(),
+        "jsonl_roundtrip_docs": (
+            "SELECT doc_id, text, lang, n_chars FROM documents"
+        ),
         "html_tables": _html_tables_oracle(),
         "page_metadata": _page_metadata_oracle(),
         "pack_assignments": _pack_assignments_oracle(),

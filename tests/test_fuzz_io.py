@@ -155,3 +155,36 @@ def test_warc_round_trip_arbitrary_pages(pages):
     assert n_bad == 0 and len(rows) == len(rows_in)
     for got, src in zip(rows, rows_in):
         assert got["html"] == src["html"]
+
+
+class TestJsonlSink:
+    def test_roundtrip_determinism_and_unicode(self, ray_session,
+                                               tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from pdf_extract_ray.sources.jsonl import (
+            read_jsonl,
+            rows_to_jsonl_bytes,
+            write_jsonl,
+        )
+
+        df = pd.DataFrame({
+            "doc_id": [0, 1, 2],
+            "text": ["plain", 'quotes " and \\ slash — café', None],
+            "score": [1.5, None, 3.0],
+        })
+        out = str(tmp_path / "jl")
+        m1 = write_jsonl(rd.from_pandas(df).repartition(2), out)
+        back = (read_jsonl(sorted(m1.column("path").to_pylist()))
+                .to_pandas()[["doc_id", "text", "score"]]
+                .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(back, df, check_dtype=False)
+        # content-named files: identical rerun, identical paths
+        m2 = write_jsonl(rd.from_pandas(df).repartition(2), out)
+        assert sorted(m1.column("path").to_pylist()) == \
+            sorted(m2.column("path").to_pylist())
+        # frozen serialization: sorted keys, compact, utf-8
+        raw = rows_to_jsonl_bytes(df.iloc[[1]])
+        assert raw.decode("utf-8").startswith('{"doc_id":1,')
+        assert "café".encode() in raw
