@@ -144,6 +144,40 @@ def cmd_history(args) -> int:
         ray.shutdown()
 
 
+def cmd_export(args) -> int:
+    """Export parquet shards to an interchange format (jsonl[.gz] /
+    wet[.gz]) — distributed sinks, content-named atomic files."""
+    ray = _ray_session(args.num_cpus)
+    try:
+        import glob as _glob
+
+        import ray.data as rd
+
+        files = sorted(_glob.glob(args.input)) or [args.input]
+        ds = rd.read_parquet(files)
+        if args.columns:
+            ds = ds.select_columns(args.columns.split(","))
+        if args.format == "jsonl":
+            from pdf_extract_ray.sources.jsonl import write_jsonl
+
+            manifest = write_jsonl(ds, args.out,
+                                   compress=not args.no_compress)
+        else:
+            from pdf_extract_ray.sources.warc import write_wet
+
+            manifest = write_wet(ds, args.out,
+                                 url_col=args.url_col,
+                                 ts_col=args.ts_col,
+                                 text_col=args.text_col,
+                                 compress=not args.no_compress)
+        rows = int(sum(manifest.column("n_records").to_pylist()))
+        print(json.dumps({"files": manifest.num_rows, "rows": rows,
+                          "out": args.out}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def cmd_status(args) -> int:
     from pdf_extract_ray.state.manifest import Manifest
 
@@ -235,6 +269,20 @@ def main(argv=None) -> int:
     wp.add_argument("--dedup-doc-lines", action="store_true",
                     help="remove within-document repeated lines "
                          "(keep-first; stages/boilerplate.py)")
+    ex = sub.add_parser(
+        "export", help="export parquet shards to jsonl[.gz] / wet[.gz]")
+    ex.add_argument("--input", required=True,
+                    help="input parquet glob")
+    ex.add_argument("--out", required=True, help="output directory")
+    ex.add_argument("--format", choices=("jsonl", "wet"),
+                    default="jsonl")
+    ex.add_argument("--columns", default=None,
+                    help="comma-separated column projection")
+    ex.add_argument("--url-col", default="url")
+    ex.add_argument("--ts-col", default="warc_ts")
+    ex.add_argument("--text-col", default="text")
+    ex.add_argument("--no-compress", action="store_true")
+    ex.add_argument("--num-cpus", type=int, default=None)
     lg = sub.add_parser("linkgraph", help="run/resume host link-graph extraction")
     add_common(lg)
     lg.add_argument("--respect-robots", action="store_true",
@@ -266,7 +314,8 @@ def main(argv=None) -> int:
     return {"extract": cmd_extract, "quality": cmd_quality,
             "webtext": cmd_webtext, "linkgraph": cmd_linkgraph,
             "shards": cmd_shards, "history": cmd_history,
-            "status": cmd_status, "retry-failed": cmd_retry_failed}[args.cmd](args)
+            "status": cmd_status, "retry-failed": cmd_retry_failed,
+            "export": cmd_export}[args.cmd](args)
 
 
 if __name__ == "__main__":

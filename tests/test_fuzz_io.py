@@ -188,3 +188,26 @@ class TestJsonlSink:
         raw = rows_to_jsonl_bytes(df.iloc[[1]])
         assert raw.decode("utf-8").startswith('{"doc_id":1,')
         assert "café".encode() in raw
+
+
+def test_export_cli_jsonl(ray_session, tmp_path):
+    import pandas as pd
+
+    from pdf_extract_ray.__main__ import main
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame({"doc_id": [1, 2], "text": ["x", "y"]}).to_parquet(
+        str(src / "d.parquet"))
+    out = str(tmp_path / "out")
+    rc = main(["export", "--input", f"{src}/*.parquet", "--out", out,
+               "--format", "jsonl"])
+    assert rc == 0
+    import glob as g
+    import gzip
+    import json as j
+
+    files = g.glob(f"{out}/*.jsonl.gz")
+    rows = [j.loads(ln) for f in files
+            for ln in gzip.open(f, "rt").read().splitlines()]
+    assert sorted(r["doc_id"] for r in rows) == [1, 2]
