@@ -1423,6 +1423,17 @@ def q_dsir_weights(sf_dir: str):
     return dsir_weights(ds, log_t, log_r)
 
 
+def q_silhouette_embeddings(sf_dir: str):
+    # clustering-quality readout (kmeans.silhouette): simplified
+    # centroid silhouette over the SAME frozen quantized Lloyd kmeans
+    # — k-row centroid broadcast + one narrow map, O(n*k).  Oracle =
+    # committed golden from the independent full-matrix reference.
+    from pdf_extract_ray.stages.kmeans import silhouette
+
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return silhouette(ds, k=8, n_iters=4, scale=1000)
+
+
 def q_kmeans_embeddings(sf_dir: str):
     # distributed Lloyd k-means (stages/kmeans.py): the SemDeDup/IVF
     # clustering refinement — floor-quantized int vectors make every
@@ -6300,6 +6311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dedup_docs": q_cdc_dedup_docs,
         "jsonl_roundtrip_docs": q_jsonl_roundtrip_docs,
         "cluster_size_hist": q_cluster_size_hist,
+        "silhouette_embeddings": q_silhouette_embeddings,
         "impute_median_events": q_impute_median_events,
         "decayed_event_scores": q_decayed_event_scores,
         "welch_ab_events": q_welch_ab_events,
@@ -8232,7 +8244,8 @@ def oracle_sql() -> dict[str, str]:
                         "dsir_weights_docs", "markdown_docs",
                         "grouped_distinct_users", "porter_stems",
                         "label_prop_docs", "knn_join_embeddings",
-                        "central_embeddings", "cdc_dedup_docs")},
+                        "central_embeddings", "cdc_dedup_docs",
+                        "silhouette_embeddings")},
         "pii_redacted_docs": _pii_oracle(),
         "c4_clean_docs": _c4_oracle(),
         "bm25_docs": _bm25_oracle(),

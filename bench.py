@@ -254,7 +254,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "split_leakage_pairs", "central_embeddings",
                      "embedding_norms", "charset_stats_docs",
                      "host_churn", "cdc_dedup_docs",
-                     "jsonl_roundtrip_docs", "cluster_size_hist"):
+                     "jsonl_roundtrip_docs", "cluster_size_hist",
+                     "silhouette_embeddings"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

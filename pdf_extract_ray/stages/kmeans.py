@@ -146,3 +146,61 @@ def _kmeans_impl(ds, id_col, vec_col, *, k, n_iters, scale, num_buckets):
 
     final = qds.map_batches(make_assign(cents), batch_format="pandas")
     return final.drop_columns(["__xq"]), cents
+
+
+def silhouette(
+    ds: Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int,
+    n_iters: int,
+    scale: int = 1000,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Clustering-quality report — the simplified (centroid-based)
+    silhouette of Lloyd k-means: per vector ``a`` = squared distance
+    to its OWN final centroid, ``b`` = min squared distance to any
+    OTHER centroid, ``silhouette = (b - a) / max(a, b)`` (0 when both
+    are 0) — the standard "are these clusters real" readout before
+    trusting SemDeDup/IVF cells, at O(n·k) instead of the exact
+    silhouette's O(n²).
+
+    Frozen rules: distances live in the same floor-quantized integer
+    space as :func:`kmeans` (exact sums -> deterministic), silhouette
+    rounded half-away to 6.  Output ``(id, cluster, silhouette)``.
+
+    Scale shape: the k-row centroid table broadcasts once; one narrow
+    vectorized map, zero shuffles beyond the kmeans iterations."""
+    import ray as _ray
+
+    from pdf_extract_ray.util import round_half_away
+
+    _, cents = _kmeans_impl(ds, id_col, vec_col, k=k, n_iters=n_iters,
+                            scale=scale, num_buckets=num_buckets)
+    cents_ref = _ray.put(cents)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        c = _ray.get(cents_ref)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+        xq = np.floor(m * np.float64(scale))
+        best = np.full(len(xq), np.inf)
+        second = np.full(len(xq), np.inf)
+        cl = np.zeros(len(xq), dtype=np.int64)
+        for j in range(len(c)):
+            d = xq - c[j]
+            dist = (d * d).sum(axis=1)
+            hit = dist < best
+            second = np.where(hit, best, np.minimum(second, dist))
+            best[hit] = dist[hit]
+            cl[hit] = j
+        denom = np.maximum(best, second)
+        with np.errstate(invalid="ignore"):
+            s = np.where(denom > 0, (second - best) / denom, 0.0)
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(np.int64),
+            "cluster": cl,
+            "silhouette": round_half_away(s, 6),
+        })
+
+    return ds.map_batches(score, batch_format="pandas")

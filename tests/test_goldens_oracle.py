@@ -30,7 +30,7 @@ GOLDEN_QUERIES = (
     "kmeans_embeddings", "k_core_docs", "host_mirror_docs",
     "markdown_docs", "grouped_distinct_users", "porter_stems",
     "label_prop_docs", "knn_join_embeddings", "central_embeddings",
-    "cdc_dedup_docs",
+    "cdc_dedup_docs", "silhouette_embeddings",
 )
 
 

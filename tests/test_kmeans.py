@@ -84,3 +84,28 @@ def test_kmeans_centroids_and_empty_cluster_rule(ray_session):
         kmeans(rd.from_pandas(df), k=0, n_iters=1)
     with pytest.raises(ValueError):
         kmeans(rd.from_pandas(df), k=100, n_iters=1)
+
+
+def test_silhouette_bounds_and_separated_blobs(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.kmeans import silhouette
+
+    rng = np.random.RandomState(4)
+    a = rng.normal(0, 0.01, (30, 4)) + np.r_[1.0, 0, 0, 0]
+    b = rng.normal(0, 0.01, (30, 4)) + np.r_[0, 0, 0, 1.0]
+    df = pd.DataFrame({
+        "vec_id": np.arange(60),
+        "embedding": [v.astype("float32") for v in np.vstack([a, b])],
+    })
+    got = (silhouette(rd.from_pandas(df).repartition(3), k=2, n_iters=3)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert got["silhouette"].between(-1, 1).all()
+    # tight well-separated blobs: near-perfect silhouette everywhere
+    assert (got["silhouette"] > 0.9).all()
+    # the two blobs land in different clusters
+    assert got.loc[:29, "cluster"].nunique() == 1
+    assert got.loc[30:, "cluster"].nunique() == 1
+    assert got.loc[0, "cluster"] != got.loc[59, "cluster"]

@@ -1218,6 +1218,50 @@ def gen_cdc(sf_dir: str) -> dict[str, pa.Table]:
     })}
 
 
+def gen_silhouette(sf_dir: str) -> dict[str, pa.Table]:
+    """Independent reference for `silhouette_embeddings`: full n x k
+    distance matrix over the SAME frozen quantized kmeans (mirrors
+    gen_kmeans), a = dist to own centroid (first-hit argmin), b = min
+    over the other centroids, s = (b-a)/max(a,b), 0 on zero denom."""
+    sys.path.insert(0, _REPO)
+    from pdf_extract_ray.util import round_half_away
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas()
+    order = np.argsort(emb["vec_id"].to_numpy(np.int64), kind="stable")
+    ids = emb["vec_id"].to_numpy(np.int64)[order]
+    v = np.stack(emb["embedding"].to_numpy())[order].astype(np.float64)
+    xq = np.floor(v * 1000.0)
+    k, n_iters = 8, 4
+    cents = xq[:k].copy()
+
+    def dists(c):
+        return np.stack([((xq - c[j]) ** 2).sum(axis=1)
+                         for j in range(k)], axis=1)
+
+    for _ in range(n_iters):
+        cl = dists(cents).argmin(axis=1)
+        nxt = cents.copy()
+        for j in range(k):
+            m = cl == j
+            if m.any():
+                nxt[j] = xq[m].sum(axis=0) / np.float64(m.sum())
+        cents = nxt
+    dm = dists(cents)
+    cl = dm.argmin(axis=1)
+    a = dm[np.arange(len(xq)), cl]
+    dm2 = dm.copy()
+    dm2[np.arange(len(xq)), cl] = np.inf
+    b = dm2.min(axis=1)
+    denom = np.maximum(a, b)
+    s = np.where(denom > 0, (b - a) / denom, 0.0)
+    return {"silhouette_embeddings": pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "cluster": pa.array(cl.astype(np.int64), pa.int64()),
+        "silhouette": pa.array(round_half_away(s, 6), pa.float64()),
+    })}
+
+
 GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_pair_analyzers, gen_layout, gen_media, gen_media_pixels,
               gen_approx_distinct, gen_approx_quantiles,
@@ -1229,7 +1273,7 @@ GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_semdedup, gen_dsir, gen_markdown, gen_porter,
               gen_grouped_distinct, gen_kmeans, gen_kcore,
               gen_host_mirror, gen_label_prop, gen_knn_join, gen_central,
-              gen_cdc)
+              gen_cdc, gen_silhouette)
 
 
 def generate_all(sf_dir: str) -> dict[str, pa.Table]:
