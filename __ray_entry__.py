@@ -5164,6 +5164,43 @@ def q_jsonl_roundtrip_docs(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_text_urls(sf_dir: str):
+    # plain-text outlink mining (links.text_url_mentions) — link
+    # graphs for WET corpora with no html anchors.  One vectorized
+    # extractall, zero shuffles.  Derive plants mentions (' a ' ->
+    # a doc-dependent url, ' e ' -> a trailing-punctuation case the
+    # frozen delimiter rule must strip).
+    from pdf_extract_ray.stages.links import text_url_mentions
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        # per-row replacement strings: plain loop is fine in test
+        # scaffolding (the operator under test is the extractall map)
+        t = b["text"].fillna("").astype(str)
+        out = [txt.replace(" a ", f" http://m{d}.example/p ")
+               .replace(" e ", f" (see https://ref.example/x{d}) ")
+               for d, txt in zip(b["doc_id"], t)]
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                             "page_text": out})
+
+    return text_url_mentions(
+        ds.map_batches(derive, batch_format="pandas"),
+        text_col="page_text")
+
+
+def _text_urls_oracle() -> str:
+    from pdf_extract_ray.stages.links import text_url_mentions_oracle_sql
+
+    derive = (
+        "SELECT doc_id, replace(replace(coalesce(text, ''), ' a ', "
+        "' http://m' || doc_id || '.example/p '), ' e ', "
+        "' (see https://ref.example/x' || doc_id || ') ') AS page_text "
+        "FROM documents")
+    return text_url_mentions_oracle_sql(f"({derive})",
+                                        text_expr="page_text")
+
+
 def q_cluster_size_hist(sf_dir: str):
     # dedup-audit report: the near-dup cluster SIZE distribution (how
     # many 2-doc pairs vs 50-doc template farms) — minhash pairs ->
@@ -6312,6 +6349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip_docs": q_jsonl_roundtrip_docs,
         "cluster_size_hist": q_cluster_size_hist,
         "silhouette_embeddings": q_silhouette_embeddings,
+        "text_urls_docs": q_text_urls,
         "impute_median_events": q_impute_median_events,
         "decayed_event_scores": q_decayed_event_scores,
         "welch_ab_events": q_welch_ab_events,
@@ -8300,6 +8338,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM per GROUP BY size"
         ).format(G=_GOLD_SF001_DIR),
         "host_churn": _host_churn_oracle(),
+        "text_urls_docs": _text_urls_oracle(),
         "jsonl_roundtrip_docs": (
             "SELECT doc_id, text, lang, n_chars FROM documents"
         ),

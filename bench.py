@@ -255,7 +255,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "embedding_norms", "charset_stats_docs",
                      "host_churn", "cdc_dedup_docs",
                      "jsonl_roundtrip_docs", "cluster_size_hist",
-                     "silhouette_embeddings"):
+                     "silhouette_embeddings", "text_urls_docs"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

@@ -684,3 +684,63 @@ SELECT regexp_extract(url_host, '([^.]+)$', 1) AS tld,
 FROM ({source_sql})
 GROUP BY tld, coalesce({lang_col}, '')
 """
+
+
+TEXT_URL_RE = r"https?://[^\s<>\"')\]]+"
+
+
+def text_url_mentions(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Outlink mining from PLAIN TEXT — the link-graph source for
+    WET-style corpora where no html anchors exist: one row per
+    ``http(s)://`` mention, ``(id, pos, url)`` with ``pos`` the
+    1-based mention index within the document.
+
+    Frozen rule (:data:`TEXT_URL_RE`, shared with the SQL mirror):
+    a mention runs until whitespace or one of ``< > " ' ) ]``.  One
+    vectorized ``extractall``, zero shuffles; feed the urls to
+    :func:`crawldiff.crawl_frontier` / the canonicalize family."""
+
+    def batch(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col].fillna("").astype(str)
+        m = t.str.extractall("(" + TEXT_URL_RE + ")")
+        if not len(m):
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=b[id_col].dtype),
+                "pos": pd.Series([], dtype="int64"),
+                "url": pd.Series([], dtype=object)})
+        doc_idx = m.index.get_level_values(0).to_numpy()
+        out = pd.DataFrame({
+            id_col: b[id_col].to_numpy()[doc_idx],
+            "url": m[0].to_numpy(),
+        })
+        out["pos"] = out.groupby(id_col, sort=False).cumcount() + 1
+        return out[[id_col, "pos", "url"]]
+
+    return ds.map_batches(batch, batch_format="pandas")
+
+
+def text_url_mentions_oracle_sql(
+    table: str = "documents",
+    *,
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB mirror of :func:`text_url_mentions`."""
+    rx = TEXT_URL_RE.replace("'", "''")
+    return f"""
+WITH s AS (
+  SELECT {id_col},
+         regexp_extract_all(coalesce({text_expr}, ''), '{rx}') AS us
+  FROM {table}
+), q AS (
+  SELECT {id_col}, unnest(us) AS url,
+         unnest(range(1, len(us) + 1)) AS idx
+  FROM s
+)
+SELECT {id_col}, CAST(idx AS BIGINT) AS pos, url FROM q
+"""

@@ -283,3 +283,34 @@ def test_tld_lang_crosstab(ray_session):
     want = (con.execute(tld_lang_crosstab_oracle_sql("SELECT * FROM src"))
             .df().sort_values(["tld", "lang"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_text_url_mentions(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.links import (
+        text_url_mentions,
+        text_url_mentions_oracle_sql,
+    )
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "see http://a.com/x and (https://b.org/y) plus "
+            '"https://c.net/z" quoted',
+            "no urls here",
+            None,
+        ],
+    })
+    got = (text_url_mentions(rd.from_pandas(df).repartition(2))
+           .to_pandas().sort_values(["doc_id", "pos"])
+           .reset_index(drop=True))
+    assert got["url"].tolist() == [
+        "http://a.com/x", "https://b.org/y", "https://c.net/z"]
+    assert got["pos"].tolist() == [1, 2, 3]
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.execute(text_url_mentions_oracle_sql("t"))
+            .df().sort_values(["doc_id", "pos"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
