@@ -2539,6 +2539,20 @@ def q_token_coverage_docs(sf_dir: str):
     return token_coverage(ds, top_k=20)
 
 
+def q_zipf_fit_docs(sf_dir: str):
+    # Zipf-law OLS fit over the top-100 word frequencies
+    # (textquality.zipf_fit): corpus-health scalar — natural text has
+    # slope ~ -1; boilerplate-flattened or template-dominated corpora
+    # drift away.  Heavy work is the ONE distributed wordcount; the
+    # regression touches only the bounded top-k table on the driver.
+    # Full SQL oracle (same ranking + OLS moment formula, round 4
+    # absorbs float-sum order).
+    from pdf_extract_ray.stages.textquality import zipf_fit
+
+    ds = _t(sf_dir, "documents", columns=["text"])
+    return zipf_fit(ds, top_k=100)
+
+
 def q_grouped_distinct_users(sf_dir: str):
     # grouped HLL approx distinct (sketch.grouped_approx_distinct):
     # distinct users per event type with only 4 KiB register sketches
@@ -6390,6 +6404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outlier_events": q_mad_outlier_events,
         "embedding_centroids": q_embedding_centroids,
         "token_coverage_docs": q_token_coverage_docs,
+        "zipf_fit_docs": q_zipf_fit_docs,
         "grouped_distinct_users": q_grouped_distinct_users,
         "markdown_docs": q_markdown_docs,
         "typo_norm_docs": q_typo_norm_docs,
@@ -7201,6 +7216,12 @@ def _token_coverage_oracle() -> str:
     return token_coverage_oracle_sql(top_k=20)
 
 
+def _zipf_fit_oracle() -> str:
+    from pdf_extract_ray.stages.textquality import zipf_fit_oracle_sql
+
+    return zipf_fit_oracle_sql(top_k=100)
+
+
 def _typo_norm_oracle() -> str:
     from pdf_extract_ray.stages.mojibake import normalize_typography_oracle_sql
 
@@ -7942,6 +7963,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_outlier_events": _mad_outlier_oracle(),
         "embedding_centroids": _embedding_centroids_oracle(),
         "token_coverage_docs": _token_coverage_oracle(),
+        "zipf_fit_docs": _zipf_fit_oracle(),
         "typo_norm_docs": _typo_norm_oracle(),
         "trending_events": (
             # tumbling-hour counts -> top-2 per window by (n DESC,

@@ -1247,6 +1247,79 @@ FROM r WHERE rank <= {int(top_k)}
 """
 
 
+def zipf_fit(ds, text_col: str = "text", *, top_k: int):
+    """Zipf-law fit over the corpus's top-``top_k`` word frequencies —
+    the tokenizer/corpus-health scalar ("natural text has slope ≈ −1;
+    a slope near 0 means boilerplate-flattened counts, a cliff below
+    −1.5 means a tiny template vocabulary dominates").  OLS of
+    ``ln(n)`` on ``ln(rank)`` over the (count desc, word asc) ranking
+    that :func:`token_coverage` freezes.
+
+    Scale shape: the heavy work is the ONE distributed wordcount
+    (per-batch ``np.unique`` map-side combine + one grouped merge);
+    the regression itself touches only the bounded ``top_k`` rows on
+    the driver.  ``slope``/``intercept`` are rounded to 4 decimals —
+    the repo's sum-order-ulp convention (char entropy): the moment
+    sums are float sums of logs, equal to the SQL mirror's only up to
+    summation order.
+
+    Output: one row ``(n_words, slope, intercept)`` where ``n_words =
+    min(top_k, vocabulary)``; NULL slope/intercept when fewer than two
+    distinct words exist."""
+    top = ngram_counts(ds, 1, text_col, top_k=top_k).to_pandas()
+    if "n" in top.columns:
+        top = top.sort_values(["n", "gram"], ascending=[False, True],
+                              kind="mergesort").reset_index(drop=True)
+    k = len(top)
+    if k < 2:
+        return pd.DataFrame({"n_words": pd.Series([k], dtype="int64"),
+                             "slope": [np.nan], "intercept": [np.nan]})
+    x = np.log(np.arange(1, k + 1, dtype=np.float64))
+    y = np.log(top["n"].to_numpy(np.float64))
+    n = float(k)
+    sx, sy = float(x.sum()), float(y.sum())
+    sxy, sxx = float((x * y).sum()), float((x * x).sum())
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / den
+    intercept = (sy - slope * sx) / n
+    return pd.DataFrame({
+        "n_words": pd.Series([k], dtype="int64"),
+        "slope": [round(slope, 4)],
+        "intercept": [round(intercept, 4)],
+    })
+
+
+def zipf_fit_oracle_sql(table: str = "documents",
+                        text_expr: str = "text", *, top_k: int) -> str:
+    """DuckDB mirror of :func:`zipf_fit` — same word rule, same
+    (n DESC, word) ranking, same OLS moment formula over ln(rank) /
+    ln(n), both sides rounded to 4 (absorbs float-sum order)."""
+    return f"""
+WITH __z_w AS (SELECT unnest(regexp_extract_all(lower(coalesce(
+               {text_expr}, '')), '[a-z0-9]+')) AS word FROM {table}),
+__z_c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM __z_w
+          GROUP BY word),
+__z_r AS (SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rank
+          FROM __z_c ORDER BY n DESC, word LIMIT {int(top_k)}),
+__z_m AS (SELECT CAST(count(*) AS DOUBLE) AS nn,
+                 sum(ln(CAST(rank AS DOUBLE))) AS sx,
+                 sum(ln(CAST(n AS DOUBLE))) AS sy,
+                 sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(n AS DOUBLE)))
+                   AS sxy,
+                 sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)))
+                   AS sxx
+          FROM __z_r)
+SELECT CAST(nn AS BIGINT) AS n_words,
+       CASE WHEN nn >= 2 THEN
+         round((nn * sxy - sx * sy) / (nn * sxx - sx * sx), 4) END
+         AS slope,
+       CASE WHEN nn >= 2 THEN
+         round((sy - ((nn * sxy - sx * sy) / (nn * sxx - sx * sx)) * sx)
+               / nn, 4) END AS intercept
+FROM __z_m
+"""
+
+
 def vocab_filter(ds, text_col: str = "text", *, top_k: int,
                  id_col: str = "doc_id", unk: str = "<unk>"):
     """Replace out-of-vocabulary words with ``unk`` — the classic LM

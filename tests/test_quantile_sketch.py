@@ -221,6 +221,51 @@ def test_token_coverage_sql_parity_and_total(ray_session):
     assert (np.diff(full["n"].to_numpy()) <= 0).all()
 
 
+def test_zipf_fit_sql_parity_and_known_slope(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.textquality import (
+        zipf_fit,
+        zipf_fit_oracle_sql,
+    )
+
+    # exact power law: word w{r} occurs 1024 >> (r-1) times -> counts
+    # 1024, 512, 256, ... halve each rank, so ln(n) on ln(rank) is NOT
+    # a perfect line, but a seeded random corpus checks SQL parity and
+    # a frozen dyadic one checks the slope sign/range.
+    words = [f"w{r}" for r in range(1, 9)]
+    body = " ".join(
+        " ".join([w] * (1024 >> (r - 1))) for r, w in enumerate(words, 1))
+    docs = pd.DataFrame({"doc_id": [0], "text": [body]})
+    got = zipf_fit(rd.from_pandas(docs).repartition(2), top_k=8)
+    assert got["n_words"].iloc[0] == 8
+    # counts halve per rank (exponential in rank), so the log-log fit
+    # is steeper than the natural-text ~-1
+    assert -3.0 < got["slope"].iloc[0] < -1.5
+
+    rng = np.random.default_rng(7)
+    vocab = [f"t{i}" for i in range(30)]
+    p = 1.0 / np.arange(1, 31)
+    p /= p.sum()
+    rnd = pd.DataFrame({
+        "doc_id": np.arange(60, dtype="int64"),
+        "text": [" ".join(rng.choice(vocab, size=rng.integers(0, 40),
+                                     p=p)) for _ in range(60)],
+    })
+    for frame, k in ((docs, 8), (rnd, 20)):
+        eng = zipf_fit(rd.from_pandas(frame).repartition(3), top_k=k)
+        con = duckdb.connect()
+        con.register("documents", frame)
+        sql = con.sql(zipf_fit_oracle_sql(top_k=k)).df()
+        pd.testing.assert_frame_equal(
+            eng.reset_index(drop=True), sql, check_dtype=False)
+    # degenerate: empty corpus -> NULL fit
+    empty = pd.DataFrame({"doc_id": [0], "text": [""]})
+    e = zipf_fit(rd.from_pandas(empty), top_k=5)
+    assert e["n_words"].iloc[0] == 0 and pd.isna(e["slope"].iloc[0])
+
+
 def test_knn_join_within_cell_exact(ray_session):
     import numpy as np
     import pandas as pd
