@@ -1940,6 +1940,28 @@ def q_ngram_jaccard_dup(sf_dir: str):
                                max_df=100)
 
 
+def q_lsh_recall_audit(sf_dir: str):
+    # LSH parameter audit (dedup.pair_confusion_report): how much of the
+    # EXACT word-3-gram Jaccard(>=0.4) pair set does the default
+    # minhash(est>=0.5) config recover, and how many of its candidates
+    # are real?  Truth side = the quadratic-exact operator (affordable
+    # on a sampled slice at corpus scale); candidate side = the sketch
+    # pipeline under audit.  Oracle: truth = the shared ngram-jaccard
+    # SQL, candidates = the committed minhash golden, integer counts +
+    # two single divisions.
+    from pdf_extract_ray.stages.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        pair_confusion_report,
+    )
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    truth = ngram_jaccard_pairs(ds, "doc_id", "text", n=3, threshold=0.4,
+                                max_df=100)
+    cand = minhash_lsh_pairs(ds, "doc_id", "text", jaccard_threshold=0.5)
+    return pair_confusion_report(truth, cand)
+
+
 def q_click_depth_docs(sf_dir: str):
     # multi-source BFS depth (graph.bfs_depth): click-depth from seed
     # pages over a directed link graph — per round ONE frontier x edges
@@ -6335,6 +6357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dup": q_image_near_dup,
         "winnow_near_dup": q_winnow_near_dup,
         "ngram_jaccard_dup": q_ngram_jaccard_dup,
+        "lsh_recall_audit": q_lsh_recall_audit,
         "click_depth_docs": q_click_depth_docs,
         "resolved_redirects": q_resolved_redirects,
         "k_core_docs": q_k_core_docs,
@@ -6558,6 +6581,29 @@ _GOLD_SF001_DIR = _os.path.join(
 
 _FP_SQL = ("md5(lower(" + _py_trim(
     f"regexp_replace(coalesce(text, ''), '{_WS}+', ' ', 'g')") + "))")
+
+# EXACT word-3-gram set-Jaccard pairs (threshold 0.4, df<=100 universe) —
+# identical tokenization to dedup.ngram_jaccard_pairs; shared by the
+# ngram_jaccard_dup oracle and the lsh_recall_audit truth CTE
+_NGRAM_JACCARD_SQL = (
+    "WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w "
+    "  FROM documents), "
+    "grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g "
+    "  FROM words, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(i)), "
+    "df AS (SELECT g, count(*) AS freq FROM grams GROUP BY g), "
+    "rare AS (SELECT doc_id, g FROM grams JOIN df USING (g) "
+    "  WHERE freq <= 100), "
+    "sizes AS (SELECT doc_id, count(*) AS nset FROM rare GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "    count(*) AS shared "
+    "  FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id "
+    "  GROUP BY 1, 2) "
+    "SELECT id_a, id_b, shared, "
+    "  round(shared * 1.0 / (sa.nset + sb.nset - shared), 6) AS jaccard "
+    "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+    "  JOIN sizes sb ON sb.doc_id = id_b "
+    "WHERE round(shared * 1.0 / (sa.nset + sb.nset - shared), 6) >= 0.4"
+)
 
 _LANGID_SQL = """
 WITH c AS (
@@ -7834,24 +7880,27 @@ def oracle_sql() -> dict[str, str]:
             # word-3-gram sets over lower(text) split on single spaces —
             # identical tokenization to ngram_jaccard_pairs; Jaccard over
             # the df<=100-filtered universe, filter on the ROUNDED value
-            # (round_half_away == DuckDB round for doubles)
-            "WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w "
-            "  FROM documents), "
-            "grams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g "
-            "  FROM words, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(i)), "
-            "df AS (SELECT g, count(*) AS freq FROM grams GROUP BY g), "
-            "rare AS (SELECT doc_id, g FROM grams JOIN df USING (g) "
-            "  WHERE freq <= 100), "
-            "sizes AS (SELECT doc_id, count(*) AS nset FROM rare GROUP BY doc_id), "
-            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
-            "    count(*) AS shared "
-            "  FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id "
-            "  GROUP BY 1, 2) "
-            "SELECT id_a, id_b, shared, "
-            "  round(shared * 1.0 / (sa.nset + sb.nset - shared), 6) AS jaccard "
-            "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
-            "  JOIN sizes sb ON sb.doc_id = id_b "
-            "WHERE round(shared * 1.0 / (sa.nset + sb.nset - shared), 6) >= 0.4"
+            # (round_half_away == DuckDB round for doubles); SQL shared
+            # with the lsh_recall_audit truth CTE
+            _NGRAM_JACCARD_SQL
+        ),
+        "lsh_recall_audit": (
+            # truth = the exact ngram-jaccard SQL above; candidates = the
+            # committed minhash golden; counts are integers, the two
+            # ratios are single divisions (round 6)
+            f"WITH truth AS ({_NGRAM_JACCARD_SQL}), "
+            f"cand AS (SELECT id_a, id_b FROM read_parquet("
+            f"'{_GOLD_SF001_DIR}/minhash_near_dup.parquet')), "
+            "m AS (SELECT CAST(count(*) AS BIGINT) AS n_common "
+            "  FROM truth JOIN cand USING (id_a, id_b)), "
+            "tn AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth), "
+            "cn AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand) "
+            "SELECT n_truth, n_cand, n_common, "
+            "  CASE WHEN n_cand > 0 THEN "
+            "    round(n_common * 1.0 / n_cand, 6) END AS precision, "
+            "  CASE WHEN n_truth > 0 THEN "
+            "    round(n_common * 1.0 / n_truth, 6) END AS recall "
+            "FROM tn, cn, m"
         ),
         "asof_event_order": (
             # tie-dedup mirrors asof_join(tie_break="o_orderkey"): among

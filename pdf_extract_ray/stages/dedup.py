@@ -1902,6 +1902,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def pair_confusion_report(truth: Dataset, cand: Dataset) -> pd.DataFrame:
+    """Confusion report between an EXACT near-dup pair set and a
+    sketch/LSH candidate pair set — the "did my LSH parameters work"
+    audit every dedup rollout needs before committing to a config
+    (num_perm/bands trade recall for shuffle volume; this measures the
+    trade on a real slice).
+
+    Both inputs are ``(id_a, id_b, ...)`` pair datasets with
+    ``id_a < id_b`` unique per side (the contract every pair operator
+    in this module already guarantees).  Output: ONE row
+    ``(n_truth, n_cand, n_common, precision, recall)`` where
+    ``precision = n_common / n_cand`` and ``recall = n_common /
+    n_truth`` (round 6; NULL when the denominator is 0).
+
+    Scale shape: each side maps to narrow ``(id_a, id_b, flag)`` int
+    rows, ONE grouped merge co-locates the two flags per pair, then
+    additive per-batch count partials (3 ints per batch) reach the
+    driver — pair payloads (jaccard, shared, ...) never move, and the
+    audit is meant to run on a SAMPLED slice: the truth side is the
+    quadratic-exact operator, which is only affordable on a sample at
+    corpus scale (document the sample rule next to the numbers)."""
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    def tag(flag_t: int, flag_c: int):
+        def m(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "id_a": b["id_a"].to_numpy(np.int64),
+                "id_b": b["id_b"].to_numpy(np.int64),
+                "t": np.full(len(b), flag_t, dtype=np.int64),
+                "c": np.full(len(b), flag_c, dtype=np.int64),
+            })
+        return m
+
+    both = truth.map_batches(tag(1, 0), batch_format="pandas").union(
+        cand.map_batches(tag(0, 1), batch_format="pandas"))
+    flags = grouped_aggregate(both, ["id_a", "id_b"],
+                              {"t": ("t", "sum"), "c": ("c", "sum")})
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["t"].to_numpy(np.int64) > 0
+        c = b["c"].to_numpy(np.int64) > 0
+        return pd.DataFrame({
+            "n_truth": [np.int64(t.sum())],
+            "n_cand": [np.int64(c.sum())],
+            "n_common": [np.int64((t & c).sum())],
+        })
+
+    from pdf_extract_ray.util import round_half_away
+
+    part = flags.map_batches(counts, batch_format="pandas").to_pandas()
+    if len(part) == 0:
+        nt = nc = nm = 0
+    else:
+        nt, nc, nm = (int(part["n_truth"].sum()), int(part["n_cand"].sum()),
+                      int(part["n_common"].sum()))
+    return pd.DataFrame({
+        "n_truth": pd.Series([nt], dtype="int64"),
+        "n_cand": pd.Series([nc], dtype="int64"),
+        "n_common": pd.Series([nm], dtype="int64"),
+        "precision": [float(round_half_away(nm / nc, 6)) if nc else np.nan],
+        "recall": [float(round_half_away(nm / nt, 6)) if nt else np.nan],
+    })
+
+
 # ---------------------------------------------------------------------------
 # q-gram edit-distance similarity join (Gravano et al. 2001 "Approximate
 # String Joins in a Database (Almost) for Free" / Ed-Join family — public

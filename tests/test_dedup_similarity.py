@@ -1350,3 +1350,27 @@ class TestCdcChunking:
         assert (got["n_dup_chunks"] < got["n_chunks"]).all()
         assert (got["dup_bytes"] < got["n_bytes"]).all()
         assert (got["n_bytes"] == docs["text"].str.len().to_numpy()).all()
+
+
+def test_pair_confusion_report_known_counts(ray_session):
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.dedup import pair_confusion_report
+
+    truth = pd.DataFrame({"id_a": [1, 2, 3, 4], "id_b": [10, 20, 30, 40],
+                          "jaccard": [0.9, 0.8, 0.7, 0.6]})
+    cand = pd.DataFrame({"id_a": [1, 2, 5], "id_b": [10, 20, 50]})
+    got = pair_confusion_report(rd.from_pandas(truth).repartition(2),
+                                rd.from_pandas(cand).repartition(2))
+    assert got.iloc[0]["n_truth"] == 4
+    assert got.iloc[0]["n_cand"] == 3
+    assert got.iloc[0]["n_common"] == 2
+    assert got.iloc[0]["precision"] == round(2 / 3, 6)
+    assert got.iloc[0]["recall"] == 0.5
+    # empty candidate side -> NULL precision, zero recall numerator
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64")})
+    e = pair_confusion_report(rd.from_pandas(truth),
+                              rd.from_pandas(empty))
+    assert e.iloc[0]["n_cand"] == 0 and pd.isna(e.iloc[0]["precision"])
+    assert e.iloc[0]["recall"] == 0.0
