@@ -1603,6 +1603,21 @@ def q_near_dup_dedup_docs(sf_dir: str):
     return kept.map_batches(lambda b: b[["doc_id"]], batch_format="pandas")
 
 
+def q_cluster_keep_best_docs(sf_dir: str):
+    # cluster-level canonical selection (graph.dedup_by_components_best):
+    # near-dup components keep their LONGEST member (n_chars score,
+    # ties -> min id) instead of the min-id convention — "train on the
+    # most complete copy".  Oracle = the committed clusters golden +
+    # a row_number argmax window + NOT IN, all in SQL.
+    from pdf_extract_ray.stages.dedup import minhash_lsh_pairs
+    from pdf_extract_ray.stages.graph import dedup_by_components_best
+
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.5)
+    kept = dedup_by_components_best(docs, pairs, "n_chars")
+    return kept.map_batches(lambda b: b[["doc_id"]], batch_format="pandas")
+
+
 def q_simhash_near_dup(sf_dir: str):
     from pdf_extract_ray.stages.dedup import simhash_pairs
 
@@ -6353,6 +6368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": q_minhash_near_dup,
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_dedup_docs": q_near_dup_dedup_docs,
+        "cluster_keep_best_docs": q_cluster_keep_best_docs,
         "simhash_near_dup": q_simhash_near_dup,
         "image_near_dup": q_image_near_dup,
         "winnow_near_dup": q_winnow_near_dup,
@@ -8355,6 +8371,18 @@ def oracle_sql() -> dict[str, str]:
                         "label_prop_docs", "knn_join_embeddings",
                         "central_embeddings", "cdc_dedup_docs",
                         "silhouette_embeddings")},
+        "cluster_keep_best_docs": (
+            # clusters golden + n_chars argmax window (ties -> min node)
+            f"WITH comp AS (SELECT node, component FROM read_parquet("
+            f"'{_GOLD_SF001_DIR}/near_dup_clusters.parquet')), "
+            "m AS (SELECT c.component, c.node, d.n_chars FROM comp c "
+            "  JOIN documents d ON d.doc_id = c.node), "
+            "w AS (SELECT component, node, row_number() OVER ("
+            "  PARTITION BY component "
+            "  ORDER BY n_chars DESC, node) AS rn FROM m) "
+            "SELECT doc_id FROM documents WHERE doc_id NOT IN ("
+            "  SELECT node FROM w WHERE rn > 1)"
+        ),
         "pii_redacted_docs": _pii_oracle(),
         "c4_clean_docs": _c4_oracle(),
         "bm25_docs": _bm25_oracle(),

@@ -348,6 +348,77 @@ def dedup_by_components(
     )
 
 
+def dedup_by_components_best(
+    docs: Dataset,
+    pairs: Dataset,
+    score_col: str,
+    id_col: str = "doc_id",
+    *,
+    max_iters: int = 50,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Cluster-level near-dup dedup keeping the BEST member per pair
+    component: maximal ``score_col``, ties -> min id — canonical-copy
+    selection by a quality signal (keep the longest / highest-scoring
+    copy) instead of :func:`dedup_by_components`' min-id convention.
+    Documents appearing in no pair pass through untouched.
+
+    Scale shape: components come from the int-pair label propagation;
+    scores attach to member rows via ONE tag-union bucketed cogroup
+    keyed by node (narrow ``(node, score)`` rows move — bodies never
+    do); per-component winners resolve in ONE bucketed apply keyed by
+    component; losers leave ``docs`` by the same left_anti join as
+    :func:`dedup_by_components`.  ``(score, id)`` makes the winner
+    unique, so the result is parallelism-independent."""
+    from pdf_extract_ray.stages.agg import bucketed_group_apply
+
+    comp = connected_components(pairs, max_iters=max_iters)
+
+    def comp_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "__m": b["node"].to_numpy(np.int64),
+            "component": b["component"].to_numpy(np.int64),
+            "__s": np.zeros(len(b), dtype=np.float64),
+            "__role": np.full(len(b), 0, dtype=np.int8),
+        })
+
+    def score_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "__m": b[id_col].to_numpy(np.int64),
+            "component": np.zeros(len(b), dtype=np.int64),
+            "__s": b[score_col].to_numpy(np.float64),
+            "__role": np.full(len(b), 1, dtype=np.int8),
+        })
+
+    tagged = comp.map_batches(comp_rows, batch_format="pandas").union(
+        docs.map_batches(score_rows, batch_format="pandas"))
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        is_score = g["__role"].to_numpy() == 1
+        smap = (g.loc[is_score].drop_duplicates("__m")
+                .set_index("__m")["__s"])
+        mem = g.loc[~is_score, ["__m", "component"]].copy()
+        mem["__s"] = mem["__m"].map(smap)
+        return mem.dropna(subset=["__s"])
+
+    members = bucketed_group_apply(tagged, ["__m"], attach)
+
+    def losers(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["component", "__s", "__m"],
+                          ascending=[True, False, True], kind="mergesort")
+        drop = g.loc[g.duplicated(subset=["component"], keep="first"), "__m"]
+        return pd.DataFrame({"node": drop.to_numpy(np.int64)})
+
+    drop = bucketed_group_apply(members, ["component"], losers).repartition(
+        num_partitions).materialize()
+    if drop.count() == 0:
+        return docs
+    return docs.join(
+        drop, join_type="left_anti", num_partitions=num_partitions,
+        on=(id_col,), right_on=("node",),
+    )
+
+
 def bfs_depth(
     edges: Dataset,
     seeds,

@@ -228,3 +228,29 @@ class TestLabelPropagation:
                    rd.from_pandas(pd.DataFrame(e, columns=["src", "dst"])))
                .to_pandas())
         assert (got["label"] == 0).all()
+
+
+def test_dedup_by_components_best_keeps_top_scorer(ray_session):
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.graph import dedup_by_components_best
+
+    # component A = {1, 2, 3} (3 has the top score), component B =
+    # {10, 11} tied on score (min id 10 wins), 99 unpaired
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 10, 11, 99],
+        "score": [5, 7, 9, 4, 4, 1],
+    })
+    pairs = pd.DataFrame({"id_a": [1, 2, 10], "id_b": [2, 3, 11]})
+    for parts in (1, 3):
+        kept = (dedup_by_components_best(
+                    rd.from_pandas(docs).repartition(parts),
+                    rd.from_pandas(pairs).repartition(parts), "score")
+                .to_pandas().sort_values("doc_id"))
+        assert kept["doc_id"].tolist() == [3, 10, 99]
+    # no pairs at all -> everything passes through
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64")})
+    allkept = dedup_by_components_best(
+        rd.from_pandas(docs), rd.from_pandas(empty), "score").to_pandas()
+    assert sorted(allkept["doc_id"].tolist()) == [1, 2, 3, 10, 11, 99]
