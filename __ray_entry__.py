@@ -2576,6 +2576,37 @@ def q_token_coverage_docs(sf_dir: str):
     return token_coverage(ds, top_k=20)
 
 
+def q_unigram_vocab_docs(sf_dir: str):
+    # SentencePiece-style unigram-LM tokenizer training (stages/unigram,
+    # Kudo 2018): seed substrings + EM over the segmentation lattice with
+    # per-(word, piece) expectations QUANTIZED to int64 before any
+    # cross-word sum — distributed == single-process exactly, so the
+    # oracle is the committed golden from the independent plain-loop
+    # pipeline (the BPE convention).  One corpus wordcount shuffle; every
+    # other pass is bounded by the word cap / vocab size.
+    from pdf_extract_ray.stages.unigram import train_unigram
+
+    ds = _t(sf_dir, "documents", columns=["text"])
+    return train_unigram(ds, vocab_size=256, seed_size=1024,
+                         max_piece_len=5, n_iter=2, max_words=20_000)
+
+
+def q_unigram_token_stats(sf_dir: str):
+    # Viterbi encoding under the trained unigram vocabulary: per-doc
+    # word and piece counts (the tokenizer-fertility report).  One
+    # narrow map with a per-worker word -> n_pieces memo; the vocab
+    # broadcasts once.
+    from pdf_extract_ray.stages.unigram import (
+        train_unigram,
+        unigram_token_stats,
+    )
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = train_unigram(ds, vocab_size=256, seed_size=1024,
+                          max_piece_len=5, n_iter=2, max_words=20_000)
+    return unigram_token_stats(ds, vocab, max_piece_len=5)
+
+
 def q_zipf_fit_docs(sf_dir: str):
     # Zipf-law OLS fit over the top-100 word frequencies
     # (textquality.zipf_fit): corpus-health scalar — natural text has
@@ -6444,6 +6475,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": q_embedding_centroids,
         "token_coverage_docs": q_token_coverage_docs,
         "zipf_fit_docs": q_zipf_fit_docs,
+        "unigram_vocab_docs": q_unigram_vocab_docs,
+        "unigram_token_stats": q_unigram_token_stats,
         "grouped_distinct_users": q_grouped_distinct_users,
         "markdown_docs": q_markdown_docs,
         "typo_norm_docs": q_typo_norm_docs,
@@ -8370,7 +8403,8 @@ def oracle_sql() -> dict[str, str]:
                         "grouped_distinct_users", "porter_stems",
                         "label_prop_docs", "knn_join_embeddings",
                         "central_embeddings", "cdc_dedup_docs",
-                        "silhouette_embeddings")},
+                        "silhouette_embeddings",
+                        "unigram_vocab_docs", "unigram_token_stats")},
         "cluster_keep_best_docs": (
             # clusters golden + n_chars argmax window (ties -> min node)
             f"WITH comp AS (SELECT node, component FROM read_parquet("

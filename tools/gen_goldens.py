@@ -1262,6 +1262,83 @@ def gen_silhouette(sf_dir: str) -> dict[str, pa.Table]:
     })}
 
 
+def gen_unigram(sf_dir: str) -> dict[str, pa.Table]:
+    # single-process unigram-LM tokenizer (Kudo 2018): plain-Counter
+    # wordcount -> driver seed/EM loops over the frozen kernels -> memoized
+    # Viterbi encode.  The kernels quantize per-(word, piece) expectations
+    # to int64 BEFORE summation, so the distributed plan (broadcast probs,
+    # grouped integer merges) must match bit-for-bit (determinism freeze —
+    # the BPE-golden convention).
+    import math
+    import re
+    from collections import Counter
+
+    from pdf_extract_ray.stages.unigram import (
+        _quantized_estep,
+        _vocab_from_counts,
+        logprobs_from_vocab,
+        probs_from_vocab,
+        seed_substring_counts,
+        viterbi_n_pieces,
+    )
+
+    vocab_size, seed_size, max_piece_len, n_iter, max_words = \
+        256, 1024, 5, 2, 20_000
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    word_re = re.compile(r"[a-z0-9]+")
+    c = Counter()
+    for t in docs["text"]:
+        c.update(word_re.findall(("" if t is None else t).lower()))
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:max_words]
+    counts_df = pd.DataFrame({"word": [w for w, _ in top],
+                              "n": [n for _, n in top]})
+    chars = sorted({ch for w in counts_df["word"] for ch in w})
+
+    seed_all: dict = {}
+    for w, n in zip(counts_df["word"], counts_df["n"]):
+        seed_substring_counts(w, int(n), max_piece_len, seed_all)
+    cut = sorted(seed_all.items(),
+                 key=lambda kv: (-kv[1], kv[0]))[:seed_size + len(chars)]
+    seed_counts = dict(cut)
+    for ch in chars:
+        seed_counts.setdefault(ch, 1)
+    multi = {p: q for p, q in seed_counts.items() if len(p) > 1}
+    kept = dict(sorted(multi.items(),
+                       key=lambda kv: (-kv[1], kv[0]))[:seed_size])
+    kept.update({ch: seed_counts[ch] for ch in chars})
+    vocab = _vocab_from_counts(kept, chars, len(chars) + seed_size)
+    for _ in range(n_iter):
+        probs = probs_from_vocab(vocab)
+        new_counts = _quantized_estep(counts_df, probs, max_piece_len)
+        vocab = _vocab_from_counts(new_counts, chars, vocab_size)
+    total = int(vocab["count_q"].sum())
+    vocab = vocab.copy()
+    vocab["logprob"] = [round(math.log(int(q) / total), 6)
+                        for q in vocab["count_q"]]
+    vt = pa.table({"piece": pa.array(vocab["piece"], pa.string()),
+                   "count_q": pa.array(vocab["count_q"], pa.int64()),
+                   "logprob": pa.array(vocab["logprob"], pa.float64())})
+
+    logp = logprobs_from_vocab(vocab)
+    memo: dict = {}
+    n_words_l, n_pieces_l = [], []
+    for t in docs["text"]:
+        tot = wn = 0
+        for w in word_re.findall(("" if t is None else t).lower()):
+            wn += 1
+            k = memo.get(w)
+            if k is None:
+                k = memo[w] = viterbi_n_pieces(w, logp, max_piece_len)
+            tot += k
+        n_words_l.append(wn)
+        n_pieces_l.append(tot)
+    st = pa.table({"doc_id": pa.array(docs["doc_id"], pa.int64()),
+                   "n_words": pa.array(n_words_l, pa.int64()),
+                   "n_pieces": pa.array(n_pieces_l, pa.int64())})
+    return {"unigram_vocab_docs": vt, "unigram_token_stats": st}
+
+
 GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_pair_analyzers, gen_layout, gen_media, gen_media_pixels,
               gen_approx_distinct, gen_approx_quantiles,
@@ -1273,7 +1350,7 @@ GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_semdedup, gen_dsir, gen_markdown, gen_porter,
               gen_grouped_distinct, gen_kmeans, gen_kcore,
               gen_host_mirror, gen_label_prop, gen_knn_join, gen_central,
-              gen_cdc, gen_silhouette)
+              gen_cdc, gen_silhouette, gen_unigram)
 
 
 def generate_all(sf_dir: str) -> dict[str, pa.Table]:
