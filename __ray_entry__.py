@@ -4843,39 +4843,49 @@ def q_lang_id_v2(sf_dir: str):
     ds = _t(sf_dir, "documents", columns=["doc_id"])
 
     def rows(b: pd.DataFrame) -> pd.DataFrame:
-        yr = (1990 + b["doc_id"] % 30).astype(str)
-        shapes = [
-            "the report was published in " + yr
-            + " and it is available for all who need it",
-            "der bericht wurde im jahr " + yr
-            + " veröffentlicht und ist für alle verfügbar",
-            "le rapport a été publié dans les années " + yr
-            + " et il est disponible pour tous",
-            "el informe fue publicado en el año " + yr
-            + " y está disponible para todos los que lo necesitan",
-            "o relatório foi publicado no ano " + yr
-            + " e não está disponível para todos",
-            "il rapporto è stato pubblicato nel " + yr
-            + " e non è disponibile per tutti",
-            "het rapport werd in het jaar " + yr
-            + " gepubliceerd en is niet voor iedereen beschikbaar",
-            "rapporten publicerades år " + yr
-            + " och den är inte tillgänglig för alla",
-            "보고서는 " + yr + "년에 발표되었다",
-            "报告于" + yr + "年发表",
-            "доклад был опубликован в " + yr + " году",
-            yr + " 12345 !!!",
-        ]
-        mod = b["doc_id"] % 12
-        text = pd.Series(
-            np.select([mod == k for k in range(11)], shapes[:11],
-                      default=shapes[11]),
-            index=b.index)
+        text = _langid_shape_texts(b["doc_id"])
         out = lang_id_v2_batch(
             pd.DataFrame({"doc_id": b["doc_id"], "text": text}))
         return out[["doc_id", "lang_id_v2"]]
 
     return ds.map_batches(rows, batch_format="pandas")
+
+
+def _langid_shape_texts(doc_ids: pd.Series) -> pd.Series:
+    """The 12 ground-truth language shapes (8 Latin-script languages,
+    ko/zh/ru script classes, digits-only und) keyed by ``doc_id % 12``
+    with a doc-dependent year interpolated — shared by the document-
+    and paragraph-level langid queries."""
+    import numpy as np
+
+    yr = (1990 + doc_ids % 30).astype(str)
+    shapes = [
+        "the report was published in " + yr
+        + " and it is available for all who need it",
+        "der bericht wurde im jahr " + yr
+        + " veröffentlicht und ist für alle verfügbar",
+        "le rapport a été publié dans les années " + yr
+        + " et il est disponible pour tous",
+        "el informe fue publicado en el año " + yr
+        + " y está disponible para todos los que lo necesitan",
+        "o relatório foi publicado no ano " + yr
+        + " e não está disponível para todos",
+        "il rapporto è stato pubblicato nel " + yr
+        + " e non è disponibile per tutti",
+        "het rapport werd in het jaar " + yr
+        + " gepubliceerd en is niet voor iedereen beschikbaar",
+        "rapporten publicerades år " + yr
+        + " och den är inte tillgänglig för alla",
+        "보고서는 " + yr + "년에 발표되었다",
+        "报告于" + yr + "年发表",
+        "доклад был опубликован в " + yr + " году",
+        yr + " 12345 !!!",
+    ]
+    mod = doc_ids % 12
+    return pd.Series(
+        np.select([mod == k for k in range(11)], shapes[:11],
+                  default=shapes[11]),
+        index=doc_ids.index)
 
 
 def _lang_id_v2_oracle() -> str:
@@ -4884,6 +4894,40 @@ def _lang_id_v2_oracle() -> str:
     whens = " ".join(f"WHEN {k} THEN '{v}'" for k, v in enumerate(labels))
     return (f"SELECT doc_id, CASE doc_id % 12 {whens} END AS lang_id_v2 "
             "FROM documents")
+
+
+def q_para_lang_docs(sf_dir: str):
+    # paragraph-level language ID (langid.para_lang — the CCNet
+    # granularity: code-mixed pages get caught per paragraph instead of
+    # averaged away).  Docs synthesize THREE paragraphs: English chrome,
+    # the doc's own ground-truth shape, a French closer; the oracle
+    # states all three labels arithmetically.
+    from pdf_extract_ray.stages.langid import para_lang
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def rows(b: pd.DataFrame) -> pd.DataFrame:
+        yr = (1990 + b["doc_id"] % 30).astype(str)
+        mid = _langid_shape_texts(b["doc_id"])
+        text = ("the report was published in " + yr
+                + " and it is available for all who need it"
+                + "\n\n" + mid + "\n\n"
+                + "le rapport a été publié dans les années " + yr
+                + " et il est disponible pour tous")
+        return pd.DataFrame({"doc_id": b["doc_id"], "text": text})
+
+    return para_lang(ds.map_batches(rows, batch_format="pandas"))
+
+
+def _para_lang_oracle() -> str:
+    labels = ["en", "de", "fr", "es", "pt", "it", "nl", "sv", "ko", "zh",
+              "ru", "und"]
+    whens = " ".join(f"WHEN {k} THEN '{v}'" for k, v in enumerate(labels))
+    return (
+        "SELECT doc_id, CAST(p AS BIGINT) AS para_idx, "
+        "CASE WHEN p = 0 THEN 'en' WHEN p = 2 THEN 'fr' "
+        f"ELSE (CASE doc_id % 12 {whens} END) END AS para_lang "
+        "FROM documents, unnest([0, 1, 2]) AS t(p)")
 
 
 def q_refresh_redirects(sf_dir: str):
@@ -5281,6 +5325,40 @@ def _text_urls_oracle() -> str:
         "FROM documents")
     return text_url_mentions_oracle_sql(f"({derive})",
                                         text_expr="page_text")
+
+
+def q_date_mentions_docs(sf_dir: str):
+    # date-mention mining (pagemeta.date_mentions_batch): ISO /
+    # textual-date / standalone-year counts + min/max year — the
+    # temporal signal for cutoff-aware curation.  Derive plants a
+    # doc-dependent textual date and ISO date on common words; the
+    # synthetic text's own years count too.  Full SQL oracle (RE2 and
+    # Python re agree on the frozen patterns).
+    from pdf_extract_ray.stages.pagemeta import extract_date_mentions
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("").astype(str)
+        out = [txt.replace(" was ", f" march 3, {1990 + d % 30} was ")
+               .replace(" in ", f" in {1990 + d % 30}-07-1{d % 10} ")
+               for d, txt in zip(b["doc_id"], t)]
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                             "text": out})
+
+    return extract_date_mentions(
+        ds.map_batches(derive, batch_format="pandas"))
+
+
+def _date_mentions_oracle() -> str:
+    from pdf_extract_ray.stages.pagemeta import date_mentions_oracle_sql
+
+    derive = (
+        "SELECT doc_id, replace(replace(coalesce(text, ''), ' was ', "
+        "' march 3, ' || (1990 + doc_id % 30) || ' was '), ' in ', "
+        "' in ' || (1990 + doc_id % 30) || '-07-1' || (doc_id % 10) "
+        "|| ' ') AS text FROM documents")
+    return date_mentions_oracle_sql(f"({derive})")
 
 
 def q_cluster_size_hist(sf_dir: str):
@@ -6434,6 +6512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_size_hist": q_cluster_size_hist,
         "silhouette_embeddings": q_silhouette_embeddings,
         "text_urls_docs": q_text_urls,
+        "date_mentions_docs": q_date_mentions_docs,
         "impute_median_events": q_impute_median_events,
         "decayed_event_scores": q_decayed_event_scores,
         "welch_ab_events": q_welch_ab_events,
@@ -6560,6 +6639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "refresh_redirects": q_refresh_redirects,
         "url_features_docs": q_url_features,
         "lang_id_v2": q_lang_id_v2,
+        "para_lang_docs": q_para_lang_docs,
         "nb_quality_docs": q_nb_quality,
         "nb_topic_docs": q_nb_topic,
         "shard_assignment": q_shard_assignment,
@@ -8472,6 +8552,7 @@ def oracle_sql() -> dict[str, str]:
         ).format(G=_GOLD_SF001_DIR),
         "host_churn": _host_churn_oracle(),
         "text_urls_docs": _text_urls_oracle(),
+        "date_mentions_docs": _date_mentions_oracle(),
         "jsonl_roundtrip_docs": (
             "SELECT doc_id, text, lang, n_chars FROM documents"
         ),
@@ -8483,6 +8564,7 @@ def oracle_sql() -> dict[str, str]:
         "refresh_redirects": _refresh_redirects_oracle(),
         "url_features_docs": _url_features_oracle(),
         "lang_id_v2": _lang_id_v2_oracle(),
+        "para_lang_docs": _para_lang_oracle(),
         "shard_assignment": _shard_assignment_oracle(),
         "minhash_delta_docs": _minhash_delta_oracle(),
         "robots_txt_verdicts": _robots_txt_oracle(),

@@ -224,6 +224,46 @@ def lang_id_v2(ds, text_col: str = "text"):
         lambda b: lang_id_v2_batch(b, text_col), batch_format="pandas")
 
 
+def para_lang_batch(batch: pd.DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    sep: str = "\n\n") -> pd.DataFrame:
+    """Paragraph-level language ID — the CCNet granularity (CCNet runs
+    langid per paragraph, not per page, so code-mixed documents —
+    English boilerplate around a French article, quoted foreign text —
+    are caught instead of averaged away).  Splits each document on
+    ``sep`` and runs the frozen ``lang_id_v2`` kernel on the exploded
+    paragraphs.
+
+    Output: one row per paragraph ``(id_col, para_idx, para_lang)``
+    with ``para_idx`` the 0-based in-document position.  One narrow
+    map, zero shuffles: the split/explode is vectorized
+    (``np.repeat`` row mapping) and the langid kernel is the same
+    batched two-pass probe the document-level stage uses."""
+    parts = batch[text_col].fillna("").astype(str).str.split(sep)
+    lens = parts.str.len().to_numpy(np.int64)
+    ids = np.repeat(batch[id_col].to_numpy(), lens)
+    if len(lens):
+        idx = np.concatenate([np.arange(n, dtype=np.int64) for n in lens])
+        flat = pd.Series([p for lst in parts for p in lst], dtype=object)
+    else:
+        idx = np.array([], dtype=np.int64)
+        flat = pd.Series([], dtype=object)
+    exploded = pd.DataFrame({"text": flat})
+    langs = lang_id_v2_batch(exploded)["lang_id_v2"].to_numpy()
+    return pd.DataFrame({id_col: ids,
+                         "para_idx": idx,
+                         "para_lang": langs})
+
+
+def para_lang(ds, *, id_col: str = "doc_id", text_col: str = "text",
+              sep: str = "\n\n"):
+    """Dataset wrapper: one narrow explode map, zero shuffles."""
+    return ds.map_batches(
+        lambda b: para_lang_batch(b, id_col=id_col, text_col=text_col,
+                                  sep=sep),
+        batch_format="pandas")
+
+
 def script_mix_batch(batch: pd.DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> pd.DataFrame:
     """``(id_col, n_script_chars, n_scripts, dominant_script,

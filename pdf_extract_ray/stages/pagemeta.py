@@ -327,3 +327,88 @@ SELECT *,
   round(coalesce({anchors}, 0) / greatest({txt}, 1), 4) AS link_density
 FROM ({source_sql})
 """
+
+
+# ---------------------------------------------------------------------------
+# date-mention mining: the temporal signal cutoff-aware corpus curation
+# filters on ("drop/flag documents discussing events after the training
+# cutoff", content-age priors for recrawl scheduling).  Frozen ASCII
+# rules, RE2-mirrorable in DuckDB bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_ISO_DATE_RE = re.compile(
+    r"[0-9]{4}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12][0-9]|3[01])")
+_TEXTUAL_DATE_RE = re.compile(
+    r"(?:january|february|march|april|may|june|july|august|september|"
+    r"october|november|december) [0-9]{1,2}, [0-9]{4}")
+_YEAR_RE = re.compile(r"\b(?:19[0-9]{2}|20[0-9]{2})\b")
+
+DATE_COLS = ["n_dates_iso", "n_dates_textual", "n_years",
+             "min_year", "max_year"]
+
+
+def date_mentions_batch(batch: pd.DataFrame, *, id_col: str = "doc_id",
+                        text_col: str = "text") -> pd.DataFrame:
+    """Per-doc date-mention signals over ``lower(text)``:
+    ``n_dates_iso`` (valid ``YYYY-MM-DD``), ``n_dates_textual``
+    (``month D, YYYY`` with full English month names), ``n_years``
+    (standalone ``19xx``/``20xx`` words — ISO and textual years are
+    standalone words too, so they count here as well), and
+    ``min_year`` / ``max_year`` over those year words (``-1`` when the
+    document mentions none — the int sentinel keeps the column
+    non-nullable int64).  One narrow vectorized map, zero shuffles;
+    the per-row min/max loop runs over the MATCH LISTS, not the text."""
+    import numpy as np
+
+    t = batch[text_col].fillna("").astype(str).str.lower()
+    n_iso = t.str.count(_ISO_DATE_RE).to_numpy(np.int64)
+    n_txt = t.str.count(_TEXTUAL_DATE_RE).to_numpy(np.int64)
+    years = t.str.findall(_YEAR_RE)
+    n_years = years.str.len().to_numpy(np.int64)
+    mins = np.fromiter(
+        (min(map(int, ys)) if ys else -1 for ys in years),
+        dtype=np.int64, count=len(years))
+    maxs = np.fromiter(
+        (max(map(int, ys)) if ys else -1 for ys in years),
+        dtype=np.int64, count=len(years))
+    return pd.DataFrame({
+        id_col: batch[id_col].to_numpy(),
+        "n_dates_iso": n_iso,
+        "n_dates_textual": n_txt,
+        "n_years": n_years,
+        "min_year": mins,
+        "max_year": maxs,
+    })
+
+
+def extract_date_mentions(ds: Dataset, *, id_col: str = "doc_id",
+                          text_col: str = "text") -> Dataset:
+    """Dataset wrapper: one narrow map."""
+    return ds.map_batches(
+        lambda b: date_mentions_batch(b, id_col=id_col, text_col=text_col),
+        batch_format="pandas")
+
+
+def date_mentions_oracle_sql(source_sql: str, *, id_col: str = "doc_id",
+                             text_expr: str = "text") -> str:
+    """DuckDB mirror of :func:`date_mentions_batch` — the same three
+    frozen patterns (RE2 and Python ``re`` agree on them, including
+    ``\\b`` word boundaries), min/max via list_transform + coalesce(-1)."""
+    t = f"lower(coalesce({text_expr}, ''))"
+    iso = ("regexp_extract_all({t}, "
+           "'[0-9]{{4}}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12][0-9]|3[01])')")
+    txt = ("regexp_extract_all({t}, "
+           "'(?:january|february|march|april|may|june|july|august|"
+           "september|october|november|december) [0-9]{{1,2}}, "
+           "[0-9]{{4}}')")
+    yrs = "regexp_extract_all({t}, '\\b(?:19[0-9]{{2}}|20[0-9]{{2}})\\b')"
+    ylist = f"list_transform({yrs.format(t=t)}, x -> CAST(x AS BIGINT))"
+    return f"""
+SELECT {id_col},
+  CAST(len({iso.format(t=t)}) AS BIGINT) AS n_dates_iso,
+  CAST(len({txt.format(t=t)}) AS BIGINT) AS n_dates_textual,
+  CAST(len({yrs.format(t=t)}) AS BIGINT) AS n_years,
+  CAST(coalesce(list_min({ylist}), -1) AS BIGINT) AS min_year,
+  CAST(coalesce(list_max({ylist}), -1) AS BIGINT) AS max_year
+FROM ({source_sql})
+"""

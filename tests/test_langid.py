@@ -240,3 +240,33 @@ class TestHostLangOutliers:
                     "SELECT * FROM src"))
                 .df().sort_values("doc_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_para_lang_splits_and_labels_each_paragraph(ray_session):
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.langid import para_lang, para_lang_batch
+
+    docs = pd.DataFrame({
+        "doc_id": [7, 8, 9],
+        "text": [
+            "the report was published in 1999 and it is available for "
+            "all who need it\n\nle rapport a été publié dans les années "
+            "1999 et il est disponible pour tous",
+            "der bericht wurde im jahr 2001 veröffentlicht und ist für "
+            "alle verfügbar",
+            None,
+        ],
+    })
+    got = para_lang_batch(docs)
+    assert got[got["doc_id"] == 7]["para_lang"].tolist() == ["en", "fr"]
+    assert got[got["doc_id"] == 7]["para_idx"].tolist() == [0, 1]
+    assert got[got["doc_id"] == 8]["para_lang"].tolist() == ["de"]
+    # None -> one empty paragraph labelled und
+    assert got[got["doc_id"] == 9]["para_lang"].tolist() == ["und"]
+    # dataset wrapper equals the batch kernel at any partitioning
+    dist = (para_lang(rd.from_pandas(docs).repartition(3)).to_pandas()
+            .sort_values(["doc_id", "para_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        dist, got.sort_values(["doc_id", "para_idx"])
+        .reset_index(drop=True))

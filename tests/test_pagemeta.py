@@ -2,6 +2,7 @@
 cleaning, canonical resolution, missing fields (the `page_metadata`
 driver query adds the independent SQL-oracle check)."""
 
+import numpy as np
 import pandas as pd
 
 from pdf_extract_ray.stages.pagemeta import page_metadata, page_metadata_batch
@@ -90,3 +91,44 @@ def test_refresh_redirects():
     assert list(out.delay_s) == [0, 5, 30]
     assert list(out.target_url) == ["http://h.example/new",
                                     "http://x.example/", None]
+
+
+def test_date_mentions_known_values_and_sql_parity(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.pagemeta import (
+        date_mentions_oracle_sql,
+        extract_date_mentions,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(8, dtype="int64"),
+        "text": [
+            "released on 2014-05-02 and again on 2015-12-31",
+            "March 3, 1995 was notable; so was july 14, 2001",
+            "invalid 2014-13-40 and 2014-00-00 do not count",
+            "bare years 1899 and 2100 are out, 1900 and 2099 are in",
+            "year in a word like x1999y does not count",
+            "",
+            None,
+            "the 2020-02-29 leap date and year 2020 again",
+        ],
+    })
+    got = (extract_date_mentions(rd.from_pandas(docs).repartition(3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["n_dates_iso"].tolist() == [2, 0, 0, 0, 0, 0, 0, 1]
+    assert got["n_dates_textual"].tolist() == [0, 2, 0, 0, 0, 0, 0, 0]
+    # row 0: years 2014, 2015; row 2: invalid dates still contain year
+    # words 2014, 2014; row 3: only 1900/2099 count; row 4: embedded
+    assert got["n_years"].tolist() == [2, 2, 2, 2, 0, 0, 0, 2]
+    assert got["min_year"].tolist() == [2014, 1995, 2014, 1900, -1, -1,
+                                        -1, 2020]
+    assert got["max_year"].tolist() == [2015, 2001, 2014, 2099, -1, -1,
+                                        -1, 2020]
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = (con.sql(date_mentions_oracle_sql(
+                "SELECT doc_id, text FROM documents")).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
