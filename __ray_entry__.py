@@ -875,6 +875,42 @@ def q_k_anonymity_events(sf_dir: str):
         ["event_type", "user_id", "dow"], k=3)
 
 
+def q_l_diversity_events(sf_dir: str):
+    # l-diversity audit (pii.l_diversity_audit): cohorts keyed
+    # (event_type, dow, hour) whose DISTINCT user set is smaller than l
+    # — the leak-by-homogeneity companion to the k-anonymity gate.  Two
+    # grouped integer aggregates; full SQL oracle.
+    from pdf_extract_ray.stages.pii import l_diversity_audit
+
+    ds = _t(sf_dir, "events", columns=["event_type", "user_id", "ts"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["ts"].to_numpy(dtype="datetime64[us]")
+        days = t.astype("datetime64[D]")
+        hours = (t - days).astype("timedelta64[h]").astype(np.int64)
+        return pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(),
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "dow": (days.astype(np.int64) + 4) % 7,
+            "hour": hours})
+
+    return l_diversity_audit(
+        ds.map_batches(derive, batch_format="pandas"),
+        ["event_type", "dow", "hour"], "user_id", l=5)
+
+
+def _l_diversity_oracle() -> str:
+    from pdf_extract_ray.stages.pii import l_diversity_audit_oracle_sql
+
+    derive = (
+        "SELECT event_type, user_id, "
+        "(CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7 AS dow, "
+        "CAST(floor((epoch(ts) % 86400) / 3600) AS BIGINT) AS hour "
+        "FROM events")
+    return l_diversity_audit_oracle_sql(
+        derive, ["event_type", "dow", "hour"], "user_id", l=5)
+
+
 def q_user_gini_events(sf_dir: str):
     # corpus-concentration Gini (profile.count_gini) over events per
     # user — exact integer rank formula on the bounded per-user count
@@ -5361,6 +5397,87 @@ def _date_mentions_oracle() -> str:
     return date_mentions_oracle_sql(f"({derive})")
 
 
+def q_term_blocklist_docs(sf_dir: str):
+    # content-level banned-term gate (urlfilter.term_blocklist_signals
+    # — the C4 "bad words" screen): exact-token word hits + literal
+    # phrase counts + blocked flag.  Derive plants a banned word on
+    # doc_id%5==0 and a banned phrase (twice) on doc_id%7==0; "the"
+    # in the banned list exercises token (not substring) semantics on
+    # every document.  Full SQL oracle.
+    from pdf_extract_ray.stages.urlfilter import term_blocklist_signals
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("").astype(str)
+        d = b["doc_id"].to_numpy()
+        out = []
+        for i, txt in zip(d, t):
+            if i % 5 == 0:
+                txt = "casino " + txt
+            if i % 7 == 0:
+                txt = txt + " free money fast and free money fast"
+            out.append(txt)
+        return pd.DataFrame({"doc_id": d, "text": out})
+
+    return term_blocklist_signals(
+        ds.map_batches(derive, batch_format="pandas"),
+        ["casino", "viagra", "winnings"],
+        ["free money fast"])
+
+
+def _term_blocklist_oracle() -> str:
+    from pdf_extract_ray.stages.urlfilter import term_blocklist_oracle_sql
+
+    derive = (
+        "SELECT doc_id, "
+        "(CASE WHEN doc_id % 5 = 0 THEN 'casino ' ELSE '' END) || "
+        "coalesce(text, '') || "
+        "(CASE WHEN doc_id % 7 = 0 THEN "
+        "' free money fast and free money fast' ELSE '' END) AS text "
+        "FROM documents")
+    return term_blocklist_oracle_sql(
+        derive, ["casino", "viagra", "winnings"], ["free money fast"])
+
+
+def q_url_dedup_docs(sf_dir: str):
+    # crawl-refresh url dedup, the composed production shape: synth urls
+    # -> engine canonicalizer (tracking params stripped, host/port
+    # normalized) -> dedup_exact(keep="last") on canonical_url — a url
+    # revisited across snapshots keeps the freshest copy EVEN when the
+    # raw strings differ only in utm noise.  Full SQL oracle
+    # (canonicalize mirror + keep-last window).
+    from pdf_extract_ray.functions.url import canonicalize_urls
+    from pdf_extract_ray.stages.dedup import dedup_exact
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        b = _with_url(b)
+        c = canonicalize_urls(b["url"])
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "canonical_url": c["canonical_url"].fillna("").to_numpy()})
+
+    rows = ds.map_batches(derive, batch_format="pandas")
+    return dedup_exact(rows, "canonical_url", "doc_id", keep="last")
+
+
+def _url_dedup_oracle() -> str:
+    from pdf_extract_ray.functions.url import canonicalize_oracle_sql
+
+    src = f"SELECT doc_id, {_URL_SYNTH_SQL} FROM documents"
+    can = canonicalize_oracle_sql(src)
+    return (
+        f"WITH c AS (SELECT doc_id, coalesce(canonical_url, '') AS "
+        f"canonical_url FROM ({can})) "
+        "SELECT doc_id, canonical_url FROM ("
+        "  SELECT doc_id, canonical_url, row_number() OVER ("
+        "    PARTITION BY canonical_url ORDER BY doc_id DESC) AS rn "
+        "  FROM c) WHERE rn = 1"
+    )
+
+
 def q_cluster_size_hist(sf_dir: str):
     # dedup-audit report: the near-dup cluster SIZE distribution (how
     # many 2-doc pairs vs 50-doc template farms) — minhash pairs ->
@@ -6513,6 +6630,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "silhouette_embeddings": q_silhouette_embeddings,
         "text_urls_docs": q_text_urls,
         "date_mentions_docs": q_date_mentions_docs,
+        "term_blocklist_docs": q_term_blocklist_docs,
+        "url_dedup_docs": q_url_dedup_docs,
+        "l_diversity_events": q_l_diversity_events,
         "impute_median_events": q_impute_median_events,
         "decayed_event_scores": q_decayed_event_scores,
         "welch_ab_events": q_welch_ab_events,
@@ -8553,6 +8673,9 @@ def oracle_sql() -> dict[str, str]:
         "host_churn": _host_churn_oracle(),
         "text_urls_docs": _text_urls_oracle(),
         "date_mentions_docs": _date_mentions_oracle(),
+        "term_blocklist_docs": _term_blocklist_oracle(),
+        "url_dedup_docs": _url_dedup_oracle(),
+        "l_diversity_events": _l_diversity_oracle(),
         "jsonl_roundtrip_docs": (
             "SELECT doc_id, text, lang, n_chars FROM documents"
         ),

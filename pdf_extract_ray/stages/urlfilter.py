@@ -236,3 +236,84 @@ SELECT {id_col}, url,
         OR n_params > {max_params}) AS is_trap
 FROM f
 """
+
+
+def term_blocklist_signals(
+    ds: Dataset,
+    banned_words: list[str],
+    banned_phrases: list[str] = (),
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Content-level banned-term gate — the C4 "bad words" screen (the
+    paper filters pages containing any term from a public blocklist;
+    RefinedWeb keeps a softer count-based variant).  The policy LIST is
+    the caller's; this operator gives the counts and the flag.
+
+    Frozen rules (SQL-mirrored bit-for-bit):
+
+    * ``n_banned_words`` — tokens of ``lower(text)`` under the corpus
+      word rule ``[a-z0-9]+`` that equal a banned word EXACTLY (token
+      semantics, not substring: "class" never hits "ass");
+    * ``n_banned_phrases`` — non-overlapping literal occurrences of
+      each lowercased phrase in ``lower(text)``, summed;
+    * ``blocked`` — any hit.
+
+    One narrow vectorized map, zero shuffles: token isin against a
+    frozenset + one compiled literal scan per phrase (blocklists are
+    small by nature; for ~100k-phrase lists use the CMS/set-probe
+    machinery instead)."""
+    words = frozenset(w.lower() for w in banned_words)
+    phrases = [p.lower() for p in banned_phrases]
+    word_re = re.compile(r"[a-z0-9]+")
+    phrase_res = [re.compile(re.escape(p)) for p in phrases]
+
+    def sig(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col].fillna("").astype(str).str.lower()
+        toks = t.str.findall(word_re)
+        nw = np.fromiter(
+            (sum(1 for w in lst if w in words) for lst in toks),
+            dtype=np.int64, count=len(toks))
+        np_ = np.zeros(len(t), dtype=np.int64)
+        for rx in phrase_res:
+            np_ += t.str.count(rx).to_numpy(np.int64)
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            "n_banned_words": nw,
+            "n_banned_phrases": np_,
+            "blocked": (nw + np_) > 0,
+        })
+
+    return ds.map_batches(sig, batch_format="pandas")
+
+
+def term_blocklist_oracle_sql(
+    source_sql: str,
+    banned_words: list[str],
+    banned_phrases: list[str] = (),
+    *,
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB mirror of :func:`term_blocklist_signals` — token
+    list_filter for words, replace-length arithmetic for phrase
+    counts (non-overlapping, the Python ``str.count`` rule)."""
+    t = f"lower(coalesce({text_expr}, ''))"
+    wl = ", ".join("'" + w.lower().replace("'", "''") + "'"
+                   for w in sorted(set(banned_words)))
+    nw = (f"len(list_filter(regexp_extract_all({t}, '[a-z0-9]+'), "
+          f"w -> list_contains([{wl}], w)))") if banned_words else "0"
+    terms = []
+    for p in banned_phrases:
+        lit = p.lower().replace("'", "''")
+        terms.append(f"(length({t}) - length(replace({t}, '{lit}', '')))"
+                     f" // {len(p)}")
+    np_sql = " + ".join(terms) if terms else "0"
+    return f"""
+SELECT {id_col},
+  CAST({nw} AS BIGINT) AS n_banned_words,
+  CAST({np_sql} AS BIGINT) AS n_banned_phrases,
+  (CAST({nw} AS BIGINT) + CAST({np_sql} AS BIGINT)) > 0 AS blocked
+FROM ({source_sql})
+"""

@@ -491,3 +491,38 @@ def test_wilson_bounds_reference_and_sql(ray_session, blocks):
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], want[sorted(want.columns)],
         check_dtype=False)
+
+
+# --- l-diversity audit -------------------------------------------------------
+
+@pytest.mark.parametrize("blocks", [1, 6])
+def test_l_diversity_audit(ray_session, blocks):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.pii import (
+        l_diversity_audit, l_diversity_audit_oracle_sql)
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "zip": rng.integers(0, 12, 400).astype(np.int64),
+        "diagnosis": rng.integers(0, 6, 400).astype(np.int64)})
+    # plant a homogeneous cohort: zip 99 is large but single-valued —
+    # k-anonymous yet l-diversity must flag it
+    plant = pd.DataFrame({"zip": [99] * 50, "diagnosis": [3] * 50})
+    df = pd.concat([df, plant], ignore_index=True)
+    got = (l_diversity_audit(rd.from_pandas(df).repartition(blocks),
+                             ["zip"], "diagnosis", l=3)
+           .to_pandas().sort_values("zip").reset_index(drop=True))
+    assert 99 in got["zip"].tolist()
+    assert (got["n_distinct"] < 3).all()
+    nd = df.groupby("zip")["diagnosis"].nunique()
+    want = (nd[nd < 3].rename("n_distinct").reset_index()
+            .sort_values("zip").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    con = duckdb.connect()
+    con.register("t", df)
+    sql = (con.sql(l_diversity_audit_oracle_sql(
+               "SELECT * FROM t", ["zip"], "diagnosis", l=3)).df()
+           .sort_values("zip").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, sql, check_dtype=False)

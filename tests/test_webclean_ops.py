@@ -526,3 +526,36 @@ class TestPdfTextCleanup:
         want = (con.execute(pdf_text_cleanup_oracle_sql("t"))
                 .df().sort_values("doc_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_term_blocklist_token_semantics_and_sql_parity(ray_session):
+    from pdf_extract_ray.stages.urlfilter import (
+        term_blocklist_oracle_sql,
+        term_blocklist_signals,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype="int64"),
+        "text": [
+            "visit our casino tonight",        # word hit
+            "classic assassin classes",        # substrings only: no hit
+            "get free money fast now, free money fast",  # phrase x2
+            "CASINO in caps still counts",     # lowercased first
+            "",
+            None,
+        ],
+    })
+    got = (term_blocklist_signals(rd.from_pandas(docs).repartition(3),
+                                  ["casino", "ass"], ["free money fast"])
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["n_banned_words"].tolist() == [1, 0, 0, 1, 0, 0]
+    assert got["n_banned_phrases"].tolist() == [0, 0, 2, 0, 0, 0]
+    assert got["blocked"].tolist() == [True, False, True, True, False,
+                                       False]
+    con = duckdb.connect()
+    con.register("documents", docs)
+    sql = (con.sql(term_blocklist_oracle_sql(
+               "SELECT doc_id, text FROM documents",
+               ["casino", "ass"], ["free money fast"])).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, sql, check_dtype=False)
