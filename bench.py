@@ -255,7 +255,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "embedding_norms", "charset_stats_docs",
                      "host_churn", "cdc_dedup_docs",
                      "jsonl_roundtrip_docs", "cluster_size_hist",
-                     "silhouette_embeddings", "text_urls_docs"):
+                     "silhouette_embeddings", "text_urls_docs",
+                     # sixth-continuation ops: tokenizer / audits / gates
+                     "zipf_fit_docs", "lsh_recall_audit",
+                     "cluster_keep_best_docs", "unigram_vocab_docs",
+                     "unigram_token_stats", "date_mentions_docs",
+                     "para_lang_docs", "term_blocklist_docs",
+                     "url_dedup_docs", "l_diversity_events"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

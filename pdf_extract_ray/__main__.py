@@ -87,12 +87,27 @@ def cmd_webtext(args) -> int:
             drop_trap_urls=args.drop_trap_urls,
             fix_mojibake=args.fix_mojibake,
             dedup_doc_lines=args.dedup_doc_lines,
+            lm_model=_maybe_train_lm(args.lm_train_glob),
+            lm_tail_min=args.lm_tail_min,
             files_per_partition=args.files_per_partition,
         )
         print(json.dumps({"run": stats}))
         return 0
     finally:
         ray.shutdown()
+
+
+def _maybe_train_lm(train_glob: str | None):
+    """Train the CCNet-style reference bigram LM from a trusted parquet
+    slice (the --lm-train-glob contract: a text column) for the
+    perplexity gate; None when the gate is off."""
+    if not train_glob:
+        return None
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.lm import train_bigram_lm
+
+    return train_bigram_lm(rd.read_parquet(train_glob))
 
 
 def cmd_linkgraph(args) -> int:
@@ -266,6 +281,13 @@ def main(argv=None) -> int:
     wp.add_argument("--fix-mojibake", action="store_true",
                     help="repair UTF-8-as-cp1252 mojibake in the text "
                          "column (stages/mojibake.py)")
+    wp.add_argument("--lm-train-glob", default=None,
+                    help="parquet glob of trusted text to train the "
+                         "reference bigram LM; enables the CCNet "
+                         "perplexity gate")
+    wp.add_argument("--lm-tail-min", type=float, default=None,
+                    help="perplexity tail threshold for the gate "
+                         "(default: lm.DEFAULT_TAIL_MIN)")
     wp.add_argument("--dedup-doc-lines", action="store_true",
                     help="remove within-document repeated lines "
                          "(keep-first; stages/boilerplate.py)")

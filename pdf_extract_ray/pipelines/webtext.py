@@ -30,6 +30,7 @@ import numpy as np
 import pandas as pd
 from ray.data import Dataset
 
+from pdf_extract_ray.stages.lm import lm_model_digest as _lm_digest
 from pdf_extract_ray.stages.nbquality import nb_model_digest
 from pdf_extract_ray.stages.textquality import (
     quality_score_batch,
@@ -114,6 +115,8 @@ def webtext_run(
     drop_trap_urls: bool = False,
     fix_mojibake: bool = False,
     dedup_doc_lines: bool = False,
+    lm_model: dict | None = None,
+    lm_tail_min: float | None = None,
     files_per_partition: int = 8,
     min_rows_per_file: int = 5_000,
 ) -> dict:
@@ -172,10 +175,20 @@ def webtext_run(
     repairs UTF-8-as-cp1252 corruption (stages/mojibake.py) and
     ``dedup_doc_lines`` removes within-document repeated lines
     (stages/boilerplate.dedup_lines_in_doc rule), both rewriting the
-    text column in place AFTER extraction and BEFORE the C4 rules —
-    the frozen stage order is blocklist -> robots -> extract ->
-    mojibake -> doc-line dedup -> C4 -> tier, all fused into the one
-    streaming plan.  Every flag rides the run identity."""
+    text column in place AFTER extraction and BEFORE the C4 rules.
+
+    ``lm_model`` (stages/lm.train_bigram_lm output — a PRE-TRAINED
+    reference model, the CCNet shape: train on a trusted slice, gate
+    the crawl) adds the perplexity gate: documents whose perplexity
+    under the model lands in the tail (``>= lm_tail_min``, default
+    ``lm.DEFAULT_TAIL_MIN``) are dropped before tiering; zero-bigram
+    documents pass through to the short rule.  The model's digest rides
+    the run identity.
+
+    The frozen stage order is blocklist -> traps -> robots -> extract
+    -> mojibake -> doc-line dedup -> C4 -> perplexity gate -> tier, all
+    fused into the one streaming plan.  Every flag rides the run
+    identity."""
     import ray.data as rd
 
     from pdf_extract_ray.pipelines.runner import _rows_written
@@ -246,6 +259,16 @@ def webtext_run(
 
             ds = ds.map_batches(lambda b: apply_c4_filter(b, col),
                                 batch_format="pandas")
+        if lm_model is not None:
+            from pdf_extract_ray.stages.lm import (
+                DEFAULT_TAIL_MIN,
+                perplexity_filter,
+            )
+
+            ds = perplexity_filter(
+                ds, lm_model, text_col=col,
+                tail_min=(DEFAULT_TAIL_MIN if lm_tail_min is None
+                          else lm_tail_min))
         if per_lang_rules:
             from pdf_extract_ray.stages.langquality import webtext_tiers_lang
 
@@ -305,5 +328,7 @@ def webtext_run(
                         "drop_trap_urls": str(drop_trap_urls),
                         "fix_mojibake": str(fix_mojibake),
                         "dedup_doc_lines": str(dedup_doc_lines),
+                        "lm_model": _lm_digest(lm_model),
+                        "lm_tail_min": str(lm_tail_min),
                         "rules": repr(sorted(rules.items()))},
     )

@@ -237,6 +237,60 @@ def perplexity_buckets(
     return ds.map_batches(score, batch_format="pandas")
 
 
+def perplexity_filter(
+    ds: Dataset,
+    model: dict,
+    *,
+    text_col: str = "text",
+    alpha: float = DEFAULT_ALPHA,
+    tail_min: float = DEFAULT_TAIL_MIN,
+) -> Dataset:
+    """The CCNet perplexity GATE: drop rows whose perplexity under the
+    reference model lands in the tail (``round(ppl, 4) >= tail_min`` —
+    the exact bucket boundary :func:`perplexity_buckets` freezes, so
+    "kept" == "bucket != 'tail'" bit-for-bit).  Rows with zero bigrams
+    pass through (the tier rules' short gate owns them).  One narrow
+    map; the model rides the object store with the same per-worker
+    factorized cache as scoring."""
+    import ray
+
+    from pdf_extract_ray.util import round_half_away
+
+    model_ref = ray.put(model)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        key = model_ref.hex()
+        if key not in _MODEL_CACHE:
+            _MODEL_CACHE.clear()
+            _MODEL_CACHE[key] = _factorize_model(ray.get(model_ref))
+        n_bi, sums = _score_texts(batch[text_col], _MODEL_CACHE[key],
+                                  alpha)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ppl = round_half_away(np.exp(-sums / np.maximum(n_bi, 1)), 4)
+        ok = (n_bi == 0) | (ppl < tail_min)
+        return batch[ok]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def lm_model_digest(model: dict | None) -> str:
+    """Stable content digest of a bigram LM for manifest
+    stage_versions (the nb_model_digest convention): a resumed run
+    with a different reference model must redo stale partitions."""
+    import hashlib
+
+    if model is None:
+        return "none"
+    h = hashlib.md5()
+    uni, bi = model["uni"], model["bi"]
+    h.update("\x00".join(map(str, uni.index)).encode())
+    h.update(np.ascontiguousarray(uni.to_numpy(np.int64)).tobytes())
+    h.update("\x00".join(map(str, bi.index)).encode())
+    h.update(np.ascontiguousarray(bi.to_numpy(np.int64)).tobytes())
+    h.update(str(model["V"]).encode())
+    return h.hexdigest()
+
+
 def perplexity_oracle_sql(
     table: str = "documents",
     *,

@@ -117,3 +117,52 @@ def test_webtext_run_drop_trap_urls(ray_session, tmp_path):
     webtext_run(f"{src}/*.parquet", out2, keep_rejects=True,
                 files_per_partition=1, min_rows_per_file=1)
     assert list(_read_out(out2)["doc_id"]) == [0, 1, 2, 3]
+
+
+def test_webtext_run_perplexity_gate(ray_session, tmp_path):
+    from pdf_extract_ray.pipelines.webtext import webtext_run
+    from pdf_extract_ray.stages.lm import (
+        perplexity_buckets,
+        perplexity_filter,
+        train_bigram_lm,
+    )
+
+    fluent = ("the cat sat on the mat and the dog sat on the rug while "
+              "the sun was high over the quiet town near the long river "
+              "and all of the people walked along the old road")
+    gibberish = ("zq xv qq vk zx jq qv kx " * 12).strip()
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    docs = pd.DataFrame({
+        "doc_id": range(8),
+        "text": [fluent if i % 2 == 0 else gibberish for i in range(8)],
+    })
+    docs.to_parquet(f"{src}/a.parquet")
+    model = train_bigram_lm(rd.from_pandas(
+        pd.DataFrame({"text": [fluent] * 4})))
+
+    # the gate == "bucket != tail" bit-for-bit
+    buckets = (perplexity_buckets(rd.from_pandas(docs), model,
+                                  head_max=5.0, tail_min=10.0)
+               .to_pandas().sort_values("doc_id"))
+    kept = (perplexity_filter(rd.from_pandas(docs).repartition(3), model,
+                              text_col="text", tail_min=10.0)
+            .to_pandas().sort_values("doc_id"))
+    want_ids = buckets.loc[buckets["bucket"] != "tail",
+                           "doc_id"].tolist()
+    assert kept["doc_id"].tolist() == want_ids
+    assert set(kept["doc_id"]) == {0, 2, 4, 6}  # gibberish gated out
+
+    # fused run drops the same documents before tiering
+    out = str(tmp_path / "out")
+    webtext_run(f"{src}/*.parquet", out, lm_model=model,
+                lm_tail_min=10.0, keep_rejects=True)
+    got = _read_out(out)
+    assert sorted(got["doc_id"].tolist()) == want_ids
+
+    # the model digest rides the run identity: resuming WITHOUT the
+    # gate redoes partitions instead of skipping stale output
+    stats = webtext_run(f"{src}/*.parquet", out, keep_rejects=True)
+    assert stats["completed"] >= 1 and stats["skipped"] == 0
+    got2 = _read_out(out)
+    assert sorted(got2["doc_id"].tolist()) == list(range(8))
