@@ -5852,6 +5852,19 @@ def q_doc_keywords(sf_dir: str):
     return doc_keywords(ds, k=3, min_df=3)
 
 
+def q_textrank_keywords(sf_dir: str):
+    # graph-based per-doc keywords (relevance.textrank_keywords,
+    # Mihalcea & Tarau 2004): co-occurrence graph + the paper's
+    # unnormalized PageRank recurrence, all inside the document — one
+    # narrow map, zero shuffles.  Oracle = committed golden from the
+    # plain-loop pipeline (determinism freeze: identical float op
+    # order).
+    from pdf_extract_ray.stages.relevance import textrank_keywords
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return textrank_keywords(ds, k=3)
+
+
 def q_pareto_docs(sf_dir: str):
     # distributed skyline (skyline.pareto_frontier): documents on the
     # (n_chars, n_words) Pareto frontier — per-block local frontier
@@ -6633,6 +6646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_blocklist_docs": q_term_blocklist_docs,
         "url_dedup_docs": q_url_dedup_docs,
         "l_diversity_events": q_l_diversity_events,
+        "textrank_keywords": q_textrank_keywords,
         "impute_median_events": q_impute_median_events,
         "decayed_event_scores": q_decayed_event_scores,
         "welch_ab_events": q_welch_ab_events,
@@ -8604,7 +8618,8 @@ def oracle_sql() -> dict[str, str]:
                         "label_prop_docs", "knn_join_embeddings",
                         "central_embeddings", "cdc_dedup_docs",
                         "silhouette_embeddings",
-                        "unigram_vocab_docs", "unigram_token_stats")},
+                        "unigram_vocab_docs", "unigram_token_stats",
+                        "textrank_keywords")},
         "cluster_keep_best_docs": (
             # clusters golden + n_chars argmax window (ties -> min node)
             f"WITH comp AS (SELECT node, component FROM read_parquet("

@@ -261,7 +261,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "cluster_keep_best_docs", "unigram_vocab_docs",
                      "unigram_token_stats", "date_mentions_docs",
                      "para_lang_docs", "term_blocklist_docs",
-                     "url_dedup_docs", "l_diversity_events"):
+                     "url_dedup_docs", "l_diversity_events",
+                     "textrank_keywords"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

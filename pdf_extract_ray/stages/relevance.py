@@ -838,3 +838,97 @@ WITH __rrf_t AS ({table_sql}),
 SELECT {id_col}, {rank_sel}, round({terms}, 6) AS rrf_score
 FROM __rrf_{first} {joins}
 """
+
+
+# ---------------------------------------------------------------------------
+# TextRank keywords (Mihalcea & Tarau 2004, public paper): graph-based
+# per-document keyword extraction — the unsupervised complement to the
+# corpus-statistical doc_keywords (TF-IDF): a word matters because the
+# words it CO-OCCURS with matter, not because it is rare corpus-wide.
+# ---------------------------------------------------------------------------
+
+_TEXTRANK_RE = re.compile(_WORD)
+
+
+def textrank_scores(tokens: list, *, window: int = 2, d: float = 0.85,
+                    n_iter: int = 10, min_len: int = 4) -> dict:
+    """Frozen per-document TextRank kernel.  Candidate vertices are
+    tokens with ``len >= min_len`` (the cheap content-word proxy of the
+    paper's POS filter); undirected edges connect candidates whose
+    positions in the ORIGINAL token stream differ by at most
+    ``window``, weighted by co-occurrence count; scores follow the
+    paper's unnormalized recurrence ``s(v) = (1-d) + d * sum_u
+    w(u,v)/wdeg(u) * s(u)`` from all-ones init, ``n_iter`` synchronous
+    iterations, vertices ordered by sorted word (deterministic
+    ``np.add.at`` scatter — the same float op order everywhere, so
+    distributed == single-process bit-for-bit)."""
+    pos = [(i, t) for i, t in enumerate(tokens) if len(t) >= min_len]
+    if not pos:
+        return {}
+    words = sorted({t for _, t in pos})
+    idx = {w: i for i, w in enumerate(words)}
+    n = len(words)
+    # edge multiset over vertex-index pairs (u < v)
+    counts: dict = {}
+    for a in range(len(pos)):
+        ia, wa = pos[a]
+        for b in range(a + 1, len(pos)):
+            ib, wb = pos[b]
+            if ib - ia > window:
+                break
+            if wa == wb:
+                continue
+            u, v = idx[wa], idx[wb]
+            if u > v:
+                u, v = v, u
+            counts[(u, v)] = counts.get((u, v), 0) + 1
+    score = np.ones(n, dtype=np.float64)
+    if counts:
+        items = sorted(counts.items())
+        eu = np.fromiter((k[0] for k, _ in items), dtype=np.int64)
+        ev = np.fromiter((k[1] for k, _ in items), dtype=np.int64)
+        ew = np.fromiter((w for _, w in items), dtype=np.float64)
+        wdeg = np.zeros(n, dtype=np.float64)
+        np.add.at(wdeg, eu, ew)
+        np.add.at(wdeg, ev, ew)
+        for _ in range(n_iter):
+            nxt = np.full(n, 1.0 - d, dtype=np.float64)
+            np.add.at(nxt, ev, d * ew / wdeg[eu] * score[eu])
+            np.add.at(nxt, eu, d * ew / wdeg[ev] * score[ev])
+            score = nxt
+    else:
+        score = np.full(n, 1.0 - d, dtype=np.float64)
+    return dict(zip(words, score))
+
+
+def textrank_keywords(ds: Dataset, *, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 3,
+                      window: int = 2, d: float = 0.85,
+                      n_iter: int = 10, min_len: int = 4) -> Dataset:
+    """Top-``k`` TextRank keywords per document:
+    ``(id_col, rank, word, score)`` with ``score`` rounded to 6 and the
+    deterministic (rounded score desc, word asc) ranking.  One narrow
+    map, zero shuffles — the graph never leaves the document, so this
+    is embarrassingly parallel at any corpus size (the per-doc kernel
+    is bounded by document length, not corpus size)."""
+    def kw(b: pd.DataFrame) -> pd.DataFrame:
+        ids, ranks, ws, ss = [], [], [], []
+        for i, t in zip(b[id_col], b[text_col].fillna("")):
+            sc = textrank_scores(_TEXTRANK_RE.findall(t.lower()),
+                                 window=window, d=d, n_iter=n_iter,
+                                 min_len=min_len)
+            top = sorted(((round_half_away(v, 6), w) for w, v in sc.items()),
+                         key=lambda t2: (-t2[0], t2[1]))[:k]
+            for r, (v, w) in enumerate(top, 1):
+                ids.append(i)
+                ranks.append(r)
+                ws.append(w)
+                ss.append(v)
+        return pd.DataFrame({
+            id_col: pd.Series(ids, dtype="int64"),
+            "rank": pd.Series(ranks, dtype="int64"),
+            "word": pd.Series(ws, dtype=object),
+            "score": pd.Series(ss, dtype="float64"),
+        })
+
+    return ds.map_batches(kw, batch_format="pandas")

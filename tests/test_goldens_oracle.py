@@ -31,7 +31,7 @@ GOLDEN_QUERIES = (
     "markdown_docs", "grouped_distinct_users", "porter_stems",
     "label_prop_docs", "knn_join_embeddings", "central_embeddings",
     "cdc_dedup_docs", "silhouette_embeddings",
-    "unigram_vocab_docs", "unigram_token_stats",
+    "unigram_vocab_docs", "unigram_token_stats", "textrank_keywords",
 )
 
 

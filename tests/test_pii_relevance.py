@@ -353,3 +353,43 @@ def test_rrf_fusion_matches_reference_and_sql(ray_session, blocks):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     with pytest.raises(ValueError):
         rrf_fusion(rd.from_pandas(df), "doc_id", [])
+
+
+def test_textrank_kernel_and_distributed_parity(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.relevance import (
+        textrank_keywords,
+        textrank_scores,
+    )
+
+    # symmetric roles get identical scores; the hub outranks the rim
+    s = textrank_scores("alpha beta alpha gamma beta alpha".split())
+    assert s["alpha"] == s["beta"] and s["gamma"] < s["alpha"]
+    # min_len filter drops short tokens entirely
+    assert "ab" not in textrank_scores("ab alpha ab beta".split())
+    # no candidates -> empty
+    assert textrank_scores("a b c".split()) == {}
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["the quick brown foxes jump over lazy dogs while "
+                 "brown foxes watch other brown foxes",
+                 "word",  # single candidate, no edges
+                 None],
+    })
+    for parts in (1, 3):
+        got = (textrank_keywords(rd.from_pandas(docs).repartition(parts),
+                                 k=3)
+               .to_pandas().sort_values(["doc_id", "rank"])
+               .reset_index(drop=True))
+        # doc 0: 'brown'/'foxes' co-occur most -> top-2
+        top2 = set(got[got["doc_id"] == 0].head(2)["word"])
+        assert top2 == {"brown", "foxes"}
+        # doc 1: isolated vertex scores 1-d
+        w1 = got[got["doc_id"] == 1]
+        assert w1["word"].tolist() == ["word"]
+        assert np.isclose(w1["score"].iloc[0], 0.15)
+        # doc 2 (None) contributes no rows
+        assert (got["doc_id"] != 2).all()

@@ -1262,6 +1262,37 @@ def gen_silhouette(sf_dir: str) -> dict[str, pa.Table]:
     })}
 
 
+def gen_textrank(sf_dir: str) -> dict[str, pa.Table]:
+    # single-process TextRank keywords: plain loop over documents through
+    # the frozen per-doc kernel (determinism freeze — the graph never
+    # leaves the document, so distributed == this loop bit-for-bit)
+    import re
+
+    from pdf_extract_ray.stages.relevance import textrank_scores
+    from pdf_extract_ray.util import round_half_away
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    word_re = re.compile(r"[a-z0-9]+")
+    ids, ranks, ws, ss = [], [], [], []
+    for i, t in zip(docs["doc_id"], docs["text"]):
+        sc = textrank_scores(
+            word_re.findall(("" if t is None else t).lower()))
+        top = sorted(((round_half_away(v, 6), w) for w, v in sc.items()),
+                     key=lambda t2: (-t2[0], t2[1]))[:3]
+        for r, (v, w) in enumerate(top, 1):
+            ids.append(int(i))
+            ranks.append(r)
+            ws.append(w)
+            ss.append(float(v))
+    return {"textrank_keywords": pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+        "word": pa.array(ws, pa.string()),
+        "score": pa.array(ss, pa.float64()),
+    })}
+
+
 def gen_unigram(sf_dir: str) -> dict[str, pa.Table]:
     # single-process unigram-LM tokenizer (Kudo 2018): plain-Counter
     # wordcount -> driver seed/EM loops over the frozen kernels -> memoized
@@ -1350,7 +1381,7 @@ GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_semdedup, gen_dsir, gen_markdown, gen_porter,
               gen_grouped_distinct, gen_kmeans, gen_kcore,
               gen_host_mirror, gen_label_prop, gen_knn_join, gen_central,
-              gen_cdc, gen_silhouette, gen_unigram)
+              gen_cdc, gen_silhouette, gen_unigram, gen_textrank)
 
 
 def generate_all(sf_dir: str) -> dict[str, pa.Table]:
