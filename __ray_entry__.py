@@ -911,6 +911,41 @@ def _l_diversity_oracle() -> str:
         derive, ["event_type", "dow", "hour"], "user_id", l=5)
 
 
+def q_minmax_scale_docs(sf_dir: str):
+    # per-group min-max calibration (agg.grouped_minmax_scale): n_chars
+    # scaled to [0, 1] within each language — two narrow passes +
+    # broadcast lookup, never a row shuffle; min/max are exact so the
+    # window-function mirror is bit-for-bit on any input.
+    from pdf_extract_ray.stages.agg import grouped_minmax_scale
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return grouped_minmax_scale(ds, ["lang"], "n_chars")
+
+
+def q_event_hhi_by_user(sf_dir: str):
+    # Herfindahl concentration per user over event types
+    # (agg.grouped_hhi): 1.0 = single-type users, 1/k = even usage —
+    # the concentration twin of the Gini report.  Map-side integer
+    # partials, ONE grouped merge, per-group finish over the bounded
+    # count table; round 6 absorbs share-square sum order.
+    from pdf_extract_ray.stages.agg import grouped_hhi
+
+    ds = _t(sf_dir, "events", columns=["user_id", "event_type"])
+    return grouped_hhi(ds, ["user_id"], "event_type")
+
+
+def q_event_cooccurrence(sf_dir: str):
+    # market-basket co-occurrence + lift (events.item_cooccurrence):
+    # which event types attract within a user — distinct (user, type)
+    # set from ONE grouped merge, per-user pairs in ONE bucketed
+    # cogroup (quadratic per key, bounded by the category count),
+    # integer counts, one rounded division.  Full SQL oracle.
+    from pdf_extract_ray.stages.events import item_cooccurrence
+
+    ds = _t(sf_dir, "events", columns=["user_id", "event_type"])
+    return item_cooccurrence(ds, "user_id", "event_type")
+
+
 def q_user_gini_events(sf_dir: str):
     # corpus-concentration Gini (profile.count_gini) over events per
     # user — exact integer rank formula on the bounded per-user count
@@ -6647,6 +6682,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup_docs": q_url_dedup_docs,
         "l_diversity_events": q_l_diversity_events,
         "textrank_keywords": q_textrank_keywords,
+        "minmax_scale_docs": q_minmax_scale_docs,
+        "event_hhi_by_user": q_event_hhi_by_user,
+        "event_cooccurrence": q_event_cooccurrence,
         "impute_median_events": q_impute_median_events,
         "decayed_event_scores": q_decayed_event_scores,
         "welch_ab_events": q_welch_ab_events,
@@ -7523,6 +7561,30 @@ def _token_coverage_oracle() -> str:
     from pdf_extract_ray.stages.textquality import token_coverage_oracle_sql
 
     return token_coverage_oracle_sql(top_k=20)
+
+
+def _minmax_scale_oracle() -> str:
+    from pdf_extract_ray.stages.agg import grouped_minmax_scale_oracle_sql
+
+    return grouped_minmax_scale_oracle_sql(
+        "SELECT doc_id, lang, n_chars FROM documents",
+        ["lang"], "n_chars")
+
+
+def _event_hhi_oracle() -> str:
+    from pdf_extract_ray.stages.agg import grouped_hhi_oracle_sql
+
+    return grouped_hhi_oracle_sql(
+        "SELECT user_id, event_type FROM events",
+        ["user_id"], "event_type")
+
+
+def _event_cooccurrence_oracle() -> str:
+    from pdf_extract_ray.stages.events import item_cooccurrence_oracle_sql
+
+    return item_cooccurrence_oracle_sql(
+        "SELECT user_id, event_type FROM events",
+        "user_id", "event_type")
 
 
 def _zipf_fit_oracle() -> str:
@@ -8691,6 +8753,9 @@ def oracle_sql() -> dict[str, str]:
         "term_blocklist_docs": _term_blocklist_oracle(),
         "url_dedup_docs": _url_dedup_oracle(),
         "l_diversity_events": _l_diversity_oracle(),
+        "minmax_scale_docs": _minmax_scale_oracle(),
+        "event_hhi_by_user": _event_hhi_oracle(),
+        "event_cooccurrence": _event_cooccurrence_oracle(),
         "jsonl_roundtrip_docs": (
             "SELECT doc_id, text, lang, n_chars FROM documents"
         ),

@@ -262,7 +262,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "unigram_token_stats", "date_mentions_docs",
                      "para_lang_docs", "term_blocklist_docs",
                      "url_dedup_docs", "l_diversity_events",
-                     "textrank_keywords"):
+                     "textrank_keywords", "minmax_scale_docs",
+                     "event_hhi_by_user", "event_cooccurrence"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

@@ -1530,3 +1530,150 @@ SELECT {ks},
        CAST(max(tw) AS BIGINT) AS total_w
 FROM __wm_s GROUP BY {ks}
 """
+
+
+def grouped_minmax_scale(
+    ds: Dataset,
+    keys: Sequence[str],
+    col: str,
+    *,
+    out_col: str = "scaled",
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Per-group min-max scaling — ``(v - min_g) / (max_g - min_g)`` —
+    the [0, 1] calibrator next to :func:`grouped_standardize` (quality
+    ensembles mix signals of different scales; min-max preserves rank
+    AND bounded range, which threshold rules want).
+
+    Same two-pass broadcast shape as :func:`grouped_standardize`:
+    per-group (min, max) partials (one tiny row per group per batch),
+    one small bucketed merge, broadcast lookup, narrow map.  min/max
+    are exact (no summation), so the mirror is bit-for-bit on ANY
+    float input — the final expression is two single IEEE ops.
+    Constant groups (``max == min``) get NULL."""
+    import ray
+
+    keys = list(keys)
+
+    def extremes(b: pd.DataFrame) -> pd.DataFrame:
+        f = pd.DataFrame({k: b[k] for k in keys})
+        f["__lo"] = b[col].to_numpy(dtype=np.float64)
+        f["__hi"] = f["__lo"]
+        return f.groupby(keys, as_index=False).agg(
+            __lo=("__lo", "min"), __hi=("__hi", "max"))
+
+    merged = bucketed_group_apply(
+        ds.map_batches(extremes, batch_format="pandas"), keys,
+        lambda g: g.groupby(keys, as_index=False).agg(
+            __lo=("__lo", "min"), __hi=("__hi", "max")),
+        num_buckets=num_buckets)
+    lut_ref = ray.put(merged.to_pandas())
+
+    def scale(b: pd.DataFrame) -> pd.DataFrame:
+        j = b.merge(ray.get(lut_ref), on=keys, how="left", sort=False)
+        lo = j["__lo"].to_numpy(dtype=np.float64)
+        hi = j["__hi"].to_numpy(dtype=np.float64)
+        v = b[col].to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x = (v - lo) / (hi - lo)
+        b[out_col] = np.where(hi > lo, x, np.nan)
+        return b
+
+    return ds.map_batches(scale, batch_format="pandas")
+
+
+def grouped_minmax_scale_oracle_sql(
+    table_sql: str,
+    keys: Sequence[str],
+    col: str,
+    *,
+    out_col: str = "scaled",
+) -> str:
+    """DuckDB mirror of :func:`grouped_minmax_scale` — min/max window
+    aggregates + the same two IEEE ops; NULL for constant groups."""
+    part = ", ".join(keys)
+    v = f"CAST({col} AS DOUBLE)"
+    lo = f"min({v}) OVER (PARTITION BY {part})"
+    hi = f"max({v}) OVER (PARTITION BY {part})"
+    return (
+        f"SELECT *, CASE WHEN {hi} > {lo} THEN "
+        f"({v} - {lo}) / ({hi} - {lo}) END AS {out_col} "
+        f"FROM ({table_sql})")
+
+
+def grouped_hhi(
+    ds: Dataset,
+    keys: Sequence[str],
+    cat_col: str,
+    *,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Herfindahl-Hirschman concentration index per group: ``sum over
+    categories of (n_cat / n_total)^2`` — 1.0 = one category owns the
+    group (a host serving one template, a user firing one event type),
+    1/k = perfectly even over k.  The concentration twin of the Gini
+    report, standard market-concentration math (public formula).
+
+    Scale shape: map-side ``(keys, cat) -> n`` integer partials, ONE
+    grouped merge, then a per-group single pass over the bounded
+    (keys, cat) count table.  Integer counts -> the share squares and
+    their sum are the only float ops; summation order is frozen by
+    sorting on ``cat`` inside the bucket (identical in the SQL mirror
+    via ORDER BY inside list aggregation... the mirror instead uses
+    round 6, absorbing sum order).  Output: ``keys + (n_total, n_cats,
+    hhi)`` with ``hhi`` rounded to 6."""
+    from pdf_extract_ray.util import round_half_away
+
+    keys = list(keys)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        f = pd.DataFrame({k: b[k] for k in keys})
+        f["__cat"] = b[cat_col]
+        f["__n"] = np.int64(1)
+        return f.groupby(keys + ["__cat"], as_index=False).sum()
+
+    counts = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys + ["__cat"], {"__n": ("__n", "sum")},
+        num_buckets=num_buckets)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys + ["__cat"], kind="mergesort")
+        tot = g.groupby(keys, as_index=False)["__n"].sum().rename(
+            columns={"__n": "n_total"})
+        j = g.merge(tot, on=keys, how="left", sort=False)
+        j["__sq"] = (j["__n"].to_numpy(np.float64)
+                     / j["n_total"].to_numpy(np.float64)) ** 2
+        out = j.groupby(keys, as_index=False).agg(
+            n_total=("n_total", "first"), n_cats=("__n", "count"),
+            __hhi=("__sq", "sum"))
+        out["hhi"] = round_half_away(out.pop("__hhi"), 6)
+        out["n_total"] = out["n_total"].astype("int64")
+        out["n_cats"] = out["n_cats"].astype("int64")
+        return out
+
+    return bucketed_group_apply(counts, keys, finish,
+                                num_buckets=num_buckets)
+
+
+def grouped_hhi_oracle_sql(
+    table_sql: str,
+    keys: Sequence[str],
+    cat_col: str,
+) -> str:
+    """DuckDB mirror of :func:`grouped_hhi` (round 6 absorbs float-sum
+    order across the per-category share squares)."""
+    part = ", ".join(keys)
+    return f"""
+WITH __h_c AS (SELECT {part}, {cat_col} AS cat,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM ({table_sql}) GROUP BY {part}, {cat_col}),
+__h_t AS (SELECT {part}, CAST(sum(n) AS BIGINT) AS n_total,
+                 CAST(count(*) AS BIGINT) AS n_cats
+          FROM __h_c GROUP BY {part})
+SELECT t.{part.replace(', ', ', t.')}, t.n_total, t.n_cats,
+       round(sum((CAST(c.n AS DOUBLE) / CAST(t.n_total AS DOUBLE)) ^ 2),
+             6) AS hhi
+FROM __h_c c JOIN __h_t t USING ({part})
+GROUP BY t.{part.replace(', ', ', t.')}, t.n_total, t.n_cats
+"""

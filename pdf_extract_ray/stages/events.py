@@ -243,3 +243,119 @@ SELECT CAST(day AS BIGINT) AS day,
             AS BIGINT) AS cum_users
 FROM __cu_n
 """
+
+
+def item_cooccurrence(
+    ds: Dataset,
+    key_col: str,
+    item_col: str,
+    *,
+    min_both: int = 1,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Market-basket co-occurrence with lift (the association-rule
+    support/lift readout, public formulas): for every unordered item
+    pair, how many keys (users, hosts, sessions) carry BOTH, and
+    ``lift = n_both * n_keys / (n_a * n_b)`` — lift > 1 = the items
+    attract, < 1 = they repel.  The per-item-pair affinity report
+    behind "users who trigger X also trigger Y" and topic-cohesion
+    checks.
+
+    Scale shape: the global distinct ``(key, item)`` set comes from ONE
+    grouped merge (map-side per-batch dedup); per-key item sets then
+    pair up inside ONE bucketed cogroup keyed on the key — the
+    quadratic is per key and bounded by the item-category count, never
+    by corpus size — with per-bucket pre-counted ``(a, b, n)`` partials
+    into a final tiny grouped merge.  Per-item key counts reduce from
+    the same distinct set; the bounded item-count table broadcasts
+    into the finish map.  All counts are integers; ``lift`` is one
+    int-product division, rounded to 6.
+
+    Output: ``(item_a, item_b, n_both, n_a, n_b, lift)`` with
+    ``item_a < item_b``, filtered to ``n_both >= min_both``."""
+    import ray
+
+    from pdf_extract_ray.util import round_half_away
+
+    def dedup_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b[[key_col, item_col]].drop_duplicates()
+
+    distinct = grouped_aggregate(
+        ds.map_batches(dedup_partial, batch_format="pandas"),
+        [key_col, item_col], {"__n": (item_col, "count")},
+        num_buckets=num_buckets)
+
+    # bounded per-item key counts + the key universe size
+    item_counts = grouped_aggregate(
+        distinct, [item_col], {"n_keys": (item_col, "count")},
+        num_buckets=num_buckets).to_pandas()
+    n_keys_total = int(grouped_aggregate(
+        distinct, [key_col], {"__n": (key_col, "count")},
+        num_buckets=num_buckets).count())
+    counts_ref = ray.put(dict(zip(item_counts[item_col],
+                                  item_counts["n_keys"].astype("int64"))))
+
+    def pair_rows(g: pd.DataFrame) -> pd.DataFrame:
+        a_l, b_l = [], []
+        for _, grp in g.groupby(key_col, sort=False):
+            items = sorted(set(grp[item_col]))
+            for i in range(len(items)):
+                for j in range(i + 1, len(items)):
+                    a_l.append(items[i])
+                    b_l.append(items[j])
+        if not a_l:
+            return pd.DataFrame({"item_a": pd.Series([], dtype=object),
+                                 "item_b": pd.Series([], dtype=object),
+                                 "n_both": pd.Series([], dtype="int64")})
+        f = pd.DataFrame({"item_a": a_l, "item_b": b_l})
+        f["n_both"] = np.int64(1)
+        return f.groupby(["item_a", "item_b"], as_index=False).sum()
+
+    pairs = grouped_aggregate(
+        bucketed_group_apply(distinct, [key_col], pair_rows,
+                             num_buckets=num_buckets),
+        ["item_a", "item_b"], {"n_both": ("n_both", "sum")},
+        num_buckets=num_buckets)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        cmap = ray.get(counts_ref)
+        b = b[b["n_both"].to_numpy(np.int64) >= min_both].copy()
+        na = b["item_a"].map(cmap).to_numpy(np.int64)
+        nb = b["item_b"].map(cmap).to_numpy(np.int64)
+        both = b["n_both"].to_numpy(np.int64)
+        b["n_a"], b["n_b"] = na, nb
+        b["lift"] = round_half_away(
+            both.astype(np.float64) * np.float64(n_keys_total)
+            / (na.astype(np.float64) * nb.astype(np.float64)), 6)
+        return b
+
+    return pairs.map_batches(finish, batch_format="pandas")
+
+
+def item_cooccurrence_oracle_sql(
+    table_sql: str,
+    key_col: str,
+    item_col: str,
+    *,
+    min_both: int = 1,
+) -> str:
+    """DuckDB mirror of :func:`item_cooccurrence` — distinct pairs via
+    a self-join, integer counts, one rounded division."""
+    return f"""
+WITH __co_d AS (SELECT DISTINCT {key_col} AS k, {item_col} AS it
+                FROM ({table_sql})),
+__co_i AS (SELECT it, CAST(count(*) AS BIGINT) AS n_keys
+           FROM __co_d GROUP BY it),
+__co_n AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS total FROM __co_d),
+__co_p AS (SELECT a.it AS item_a, b.it AS item_b,
+                  CAST(count(*) AS BIGINT) AS n_both
+           FROM __co_d a JOIN __co_d b ON a.k = b.k AND a.it < b.it
+           GROUP BY 1, 2)
+SELECT item_a, item_b, n_both, ia.n_keys AS n_a, ib.n_keys AS n_b,
+       round(CAST(n_both AS DOUBLE) * CAST(total AS DOUBLE)
+             / (CAST(ia.n_keys AS DOUBLE) * CAST(ib.n_keys AS DOUBLE)),
+             6) AS lift
+FROM __co_p JOIN __co_i ia ON ia.it = item_a
+JOIN __co_i ib ON ib.it = item_b, __co_n
+WHERE n_both >= {int(min_both)}
+"""

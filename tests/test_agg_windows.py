@@ -1499,3 +1499,58 @@ def test_out_of_order_query_sql_parity(ray_session):
     out = lag.to_pandas().sort_values("event_id")
     back = (pd.to_datetime(out["prev_ts"]) > out["ts"]).fillna(False)
     assert back.tolist() == [False, True, False, False, False]
+
+
+def test_grouped_minmax_scale_window_parity(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.agg import (
+        grouped_minmax_scale,
+        grouped_minmax_scale_oracle_sql,
+    )
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({
+        "doc_id": np.arange(200, dtype="int64"),
+        "lang": rng.choice(["en", "de", "fr"], 200),
+        "n_chars": rng.integers(0, 5000, 200).astype("int64"),
+    })
+    # a constant group -> NULL scaled
+    df.loc[df["lang"] == "fr", "n_chars"] = 1234
+    got = (grouped_minmax_scale(rd.from_pandas(df).repartition(4),
+                                ["lang"], "n_chars")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(grouped_minmax_scale_oracle_sql(
+                "SELECT * FROM t", ["lang"], "n_chars")).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got.loc[got["lang"] == "fr", "scaled"].isna().all()
+    ok = got.loc[got["lang"] != "fr", "scaled"]
+    assert ok.between(0.0, 1.0).all()
+
+
+def test_grouped_hhi_known_values_and_parity(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.agg import grouped_hhi, grouped_hhi_oracle_sql
+
+    df = pd.DataFrame({
+        "g": ["a"] * 4 + ["b"] * 4,
+        "cat": ["x", "x", "x", "x", "x", "y", "x", "y"],
+    })
+    got = (grouped_hhi(rd.from_pandas(df).repartition(3), ["g"], "cat")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    # group a: one category -> 1.0; group b: 50/50 -> 0.5
+    assert got["hhi"].tolist() == [1.0, 0.5]
+    assert got["n_total"].tolist() == [4, 4]
+    assert got["n_cats"].tolist() == [1, 2]
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(grouped_hhi_oracle_sql("SELECT * FROM t", ["g"],
+                                           "cat")).df()
+            .sort_values("g").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

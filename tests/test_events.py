@@ -177,3 +177,38 @@ def test_cumulative_users_matches_reference_and_sql(ray_session, blocks):
     want_sql = con.sql(sql).df().sort_values("day").reset_index(drop=True)
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want_sql,
                                   check_dtype=False)
+
+
+def test_item_cooccurrence_lift_and_parity(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.events import (
+        item_cooccurrence,
+        item_cooccurrence_oracle_sql,
+    )
+
+    # 4 users: x+y together twice, x alone once, z with x once;
+    # duplicate rows must not inflate anything
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 2, 2, 3, 4, 4],
+        "it": ["x", "y", "y", "x", "y", "x", "x", "z"],
+    })
+    for parts in (1, 4):
+        got = (item_cooccurrence(rd.from_pandas(df).repartition(parts),
+                                 "u", "it")
+               .to_pandas().sort_values(["item_a", "item_b"])
+               .reset_index(drop=True))
+        assert got[["item_a", "item_b"]].values.tolist() == \
+            [["x", "y"], ["x", "z"]]
+        assert got["n_both"].tolist() == [2, 1]
+        assert got["n_a"].tolist() == [4, 4]
+        assert got["n_b"].tolist() == [2, 1]
+        # lift(x,y) = 2*4/(4*2) = 1.0; lift(x,z) = 1*4/(4*1) = 1.0
+        assert got["lift"].tolist() == [1.0, 1.0]
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(item_cooccurrence_oracle_sql("SELECT * FROM t",
+                                                 "u", "it")).df()
+            .sort_values(["item_a", "item_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
