@@ -911,6 +911,25 @@ def _l_diversity_oracle() -> str:
         derive, ["event_type", "dow", "hour"], "user_id", l=5)
 
 
+def q_winsorize_docs(sf_dir: str):
+    # exact-percentile winsorization (outliers.winsorize_values):
+    # n_chars clipped to the corpus [5, 95] percentile band — keeps the
+    # rows, caps the tails.  One bounded distinct-count pass + one
+    # narrow clip map; same ceil-rank rule as length_outlier_docs.
+    # Full (data-dependent) SQL oracle.
+    from pdf_extract_ray.stages.outliers import winsorize_values
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return winsorize_values(ds, value_col="n_chars")
+
+
+def _winsorize_oracle() -> str:
+    from pdf_extract_ray.stages.outliers import winsorize_oracle_sql
+
+    return winsorize_oracle_sql(
+        "SELECT doc_id, n_chars FROM documents", value_col="n_chars")
+
+
 def q_minmax_scale_docs(sf_dir: str):
     # per-group min-max calibration (agg.grouped_minmax_scale): n_chars
     # scaled to [0, 1] within each language — two narrow passes +
@@ -2690,6 +2709,24 @@ def q_zipf_fit_docs(sf_dir: str):
 
     ds = _t(sf_dir, "documents", columns=["text"])
     return zipf_fit(ds, top_k=100)
+
+
+def q_heaps_fit_docs(sf_dir: str):
+    # Heaps'-law vocabulary growth (textquality.heaps_fit): V ~ K*n^beta
+    # sampled at 8 frozen doc-id checkpoints — the tokenizer-sizing twin
+    # of zipf_fit.  One grouped min merge (word -> first doc), K-vector
+    # integer partials, driver OLS over the 8-row ln-ln curve.  Full
+    # SQL oracle (same checkpoint rule + moment formula, round 4).
+    from pdf_extract_ray.stages.textquality import heaps_fit
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return heaps_fit(ds)
+
+
+def _heaps_fit_oracle() -> str:
+    from pdf_extract_ray.stages.textquality import heaps_fit_oracle_sql
+
+    return heaps_fit_oracle_sql()
 
 
 def q_grouped_distinct_users(sf_dir: str):
@@ -6683,6 +6720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "l_diversity_events": q_l_diversity_events,
         "textrank_keywords": q_textrank_keywords,
         "minmax_scale_docs": q_minmax_scale_docs,
+        "winsorize_docs": q_winsorize_docs,
         "event_hhi_by_user": q_event_hhi_by_user,
         "event_cooccurrence": q_event_cooccurrence,
         "impute_median_events": q_impute_median_events,
@@ -6726,6 +6764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": q_embedding_centroids,
         "token_coverage_docs": q_token_coverage_docs,
         "zipf_fit_docs": q_zipf_fit_docs,
+        "heaps_fit_docs": q_heaps_fit_docs,
         "unigram_vocab_docs": q_unigram_vocab_docs,
         "unigram_token_stats": q_unigram_token_stats,
         "grouped_distinct_users": q_grouped_distinct_users,
@@ -8338,6 +8377,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroids": _embedding_centroids_oracle(),
         "token_coverage_docs": _token_coverage_oracle(),
         "zipf_fit_docs": _zipf_fit_oracle(),
+        "heaps_fit_docs": _heaps_fit_oracle(),
         "typo_norm_docs": _typo_norm_oracle(),
         "trending_events": (
             # tumbling-hour counts -> top-2 per window by (n DESC,
@@ -8754,6 +8794,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup_docs": _url_dedup_oracle(),
         "l_diversity_events": _l_diversity_oracle(),
         "minmax_scale_docs": _minmax_scale_oracle(),
+        "winsorize_docs": _winsorize_oracle(),
         "event_hhi_by_user": _event_hhi_oracle(),
         "event_cooccurrence": _event_cooccurrence_oracle(),
         "jsonl_roundtrip_docs": (

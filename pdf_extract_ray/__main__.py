@@ -89,6 +89,10 @@ def cmd_webtext(args) -> int:
             dedup_doc_lines=args.dedup_doc_lines,
             lm_model=_maybe_train_lm(args.lm_train_glob),
             lm_tail_min=args.lm_tail_min,
+            banned_words=(args.banned_words.split(",")
+                          if args.banned_words else None),
+            banned_phrases=[p for p in args.banned_phrases.split("|")
+                            if p],
             files_per_partition=args.files_per_partition,
         )
         print(json.dumps({"run": stats}))
@@ -281,6 +285,11 @@ def main(argv=None) -> int:
     wp.add_argument("--fix-mojibake", action="store_true",
                     help="repair UTF-8-as-cp1252 mojibake in the text "
                          "column (stages/mojibake.py)")
+    wp.add_argument("--banned-words", default=None,
+                    help="comma-separated banned words (exact-token "
+                         "hits drop the document)")
+    wp.add_argument("--banned-phrases", default="",
+                    help="|-separated banned literal phrases")
     wp.add_argument("--lm-train-glob", default=None,
                     help="parquet glob of trusted text to train the "
                          "reference bigram LM; enables the CCNet "

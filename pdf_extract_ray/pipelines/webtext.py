@@ -117,6 +117,8 @@ def webtext_run(
     dedup_doc_lines: bool = False,
     lm_model: dict | None = None,
     lm_tail_min: float | None = None,
+    banned_words: list[str] | None = None,
+    banned_phrases: list[str] = (),
     files_per_partition: int = 8,
     min_rows_per_file: int = 5_000,
 ) -> dict:
@@ -185,10 +187,15 @@ def webtext_run(
     documents pass through to the short rule.  The model's digest rides
     the run identity.
 
+    ``banned_words``/``banned_phrases`` apply the content-level
+    banned-term gate (stages/urlfilter.term_blocklist_signals — the C4
+    "bad words" screen; exact-token word hits, literal phrase counts):
+    any hit drops the document.  The policy list is the caller's.
+
     The frozen stage order is blocklist -> traps -> robots -> extract
-    -> mojibake -> doc-line dedup -> C4 -> perplexity gate -> tier, all
-    fused into the one streaming plan.  Every flag rides the run
-    identity."""
+    -> mojibake -> doc-line dedup -> C4 -> banned terms -> perplexity
+    gate -> tier, all fused into the one streaming plan.  Every flag
+    rides the run identity."""
     import ray.data as rd
 
     from pdf_extract_ray.pipelines.runner import _rows_written
@@ -259,6 +266,13 @@ def webtext_run(
 
             ds = ds.map_batches(lambda b: apply_c4_filter(b, col),
                                 batch_format="pandas")
+        if banned_words is not None or banned_phrases:
+            from pdf_extract_ray.stages.urlfilter import (
+                filter_by_term_blocklist,
+            )
+
+            ds = filter_by_term_blocklist(
+                ds, banned_words or [], banned_phrases, text_col=col)
         if lm_model is not None:
             from pdf_extract_ray.stages.lm import (
                 DEFAULT_TAIL_MIN,
@@ -330,5 +344,9 @@ def webtext_run(
                         "dedup_doc_lines": str(dedup_doc_lines),
                         "lm_model": _lm_digest(lm_model),
                         "lm_tail_min": str(lm_tail_min),
+                        "banned_terms": repr(
+                            (sorted(banned_words), sorted(banned_phrases))
+                            if (banned_words is not None or banned_phrases)
+                            else None),
                         "rules": repr(sorted(rules.items()))},
     )

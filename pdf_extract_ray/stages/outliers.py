@@ -195,3 +195,77 @@ WITH w AS (
 SELECT {id_col}, n_words FROM w, lo, hi
 WHERE n_words >= lo AND n_words <= hi
 """
+
+
+def winsorize_values(
+    ds: Dataset,
+    *,
+    value_col: str,
+    id_col: str = "doc_id",
+    lower_pct: int = 5,
+    upper_pct: int = 95,
+) -> Dataset:
+    """Winsorize an integer-valued column at the corpus's EXACT
+    [lower_pct, upper_pct] percentiles — the clipping twin of
+    :func:`length_outlier_trim` (trimming drops the tails; winsorizing
+    keeps the rows but caps the values, the standard pre-step before
+    means/regressions that heavy web-scale tails would otherwise own).
+
+    Same scale shape: one bounded distinct-count pass (the driver table
+    has one row per DISTINCT value), the same integer ceil-rank
+    thresholds (:func:`percentile_thresholds`), then ONE narrow clip
+    map.  Output: ``(id_col, value_col, clipped, was_clipped)``."""
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    def counts_batch(b: pd.DataFrame) -> pd.DataFrame:
+        v, c = np.unique(b[value_col].to_numpy(np.int64),
+                         return_counts=True)
+        return pd.DataFrame({"v": v.astype(np.int64),
+                             "c": c.astype(np.int64)})
+
+    cnt = grouped_aggregate(
+        ds.select_columns([value_col]).map_batches(
+            counts_batch, batch_format="pandas"),
+        ["v"], {"c": ("c", "sum")})
+    table = {int(r["v"]): int(r["c"]) for r in cnt.take_all()}
+    lo, hi = percentile_thresholds(table, lower_pct, upper_pct)
+
+    def clip(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[value_col].to_numpy(np.int64)
+        cl = np.clip(v, lo, hi)
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            value_col: v,
+            "clipped": cl,
+            "was_clipped": cl != v,
+        })
+
+    return ds.map_batches(clip, batch_format="pandas")
+
+
+def winsorize_oracle_sql(
+    table_sql: str,
+    *,
+    value_col: str,
+    id_col: str = "doc_id",
+    lower_pct: int = 5,
+    upper_pct: int = 95,
+) -> str:
+    """DuckDB mirror of :func:`winsorize_values` — the same ceil-rank
+    thresholds via a cumulative window, then least/greatest clipping."""
+    return f"""
+WITH __wz_s AS (SELECT * FROM ({table_sql})),
+__wz_c AS (SELECT {value_col} AS v, count(*) AS c FROM __wz_s GROUP BY 1),
+__wz_t AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+                  sum(c) OVER () AS n
+           FROM __wz_c),
+__wz_lo AS (SELECT min(v) AS lo FROM __wz_t
+            WHERE cum >= greatest((n * {lower_pct} + 99) // 100, 1)),
+__wz_hi AS (SELECT min(v) AS hi FROM __wz_t
+            WHERE cum >= greatest((n * {upper_pct} + 99) // 100, 1))
+SELECT {id_col}, {value_col},
+       CAST(least(greatest({value_col}, lo), hi) AS BIGINT) AS clipped,
+       least(greatest({value_col}, lo), hi) != {value_col}
+         AS was_clipped
+FROM __wz_s, __wz_lo, __wz_hi
+"""

@@ -1551,3 +1551,150 @@ WITH s AS (
 )
 SELECT {id_col}, pos, quote, n_words FROM f
 """
+
+
+def heaps_fit(ds, *, id_col: str = "doc_id", text_col: str = "text",
+              k_checkpoints: int = 8):
+    """Heaps'-law vocabulary-growth fit — the tokenizer-sizing twin of
+    :func:`zipf_fit`: distinct-word count V grows ~ K * n^beta with
+    corpus token count n (beta ~ 0.4-0.6 for natural text; a beta near
+    0 means a closed template vocabulary, near 1 means id-like noise
+    tokens).  The curve is sampled at ``k_checkpoints`` document-id
+    thresholds ``T_i = min_id - 1 + ceil((max_id - min_id + 1) * i /
+    K)`` (a frozen VALUE rule — no distinct-id table needed), counting
+    documents in ``id_col`` order as "the corpus so far".
+
+    Scale shape: one grouped min merge builds the vocab-bounded
+    ``word -> first doc id`` table; checkpoint vocab/token counts are
+    per-batch K-vector integer partials summed on the driver (K ints
+    per batch); the OLS over the K-row ln-ln curve happens on the
+    driver.  ``beta``/``log_k`` are rounded to 4 (the float-sum-order
+    convention).
+
+    Output: K rows ``(ckpt, max_doc_id, n_tokens, vocab, beta,
+    log_k)`` — the fit constants repeat on every row (one result
+    table; checkpoints with zero tokens are excluded from the fit)."""
+    import re as _re
+
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    word_re = _re.compile(r"[a-z0-9]+")
+    ids_mm = ds.map_batches(
+        lambda b: pd.DataFrame({
+            "mn": [np.int64(b[id_col].min())],
+            "mx": [np.int64(b[id_col].max())]}),
+        batch_format="pandas").to_pandas()
+    if len(ids_mm) == 0:
+        return pd.DataFrame({c: [] for c in
+                             ("ckpt", "max_doc_id", "n_tokens", "vocab",
+                              "beta", "log_k")})
+    mn, mx = int(ids_mm["mn"].min()), int(ids_mm["mx"].max())
+    span = mx - mn + 1
+    ks = list(range(1, k_checkpoints + 1))
+    ts = [mn - 1 + (span * i + k_checkpoints - 1) // k_checkpoints
+          for i in ks]
+
+    def first_doc_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].fillna("").astype(str).str.lower() \
+            .str.findall(word_re)
+        lens = toks.str.len().to_numpy(np.int64)
+        flat = np.array([w for lst in toks for w in lst], dtype=object)
+        did = np.repeat(b[id_col].to_numpy(np.int64), lens)
+        if len(flat) == 0:
+            return pd.DataFrame({"word": pd.Series([], dtype=object),
+                                 "md": pd.Series([], dtype="int64")})
+        f = pd.DataFrame({"word": flat, "md": did})
+        return f.groupby("word", as_index=False).min()
+
+    first = grouped_aggregate(
+        ds.map_batches(first_doc_partial, batch_format="pandas"),
+        ["word"], {"md": ("md", "min")})
+
+    def vocab_partial(b: pd.DataFrame) -> pd.DataFrame:
+        md = b["md"].to_numpy(np.int64)
+        return pd.DataFrame({f"v{i}": [np.int64((md <= t).sum())]
+                             for i, t in zip(ks, ts)})
+
+    vrow = first.map_batches(vocab_partial,
+                             batch_format="pandas").to_pandas().sum()
+
+    def token_partial(b: pd.DataFrame) -> pd.DataFrame:
+        n = (b[text_col].fillna("").astype(str).str.lower()
+             .str.count(word_re).to_numpy(np.int64))
+        did = b[id_col].to_numpy(np.int64)
+        return pd.DataFrame({f"t{i}": [np.int64(n[did <= t].sum())]
+                             for i, t in zip(ks, ts)})
+
+    trow = ds.map_batches(token_partial,
+                          batch_format="pandas").to_pandas().sum()
+
+    vocab = np.array([int(vrow[f"v{i}"]) for i in ks], dtype=np.int64)
+    ntok = np.array([int(trow[f"t{i}"]) for i in ks], dtype=np.int64)
+    ok = (ntok > 0) & (vocab > 0)
+    if ok.sum() >= 2:
+        x = np.log(ntok[ok].astype(np.float64))
+        y = np.log(vocab[ok].astype(np.float64))
+        n = float(ok.sum())
+        sx, sy = float(x.sum()), float(y.sum())
+        sxy, sxx = float((x * y).sum()), float((x * x).sum())
+        den = n * sxx - sx * sx
+        if den > 0.0:
+            beta = round((n * sxy - sx * sy) / den, 4)
+            log_k = round((sy - ((n * sxy - sx * sy) / den) * sx) / n, 4)
+        else:
+            beta = log_k = np.nan
+    else:
+        beta = log_k = np.nan
+    return pd.DataFrame({
+        "ckpt": pd.Series(ks, dtype="int64"),
+        "max_doc_id": pd.Series(ts, dtype="int64"),
+        "n_tokens": ntok,
+        "vocab": vocab,
+        "beta": np.full(len(ks), beta),
+        "log_k": np.full(len(ks), log_k),
+    })
+
+
+def heaps_fit_oracle_sql(table: str = "documents",
+                         text_expr: str = "text",
+                         *, id_col: str = "doc_id",
+                         k_checkpoints: int = 8) -> str:
+    """DuckDB mirror of :func:`heaps_fit` — same frozen checkpoint
+    rule, same first-doc-per-word min, same OLS moment formula over
+    the ln-ln curve (round 4)."""
+    k = int(k_checkpoints)
+    t = f"lower(coalesce({text_expr}, ''))"
+    return f"""
+WITH __hp_b AS (SELECT CAST(min({id_col}) AS BIGINT) AS mn,
+                       CAST(max({id_col}) AS BIGINT) AS mx
+                FROM {table}),
+__hp_k AS (SELECT CAST(i AS BIGINT) AS ckpt,
+                  mn - 1 + ((mx - mn + 1) * i + {k} - 1) // {k} AS tmax
+           FROM __hp_b, unnest(range(1, {k} + 1)) AS r(i)),
+__hp_w AS (SELECT {id_col} AS d,
+                  unnest(regexp_extract_all({t}, '[a-z0-9]+')) AS word
+           FROM {table}),
+__hp_f AS (SELECT word, min(d) AS md FROM __hp_w GROUP BY word),
+__hp_c AS (SELECT ckpt, tmax,
+                  (SELECT CAST(count(*) AS BIGINT) FROM __hp_f
+                   WHERE md <= tmax) AS vocab,
+                  (SELECT CAST(coalesce(count(*), 0) AS BIGINT)
+                   FROM __hp_w WHERE d <= tmax) AS n_tokens
+           FROM __hp_k),
+__hp_m AS (SELECT CAST(count(*) AS DOUBLE) AS nn,
+                  sum(ln(CAST(n_tokens AS DOUBLE))) AS sx,
+                  sum(ln(CAST(vocab AS DOUBLE))) AS sy,
+                  sum(ln(CAST(n_tokens AS DOUBLE))
+                      * ln(CAST(vocab AS DOUBLE))) AS sxy,
+                  sum(ln(CAST(n_tokens AS DOUBLE))
+                      * ln(CAST(n_tokens AS DOUBLE))) AS sxx
+           FROM __hp_c WHERE n_tokens > 0 AND vocab > 0)
+SELECT ckpt, tmax AS max_doc_id, n_tokens, vocab,
+       CASE WHEN nn >= 2 AND (nn * sxx - sx * sx) > 0 THEN
+         round((nn * sxy - sx * sy) / (nn * sxx - sx * sx), 4) END
+         AS beta,
+       CASE WHEN nn >= 2 AND (nn * sxx - sx * sx) > 0 THEN
+         round((sy - ((nn * sxy - sx * sy) / (nn * sxx - sx * sx)) * sx)
+               / nn, 4) END AS log_k
+FROM __hp_c, __hp_m
+"""

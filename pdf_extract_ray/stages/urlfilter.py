@@ -288,6 +288,36 @@ def term_blocklist_signals(
     return ds.map_batches(sig, batch_format="pandas")
 
 
+def filter_by_term_blocklist(
+    ds: Dataset,
+    banned_words: list[str],
+    banned_phrases: list[str] = (),
+    *,
+    text_col: str = "text",
+) -> Dataset:
+    """Drop rows hit by the banned-term rules of
+    :func:`term_blocklist_signals` (same frozen token/phrase
+    semantics); the production gate `webtext_run(banned_words=...)`
+    fuses.  One narrow map, zero shuffles."""
+    words = frozenset(w.lower() for w in banned_words)
+    phrase_res = [re.compile(re.escape(p.lower())) for p in banned_phrases]
+    word_re = re.compile(r"[a-z0-9]+")
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col].fillna("").astype(str).str.lower()
+        hit = np.zeros(len(b), dtype=bool)
+        if words:
+            toks = t.str.findall(word_re)
+            hit |= np.fromiter(
+                (any(w in words for w in lst) for lst in toks),
+                dtype=bool, count=len(toks))
+        for rx in phrase_res:
+            hit |= t.str.contains(rx).to_numpy()
+        return b[~hit]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
 def term_blocklist_oracle_sql(
     source_sql: str,
     banned_words: list[str],

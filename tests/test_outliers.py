@@ -121,3 +121,34 @@ def test_score_percentile_single_row_and_constant(ray_session):
                                      "score": [5, 5, 5]})),
         score_col="score").to_pandas()
     assert const["pct_rank"].tolist() == [0.0, 0.0, 0.0]
+
+
+def test_winsorize_values_clips_at_exact_percentiles(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.outliers import (
+        winsorize_oracle_sql,
+        winsorize_values,
+    )
+
+    rng = np.random.default_rng(13)
+    vals = np.concatenate([rng.integers(100, 200, 180),
+                           [1, 2, 3], [9999, 8888]]).astype("int64")
+    df = pd.DataFrame({"doc_id": np.arange(len(vals), dtype="int64"),
+                       "n_chars": vals})
+    got = (winsorize_values(rd.from_pandas(df).repartition(4),
+                            value_col="n_chars")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # the planted tails are clipped, the bulk untouched
+    assert got.loc[got["n_chars"] >= 9999 - 1, "was_clipped"].all()
+    assert got.loc[got["n_chars"] <= 3, "was_clipped"].all()
+    assert (got["clipped"].to_numpy() >= got["clipped"].min()).all()
+    # winsorizing never drops rows
+    assert len(got) == len(df)
+    con = duckdb.connect()
+    con.register("t", df)
+    want = (con.sql(winsorize_oracle_sql("SELECT * FROM t",
+                                         value_col="n_chars")).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -292,3 +292,38 @@ def test_knn_join_within_cell_exact(ray_session):
     # brute-force check for one vector: ranks ordered by cosine desc
     g0 = got[got["vec_id"] == 0].sort_values("rank")
     assert g0["cosine"].is_monotonic_decreasing or len(g0) < 2
+
+
+def test_heaps_fit_growth_curve_and_sql_parity(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.textquality import (
+        heaps_fit,
+        heaps_fit_oracle_sql,
+    )
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(400)]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(120, dtype="int64"),
+        "text": [" ".join(rng.choice(vocab,
+                                     size=rng.integers(5, 40)))
+                 for _ in range(120)],
+    })
+    for parts in (1, 5):
+        got = (heaps_fit(rd.from_pandas(docs).repartition(parts))
+               .sort_values("ckpt").reset_index(drop=True))
+        # curve is monotone in both tokens and vocabulary
+        assert (np.diff(got["n_tokens"].to_numpy()) >= 0).all()
+        assert (np.diff(got["vocab"].to_numpy()) >= 0).all()
+        # natural growth: 0 < beta < 1 for a sampled zipf-free vocab
+        assert 0.0 < got["beta"].iloc[0] < 1.0
+        con = duckdb.connect()
+        con.register("documents", docs)
+        want = (con.sql(heaps_fit_oracle_sql()).df()
+                .sort_values("ckpt").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # last checkpoint covers the whole corpus
+    total_tokens = docs["text"].str.split().str.len().sum()
+    assert got["n_tokens"].iloc[-1] == total_tokens

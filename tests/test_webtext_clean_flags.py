@@ -166,3 +166,45 @@ def test_webtext_run_perplexity_gate(ray_session, tmp_path):
     assert stats["completed"] >= 1 and stats["skipped"] == 0
     got2 = _read_out(out)
     assert sorted(got2["doc_id"].tolist()) == list(range(8))
+
+
+def test_webtext_run_banned_terms_gate(ray_session, tmp_path):
+    from pdf_extract_ray.pipelines.webtext import webtext_run
+    from pdf_extract_ray.stages.urlfilter import (
+        filter_by_term_blocklist,
+        term_blocklist_signals,
+    )
+
+    body = ("the cat sat on the mat and it was a very long day for "
+            "all of the animals in the house by the sea")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [body,
+                 body + " visit our casino now",       # word hit
+                 body + " classic cases",              # substring: safe
+                 "win free money fast today " + body], # phrase hit
+    })
+    docs.to_parquet(f"{src}/a.parquet")
+
+    # the filter == "NOT blocked" of the signal operator, any layout
+    sig = (term_blocklist_signals(rd.from_pandas(docs),
+                                  ["casino"], ["free money fast"])
+           .to_pandas().sort_values("doc_id"))
+    kept = (filter_by_term_blocklist(rd.from_pandas(docs).repartition(2),
+                                     ["casino"], ["free money fast"])
+            .to_pandas().sort_values("doc_id"))
+    assert kept["doc_id"].tolist() == \
+        sig.loc[~sig["blocked"], "doc_id"].tolist() == [0, 2]
+
+    out = str(tmp_path / "out")
+    webtext_run(f"{src}/*.parquet", out, keep_rejects=True,
+                banned_words=["casino"],
+                banned_phrases=["free money fast"])
+    got = _read_out(out)
+    assert sorted(got["doc_id"].tolist()) == [0, 2]
+    # flag rides the run identity: rerun without the gate redoes work
+    stats = webtext_run(f"{src}/*.parquet", out, keep_rejects=True)
+    assert stats["completed"] >= 1 and stats["skipped"] == 0
+    assert sorted(_read_out(out)["doc_id"].tolist()) == [0, 1, 2, 3]
