@@ -2711,6 +2711,19 @@ def q_zipf_fit_docs(sf_dir: str):
     return zipf_fit(ds, top_k=100)
 
 
+def q_sentence_stats_docs(sf_dir: str):
+    # per-doc sentence statistics through the REAL rule-based splitter
+    # (textquality.sentence_stats_batch over splitter.split_complete):
+    # the sentence-shape quality cues (C4's >=3-sentences page rule,
+    # Gopher's mean-words bands) computed by the flagship pipeline's
+    # own segmentation.  Oracle = committed plain-loop golden
+    # (determinism freeze).
+    from pdf_extract_ray.stages.textquality import sentence_stats
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return sentence_stats(ds)
+
+
 def q_heaps_fit_docs(sf_dir: str):
     # Heaps'-law vocabulary growth (textquality.heaps_fit): V ~ K*n^beta
     # sampled at 8 frozen doc-id checkpoints — the tokenizer-sizing twin
@@ -6765,6 +6778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_coverage_docs": q_token_coverage_docs,
         "zipf_fit_docs": q_zipf_fit_docs,
         "heaps_fit_docs": q_heaps_fit_docs,
+        "sentence_stats_docs": q_sentence_stats_docs,
         "unigram_vocab_docs": q_unigram_vocab_docs,
         "unigram_token_stats": q_unigram_token_stats,
         "grouped_distinct_users": q_grouped_distinct_users,
@@ -8721,7 +8735,7 @@ def oracle_sql() -> dict[str, str]:
                         "central_embeddings", "cdc_dedup_docs",
                         "silhouette_embeddings",
                         "unigram_vocab_docs", "unigram_token_stats",
-                        "textrank_keywords")},
+                        "textrank_keywords", "sentence_stats_docs")},
         "cluster_keep_best_docs": (
             # clusters golden + n_chars argmax window (ties -> min node)
             f"WITH comp AS (SELECT node, component FROM read_parquet("

@@ -264,7 +264,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "url_dedup_docs", "l_diversity_events",
                      "textrank_keywords", "minmax_scale_docs",
                      "event_hhi_by_user", "event_cooccurrence",
-                     "winsorize_docs", "heaps_fit_docs"):
+                     "winsorize_docs", "heaps_fit_docs",
+                     "sentence_stats_docs"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise

@@ -316,3 +316,31 @@ class TestQuotedSpans:
                 .df().sort_values(["doc_id", "pos"])
                 .reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sentence_stats_via_real_splitter(ray_session):
+    import ray.data as rd
+
+    from pdf_extract_ray.stages.textquality import (
+        sentence_stats,
+        sentence_stats_batch,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "One two. Three four five! Six seven eight nine?",
+            "No terminal punctuation here at all",
+            # bracket-protected period must NOT split
+            "Before (see Fig. 2) after. Tail words",
+            None,
+        ],
+    })
+    got = sentence_stats_batch(docs)
+    assert got["n_sentences"].tolist() == [3, 1, 2, 0]
+    assert got["max_sentence_words"].tolist() == [4, 6, 5, 0]
+    assert got.loc[0, "mean_sentence_words"] == 3.0
+    assert pd.isna(got.loc[3, "mean_sentence_words"])
+    dist = (sentence_stats(rd.from_pandas(docs).repartition(3))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(dist, got)

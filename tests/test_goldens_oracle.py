@@ -32,6 +32,7 @@ GOLDEN_QUERIES = (
     "label_prop_docs", "knn_join_embeddings", "central_embeddings",
     "cdc_dedup_docs", "silhouette_embeddings",
     "unigram_vocab_docs", "unigram_token_stats", "textrank_keywords",
+    "sentence_stats_docs",
 )
 
 

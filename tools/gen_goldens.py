@@ -1293,6 +1293,32 @@ def gen_textrank(sf_dir: str) -> dict[str, pa.Table]:
     })}
 
 
+def gen_sentence_stats(sf_dir: str) -> dict[str, pa.Table]:
+    # single-process sentence stats: plain loop over documents through
+    # the REAL rule-based splitter (determinism freeze — split_complete
+    # is a pure frozen kernel, so the distributed narrow map must match
+    # bit-for-bit)
+    from pdf_extract_ray.stages.splitter import split_complete
+    from pdf_extract_ray.util import round_half_away
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    n_s, mean_w, max_w = [], [], []
+    for t in docs["text"]:
+        sents = split_complete("" if t is None else t)
+        wc = [len(s.split()) for s in sents]
+        n_s.append(len(sents))
+        mean_w.append(float(round_half_away(sum(wc) / len(wc), 4))
+                      if wc else None)
+        max_w.append(max(wc) if wc else 0)
+    return {"sentence_stats_docs": pa.table({
+        "doc_id": pa.array(docs["doc_id"], pa.int64()),
+        "n_sentences": pa.array(n_s, pa.int64()),
+        "mean_sentence_words": pa.array(mean_w, pa.float64()),
+        "max_sentence_words": pa.array(max_w, pa.int64()),
+    })}
+
+
 def gen_unigram(sf_dir: str) -> dict[str, pa.Table]:
     # single-process unigram-LM tokenizer (Kudo 2018): plain-Counter
     # wordcount -> driver seed/EM loops over the frozen kernels -> memoized
@@ -1381,7 +1407,8 @@ GENERATORS = (gen_extract, gen_align, gen_minhash, gen_simhash, gen_winnow,
               gen_semdedup, gen_dsir, gen_markdown, gen_porter,
               gen_grouped_distinct, gen_kmeans, gen_kcore,
               gen_host_mirror, gen_label_prop, gen_knn_join, gen_central,
-              gen_cdc, gen_silhouette, gen_unigram, gen_textrank)
+              gen_cdc, gen_silhouette, gen_unigram, gen_textrank,
+              gen_sentence_stats)
 
 
 def generate_all(sf_dir: str) -> dict[str, pa.Table]:
