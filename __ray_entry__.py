@@ -2711,6 +2711,51 @@ def q_zipf_fit_docs(sf_dir: str):
     return zipf_fit(ds, top_k=100)
 
 
+def q_host_size_hist(sf_dir: str):
+    # crawl-shape report: the distribution of pages-per-host (how much
+    # of the corpus sits on mega-hosts vs the long tail) — two
+    # pre-aggregated grouped counts (host -> n_pages, then n_pages ->
+    # n_hosts); only count rows ever shuffle.  Full SQL oracle.
+    from pdf_extract_ray.functions.url import canonicalize_urls
+    from pdf_extract_ray.stages.agg import grouped_aggregate
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def hosts(b: pd.DataFrame) -> pd.DataFrame:
+        b = _with_url(b)
+        return pd.DataFrame({
+            "url_host": canonicalize_urls(b["url"])["url_host"]
+            .fillna("").to_numpy(),
+            "n": np.ones(len(b), dtype=np.int64)})
+
+    per_host = grouped_aggregate(
+        ds.map_batches(hosts, batch_format="pandas"),
+        ["url_host"], {"n_pages": ("n", "sum")})
+    hist = grouped_aggregate(
+        per_host.map_batches(
+            lambda b: pd.DataFrame({
+                "n_pages": b["n_pages"].to_numpy(np.int64),
+                "c": np.ones(len(b), dtype=np.int64)}),
+            batch_format="pandas"),
+        ["n_pages"], {"n_hosts": ("c", "sum")})
+    return hist
+
+
+def _host_size_hist_oracle() -> str:
+    from pdf_extract_ray.functions.url import canonicalize_oracle_sql
+
+    src = f"SELECT doc_id, {_URL_SYNTH_SQL} FROM documents"
+    can = canonicalize_oracle_sql(src)
+    return (
+        f"WITH h AS (SELECT coalesce(url_host, '') AS url_host "
+        f"FROM ({can})), "
+        "p AS (SELECT url_host, CAST(count(*) AS BIGINT) AS n_pages "
+        "  FROM h GROUP BY url_host) "
+        "SELECT n_pages, CAST(count(*) AS BIGINT) AS n_hosts "
+        "FROM p GROUP BY n_pages"
+    )
+
+
 def q_sentence_stats_docs(sf_dir: str):
     # per-doc sentence statistics through the REAL rule-based splitter
     # (textquality.sentence_stats_batch over splitter.split_complete):
@@ -6779,6 +6824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_fit_docs": q_zipf_fit_docs,
         "heaps_fit_docs": q_heaps_fit_docs,
         "sentence_stats_docs": q_sentence_stats_docs,
+        "host_size_hist": q_host_size_hist,
         "unigram_vocab_docs": q_unigram_vocab_docs,
         "unigram_token_stats": q_unigram_token_stats,
         "grouped_distinct_users": q_grouped_distinct_users,
@@ -8392,6 +8438,7 @@ def oracle_sql() -> dict[str, str]:
         "token_coverage_docs": _token_coverage_oracle(),
         "zipf_fit_docs": _zipf_fit_oracle(),
         "heaps_fit_docs": _heaps_fit_oracle(),
+        "host_size_hist": _host_size_hist_oracle(),
         "typo_norm_docs": _typo_norm_oracle(),
         "trending_events": (
             # tumbling-hour counts -> top-2 per window by (n DESC,

@@ -265,7 +265,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "textrank_keywords", "minmax_scale_docs",
                      "event_hhi_by_user", "event_cooccurrence",
                      "winsorize_docs", "heaps_fit_docs",
-                     "sentence_stats_docs"):
+                     "sentence_stats_docs", "host_size_hist"):
             best = float("inf")
             draws = []
             for _ in range(q_reps):  # best-of: the VM's co-tenant noise
